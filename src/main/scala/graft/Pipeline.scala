@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators._
+import graft.sources.EventsAdapter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** The canonical mobility pipeline over the driver's derived positionfix
+  * view, with per-(session, sfDir) memoization so downstream queries
+  * (triplegs needs staypoints, trips needs both, …) don't recompute their
+  * inputs on every action. Intermediate tables are persisted MEMORY_AND_
+  * DISK — at cluster scale these would instead be written back to
+  * user-bucketed parquet between stages.
+  */
+object Pipeline {
+
+  private val cache = mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(spark: SparkSession, sfDir: String, key: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.getOrElseUpdate((spark, sfDir, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Sliding staypoints over the derived positionfixes. Parameters are
+    * calibrated to the synthetic trajectory (per-user fix cadence ~11h,
+    * dwell runs of 8 fixes ≈ 75h, 4-fix transits): a 24h dwell threshold
+    * separates dwell runs (staypoints) from transit fixes (triplegs), and
+    * the gap cutoff is disabled because the cadence itself is hours.
+    */
+  def staypointParams: StaypointGenerator.Params =
+    StaypointGenerator.Params(distThresholdMeters = 100, timeThresholdMinutes = 1440,
+      gapThresholdMinutes = 1e7, includeLast = true)
+
+  def pfsWithStaypoints(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "pfs_sp") {
+      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us")
+      StaypointGenerator.generate(pfs, staypointParams)._1
+    }
+
+  def staypoints(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "sp") {
+      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us")
+      StaypointGenerator.generate(pfs, staypointParams)._2
+    }
+
+  def triplegs(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "tpls") {
+      TriplegGenerator.generate(pfsWithStaypoints(spark, sfDir), gapThresholdMinutes = 1e7)._2
+    }
+
+  def staypointsWithActivity(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "sp_act") {
+      Labelling.createActivityFlag(staypoints(spark, sfDir), timeThresholdMinutes = 120.0)
+    }
+
+  def trips(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "trips") {
+      TripGenerator.generate(staypointsWithActivity(spark, sfDir), triplegs(spark, sfDir),
+        gapThresholdMinutes = 1e7)._3
+    }
+
+  def locations(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "locs") {
+      LocationGenerator.generate(staypoints(spark, sfDir))._2
+    }
+
+  def staypointsWithLocation(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "sp_loc") {
+      LocationGenerator.generate(staypoints(spark, sfDir))._1
+    }
+
+  def tours(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "tours") {
+      TourGenerator.generate(trips(spark, sfDir), None,
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0))._2
+    }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.{GeoFunctions, TimeFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mobility metrics: radius of gyration, jump length, tracking quality,
+  * modal split. Reference: trackintel/analysis/{metrics,tracking_quality,
+  * modal_split}.py. Everything is one or two grouped aggregations — a
+  * single shuffle on `user_id` each, with map-side partial aggregation.
+  */
+object Metrics {
+
+  /** Per-user radius of gyration (metrics.py:8-79). `method` is "count" or
+    * "duration". One pass: weighted centroid via sum(w·x)/sum(w) sub-
+    * expressions, then the weighted mean squared haversine distance to it.
+    * Done as two chained aggregations on the same key (the second input is
+    * tiny — one row per user — and broadcast back).
+    */
+  def radiusGyration(sp: DataFrame, method: String = "count"): DataFrame = {
+    require(method == "count" || method == "duration", s"method unknown: $method")
+    val w = if (method == "duration")
+      TimeFunctions.durationSeconds(col("started_at"), col("finished_at"))
+    else lit(1.0)
+
+    val weighted = sp.select(col("user_id"), col("lon"), col("lat"), w.as("_w"))
+    val centers = weighted.groupBy("user_id").agg(
+      (sum(col("lon") * col("_w")) / sum(col("_w"))).as("_cx"),
+      (sum(col("lat") * col("_w")) / sum(col("_w"))).as("_cy"))
+
+    weighted
+      .join(broadcast(centers), "user_id")
+      .groupBy("user_id")
+      .agg(sqrt(
+        sum(pow(GeoFunctions.haversineMeters(col("lon"), col("lat"), col("_cx"), col("_cy")), 2) * col("_w"))
+          / sum(col("_w"))).as("radius_gyration"))
+  }
+
+  /** Distance to the next staypoint per user; null on each user's last
+    * staypoint (metrics.py:82-128).
+    */
+  def jumpLength(sp: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("started_at", "id")
+    sp.withColumn("jump_length",
+      GeoFunctions.haversineMeters(col("lon"), col("lat"),
+        lead(col("lon"), 1).over(w), lead(col("lat"), 1).over(w)))
+  }
+
+  /** Temporal tracking quality (tracking_quality.py:6-120).
+    * granularity ∈ {all, day, week, weekday, hour}. Records are split at
+    * bucket borders first via sequence+explode (the engine's generator),
+    * then it's one groupBy. Records with duration <= 0 are dropped.
+    */
+  def temporalTrackingQuality(source: DataFrame, granularity: String = "all"): DataFrame = {
+    // durations as exact integer microseconds: sums are order-independent
+    // (no float accumulation), so results are reproducible across runs
+    // and engines
+    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
+    val df = source.filter(durUs > 0L)
+
+    granularity match {
+      case "all" =>
+        df.groupBy("user_id").agg(
+          (sum(durUs).cast("double") /
+            (unix_micros(max(col("finished_at"))) - unix_micros(min(col("started_at")))).cast("double"))
+            .as("quality"))
+      case "day" =>
+        splitAt(df, "day")
+          .groupBy(col("user_id"), date_trunc("DAY", col("started_at")).as("day"))
+          .agg((sum(durUs).cast("double") / lit(86400e6)).as("quality"))
+      case "week" =>
+        // pandas Grouper freq="W" labels by the week's *end* (Sunday);
+        // reproduce via next-Sunday bucketing on the day-split rows.
+        splitAt(df, "day")
+          .groupBy(col("user_id"),
+            next_day(date_trunc("DAY", col("started_at")) - expr("INTERVAL 1 DAY"), "Sunday").as("week_sunday"))
+          .agg((sum(durUs).cast("double") / lit(604800e6)).as("quality"))
+      case "weekday" =>
+        val split = splitAt(df, "day")
+        val start = split.agg(date_trunc("DAY", min(col("started_at")))).first().getTimestamp(0)
+        split
+          .withColumn("_week", floor(datediff(col("started_at"), lit(start)) / 7))
+          .groupBy(col("user_id"), ((dayofweek(col("started_at")) + lit(5)) % 7).as("weekday"))
+          .agg((sum(durUs).cast("double") /
+            (lit(86400e6) * (max(col("_week")) - min(col("_week")) + 1))).as("quality"))
+      case "hour" =>
+        val split = splitAt(splitAt(df, "day"), "hour")
+        val start = split.agg(date_trunc("DAY", min(col("started_at")))).first().getTimestamp(0)
+        split
+          .withColumn("_day", datediff(col("started_at"), lit(start)))
+          .groupBy(col("user_id"), hour(col("started_at")).as("hour"))
+          .agg((sum(durUs).cast("double") /
+            (lit(3600e6) * (max(col("_day")) - min(col("_day")) + 1))).as("quality"))
+      case other =>
+        throw new IllegalArgumentException(s"granularity unknown: $other")
+    }
+  }
+
+  /** Split records crossing day/hour borders into per-bucket slices
+    * (_split_overlaps, tracking_quality.py:174-224): generate the border
+    * timestamps with `sequence` and explode — all native generators.
+    */
+  def splitAt(df: DataFrame, granularity: String): DataFrame = {
+    val stepUs = granularity match {
+      case "day"  => 86400L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case other  => throw new IllegalArgumentException(s"granularity unknown: $other")
+    }
+    val sUs = unix_micros(col("started_at"))
+    val fUs = unix_micros(col("finished_at"))
+    // border points strictly inside (started, finished)
+    val firstBorder = (floor(sUs / stepUs) + 1) * stepUs
+    df
+      .withColumn("_cuts",
+        when(firstBorder >= fUs, array(sUs, fUs))
+          .otherwise(concat(array(sUs), sequence(firstBorder, fUs, lit(stepUs)),
+            when((fUs - firstBorder) % stepUs =!= 0, array(fUs)).otherwise(array()))))
+      .withColumn("_idx", explode(sequence(lit(0), size(col("_cuts")) - 2)))
+      .withColumn("started_at", timestamp_micros(element_at(col("_cuts"), col("_idx") + 1)))
+      .withColumn("finished_at", timestamp_micros(element_at(col("_cuts"), col("_idx") + 2)))
+      .drop("_cuts", "_idx")
+  }
+
+  /** Modal split (modal_split.py:6-75): pivot triplegs on `mode` with
+    * count / summed distance / summed duration, optionally per user and
+    * per time bucket, optionally row-normalized.
+    */
+  def calculateModalSplit(tpls: DataFrame, metric: String = "count", freq: Option[String] = None,
+                          perUser: Boolean = false, norm: Boolean = false): DataFrame = {
+    val value = metric match {
+      case "count"    => lit(1.0)
+      case "distance" => GeoFunctions.linestringLengthMeters(col("points"))
+      case "duration" => TimeFunctions.durationSeconds(col("started_at"), col("finished_at"))
+      case other      => throw new IllegalArgumentException(s"metric unknown: $other")
+    }
+    val base = tpls.withColumn("_v", value)
+    val keys = (if (perUser) Seq(col("user_id")) else Nil) ++
+      (freq match {
+        case Some("W-MON") => Seq(date_trunc("WEEK", col("started_at")).as("timestamp"))
+        case Some("D")     => Seq(date_trunc("DAY", col("started_at")).as("timestamp"))
+        case None          => Nil
+        case Some(other)   => throw new IllegalArgumentException(s"freq unknown: $other")
+      })
+    val grouped =
+      if (keys.isEmpty) base.groupBy(lit(0).as("_all")).pivot("mode").agg(sum(col("_v"))).drop("_all")
+      else base.groupBy(keys: _*).pivot("mode").agg(sum(col("_v")))
+
+    if (!norm) grouped.na.fill(0.0)
+    else {
+      val modeCols = grouped.columns.filterNot(c => c == "user_id" || c == "timestamp")
+      val filled = grouped.na.fill(0.0)
+      val total = modeCols.map(c => col(c)).reduce(_ + _)
+      modeCols.foldLeft(filled)((d, c) => d.withColumn(c, col(c) / total))
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Spatial filtering and pairwise distance matrices.
+  * Reference: trackintel/geogr/filter.py, trackintel/geogr/distances.py:89-185.
+  */
+object SpatialOps {
+
+  /** Keep rows whose point lies within any of the given polygons.
+    *
+    * The reference prefilters with an R-tree then runs exact shapely
+    * predicates (filter.py:44-64). Spark-first shape: the polygons'
+    * united bounding box becomes a *plain column predicate* — pushed into
+    * the parquet scan / prunable — and the exact ray-casting test runs
+    * only on the survivors. Polygons ride along as a broadcast literal.
+    */
+  def spatialFilterPoints(source: DataFrame, areas: Seq[Seq[(Double, Double)]],
+                          lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(areas.nonEmpty, "need at least one area polygon")
+    val minLon = areas.map(_.map(_._1).min).min
+    val maxLon = areas.map(_.map(_._1).max).max
+    val minLat = areas.map(_.map(_._2).min).min
+    val maxLat = areas.map(_.map(_._2).max).max
+
+    val bbox = GeoFunctions.inBBox(col(lonCol), col(latCol), minLon, minLat, maxLon, maxLat)
+    val inAnyArea = udf { (lon: Double, lat: Double) =>
+      areas.exists(ring => GeoFunctions.pointInPolygon(lon, lat, ring))
+    }
+    source.filter(bbox).filter(inAnyArea(col(lonCol), col(latCol)))
+  }
+
+  /** All-pairs point distance in long form (id_1, id_2, distance_m) —
+    * the scale-correct shape of the reference's N×N ndarray
+    * (distances.py:89-153). `symmetric` keeps only id_1 < id_2, the
+    * upper-triangle optimization. A self-join shuffles on nothing here:
+    * for genuinely large inputs callers should bucket or block first;
+    * within trackintel semantics inputs are per-user point sets.
+    */
+  def distanceMatrixPoints(points: DataFrame, symmetric: Boolean = true): DataFrame = {
+    val a = points.select(col("id").as("id_1"), col("lon").as("_lon1"), col("lat").as("_lat1"))
+    val b = points.select(col("id").as("id_2"), col("lon").as("_lon2"), col("lat").as("_lat2"))
+    val joined = if (symmetric) a.join(b, col("id_1") < col("id_2")) else a.crossJoin(b)
+    joined
+      .withColumn("distance_m",
+        GeoFunctions.haversineMeters(col("_lon1"), col("_lat1"), col("_lon2"), col("_lat2")))
+      .select("id_1", "id_2", "distance_m")
+  }
+
+  /** Dynamic time warping distance between two point sequences (DP over
+    * the small per-row arrays — a Scala kernel like the reference's
+    * similaritymeasures call, distances.py:156-185).
+    */
+  private[operators] def dtw(a: Array[(Double, Double)], b: Array[(Double, Double)]): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.NaN
+    val prev = Array.fill(m + 1)(Double.PositiveInfinity)
+    val cur = Array.fill(m + 1)(Double.PositiveInfinity)
+    prev(0) = 0.0
+    for (i <- 1 to n) {
+      java.util.Arrays.fill(cur, Double.PositiveInfinity)
+      if (i == 1) cur(0) = Double.PositiveInfinity
+      for (j <- 1 to m) {
+        val d = GeoFunctions.haversineMeters(a(i - 1)._1, a(i - 1)._2, b(j - 1)._1, b(j - 1)._2)
+        cur(j) = d + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+    }
+    prev(m)
+  }
+
+  /** Discrete Fréchet distance between two point sequences. */
+  private[operators] def frechet(a: Array[(Double, Double)], b: Array[(Double, Double)]): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.NaN
+    val ca = Array.fill(n, m)(-1.0)
+    def c(i: Int, j: Int): Double = {
+      if (ca(i)(j) >= 0) return ca(i)(j)
+      val d = GeoFunctions.haversineMeters(a(i)._1, a(i)._2, b(j)._1, b(j)._2)
+      ca(i)(j) =
+        if (i == 0 && j == 0) d
+        else if (i == 0) math.max(c(0, j - 1), d)
+        else if (j == 0) math.max(c(i - 1, 0), d)
+        else math.max(math.min(math.min(c(i - 1, j), c(i - 1, j - 1)), c(i, j - 1)), d)
+      ca(i)(j)
+    }
+    c(n - 1, m - 1)
+  }
+
+  /** All-pairs trajectory distance (DTW or discrete Fréchet) over
+    * linestring tables, long form, upper triangle.
+    */
+  def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw"): DataFrame = {
+    val kernel = metric match {
+      case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
+        dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+            b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
+        frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+                b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case other     => throw new IllegalArgumentException(s"metric unknown: $other")
+    }
+    val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))
+    val b = tpls.select(col("id").as("id_2"), col("points").as("_p2"))
+    a.join(b, col("id_1") < col("id_2"))
+      .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
+      .select("id_1", "id_2", "distance_m")
+  }
+}

@@ -1,0 +1,25 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Dense sequential id assignment (0..n-1) in a given total order.
+  *
+  * The reference assigns entity ids positionally after a (user, time) sort
+  * (preprocessing/positionfixes.py:163-164). A Spark `row_number()` over a
+  * global window would force everything through one partition, so instead
+  * we do a distributed range-sort and then `zipWithIndex`, which computes
+  * per-partition offsets with one lightweight extra job and keeps the data
+  * fully distributed — the scalable equivalent of a global dense rank.
+  */
+object Ids {
+
+  def withSequentialId(df: DataFrame, idCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val newSchema = sorted.schema.copy(fields =
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, newSchema)
+  }
+}

@@ -168,7 +168,8 @@ object SparkEntry {
          |         lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat
          |  FROM intervals WINDOW w AS (PARTITION BY user_id ORDER BY s_us, id))
          |SELECT id, user_id,
-         |  CAST(floor(${hav("lon", "lat", "nlon", "nlat")}) AS BIGINT) AS jump_m
+         |  CASE WHEN nlon IS NULL THEN NULL
+         |       ELSE CAST(floor(${hav("lon", "lat", "nlon", "nlat")}) AS BIGINT) END AS jump_m
          |FROM nxt""".stripMargin,
     "sessionize_events" ->
       """WITH t AS (

@@ -22,7 +22,10 @@ object GeoFunctions {
     val la1 = radians(lat1)
     val la2 = radians(lat2)
     val arg = cos(la1 - la2) - cos(la1) * cos(la2) * (lit(1.0) - cos(radians(lon1) - radians(lon2)))
-    lit(EarthRadiusMeters) * acos(least(lit(1.0), greatest(lit(-1.0), arg)))
+    // guard: least/greatest skip nulls, which would otherwise turn a null
+    // coordinate into acos(-1) = π·R instead of null
+    when(lon1.isNotNull && lat1.isNotNull && lon2.isNotNull && lat2.isNotNull,
+      lit(EarthRadiusMeters) * acos(least(lit(1.0), greatest(lit(-1.0), arg))))
   }
 
   /** Scalar (driver-side / test) version, identical math. */

@@ -150,8 +150,9 @@ object Metrics {
     else {
       val modeCols = grouped.columns.filterNot(c => c == "user_id" || c == "timestamp")
       val filled = grouped.na.fill(0.0)
-      val total = modeCols.map(c => col(c)).reduce(_ + _)
-      modeCols.foldLeft(filled)((d, c) => d.withColumn(c, col(c) / total))
+        .withColumn("_total", modeCols.map(c => col(c)).reduce(_ + _))
+      modeCols.foldLeft(filled)((d, c) => d.withColumn(c, col(c) / col("_total")))
+        .drop("_total")
     }
   }
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LocationMergeTourSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSp(rows: (Long, Long, String, String, Double, Double)*) =
+    rows.toSeq.toDF("id", "user_id", "s", "f", "lon", "lat")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("lon"), col("lat"))
+
+  test("DBSCAN clusters nearby staypoints per user; noise handling with num_samples") {
+    val sp = mkSp(
+      // user 1: two clusters of 2 points + 1 isolated
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", 8.5000, 47.3000),
+      (1L, 1L, "2023-01-01 10:00:00", "2023-01-01 11:00:00", 8.5001, 47.3001),
+      (2L, 1L, "2023-01-01 12:00:00", "2023-01-01 13:00:00", 8.6000, 47.3500),
+      (3L, 1L, "2023-01-01 14:00:00", "2023-01-01 15:00:00", 8.6001, 47.3501),
+      (4L, 1L, "2023-01-01 16:00:00", "2023-01-01 17:00:00", 8.9000, 47.4000),
+      // user 2 at the same coords as user 1's cluster: separate location
+      (5L, 2L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", 8.5000, 47.3000))
+    val (spOut, locs) = LocationGenerator.generate(sp, LocationGenerator.Params(epsilonMeters = 100, numSamples = 1))
+    // num_samples=1: every point is core -> 3 locations for user1, 1 for user2
+    assert(locs.filter(col("user_id") === 1L).count() == 3)
+    assert(locs.filter(col("user_id") === 2L).count() == 1)
+    assert(spOut.filter(col("location_id").isNull).count() == 0)
+    // pair (0,1) share a location; (2,3) share another
+    val locOf = spOut.select("id", "location_id").as[(Long, Long)].collect().toMap
+    assert(locOf(0L) == locOf(1L) && locOf(2L) == locOf(3L) && locOf(0L) != locOf(2L))
+
+    val (spOut2, _) = LocationGenerator.generate(sp, LocationGenerator.Params(epsilonMeters = 100, numSamples = 2))
+    // isolated point becomes noise -> null location
+    assert(spOut2.filter(col("id") === 4L).select("location_id").first().isNullAt(0))
+  }
+
+  test("dataset-level DBSCAN shares locations across users") {
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", 8.5000, 47.3000),
+      (1L, 2L, "2023-01-01 10:00:00", "2023-01-01 11:00:00", 8.5001, 47.3001),
+      (2L, 3L, "2023-01-01 12:00:00", "2023-01-01 13:00:00", 8.9000, 47.4000))
+    val (spOut, locs) = LocationGenerator.generate(sp,
+      LocationGenerator.Params(epsilonMeters = 100, numSamples = 1, aggLevel = "dataset"))
+    val locOf = spOut.select("id", "location_id").as[(Long, Long)].collect().toMap
+    assert(locOf(0L) == locOf(1L)) // same place, different users -> same location id
+    assert(locOf(0L) != locOf(2L))
+    // locations table has one row per (user, location) pair
+    assert(locs.count() == 3)
+  }
+
+  test("merge_staypoints merges consecutive same-location staypoints unless a tripleg intervenes") {
+    val sp = Seq(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 08:30:00", 100L),
+      (1L, 1L, "2023-01-01 08:35:00", "2023-01-01 09:00:00", 100L), // merge with 0
+      (2L, 1L, "2023-01-01 09:05:00", "2023-01-01 09:30:00", 100L), // merge chain
+      (3L, 1L, "2023-01-01 09:40:00", "2023-01-01 10:00:00", 200L), // different location
+      (4L, 1L, "2023-01-01 10:05:00", "2023-01-01 10:30:00", 200L), // tripleg in between -> no merge
+      (5L, 1L, "2023-01-01 12:00:00", "2023-01-01 12:30:00", 200L)  // time gap too large
+    ).toDF("id", "user_id", "s", "f", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("location_id"))
+    val tpls = Seq((0L, 1L, "2023-01-01 10:01:00", "2023-01-01 10:04:00"))
+      .toDF("id", "user_id", "s", "f")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"))
+
+    val merged = StaypointMerger.mergeStaypoints(sp, tpls, maxTimeGapMinutes = 10)
+    val rows = merged.orderBy("started_at").collect()
+    assert(rows.length == 4)
+    // run 0-1-2 merged: keeps first id/started, last finished
+    assert(rows(0).getAs[Long]("id") == 0L)
+    assert(rows(0).getAs[java.sql.Timestamp]("finished_at") == ts("2023-01-01 09:30:00"))
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("tours close when a later trip returns to a candidate's origin (distance mode)") {
+    def pt(lon: Double, lat: Double) = (lon, lat)
+    val trips = Seq(
+      // A->B, B->C, C->A : one tour of 3 trips
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 08:30:00", 0L, 1L, pt(8.50, 47.30), pt(8.52, 47.30)),
+      (1L, 1L, "2023-01-01 09:00:00", "2023-01-01 09:30:00", 1L, 2L, pt(8.52, 47.30), pt(8.54, 47.31)),
+      (2L, 1L, "2023-01-01 10:00:00", "2023-01-01 10:30:00", 2L, 3L, pt(8.54, 47.31), pt(8.50, 47.30))
+    ).toDF("id", "user_id", "s", "f", "origin_staypoint_id", "destination_staypoint_id", "o", "d")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"),
+        col("origin_staypoint_id"), col("destination_staypoint_id"),
+        struct(
+          struct(col("o._1").as("lon"), col("o._2").as("lat")).as("origin"),
+          struct(col("d._1").as("lon"), col("d._2").as("lat")).as("destination")).as("geom"))
+
+    val (tripsOut, tours) = TourGenerator.generate(trips, None, TourGenerator.Params(maxDistMeters = 100))
+    val t = tours.collect()
+    assert(t.length == 1)
+    assert(t(0).getSeq[Long](t(0).fieldIndex("trips")) == Seq(0L, 1L, 2L))
+    assert(t(0).getAs[java.sql.Timestamp]("started_at") == ts("2023-01-01 08:00:00"))
+    assert(t(0).getAs[java.sql.Timestamp]("finished_at") == ts("2023-01-01 10:30:00"))
+    // every trip is mapped back to the tour
+    assert(tripsOut.filter(col("tour_id").isNotNull).count() == 3)
+  }
+
+  test("tours: time budget excludes too-old candidates; spatial gap resets when maxNrGaps=0") {
+    def pt(lon: Double, lat: Double) = (lon, lat)
+    val trips = Seq(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 08:30:00", 0L, 1L, pt(8.50, 47.30), pt(8.52, 47.30)),
+      // jumps to a far place (spatial gap) then returns to B — candidate list was reset at the gap
+      (1L, 1L, "2023-01-01 09:00:00", "2023-01-01 09:30:00", 5L, 6L, pt(8.90, 47.40), pt(8.95, 47.42)),
+      (2L, 1L, "2023-01-01 10:00:00", "2023-01-01 10:30:00", 6L, 7L, pt(8.95, 47.42), pt(8.90, 47.40))
+    ).toDF("id", "user_id", "s", "f", "origin_staypoint_id", "destination_staypoint_id", "o", "d")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"),
+        col("origin_staypoint_id"), col("destination_staypoint_id"),
+        struct(
+          struct(col("o._1").as("lon"), col("o._2").as("lat")).as("origin"),
+          struct(col("d._1").as("lon"), col("d._2").as("lat")).as("destination")).as("geom"))
+    val (_, tours) = TourGenerator.generate(trips, None, TourGenerator.Params(maxDistMeters = 100))
+    val t = tours.collect()
+    // only the 1->2 loop closes (trip 0 was cut off by the spatial gap)
+    assert(t.length == 1)
+    assert(t(0).getSeq[Long](t(0).fieldIndex("trips")) == Seq(1L, 2L))
+  }
+}

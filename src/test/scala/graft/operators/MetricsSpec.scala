@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSp(rows: (Long, Long, String, String, Double, Double)*) =
+    rows.toSeq.toDF("id", "user_id", "s", "f", "lon", "lat")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("lon"), col("lat"))
+
+  test("tracking quality 'all' = tracked seconds over extent") {
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", 8.5, 47.3),
+      (1L, 1L, "2023-01-01 10:00:00", "2023-01-01 11:00:00", 8.5, 47.3))
+    val q = Metrics.temporalTrackingQuality(sp, "all").as[(Long, Double)].collect().toMap
+    assert(math.abs(q(1L) - 7200.0 / 10800.0) < 1e-12)
+  }
+
+  test("day granularity splits records at midnight") {
+    val sp = mkSp((0L, 1L, "2023-01-01 23:00:00", "2023-01-02 01:00:00", 8.5, 47.3))
+    val q = Metrics.temporalTrackingQuality(sp, "day")
+      .select(col("user_id"), col("day").cast("string"), col("quality")).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(q("2023-01-01 00:00:00") - 3600.0 / 86400.0) < 1e-12)
+    assert(math.abs(q("2023-01-02 00:00:00") - 3600.0 / 86400.0) < 1e-12)
+  }
+
+  test("splitAt handles exact-border and sub-bucket records") {
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 00:00:00", "2023-01-02 00:00:00", 8.5, 47.3), // exactly one day
+      (1L, 1L, "2023-01-01 03:00:00", "2023-01-01 04:00:00", 8.5, 47.3)) // inside one day
+    val out = Metrics.splitAt(sp, "day").orderBy("id", "started_at").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[java.sql.Timestamp]("finished_at") == ts("2023-01-02 00:00:00"))
+  }
+
+  test("radius of gyration count vs duration weighting") {
+    // two points 2km apart; duration weights pull the center to the long stay
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 00:00:00", "2023-01-01 10:00:00", 8.50, 47.30),
+      (1L, 1L, "2023-01-01 11:00:00", "2023-01-01 12:00:00", 8.50, 47.318)) // ~2km north
+    val rgCount = Metrics.radiusGyration(sp, "count").select("radius_gyration").as[Double].first()
+    val rgDur = Metrics.radiusGyration(sp, "duration").select("radius_gyration").as[Double].first()
+    assert(rgCount > 900 && rgCount < 1100) // half the separation
+    assert(rgDur < rgCount) // weighted center sits near the long stay
+  }
+
+  test("jump length is distance to next staypoint, null on last") {
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", 8.50, 47.300),
+      (1L, 1L, "2023-01-01 10:00:00", "2023-01-01 11:00:00", 8.50, 47.309))
+    val rows = Metrics.jumpLength(sp).orderBy("id").select("jump_length").collect()
+    assert(math.abs(rows(0).getDouble(0) - 1001) < 10) // ~0.009° lat ≈ 1km
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("modal split pivots modes; norm rows sum to 1") {
+    val tpls = Seq(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 08:30:00", "walk"),
+      (1L, 1L, "2023-01-01 09:00:00", "2023-01-01 09:30:00", "car"),
+      (2L, 1L, "2023-01-01 10:00:00", "2023-01-01 10:30:00", "car")
+    ).toDF("id", "user_id", "s", "f", "mode")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("mode"),
+        expr("array(struct(8.5d as lon, 47.3d as lat), struct(8.51d as lon, 47.3d as lat))").as("points"))
+    val ms = Metrics.calculateModalSplit(tpls, "count", perUser = true, norm = true).collect()
+    assert(ms.length == 1)
+    val r = ms(0)
+    assert(math.abs(r.getAs[Double]("car") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("walk") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("transport mode buckets by speed (closed-left intervals)") {
+    // 1 km in 10 min = 1.67 m/s slow; 10km in 10min = 16.7 m/s motorized
+    val tpls = Seq(
+      (0L, 1L, "2023-01-01 08:00:00", "2023-01-01 08:10:00", Seq((8.5, 47.3), (8.5, 47.309))),
+      (1L, 1L, "2023-01-01 09:00:00", "2023-01-01 09:10:00", Seq((8.5, 47.3), (8.5, 47.39)))
+    ).toDF("id", "user_id", "s", "f", "raw")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"),
+        expr("transform(raw, p -> struct(p._1 as lon, p._2 as lat))").as("points"))
+    val modes = Labelling.predictTransportMode(tpls).select("id", "mode").as[(Long, String)].collect().toMap
+    assert(modes(0L) == "slow_mobility")
+    assert(modes(1L) == "motorized_mobility")
+  }
+
+  test("speed of positionfixes imputes the first fix from the second") {
+    val pfs = Seq(
+      (0L, 1L, "2023-01-01 08:00:00", 8.50, 47.300),
+      (1L, 1L, "2023-01-01 08:10:00", 8.50, 47.309), // ~1km in 600s
+      (2L, 1L, "2023-01-01 08:20:00", 8.50, 47.318)
+    ).toDF("id", "user_id", "t", "lon", "lat")
+      .select(col("id"), col("user_id"), to_timestamp(col("t")).as("tracked_at"), col("lon"), col("lat"))
+    val sp = Labelling.getSpeedPositionfixes(pfs).orderBy("id").select("speed").as[Double].collect()
+    assert(math.abs(sp(0) - sp(1)) < 1e-12) // imputed
+    assert(sp(1) > 1.6 && sp(1) < 1.8)
+  }
+
+  test("location labelling FREQ: top duration locations get home/work") {
+    val sp = Seq(
+      (0L, 1L, "2023-01-01 00:00:00", "2023-01-01 10:00:00", 100L),
+      (1L, 1L, "2023-01-01 11:00:00", "2023-01-01 16:00:00", 200L),
+      (2L, 1L, "2023-01-01 17:00:00", "2023-01-01 18:00:00", 300L),
+      (3L, 1L, "2023-01-02 00:00:00", "2023-01-02 08:00:00", 100L)
+    ).toDF("id", "user_id", "s", "f", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("location_id"))
+    val out = LocationLabelling.freqMethod(sp).select("id", "purpose").as[(Long, Option[String])].collect().toMap
+    assert(out(0L).contains("home") && out(3L).contains("home"))
+    assert(out(1L).contains("work"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("pre-filter keeps only users/locations above thresholds") {
+    val rows = (0 until 12).map { i =>
+      (i.toLong, 1L, f"2023-01-${1 + i}%02d ${i % 24}%02d:00:00", 100L + (i % 2))
+    }
+    val sp = rows.toDF("id", "user_id", "s", "loc")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        (to_timestamp(col("s")) + expr("INTERVAL 2 HOURS")).as("finished_at"),
+        col("loc").as("location_id"))
+    // thresholds high -> nothing kept
+    val strict = LocationLabelling.preFilterLocations(sp)
+    assert(strict.filter(col("keep")).count() == 0)
+    // relaxed -> everything kept
+    val loose = LocationLabelling.preFilterLocations(sp, threshSp = 2, threshLoc = 2,
+      threshSpAtLoc = 2, threshLocTimeHours = 1, threshLocPeriodHours = 2)
+    assert(loose.filter(col("keep")).count() == 12)
+  }
+
+  test("spatial filter: bbox prefilter + exact polygon") {
+    val pts = Seq((0L, 8.52, 47.32), (1L, 8.75, 47.35), (2L, 8.55, 47.55))
+      .toDF("id", "lon", "lat")
+    val triangle = Seq(Seq((8.5, 47.3), (8.6, 47.3), (8.5, 47.4)))
+    val kept = SpatialOps.spatialFilterPoints(pts, triangle).select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(0L))
+  }
+
+  test("distance matrix long form upper triangle") {
+    val pts = Seq((0L, 8.5, 47.3), (1L, 8.6, 47.3), (2L, 8.7, 47.3)).toDF("id", "lon", "lat")
+    val dm = SpatialOps.distanceMatrixPoints(pts).collect()
+    assert(dm.length == 3) // 3 choose 2
+    assert(dm.forall(r => r.getAs[Long]("id_1") < r.getAs[Long]("id_2")))
+  }
+
+  test("DTW and Frechet kernels on simple trajectories") {
+    val a = Array((8.5, 47.3), (8.6, 47.3))
+    val same = SpatialOps.dtw(a, a)
+    assert(same == 0.0)
+    assert(SpatialOps.frechet(a, a) == 0.0)
+    val b = Array((8.5, 47.31), (8.6, 47.31))
+    assert(SpatialOps.frechet(a, b) > 1000 && SpatialOps.frechet(a, b) < 1300)
+  }
+}

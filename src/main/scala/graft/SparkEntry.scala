@@ -118,6 +118,64 @@ object SparkEntry {
     "tours_generate" -> { (s, dir) =>
       Pipeline.tours(s, dir)
         .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), size(col("trips")).as("n_trips"))
+    },
+
+    // ----- training-data pipeline: dedup ------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"), verifyThreshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardTop1(docs.filter(col("doc_id") < 10), docs)
+    },
+
+    // ----- training-data pipeline: similarity search ------------------
+    "ann_bruteforce" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+    "ann_lsh" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, planes = 8)
+    },
+    "embedding_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ----- training-data pipeline: text analysis ----------------------
+    "text_langid" -> { (s, dir) =>
+      TextAnalysis.languageId(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("lang"), col("score_de"), col("score_en"),
+          col("score_es"), col("score_fr"), col("predicted_lang"))
+    },
+    "text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("mean_word_len"),
+          col("stopword_ratio"), col("digit_ratio"), col("quality_ok"))
+    },
+    "token_count" -> { (s, dir) =>
+      TextAnalysis.tokenCount(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+    },
+    "doc_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("md5_fp"), col("min_word_fp"))
+    },
+
+    // ----- training-data pipeline: multimodal plumbing (stub kernel) --
+    "multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.asMediaTable(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("byte_checksum"))
     }
   )
 
@@ -206,6 +264,76 @@ object SparkEntry {
          |SELECT i.user_id,
          |  CAST(floor(sqrt(sum(pow(${hav("i.lon", "i.lat", "c.cx", "c.cy")}, 2) * 1.0) / sum(1.0))) AS BIGINT) AS rg_m
          |FROM intervals i JOIN cent c ON i.user_id = c.user_id
-         |GROUP BY i.user_id""".stripMargin
+         |GROUP BY i.user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(range(0, len(string_split(text,' ')) - 2),
+         |         i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))
+         |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
+         |  FROM documents
+         |), scored AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id AS match_id,
+         |         CAST(len(list_intersect(p.s, c.s)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(p.s, c.s))) AS DOUBLE) AS jaccard
+         |  FROM sh c, (SELECT * FROM sh WHERE doc_id < 10) p
+         |  WHERE p.doc_id != c.doc_id)
+         |SELECT probe_id, match_id, jaccard FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY jaccard DESC, match_id) AS rn
+         |  FROM scored) WHERE rn = 1""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr,
+        |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+        |  (n_words >= 5 AND
+        |   (CASE WHEN n_words > 0 THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) >= 2.0 AND
+        |   (CASE WHEN n_words > 0 THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= 12.0 AND
+        |   (CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= 0.3) AS quality_ok
+        |FROM q""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_fp,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(string_split(text,' '), w -> substring(md5(w),1,8))))[1:4], '-') AS min_word_fp
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k, probe set broadcast against
+  *    the full corpus — the correctness baseline, O(|probes|·|corpus|)
+  *    but fully distributed and codegen'd (higher-order functions, no
+  *    UDF).
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-bit signature, bucket
+  *    equi-join, exact rescoring inside buckets. The scale path: the
+  *    crossJoin disappears, the shuffle key is the signature.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns in double precision —
+    * `aggregate`/`zip_with` keep it inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each probe vector.
+    * @param probes small table (broadcast) with (idCol, vecCol)
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("_simr").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+      // quantize before ranking so ordering is reproducible across engines
+      .withColumn("_simr", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h_{p,i} derived
+    * from a hash of (plane, index), mapped to [-1, 1). Seeded — identical
+    * across runs/executors, no Math.random.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-bit signature over `planes` random hyperplanes. Returns input
+    * plus `_sig` (long bucket key) and `_v` (the vector).
+    */
+  def hyperplaneSignature(emb: DataFrame, planes: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigBits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    emb.withColumn("_sig", sigBits).withColumn("_v", col(vecCol))
+  }
+
+  /** LSH-bucketed ANN: probes join the corpus only within matching
+    * signature buckets (optionally multi-probe across single-bit flips),
+    * then exact cosine rescoring + top-k.
+    */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int = 5, planes: Int = 12,
+              multiProbeBits: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = hyperplaneSignature(corpus, planes, idCol, vecCol)
+      .select(col("_sig"), col(idCol).as("neighbor_id"), col("_v").as("_cv"))
+    val p0 = hyperplaneSignature(probes, planes, idCol, vecCol)
+      .select(col("_sig"), col(idCol).as("probe_id"), col("_v").as("_pv"))
+    // multi-probe: also look in buckets one bit-flip away
+    val probeSigs =
+      if (multiProbeBits <= 0) p0
+      else p0.withColumn("_sig", explode(concat(array(col("_sig")),
+        transform(sequence(lit(0), lit(planes - 1)),
+          b => col("_sig").bitwiseXOR(pow(lit(2.0), b).cast("long"))))))
+    val w = Window.partitionBy("probe_id").orderBy(col("_simr").desc, col("neighbor_id"))
+    probeSigs.join(c, "_sig")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("_pv"), col("_cv")))
+      .withColumn("_simr", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
+  }
+}

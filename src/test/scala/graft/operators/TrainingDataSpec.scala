@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and distributed joins"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "der hund und die katze und das haus und der baum und nicht heute")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the smallest id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 5 docs, one exact dup
+    val dupGroup = out.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair with high jaccard") {
+    val pairs = Dedup.minHashLsh(docs, verifyThreshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dup pair (0,3) must be there with jaccard 1.0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    // near-dup pair (0,1): 13-word docs differing in last word
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.7))
+    // unrelated docs never pair above threshold
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("simhash: identical docs have identical fingerprints; near-dups low hamming") {
+    val fp = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(1L)) <= 12)
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) > java.lang.Long.bitCount(fp(0L) ^ fp(1L)))
+  }
+
+  test("ngram jaccard top-1 finds the exact duplicate") {
+    val top = Dedup.ngramJaccardTop1(docs.filter(col("doc_id") === 0L), docs)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("match_id") == 3L) // exact dup wins (jaccard 1.0)
+    assert(top(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  private val vectors = {
+    // deterministic pseudo-embeddings: cluster c at unit direction c with noise
+    val rnd = new scala.util.Random(7)
+    (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(16)(0.0f)
+      base(c) = 1.0f
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.05f * (rnd.nextFloat() - 0.5f) }.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force ANN top-k finds same-cluster neighbors") {
+    val res = Ann.bruteForceTopK(vectors.filter(col("vec_id") < 3), vectors, k = 5)
+    val rows = res.collect()
+    assert(rows.length == 15)
+    // every neighbor of probe p shares its cluster (labels = id % 3)
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") % 3 == r.getAs[Long]("probe_id") % 3))
+    // ranks are 1..5 per probe
+    assert(rows.filter(_.getAs[Long]("probe_id") == 0L).map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+  }
+
+  test("LSH ANN recall matches brute force on clustered vectors") {
+    val bf = Ann.bruteForceTopK(vectors.filter(col("vec_id") < 3), vectors, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(vectors.filter(col("vec_id") < 3), vectors, k = 3, planes = 6)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall") // multi-probe should catch most
+  }
+
+  test("embedding near-dup finds the tight same-cluster pairs") {
+    val pairs = Dedup.embeddingNearDup(vectors, threshold = 0.95, planes = 6)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("id_a") % 3 == r.getAs[Long]("id_b") % 3))
+  }
+
+  test("language id picks the language with most marker hits") {
+    val out = TextAnalysis.languageId(docs).select("doc_id", "predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("quality score and token counts") {
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 0L).first()
+    assert(q.getAs[Long]("n_words") == 14)
+    assert(q.getAs[Boolean]("quality_ok"))
+    val t = TextAnalysis.tokenCount(Seq((0L, "ab 12 c!")).toDF("doc_id", "text")).first()
+    assert(t.getAs[Long]("ws_tokens") == 3)
+    assert(t.getAs[Long]("bpe_tokens") == 4)
+  }
+
+  test("multimodal: media table schema + batched stub feature extraction") {
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema("blob").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect()
+    assert(feats.length == 5)
+    val f0 = feats.find(_.getLong(0) == 0L).get
+    val f3 = feats.find(_.getLong(0) == 3L).get
+    assert(f0.getLong(2) == f3.getLong(2)) // identical payload -> identical checksum
+    assert(f0.getSeq[Float](3).length == 8)
+    // resize stub bounds the long edge
+    val resized = Multimodal.resizeMeta(media, maxEdge = 64)
+    val metas = resized.select("meta.width", "meta.height").collect()
+    assert(metas.forall(m => math.max(m.getInt(0), m.getInt(1)) <= 64))
+  }
+}

@@ -35,13 +35,13 @@ object Pipeline {
 
   def pfsWithStaypoints(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "pfs_sp") {
-      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us")
+      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us", "k")
       StaypointGenerator.generate(pfs, staypointParams)._1
     }
 
   def staypoints(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "sp") {
-      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us")
+      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us", "k")
       StaypointGenerator.generate(pfs, staypointParams)._2
     }
 

@@ -120,6 +120,54 @@ object SparkEntry {
         .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), size(col("trips")).as("n_trips"))
     },
 
+    // ----- mobility: merge / labelling / filters (oracle-checked) -----
+    "merge_staypoints" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir)
+        .withColumn("location_id", expr("(k div 12) % 4"))
+        .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), col("location_id"))
+      val emptyTpls = sp.filter(lit(false)).select(col("id"), col("user_id"), col("started_at"))
+      StaypointMerger.mergeStaypoints(sp, emptyTpls, maxTimeGapMinutes = 2880)
+        .select(col("id"), col("user_id"), unix_micros(col("started_at")).as("s_us"),
+          unix_micros(col("finished_at")).as("f_us"), col("location_id"))
+    },
+    "location_freq" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      LocationLabelling.freqMethod(sp).select(col("id"), col("purpose"))
+    },
+    "location_osna" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      LocationLabelling.osnaMethod(sp).select(col("id"), col("purpose"))
+    },
+    "pre_filter_locations" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      LocationLabelling.preFilterLocations(sp).select(col("id"), col("keep"))
+    },
+    "spatial_filter" -> { (s, dir) =>
+      val rect = Seq(Seq((-122.3945005, 47.6025005), (-122.3705005, 47.6025005),
+        (-122.3705005, 47.6125005), (-122.3945005, 47.6125005)))
+      SpatialOps.spatialFilterPoints(EventsAdapter.positionfixes(s, dir), rect)
+        .select(col("id"), col("user_id"))
+    },
+    "linestring_length" -> { (s, dir) =>
+      import graft.functions.GeoFunctions
+      EventsAdapter.positionfixes(s, dir)
+        .groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+          p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+        .select(col("user_id"), col("block"),
+          floor(GeoFunctions.linestringLengthMeters(col("points"))).cast("long").as("length_m"))
+    },
+    "modal_split" -> { (s, dir) =>
+      val tplsLike = EventsAdapter.events(s, dir)
+        .select(col("user_id"), col("event_type").as("mode"),
+          timestamp_micros(col("t_us")).as("started_at"), timestamp_micros(col("t_us")).as("finished_at"))
+      Metrics.calculateModalSplit(tplsLike, metric = "count", perUser = true)
+    },
+    "interval_overlap_join" -> { (s, dir) =>
+      val iv = EventsAdapter.intervals(s, dir)
+      IntervalJoin.bestOverlapMatch(iv.filter(col("id") % 2 === 0), iv.filter(col("id") % 2 === 1))
+    },
+
     // ----- training-data pipeline: dedup ------------------------------
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
@@ -265,6 +313,127 @@ object SparkEntry {
          |  CAST(floor(sqrt(sum(pow(${hav("i.lon", "i.lat", "c.cx", "c.cy")}, 2) * 1.0) / sum(1.0))) AS BIGINT) AS rg_m
          |FROM intervals i JOIN cent c ON i.user_id = c.user_id
          |GROUP BY i.user_id""".stripMargin,
+    "merge_staypoints" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS location_id FROM intervals
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(f_us) OVER w IS NOT NULL
+         |                  AND s_us - lag(f_us) OVER w <= 172800000000
+         |                  AND location_id = lag(location_id) OVER w
+         |            THEN 0 ELSE 1 END AS new_run
+         |  FROM sp WINDOW w AS (PARTITION BY user_id ORDER BY s_us, id)
+         |), runs AS (
+         |  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY s_us, id ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM flagged)
+         |SELECT min(id) AS id, user_id, min(s_us) AS s_us, arg_max(f_us, id) AS f_us,
+         |       min(location_id) AS location_id
+         |FROM runs GROUP BY user_id, run""".stripMargin,
+    "location_freq" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS loc FROM intervals
+         |), per AS (
+         |  SELECT user_id, loc, sum(f_us - s_us) AS tot FROM sp GROUP BY user_id, loc
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tot DESC, loc) AS rk FROM per)
+         |SELECT s.id, CASE r.rk WHEN 1 THEN 'home' WHEN 2 THEN 'work' END AS purpose
+         |FROM sp s LEFT JOIN ranked r ON s.user_id = r.user_id AND s.loc = r.loc""".stripMargin,
+    "location_osna" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS loc,
+         |         make_timestamp(s_us + (f_us - s_us) // 2) AS mt
+         |  FROM intervals
+         |), lab AS (
+         |  SELECT *, CASE WHEN (dayofweek(mt) + 6) % 7 >= 5 THEN 'weekend'
+         |                 WHEN hour(mt) >= 2 AND hour(mt) < 8 THEN 'rest'
+         |                 WHEN hour(mt) >= 8 AND hour(mt) < 19 THEN 'work'
+         |                 ELSE 'leisure' END AS label
+         |  FROM sp
+         |), frames AS (
+         |  SELECT *, CASE label WHEN 'rest' THEN (f_us - s_us) * 0.739
+         |                       WHEN 'leisure' THEN (f_us - s_us) * 0.358
+         |                       ELSE CAST(f_us - s_us AS DOUBLE) END AS dur,
+         |         CASE WHEN label IN ('rest','leisure') THEN 'home'
+         |              WHEN label = 'work' THEN 'work' END AS grp
+         |  FROM lab WHERE label != 'weekend'
+         |), agg AS (
+         |  SELECT user_id, loc,
+         |         sum(CASE WHEN grp = 'home' THEN dur ELSE 0.0 END) AS h,
+         |         sum(CASE WHEN grp = 'work' THEN dur ELSE 0.0 END) AS wk,
+         |         max(CASE WHEN grp = 'home' THEN 1 ELSE 0 END) AS has_h,
+         |         max(CASE WHEN grp = 'work' THEN 1 ELSE 0 END) AS has_w
+         |  FROM frames GROUP BY user_id, loc
+         |), ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY h DESC, loc) AS hr,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY wk DESC, loc) AS wr
+         |  FROM agg
+         |), marked AS (
+         |  SELECT *, (hr = 1 AND has_h = 1) AS is_home, (wr = 1 AND has_w = 1) AS is_work_raw FROM ranked
+         |), resolved AS (
+         |  SELECT *,
+         |    max(CASE WHEN is_home AND is_work_raw THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS conflict,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY (CASE WHEN is_home THEN -1.0 ELSE wk END) DESC, loc) AS wr2
+         |  FROM marked
+         |), final AS (
+         |  SELECT user_id, loc,
+         |    CASE WHEN is_home THEN 'home'
+         |         WHEN (CASE WHEN conflict = 1
+         |                    THEN (NOT is_home AND wr2 = 1 AND has_w = 1 AND wk > 0.0)
+         |                    ELSE is_work_raw END) THEN 'work' END AS purpose
+         |  FROM resolved)
+         |SELECT s.id, f.purpose
+         |FROM sp s LEFT JOIN final f ON s.user_id = f.user_id AND s.loc = f.loc""".stripMargin,
+    "pre_filter_locations" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS loc FROM intervals
+         |), u AS (
+         |  SELECT user_id,
+         |         (count(DISTINCT s_us) >= 10 AND count(DISTINCT loc) >= 10) AS user_ok
+         |  FROM sp GROUP BY user_id
+         |), l AS (
+         |  SELECT user_id, loc,
+         |         (count(s_us) >= 10) AND (sum(f_us - s_us) >= 3600000000.0)
+         |           AND (CAST(max(f_us) - min(s_us) AS DOUBLE) >= 18000000000.0) AS loc_ok
+         |  FROM sp GROUP BY user_id, loc)
+         |SELECT s.id, (coalesce(u.user_ok, false) AND coalesce(l.loc_ok, false)) AS keep
+         |FROM sp s LEFT JOIN u ON s.user_id = u.user_id
+         |          LEFT JOIN l ON s.user_id = l.user_id AND s.loc = l.loc""".stripMargin,
+    "spatial_filter" ->
+      s"""${EventsAdapter.pfsSql}
+         |SELECT id, user_id FROM pfs
+         |WHERE lon > -122.3945005 AND lon < -122.3705005
+         |  AND lat > 47.6025005 AND lat < 47.6125005""".stripMargin,
+    "linestring_length" ->
+      s"""${EventsAdapter.pfsSql}, segs AS (
+         |  SELECT user_id, k // 12 AS block,
+         |         CASE WHEN lag(lon) OVER w IS NULL THEN NULL
+         |              ELSE ${hav("lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} END AS seg
+         |  FROM pfs WINDOW w AS (PARTITION BY user_id, k // 12 ORDER BY k)
+         |)
+         |SELECT user_id, block,
+         |       CAST(floor(coalesce(sum(seg), 0.0)) AS BIGINT) AS length_m
+         |FROM segs GROUP BY user_id, block""".stripMargin,
+    "modal_split" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "interval_overlap_join" ->
+      s"""${EventsAdapter.pfsSql}, pairs AS (
+         |  SELECT a.id AS left_id, a.user_id, b.id AS right_id,
+         |         CASE WHEN a.f_us - a.s_us <= 0 THEN 0.0
+         |              ELSE CAST(greatest(0, least(a.f_us, b.f_us) - greatest(a.s_us, b.s_us)) AS DOUBLE)
+         |                   / CAST(a.f_us - a.s_us AS DOUBLE) END AS overlap_ratio
+         |  FROM (SELECT * FROM intervals WHERE id % 2 = 0) a
+         |  JOIN (SELECT * FROM intervals WHERE id % 2 = 1) b
+         |    ON a.user_id = b.user_id AND b.s_us < a.f_us AND a.s_us < b.f_us)
+         |SELECT left_id, user_id, right_id, overlap_ratio FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY overlap_ratio DESC, right_id) AS rn
+         |  FROM pairs) WHERE rn = 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -20,7 +20,7 @@ object LocationLabelling {
                          threshSp: Int = 10, threshLoc: Int = 10, threshSpAtLoc: Int = 10,
                          threshLocTimeHours: Double = 1.0, threshLocPeriodHours: Double = 5.0): DataFrame = {
     require(aggLevel == "user" || aggLevel == "dataset", s"agg_level unknown: $aggLevel")
-    val dur = TimeFunctions.durationSeconds(col("started_at"), col("finished_at"))
+    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
 
     val userAgg = sp.groupBy("user_id").agg(
       (countDistinct(col("started_at")) >= threshSp &&
@@ -28,13 +28,13 @@ object LocationLabelling {
 
     val locKey = if (aggLevel == "user") Seq(col("user_id"), col("location_id")) else Seq(col("location_id"))
     val locAgg = sp
-      .withColumn("_dur", dur)
+      .withColumn("_dur", durUs)
       .groupBy(locKey: _*)
       .agg(
         (count(col("started_at")) >= threshSpAtLoc).as("_n_ok"),
-        (sum(col("_dur")) >= threshLocTimeHours * 3600.0).as("_t_ok"),
-        ((unix_micros(max(col("finished_at"))) - unix_micros(min(col("started_at")))) / 1e6 >=
-          threshLocPeriodHours * 3600.0).as("_p_ok"))
+        (sum(col("_dur")) >= threshLocTimeHours * 3.6e9).as("_t_ok"),
+        ((unix_micros(max(col("finished_at"))) - unix_micros(min(col("started_at")))).cast("double") >=
+          threshLocPeriodHours * 3.6e9).as("_p_ok"))
       .withColumn("_loc_ok", col("_n_ok") && col("_t_ok") && col("_p_ok"))
       .drop("_n_ok", "_t_ok", "_p_ok")
 
@@ -50,10 +50,12 @@ object LocationLabelling {
     * "home", top-2 "work" (location_identification.py:165-243).
     */
   def freqMethod(sp: DataFrame, labels: Seq[String] = Seq("home", "work")): DataFrame = {
-    val dur = TimeFunctions.durationSeconds(col("started_at"), col("finished_at"))
+    // integer-microsecond durations: exact, order-independent sums, so the
+    // ranking is reproducible across runs and engines
+    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
     val perLoc = sp
       .filter(col("location_id").isNotNull)
-      .withColumn("_dur", dur)
+      .withColumn("_dur", durUs)
       .groupBy("user_id", "location_id")
       .agg(sum(col("_dur")).as("_total"))
     val ranked = perLoc.withColumn("_rank",
@@ -73,7 +75,7 @@ object LocationLabelling {
     */
   def osnaMethod(sp: DataFrame): DataFrame = {
     val durUs = (unix_micros(col("finished_at")) - unix_micros(col("started_at")))
-    val meanTime = timestamp_micros(unix_micros(col("started_at")) + durUs / 2)
+    val meanTime = timestamp_micros(unix_micros(col("started_at")) + (durUs / lit(2)).cast("long"))
 
     val frames = sp
       .filter(col("location_id").isNotNull)

@@ -47,6 +47,7 @@ object EventsAdapter {
         col("user_id"),
         timestamp_micros(col("t_us")).as("tracked_at"),
         col("t_us"),
+        col("k"),
         expr(lonExpr("div")).as("lon"),
         expr(latExpr("div")).as("lat"),
         col("value"))
@@ -61,7 +62,7 @@ object EventsAdapter {
       col("id"), col("user_id"),
       col("t_us").as("s_us"),
       (col("t_us") + expr("cast(floor(value * 60000000.0) as bigint)")).as("f_us"),
-      col("lon"), col("lat"))
+      col("k"), col("lon"), col("lat"))
       .withColumn("started_at", timestamp_micros(col("s_us")))
       .withColumn("finished_at", timestamp_micros(col("f_us")))
 
@@ -74,13 +75,13 @@ object EventsAdapter {
        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1 AS k
        |  FROM events
        |), pfs AS (
-       |  SELECT event_id AS id, user_id, t_us, value,
+       |  SELECT event_id AS id, user_id, t_us, value, k,
        |         ${lonExpr("//").replace("cast(", "CAST(").replace(" as double)", " AS DOUBLE)")} AS lon,
        |         ${latExpr("//").replace("cast(", "CAST(").replace(" as double)", " AS DOUBLE)")} AS lat
        |  FROM ev_k
        |), intervals AS (
        |  SELECT id, user_id, t_us AS s_us,
-       |         t_us + CAST(floor(value * 60000000.0) AS BIGINT) AS f_us, lon, lat
+       |         t_us + CAST(floor(value * 60000000.0) AS BIGINT) AS f_us, k, lon, lat
        |  FROM pfs
        |)""".stripMargin
 

@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft_io").toString
+
+  test("positionfixes CSV round trip with column rename") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "pfs.csv"),
+      """id,User,time,longitude,latitude
+        |0,1,2023-01-01 08:00:00,8.5,47.3
+        |1,1,2023-01-01 08:05:00,8.51,47.31
+        |""".stripMargin)
+    val pfs = Csv.readPositionfixes(spark, s"$dir/pfs.csv",
+      columns = Map("User" -> "user_id", "time" -> "tracked_at"))
+    assert(pfs.count() == 2)
+    assert(pfs.schema("lon").dataType.typeName == "double")
+
+    val outDir = s"$dir/out"
+    Csv.writePositionfixes(pfs, outDir)
+    val back = Csv.readPositionfixes(spark, outDir)
+    assert(back.orderBy("id").select("lon").as[Double].collect().toSeq == Seq(8.5, 8.51))
+  }
+
+  test("staypoints WKT POINT round trip") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "sp.csv"),
+      """id,user_id,started_at,finished_at,geom
+        |0,1,2023-01-01 08:00:00,2023-01-01 09:00:00,POINT (8.52940553 47.39725036)
+        |""".stripMargin)
+    val sp = Csv.readStaypoints(spark, s"$dir/sp.csv")
+    val r = sp.first()
+    assert(r.getAs[Double]("lon") == 8.52940553 && r.getAs[Double]("lat") == 47.39725036)
+    Csv.writeStaypoints(sp, s"$dir/out")
+    val back = Csv.readStaypoints(spark, s"$dir/out")
+    assert(back.first().getAs[Double]("lon") == 8.52940553)
+  }
+
+  test("triplegs WKT LINESTRING round trip") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "tpls.csv"),
+      """id;user_id;started_at;finished_at;geom
+        |0;1;2023-01-01 08:00:00;2023-01-01 08:30:00;LINESTRING (8.5 47.3, 8.51 47.31, 8.52 47.32)
+        |""".stripMargin)
+    val tpls = Csv.readTriplegs(spark, s"$dir/tpls.csv", sep = ";")
+    val pts = tpls.select(col("points")).first().getSeq[org.apache.spark.sql.Row](0)
+    assert(pts.length == 3 && pts(1).getDouble(0) == 8.51)
+    Csv.writeTriplegs(tpls, s"$dir/out", sep = ";")
+    val back = Csv.readTriplegs(spark, s"$dir/out", sep = ";")
+    assert(back.select(col("points")).first().getSeq[org.apache.spark.sql.Row](0).length == 3)
+  }
+
+  test("tours list-column round trip") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "tours.csv"),
+      """id;user_id;started_at;finished_at;trips
+        |0;1;2023-01-01 08:00:00;2023-01-01 18:00:00;[3, 5, 7]
+        |""".stripMargin)
+    val tours = Csv.readTours(spark, s"$dir/tours.csv")
+    assert(tours.first().getSeq[Long](tours.first().fieldIndex("trips")) == Seq(3L, 5L, 7L))
+    Csv.writeTours(tours, s"$dir/out")
+    val back = Csv.readTours(spark, s"$dir/out")
+    assert(back.first().getSeq[Long](back.first().fieldIndex("trips")) == Seq(3L, 5L, 7L))
+  }
+
+  test("geolife directory scan: plt parsing, header skip, feet conversion, labels") {
+    val dir = tmpDir()
+    val traj = Paths.get(dir, "010", "Trajectory")
+    Files.createDirectories(traj)
+    Files.writeString(traj.resolve("20081023025304.plt"),
+      """Geolife trajectory
+        |WGS 84
+        |Altitude is in Feet
+        |Reserved 3
+        |0,2,255,My Track,0,0,2,8421376
+        |0
+        |39.984702,116.318417,0,492,39744.1201851852,2008-10-23,02:53:04
+        |39.984683,116.31845,0,492,39744.1202546296,2008-10-23,02:53:10
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "010", "labels.txt"),
+      "Start Time\tEnd Time\tTransportation Mode\n" +
+        "2008/10/23 02:53:00\t2008/10/23 03:00:00\ttrain\n")
+
+    val pfs = Geolife.readPositionfixes(spark, dir)
+    assert(pfs.count() == 2)
+    val r = pfs.orderBy("id").first()
+    assert(r.getAs[Long]("user_id") == 10L)
+    assert(r.getAs[Double]("lat") == 39.984702)
+    assert(math.abs(r.getAs[Double]("elevation") - 492 * 0.3048) < 1e-9)
+
+    val labels = Geolife.readLabels(spark, dir)
+    assert(labels.count() == 1)
+    assert(labels.first().getAs[String]("mode") == "train")
+
+    // label matching: build a tripleg covering the label window
+    val tpls = Seq((0L, 10L, "2008-10-23 02:53:04", "2008-10-23 02:59:00"))
+      .toDF("id", "user_id", "s", "f")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"))
+    val labelled = Geolife.addModesToTriplegs(tpls, labels)
+    assert(labelled.first().getAs[String]("mode") == "train")
+  }
+}

@@ -59,24 +59,37 @@ object Dedup {
 
     val withShingles = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
 
-    // signature[i] = min over shingles of xxhash64(shingle, seed=i)
-    val sig = withShingles.withColumn("_sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("_sh"), s => xxhash64(s, i)))))
+    // Explode shingles and compute each signature slot as a codegen'd
+    // `min` aggregate: higher-order array loops (transform/aggregate) are
+    // CodegenFallback expressions, but explode + groupBy aggregation runs
+    // in whole-stage codegen with map-side partial aggregation — the
+    // shuffle carries one pre-aggregated row per (doc, partition). Each
+    // shingle string is hashed once; per-function hashes re-hash the
+    // 8-byte base hash.
+    val exploded = withShingles.select(col("_id"), explode(col("_sh")).as("_s"))
+      .withColumn("_base", xxhash64(col("_s")))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("_base"), lit(i))).as(s"_m$i"))
+    val sig = exploded.groupBy("_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("_id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
 
-    // band hashes: hash of each r-slice of the signature
+    // band hashes: hash of each r-slice of the signature; bands carry
+    // only (id, band, hash) — the shingle arrays stay out of the 32-way
+    // row duplication and are joined back once per surviving pair
     val banded = sig.withColumn("_band", explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("b"), xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows))), b).as("h")))))
-      .select(col("_id"), col("_sh"), col("_band.b").as("_b"), col("_band.h").as("_h"))
+      .select(col("_id"), col("_band.b").as("_b"), col("_band.h").as("_h"))
 
     // candidate pairs: same band, same band-hash
-    val left = banded.select(col("_b"), col("_h"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
-    val right = banded.select(col("_b"), col("_h"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    val left = banded.select(col("_b"), col("_h"), col("_id").as("id_a"))
+    val right = banded.select(col("_b"), col("_h"), col("_id").as("id_b"))
     val pairs = left.join(right, Seq("_b", "_h")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     pairs
+      .join(withShingles.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(withShingles.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
@@ -89,27 +102,40 @@ object Dedup {
     * four 16-bit chunks (catches all pairs within Hamming distance 3).
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tokens = split(col(textCol), " ")
-    // per-bit vote: for each of 64 bits, sum over tokens of +1/-1
-    val bitVotes = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shiftrightc(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
-    docs.select(col(idCol).as("doc_id"),
-      aggregate(
-        zip_with(bitVotes, sequence(lit(0), lit(63)), (v, b) => when(v > 0, shiftleftc(lit(1L), b)).otherwise(0L)),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+    // explode tokens and compute the 64 per-bit votes as codegen'd sums
+    // (see minHashLsh for why explode+groupBy beats higher-order array
+    // loops); each token is hashed once per row in the projection
+    val tok = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"_v$b")
+    }
+    tok.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: bucket on 16-bit chunks, verify Hamming
     * distance <= maxHamming via bit_count.
     */
+  /** @param maxBucketSize skip degenerate buckets larger than this (a
+    *        standard LSH guard: a bucket of size B contributes B² pairs,
+    *        so one hot bucket can dominate the whole job; skipped buckets
+    *        trade recall for a hard bound on join fan-out)
+    */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucketSize: Long = 10000L): DataFrame = {
     val fp = simHash(docs, idCol, textCol)
     val chunked = fp.withColumn("_c", explode(transform(sequence(lit(0), lit(3)),
       c => struct(c.as("c"),
         (shiftrightc(col("simhash"), c * 16).bitwiseAND(0xFFFFL)).as("h")))))
       .select(col("doc_id"), col("simhash"), col("_c.c").as("_chunk"), col("_c.h").as("_h"))
+      .withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy("_chunk", "_h")))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .drop("_bucket_n")
     val l = chunked.select(col("_chunk"), col("_h"), col("doc_id").as("id_a"), col("simhash").as("_f_a"))
     val r = chunked.select(col("_chunk"), col("_h"), col("doc_id").as("id_b"), col("simhash").as("_f_b"))
     l.join(r, Seq("_chunk", "_h")).filter(col("id_a") < col("id_b"))

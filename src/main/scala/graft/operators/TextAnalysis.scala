@@ -70,12 +70,17 @@ object TextAnalysis {
         size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
 
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
-    * winnowing-style stable sketch) plus a full-text md5.
+    * winnowing-style stable sketch) plus a full-text md5. The per-word
+    * md5 runs on exploded rows (codegen) rather than inside a
+    * higher-order transform (interpreted).
     */
-  def fingerprint(docs: DataFrame, textCol: String = "text", k: Int = 4): DataFrame =
+  def fingerprint(docs: DataFrame, textCol: String = "text", k: Int = 4,
+                  idCol: String = "doc_id"): DataFrame =
     docs
-      .withColumn("md5_fp", md5(col(textCol)))
-      .withColumn("min_word_fp",
-        array_join(slice(array_sort(array_distinct(
-          transform(split(col(textCol), " "), w => substring(md5(w), 1, 8)))), 1, k), "-"))
+      .select(col(idCol), md5(col(textCol)).as("md5_fp"), explode(split(col(textCol), " ")).as("_w"))
+      .withColumn("_p", substring(md5(col("_w")), 1, 8))
+      .groupBy(idCol)
+      .agg(
+        first(col("md5_fp")).as("md5_fp"),
+        array_join(slice(array_sort(collect_set(col("_p"))), 1, k), "-").as("min_word_fp"))
 }

@@ -120,6 +120,59 @@ object SparkEntry {
         .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), size(col("trips")).as("n_trips"))
     },
 
+    // ----- mobility: more metrics (oracle-checked) --------------------
+    "tracking_quality_week" -> { (s, dir) =>
+      Metrics.temporalTrackingQuality(EventsAdapter.intervals(s, dir), "week")
+        .select(col("user_id"), unix_micros(col("week_sunday").cast("timestamp")).as("week_us"), col("quality"))
+    },
+    "tracking_quality_weekday" -> { (s, dir) =>
+      Metrics.temporalTrackingQuality(EventsAdapter.intervals(s, dir), "weekday")
+        .select(col("user_id"), col("weekday").cast("long").as("weekday"), col("quality"))
+    },
+    "tracking_quality_hour" -> { (s, dir) =>
+      Metrics.temporalTrackingQuality(EventsAdapter.intervals(s, dir), "hour")
+        .select(col("user_id"), col("hour").cast("long").as("hour"), col("quality"))
+    },
+    "distance_matrix_points" -> { (s, dir) =>
+      val pts = EventsAdapter.intervals(s, dir).filter(col("id") < 40)
+        .select(col("id"), col("lon"), col("lat"))
+      SpatialOps.distanceMatrixPoints(pts)
+        .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("dist_m"))
+    },
+    "speed_triplegs" -> { (s, dir) =>
+      import graft.functions.GeoFunctions
+      val tpls = EventsAdapter.positionfixes(s, dir)
+        .groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(
+          min(col("tracked_at")).as("started_at"), max(col("tracked_at")).as("finished_at"),
+          transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+            p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+      Labelling.getSpeedTriplegs(tpls)
+        .filter(col("finished_at") =!= col("started_at")) // degenerate single-fix blocks
+        .select(col("user_id"), col("block"), floor(col("speed") * 1000.0).cast("long").as("speed_mms"))
+    },
+    "transport_mode" -> { (s, dir) =>
+      import graft.functions.GeoFunctions
+      val tpls = EventsAdapter.positionfixes(s, dir)
+        .groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(
+          min(col("tracked_at")).as("started_at"), max(col("tracked_at")).as("finished_at"),
+          transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+            p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+      Labelling.predictTransportMode(tpls.filter(col("finished_at") =!= col("started_at")))
+        .select(col("user_id"), col("block"), col("mode"))
+    },
+    "dtw_matrix" -> { (s, dir) => // DP kernel → no SQL oracle (rows-only)
+      val tpls = EventsAdapter.positionfixes(s, dir)
+        .filter(col("user_id") < 3)
+        .groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+          p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+        .withColumn("id", col("user_id") * 10000 + col("block"))
+      SpatialOps.distanceMatrixLinestrings(tpls.filter(col("block") < 10), "dtw")
+        .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("dtw_m"))
+    },
+
     // ----- mobility: merge / labelling / filters (oracle-checked) -----
     "merge_staypoints" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir)
@@ -313,6 +366,79 @@ object SparkEntry {
          |  CAST(floor(sqrt(sum(pow(${hav("i.lon", "i.lat", "c.cx", "c.cy")}, 2) * 1.0) / sum(1.0))) AS BIGINT) AS rg_m
          |FROM intervals i JOIN cent c ON i.user_id = c.user_id
          |GROUP BY i.user_id""".stripMargin,
+    "tracking_quality_week" ->
+      s"""${EventsAdapter.pfsSql}, cuts AS (
+         |  SELECT user_id, greatest(s_us, d * 86400000000) AS cs,
+         |         least(f_us, (d + 1) * 86400000000) AS cf
+         |  FROM intervals, LATERAL (SELECT unnest(range(s_us // 86400000000, f_us // 86400000000 + 1)) AS d)
+         |  WHERE f_us - s_us > 0 AND least(f_us, (d + 1) * 86400000000) > greatest(s_us, d * 86400000000)
+         |)
+         |SELECT user_id,
+         |  epoch_us(date_trunc('week', make_timestamp(cs)) + INTERVAL 6 DAY) AS week_us,
+         |  CAST(sum(cf - cs) AS DOUBLE) / 604800000000.0 AS quality
+         |FROM cuts GROUP BY user_id, week_us""".stripMargin,
+    "tracking_quality_weekday" ->
+      s"""${EventsAdapter.pfsSql}, cuts AS (
+         |  SELECT user_id, greatest(s_us, d * 86400000000) AS cs,
+         |         least(f_us, (d + 1) * 86400000000) AS cf
+         |  FROM intervals, LATERAL (SELECT unnest(range(s_us // 86400000000, f_us // 86400000000 + 1)) AS d)
+         |  WHERE f_us - s_us > 0 AND least(f_us, (d + 1) * 86400000000) > greatest(s_us, d * 86400000000)
+         |), d0 AS (SELECT min(cs) // 86400000000 AS d0 FROM cuts)
+         |SELECT user_id,
+         |  CAST((dayofweek(make_timestamp(cs)) + 6) % 7 AS BIGINT) AS weekday,
+         |  CAST(sum(cf - cs) AS DOUBLE) /
+         |    (86400000000.0 * (max((cs // 86400000000 - d0.d0) // 7) - min((cs // 86400000000 - d0.d0) // 7) + 1)) AS quality
+         |FROM cuts, d0 GROUP BY user_id, weekday""".stripMargin,
+    "tracking_quality_hour" ->
+      s"""${EventsAdapter.pfsSql}, cuts AS (
+         |  SELECT user_id, greatest(s_us, d * 86400000000) AS cs,
+         |         least(f_us, (d + 1) * 86400000000) AS cf
+         |  FROM intervals, LATERAL (SELECT unnest(range(s_us // 86400000000, f_us // 86400000000 + 1)) AS d)
+         |  WHERE f_us - s_us > 0 AND least(f_us, (d + 1) * 86400000000) > greatest(s_us, d * 86400000000)
+         |), cuts_h AS (
+         |  SELECT user_id, greatest(cs, h * 3600000000) AS cs,
+         |         least(cf, (h + 1) * 3600000000) AS cf
+         |  FROM cuts, LATERAL (SELECT unnest(range(cs // 3600000000, cf // 3600000000 + 1)) AS h)
+         |  WHERE least(cf, (h + 1) * 3600000000) > greatest(cs, h * 3600000000)
+         |), d0 AS (SELECT min(cs) // 86400000000 AS d0 FROM cuts_h)
+         |SELECT user_id,
+         |  CAST(hour(make_timestamp(cs)) AS BIGINT) AS hour,
+         |  CAST(sum(cf - cs) AS DOUBLE) /
+         |    (3600000000.0 * (max(cs // 86400000000 - d0.d0) - min(cs // 86400000000 - d0.d0) + 1)) AS quality
+         |FROM cuts_h, d0 GROUP BY user_id, hour""".stripMargin,
+    "distance_matrix_points" ->
+      s"""${EventsAdapter.pfsSql}
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |  CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
+         |FROM (SELECT * FROM intervals WHERE id < 40) a
+         |JOIN (SELECT * FROM intervals WHERE id < 40) b ON a.id < b.id""".stripMargin,
+    "speed_triplegs" ->
+      s"""${EventsAdapter.pfsSql}, segs AS (
+         |  SELECT user_id, k // 12 AS block, t_us,
+         |         CASE WHEN lag(lon) OVER w IS NULL THEN NULL
+         |              ELSE ${hav("lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} END AS seg
+         |  FROM pfs WINDOW w AS (PARTITION BY user_id, k // 12 ORDER BY k)
+         |)
+         |SELECT user_id, block,
+         |  CAST(floor(coalesce(sum(seg), 0.0) / ((max(t_us) - min(t_us)) / 1000000.0) * 1000.0) AS BIGINT) AS speed_mms
+         |FROM segs GROUP BY user_id, block
+         |HAVING max(t_us) > min(t_us)""".stripMargin,
+    "transport_mode" ->
+      s"""${EventsAdapter.pfsSql}, segs AS (
+         |  SELECT user_id, k // 12 AS block, t_us,
+         |         CASE WHEN lag(lon) OVER w IS NULL THEN NULL
+         |              ELSE ${hav("lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} END AS seg
+         |  FROM pfs WINDOW w AS (PARTITION BY user_id, k // 12 ORDER BY k)
+         |), spd AS (
+         |  SELECT user_id, block,
+         |         coalesce(sum(seg), 0.0) / ((max(t_us) - min(t_us)) / 1000000.0) AS speed
+         |  FROM segs GROUP BY user_id, block
+         |  HAVING max(t_us) > min(t_us))
+         |SELECT user_id, block,
+         |  CASE WHEN speed < ${15.0 / 3.6} THEN 'slow_mobility'
+         |       WHEN speed < ${100.0 / 3.6} THEN 'motorized_mobility'
+         |       ELSE 'fast_mobility' END AS mode
+         |FROM spd""".stripMargin,
     "merge_staypoints" ->
       s"""${EventsAdapter.pfsSql}, sp AS (
          |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS location_id FROM intervals

@@ -31,13 +31,22 @@ final case class TableContract(name: String, required: Map[String, DataType]) {
     df
   }
 
-  private def compatible(actual: DataType, expected: DataType): Boolean = (actual, expected) match {
-    case (a, e) if a == e                    => true
-    case (_: IntegerType, _: LongType)       => true // narrower int FKs are fine
-    case (_: FloatType, _: DoubleType)       => true
-    case (a: ArrayType, e: ArrayType)        => compatible(a.elementType, e.elementType)
-    case _                                   => false
+  // nullability never disqualifies: normalize everything to nullable
+  private def norm(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+    case a: ArrayType  => ArrayType(norm(a.elementType), containsNull = true)
+    case m: MapType    => MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+    case other         => other
   }
+
+  private def compatible(actual: DataType, expected: DataType): Boolean =
+    (norm(actual), norm(expected)) match {
+      case (a, e) if a == e              => true
+      case (_: IntegerType, _: LongType) => true // narrower int FKs are fine
+      case (_: FloatType, _: DoubleType) => true
+      case (a: ArrayType, e: ArrayType)  => compatible(a.elementType, e.elementType)
+      case _                             => false
+    }
 }
 
 object Tables {

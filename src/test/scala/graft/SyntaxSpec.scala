@@ -1,0 +1,57 @@
+package graft
+
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline through the accessor API — the reference README
+  * quickstart shape (read → staypoints → triplegs → activity flag →
+  * trips → tours).
+  */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full pipeline composes through the accessor API") {
+    // one user commuting A -> B -> A with dwell runs and transit fixes
+    val rows = Seq(
+      // dwell at A, 8:00-8:30
+      (0L, "2023-01-01 08:00:00", 8.5000, 47.3000), (1L, "2023-01-01 08:10:00", 8.5001, 47.3001),
+      (2L, "2023-01-01 08:20:00", 8.5000, 47.3002), (3L, "2023-01-01 08:30:00", 8.5001, 47.3000),
+      // transit to B
+      (4L, "2023-01-01 08:40:00", 8.5100, 47.3030), (5L, "2023-01-01 08:50:00", 8.5200, 47.3060),
+      // dwell at B, 9:00-9:40
+      (6L, "2023-01-01 09:00:00", 8.5300, 47.3100), (7L, "2023-01-01 09:10:00", 8.5301, 47.3101),
+      (8L, "2023-01-01 09:25:00", 8.5300, 47.3102), (9L, "2023-01-01 09:40:00", 8.5301, 47.3100),
+      // transit back to A
+      (10L, "2023-01-01 09:50:00", 8.5200, 47.3060), (11L, "2023-01-01 10:00:00", 8.5100, 47.3030),
+      // dwell at A again, 10:10-10:40 plus a breach fix
+      (12L, "2023-01-01 10:10:00", 8.5000, 47.3001), (13L, "2023-01-01 10:25:00", 8.5001, 47.3002),
+      (14L, "2023-01-01 10:40:00", 8.5000, 47.3000), (15L, "2023-01-01 10:50:00", 8.6000, 47.3500))
+    val pfs = rows.toDF("id", "t", "lon", "lat")
+      .select(col("id"), lit(7L).as("user_id"), to_timestamp(col("t")).as("tracked_at"), col("lon"), col("lat"))
+
+    val (pfsSp, sp) = pfs.generateStaypoints(
+      operators.StaypointGenerator.Params(distThresholdMeters = 100, timeThresholdMinutes = 20,
+        gapThresholdMinutes = 120, includeLast = false))
+    assert(sp.count() == 3) // A, B, A
+
+    val (pfsTpl, tpls) = pfsSp.generateTriplegs(gapThresholdMinutes = 120)
+    assert(tpls.count() == 2) // two transits
+
+    val spAct = sp.createActivityFlag(timeThresholdMinutes = 20)
+    val (spT, tplsT, trips) = spAct.generateTrips(tpls, gapThresholdMinutes = 120)
+    assert(trips.count() == 2)
+
+    val (tripsWithTours, tours) = trips.generateTours(
+      params = operators.TourGenerator.Params(maxDistMeters = 150))
+    assert(tours.count() == 1) // A -> B -> A closes a tour
+    assert(tours.first().getSeq[Long](tours.first().fieldIndex("trips")).length == 2)
+
+    val (spLoc, locs) = sp.generateLocations(
+      operators.LocationGenerator.Params(epsilonMeters = 150))
+    assert(locs.count() == 2) // A (visited twice) and B
+
+    val quality = spAct.temporalTrackingQuality("all")
+    assert(quality.count() == 1)
+    val _ = (pfsTpl, spT, tplsT, tripsWithTours, spLoc)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType}
+
+/** Native Catalyst expression for the great-circle distance.
+  *
+  * [[graft.functions.GeoFunctions.haversineMeters]] composes ~14 builtin
+  * expressions (radians/cos/acos/least/greatest…); this collapses the
+  * whole kernel into ONE codegen'd static-method call — a smaller
+  * expression tree for the optimizer and one JIT-friendly call site in
+  * generated code. Registered as SQL function `haversine_m` via
+  * [[GraftExtensions]] (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * Semantics identical to the composed form (spherical law of cosines,
+  * clamped acos, null-in → null-out).
+  */
+case class HaversineDistance(lon1: Expression, lat1: Expression, lon2: Expression, lat2: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = lon1
+  override def second: Expression = lat1
+  override def third: Expression = lon2
+  override def fourth: Expression = lat2
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.zipWithIndex.collect {
+      case (c, i) if c.dataType != DoubleType => s"argument ${i + 1} is ${c.dataType.simpleString}"
+    }
+    if (bad.isEmpty) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"haversine_m expects doubles; ${bad.mkString(", ")}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    HaversineDistance.compute(
+      a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.plans.HaversineDistance.compute($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(lon1 = newFirst, lat1 = newSecond, lon2 = newThird, lat2 = newFourth)
+
+  override def prettyName: String = "haversine_m"
+}
+
+object HaversineDistance {
+  /** The scalar kernel invoked from generated code (must be public static). */
+  def compute(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val la1 = math.toRadians(lat1)
+    val la2 = math.toRadians(lat2)
+    val arg = math.cos(la1 - la2) -
+      math.cos(la1) * math.cos(la2) * (1.0 - math.cos(math.toRadians(lon1) - math.toRadians(lon2)))
+    6371000.0 * math.acos(math.min(1.0, math.max(-1.0, arg)))
+  }
+}
+
+/** Session extension wiring `haversine_m` into the function registry:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_m"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "haversine_m(lon1, lat1, lon2, lat2)")
+        HaversineDistance(children(0), children(1), children(2), children(3))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an existing session (tests / REPL convenience). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_m"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "haversine_m(lon1, lat1, lon2, lat2)")
+        HaversineDistance(children(0), children(1), children(2), children(3))
+      })
+}

@@ -162,6 +162,25 @@ object SparkEntry {
       Labelling.predictTransportMode(tpls.filter(col("finished_at") =!= col("started_at")))
         .select(col("user_id"), col("block"), col("mode"))
     },
+    "speed_triplegs_pfs_mean" -> { (s, dir) =>
+      // pfs-mean variant: average the member fixes' speeds per tripleg
+      // (blocks stand in as tripleg ids, consistent on both sides)
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val withSpeed = Labelling.getSpeedPositionfixes(pfs.drop("value"))
+        .withColumn("tripleg_id", col("user_id") * 100000 + expr("k div 12"))
+      val tplsLike = pfs.groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(min(col("tracked_at")).as("started_at"), max(col("tracked_at")).as("finished_at"))
+        .withColumn("id", col("user_id") * 100000 + col("block"))
+      Labelling.getSpeedTriplegsPfsMean(tplsLike, withSpeed)
+        .filter(col("speed").isNotNull)
+        .select(col("user_id"), col("block"), floor(col("speed") * 1000.0).cast("long").as("speed_mms"))
+    },
+    "tours_locations" -> { (s, dir) => // location-mode tours (rows-only)
+      val (_, tours) = TourGenerator.generate(
+        Pipeline.trips(s, dir), Some(Pipeline.staypointsWithLocation(s, dir)),
+        TourGenerator.Params(maxTimeDays = 30.0))
+      tours.select(col("id"), col("user_id"), col("location_id"), size(col("trips")).as("n_trips"))
+    },
     "dtw_matrix" -> { (s, dir) => // DP kernel → no SQL oracle (rows-only)
       val tpls = EventsAdapter.positionfixes(s, dir)
         .filter(col("user_id") < 3)
@@ -423,6 +442,22 @@ object SparkEntry {
          |  CAST(floor(coalesce(sum(seg), 0.0) / ((max(t_us) - min(t_us)) / 1000000.0) * 1000.0) AS BIGINT) AS speed_mms
          |FROM segs GROUP BY user_id, block
          |HAVING max(t_us) > min(t_us)""".stripMargin,
+    "speed_triplegs_pfs_mean" ->
+      s"""${EventsAdapter.pfsSql}, lagged AS (
+         |  SELECT id, user_id, k, t_us, lon, lat,
+         |         lag(t_us) OVER w AS pt, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+         |  FROM pfs WINDOW w AS (PARTITION BY user_id ORDER BY t_us, id)
+         |), sp0 AS (
+         |  SELECT id, user_id, k, t_us,
+         |         ${hav("plon", "plat", "lon", "lat")} / ((t_us - pt) / 1000000.0) AS speed0
+         |  FROM lagged
+         |), sp1 AS (
+         |  SELECT user_id, k // 12 AS block,
+         |         coalesce(speed0, lead(speed0) OVER (PARTITION BY user_id ORDER BY t_us, id)) AS speed
+         |  FROM sp0)
+         |SELECT user_id, block, CAST(floor(avg(speed) * 1000.0) AS BIGINT) AS speed_mms
+         |FROM sp1 WHERE speed IS NOT NULL GROUP BY user_id, block
+         |HAVING avg(speed) IS NOT NULL""".stripMargin,
     "transport_mode" ->
       s"""${EventsAdapter.pfsSql}, segs AS (
          |  SELECT user_id, k // 12 AS block, t_us,

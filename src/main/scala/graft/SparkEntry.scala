@@ -245,7 +245,7 @@ object SparkEntry {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
     },
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"), verifyThreshold = 0.5)
+      Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"), numHashes = 64, bands = 16, verifyThreshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
     },
     "dedup_simhash" -> { (s, dir) =>

@@ -92,6 +92,24 @@ object Postgis {
     write(out, conn, table, mode)
   }
 
+  def readLocations(spark: SparkSession, conn: Conn, table: String = "locations"): DataFrame = {
+    val df = reader(spark, conn, table).load()
+    val (clon, clat) = Csv.parsePointWkt(col("center"))
+    val base = df.withColumn("center_lon", clon).withColumn("center_lat", clat).drop("center")
+    val out = if (df.columns.contains("extent"))
+      base.withColumn("extent_hull", Csv.parsePolygonWkt(col("extent"))).drop("extent")
+    else base
+    Tables.locations.validate(out)
+  }
+
+  def readTrips(spark: SparkSession, conn: Conn, table: String = "trips"): DataFrame = {
+    val df = reader(spark, conn, table).load()
+    val out = if (df.columns.contains("geom"))
+      df.withColumn("geom", Csv.parseMultipointWkt(col("geom")))
+    else df
+    Tables.trips.validate(out)
+  }
+
   /** tours: `trips` list serialized as JSON (io/postgis.py:722-723). */
   def writeTours(tours: DataFrame, conn: Conn, table: String = "tours",
                  mode: SaveMode = SaveMode.Append): Unit =

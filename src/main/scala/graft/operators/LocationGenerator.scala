@@ -71,25 +71,44 @@ object LocationGenerator {
     val keyed = Ids.withSequentialId(clusterKeys, "location_id", keyNames.map(col): _*)
     val withLoc = clustered.join(keyed, keyNames, "left")
 
-    // Dissolve each location: wrap-aware centroid of member points
-    // (reference dedupes identical points via the point union — mirrored
-    // with collect_set) + convex hull as extent (staypoints.py:163-190).
-    val perLoc = withLoc.filter(col("location_id").isNotNull)
-      .groupBy(col("location_id"))
-      .agg(collect_set(struct(col("lon"), col("lat"))).as("_pts"))
-      .withColumn("_s", aggregate(col("_pts"), lit(0.0), (a, p) => a + sin(radians(p.getField("lon")))))
-      .withColumn("_c", aggregate(col("_pts"), lit(0.0), (a, p) => a + cos(radians(p.getField("lon")))))
-      .withColumn("_l", aggregate(col("_pts"), lit(0.0), (a, p) => a + p.getField("lat")))
-      .withColumn("center_lon", GeoFunctions.wrapAwareMeanLon(
-        col("_s") / size(col("_pts")), col("_c") / size(col("_pts"))))
-      .withColumn("center_lat", col("_l") / size(col("_pts")))
-      .drop("_s", "_c", "_l")
+    // Dissolve each location: wrap-aware centroid over *unique* member
+    // points (the reference's point-union dedup, staypoints.py:163-177)
+    // + convex hull extent. Scale shape: dedupe rows first, then the
+    // centroid is a plain streaming aggregation (no arrays), and the
+    // hull runs in two stages — salted partial hulls, then a final hull
+    // over the (tiny) union of partial hull vertices. A location with
+    // millions of staypoints never materializes them in one group:
+    // hull(hull(A) ∪ hull(B)) == hull(A ∪ B).
+    val uniquePts = withLoc.filter(col("location_id").isNotNull)
+      .select(col("location_id"), col("lon"), col("lat")).distinct()
+
+    val centers = uniquePts.groupBy(col("location_id"))
+      .agg(
+        avg(sin(radians(col("lon")))).as("_s"),
+        avg(cos(radians(col("lon")))).as("_c"),
+        avg(col("lat")).as("center_lat"))
+      .withColumn("center_lon", GeoFunctions.wrapAwareMeanLon(col("_s"), col("_c")))
+      .drop("_s", "_c")
 
     val hullUdf = udf { pts: Seq[Row] =>
       GeoFunctions.convexHull(pts.map(r => (r.getDouble(0), r.getDouble(1))))
     }
 
-    val locGeom = perLoc.withColumn("extent_hull", hullUdf(col("_pts"))).drop("_pts")
+    val partialHulls = uniquePts
+      .withColumn("_salt", pmod(xxhash64(col("lon"), col("lat")), lit(64L)))
+      .groupBy(col("location_id"), col("_salt"))
+      .agg(collect_list(struct(col("lon"), col("lat"))).as("_pts"))
+      .select(col("location_id"), explode(hullUdf(col("_pts"))).as("_hp"))
+
+    val hulls = partialHulls
+      .groupBy(col("location_id"))
+      .agg(collect_list(col("_hp")).as("_pts"))
+      .withColumn("_hull_raw", hullUdf(expr("transform(_pts, p -> struct(p._1 as lon, p._2 as lat))")))
+      // name the ring fields so WKT writers can address lon/lat
+      .select(col("location_id"),
+        expr("transform(_hull_raw, p -> struct(p._1 as lon, p._2 as lat))").as("extent_hull"))
+
+    val locGeom = centers.join(hulls, "location_id")
 
     // user–location pairs: one row per pair (dataset-level locations are
     // shared across users, staypoints.py:218-230)

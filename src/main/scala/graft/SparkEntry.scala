@@ -93,6 +93,10 @@ object SparkEntry {
       Metrics.radiusGyration(EventsAdapter.intervals(s, dir), "count")
         .select(col("user_id"), floor(col("radius_gyration")).cast("long").as("rg_m"))
     },
+    "radius_gyration_duration" -> { (s, dir) =>
+      Metrics.radiusGyration(EventsAdapter.intervals(s, dir), "duration")
+        .select(col("user_id"), floor(col("radius_gyration")).cast("long").as("rg_m"))
+    },
 
     // ----- mobility: sequential detectors (no SQL equivalent → rows-only) ----
     "staypoints_sliding" -> { (s, dir) =>
@@ -595,6 +599,16 @@ object SparkEntry {
          |SELECT left_id, user_id, right_id, overlap_ratio FROM (
          |  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY overlap_ratio DESC, right_id) AS rn
          |  FROM pairs) WHERE rn = 1""".stripMargin,
+    "radius_gyration_duration" ->
+      s"""${EventsAdapter.pfsSql}, w AS (
+         |  SELECT user_id, lon, lat, (f_us - s_us) / 1000000.0 AS wgt FROM intervals
+         |), cent AS (
+         |  SELECT user_id, sum(lon * wgt) / sum(wgt) AS cx, sum(lat * wgt) / sum(wgt) AS cy
+         |  FROM w GROUP BY user_id)
+         |SELECT i.user_id,
+         |  CAST(floor(sqrt(sum(pow(6371000.0 * acos(least(1.0, greatest(-1.0, cos(radians(i.lat) - radians(c.cy)) - cos(radians(i.lat)) * cos(radians(c.cy)) * (1.0 - cos(radians(i.lon) - radians(c.cx)))))), 2) * i.wgt) / sum(i.wgt))) AS BIGINT) AS rg_m
+         |FROM w i JOIN cent c ON i.user_id = c.user_id
+         |GROUP BY i.user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,

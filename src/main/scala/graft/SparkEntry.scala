@@ -46,6 +46,24 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(20,2)") * (lit(1.0) - col("l_discount")).cast("decimal(20,2)"))
             .cast("double").as("revenue"))
     },
+    "q5_join" -> { (s, dir) =>
+      // 5-table join chain: region -> nation -> customer+supplier -> orders -> lineitem
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val supplier = s.read.parquet(s"$dir/supplier.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      region.join(nation, col("r_regionkey") === col("n_regionkey"))
+        .join(customer, col("n_nationkey") === col("c_nationkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,2)") * (lit(1.0) - col("l_discount")).cast("decimal(20,2)"))
+            .cast("double").as("revenue"))
+    },
     "q_topn_orders" -> { (s, dir) =>
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -322,6 +340,17 @@ object SparkEntry {
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q5_join" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |GROUP BY r_name, n_name""".stripMargin,
     "q_topn_orders" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
         |  SELECT o_orderpriority, o_orderkey,

@@ -24,7 +24,10 @@ import scala.collection.mutable
   * `agg_level="dataset"` can't partition by user; the scalable
   * formulation (SURVEY.md §7.4) is ε-grid bucketing + local DBSCAN +
   * connected-component border merge, implemented in [[datasetDbscan]].
-  * Exact for numSamples == 1 (the reference default).
+  * The 3×3 halo replication keeps every point's full ε-neighborhood
+  * visible in its home cell, so core/border classification is exact for
+  * any numSamples; clusters touching across cells merge through shared
+  * points (verified against the in-memory kernel in DatasetDbscanSpec).
   */
 object LocationGenerator {
 

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed ε-grid DBSCAN vs the exact in-memory kernel on the same
+  * points: cluster partitions must match (up to label renaming), noise
+  * must match exactly — including minPts > 1, where core/border status
+  * depends on density (each point's full ε-neighborhood is present in
+  * its home cell thanks to the 3×3 halo replication).
+  */
+class DatasetDbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Set[Set[Long]] =
+    pairs.filter(_._2 != -1L).groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("grid-partitioned dataset DBSCAN equals in-memory DBSCAN (minPts 1 and 2)") {
+    val rnd = new scala.util.Random(11)
+    // three blobs ~60m wide spaced ~500m, plus isolated noise points;
+    // blob centers chosen to straddle grid-cell borders
+    val pts = (0 until 90).map { i =>
+      val blob = i % 3
+      val (bx, by) = Seq((8.5000, 47.3000), (8.5060, 47.3030), (8.5125, 47.3061))(blob)
+      (i.toLong, bx + (rnd.nextDouble() - 0.5) * 0.0006, by + (rnd.nextDouble() - 0.5) * 0.0004)
+    } ++ Seq((1000L, 8.60, 47.40), (1001L, 8.70, 47.45))
+
+    val df = pts.toDF("sp_id", "lon", "lat").withColumn("user_id", lit(0L))
+      .select("sp_id", "user_id", "lon", "lat")
+
+    for (minPts <- Seq(1, 2)) {
+      // distributed path (aggLevel = dataset)
+      val sp = df.select(col("sp_id").as("id"), col("user_id"),
+        to_timestamp(lit("2023-01-01 00:00:00")).as("started_at"),
+        to_timestamp(lit("2023-01-01 01:00:00")).as("finished_at"), col("lon"), col("lat"))
+      val (spOut, _) = LocationGenerator.generate(sp,
+        LocationGenerator.Params(epsilonMeters = 100, numSamples = minPts, aggLevel = "dataset"))
+      val got = spOut.select(col("id"), coalesce(col("location_id"), lit(-1L)))
+        .as[(Long, Long)].collect().toSeq
+
+      // exact in-memory kernel on the same data
+      val ordered = pts.sortBy(_._1)
+      val labels = LocationGenerator.dbscan(
+        ordered.map(_._2).toArray, ordered.map(_._3).toArray, 100, minPts)
+      val want = ordered.map(_._1).zip(labels.map(_.toLong))
+
+      assert(clustersOf(got) == clustersOf(want), s"cluster partition mismatch at minPts=$minPts")
+      assert(got.filter(_._2 == -1L).map(_._1).toSet == want.filter(_._2 == -1L).map(_._1).toSet,
+        s"noise mismatch at minPts=$minPts")
+    }
+  }
+}

@@ -33,17 +33,25 @@ object Pipeline {
     StaypointGenerator.Params(distThresholdMeters = 100, timeThresholdMinutes = 1440,
       gapThresholdMinutes = 1e7, includeLast = true)
 
-  def pfsWithStaypoints(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "pfs_sp") {
+  /** One generate() call feeds both memo slots — the staypoint scan is
+    * the most expensive stage and must not run twice.
+    */
+  private def spGen(spark: SparkSession, sfDir: String): Unit = cache.synchronized {
+    if (!cache.contains((spark, sfDir, "pfs_sp"))) {
       val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us", "k")
-      StaypointGenerator.generate(pfs, staypointParams)._1
+      val (pfsSp, sp) = StaypointGenerator.generate(pfs, staypointParams)
+      cache((spark, sfDir, "sp")) = sp.persist(StorageLevel.MEMORY_AND_DISK)
+      cache((spark, sfDir, "pfs_sp")) = pfsSp.persist(StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
-  def staypoints(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "sp") {
-      val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us", "k")
-      StaypointGenerator.generate(pfs, staypointParams)._2
-    }
+  def pfsWithStaypoints(spark: SparkSession, sfDir: String): DataFrame = {
+    spGen(spark, sfDir); cache((spark, sfDir, "pfs_sp"))
+  }
+
+  def staypoints(spark: SparkSession, sfDir: String): DataFrame = {
+    spGen(spark, sfDir); cache((spark, sfDir, "sp"))
+  }
 
   def triplegs(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tpls") {

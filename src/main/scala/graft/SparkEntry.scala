@@ -16,6 +16,129 @@ object SparkEntry {
 
   private val hav = EventsAdapter.havSql _
 
+  // ---- generated oracle SQL for the portable-hash sketch operators ----
+  // (constants shared with Dedup/Ann/Multimodal via PortableHash — the
+  // SQL is derived from the same affine family, so DuckDB reproduces the
+  // sketches bit-for-bit)
+  import graft.functions.PortableHash.{M, affine, foldHashesSql, h60Sql}
+
+  /** DuckDB word-shingle set per doc (same shape as Dedup.shingles). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_transform(range(0, len(string_split(text,' ')) - 2),
+      |         i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))
+      |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
+      |  FROM documents)""".stripMargin
+
+  private def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = affine(i)
+      s"min((b * $a + $b) % $M) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val fold = foldHashesSql((b * rows until (b + 1) * rows).map(j => s"m$j"))
+      s"SELECT doc_id, $b AS bb, $fold AS h FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |hb AS (SELECT doc_id, ${h60Sql("sg")} % $M AS b FROM ex),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hb GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.bb = b.bb AND a.h = b.h AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+       |  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= $threshold""".stripMargin
+  }
+
+  private def simhashOracle(maxHamming: Int): String = {
+    val bits = graft.operators.Dedup.simHashBits
+    val voteCols = (0 until bits)
+      .map(b => s"sum(CASE WHEN (hh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val fpExpr = (0 until bits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, ${h60Sql("t")} AS hh FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS f FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, f, c, (f >> (c * 15)) & 32767 AS ch
+       |  FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+       |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+  }
+
+  /** Quantized-integer hyperplane signature (Ann.hyperplaneSignature). */
+  private def sigCte(planes: Int): String = {
+    val sigExpr = (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(qv,
+         |      (x, i) -> x * ((${h60Sql(s"'${p}_' || (i - 1)")} % 2000001) - 1000000))) >= 0
+         |    THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n    ")
+    s"""q AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    $sigExpr AS s
+       |  FROM q)""".stripMargin
+  }
+
+  /** Cosine of two embedding lists, rounded to 6 places (matches Ann.cosine). */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(
+       |    list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
+
+  private def embeddingNearDupOracle(threshold: Double, planes: Int): String =
+    s"""WITH ${sigCte(planes)},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine
+       |  FROM pairs)
+       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
+
+  private def annLshOracle(k: Int, planes: Int): String = {
+    val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
+    s"""WITH ${sigCte(planes)},
+       |probesigs AS (
+       |  SELECT vec_id AS probe_id, unnest([$flips]) AS s FROM sig WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, c.vec_id AS neighbor_id
+       |  FROM probesigs p JOIN sig c ON p.s = c.s
+       |  WHERE p.probe_id != c.vec_id),
+       |scored AS (
+       |  SELECT probe_id, neighbor_id, ${cosineSql("pe.embedding", "ce.embedding")} AS cosine
+       |  FROM cand JOIN embeddings pe ON pe.vec_id = probe_id
+       |            JOIN embeddings ce ON ce.vec_id = neighbor_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -707,6 +830,19 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS md5_fp,
         |  array_to_string(list_sort(list_distinct(
         |    list_transform(string_split(text,' '), w -> substring(md5(w),1,8))))[1:4], '-') AS min_word_fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
+    "dedup_simhash" -> simhashOracle(maxHamming = 3),
+    "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
+    "ann_lsh" -> annLshOracle(k = 5, planes = 8),
+    // text is ASCII in the testdata, so per-char ord == per-byte value and
+    // char length == byte length; the rolling checksum matches
+    // Multimodal.decodeBatch's stub kernel exactly
+    "multimodal_features" ->
+      s"""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text,''), c -> CAST(ord(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % ${graft.operators.Multimodal.checksumMod}) AS byte_checksum
+         |FROM documents""".stripMargin
   )
 }

@@ -46,23 +46,34 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component h_{p,i} derived
-    * from a hash of (plane, index), mapped to [-1, 1). Seeded — identical
-    * across runs/executors, no Math.random.
+  /** Deterministic pseudo-random hyperplanes: integer component
+    * h_{p,i} ∈ [-10^6, 10^6] derived from the portable md5-prefix hash
+    * of "p_i" (see [[graft.functions.PortableHash]]). Seeded — identical
+    * across runs/executors/engines, no Math.random.
     */
   private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+    pmod(graft.functions.PortableHash.h60(concat(lit(s"${p}_"), i.cast("string"))),
+      lit(2000001L)) - 1000000L
 
-  /** Sign-bit signature over `planes` random hyperplanes. Returns input
-    * plus `_sig` (long bucket key) and `_v` (the vector).
+  /** Sign-bit signature over `planes` pseudo-random hyperplanes.
+    *
+    * The sign decision runs in *integer* arithmetic: vector components
+    * quantized to round(x * 10^6) dotted with integer plane components —
+    * exact, so the bucket key is bit-reproducible on any engine (a
+    * floating dot product could flip a sign bit on summation-order
+    * differences). |q| ≤ 2^31, |c| ≤ 10^6, dims ≤ ~2000 stay < 2^62.
+    *
+    * Returns input plus `_sig` (long bucket key) and `_v` (the vector).
     */
   def hyperplaneSignature(emb: DataFrame, planes: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
     val sigBits = (0 until planes).map { p =>
       val dot = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+        zip_with(qvec, sequence(lit(0), size(col(vecCol)) - 1),
+          (q, i) => q * planeComponent(p, i)),
+        lit(0L), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     emb.withColumn("_sig", sigBits).withColumn("_v", col(vecCol))

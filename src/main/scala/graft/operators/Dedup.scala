@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,14 +43,16 @@ object Dedup {
 
   /** MinHash signatures + LSH banding.
     *
-    * Pipeline: shingle → per-shingle 64-bit hash (xxhash64 with per-
-    * function seed) → signature = min hash per function → band r rows →
-    * candidate pairs join on (band index, band hash). Everything is
-    * higher-order Catalyst expressions until the final pair join; the
-    * join key (band, bandHash) is small and hash-distributable. Exact
-    * Jaccard over shingle sets verifies candidates.
+    * Pipeline: shingle → portable 60-bit shingle hash (one md5, see
+    * [[graft.functions.PortableHash]]) → signature slot i = min over
+    * shingles of affine hash h_i → band r slots → candidate pairs join
+    * on (band index, folded band hash). Everything is codegen'd
+    * expressions until the final pair join; the join key (band, hash) is
+    * small and hash-distributable. Exact Jaccard over shingle sets
+    * verifies candidates. The whole computation is engine-portable, so
+    * external SQL engines can reproduce it bit-for-bit.
     *
-    * @return pair table (id_a, id_b, est_sim, jaccard) with id_a < id_b
+    * @return pair table (id_a, id_b, jaccard) with id_a < id_b
     */
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -64,21 +67,22 @@ object Dedup {
     // CodegenFallback expressions, but explode + groupBy aggregation runs
     // in whole-stage codegen with map-side partial aggregation — the
     // shuffle carries one pre-aggregated row per (doc, partition). Each
-    // shingle string is hashed once; per-function hashes re-hash the
-    // 8-byte base hash.
+    // shingle string is md5-hashed once; the per-function hashes are
+    // affine maps of that base.
     val exploded = withShingles.select(col("_id"), explode(col("_sh")).as("_s"))
-      .withColumn("_base", xxhash64(col("_s")))
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("_base"), lit(i))).as(s"_m$i"))
-    val sig = exploded.groupBy("_id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("_id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
+      .withColumn("_base", pmod(PortableHash.h60(col("_s")), lit(PortableHash.M)))
+    val minAggs = (0 until numHashes).map(i => min(PortableHash.affineHash(col("_base"), i)).as(s"_m$i"))
+    val sig = exploded.groupBy("_id").agg(minAggs.head, minAggs.tail: _*)
 
-    // band hashes: hash of each r-slice of the signature; bands carry
-    // only (id, band, hash) — the shingle arrays stay out of the 32-way
-    // row duplication and are joined back once per surviving pair
-    val banded = sig.withColumn("_band", explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("b"), xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, lit(rows))), b).as("h")))))
+    // band hashes: fold of each r-slice of the signature; bands carry
+    // only (id, band, hash) — the shingle arrays stay out of the
+    // bands-way row duplication and are joined back once per surviving
+    // pair
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        PortableHash.foldHashes((b * rows until (b + 1) * rows).map(j => col(s"_m$j"))).as("h"))
+    }
+    val banded = sig.withColumn("_band", explode(array(bandStructs: _*)))
       .select(col("_id"), col("_band.b").as("_b"), col("_band.h").as("_h"))
 
     // candidate pairs: same band, same band-hash
@@ -97,23 +101,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per document: sum ±1 per bit over token
-    * hashes, weighted by token count. Near-dup candidates share one of
-    * four 16-bit chunks (catches all pairs within Hamming distance 3).
+  /** SimHash bit width (60: the portable md5-prefix hash width) and the
+    * chunk split used for candidate bucketing (4 × 15-bit chunks catch
+    * all pairs within Hamming distance 3).
+    */
+  val simHashBits = 60
+  private val simHashChunks = 4
+  private val chunkBits = simHashBits / simHashChunks
+
+  /** 60-bit SimHash fingerprint per document: sum ±1 per bit over
+    * portable token hashes, weighted by token count.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // explode tokens and compute the 64 per-bit votes as codegen'd sums
+    // explode tokens and compute the 60 per-bit votes as codegen'd sums
     // (see minHashLsh for why explode+groupBy beats higher-order array
     // loops); each token is hashed once per row in the projection
     val tok = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val voteAggs = (0 until 64).map { b =>
+      .withColumn("_h", graft.functions.PortableHash.h60(col("_t")))
+    val voteAggs = (0 until simHashBits).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"_v$b")
     }
     tok.groupBy("doc_id")
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until simHashBits).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
@@ -129,9 +140,10 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucketSize: Long = 10000L): DataFrame = {
     val fp = simHash(docs, idCol, textCol)
-    val chunked = fp.withColumn("_c", explode(transform(sequence(lit(0), lit(3)),
+    val chunkMask = (1L << chunkBits) - 1
+    val chunked = fp.withColumn("_c", explode(transform(sequence(lit(0), lit(simHashChunks - 1)),
       c => struct(c.as("c"),
-        (shiftrightc(col("simhash"), c * 16).bitwiseAND(0xFFFFL)).as("h")))))
+        (shiftrightc(col("simhash"), c * chunkBits).bitwiseAND(chunkMask)).as("h")))))
       .select(col("doc_id"), col("simhash"), col("_c.c").as("_chunk"), col("_c.h").as("_h"))
       .withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy("_chunk", "_h")))
       .filter(col("_bucket_n") <= maxBucketSize)
@@ -173,7 +185,9 @@ object Dedup {
     val l = sig.select(col("_sig").as("_s"), col(idCol).as("id_a"), col("_v").as("_v_a"))
     val r = sig.select(col("_sig").as("_s"), col(idCol).as("id_b"), col("_v").as("_v_b"))
     l.join(r, Seq("_s")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Ann.cosine(col("_v_a"), col("_v_b")))
+      // quantize before thresholding so the boundary decision is
+      // reproducible across engines (same rule as Ann's ranking)
+      .withColumn("cosine", round(Ann.cosine(col("_v_a"), col("_v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

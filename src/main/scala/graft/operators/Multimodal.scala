@@ -66,6 +66,11 @@ object Multimodal {
     }(RowEncoder.encoderFor(featureSchema))
   }
 
+  /** Checksum modulus: keeps the rolling polynomial checksum inside
+    * non-overflowing BIGINT range so external engines reproduce it.
+    */
+  val checksumMod = 1000000007L
+
   /** STUB: deterministic fake decoder. Real implementation would call
     * into a JNI/codec library once per batch.
     */
@@ -75,7 +80,7 @@ object Multimodal {
       val feat = new Array[Float](8)
       var i = 0
       while (i < bytes.length) {
-        checksum = checksum * 31 + (bytes(i) & 0xFF)
+        checksum = (checksum * 31 + (bytes(i) & 0xFF)) % checksumMod
         feat(i % 8) += (bytes(i) & 0xFF) / 255.0f
         i += 1
       }

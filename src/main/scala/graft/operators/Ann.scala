@@ -46,14 +46,27 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
 
+  /** Max embedding dimensionality covered by the precomputed hyperplane
+    * tables. Vectors longer than this raise at plan build.
+    */
+  val maxPlaneDim = 2048
+
   /** Deterministic pseudo-random hyperplanes: integer component
     * h_{p,i} ∈ [-10^6, 10^6] derived from the portable md5-prefix hash
-    * of "p_i" (see [[graft.functions.PortableHash]]). Seeded — identical
-    * across runs/executors/engines, no Math.random.
+    * of "p_i" (see [[graft.functions.PortableHash]]). The components are
+    * data-independent, so they are precomputed driver-side into literal
+    * arrays — no hashing in the executor hot path; external engines
+    * reproduce the same values from md5 symbolically.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    pmod(graft.functions.PortableHash.h60(concat(lit(s"${p}_"), i.cast("string"))),
-      lit(2000001L)) - 1000000L
+  private def planeComponents(p: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(maxPlaneDim) { i =>
+      md.reset()
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h60 % 2000001L) - 1000000L
+    }
+  }
 
   /** Sign-bit signature over `planes` pseudo-random hyperplanes.
     *
@@ -61,7 +74,7 @@ object Ann {
     * quantized to round(x * 10^6) dotted with integer plane components —
     * exact, so the bucket key is bit-reproducible on any engine (a
     * floating dot product could flip a sign bit on summation-order
-    * differences). |q| ≤ 2^31, |c| ≤ 10^6, dims ≤ ~2000 stay < 2^62.
+    * differences). |q| ≤ 2^31, |c| ≤ 10^6, dims ≤ 2048 stay < 2^62.
     *
     * Returns input plus `_sig` (long bucket key) and `_v` (the vector).
     */
@@ -70,9 +83,10 @@ object Ann {
     val qvec = transform(col(vecCol),
       x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
     val sigBits = (0 until planes).map { p =>
+      val comps = typedLit(planeComponents(p))
       val dot = aggregate(
-        zip_with(qvec, sequence(lit(0), size(col(vecCol)) - 1),
-          (q, i) => q * planeComponent(p, i)),
+        zip_with(qvec, slice(comps, lit(1), size(col(vecCol))),
+          (q, c) => q * c),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))

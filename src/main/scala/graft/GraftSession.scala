@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // InferFiltersFromGenerate re-evaluates the generator's child
+      // expression inside an inferred pre-filter; for our sketch
+      // operators that child is an expensive interpreted higher-order
+      // lambda (shingling, tokenizing), so the inferred filter doubles
+      // the most expensive projection. Generate already skips null/empty
+      // inputs, so dropping the rule is semantics-preserving.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

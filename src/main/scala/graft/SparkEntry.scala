@@ -121,6 +121,25 @@ object SparkEntry {
        |  FROM pairs)
        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
 
+  private def annIvfOracle(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "cv")} DESC, c_id) AS rn
+       |  FROM embeddings e, cent),
+       |corpcell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn = 1),
+       |probecell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.vec_id AS probe_id, p.embedding AS pe, c.vec_id AS neighbor_id, c.embedding AS ce
+       |  FROM probecell p JOIN corpcell c ON p.cell = c.cell WHERE p.vec_id != c.vec_id),
+       |scored AS (
+       |  SELECT probe_id, neighbor_id, ${cosineSql("pe", "ce")} AS cosine FROM cand)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
   private def annLshOracle(k: Int, planes: Int): String = {
     val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
     s"""WITH ${sigCte(planes)},
@@ -410,6 +429,10 @@ object SparkEntry {
     "ann_lsh" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, planes = 8)
+    },
+    "ann_ivf" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     "embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)
@@ -835,6 +858,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
+    "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

@@ -93,6 +93,47 @@ object Ann {
     emb.withColumn("_sig", sigBits).withColumn("_v", col(vecCol))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells, then search each probe only against its `nprobe` nearest
+    * cells. The scale path for embedding search: the corpus shuffles once
+    * on the cell id (an equi-join key), and each probe touches
+    * nprobe/nlist of the data instead of all of it.
+    *
+    * Cell seeds are the first `nlist` corpus vectors by id —
+    * deterministic and engine-reproducible (a production build would run
+    * a few k-means iterations driver-side; the assignment/search
+    * machinery is identical). Assignment ranks rounded cosine (6 places,
+    * ties by seed id) so cell membership is bit-stable across engines.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int = 5, nlist: Int = 32,
+              nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("_c_id"), col(vecCol).as("_c_v"))
+
+    def cells(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_c_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("_csim", round(cosine(col(vecCol), col("_c_v")), 6))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= keep)
+        .select(col(idCol), col(vecCol), col("_c_id").as("_cell"))
+    }
+
+    val corpusCells = cells(corpus, 1)
+      .select(col("_cell"), col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val probeCells = cells(probes, nprobe)
+      .select(col("_cell"), col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+
+    val w = Window.partitionBy("probe_id").orderBy(col("_simr").desc, col("neighbor_id"))
+    probeCells.join(corpusCells, "_cell")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("_simr", round(cosine(col("_pv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
+  }
+
   /** LSH-bucketed ANN: probes join the corpus only within matching
     * signature buckets (optionally multi-probe across single-bit flips),
     * then exact cosine rescoring + top-k.

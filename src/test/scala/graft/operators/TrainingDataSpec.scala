@@ -78,6 +78,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall") // multi-probe should catch most
   }
 
+  test("IVF ANN recall matches brute force on clustered vectors") {
+    val bf = Ann.bruteForceTopK(vectors.filter(col("vec_id") < 3), vectors, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(vectors.filter(col("vec_id") < 3), vectors, k = 3, nlist = 6, nprobe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+    // every returned neighbor shares the probe's cluster
+    assert(Ann.ivfTopK(vectors.filter(col("vec_id") < 3), vectors, k = 3, nlist = 6, nprobe = 2)
+      .collect().forall(r => r.getAs[Long]("neighbor_id") % 3 == r.getAs[Long]("probe_id") % 3))
+  }
+
   test("embedding near-dup finds the tight same-cluster pairs") {
     val pairs = Dedup.embeddingNearDup(vectors, threshold = 0.95, planes = 6)
     val rows = pairs.collect()

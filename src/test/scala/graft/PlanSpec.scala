@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan property tests: the scale behaviors the engine relies on
+  * (predicate pushdown, column pruning, broadcast joins, partial
+  * aggregation, top-k pushdown, scan-only projections) asserted against
+  * the executed plans, so a plan regression fails like a wrong result.
+  * Runs against the sf0.001 parquet set.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter reaches the parquet scan; columns pruned; partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan should not read unused columns")
+    assert(p.contains("partial_sum"), "aggregate must be map-side combinable")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, "exactly one shuffle")
+  }
+
+  test("q5_join: every dimension join broadcasts; no sort-merge join at this scale") {
+    val p = plan("q5_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("token_count and text_quality run scan-only — no shuffle at all") {
+    for (q <- Seq("token_count", "text_quality")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(p.contains("FileScan parquet"))
+    }
+  }
+
+  test("dedup_exact: single shuffle with map-side partial min/count") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_min") && p.contains("partial_count"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("q_topn_orders: rank limit pushed below the shuffle (WindowGroupLimit partial+final)") {
+    val p = plan("q_topn_orders")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"))
+  }
+
+  test("ann_bruteforce: probe side broadcasts against the corpus scan") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "probe fan-out must broadcast, not cartesian-shuffle")
+  }
+
+  test("dedup_minhash: no shingle re-evaluation in a generate pre-filter") {
+    // InferFiltersFromGenerate is excluded in GraftSession; the expensive
+    // interpreted shingle lambda must appear in projections only.
+    val p = plan("dedup_minhash")
+    val filterSections = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString("\n")
+    assert(!filterSections.contains("transform"), "shingle lambda leaked into a Filter")
+  }
+}

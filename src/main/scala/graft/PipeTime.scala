@@ -1,0 +1,22 @@
+package graft
+object PipeTime {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[32]"), shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[pipetime] $name%-12s ${(System.nanoTime()-t0)/1e9}%6.2f s  ($n rows)")
+    }
+    t("warmup") { spark.range(1000000).count() }
+    t("staypoints") { Pipeline.staypoints(spark, dir).count() }
+    t("pfs_sp") { Pipeline.pfsWithStaypoints(spark, dir).count() }
+    t("triplegs") { Pipeline.triplegs(spark, dir).count() }
+    t("sp_act") { Pipeline.staypointsWithActivity(spark, dir).count() }
+    t("trips") { Pipeline.trips(spark, dir).count() }
+    t("locations") { Pipeline.locations(spark, dir).count() }
+    t("tours") { Pipeline.tours(spark, dir).count() }
+    spark.stop()
+  }
+}

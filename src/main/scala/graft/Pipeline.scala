@@ -69,15 +69,27 @@ object Pipeline {
         gapThresholdMinutes = 1e7)._3
     }
 
-  def locations(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "locs") {
-      LocationGenerator.generate(staypoints(spark, sfDir))._2
+  /** One generate() call feeds both memo slots (same pattern as spGen —
+    * the per-user DBSCAN scan must not run twice).
+    */
+  private def locGen(spark: SparkSession, sfDir: String): Unit = {
+    val sp = staypoints(spark, sfDir) // materialize outside the lock
+    cache.synchronized {
+      if (!cache.contains((spark, sfDir, "locs"))) {
+        val (spLoc, locs) = LocationGenerator.generate(sp)
+        cache((spark, sfDir, "locs")) = locs.persist(StorageLevel.MEMORY_AND_DISK)
+        cache((spark, sfDir, "sp_loc")) = spLoc.persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
+  }
 
-  def staypointsWithLocation(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "sp_loc") {
-      LocationGenerator.generate(staypoints(spark, sfDir))._1
-    }
+  def locations(spark: SparkSession, sfDir: String): DataFrame = {
+    locGen(spark, sfDir); cache((spark, sfDir, "locs"))
+  }
+
+  def staypointsWithLocation(spark: SparkSession, sfDir: String): DataFrame = {
+    locGen(spark, sfDir); cache((spark, sfDir, "sp_loc"))
+  }
 
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {

@@ -23,7 +23,7 @@ object Csv {
     concat(lit("POINT ("), lon.cast("string"), lit(" "), lat.cast("string"), lit(")"))
 
   def parsePointWkt(wkt: Column): (Column, Column) = {
-    val nums = split(regexp_extract(wkt, "POINT\\s*\\(([^)]*)\\)", 1), "\\s+")
+    val nums = split(nullif(regexp_extract(wkt, "POINT\\s*\\(([^)]*)\\)", 1), lit("")), "\\s+")
     (element_at(nums, 1).cast("double"), element_at(nums, 2).cast("double"))
   }
 
@@ -35,7 +35,9 @@ object Csv {
       lit(")"))
 
   def parseLinestringWkt(wkt: Column): Column = {
-    val body = regexp_extract(wkt, "LINESTRING\\s*\\(([^)]*)\\)", 1)
+    // nullif guards empty/missing WKT: regexp_extract returns "" on a
+    // non-match, and ANSI mode rejects casting "" to double
+    val body = nullif(regexp_extract(wkt, "LINESTRING\\s*\\(([^)]*)\\)", 1), lit(""))
     transform(split(body, ",\\s*"), s => {
       val nums = split(trim(s), "\\s+")
       struct(element_at(nums, 1).cast("double").as("lon"), element_at(nums, 2).cast("double").as("lat"))
@@ -50,7 +52,7 @@ object Csv {
       lit("))"))
 
   def parsePolygonWkt(wkt: Column): Column = {
-    val body = regexp_extract(wkt, "POLYGON\\s*\\(\\(([^)]*)\\)\\)", 1)
+    val body = nullif(regexp_extract(wkt, "POLYGON\\s*\\(\\(([^)]*)\\)\\)", 1), lit(""))
     transform(split(body, ",\\s*"), s => {
       val nums = split(trim(s), "\\s+")
       struct(element_at(nums, 1).cast("double").as("lon"), element_at(nums, 2).cast("double").as("lat"))
@@ -60,12 +62,14 @@ object Csv {
   /** "MULTIPOINT (x1 y1, x2 y2)" ↔ o/d struct (trip geometry). */
   def formatMultipointWkt(geom: Column): Column =
     concat(lit("MULTIPOINT ("),
-      col("geom.origin.lon").cast("string"), lit(" "), col("geom.origin.lat").cast("string"), lit(", "),
-      col("geom.destination.lon").cast("string"), lit(" "), col("geom.destination.lat").cast("string"),
+      geom.getField("origin").getField("lon").cast("string"), lit(" "),
+      geom.getField("origin").getField("lat").cast("string"), lit(", "),
+      geom.getField("destination").getField("lon").cast("string"), lit(" "),
+      geom.getField("destination").getField("lat").cast("string"),
       lit(")"))
 
   def parseMultipointWkt(wkt: Column): Column = {
-    val body = regexp_extract(wkt, "MULTIPOINT\\s*\\((.*)\\)", 1)
+    val body = nullif(regexp_extract(wkt, "MULTIPOINT\\s*\\((.*)\\)", 1), lit(""))
     val pts = transform(split(regexp_replace(body, "[()]", ""), ",\\s*"), s => {
       val nums = split(trim(s), "\\s+")
       struct(element_at(nums, 1).cast("double").as("lon"), element_at(nums, 2).cast("double").as("lat"))

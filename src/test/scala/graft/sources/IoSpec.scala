@@ -69,6 +69,44 @@ class IoSpec extends SparkSpec {
     assert(back.first().getSeq[Long](back.first().fieldIndex("trips")) == Seq(3L, 5L, 7L))
   }
 
+  test("locations CSV round trip: POINT center plus POLYGON extent") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "locs.csv"),
+      """id,user_id,center,extent
+        |0,1,POINT (8.5 47.3),"POLYGON ((8.5 47.3, 8.6 47.3, 8.6 47.4, 8.5 47.3))"
+        |1,1,POINT (8.7 47.5),
+        |""".stripMargin)
+    val locs = Csv.readLocations(spark, s"$dir/locs.csv")
+    val r0 = locs.orderBy("id").first()
+    assert(r0.getAs[Double]("center_lon") == 8.5 && r0.getAs[Double]("center_lat") == 47.3)
+    val ring = r0.getSeq[org.apache.spark.sql.Row](r0.fieldIndex("extent_hull"))
+    assert(ring.length == 4 && ring(2).getDouble(0) == 8.6 && ring(2).getDouble(1) == 47.4)
+
+    Csv.writeLocations(locs, s"$dir/out")
+    val back = Csv.readLocations(spark, s"$dir/out").orderBy("id").collect()
+    assert(back(0).getSeq[org.apache.spark.sql.Row](back(0).fieldIndex("extent_hull")).length == 4)
+    assert(back(1).isNullAt(back(1).fieldIndex("extent_hull"))) // missing extent survives
+    assert(back(1).getAs[Double]("center_lon") == 8.7)
+  }
+
+  test("trips CSV round trip: MULTIPOINT origin/destination geometry") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "trips.csv"),
+      """id,user_id,started_at,finished_at,origin_staypoint_id,destination_staypoint_id,geom
+        |0,1,2023-01-01 08:00:00,2023-01-01 09:00:00,10,11,"MULTIPOINT (8.5 47.3, 8.6 47.4)"
+        |""".stripMargin)
+    val trips = Csv.readTrips(spark, s"$dir/trips.csv")
+    val g = trips.first().getStruct(trips.first().fieldIndex("geom"))
+    assert(g.getStruct(0).getDouble(0) == 8.5) // origin lon
+    assert(g.getStruct(1).getDouble(1) == 47.4) // destination lat
+
+    Csv.writeTrips(trips, s"$dir/out")
+    val back = Csv.readTrips(spark, s"$dir/out")
+    val g2 = back.first().getStruct(back.first().fieldIndex("geom"))
+    assert(g2.getStruct(0).getDouble(0) == 8.5 && g2.getStruct(1).getDouble(0) == 8.6)
+    assert(back.first().getAs[Long]("origin_staypoint_id") == 10L)
+  }
+
   test("geolife directory scan: plt parsing, header skip, feet conversion, labels") {
     val dir = tmpDir()
     val traj = Paths.get(dir, "010", "Trajectory")

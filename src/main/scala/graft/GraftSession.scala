@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def configure(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     builder
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,6 +46,7 @@ object GraftSession {
   /** Make an externally-created session safe for graft operators. */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 }

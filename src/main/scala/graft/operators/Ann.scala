@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns in double precision —
-    * `aggregate`/`zip_with` keep it inside whole-stage codegen.
+  /** Cosine similarity of two vector columns in double precision, as the
+    * native codegen'd expression [[graft.plans.CosineSimilarity]] — one
+    * tight primitive loop instead of three interpreted higher-order
+    * lambdas (`aggregate`/`zip_with` are CodegenFallback). Identical
+    * arithmetic/accumulation order, so results are unchanged.
     */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** The composed-builtin form (kept for engine-portability reference —
+    * its SQL twin is what external oracles execute).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -80,17 +91,19 @@ object Ann {
     */
   def hyperplaneSignature(emb: DataFrame, planes: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qvec = transform(col(vecCol),
-      x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+    // quantize once — the interpreted transform would otherwise re-run
+    // inside every plane's dot product
+    val quantized = emb.withColumn("_qv",
+      transform(col(vecCol), x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")))
     val sigBits = (0 until planes).map { p =>
       val comps = typedLit(planeComponents(p))
       val dot = aggregate(
-        zip_with(qvec, slice(comps, lit(1), size(col(vecCol))),
+        zip_with(col("_qv"), slice(comps, lit(1), size(col(vecCol))),
           (q, c) => q * c),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    emb.withColumn("_sig", sigBits).withColumn("_v", col(vecCol))
+    quantized.withColumn("_sig", sigBits).withColumn("_v", col(vecCol)).drop("_qv")
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`

@@ -71,25 +71,30 @@ object HaversineDistance {
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("haversine_m"),
-      new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_m"),
-      (children: Seq[Expression]) => {
-        require(children.length == 4, "haversine_m(lon1, lat1, lon2, lat2)")
-        HaversineDistance(children(0), children(1), children(2), children(3))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  /** Register on an existing session (tests / REPL convenience). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
       new FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_m"),
       (children: Seq[Expression]) => {
         require(children.length == 4, "haversine_m(lon1, lat1, lon2, lat2)")
         HaversineDistance(children(0), children(1), children(2), children(3))
-      })
+      }),
+    (
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(vec_a, vec_b)")
+        CosineSimilarity(children(0), children(1))
+      }))
+
+  /** Register on an existing session (tests / REPL convenience). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,6 +1,9 @@
 package graft.util
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.graftshim.DataFrameShim
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Dense sequential id assignment (0..n-1) in a given total order.
@@ -11,13 +14,14 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * we do a distributed range-sort and then `zipWithIndex`, which computes
   * per-partition offsets with one lightweight extra job and keeps the data
   * fully distributed — the scalable equivalent of a global dense rank.
+  * `zipWithIndex`'s two internal jobs both read the range-sort's
+  * materialized shuffle files, so the upstream lineage runs once (a
+  * per-group rank + cumulated-offset formulation reads it twice; measured
+  * ~30% slower across the pipeline).
   *
-  * Why not a per-group `row_number()` + cumulated group offsets? That
-  * shape reads the input lineage twice (rank subtree + count subtree)
-  * with no exchange reuse between them, which doubles the upstream work
-  * for every caller. `zipWithIndex`'s two internal jobs both read the
-  * range-sort's materialized shuffle files, so the upstream runs once —
-  * measured ~30% faster across the pipeline chain.
+  * The id is appended on `InternalRow`s (shim-bridged): no decode to
+  * external Rows and re-encode, which halves the serialization work of
+  * every id-assigning stage.
   */
 object Ids {
 
@@ -26,7 +30,17 @@ object Ids {
     val sorted = df.orderBy(order: _*)
     val newSchema = sorted.schema.copy(fields =
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, newSchema)
+
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      // project to fresh UnsafeRows: upstream iterators reuse row buffers
+      val proj = UnsafeProjection.create(newSchema)
+      val joined = new JoinedRow
+      val idRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      it.map { case (row, i) =>
+        idRow.update(0, i)
+        proj(joined(row, idRow)): InternalRow
+      }
+    }
+    DataFrameShim.fromInternalRows(spark, rdd, newSchema)
   }
 }

@@ -17,3 +17,16 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Internal-row DataFrame construction (`internalCreateDataFrame` is
+  * `private[sql]`): lets id assignment append a column to UnsafeRows
+  * without decoding to external [[org.apache.spark.sql.Row]]s and back.
+  */
+object DataFrameShim {
+  def fromInternalRows(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+}

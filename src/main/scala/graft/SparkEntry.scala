@@ -403,6 +403,15 @@ object SparkEntry {
       val iv = EventsAdapter.intervals(s, dir)
       IntervalJoin.bestOverlapMatch(iv.filter(col("id") % 2 === 0), iv.filter(col("id") % 2 === 1))
     },
+    "asof_join" -> { (s, dir) =>
+      val ev = EventsAdapter.events(s, dir).select(col("event_id"), col("user_id"), col("t_us"))
+      val left = ev.filter(col("event_id") % 2 === 0)
+      val right = ev.filter(col("event_id") % 2 === 1)
+        .groupBy(col("user_id"), col("t_us")).agg(max("event_id").as("event_id"))
+      AsOfJoin.asOf(left, right)
+        .select(col("event_id"), col("user_id"), col("right_event_id"),
+          (col("t_us") - col("right_t_us")).as("age_us"))
+    },
 
     // ----- training-data pipeline: dedup ------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -774,6 +783,13 @@ object SparkEntry {
          |SELECT left_id, user_id, right_id, overlap_ratio FROM (
          |  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY overlap_ratio DESC, right_id) AS rn
          |  FROM pairs) WHERE rn = 1""".stripMargin,
+    "asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+        |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, t_us, max(event_id) AS event_id
+        |      FROM ev WHERE event_id % 2 = 1 GROUP BY user_id, t_us)
+        |SELECT l.event_id, l.user_id, r.event_id AS right_event_id, l.t_us - r.t_us AS age_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin,
     "radius_gyration_duration" ->
       s"""${EventsAdapter.pfsSql}, w AS (
          |  SELECT user_id, lon, lat, (f_us - s_us) / 1000000.0 AS wgt FROM intervals

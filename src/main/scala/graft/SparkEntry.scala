@@ -31,7 +31,8 @@ object SparkEntry {
       |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
       |  FROM documents)""".stripMargin
 
-  private def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String = {
+  /** CTE chain producing the verified minhash pair set as `dup(id_a, id_b)`. */
+  private def minhashPairsCte(numHashes: Int, bands: Int, threshold: Double): String = {
     val rows = numHashes / bands
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = affine(i)
@@ -41,7 +42,7 @@ object SparkEntry {
       val fold = foldHashesSql((b * rows until (b + 1) * rows).map(j => s"m$j"))
       s"SELECT doc_id, $b AS bb, $fold AS h FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
        |hb AS (SELECT doc_id, ${h60Sql("sg")} % $M AS b FROM ex),
        |sig AS (
@@ -57,9 +58,30 @@ object SparkEntry {
        |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
-       |  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= $threshold""".stripMargin
+       |  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+       |dup AS (SELECT id_a, id_b, j FROM scored WHERE j >= $threshold)""".stripMargin
   }
+
+  private def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashPairsCte(numHashes, bands, threshold)}
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM dup""".stripMargin
+
+  /** Connected components over the minhash pairs via transitive closure
+    * (components are tiny, so the closure stays small).
+    */
+  private def dedupClustersOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(numHashes, bands, threshold)},
+       |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |nodes AS (SELECT DISTINCT a AS node FROM und)
+       |SELECT n.node AS doc_id,
+       |       least(n.node, min(r.b)) AS cluster_id,
+       |       (least(n.node, min(r.b)) = n.node) AS keep
+       |FROM nodes n JOIN reach r ON r.a = n.node
+       |GROUP BY n.node""".stripMargin
 
   private def simhashOracle(maxHamming: Int): String = {
     val bits = graft.operators.Dedup.simHashBits
@@ -428,6 +450,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.ngramJaccardTop1(docs.filter(col("doc_id") < 10), docs)
+    },
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"),
+        numHashes = 64, bands = 16, verifyThreshold = 0.5)
+      Dedup.duplicateClusters(pairs)
     },
 
     // ----- training-data pipeline: similarity search ------------------
@@ -871,6 +898,7 @@ object SparkEntry {
         |    list_transform(string_split(text,' '), w -> substring(md5(w),1,8))))[1:4], '-') AS min_word_fp
         |FROM documents""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
+    "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),

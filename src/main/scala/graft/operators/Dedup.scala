@@ -175,6 +175,43 @@ object Dedup {
       .select(col("probe_id"), col("match_id"), col("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over an undirected
+    * near-dup pair table (e.g. [[minHashLsh]] output), as iterative
+    * min-label propagation — each iteration is one shuffle (edges ⋈
+    * labels + grouped min), and near-dup components are near-cliques, so
+    * convergence takes O(component diameter) ≈ 2-4 rounds. The canonical
+    * "keep one document per duplicate cluster" reducer at corpus scale.
+    *
+    * @return (doc_id, cluster_id = smallest id in the component,
+    *         keep = doc_id is that smallest id)
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                        maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      val neighborMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("_n")).agg(min(col("label")).as("_nl"))
+      val stepped = labels.join(neighborMin, col("node") === col("_n"), "left")
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .persist()
+      changed = stepped.filter(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = stepped.select("node", "label")
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("keep"))
+  }
+
   /** Embedding near-duplicates: cosine similarity >= threshold among
     * candidate pairs from random-hyperplane LSH buckets (see Ann for the
     * signature machinery).

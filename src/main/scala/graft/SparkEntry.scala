@@ -421,6 +421,14 @@ object SparkEntry {
           timestamp_micros(col("t_us")).as("started_at"), timestamp_micros(col("t_us")).as("finished_at"))
       Metrics.calculateModalSplit(tplsLike, metric = "count", perUser = true)
     },
+    "modal_split_daily" -> { (s, dir) =>
+      val tplsLike = EventsAdapter.events(s, dir)
+        .select(col("user_id"), col("event_type").as("mode"),
+          timestamp_micros(col("t_us")).as("started_at"), timestamp_micros(col("t_us")).as("finished_at"))
+      Metrics.calculateModalSplit(tplsLike, metric = "count", freq = Some("D"),
+        perUser = true, norm = true)
+        .withColumn("ts_us", unix_micros(col("timestamp"))).drop("timestamp")
+    },
     "interval_overlap_join" -> { (s, dir) =>
       val iv = EventsAdapter.intervals(s, dir)
       IntervalJoin.bestOverlapMatch(iv.filter(col("id") % 2 === 0), iv.filter(col("id") % 2 === 1))
@@ -798,6 +806,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "modal_split_daily" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS click,
+        |    sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS purchase,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1.0 ELSE 0.0 END) AS signup,
+        |    sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END) AS view
+        |  FROM events GROUP BY user_id, d)
+        |SELECT user_id, epoch_us(d) AS ts_us,
+        |  click / (click + error + purchase + signup + view) AS click,
+        |  error / (click + error + purchase + signup + view) AS error,
+        |  purchase / (click + error + purchase + signup + view) AS purchase,
+        |  signup / (click + error + purchase + signup + view) AS signup,
+        |  view / (click + error + purchase + signup + view) AS view
+        |FROM p""".stripMargin,
     "interval_overlap_join" ->
       s"""${EventsAdapter.pfsSql}, pairs AS (
          |  SELECT a.id AS left_id, a.user_id, b.id AS right_id,

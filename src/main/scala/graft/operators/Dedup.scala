@@ -185,30 +185,61 @@ object Dedup {
     * @return (doc_id, cluster_id = smallest id in the component,
     *         keep = doc_id is that smallest id)
     */
+  /** @param localThreshold pair-count cutoff below which the component
+    *        computation collects to the driver and runs union-find (each
+    *        distributed iteration costs two shuffles of fixed latency —
+    *        pointless when the pair graph fits in driver memory; dedup
+    *        pair tables are orders of magnitude smaller than the corpus)
+    */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                        maxIterations: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+                        maxIterations: Int = 25, localThreshold: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")).persist()
+    val nPairs = p.count() // materialize the (possibly expensive) pair lineage ONCE
 
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIterations) {
-      val neighborMin = edges.join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("_n")).agg(min(col("label")).as("_nl"))
-      val stepped = labels.join(neighborMin, col("node") === col("_n"), "left")
-        .select(col("node"), col("label").as("_old"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-        .persist()
-      changed = stepped.filter(col("label") =!= col("_old")).count()
-      labels.unpersist()
-      labels = stepped.select("node", "label")
-      i += 1
-    }
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+    val result =
+      if (nPairs <= localThreshold) {
+        // driver-side union-find; the pair lineage stayed distributed
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        p.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        import spark.implicits._
+        parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
+      } else {
+        val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node")).persist()
+        var changed = 1L
+        var i = 0
+        while (changed > 0 && i < maxIterations) {
+          val neighborMin = edges.join(labels, col("src") === col("node"))
+            .groupBy(col("dst").as("_n")).agg(min(col("label")).as("_nl"))
+          val stepped = labels.join(neighborMin, col("node") === col("_n"), "left")
+            .select(col("node"), col("label").as("_old"),
+              least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+            .persist()
+          changed = stepped.filter(col("label") =!= col("_old")).count()
+          labels.unpersist()
+          labels = stepped.select("node", "label")
+          i += 1
+        }
+        edges.unpersist()
+        labels
+      }
+
+    p.unpersist()
+    result.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("keep"))
   }
 

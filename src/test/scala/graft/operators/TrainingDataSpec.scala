@@ -33,13 +33,15 @@ class TrainingDataSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
-  test("duplicate clusters: min-label propagation finds transitive components") {
+  test("duplicate clusters: both paths find transitive components identically") {
     // chain 1-2-3 plus isolated pair 10-11: transitivity must merge the chain
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
-    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    for (threshold <- Seq(Long.MaxValue, 0L)) { // driver union-find / distributed loop
+      val out = Dedup.duplicateClusters(pairs, localThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+      assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    }
   }
 
   test("simhash: identical docs have identical fingerprints; near-dups low hamming") {

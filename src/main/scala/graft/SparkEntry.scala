@@ -180,6 +180,64 @@ object SparkEntry {
        |  FROM scored) WHERE rank <= $k""".stripMargin
   }
 
+  /** The sliding staypoint detector as SQL: per-user fixes in time order;
+    * the anchor set is the fixpoint of "next anchor = first later fix
+    * ≥ distM from the current anchor" (a recursive CTE — each recursion
+    * step is one anchor jump). A segment [anchor, breach) emits a
+    * staypoint iff the breach fix is ≥ timeUs after the anchor; the tail
+    * segment emits against the user's last fix (includeLast). Centroid =
+    * wrap-aware mean over DISTINCT coordinates in (lon, lat) order with
+    * sequential list_sum — the exact accumulation order of the Scala
+    * kernel (StaypointGenerator.centroid). Gap handling is omitted: the
+    * pipeline runs with the gap threshold disabled.
+    */
+  private def staypointsOracle(distM: Double, timeUs: Long): String = {
+    val breach =
+      s"""(SELECT min(f2.kk) FROM fx f2, fx f1
+         |      WHERE f2.user_id = an.u AND f1.user_id = an.u AND f1.kk = an.a
+         |        AND f2.kk > an.a AND ${hav("f1.lon", "f1.lat", "f2.lon", "f2.lat")} >= $distM)""".stripMargin
+    s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |fx AS (
+       |  SELECT user_id, t_us, lon, lat,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY t_us, id) - 1 AS kk
+       |  FROM pfs),
+       |anchors(u, a) AS (
+       |  SELECT user_id, 0 FROM fx WHERE kk = 0
+       |  UNION ALL
+       |  SELECT an.u, $breach
+       |  FROM anchors an
+       |  WHERE $breach IS NOT NULL),
+       |segs AS (
+       |  SELECT an.u, an.a, $breach AS nxt FROM anchors an),
+       |stats AS (SELECT user_id, max(kk) AS maxk FROM fx GROUP BY user_id),
+       |seg2 AS (
+       |  SELECT s.u, s.a, fa.t_us AS a_t,
+       |         CASE WHEN s.nxt IS NULL THEN fm.t_us ELSE fn.t_us END AS f_t,
+       |         CASE WHEN s.nxt IS NULL THEN st.maxk ELSE s.nxt - 1 END AS mend
+       |  FROM segs s
+       |  JOIN fx fa ON fa.user_id = s.u AND fa.kk = s.a
+       |  JOIN stats st ON st.user_id = s.u
+       |  JOIN fx fm ON fm.user_id = s.u AND fm.kk = st.maxk
+       |  LEFT JOIN fx fn ON fn.user_id = s.u AND fn.kk = s.nxt),
+       |kept AS (SELECT * FROM seg2 WHERE f_t - a_t >= $timeUs),
+       |cent AS (
+       |  SELECT k2.u, k2.a_t, k2.f_t,
+       |    (SELECT sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT))
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lon_sum_e6,
+       |    (SELECT sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT))
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lat_sum_e6,
+       |    (SELECT count(*)
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS n_uniq
+       |  FROM kept k2)
+       |SELECT CAST(row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS BIGINT) AS id,
+       |       u AS user_id, a_t AS s_us, f_t AS f_us,
+       |       lon_sum_e6, lat_sum_e6, CAST(n_uniq AS BIGINT) AS n_uniq
+       |FROM cent""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -280,10 +338,28 @@ object SparkEntry {
         .select(col("user_id"), floor(col("radius_gyration")).cast("long").as("rg_m"))
     },
 
-    // ----- mobility: sequential detectors (no SQL equivalent → rows-only) ----
+    // ----- mobility: sequential detectors --------------------------------
+    // staypoints_sliding has an exact oracle: the anchor-jump recurrence
+    // runs as a DuckDB recursive CTE (see staypointsOracle). The checked
+    // surface is segmentation + membership: per staypoint, the integer
+    // micro-degree sums over DISTINCT member coordinates (exact — source
+    // coords are 1e-6 multiples). The trig wrap-aware centroid passes
+    // through libm, whose last-ulp differs between the JVM and DuckDB, so
+    // it is verified by StaypointGeneratorSpec instead.
     "staypoints_sliding" -> { (s, dir) =>
-      Pipeline.staypoints(s, dir)
-        .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), col("lon"), col("lat"))
+      val sp = Pipeline.staypoints(s, dir)
+        .select(col("id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"))
+      val members = Pipeline.pfsWithStaypoints(s, dir)
+        .filter(col("staypoint_id").isNotNull)
+        .select(col("staypoint_id"),
+          floor(col("lon") * 1000000.0 + 0.5).cast("long").as("_x"),
+          floor(col("lat") * 1000000.0 + 0.5).cast("long").as("_y"))
+        .distinct()
+        .groupBy(col("staypoint_id"))
+        .agg(sum(col("_x")).as("lon_sum_e6"), sum(col("_y")).as("lat_sum_e6"),
+          count(lit(1)).as("n_uniq"))
+      sp.join(members, sp("id") === members("staypoint_id")).drop("staypoint_id")
     },
     "triplegs_generate" -> { (s, dir) =>
       import graft.functions.GeoFunctions
@@ -834,6 +910,9 @@ object SparkEntry {
          |SELECT left_id, user_id, right_id, overlap_ratio FROM (
          |  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY overlap_ratio DESC, right_id) AS rn
          |  FROM pairs) WHERE rn = 1""".stripMargin,
+    "staypoints_sliding" -> staypointsOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong),
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
         |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),

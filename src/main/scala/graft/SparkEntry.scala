@@ -191,7 +191,29 @@ object SparkEntry {
     * kernel (StaypointGenerator.centroid). Gap handling is omitted: the
     * pipeline runs with the gap threshold disabled.
     */
-  private def staypointsOracle(distM: Double, timeUs: Long): String = {
+  private def staypointsOracle(distM: Double, timeUs: Long): String =
+    s"""${staypointSegmentsCte(distM, timeUs)},
+       |cent AS (
+       |  SELECT k2.u, k2.a_t, k2.f_t,
+       |    (SELECT sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT))
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lon_sum_e6,
+       |    (SELECT sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT))
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lat_sum_e6,
+       |    (SELECT count(*)
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS n_uniq
+       |  FROM kept k2)
+       |SELECT CAST(row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS BIGINT) AS id,
+       |       u AS user_id, a_t AS s_us, f_t AS f_us,
+       |       lon_sum_e6, lat_sum_e6, CAST(n_uniq AS BIGINT) AS n_uniq
+       |FROM cent""".stripMargin
+
+  /** Shared CTE chain: staypoint segments (recursive anchor jump) as
+    * `kept(u, a, a_t, f_t, mend)` — see [[staypointsOracle]].
+    */
+  private def staypointSegmentsCte(distM: Double, timeUs: Long): String = {
     val breach =
       s"""(SELECT min(f2.kk) FROM fx f2, fx f1
          |      WHERE f2.user_id = an.u AND f1.user_id = an.u AND f1.kk = an.a
@@ -219,24 +241,138 @@ object SparkEntry {
        |  JOIN stats st ON st.user_id = s.u
        |  JOIN fx fm ON fm.user_id = s.u AND fm.kk = st.maxk
        |  LEFT JOIN fx fn ON fn.user_id = s.u AND fn.kk = s.nxt),
-       |kept AS (SELECT * FROM seg2 WHERE f_t - a_t >= $timeUs),
-       |cent AS (
-       |  SELECT k2.u, k2.a_t, k2.f_t,
-       |    (SELECT sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT))
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
-       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lon_sum_e6,
-       |    (SELECT sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT))
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
-       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lat_sum_e6,
-       |    (SELECT count(*)
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
-       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS n_uniq
-       |  FROM kept k2)
-       |SELECT CAST(row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS BIGINT) AS id,
-       |       u AS user_id, a_t AS s_us, f_t AS f_us,
-       |       lon_sum_e6, lat_sum_e6, CAST(n_uniq AS BIGINT) AS n_uniq
-       |FROM cent""".stripMargin
+       |kept AS (SELECT * FROM seg2 WHERE f_t - a_t >= $timeUs)""".stripMargin
   }
+
+  /** Tripleg generation as SQL: the window logic of TriplegGenerator
+    * (new-tripleg flags, cumulative segment ids, >= 2-fix filter) over
+    * fixes annotated with their containing kept staypoint. Extends the
+    * staypoint chain with `szok(user_id, seg, n, s_us, f_us)`.
+    */
+  private def triplegSegmentsCte(distM: Double, timeUs: Long): String =
+    s"""${staypointSegmentsCte(distM, timeUs)},
+       |pfs2 AS (
+       |  SELECT f.user_id, f.kk, f.t_us, f.lon, f.lat, sp.sp_id
+       |  FROM fx f LEFT JOIN (
+       |    SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sp_id, u, a, mend FROM kept) sp
+       |    ON sp.u = f.user_id AND f.kk BETWEEN sp.a AND sp.mend),
+       |flg AS (
+       |  SELECT *, lag(kk) OVER w IS NULL AS new_user,
+       |         coalesce(sp_id + 1, 0) AS stp, lag(coalesce(sp_id + 1, 0)) OVER w AS prev_stp
+       |  FROM pfs2 WINDOW w AS (PARTITION BY user_id ORDER BY t_us, kk)),
+       |starts AS (
+       |  SELECT *, CASE WHEN (new_user OR stp IS DISTINCT FROM prev_stp) AND sp_id IS NULL
+       |                 THEN 1 ELSE 0 END AS st
+       |  FROM flg),
+       |segd AS (
+       |  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY t_us, kk ROWS UNBOUNDED PRECEDING) AS seg
+       |  FROM starts),
+       |cand AS (SELECT * FROM segd WHERE sp_id IS NULL AND seg >= 1),
+       |szok AS (
+       |  SELECT user_id, seg, count(*) AS n, min(t_us) AS s_us, max(t_us) AS f_us
+       |  FROM cand GROUP BY user_id, seg HAVING count(*) >= 2)""".stripMargin
+
+  private def triplegsOracle(distM: Double, timeUs: Long): String =
+    s"""${triplegSegmentsCte(distM, timeUs)},
+       |lenq AS (
+       |  SELECT user_id, seg, sum(seglen) AS len FROM (
+       |    SELECT user_id, seg,
+       |           CASE WHEN lag(lon) OVER w2 IS NULL THEN NULL
+       |                ELSE ${hav("lag(lon) OVER w2", "lag(lat) OVER w2", "lon", "lat")} END AS seglen
+       |    FROM cand WINDOW w2 AS (PARTITION BY user_id, seg ORDER BY t_us, kk))
+       |  GROUP BY user_id, seg)
+       |SELECT CAST(row_number() OVER (ORDER BY z.user_id, z.s_us) - 1 AS BIGINT) AS id,
+       |       z.user_id, z.s_us, z.f_us, CAST(z.n AS BIGINT) AS n_points,
+       |       CAST(floor(coalesce(l.len, 0.0)) AS BIGINT) AS length_m
+       |FROM szok z JOIN lenq l ON l.user_id = z.user_id AND l.seg = z.seg""".stripMargin
+
+  /** Trip generation as SQL: TripGenerator's interleaved
+    * staypoint/tripleg stream — new-trip flags at user boundaries and
+    * after activity runs, trips = non-activity member groups with ≥ 1
+    * tripleg, origin/destination from lag/lead over the trips +
+    * activities + user-change stream. Gap handling omitted (disabled in
+    * the pipeline parameters).
+    */
+  private def tripsOracle(distM: Double, timeUs: Long,
+                          activityThresholdSec: Double, gapUs: Long): String =
+    s"""${triplegSegmentsCte(distM, timeUs)},
+       |tplt AS (
+       |  SELECT row_number() OVER (ORDER BY user_id, s_us) - 1 AS stid,
+       |         user_id, s_us, f_us FROM szok),
+       |sp3 AS (
+       |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS stid,
+       |         u AS user_id, a_t AS s_us, f_t AS f_us,
+       |         ((f_t - a_t) / 1000000.0 > $activityThresholdSec) AS act
+       |  FROM kept),
+       |un AS (
+       |  SELECT stid, user_id, s_us, f_us, act, 0 AS typ FROM sp3
+       |  UNION ALL
+       |  SELECT stid, user_id, s_us, f_us, false, 1 FROM tplt),
+       |flagged AS (
+       |  SELECT *, row_number() OVER w3 = 1 AS new_user,
+       |         act AND NOT coalesce(lead(act) OVER w3, false) AS last_act
+       |  FROM un WINDOW w3 AS (PARTITION BY user_id ORDER BY s_us, typ, stid)),
+       |tt AS (
+       |  SELECT *, sum(CASE WHEN new_user OR last_act THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY s_us, typ, stid ROWS UNBOUNDED PRECEDING) AS tmp
+       |  FROM flagged),
+       |trips0 AS (
+       |  SELECT user_id, tmp, min(s_us) AS s_us, max(f_us) AS f_us
+       |  FROM tt WHERE NOT act GROUP BY user_id, tmp
+       |  HAVING sum(CASE WHEN typ = 1 THEN 1 ELSE 0 END) > 0),
+       |tripid AS (
+       |  SELECT row_number() OVER (ORDER BY user_id, tmp) - 1 AS trip_id, * FROM trips0),
+       |stream AS (
+       |  SELECT user_id, s_us, f_us, 0 AS ord2, CAST(NULL AS BIGINT) AS stid, trip_id FROM tripid
+       |  UNION ALL
+       |  SELECT user_id, s_us, f_us, 1, stid, NULL FROM tt WHERE act
+       |  UNION ALL
+       |  SELECT user_id, s_us - $gapUs // 2, NULL, 3, NULL, NULL FROM flagged WHERE new_user),
+       |shifted AS (
+       |  SELECT *, lag(stid) OVER w4 AS origin_staypoint_id,
+       |         lead(stid) OVER w4 AS destination_staypoint_id
+       |  FROM stream WINDOW w4 AS (PARTITION BY user_id ORDER BY s_us, ord2, stid NULLS FIRST))
+       |SELECT trip_id AS id, user_id, s_us, f_us, origin_staypoint_id, destination_staypoint_id
+       |FROM shifted WHERE trip_id IS NOT NULL""".stripMargin
+
+  /** DBSCAN locations as SQL (minPts = 1 → clusters are the connected
+    * components of the ε-graph over staypoint centroids, computed by a
+    * second recursive closure). The checked surface is the clustering:
+    * (location id, user, member count, smallest member staypoint id) —
+    * all integers. Centroid coordinates pass through trig (engine-ulp-
+    * divergent) and only steer the ε decisions, where ulps are harmless;
+    * the dissolve geometry itself is spec-gated (LocationMergeTourSpec).
+    */
+  private def locationsOracle(distM: Double, timeUs: Long, epsM: Double): String =
+    s"""${staypointSegmentsCte(distM, timeUs)},
+       |cent2 AS (
+       |  SELECT row_number() OVER (ORDER BY k2.u, k2.a_t, k2.f_t) - 1 AS sid,
+       |    k2.u AS user_id,
+       |    (SELECT degrees(atan2(list_sum(list(sin(radians(lon)) ORDER BY lon, lat)) / count(*),
+       |                          list_sum(list(cos(radians(lon)) ORDER BY lon, lat)) / count(*)))
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS c_lon,
+       |    (SELECT list_sum(list(lat ORDER BY lon, lat)) / count(*)
+       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS c_lat
+       |  FROM kept k2),
+       |pd AS (
+       |  SELECT a.sid AS pa, b.sid AS pb FROM cent2 a JOIN cent2 b
+       |  ON a.user_id = b.user_id AND a.sid < b.sid
+       |     AND ${hav("a.c_lon", "a.c_lat", "b.c_lon", "b.c_lat")} <= $epsM),
+       |und2 AS (SELECT pa AS a, pb AS b FROM pd UNION SELECT pb, pa FROM pd),
+       |reach2(a, b) AS (
+       |  SELECT a, b FROM und2
+       |  UNION
+       |  SELECT r.a, u2.b FROM reach2 r JOIN und2 u2 ON r.b = u2.a),
+       |rep AS (
+       |  SELECT s.sid, s.user_id, coalesce(least(s.sid, m.mb), s.sid) AS rep
+       |  FROM cent2 s LEFT JOIN (SELECT a, min(b) AS mb FROM reach2 GROUP BY a) m ON m.a = s.sid),
+       |locs AS (
+       |  SELECT user_id, rep, count(*) AS n_sp FROM rep GROUP BY user_id, rep)
+       |SELECT CAST(row_number() OVER (ORDER BY user_id, rep) - 1 AS BIGINT) AS id,
+       |       user_id, CAST(n_sp AS BIGINT) AS n_sp, rep AS min_sp_id
+       |FROM locs""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -364,18 +500,27 @@ object SparkEntry {
     "triplegs_generate" -> { (s, dir) =>
       import graft.functions.GeoFunctions
       Pipeline.triplegs(s, dir)
-        .select(col("id"), col("user_id"), col("started_at"), col("finished_at"),
-          size(col("points")).as("n_points"),
+        .select(col("id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
+          size(col("points")).cast("long").as("n_points"),
           floor(GeoFunctions.linestringLengthMeters(col("points"))).cast("long").as("length_m"))
     },
     "trips_generate" -> { (s, dir) =>
       Pipeline.trips(s, dir)
-        .select(col("id"), col("user_id"), col("started_at"), col("finished_at"),
+        .select(col("id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
           col("origin_staypoint_id"), col("destination_staypoint_id"))
     },
+    // clustering surface is integer-exact (ids, member counts, smallest
+    // member); the trig dissolve geometry is spec-gated — see
+    // locationsOracle scaladoc
     "locations_dbscan" -> { (s, dir) =>
-      Pipeline.locations(s, dir)
-        .select(col("id"), col("user_id"), col("center_lon"), col("center_lat"))
+      val locs = Pipeline.locations(s, dir).select(col("id"), col("user_id"))
+      val members = Pipeline.staypointsWithLocation(s, dir)
+        .filter(col("location_id").isNotNull)
+        .groupBy(col("location_id"))
+        .agg(count(lit(1)).as("n_sp"), min(col("id")).as("min_sp_id"))
+      locs.join(members, locs("id") === members("location_id")).drop("location_id")
     },
     "tours_generate" -> { (s, dir) =>
       Pipeline.tours(s, dir)
@@ -913,6 +1058,18 @@ object SparkEntry {
     "staypoints_sliding" -> staypointsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong),
+    "triplegs_generate" -> triplegsOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong),
+    "trips_generate" -> tripsOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      activityThresholdSec = 120.0 * 60.0,
+      gapUs = (1e7 * 60e6).toLong),
+    "locations_dbscan" -> locationsOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      epsM = 100.0),
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
         |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),

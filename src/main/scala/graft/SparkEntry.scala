@@ -374,6 +374,43 @@ object SparkEntry {
        |       user_id, CAST(n_sp AS BIGINT) AS n_sp, rep AS min_sp_id
        |FROM locs""".stripMargin
 
+  /** DTW trajectory distance as SQL: the row-major DP of SpatialOps.dtw
+    * as a recursive CTE — each recursion step advances one DP row per
+    * pair, carried as a list; the in-row left-to-right dependency
+    * (cur(j-1)) runs as a list_reduce fold. Quantized to floor meters
+    * like every trig-derived oracle value.
+    */
+  private def dtwOracle: String = {
+    val j = "CAST(x[1] AS INT)"
+    s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |lines AS (
+       |  SELECT user_id * 10000 + (k // 12) AS lid,
+       |         list(lon ORDER BY k) AS lons, list(lat ORDER BY k) AS lats
+       |  FROM pfs WHERE user_id < 3 AND k // 12 < 10
+       |  GROUP BY user_id, k // 12),
+       |pairsx AS (
+       |  SELECT a.lid AS id_1, b.lid AS id_2,
+       |         a.lons AS alon, a.lats AS alat, b.lons AS blon, b.lats AS blat
+       |  FROM lines a JOIN lines b ON a.lid < b.lid),
+       |dp(id_1, id_2, i, dprow) AS (
+       |  SELECT id_1, id_2, 0,
+       |         list_concat([0.0], list_transform(range(1, len(blon) + 1), j -> 'infinity'::DOUBLE))
+       |  FROM pairsx
+       |  UNION ALL
+       |  SELECT d.id_1 AS id_1, d.id_2 AS id_2, d.i + 1 AS i,
+       |    list_reduce(
+       |      list_concat([['infinity'::DOUBLE]],
+       |        list_transform(range(1, len(p.blon) + 1), j -> [CAST(j AS DOUBLE)])),
+       |      (acc, x) -> list_append(acc,
+       |        ${hav(s"p.alon[d.i+1]", s"p.alat[d.i+1]", s"p.blon[$j]", s"p.blat[$j]")}
+       |        + least(d.dprow[$j + 1], acc[$j], d.dprow[$j]))) AS dprow
+       |  FROM dp d JOIN pairsx p ON p.id_1 = d.id_1 AND p.id_2 = d.id_2
+       |  WHERE d.i < len(p.alon))
+       |SELECT d.id_1, d.id_2, CAST(floor(d.dprow[len(p.blon) + 1]) AS BIGINT) AS dtw_m
+       |FROM dp d JOIN pairsx p ON p.id_1 = d.id_1 AND p.id_2 = d.id_2
+       |WHERE d.i = len(p.alon)""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1070,6 +1107,7 @@ object SparkEntry {
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
       epsM = 100.0),
+    "dtw_matrix" -> dtwOracle,
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
         |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),

@@ -295,10 +295,20 @@ object SparkEntry {
     */
   private def tripsOracle(distM: Double, timeUs: Long,
                           activityThresholdSec: Double, gapUs: Long): String =
+    s"""${tripsCte(distM, timeUs, activityThresholdSec, gapUs)}
+       |SELECT trip_id AS id, user_id, s_us, f_us, origin_staypoint_id, destination_staypoint_id
+       |FROM shifted WHERE trip_id IS NOT NULL""".stripMargin
+
+  /** CTE chain through TripGenerator's stream: ends with
+    * `shifted(user_id, s_us, f_us, ord2, stid, trip_id, origin/destination_staypoint_id)`
+    * plus `tt`, `tplt`, `sp3`, `kept`, `szok`, `cand`, `fx` upstream.
+    */
+  private def tripsCte(distM: Double, timeUs: Long,
+                       activityThresholdSec: Double, gapUs: Long): String =
     s"""${triplegSegmentsCte(distM, timeUs)},
        |tplt AS (
        |  SELECT row_number() OVER (ORDER BY user_id, s_us) - 1 AS stid,
-       |         user_id, s_us, f_us FROM szok),
+       |         user_id, seg, s_us, f_us FROM szok),
        |sp3 AS (
        |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS stid,
        |         u AS user_id, a_t AS s_us, f_t AS f_us,
@@ -331,9 +341,7 @@ object SparkEntry {
        |shifted AS (
        |  SELECT *, lag(stid) OVER w4 AS origin_staypoint_id,
        |         lead(stid) OVER w4 AS destination_staypoint_id
-       |  FROM stream WINDOW w4 AS (PARTITION BY user_id ORDER BY s_us, ord2, stid NULLS FIRST))
-       |SELECT trip_id AS id, user_id, s_us, f_us, origin_staypoint_id, destination_staypoint_id
-       |FROM shifted WHERE trip_id IS NOT NULL""".stripMargin
+       |  FROM stream WINDOW w4 AS (PARTITION BY user_id ORDER BY s_us, ord2, stid NULLS FIRST))""".stripMargin
 
   /** DBSCAN locations as SQL (minPts = 1 → clusters are the connected
     * components of the ε-graph over staypoint centroids, computed by a
@@ -343,9 +351,11 @@ object SparkEntry {
     * divergent) and only steer the ε decisions, where ulps are harmless;
     * the dissolve geometry itself is spec-gated (LocationMergeTourSpec).
     */
-  private def locationsOracle(distM: Double, timeUs: Long, epsM: Double): String =
-    s"""${staypointSegmentsCte(distM, timeUs)},
-       |cent2 AS (
+  /** Staypoint trig centroids `cent2(sid, user_id, c_lon, c_lat)` —
+    * suffix over `kept`/`fx`.
+    */
+  private val cent2Cte: String =
+    s"""cent2 AS (
        |  SELECT row_number() OVER (ORDER BY k2.u, k2.a_t, k2.f_t) - 1 AS sid,
        |    k2.u AS user_id,
        |    (SELECT degrees(atan2(list_sum(list(sin(radians(lon)) ORDER BY lon, lat)) / count(*),
@@ -355,8 +365,13 @@ object SparkEntry {
        |    (SELECT list_sum(list(lat ORDER BY lon, lat)) / count(*)
        |       FROM (SELECT DISTINCT lon, lat FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS c_lat
-       |  FROM kept k2),
-       |pd AS (
+       |  FROM kept k2)""".stripMargin
+
+  /** ε-graph components over cent2: `rep(sid, user_id, rep)` and
+    * `locs(user_id, rep, n_sp)` — suffix over cent2.
+    */
+  private def locationCompCte(epsM: Double): String =
+    s"""pd AS (
        |  SELECT a.sid AS pa, b.sid AS pb FROM cent2 a JOIN cent2 b
        |  ON a.user_id = b.user_id AND a.sid < b.sid
        |     AND ${hav("a.c_lon", "a.c_lat", "b.c_lon", "b.c_lat")} <= $epsM),
@@ -369,10 +384,138 @@ object SparkEntry {
        |  SELECT s.sid, s.user_id, coalesce(least(s.sid, m.mb), s.sid) AS rep
        |  FROM cent2 s LEFT JOIN (SELECT a, min(b) AS mb FROM reach2 GROUP BY a) m ON m.a = s.sid),
        |locs AS (
-       |  SELECT user_id, rep, count(*) AS n_sp FROM rep GROUP BY user_id, rep)
+       |  SELECT user_id, rep, count(*) AS n_sp FROM rep GROUP BY user_id, rep)""".stripMargin
+
+  private def locationsOracle(distM: Double, timeUs: Long, epsM: Double): String =
+    s"""${staypointSegmentsCte(distM, timeUs)},
+       |$cent2Cte,
+       |${locationCompCte(epsM)}
        |SELECT CAST(row_number() OVER (ORDER BY user_id, rep) - 1 AS BIGINT) AS id,
        |       user_id, CAST(n_sp AS BIGINT) AS n_sp, rep AS min_sp_id
        |FROM locs""".stripMargin
+
+  /** Tour generation as SQL (maxNrGaps = 0, both linking modes).
+    *
+    * With no gap budget the candidate stack degenerates to the current
+    * *continuity run* (a discontinuous trip resets the stack to itself
+    * and skips its closure scan), so the whole scan is expressible:
+    *  - runs: cumulative sum over "not connected to previous trip";
+    *  - the backward closure scan: candidates c in the same run with
+    *    pos ≤ t.pos; the kernel breaks at the first too-old candidate —
+    *    trip start times rise with pos, so that break is a prefix cutoff
+    *    (max too-old pos); the winner is the *most recent* eligible
+    *    closing candidate (arg_max by pos), one tour max per trip;
+    *  - candidate-stack cropping in the kernel is memory management only
+    *    (scans stop at too-old candidates regardless) — emission-neutral.
+    *
+    * Trip endpoints: staypoint trig centroid when the o/d staypoint is
+    * known, else the first/last fix of the first/last member tripleg —
+    * trig only steers the ≤ maxDist decisions (ulp-safe); the oracle
+    * output surface is integers.
+    */
+  private def toursOracle(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                          gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
+                          locationMode: Boolean, epsM: Double = 100.0): String = {
+    val endpointCtes =
+      s"""$cent2Cte,
+         |tplends AS (
+         |  SELECT user_id, seg, arg_min(lon, kk) AS s_lon, arg_min(lat, kk) AS s_lat,
+         |         arg_max(lon, kk) AS e_lon, arg_max(lat, kk) AS e_lat
+         |  FROM cand GROUP BY user_id, seg),
+         |tplpt AS (
+         |  SELECT tp.stid, te.s_lon, te.s_lat, te.e_lon, te.e_lat
+         |  FROM tplt tp JOIN tplends te ON te.user_id = tp.user_id AND te.seg = tp.seg),
+         |trip_tpl AS (
+         |  SELECT user_id, tmp,
+         |         arg_min(stid, s_us) AS first_tpl,
+         |         arg_max(stid, s_us) AS last_tpl
+         |  FROM tt WHERE typ = 1 AND NOT act GROUP BY user_id, tmp)""".stripMargin
+    val locCtes = if (locationMode)
+      s""",
+         |${locationCompCte(epsM)},
+         |sploc AS (
+         |  SELECT r.sid, lx.id AS loc FROM rep r JOIN
+         |    (SELECT row_number() OVER (ORDER BY user_id, rep) - 1 AS id, user_id, rep FROM locs) lx
+         |    ON lx.user_id = r.user_id AND lx.rep = r.rep)""".stripMargin
+    else ""
+    val tripxExtra = if (locationMode)
+      """so.loc AS o_loc, sd.loc AS d_loc,
+        |         CAST(NULL AS DOUBLE) AS o_lon, CAST(NULL AS DOUBLE) AS o_lat,
+        |         CAST(NULL AS DOUBLE) AS d_lon, CAST(NULL AS DOUBLE) AS d_lat""".stripMargin
+    else
+      """CAST(NULL AS BIGINT) AS o_loc, CAST(NULL AS BIGINT) AS d_loc,
+        |         CASE WHEN s.origin_staypoint_id IS NULL THEN fp.s_lon ELSE co.c_lon END AS o_lon,
+        |         CASE WHEN s.origin_staypoint_id IS NULL THEN fp.s_lat ELSE co.c_lat END AS o_lat,
+        |         CASE WHEN s.destination_staypoint_id IS NULL THEN lp.e_lon ELSE cd.c_lon END AS d_lon,
+        |         CASE WHEN s.destination_staypoint_id IS NULL THEN lp.e_lat ELSE cd.c_lat END AS d_lat""".stripMargin
+    val locJoins = if (locationMode)
+      """LEFT JOIN sploc so ON so.sid = s.origin_staypoint_id
+        |  LEFT JOIN sploc sd ON sd.sid = s.destination_staypoint_id""".stripMargin
+    else
+      """LEFT JOIN trip_tpl ttl ON ttl.user_id = s.user_id AND ttl.tmp = ti.tmp
+        |  LEFT JOIN tplpt fp ON fp.stid = ttl.first_tpl
+        |  LEFT JOIN tplpt lp ON lp.stid = ttl.last_tpl
+        |  LEFT JOIN cent2 co ON co.sid = s.origin_staypoint_id
+        |  LEFT JOIN cent2 cd ON cd.sid = s.destination_staypoint_id""".stripMargin
+    val connPred = if (locationMode)
+      "lag(d_loc) OVER wu IS NOT NULL AND o_loc IS NOT NULL AND lag(d_loc) OVER wu = o_loc"
+    else
+      s"lag(d_lon) OVER wu IS NOT NULL AND o_lon IS NOT NULL AND " +
+        s"${hav("lag(d_lon) OVER wu", "lag(d_lat) OVER wu", "o_lon", "o_lat")} <= $maxTourDistM"
+    val closePred = if (locationMode)
+      "c2.c_o_loc IS NOT NULL AND c2.t_d_loc IS NOT NULL AND c2.c_o_loc = c2.t_d_loc"
+    else
+      s"c2.c_o_lon IS NOT NULL AND c2.t_d_lon IS NOT NULL AND " +
+        s"${hav("c2.c_o_lon", "c2.c_o_lat", "c2.t_d_lon", "c2.t_d_lat")} <= $maxTourDistM"
+    val select = if (locationMode)
+      "w.wloc AS location_id, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
+    else
+      "w.wcs AS s_us, w.wtf AS f_us, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
+    s"""${tripsCte(distM, timeUs, activityThresholdSec, gapUs)},
+       |$endpointCtes$locCtes,
+       |tripx AS (
+       |  SELECT s.trip_id, s.user_id, s.s_us, s.f_us,
+       |         s.origin_staypoint_id AS osp, s.destination_staypoint_id AS dsp,
+       |         row_number() OVER (PARTITION BY s.user_id ORDER BY s.s_us, s.trip_id) AS pos,
+       |         $tripxExtra
+       |  FROM shifted s
+       |  JOIN tripid ti ON ti.user_id = s.user_id AND ti.trip_id = s.trip_id
+       |  $locJoins
+       |  WHERE s.trip_id IS NOT NULL),
+       |conn2 AS (
+       |  SELECT *, row_number() OVER wu = 1 AS first_of_user,
+       |         ($connPred) AS connected
+       |  FROM tripx WINDOW wu AS (PARTITION BY user_id ORDER BY s_us, trip_id)),
+       |runs2 AS (
+       |  SELECT *, sum(CASE WHEN first_of_user OR NOT coalesce(connected, false) THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY s_us, trip_id ROWS UNBOUNDED PRECEDING) AS run,
+       |         (NOT first_of_user AND NOT coalesce(connected, false)) AS reset_start
+       |  FROM conn2),
+       |cand3 AS (
+       |  SELECT t.user_id, t.trip_id AS tid, t.pos AS tpos, t.f_us AS tf,
+       |         t.d_lon AS t_d_lon, t.d_lat AS t_d_lat, t.d_loc AS t_d_loc,
+       |         c.trip_id AS cid, c.pos AS cpos, c.s_us AS cs, c.osp AS cosp,
+       |         c.o_lon AS c_o_lon, c.o_lat AS c_o_lat, c.o_loc AS c_o_loc
+       |  FROM runs2 t JOIN runs2 c
+       |    ON c.user_id = t.user_id AND c.run = t.run AND c.pos <= t.pos
+       |  WHERE NOT t.reset_start AND t.dsp IS NOT NULL),
+       |cut3 AS (
+       |  SELECT user_id, tid, max(CASE WHEN tf - cs > $maxTourTimeUs THEN cpos END) AS cutoff
+       |  FROM cand3 GROUP BY user_id, tid),
+       |elig AS (
+       |  SELECT c2.* FROM cand3 c2
+       |  LEFT JOIN cut3 ct ON ct.user_id = c2.user_id AND ct.tid = c2.tid
+       |  WHERE (ct.cutoff IS NULL OR c2.cpos > ct.cutoff) AND c2.cosp IS NOT NULL
+       |    AND ($closePred)),
+       |win AS (
+       |  SELECT e.user_id, e.tid, max(e.cpos) AS wcpos, arg_max(e.cs, e.cpos) AS wcs,
+       |         arg_max(e.c_o_loc, e.cpos) AS wloc,
+       |         arg_max(e.tf, e.cpos) AS wtf, arg_max(e.tpos, e.cpos) AS tpos2
+       |  FROM elig e GROUP BY e.user_id, e.tid)
+       |SELECT CAST(row_number() OVER (ORDER BY w.user_id, w.tpos2) - 1 AS BIGINT) AS id,
+       |       w.user_id, $select
+       |FROM win w""".stripMargin
+  }
 
   /** DTW trajectory distance as SQL: the row-major DP of SpatialOps.dtw
     * as a recursive CTE — each recursion step advances one DP row per
@@ -409,6 +552,18 @@ object SparkEntry {
        |SELECT d.id_1, d.id_2, CAST(floor(d.dprow[len(p.blon) + 1]) AS BIGINT) AS dtw_m
        |FROM dp d JOIN pairsx p ON p.id_1 = d.id_1 AND p.id_2 = d.id_2
        |WHERE d.i = len(p.alon)""".stripMargin
+  }
+
+  /** DuckDB inlines CTEs per reference; the recursive-chain oracles
+    * reference `fx`/`kept`/`tt`/... many times, re-running the whole
+    * recursion each time (30x slowdown measured). Materialization hints
+    * on the multiply-referenced CTEs restore single evaluation.
+    */
+  private def withMaterializedCtes(sql: String): String = {
+    val ctes = Seq("pfs", "fx", "kept", "cand", "szok", "tplt", "sp3", "un", "flagged",
+      "segd", "pfs2", "flg", "starts", "tt", "stream", "shifted", "tripid", "cent2",
+      "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx")
+    ctes.foldLeft(sql)((s, n) => s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -561,7 +716,9 @@ object SparkEntry {
     },
     "tours_generate" -> { (s, dir) =>
       Pipeline.tours(s, dir)
-        .select(col("id"), col("user_id"), col("started_at"), col("finished_at"), size(col("trips")).as("n_trips"))
+        .select(col("id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
+          size(col("trips")).cast("long").as("n_trips"))
     },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
@@ -619,11 +776,12 @@ object SparkEntry {
         .filter(col("speed").isNotNull)
         .select(col("user_id"), col("block"), floor(col("speed") * 1000.0).cast("long").as("speed_mms"))
     },
-    "tours_locations" -> { (s, dir) => // location-mode tours (rows-only)
+    "tours_locations" -> { (s, dir) => // location-mode tours
       val (_, tours) = TourGenerator.generate(
         Pipeline.trips(s, dir), Some(Pipeline.staypointsWithLocation(s, dir)),
         TourGenerator.Params(maxTimeDays = 30.0))
-      tours.select(col("id"), col("user_id"), col("location_id"), size(col("trips")).as("n_trips"))
+      tours.select(col("id"), col("user_id"), col("location_id"),
+        size(col("trips")).cast("long").as("n_trips"))
     },
     "dtw_matrix" -> { (s, dir) => // DP kernel → no SQL oracle (rows-only)
       val tpls = EventsAdapter.positionfixes(s, dir)
@@ -1092,22 +1250,34 @@ object SparkEntry {
          |SELECT left_id, user_id, right_id, overlap_ratio FROM (
          |  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY overlap_ratio DESC, right_id) AS rn
          |  FROM pairs) WHERE rn = 1""".stripMargin,
-    "staypoints_sliding" -> staypointsOracle(
+    "staypoints_sliding" -> withMaterializedCtes(staypointsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
-      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong),
-    "triplegs_generate" -> triplegsOracle(
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)),
+    "triplegs_generate" -> withMaterializedCtes(triplegsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
-      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong),
-    "trips_generate" -> tripsOracle(
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)),
+    "trips_generate" -> withMaterializedCtes(tripsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
       activityThresholdSec = 120.0 * 60.0,
-      gapUs = (1e7 * 60e6).toLong),
-    "locations_dbscan" -> locationsOracle(
+      gapUs = (1e7 * 60e6).toLong)),
+    "locations_dbscan" -> withMaterializedCtes(locationsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
-      epsM = 100.0),
-    "dtw_matrix" -> dtwOracle,
+      epsM = 100.0)),
+    "dtw_matrix" -> withMaterializedCtes(dtwOracle),
+    "tours_generate" -> withMaterializedCtes(toursOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
+      maxTourDistM = 200.0, maxTourTimeUs = (30.0 * 86400e6).toLong,
+      locationMode = false)),
+    "tours_locations" -> withMaterializedCtes(toursOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
+      maxTourDistM = 100.0, maxTourTimeUs = (30.0 * 86400e6).toLong,
+      locationMode = true)),
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
         |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),

@@ -23,6 +23,11 @@ object Pipeline {
       cache.getOrElseUpdate((spark, sfDir, key), build.persist(StorageLevel.MEMORY_AND_DISK))
     }
 
+  // All cache reads happen under the lock: mutable.Map is not safe for a
+  // read racing another thread's insert (resize).
+  private def cached(spark: SparkSession, sfDir: String, key: String): DataFrame =
+    cache.synchronized(cache((spark, sfDir, key)))
+
   /** Sliding staypoints over the derived positionfixes. Parameters are
     * calibrated to the synthetic trajectory (per-user fix cadence ~11h,
     * dwell runs of 8 fixes ≈ 75h, 4-fix transits): a 24h dwell threshold
@@ -46,16 +51,38 @@ object Pipeline {
   }
 
   def pfsWithStaypoints(spark: SparkSession, sfDir: String): DataFrame = {
-    spGen(spark, sfDir); cache((spark, sfDir, "pfs_sp"))
+    spGen(spark, sfDir); cached(spark, sfDir, "pfs_sp")
   }
 
   def staypoints(spark: SparkSession, sfDir: String): DataFrame = {
-    spGen(spark, sfDir); cache((spark, sfDir, "sp"))
+    spGen(spark, sfDir); cached(spark, sfDir, "sp")
   }
 
-  def triplegs(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "tpls") {
-      TriplegGenerator.generate(pfsWithStaypoints(spark, sfDir), gapThresholdMinutes = 1e7)._2
+  /** One generate() call feeds both memo slots (segmentation runs once). */
+  private def tplGen(spark: SparkSession, sfDir: String): Unit = {
+    val pfsSp = pfsWithStaypoints(spark, sfDir) // materialize outside the lock
+    cache.synchronized {
+      if (!cache.contains((spark, sfDir, "tpls"))) {
+        val (pfsTpl, tpls) = TriplegGenerator.generate(pfsSp, gapThresholdMinutes = 1e7)
+        cache((spark, sfDir, "tpls")) = tpls.persist(StorageLevel.MEMORY_AND_DISK)
+        cache((spark, sfDir, "pfs_tpl")) = pfsTpl.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+  }
+
+  def triplegs(spark: SparkSession, sfDir: String): DataFrame = {
+    tplGen(spark, sfDir); cached(spark, sfDir, "tpls")
+  }
+
+  def pfsWithTriplegs(spark: SparkSession, sfDir: String): DataFrame = {
+    tplGen(spark, sfDir); cached(spark, sfDir, "pfs_tpl")
+  }
+
+  /** overlap_staypoints triplegs, built from the cached between output. */
+  def triplegsOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "tpls_ovl") {
+      TriplegGenerator.overlapFromBetween(
+        pfsWithTriplegs(spark, sfDir), staypoints(spark, sfDir), gapThresholdMinutes = 1e7)._2
     }
 
   def staypointsWithActivity(spark: SparkSession, sfDir: String): DataFrame =
@@ -84,11 +111,11 @@ object Pipeline {
   }
 
   def locations(spark: SparkSession, sfDir: String): DataFrame = {
-    locGen(spark, sfDir); cache((spark, sfDir, "locs"))
+    locGen(spark, sfDir); cached(spark, sfDir, "locs")
   }
 
   def staypointsWithLocation(spark: SparkSession, sfDir: String): DataFrame = {
-    locGen(spark, sfDir); cache((spark, sfDir, "sp_loc"))
+    locGen(spark, sfDir); cached(spark, sfDir, "sp_loc")
   }
 
   def tours(spark: SparkSession, sfDir: String): DataFrame =

@@ -185,24 +185,29 @@ object SparkEntry {
     * ≥ distM from the current anchor" (a recursive CTE — each recursion
     * step is one anchor jump). A segment [anchor, breach) emits a
     * staypoint iff the breach fix is ≥ timeUs after the anchor; the tail
-    * segment emits against the user's last fix (includeLast). Centroid =
-    * wrap-aware mean over DISTINCT coordinates in (lon, lat) order with
-    * sequential list_sum — the exact accumulation order of the Scala
-    * kernel (StaypointGenerator.centroid). Gap handling is omitted: the
-    * pipeline runs with the gap threshold disabled.
+    * segment emits against the user's last fix (includeLast). The checked
+    * membership surface dedups on e6-QUANTIZED integer coordinates on
+    * both sides (Spark quantizes then `.distinct()`; the oracle DISTINCTs
+    * the same `floor(x*1e6+0.5)` integers) so the dedup domains are
+    * identical by construction — raw-double DISTINCT diverges when
+    * engine arithmetic differs in the last ulp. Gap handling is omitted:
+    * the pipeline runs with the gap threshold disabled.
     */
   private def staypointsOracle(distM: Double, timeUs: Long): String =
     s"""${staypointSegmentsCte(distM, timeUs)},
        |cent AS (
        |  SELECT k2.u, k2.a_t, k2.f_t,
-       |    (SELECT sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT))
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |    (SELECT sum(qx)
+       |       FROM (SELECT DISTINCT CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS qx,
+       |                             CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS qy FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lon_sum_e6,
-       |    (SELECT sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT))
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |    (SELECT sum(qy)
+       |       FROM (SELECT DISTINCT CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS qx,
+       |                             CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS qy FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lat_sum_e6,
        |    (SELECT count(*)
-       |       FROM (SELECT DISTINCT lon, lat FROM fx
+       |       FROM (SELECT DISTINCT CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS qx,
+       |                             CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS qy FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS n_uniq
        |  FROM kept k2)
        |SELECT CAST(row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS BIGINT) AS id,
@@ -285,6 +290,45 @@ object SparkEntry {
        |       z.user_id, z.s_us, z.f_us, CAST(z.n AS BIGINT) AS n_points,
        |       CAST(floor(coalesce(l.len, 0.0)) AS BIGINT) AS length_m
        |FROM szok z JOIN lenq l ON l.user_id = z.user_id AND l.seg = z.seg""".stripMargin
+
+  /** overlap_staypoints triplegs as SQL: the between segmentation
+    * (triplegSegmentsCte) plus the overlap extensions
+    * (positionfixes.py:417-477) — a tripleg's time span and geometry gain
+    * the first fix of the following staypoint when no gap separates them,
+    * and its geometry gains the last fix of the preceding staypoint
+    * unless that fix was already claimed by the tripleg before it (the
+    * single-fix-staypoint rule). Checked surface is integer-exact: ids,
+    * extended time spans, point counts; the centroid coordinates the
+    * overlap points carry are trig-valued and spec-gated
+    * (TriplegTripSpec).
+    */
+  private def triplegsOverlapOracle(distM: Double, timeUs: Long, gapUs: Long): String =
+    s"""${triplegSegmentsCte(distM, timeUs)},
+       |vmx AS (
+       |  SELECT c.user_id, c.kk, c.t_us, c.seg FROM cand c
+       |  JOIN szok z ON z.user_id = c.user_id AND z.seg = c.seg),
+       |tplk AS (
+       |  SELECT row_number() OVER (ORDER BY z.user_id, z.s_us) - 1 AS id,
+       |         z.user_id, z.seg, z.n, z.s_us, z.f_us, m.k0, m.k1
+       |  FROM szok z JOIN (
+       |    SELECT user_id, seg, min(kk) AS k0, max(kk) AS k1 FROM vmx GROUP BY user_id, seg) m
+       |    ON m.user_id = z.user_id AND m.seg = z.seg),
+       |ovx AS (
+       |  SELECT t.id, t.user_id, t.s_us, t.n,
+       |    CASE WHEN spe.u IS NOT NULL AND fe.t_us - t.f_us <= $gapUs
+       |         THEN fe.t_us ELSE t.f_us END AS f_us,
+       |    CASE WHEN spe.u IS NOT NULL AND fe.t_us - t.f_us <= $gapUs THEN 1 ELSE 0 END AS e_ext,
+       |    CASE WHEN sps.u IS NOT NULL AND fs.kk >= 1 AND t.s_us - fs.t_us <= $gapUs
+       |           AND NOT EXISTS (SELECT 1 FROM vmx v
+       |             WHERE v.user_id = t.user_id AND v.kk = fs.kk - 1 AND fs.t_us - v.t_us <= $gapUs)
+       |         THEN 1 ELSE 0 END AS s_ext
+       |  FROM tplk t
+       |  LEFT JOIN fx fe ON fe.user_id = t.user_id AND fe.kk = t.k1 + 1
+       |  LEFT JOIN kept spe ON spe.u = t.user_id AND fe.kk BETWEEN spe.a AND spe.mend
+       |  LEFT JOIN fx fs ON fs.user_id = t.user_id AND fs.kk = t.k0 - 1
+       |  LEFT JOIN kept sps ON sps.u = t.user_id AND fs.kk BETWEEN sps.a AND sps.mend)
+       |SELECT id, user_id, s_us, f_us, CAST(n + e_ext + s_ext AS BIGINT) AS n_points
+       |FROM ovx""".stripMargin
 
   /** Trip generation as SQL: TripGenerator's interleaved
     * staypoint/tripleg stream — new-trip flags at user boundaries and
@@ -562,7 +606,7 @@ object SparkEntry {
   private def withMaterializedCtes(sql: String): String = {
     val ctes = Seq("pfs", "fx", "kept", "cand", "szok", "tplt", "sp3", "un", "flagged",
       "segd", "pfs2", "flg", "starts", "tt", "stream", "shifted", "tripid", "cent2",
-      "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx")
+      "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx", "vmx", "tplk")
     ctes.foldLeft(sql)((s, n) => s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
   }
 
@@ -696,6 +740,12 @@ object SparkEntry {
           unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
           size(col("points")).cast("long").as("n_points"),
           floor(GeoFunctions.linestringLengthMeters(col("points"))).cast("long").as("length_m"))
+    },
+    "triplegs_overlap" -> { (s, dir) =>
+      Pipeline.triplegsOverlap(s, dir)
+        .select(col("id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
+          size(col("points")).cast("long").as("n_points"))
     },
     "trips_generate" -> { (s, dir) =>
       Pipeline.trips(s, dir)
@@ -1256,6 +1306,10 @@ object SparkEntry {
     "triplegs_generate" -> withMaterializedCtes(triplegsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)),
+    "triplegs_overlap" -> withMaterializedCtes(triplegsOverlapOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      gapUs = (1e7 * 60e6).toLong)),
     "trips_generate" -> withMaterializedCtes(tripsOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,

@@ -77,18 +77,21 @@ object Metrics {
             next_day(date_trunc("DAY", col("started_at")) - expr("INTERVAL 1 DAY"), "Sunday").as("week_sunday"))
           .agg((sum(durUs).cast("double") / lit(604800e6)).as("quality"))
       case "weekday" =>
+        // the global start day joins in as a broadcast 1-row aggregate —
+        // no driver-side action, so the split lineage stays lazy and is
+        // not executed an extra time per call
         val split = splitAt(df, "day")
-        val start = split.agg(date_trunc("DAY", min(col("started_at")))).first().getTimestamp(0)
-        split
-          .withColumn("_week", floor(datediff(col("started_at"), lit(start)) / 7))
+        val start = split.agg(date_trunc("DAY", min(col("started_at"))).as("_start"))
+        split.crossJoin(broadcast(start))
+          .withColumn("_week", floor(datediff(col("started_at"), col("_start")) / 7))
           .groupBy(col("user_id"), ((dayofweek(col("started_at")) + lit(5)) % 7).as("weekday"))
           .agg((sum(durUs).cast("double") /
             (lit(86400e6) * (max(col("_week")) - min(col("_week")) + 1))).as("quality"))
       case "hour" =>
         val split = splitAt(splitAt(df, "day"), "hour")
-        val start = split.agg(date_trunc("DAY", min(col("started_at")))).first().getTimestamp(0)
-        split
-          .withColumn("_day", datediff(col("started_at"), lit(start)))
+        val start = split.agg(date_trunc("DAY", min(col("started_at"))).as("_start"))
+        split.crossJoin(broadcast(start))
+          .withColumn("_day", datediff(col("started_at"), col("_start")))
           .groupBy(col("user_id"), hour(col("started_at")).as("hour"))
           .agg((sum(durUs).cast("double") /
             (lit(3600e6) * (max(col("_day")) - min(col("_day")) + 1))).as("quality"))

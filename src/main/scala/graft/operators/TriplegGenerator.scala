@@ -89,4 +89,97 @@ object TriplegGenerator {
 
     (pfsOut, tpls.select("id", "user_id", "started_at", "finished_at", "points"))
   }
+
+  /** Tripleg generation with staypoint overlap ("overlap_staypoints",
+    * positionfixes.py:417-477): same segments and ids as
+    * between_staypoints, but triplegs share their boundary with the
+    * neighboring staypoints —
+    *  - time: a tripleg's `finished_at` extends to the first fix of the
+    *    following staypoint (when no temporal gap separates them), so
+    *    staypoints and triplegs tile time without holes;
+    *  - geometry: the LineString gains the previous staypoint's centroid
+    *    as its first point and the next staypoint's centroid as its last
+    *    point. A single-fix staypoint is claimed entirely by the
+    *    preceding tripleg, so the following tripleg does NOT spatially
+    *    overlap it (reference Notes, positionfixes.py:437-440).
+    *
+    * Per-user independence: the reference computes its shift() masks over
+    * the globally (user, time)-sorted frame, so at a user boundary the
+    * previous user's trailing staypoint fix can observe the next user's
+    * tripleg id (an artifact of the global shift, not documented
+    * behavior). This engine partitions every window by `user_id` — users
+    * are fully independent, which is both the intended semantics and the
+    * only shape that scales.
+    */
+  def generateOverlap(pfs: DataFrame, sp: DataFrame,
+                      gapThresholdMinutes: Double = 15.0): (DataFrame, DataFrame) = {
+    val (pfsBetween, _) = generate(pfs, gapThresholdMinutes)
+    overlapFromBetween(pfsBetween, sp, gapThresholdMinutes)
+  }
+
+  /** Overlap step over an already-computed between_staypoints result
+    * (`pfsBetween` carries nullable `staypoint_id` and `tripleg_id`).
+    * Split out so a pipeline that has the between output cached does not
+    * recompute the segmentation.
+    */
+  def overlapFromBetween(pfsBetween: DataFrame, sp: DataFrame,
+                         gapThresholdMinutes: Double = 15.0): (DataFrame, DataFrame) = {
+    require(pfsBetween.columns.contains("staypoint_id") && pfsBetween.columns.contains("tripleg_id"),
+      "overlap_staypoints needs the between_staypoints output (staypoint_id + tripleg_id columns)")
+    val gapUs = (gapThresholdMinutes * 60e6).toLong
+    val w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+
+    // Overlap masks (positionfixes.py:443-463). `_start_id`: the first
+    // fix of a staypoint extends the preceding tripleg (time + geometry)
+    // when its predecessor is a tripleg fix and no gap separates them.
+    // `_end_id`: the last fix of a staypoint joins the following
+    // tripleg's geometry, unless `_start_id` already claimed it (the
+    // single-fix-staypoint rule).
+    val annotated = pfsBetween
+      .withColumn("_t_us", unix_micros(col("tracked_at")))
+      .withColumn("_prev_t", lag("_t_us", 1).over(w))
+      .withColumn("_gap", coalesce(col("_t_us") - col("_prev_t") > gapUs, lit(false)))
+      .withColumn("_next_gap", coalesce(lead(col("_gap"), 1).over(w), lit(false)))
+      .withColumn("_start_id",
+        when(col("_prev_t").isNotNull && col("staypoint_id").isNotNull && !col("_gap"),
+          lag(col("tripleg_id"), 1).over(w)))
+      .withColumn("_end_id",
+        when(col("_prev_t").isNotNull && col("staypoint_id").isNotNull && !col("_next_gap")
+          && col("_start_id").isNull,
+          lead(col("tripleg_id"), 1).over(w)))
+      // time spans use the start-overlap assignment only; geometry uses both
+      .withColumn("_tid_time", coalesce(col("_start_id"), col("tripleg_id")))
+      .withColumn("_tid_geom", coalesce(col("_start_id"), col("_end_id"), col("tripleg_id")))
+
+    // Staypoint fixes contribute the staypoint centroid to tripleg
+    // geometry (positionfixes.py:466-470). sp is tiny next to pfs at any
+    // scale — AQE broadcasts this join.
+    val spGeom = sp.select(col("id").as("_sp_id"), col("lon").as("_sp_lon"), col("lat").as("_sp_lat"))
+    val withGeom = annotated
+      .join(spGeom, col("staypoint_id") === col("_sp_id"), "left")
+      .withColumn("_glon", when(col("staypoint_id").isNotNull, col("_sp_lon")).otherwise(col("lon")))
+      .withColumn("_glat", when(col("staypoint_id").isNotNull, col("_sp_lat")).otherwise(col("lat")))
+
+    val timeAgg = withGeom.filter(col("_tid_time").isNotNull)
+      .groupBy(col("_tid_time").as("_tid"))
+      .agg(min(col("user_id")).as("user_id"),
+        min(col("tracked_at")).as("started_at"),
+        max(col("tracked_at")).as("finished_at"))
+
+    val geomAgg = withGeom.filter(col("_tid_geom").isNotNull)
+      .groupBy(col("_tid_geom").as("_gid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_t_us"), col("id"), col("_glon"), col("_glat")))),
+        p => struct(p.getField("_glon").as("lon"), p.getField("_glat").as("lat"))).as("points"))
+
+    val tpls = timeAgg.join(geomAgg, col("_tid") === col("_gid"))
+      .select(col("_tid").as("id"), col("user_id"), col("started_at"), col("finished_at"), col("points"))
+
+    val pfsOut = withGeom
+      .withColumn("tripleg_id", col("_tid_geom"))
+      .drop("_t_us", "_prev_t", "_gap", "_next_gap", "_start_id", "_end_id",
+        "_tid_time", "_tid_geom", "_sp_id", "_sp_lon", "_sp_lat", "_glon", "_glat")
+
+    (pfsOut, tpls)
+  }
 }

@@ -118,6 +118,16 @@ object Pipeline {
     locGen(spark, sfDir); cached(spark, sfDir, "sp_loc")
   }
 
+  /** MinHash near-dup pair table over the documents corpus — shared by
+    * the pair query and duplicate clustering, so the signature/banding
+    * lineage (the expensive part) is computed and persisted once.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "minhash_pairs") {
+      Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
+        numHashes = 64, bands = 16, verifyThreshold = 0.5)
+    }
+
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {
       TourGenerator.generate(trips(spark, sfDir), None,

@@ -460,6 +460,43 @@ object SparkEntry {
   private def toursOracle(distM: Double, timeUs: Long, activityThresholdSec: Double,
                           gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
                           locationMode: Boolean, epsM: Double = 100.0): String = {
+    val select = if (locationMode)
+      "w.wloc AS location_id, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
+    else
+      "w.wcs AS s_us, w.wtf AS f_us, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
+    s"""${toursChain(distM, timeUs, activityThresholdSec, gapUs, maxTourDistM, maxTourTimeUs,
+          locationMode, epsM)}
+       |SELECT CAST(row_number() OVER (ORDER BY w.user_id, w.tpos2) - 1 AS BIGINT) AS id,
+       |       w.user_id, $select
+       |FROM win w""".stripMargin
+  }
+
+  /** Trips-of-each-tour oracle (get_trips_grouped, trips.py:12-51): under
+    * maxNrGaps = 0 a tour's member trips are exactly the contiguous
+    * candidate positions [wcpos, tpos2] of its run — the same slice whose
+    * length the tours oracle checks as n_trips.
+    */
+  private def tripsGroupedOracle(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                                 gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long): String =
+    s"""${toursChain(distM, timeUs, activityThresholdSec, gapUs, maxTourDistM, maxTourTimeUs,
+          locationMode = false)},
+       |tourx AS (
+       |  SELECT row_number() OVER (ORDER BY w.user_id, w.tpos2) - 1 AS tour_id,
+       |         w.user_id, w.tid, w.wcpos, w.tpos2 FROM win w)
+       |SELECT tx.tour_id, r2.trip_id, r2.user_id, r2.s_us, r2.f_us,
+       |       r2.osp AS origin_staypoint_id, r2.dsp AS destination_staypoint_id
+       |FROM tourx tx
+       |JOIN runs2 tr ON tr.user_id = tx.user_id AND tr.trip_id = tx.tid
+       |JOIN runs2 r2 ON r2.user_id = tx.user_id AND r2.run = tr.run
+       |             AND r2.pos BETWEEN tx.wcpos AND tx.tpos2""".stripMargin
+
+  /** CTE chain through the tour closure scan, ending at
+    * `win(user_id, tid, wcpos, wcs, wloc, wtf, tpos2)`; shared by
+    * [[toursOracle]] and [[tripsGroupedOracle]].
+    */
+  private def toursChain(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                         gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
+                         locationMode: Boolean, epsM: Double = 100.0): String = {
     val endpointCtes =
       s"""$cent2Cte,
          |tplends AS (
@@ -511,10 +548,6 @@ object SparkEntry {
     else
       s"c2.c_o_lon IS NOT NULL AND c2.t_d_lon IS NOT NULL AND " +
         s"${hav("c2.c_o_lon", "c2.c_o_lat", "c2.t_d_lon", "c2.t_d_lat")} <= $maxTourDistM"
-    val select = if (locationMode)
-      "w.wloc AS location_id, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
-    else
-      "w.wcs AS s_us, w.wtf AS f_us, CAST(w.tpos2 - w.wcpos + 1 AS BIGINT) AS n_trips"
     s"""${tripsCte(distM, timeUs, activityThresholdSec, gapUs)},
        |$endpointCtes$locCtes,
        |tripx AS (
@@ -555,10 +588,7 @@ object SparkEntry {
        |  SELECT e.user_id, e.tid, max(e.cpos) AS wcpos, arg_max(e.cs, e.cpos) AS wcs,
        |         arg_max(e.c_o_loc, e.cpos) AS wloc,
        |         arg_max(e.tf, e.cpos) AS wtf, arg_max(e.tpos, e.cpos) AS tpos2
-       |  FROM elig e GROUP BY e.user_id, e.tid)
-       |SELECT CAST(row_number() OVER (ORDER BY w.user_id, w.tpos2) - 1 AS BIGINT) AS id,
-       |       w.user_id, $select
-       |FROM win w""".stripMargin
+       |  FROM elig e GROUP BY e.user_id, e.tid)""".stripMargin
   }
 
   /** DTW trajectory distance as SQL: the row-major DP of SpatialOps.dtw
@@ -598,6 +628,134 @@ object SparkEntry {
        |WHERE d.i = len(p.alon)""".stripMargin
   }
 
+  /** Discrete Fréchet distance as SQL: the same diagonal wave as
+    * [[dtwOracle]] with the DP cell rule swapped — C(i,j) =
+    * max(d(i,j), min(C(i-1,j), C(i-1,j-1), C(i,j-1))), boundary
+    * C(0,0) = -inf and +inf elsewhere, which reproduces the memoized
+    * recursion of SpatialOps.frechet exactly (the max against -inf at
+    * (1,1) yields d(1,1)).
+    */
+  private def frechetOracle: String = {
+    val j = "CAST(x[1] AS INT)"
+    s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |lines AS (
+       |  SELECT user_id * 10000 + (k // 12) AS lid,
+       |         list(lon ORDER BY k) AS lons, list(lat ORDER BY k) AS lats
+       |  FROM pfs WHERE user_id < 3 AND k // 12 < 10
+       |  GROUP BY user_id, k // 12),
+       |pairsx AS (
+       |  SELECT a.lid AS id_1, b.lid AS id_2,
+       |         a.lons AS alon, a.lats AS alat, b.lons AS blon, b.lats AS blat
+       |  FROM lines a JOIN lines b ON a.lid < b.lid),
+       |dp(id_1, id_2, i, dprow) AS (
+       |  SELECT id_1, id_2, 0,
+       |         list_concat(['-infinity'::DOUBLE], list_transform(range(1, len(blon) + 1), j -> 'infinity'::DOUBLE))
+       |  FROM pairsx
+       |  UNION ALL
+       |  SELECT d.id_1 AS id_1, d.id_2 AS id_2, d.i + 1 AS i,
+       |    list_reduce(
+       |      list_concat([['infinity'::DOUBLE]],
+       |        list_transform(range(1, len(p.blon) + 1), j -> [CAST(j AS DOUBLE)])),
+       |      (acc, x) -> list_append(acc,
+       |        greatest(${hav(s"p.alon[d.i+1]", s"p.alat[d.i+1]", s"p.blon[$j]", s"p.blat[$j]")},
+       |                 least(d.dprow[$j + 1], acc[$j], d.dprow[$j])))) AS dprow
+       |  FROM dp d JOIN pairsx p ON p.id_1 = d.id_1 AND p.id_2 = d.id_2
+       |  WHERE d.i < len(p.alon))
+       |SELECT d.id_1, d.id_2, CAST(floor(d.dprow[len(p.blon) + 1]) AS BIGINT) AS frechet_m
+       |FROM dp d JOIN pairsx p ON p.id_1 = d.id_1 AND p.id_2 = d.id_2
+       |WHERE d.i = len(p.alon)""".stripMargin
+  }
+
+  /** Short per-user trajectory blocks used by both trajectory-distance
+    * queries (dtw_matrix / frechet_matrix).
+    */
+  private def trajectoryLines(s: SparkSession, dir: String): DataFrame =
+    EventsAdapter.positionfixes(s, dir)
+      .filter(col("user_id") < 3)
+      .groupBy(col("user_id"), expr("k div 12").as("block"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+        p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+      .withColumn("id", col("user_id") * 10000 + col("block"))
+      .filter(col("block") < 10)
+
+  /** Non-convex (U-shaped) test polygon for the LineString spatial
+    * filter: covers the P0/P1 dwell+transit band of the synthetic
+    * trajectory with a notch cut from the top that slices the P3→P0
+    * return path — so `within`, `intersects` and `crosses` each select a
+    * different, non-empty block set, and the notch makes plain bbox logic
+    * give wrong answers (the predicate kernel is genuinely exercised).
+    */
+  private val uShapeArea: Seq[(Double, Double)] = Seq(
+    (-122.4005005, 47.5989995), (-122.3809505, 47.5989995),
+    (-122.3809505, 47.6200005), (-122.3812505, 47.6200005),
+    (-122.3812505, 47.6010005), (-122.3815505, 47.6010005),
+    (-122.3815505, 47.6200005), (-122.4005005, 47.6200005))
+
+  /** LineString spatial filter as SQL — the exact integer-grid twins of
+    * GeoFunctions.{pointInPolygonQ, segmentsIntersectQ}: identical
+    * quantization (floor(x·10^6 + 0.5)), identical edge orientation
+    * (edge = (previous vertex, current vertex)), identical sign-aware
+    * long comparisons, so every boundary decision is bit-identical by
+    * construction.
+    */
+  private def spatialFilterTriplegsOracle: String = {
+    def q6(v: String) = s"CAST(floor(($v) * 1000000.0 + 0.5) AS BIGINT)"
+    val n = uShapeArea.length
+    val pv = uShapeArea.zipWithIndex
+      .map { case ((x, y), i) => s"($i, ${q6(x.toString)}, ${q6(y.toString)})" }.mkString(", ")
+    def o(ax: String, ay: String, bx: String, by: String, cx: String, cy: String) =
+      s"sign(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+    def onseg(px: String, py: String, qx: String, qy: String, rx: String, ry: String) =
+      s"(least($px, $qx) <= $rx AND $rx <= greatest($px, $qx) AND " +
+        s"least($py, $qy) <= $ry AND $ry <= greatest($py, $qy))"
+    // a, b = line segment; c = previous ring vertex (xj), d = current (xi)
+    val (ax, ay, bx, by) = ("s.ax", "s.ay", "s.bx", "s.by")
+    val (cx, cy, dx, dy) = ("e.xj", "e.yj", "e.xi", "e.yi")
+    val ix =
+      s"""((${o(ax, ay, bx, by, cx, cy)} != ${o(ax, ay, bx, by, dx, dy)}
+         |   AND ${o(cx, cy, dx, dy, ax, ay)} != ${o(cx, cy, dx, dy, bx, by)})
+         |  OR (${o(ax, ay, bx, by, cx, cy)} = 0 AND ${onseg(ax, ay, bx, by, cx, cy)})
+         |  OR (${o(ax, ay, bx, by, dx, dy)} = 0 AND ${onseg(ax, ay, bx, by, dx, dy)})
+         |  OR (${o(cx, cy, dx, dy, ax, ay)} = 0 AND ${onseg(cx, cy, dx, dy, ax, ay)})
+         |  OR (${o(cx, cy, dx, dy, bx, by)} = 0 AND ${onseg(cx, cy, dx, dy, bx, by)}))""".stripMargin
+    s"""${EventsAdapter.pfsSql},
+       |qpt AS (
+       |  SELECT user_id, k // 12 AS block, k,
+       |         CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS x,
+       |         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS y
+       |  FROM pfs),
+       |pv(ord, vx, vy) AS (VALUES $pv),
+       |pe AS (
+       |  SELECT cur.vx AS xi, cur.vy AS yi, prv.vx AS xj, prv.vy AS yj
+       |  FROM pv cur JOIN pv prv ON prv.ord = (cur.ord + ${n - 1}) % $n),
+       |pip AS (
+       |  SELECT q.user_id, q.block, q.k,
+       |         (count(*) FILTER (WHERE (e.yi > q.y) != (e.yj > q.y) AND
+       |            CASE WHEN e.yj - e.yi > 0
+       |                 THEN (q.x - e.xi) * (e.yj - e.yi) < (e.xj - e.xi) * (q.y - e.yi)
+       |                 ELSE (q.x - e.xi) * (e.yj - e.yi) > (e.xj - e.xi) * (q.y - e.yi) END) % 2) = 1 AS inside
+       |  FROM qpt q, pe e GROUP BY q.user_id, q.block, q.k),
+       |segsx AS (
+       |  SELECT user_id, block, x AS ax, y AS ay,
+       |         lead(x) OVER w AS bx, lead(y) OVER w AS by
+       |  FROM qpt WINDOW w AS (PARTITION BY user_id, block ORDER BY k)),
+       |segs2 AS (SELECT * FROM segsx WHERE bx IS NOT NULL),
+       |vxq AS (
+       |  SELECT s.user_id, s.block, bool_or($ix) AS anyx
+       |  FROM segs2 s, pe e GROUP BY s.user_id, s.block),
+       |pin AS (
+       |  SELECT user_id, block, bool_and(inside) AS allin, bool_or(inside) AS anyin
+       |  FROM pip GROUP BY user_id, block),
+       |flags AS (
+       |  SELECT p.user_id, p.block, p.allin, p.anyin, coalesce(v.anyx, false) AS anyx
+       |  FROM pin p LEFT JOIN vxq v ON v.user_id = p.user_id AND v.block = p.block)
+       |SELECT user_id, block, 'within' AS method FROM flags WHERE allin AND NOT anyx
+       |UNION ALL
+       |SELECT user_id, block, 'intersects' FROM flags WHERE anyin OR anyx
+       |UNION ALL
+       |SELECT user_id, block, 'crosses' FROM flags WHERE anyx""".stripMargin
+  }
+
   /** DuckDB inlines CTEs per reference; the recursive-chain oracles
     * reference `fx`/`kept`/`tt`/... many times, re-running the whole
     * recursion each time (30x slowdown measured). Materialization hints
@@ -606,7 +764,8 @@ object SparkEntry {
   private def withMaterializedCtes(sql: String): String = {
     val ctes = Seq("pfs", "fx", "kept", "cand", "szok", "tplt", "sp3", "un", "flagged",
       "segd", "pfs2", "flg", "starts", "tt", "stream", "shifted", "tripid", "cent2",
-      "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx", "vmx", "tplk")
+      "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx", "vmx", "tplk",
+      "qpt", "pe", "flags")
     ctes.foldLeft(sql)((s, n) => s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
   }
 
@@ -770,6 +929,12 @@ object SparkEntry {
           unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
           size(col("trips")).cast("long").as("n_trips"))
     },
+    "trips_grouped" -> { (s, dir) =>
+      TourGenerator.getTripsGrouped(Pipeline.trips(s, dir), Pipeline.tours(s, dir))
+        .select(col("tour_id"), col("trip_id"), col("user_id"),
+          unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
+          col("origin_staypoint_id"), col("destination_staypoint_id"))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -833,15 +998,13 @@ object SparkEntry {
       tours.select(col("id"), col("user_id"), col("location_id"),
         size(col("trips")).cast("long").as("n_trips"))
     },
-    "dtw_matrix" -> { (s, dir) => // DP kernel → no SQL oracle (rows-only)
-      val tpls = EventsAdapter.positionfixes(s, dir)
-        .filter(col("user_id") < 3)
-        .groupBy(col("user_id"), expr("k div 12").as("block"))
-        .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
-          p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
-        .withColumn("id", col("user_id") * 10000 + col("block"))
-      SpatialOps.distanceMatrixLinestrings(tpls.filter(col("block") < 10), "dtw")
+    "dtw_matrix" -> { (s, dir) =>
+      SpatialOps.distanceMatrixLinestrings(trajectoryLines(s, dir), "dtw")
         .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("dtw_m"))
+    },
+    "frechet_matrix" -> { (s, dir) =>
+      SpatialOps.distanceMatrixLinestrings(trajectoryLines(s, dir), "frechet")
+        .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("frechet_m"))
     },
 
     // ----- mobility: merge / labelling / filters (oracle-checked) -----
@@ -871,6 +1034,16 @@ object SparkEntry {
         (-122.3705005, 47.6125005), (-122.3945005, 47.6125005)))
       SpatialOps.spatialFilterPoints(EventsAdapter.positionfixes(s, dir), rect)
         .select(col("id"), col("user_id"))
+    },
+    "spatial_filter_triplegs" -> { (s, dir) =>
+      val lines = EventsAdapter.positionfixes(s, dir)
+        .groupBy(col("user_id"), expr("k div 12").as("block"))
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
+          p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
+      Seq("within", "intersects", "crosses").map { m =>
+        SpatialOps.spatialFilterLinestrings(lines, Seq(uShapeArea), m)
+          .select(col("user_id"), col("block"), lit(m).as("method"))
+      }.reduce(_.unionByName(_))
     },
     "linestring_length" -> { (s, dir) =>
       import graft.functions.GeoFunctions
@@ -914,7 +1087,7 @@ object SparkEntry {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
     },
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"), numHashes = 64, bands = 16, verifyThreshold = 0.5)
+      Pipeline.minhashPairs(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
     },
     "dedup_simhash" -> { (s, dir) =>
@@ -926,9 +1099,7 @@ object SparkEntry {
       Dedup.ngramJaccardTop1(docs.filter(col("doc_id") < 10), docs)
     },
     "dedup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"),
-        numHashes = 64, bands = 16, verifyThreshold = 0.5)
-      Dedup.duplicateClusters(pairs)
+      Dedup.duplicateClusters(Pipeline.minhashPairs(s, dir))
     },
 
     // ----- training-data pipeline: similarity search ------------------
@@ -1254,6 +1425,7 @@ object SparkEntry {
          |SELECT id, user_id FROM pfs
          |WHERE lon > -122.3945005 AND lon < -122.3705005
          |  AND lat > 47.6025005 AND lat < 47.6125005""".stripMargin,
+    "spatial_filter_triplegs" -> withMaterializedCtes(spatialFilterTriplegsOracle),
     "linestring_length" ->
       s"""${EventsAdapter.pfsSql}, segs AS (
          |  SELECT user_id, k // 12 AS block,
@@ -1320,12 +1492,18 @@ object SparkEntry {
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
       epsM = 100.0)),
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
+    "frechet_matrix" -> withMaterializedCtes(frechetOracle),
     "tours_generate" -> withMaterializedCtes(toursOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
       activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
       maxTourDistM = 200.0, maxTourTimeUs = (30.0 * 86400e6).toLong,
       locationMode = false)),
+    "trips_grouped" -> withMaterializedCtes(tripsGroupedOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
+      maxTourDistM = 200.0, maxTourTimeUs = (30.0 * 86400e6).toLong)),
     "tours_locations" -> withMaterializedCtes(toursOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,

@@ -58,52 +58,32 @@ object Ann {
   }
 
   /** Max embedding dimensionality covered by the precomputed hyperplane
-    * tables. Vectors longer than this raise at plan build.
+    * tables. Vectors longer than this throw at eval (loud failure — the
+    * old composed form silently null-padded oversized vectors into one
+    * degenerate bucket).
     */
-  val maxPlaneDim = 2048
+  val maxPlaneDim: Int = graft.plans.HyperplaneSignature.maxDim
 
-  /** Deterministic pseudo-random hyperplanes: integer component
-    * h_{p,i} ∈ [-10^6, 10^6] derived from the portable md5-prefix hash
-    * of "p_i" (see [[graft.functions.PortableHash]]). The components are
-    * data-independent, so they are precomputed driver-side into literal
-    * arrays — no hashing in the executor hot path; external engines
-    * reproduce the same values from md5 symbolically.
-    */
-  private def planeComponents(p: Int): Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(maxPlaneDim) { i =>
-      md.reset()
-      val hex = md.digest(s"${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      (h60 % 2000001L) - 1000000L
-    }
-  }
-
-  /** Sign-bit signature over `planes` pseudo-random hyperplanes.
+  /** Sign-bit signature over `planes` pseudo-random hyperplanes, as the
+    * native codegen'd expression [[graft.plans.HyperplaneSignature]] —
+    * one tight integer loop per plane instead of an interpreted
+    * `aggregate(zip_with(...))` per plane (CodegenFallback; it dominated
+    * `ann_lsh` wall time).
     *
     * The sign decision runs in *integer* arithmetic: vector components
-    * quantized to round(x * 10^6) dotted with integer plane components —
-    * exact, so the bucket key is bit-reproducible on any engine (a
-    * floating dot product could flip a sign bit on summation-order
-    * differences). |q| ≤ 2^31, |c| ≤ 10^6, dims ≤ 2048 stay < 2^62.
+    * quantized to round(x * 10^6) dotted with integer md5-family plane
+    * components — exact, so the bucket key is bit-reproducible on any
+    * engine (a floating dot product could flip a sign bit on
+    * summation-order differences).
     *
     * Returns input plus `_sig` (long bucket key) and `_v` (the vector).
     */
   def hyperplaneSignature(emb: DataFrame, planes: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // quantize once — the interpreted transform would otherwise re-run
-    // inside every plane's dot product
-    val quantized = emb.withColumn("_qv",
-      transform(col(vecCol), x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")))
-    val sigBits = (0 until planes).map { p =>
-      val comps = typedLit(planeComponents(p))
-      val dot = aggregate(
-        zip_with(col("_qv"), slice(comps, lit(1), size(col(vecCol))),
-          (q, c) => q * c),
-        lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    quantized.withColumn("_sig", sigBits).withColumn("_v", col(vecCol)).drop("_qv")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sig = ColumnShim.column(
+      graft.plans.HyperplaneSignature(ColumnShim.expression(col(vecCol)), planes))
+    emb.withColumn("_sig", sig).withColumn("_v", col(vecCol))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`

@@ -189,17 +189,22 @@ object Dedup {
     *        computation collects to the driver and runs union-find (each
     *        distributed iteration costs two shuffles of fixed latency —
     *        pointless when the pair graph fits in driver memory; dedup
-    *        pair tables are orders of magnitude smaller than the corpus)
+    *        pair tables are orders of magnitude smaller than the corpus).
+    *        1M pairs ≈ 16 MB of primitive longs plus the union-find map —
+    *        size it to driver memory if raised.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                        maxIterations: Int = 25, localThreshold: Long = 4000000L): DataFrame = {
+                        maxIterations: Int = 25, localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")).persist()
     val nPairs = p.count() // materialize the (possibly expensive) pair lineage ONCE
 
     val result =
       if (nPairs <= localThreshold) {
-        // driver-side union-find; the pair lineage stayed distributed
+        // driver-side union-find; the pair lineage stayed distributed.
+        // Collect through the primitive tuple encoder (long, long) — no
+        // boxed Row objects on the driver heap.
+        import spark.implicits._
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -208,13 +213,11 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
           r
         }
-        p.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        p.as[(Long, Long)].collect().foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        import spark.implicits._
         parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
       } else {
         val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst"))).persist()
@@ -235,6 +238,14 @@ object Dedup {
           i += 1
         }
         edges.unpersist()
+        // min-label propagation needs O(component diameter) rounds — a
+        // chain longer than maxIterations would otherwise silently yield
+        // split clusters (multiple keep=true docs per true component)
+        if (changed > 0)
+          throw new IllegalStateException(
+            s"duplicateClusters: labels still changing after $maxIterations rounds " +
+              s"($changed nodes) — component diameter exceeds the iteration budget; " +
+              "raise maxIterations")
         labels
       }
 

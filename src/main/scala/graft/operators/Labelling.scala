@@ -31,10 +31,12 @@ object Labelling {
 
   /** Speed per positionfix in m/s from the previous fix; the first fix of
     * each user copies the second one's speed (geogr/distances.py:280-316).
+    * A projected CRS (lon-column metadata, see GeoFunctions.isPlanar)
+    * switches to euclidean distance — distances.py:299-303.
     */
   def getSpeedPositionfixes(pfs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
-    val dist = GeoFunctions.haversineMeters(
+    val dist = GeoFunctions.distanceMeters(GeoFunctions.isPlanar(pfs))(
       lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w), col("lon"), col("lat"))
     val dt = (unix_micros(col("tracked_at")) - lag(unix_micros(col("tracked_at")), 1).over(w)) / lit(1e6)
     val speed = dist / dt
@@ -45,10 +47,12 @@ object Labelling {
       .drop("_speed0")
   }
 
-  /** Tripleg speed = haversine length / duration (geogr/distances.py:319-357). */
+  /** Tripleg speed = line length / duration (geogr/distances.py:319-357);
+    * planar frames use euclidean segment lengths (distances.py:344).
+    */
   def getSpeedTriplegs(tpls: DataFrame): DataFrame =
     tpls.withColumn("speed",
-      GeoFunctions.linestringLengthMeters(col("points")) /
+      GeoFunctions.linestringLengthMeters(col("points"), GeoFunctions.isPlanar(tpls, "points")) /
         TimeFunctions.durationSeconds(col("started_at"), col("finished_at")))
 
   /** pfs-mean variant: average the member positionfixes' speeds per

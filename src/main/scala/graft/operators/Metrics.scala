@@ -23,6 +23,7 @@ object Metrics {
     val w = if (method == "duration")
       TimeFunctions.durationSeconds(col("started_at"), col("finished_at"))
     else lit(1.0)
+    val dist = GeoFunctions.distanceMeters(GeoFunctions.isPlanar(sp)) _ // metrics.py:74
 
     val weighted = sp.select(col("user_id"), col("lon"), col("lat"), w.as("_w"))
     val centers = weighted.groupBy("user_id").agg(
@@ -33,7 +34,7 @@ object Metrics {
       .join(broadcast(centers), "user_id")
       .groupBy("user_id")
       .agg(sqrt(
-        sum(pow(GeoFunctions.haversineMeters(col("lon"), col("lat"), col("_cx"), col("_cy")), 2) * col("_w"))
+        sum(pow(dist(col("lon"), col("lat"), col("_cx"), col("_cy")), 2) * col("_w"))
           / sum(col("_w"))).as("radius_gyration"))
   }
 
@@ -43,7 +44,7 @@ object Metrics {
   def jumpLength(sp: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("started_at", "id")
     sp.withColumn("jump_length",
-      GeoFunctions.haversineMeters(col("lon"), col("lat"),
+      GeoFunctions.distanceMeters(GeoFunctions.isPlanar(sp))(col("lon"), col("lat"), // metrics.py:121
         lead(col("lon"), 1).over(w), lead(col("lat"), 1).over(w)))
   }
 

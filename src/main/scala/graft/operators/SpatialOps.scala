@@ -18,8 +18,14 @@ object SpatialOps {
     * only on the survivors. Polygons ride along as a broadcast literal.
     */
   def spatialFilterPoints(source: DataFrame, areas: Seq[Seq[(Double, Double)]],
-                          lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                          lonCol: String = "lon", latCol: String = "lat",
+                          method: String = "within"): DataFrame = {
     require(areas.nonEmpty, "need at least one area polygon")
+    require(Set("within", "intersects", "crosses")(method),
+      s"method unknown. We only support [within, intersects, crosses]. You passed $method")
+    // for point geometries `within` and `intersects` coincide; a point
+    // can never cross an area (shapely: dim(point interior) = 0)
+    if (method == "crosses") return source.filter(lit(false))
     val minLon = areas.map(_.map(_._1).min).min
     val maxLon = areas.map(_.map(_._1).max).max
     val minLat = areas.map(_.map(_._2).min).min
@@ -30,6 +36,67 @@ object SpatialOps {
       areas.exists(ring => GeoFunctions.pointInPolygon(lon, lat, ring))
     }
     source.filter(bbox).filter(inAnyArea(col(lonCol), col(latCol)))
+  }
+
+  /** Spatial filter for LineString tables with the reference's three
+    * predicates (geogr/filter.py:57-64):
+    *  - `within`: every point of the line inside one area polygon and no
+    *    boundary crossing;
+    *  - `intersects`: any vertex inside, or any segment touching/crossing
+    *    a boundary;
+    *  - `crosses`: some segment properly crossing an area boundary (the
+    *    line has points in both the interior and the exterior).
+    *
+    * Decisions are evaluated EXACTLY on the e6 integer grid (≈ 11 cm):
+    * coordinates quantize to longs and every orientation/containment test
+    * is exact long arithmetic (GeoFunctions.*Q) — deterministic and
+    * reproducible symbolically by external engines, the same design as
+    * the minhash/hyperplane integer surfaces. Boundary-degenerate inputs
+    * (a line touching an edge without crossing) follow the kernel's
+    * closed-polygon conventions rather than shapely's DE-9IM corner
+    * cases; `within`/`crosses` test each area ring separately (exact for
+    * disjoint areas — the reference unions them first).
+    *
+    * The cheap bbox prefilter runs before the exact kernel, mirroring the
+    * reference's R-tree candidate pass (filter.py:44-54).
+    */
+  def spatialFilterLinestrings(source: DataFrame, areas: Seq[Seq[(Double, Double)]],
+                               method: String = "within",
+                               pointsCol: String = "points"): DataFrame = {
+    require(areas.nonEmpty, "need at least one area polygon")
+    require(Set("within", "intersects", "crosses")(method),
+      s"method unknown. We only support [within, intersects, crosses]. You passed $method")
+    val qAreas: Array[Array[(Long, Long)]] = areas.map(
+      _.map { case (x, y) => (GeoFunctions.quantizeE6(x), GeoFunctions.quantizeE6(y)) }.toArray).toArray
+
+    val minLon = areas.map(_.map(_._1).min).min
+    val maxLon = areas.map(_.map(_._1).max).max
+    val minLat = areas.map(_.map(_._2).min).min
+    val maxLat = areas.map(_.map(_._2).max).max
+    val lons = transform(col(pointsCol), p => p.getField("lon"))
+    val lats = transform(col(pointsCol), p => p.getField("lat"))
+    val bboxOverlap =
+      array_min(lons) <= maxLon && array_max(lons) >= minLon &&
+        array_min(lats) <= maxLat && array_max(lats) >= minLat
+
+    val pred = udf { (pts: Seq[Row]) =>
+      val line = pts.map(r =>
+        (GeoFunctions.quantizeE6(r.getDouble(0)), GeoFunctions.quantizeE6(r.getDouble(1)))).toArray
+      method match {
+        case "within" => qAreas.exists { ring =>
+          line.forall(p => GeoFunctions.pointInPolygonQ(p._1, p._2, ring)) &&
+            !GeoFunctions.lineIntersectsRingQ(line, ring)
+        }
+        case "intersects" => qAreas.exists { ring =>
+          line.exists(p => GeoFunctions.pointInPolygonQ(p._1, p._2, ring)) ||
+            GeoFunctions.lineIntersectsRingQ(line, ring)
+        }
+        // a segment meeting the boundary means the line has points on
+        // both sides of it (generic position — touches are degenerate)
+        case "crosses" => qAreas.exists(ring => GeoFunctions.lineIntersectsRingQ(line, ring))
+      }
+    }
+    source.filter(bboxOverlap).filter(pred(col(pointsCol)))
   }
 
   /** All-pairs point distance in long form (id_1, id_2, distance_m) —

@@ -71,8 +71,13 @@ object StaypointGenerator {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("t_us"), col("id"))
 
+    // check_gdf_planar twin: a projected CRS switches the CENTROID to a
+    // plain mean — the reference's breach distance stays haversine even
+    // for planar frames (positionfixes.py:508-522 passes `planar` only
+    // into __create_new_staypoints), reproduced faithfully here.
+    val planar = GeoFunctions.isPlanar(pfs)
     val rawSp = sorted.mapPartitions { rows =>
-      new StaypointScanIterator(rows, gapUs, timeUs, distM, includeLast)
+      new StaypointScanIterator(rows, gapUs, timeUs, distM, includeLast, planar)
     }(RowEncoder.encoderFor(spSchema))
 
     // Dense int64 ids in (user, time) order — reference positional index
@@ -110,7 +115,8 @@ object StaypointGenerator {
     *  - includeLast aggregates the tail *including* the final fix.
     */
   private final class StaypointScanIterator(
-      rows: Iterator[Row], gapUs: Long, timeUs: Long, distM: Double, includeLast: Boolean)
+      rows: Iterator[Row], gapUs: Long, timeUs: Long, distM: Double, includeLast: Boolean,
+      planar: Boolean = false)
       extends Iterator[Row] {
 
     private val out = ArrayBuffer.empty[Row]
@@ -152,13 +158,20 @@ object StaypointGenerator {
       while (i < n) { coords(i) = (bLon(i), bLat(i)); i += 1 }
       if (includeExtra) coords(n) = (extraLon, extraLat)
       val uniq = coords.distinct.sorted
-      var sSin = 0.0; var sCos = 0.0; var sLat = 0.0
-      for ((lo, la) <- uniq) {
-        val lr = math.toRadians(lo)
-        sSin += math.sin(lr); sCos += math.cos(lr); sLat += la
-      }
       val m = uniq.length.toDouble
-      (math.toDegrees(math.atan2(sSin / m, sCos / m)), sLat / m)
+      if (planar) {
+        // projected CRS: plain mean (positionfixes.py:551-552)
+        var sLon = 0.0; var sLat = 0.0
+        for ((lo, la) <- uniq) { sLon += lo; sLat += la }
+        (sLon / m, sLat / m)
+      } else {
+        var sSin = 0.0; var sCos = 0.0; var sLat = 0.0
+        for ((lo, la) <- uniq) {
+          val lr = math.toRadians(lo)
+          sSin += math.sin(lr); sCos += math.cos(lr); sLat += la
+        }
+        (math.toDegrees(math.atan2(sSin / m, sCos / m)), sLat / m)
+      }
     }
 
     private def medianElev(extra: Any, includeExtra: Boolean): Any = {

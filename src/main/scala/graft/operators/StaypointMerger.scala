@@ -20,7 +20,10 @@ object StaypointMerger {
 
   /** @param sp staypoints with `location_id`
     * @param tpls triplegs (pass an empty frame to allow merging across triplegs)
-    * @param aggExtra extra output columns: name → "first" | "last"
+    * @param aggExtra extra output columns: name → "first" | "last" |
+    *        "mean" | "sum" | "min" | "max" | "count" — the engine twin of
+    *        the reference's pandas agg dict (staypoints.py:346-358),
+    *        which forwards to DataFrame.agg
     */
   def mergeStaypoints(sp: DataFrame, tpls: DataFrame, maxTimeGapMinutes: Double = 10.0,
                       aggExtra: Map[String, String] = Map.empty): DataFrame = {
@@ -73,7 +76,13 @@ object StaypointMerger {
     val extraAggs: Seq[Column] = aggExtra.toSeq.map {
       case (c, "first") => firstBy(col(c)).as(c)
       case (c, "last")  => lastBy(col(c)).as(c)
-      case (c, how)     => throw new IllegalArgumentException(s"agg '$how' for $c not supported (first/last)")
+      case (c, "mean")  => avg(col(c)).as(c)
+      case (c, "sum")   => sum(col(c)).as(c)
+      case (c, "min")   => min(col(c)).as(c)
+      case (c, "max")   => max(col(c)).as(c)
+      case (c, "count") => count(col(c)).as(c)
+      case (c, how) => throw new IllegalArgumentException(
+        s"agg '$how' for $c not supported (first/last/mean/sum/min/max/count)")
     }
 
     val outCols = Seq("id", "user_id", "started_at", "finished_at", "location_id") ++ aggExtra.keys

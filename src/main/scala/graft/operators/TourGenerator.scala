@@ -102,6 +102,19 @@ object TourGenerator {
     (tripsOut, tours)
   }
 
+  /** All member trips of every tour (get_trips_grouped, reference
+    * preprocessing/trips.py:12-51): `generate` assigns each trip only the
+    * tour ids it belongs to, but a nested tour's members also belong to
+    * the enclosing tour — this explodes the tours' `trips` list and
+    * equi-joins the trips table, returning one row per (tour, member
+    * trip): the relational form of the reference's DataFrameGroupBy.
+    */
+  def getTripsGrouped(trips: DataFrame, tours: DataFrame): DataFrame = {
+    val t = trips.drop("tour_id")
+    val mapping = tours.select(col("id").as("tour_id"), explode(col("trips")).as("trip_id"))
+    mapping.join(t, col("trip_id") === t("id"), "left").drop("id")
+  }
+
   /** Per-user streaming stack scan — exact port of the reference's
     * _generate_tours_user semantics (trips.py:191-359):
     *   - walk trips in time order, keeping a candidate list of potential

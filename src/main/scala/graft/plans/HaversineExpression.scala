@@ -90,6 +90,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(vec_a, vec_b)")
         CosineSimilarity(children(0), children(1))
+      }),
+    (
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hyperplane_sig(vec, planes)")
+        val planes = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException("hyperplane_sig: planes must be a literal")
+        }
+        HyperplaneSignature(children(0), planes)
       }))
 
   /** Register on an existing session (tests / REPL convenience). */

@@ -3,6 +3,7 @@ package graft
 import graft.model.Tables
 import graft.operators._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{avg, col}
 
 /** Accessor-style API — the Spark analogue of the reference's DataFrame
   * accessors (`pfs.generate_staypoints(...)`, model/util.py:103-118).
@@ -32,6 +33,14 @@ object syntax {
       TriplegGenerator.generate(df, gapThresholdMinutes)
 
     def getSpeedPositionfixes: DataFrame = Labelling.getSpeedPositionfixes(df)
+
+    /** Mean (lon, lat) of the table — the reference's `center` accessor
+      * property (model/positionfixes.py:76-81); eager like the original.
+      */
+    def center: (Double, Double) = {
+      val r = df.agg(avg(col("lon")), avg(col("lat"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
   }
 
   implicit final class RichStaypoints(private val df: DataFrame) extends AnyVal {
@@ -62,6 +71,12 @@ object syntax {
 
     def locationIdentifier(method: String = "FREQ", preFilter: Boolean = true): DataFrame =
       LocationLabelling.locationIdentifier(df, method, preFilter)
+
+    /** Mean (lon, lat) — `center` (model/staypoints.py:76-81). */
+    def center: (Double, Double) = {
+      val r = df.agg(avg(col("lon")), avg(col("lat"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
   }
 
   implicit final class RichTriplegs(private val df: DataFrame) extends AnyVal {

@@ -192,16 +192,21 @@ object SparkEntry {
     * identical by construction — raw-double DISTINCT diverges when
     * engine arithmetic differs in the last ulp. Gap handling is omitted:
     * the pipeline runs with the gap threshold disabled.
+    *
+    * The coordinate sums are CAST back to BIGINT: DuckDB `sum(BIGINT)`
+    * returns HUGEINT (arrow decimal128(38,0)), and a type-aware hash of
+    * the oracle result then diverges from Spark's int64 column even when
+    * every value is identical.
     */
   private def staypointsOracle(distM: Double, timeUs: Long): String =
     s"""${staypointSegmentsCte(distM, timeUs)},
        |cent AS (
        |  SELECT k2.u, k2.a_t, k2.f_t,
-       |    (SELECT sum(qx)
+       |    (SELECT CAST(sum(qx) AS BIGINT)
        |       FROM (SELECT DISTINCT CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS qx,
        |                             CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS qy FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lon_sum_e6,
-       |    (SELECT sum(qy)
+       |    (SELECT CAST(sum(qy) AS BIGINT)
        |       FROM (SELECT DISTINCT CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS qx,
        |                             CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS qy FROM fx
        |             WHERE user_id = k2.u AND kk BETWEEN k2.a AND k2.mend)) AS lat_sum_e6,
@@ -955,6 +960,14 @@ object SparkEntry {
       SpatialOps.distanceMatrixPoints(pts)
         .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("dist_m"))
     },
+    "distance_matrix_xy" -> { (s, dir) =>
+      val iv = EventsAdapter.intervals(s, dir)
+      val x = iv.filter(col("id") < 40).select(col("id"), col("lon"), col("lat"))
+      val y = iv.filter(col("id") >= 40 && col("id") < 60)
+        .select(col("id"), col("lon"), col("lat"))
+      SpatialOps.distanceMatrixPoints(x, Some(y), symmetric = false)
+        .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("dist_m"))
+    },
     "speed_triplegs" -> { (s, dir) =>
       import graft.functions.GeoFunctions
       val tpls = EventsAdapter.positionfixes(s, dir)
@@ -1291,6 +1304,12 @@ object SparkEntry {
          |  CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM (SELECT * FROM intervals WHERE id < 40) a
          |JOIN (SELECT * FROM intervals WHERE id < 40) b ON a.id < b.id""".stripMargin,
+    "distance_matrix_xy" ->
+      s"""${EventsAdapter.pfsSql}
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |  CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
+         |FROM (SELECT * FROM intervals WHERE id < 40) a
+         |CROSS JOIN (SELECT * FROM intervals WHERE id >= 40 AND id < 60) b""".stripMargin,
     "speed_triplegs" ->
       s"""${EventsAdapter.pfsSql}, segs AS (
          |  SELECT user_id, k // 12 AS block, t_us,

@@ -158,21 +158,47 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity of each probe document against a
-    * corpus, returning the top-1 match per probe. Probes × corpus is
-    * bounded by broadcasting the (small) probe set.
+    * corpus, returning the top-1 match per probe.
+    *
+    * Not a crossJoin: per-pair `array_intersect`/`array_union` over full
+    * shingle arrays is a CodegenFallback loop evaluated |corpus|×|probes|
+    * times. Instead both sides explode to (doc, shingle) rows — shingle
+    * arrays are already distinct, so |A∩B| is a codegen'd broadcast hash
+    * join on the shingle string plus one counting groupBy, and
+    * |A∪B| = |A| + |B| − |A∩B| from the per-doc set sizes. Pairs with an
+    * empty intersection never appear in the join; a probe whose best
+    * Jaccard is 0 falls back to the smallest corpus id ≠ probe (exactly
+    * the `ORDER BY jaccard DESC, match_id` tie-break it would get).
+    * Scale shape: the corpus side shuffles nothing — explode and join
+    * happen in the scan stage against broadcast probe shingles; the only
+    * shuffle is the groupBy on (probe, match) candidate pairs.
     */
   def ngramJaccardTop1(probes: DataFrame, corpus: DataFrame, shingleN: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), shingles(col(textCol), shingleN).as("_sh_p"))
-    val c = corpus.select(col(idCol).as("match_id"), shingles(col(textCol), shingleN).as("_sh_c"))
-    val scored = c.crossJoin(broadcast(p))
+    val p = probes.select(col(idCol).as("probe_id"), shingles(col(textCol), shingleN).as("_sh"))
+    val c = corpus.select(col(idCol).as("match_id"), shingles(col(textCol), shingleN).as("_sh"))
+    val pe = p.select(col("probe_id"), size(col("_sh")).as("_np"), explode(col("_sh")).as("_s"))
+    val ce = c.select(col("match_id"), size(col("_sh")).as("_nc"), explode(col("_sh")).as("_s"))
+    val top = ce.join(broadcast(pe), "_s")
       .filter(col("probe_id") =!= col("match_id"))
+      .groupBy(col("probe_id"), col("match_id"))
+      .agg(first(col("_np")).as("_np"), first(col("_nc")).as("_nc"), count(lit(1)).as("_ni"))
       .withColumn("jaccard",
-        size(array_intersect(col("_sh_p"), col("_sh_c"))).cast("double") /
-          size(array_union(col("_sh_p"), col("_sh_c"))).cast("double"))
+        col("_ni").cast("double") / (col("_np") + col("_nc") - col("_ni")).cast("double"))
     val w = Window.partitionBy("probe_id").orderBy(col("jaccard").desc, col("match_id"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val best = top.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("probe_id"), col("match_id"), col("jaccard"))
+    // Zero-Jaccard fallback: probes absent from the join get the smallest
+    // corpus id that is not the probe itself (take the two smallest ids so
+    // the probe can be excluded without a re-scan).
+    val minTwo = c.select(col("match_id")).orderBy(col("match_id")).limit(2)
+    val fallback = p.select(col("probe_id"))
+      .join(best.select(col("probe_id")), Seq("probe_id"), "left_anti")
+      .crossJoin(broadcast(minTwo))
+      .filter(col("probe_id") =!= col("match_id"))
+      .groupBy(col("probe_id")).agg(min(col("match_id")).as("match_id"))
+      .withColumn("jaccard", lit(0.0))
+    best.unionByName(fallback.select(col("probe_id"), col("match_id"), col("jaccard")))
   }
 
   /** Duplicate clusters: connected components over an undirected

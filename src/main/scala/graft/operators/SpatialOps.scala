@@ -106,13 +106,27 @@ object SpatialOps {
     * for genuinely large inputs callers should bucket or block first;
     * within trackintel semantics inputs are per-user point sets.
     */
-  def distanceMatrixPoints(points: DataFrame, symmetric: Boolean = true): DataFrame = {
-    val a = points.select(col("id").as("id_1"), col("lon").as("_lon1"), col("lat").as("_lat1"))
-    val b = points.select(col("id").as("id_2"), col("lon").as("_lon2"), col("lat").as("_lat2"))
-    val joined = if (symmetric) a.join(b, col("id_1") < col("id_2")) else a.crossJoin(b)
+  def distanceMatrixPoints(points: DataFrame, symmetric: Boolean = true): DataFrame =
+    distanceMatrixPoints(points, None, symmetric)
+
+  /** Two-frame form: distances from every X point to every Y point — the
+    * reference's optional second frame (distances.py:89-153, `Y=None`
+    * collapses to the single-frame triangle above). X×Y is dense by
+    * definition; the physical plan is a broadcast nested-loop with the
+    * smaller side broadcast, so the big side never shuffles. Distance
+    * dispatches on X's CRS metadata (euclidean for projected frames).
+    */
+  def distanceMatrixPoints(x: DataFrame, y: Option[DataFrame], symmetric: Boolean): DataFrame = {
+    val planar = GeoFunctions.isPlanar(x)
+    val a = x.select(col("id").as("id_1"), col("lon").as("_lon1"), col("lat").as("_lat1"))
+    val b = y.getOrElse(x)
+      .select(col("id").as("id_2"), col("lon").as("_lon2"), col("lat").as("_lat2"))
+    val joined =
+      if (y.isEmpty && symmetric) a.join(b, col("id_1") < col("id_2"))
+      else a.crossJoin(b)
     joined
       .withColumn("distance_m",
-        GeoFunctions.haversineMeters(col("_lon1"), col("_lat1"), col("_lon2"), col("_lat2")))
+        GeoFunctions.distanceMeters(planar)(col("_lon1"), col("_lat1"), col("_lon2"), col("_lat2")))
       .select("id_1", "id_2", "distance_m")
   }
 

@@ -22,7 +22,9 @@ import scala.collection.mutable
   *  - location mode (staypoints with `location_id` given): trips chain when
   *    destination/origin staypoints share a location;
   *  - distance mode: trips chain when end/start points are within
-  *    `maxDistMeters` (haversine).
+  *    `maxDistMeters` — haversine for geographic frames, euclidean when
+  *    the `geom` column's CRS metadata marks the frame projected (the
+  *    reference's `_check_max_dist` switch, trips.py:385-404).
   */
 object TourGenerator {
 
@@ -50,6 +52,7 @@ object TourGenerator {
                params: Params = Params()): (DataFrame, DataFrame) = {
     val maxTimeUs = (params.maxTimeDays * 86400e6).toLong
     val useLocations = staypoints.isDefined
+    val planar = GeoFunctions.isPlanar(trips, "geom")
 
     // In location mode, resolve each trip's origin/destination staypoint
     // to its location up front — two broadcast-friendly equi-joins instead
@@ -80,7 +83,8 @@ object TourGenerator {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("_s_us"), col("id"))
       .mapPartitions(rows =>
-        new TourScanIterator(rows, useLocations, params.maxDistMeters, maxTimeUs, params.maxNrGaps))(
+        new TourScanIterator(rows, useLocations, params.maxDistMeters, maxTimeUs,
+          params.maxNrGaps, planar))(
         RowEncoder.encoderFor(tourSchema))
       .toDF()
 
@@ -125,7 +129,8 @@ object TourGenerator {
     *     cropped as they're encountered.
     */
   private final class TourScanIterator(rows: Iterator[Row], useLocations: Boolean,
-                                       maxDistM: Double, maxTimeUs: Long, maxNrGaps: Int)
+                                       maxDistM: Double, maxTimeUs: Long, maxNrGaps: Int,
+                                       planar: Boolean)
       extends Iterator[Row] {
 
     private final case class Trip(
@@ -146,8 +151,12 @@ object TourGenerator {
       a.isDefined && b.isDefined && a.get == b.get
 
     private def near(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Boolean =
-      !lon1.isNaN && !lon2.isNaN &&
-        GeoFunctions.haversineMeters(lon1, lat1, lon2, lat2) <= maxDistM
+      !lon1.isNaN && !lon2.isNaN && {
+        val d =
+          if (planar) GeoFunctions.euclideanMeters(lon1, lat1, lon2, lat2)
+          else GeoFunctions.haversineMeters(lon1, lat1, lon2, lat2)
+        d <= maxDistM
+      }
 
     /** previous trip's end connects to this trip's start? */
     private def connects(prev: Trip, cur: Trip): Boolean =

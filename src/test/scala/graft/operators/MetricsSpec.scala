@@ -146,6 +146,21 @@ class MetricsSpec extends SparkSpec {
     assert(dm.forall(r => r.getAs[Long]("id_1") < r.getAs[Long]("id_2")))
   }
 
+  test("distance matrix X×Y dense form; euclidean under a projected CRS") {
+    val x = Seq((0L, 8.5, 47.3), (1L, 8.6, 47.3)).toDF("id", "lon", "lat")
+    val y = Seq((10L, 8.5, 47.4), (11L, 8.6, 47.4), (12L, 8.7, 47.4)).toDF("id", "lon", "lat")
+    val dm = SpatialOps.distanceMatrixPoints(x, Some(y), symmetric = false).collect()
+    assert(dm.length == 6) // dense |X|×|Y|, no triangle, no self-pair exclusion
+    assert(dm.forall(_.getAs[Double]("distance_m") > 0))
+    // projected CRS on X → plain euclidean in CRS units
+    val xp = graft.functions.GeoFunctions.withCrs(
+      Seq((0L, 0.0, 0.0)).toDF("id", "lon", "lat"), "EPSG:2056")
+    val yp = Seq((1L, 3.0, 4.0)).toDF("id", "lon", "lat")
+    val d = SpatialOps.distanceMatrixPoints(xp, Some(yp), symmetric = false)
+      .collect()(0).getAs[Double]("distance_m")
+    assert(d == 5.0)
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

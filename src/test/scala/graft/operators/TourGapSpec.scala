@@ -39,24 +39,20 @@ class TourGapSpec extends SparkSpec {
     (80L, 1L, t4, t5, 4L, 3L),
     (3L, 1L, t5, t6, 1L, 7L))   // no tour
 
+  // Geometry lookup happens driver-side (plain collection map): a Dataset
+  // .map lambda touching an instance val would capture the whole spec,
+  // which is not serializable (holds the scalatest Engine).
   private def mkTrips: DataFrame =
-    tripRows.toDF("id", "user_id", "s", "f", "origin_staypoint_id", "destination_staypoint_id")
-      .withColumn("_o_lon", lit(null).cast("double")).withColumn("_o_lat", lit(null).cast("double"))
-      .withColumn("_d_lon", lit(null).cast("double")).withColumn("_d_lat", lit(null).cast("double"))
+    tripRows
+      .map { case (id, user, s, f, o, d) =>
+        val (olon, olat) = spGeom(o)
+        val (dlon, dlat) = spGeom(d)
+        (id, user, s, f, o, d, olon, olat, dlon, dlat)
+      }
+      .toDF("id", "user_id", "s", "f",
+        "origin_staypoint_id", "destination_staypoint_id", "olon", "olat", "dlon", "dlat")
       .select(col("id"), col("user_id"),
         to_timestamp(col("s")).as("started_at"), to_timestamp(col("f")).as("finished_at"),
-        col("origin_staypoint_id"), col("destination_staypoint_id"))
-      .map { r =>
-        val (olon, olat) = spGeom(r.getAs[Long]("origin_staypoint_id"))
-        val (dlon, dlat) = spGeom(r.getAs[Long]("destination_staypoint_id"))
-        (r.getAs[Long]("id"), r.getAs[Long]("user_id"),
-          r.getAs[java.sql.Timestamp]("started_at"), r.getAs[java.sql.Timestamp]("finished_at"),
-          r.getAs[Long]("origin_staypoint_id"), r.getAs[Long]("destination_staypoint_id"),
-          olon, olat, dlon, dlat)
-      }
-      .toDF("id", "user_id", "started_at", "finished_at",
-        "origin_staypoint_id", "destination_staypoint_id", "olon", "olat", "dlon", "dlat")
-      .select(col("id"), col("user_id"), col("started_at"), col("finished_at"),
         col("origin_staypoint_id"), col("destination_staypoint_id"),
         struct(
           struct(col("olon").as("lon"), col("olat").as("lat")).as("origin"),
@@ -129,6 +125,32 @@ class TourGapSpec extends SparkSpec {
       assert(r.getAs[Long]("origin_staypoint_id") == r.getAs[Long]("go"))
       assert(r.getAs[Long]("destination_staypoint_id") == r.getAs[Long]("gd"))
     }
+  }
+
+  test("distance mode dispatches to euclidean for a projected CRS (_check_max_dist)") {
+    // Coordinates in meters: an out-and-back whose endpoints sit 30-40 m
+    // apart. Euclidean links it into one tour; misread as degrees,
+    // haversine puts every pair thousands of km apart and links nothing.
+    val rows = Seq(
+      (1L, 0L, t1, t2, 1L, 2L, 0.0, 0.0, 5000.0, 0.0),
+      (2L, 0L, t2, t3, 3L, 4L, 5000.0, 30.0, 40.0, 0.0))
+    def frame(crs: Option[String]): DataFrame = {
+      val base = rows
+        .toDF("id", "user_id", "s", "f", "origin_staypoint_id", "destination_staypoint_id",
+          "olon", "olat", "dlon", "dlat")
+        .select(col("id"), col("user_id"),
+          to_timestamp(col("s")).as("started_at"), to_timestamp(col("f")).as("finished_at"),
+          col("origin_staypoint_id"), col("destination_staypoint_id"),
+          struct(
+            struct(col("olon").as("lon"), col("olat").as("lat")).as("origin"),
+            struct(col("dlon").as("lon"), col("dlat").as("lat")).as("destination")).as("geom"))
+      crs.fold(base)(c => graft.functions.GeoFunctions.withCrs(base, c, Seq("geom")))
+    }
+    val params = TourGenerator.Params(maxTimeDays = 2.0)
+    val (_, planarTours) = TourGenerator.generate(frame(Some("EPSG:2056")), None, params)
+    assert(planarTours.count() == 1)
+    val (_, geoTours) = TourGenerator.generate(frame(None), None, params)
+    assert(geoTours.count() == 0)
   }
 
   test("time budget crops candidates (test_tour_max_time)") {

@@ -59,6 +59,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(top(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram jaccard zero-overlap probe falls back to smallest other corpus id") {
+    // a probe sharing no shingle with anyone still gets a top-1 row:
+    // jaccard 0, match = min corpus id != probe (the DESC, match_id tie-break)
+    val corpus = Seq(
+      (0L, "zz yy xx ww vv"),
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd ff")).toDF("doc_id", "text")
+    val top = Dedup.ngramJaccardTop1(corpus.filter(col("doc_id") === 0L), corpus).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("match_id") == 1L)
+    assert(top(0).getAs[Double]("jaccard") == 0.0)
+    // and a zero-overlap probe that IS the smallest corpus id skips itself
+    val corpus2 = Seq(
+      (5L, "aa bb cc dd ee"),
+      (9L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val top2 = Dedup.ngramJaccardTop1(corpus2.filter(col("doc_id") === 5L), corpus2).collect()
+    assert(top2.length == 1)
+    assert(top2(0).getAs[Long]("match_id") == 9L && top2(0).getAs[Double]("jaccard") == 0.0)
+  }
+
   private val vectors = {
     // deterministic pseudo-embeddings: cluster c at unit direction c with noise
     val rnd = new scala.util.Random(7)

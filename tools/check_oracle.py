@@ -12,6 +12,13 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _compatible(a, b):
+    """Arrow-type pairs that hash identically on the driver: ignore
+    timezone annotation and string width; everything else must match."""
+    strip = lambda t: t.replace(", tz=UTC", "").replace("large_string", "string")
+    return strip(a) == strip(b)
+
+
 def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -31,10 +38,28 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            got = pq.read_table(str(res_dir)).to_pandas()
-            want = con.execute(sql).df()
+            got_tbl = pq.read_table(str(res_dir))
+            want_tbl = con.execute(sql).arrow()
+            got = got_tbl.to_pandas()
+            want = want_tbl.to_pandas()
         except Exception as e:
             print(f"[ERR ] {name}: {e}")
+            n_bad += 1
+            continue
+        # Arrow-schema sweep: the driver hash is TYPE-AWARE, so a DuckDB
+        # HUGEINT (decimal128) vs Spark int64 mismatch fails it even when
+        # every value is equal — and the pandas compare below would never
+        # notice. Flag any physical-type divergence (timestamp unit and
+        # int width included) per column.
+        gs = {f.name: str(got_tbl.schema.field(f.name).type) for f in got_tbl.schema}
+        ws = {f.name: str(want_tbl.schema.field(f.name).type) for f in want_tbl.schema}
+        type_bad = [
+            f"{c}: spark={gs[c]} oracle={ws[c]}"
+            for c in sorted(set(gs) & set(ws))
+            if gs[c] != ws[c] and not _compatible(gs[c], ws[c])
+        ]
+        if type_bad:
+            print(f"[TYPE] {name}: {'; '.join(type_bad)}")
             n_bad += 1
             continue
         g, w = normalize(got), normalize(want)

@@ -495,13 +495,15 @@ object SparkEntry {
        |JOIN runs2 r2 ON r2.user_id = tx.user_id AND r2.run = tr.run
        |             AND r2.pos BETWEEN tx.wcpos AND tx.tpos2""".stripMargin
 
-  /** CTE chain through the tour closure scan, ending at
-    * `win(user_id, tid, wcpos, wcs, wloc, wtf, tpos2)`; shared by
-    * [[toursOracle]] and [[tripsGroupedOracle]].
+  /** Prefix of the tour oracles: trips with per-user positions, endpoint
+    * geometry and the connected-to-previous flag — ends at
+    * `conn2(trip_id, user_id, s_us, f_us, osp, dsp, pos, o/d endpoints,
+    * first_of_user, connected)`. Shared by [[toursChain]] (gaps = 0 run
+    * closure) and [[toursGapsOracle]] (windowed scan recursion).
     */
-  private def toursChain(distM: Double, timeUs: Long, activityThresholdSec: Double,
-                         gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
-                         locationMode: Boolean, epsM: Double = 100.0): String = {
+  private def tourTripxChain(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                             gapUs: Long, maxTourDistM: Double,
+                             locationMode: Boolean, epsM: Double = 100.0): String = {
     val endpointCtes =
       s"""$cent2Cte,
          |tplends AS (
@@ -548,11 +550,6 @@ object SparkEntry {
     else
       s"lag(d_lon) OVER wu IS NOT NULL AND o_lon IS NOT NULL AND " +
         s"${hav("lag(d_lon) OVER wu", "lag(d_lat) OVER wu", "o_lon", "o_lat")} <= $maxTourDistM"
-    val closePred = if (locationMode)
-      "c2.c_o_loc IS NOT NULL AND c2.t_d_loc IS NOT NULL AND c2.c_o_loc = c2.t_d_loc"
-    else
-      s"c2.c_o_lon IS NOT NULL AND c2.t_d_lon IS NOT NULL AND " +
-        s"${hav("c2.c_o_lon", "c2.c_o_lat", "c2.t_d_lon", "c2.t_d_lat")} <= $maxTourDistM"
     s"""${tripsCte(distM, timeUs, activityThresholdSec, gapUs)},
        |$endpointCtes$locCtes,
        |tripx AS (
@@ -567,7 +564,24 @@ object SparkEntry {
        |conn2 AS (
        |  SELECT *, row_number() OVER wu = 1 AS first_of_user,
        |         ($connPred) AS connected
-       |  FROM tripx WINDOW wu AS (PARTITION BY user_id ORDER BY s_us, trip_id)),
+       |  FROM tripx WINDOW wu AS (PARTITION BY user_id ORDER BY s_us, trip_id))""".stripMargin
+  }
+
+  /** CTE chain through the tour closure scan, ending at
+    * `win(user_id, tid, wcpos, wcs, wloc, wtf, tpos2)`; shared by
+    * [[toursOracle]] and [[tripsGroupedOracle]]. Valid ONLY for
+    * maxNrGaps = 0 (run-based closure).
+    */
+  private def toursChain(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                         gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
+                         locationMode: Boolean, epsM: Double = 100.0): String = {
+    val closePred = if (locationMode)
+      "c2.c_o_loc IS NOT NULL AND c2.t_d_loc IS NOT NULL AND c2.c_o_loc = c2.t_d_loc"
+    else
+      s"c2.c_o_lon IS NOT NULL AND c2.t_d_lon IS NOT NULL AND " +
+        s"${hav("c2.c_o_lon", "c2.c_o_lat", "c2.t_d_lon", "c2.t_d_lat")} <= $maxTourDistM"
+    s"""${tourTripxChain(distM, timeUs, activityThresholdSec, gapUs, maxTourDistM,
+          locationMode, epsM)},
        |runs2 AS (
        |  SELECT *, sum(CASE WHEN first_of_user OR NOT coalesce(connected, false) THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY user_id ORDER BY s_us, trip_id ROWS UNBOUNDED PRECEDING) AS run,
@@ -594,6 +608,82 @@ object SparkEntry {
        |         arg_max(e.c_o_loc, e.cpos) AS wloc,
        |         arg_max(e.tf, e.cpos) AS wtf, arg_max(e.tpos, e.cpos) AS tpos2
        |  FROM elig e GROUP BY e.user_id, e.tid)""".stripMargin
+  }
+
+  /** Tour generation with a NONZERO gap budget as SQL (distance mode).
+    *
+    * With gaps allowed the candidate stack is no longer a continuity run,
+    * but it is still a *contiguous window* of the gap-marker-interleaved
+    * trip sequence, and every scan decision is computable from static
+    * tables plus one scalar of evolving state — the window start `w`:
+    *  - markers sit between consecutive non-connected trips, a property
+    *    of the trip pair only (never of the stack), so virtual positions
+    *    `vpos` (trips + markers) and marker counts are window functions;
+    *  - budget exclusion is monotone (markers only accumulate) and age
+    *    exclusion is monotone (end times only grow), so the backward scan
+    *    of trip p stops at the HIGHEST of three positions: the
+    *    (g+1)-th marker below p (budget break), the newest too-old
+    *    candidate (age break — starts rise with pos, so too-old trips are
+    *    a prefix), and the newest closing candidate (emit);
+    *  - the two crops move `w` exactly as the kernel does, including the
+    *    reference's asymmetric indices (trips.py:289-340): a budget break
+    *    at backward index j drops j+1 entries from the FRONT, an age
+    *    break keeps from the too-old candidate on;
+    * so the whole scan is a per-user linear recursion over trips carrying
+    * `w` — a recursive CTE of the same shape as the staypoint anchor
+    * jump. Emissions (tour rows) fall out of the recursion; members are
+    * the trips in [closing candidate, p], bridged gaps included.
+    */
+  private def toursGapsOracle(distM: Double, timeUs: Long, activityThresholdSec: Double,
+                              gapUs: Long, maxTourDistM: Double, maxTourTimeUs: Long,
+                              maxNrGaps: Int): String = {
+    val closeFilter =
+      s"""c.user_id = t.user_id AND c.vpos >= r.w AND c.vpos <= t.vpos
+         |           AND c.osp IS NOT NULL AND c.o_lon IS NOT NULL AND t.d_lon IS NOT NULL
+         |           AND ${hav("c.o_lon", "c.o_lat", "t.d_lon", "t.d_lat")} <= $maxTourDistM""".stripMargin
+    s"""${tourTripxChain(distM, timeUs, activityThresholdSec, gapUs, maxTourDistM,
+          locationMode = false)},
+       |tripv AS (
+       |  SELECT *, CASE WHEN NOT first_of_user AND NOT coalesce(connected, false)
+       |                 THEN 1 ELSE 0 END AS mark
+       |  FROM conn2),
+       |tripx2 AS (
+       |  SELECT *,
+       |    sum(mark) OVER (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum,
+       |    pos + sum(mark) OVER (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS vpos
+       |  FROM tripv),
+       |markers AS (SELECT user_id, cum AS mnum, vpos - 1 AS mvpos FROM tripx2 WHERE mark = 1),
+       |rec AS (
+       |  SELECT user_id, 0 AS p, CAST(1 AS BIGINT) AS w,
+       |         false AS emit, CAST(NULL AS BIGINT) AS ecs, CAST(NULL AS BIGINT) AS ef,
+       |         CAST(NULL AS BIGINT) AS en
+       |  FROM (SELECT DISTINCT user_id FROM tripx2)
+       |  UNION ALL
+       |  SELECT t.user_id, t.pos,
+       |    CASE WHEN t.dsp IS NULL THEN r.w
+       |         WHEN x.vc IS NOT NULL AND x.vc > coalesce(x.vb, 0) AND x.vc > coalesce(x.vo, 0)
+       |           THEN r.w
+       |         WHEN coalesce(x.vb, 0) > coalesce(x.vo, 0) THEN r.w + (t.vpos - x.vb) + 1
+       |         WHEN x.vo IS NOT NULL THEN x.vo
+       |         ELSE r.w END,
+       |    t.dsp IS NOT NULL AND x.vc IS NOT NULL
+       |      AND x.vc > coalesce(x.vb, 0) AND x.vc > coalesce(x.vo, 0),
+       |    x.ccs, t.f_us, t.pos - x.cpos + 1
+       |  FROM rec r
+       |  JOIN tripx2 t ON t.user_id = r.user_id AND t.pos = r.p + 1
+       |  CROSS JOIN LATERAL (SELECT
+       |    (SELECT m.mvpos FROM markers m
+       |      WHERE m.user_id = t.user_id AND m.mnum = t.cum - $maxNrGaps
+       |        AND m.mvpos >= r.w) AS vb,
+       |    (SELECT max(c.vpos) FROM tripx2 c
+       |      WHERE c.user_id = t.user_id AND c.vpos >= r.w AND c.vpos <= t.vpos
+       |        AND t.f_us - c.s_us > $maxTourTimeUs) AS vo,
+       |    (SELECT max(c.vpos) FROM tripx2 c WHERE $closeFilter) AS vc,
+       |    (SELECT arg_max(c.pos, c.vpos) FROM tripx2 c WHERE $closeFilter) AS cpos,
+       |    (SELECT arg_max(c.s_us, c.vpos) FROM tripx2 c WHERE $closeFilter) AS ccs) x)
+       |SELECT CAST(row_number() OVER (ORDER BY user_id, p) - 1 AS BIGINT) AS id,
+       |       user_id, ecs AS s_us, ef AS f_us, CAST(en AS BIGINT) AS n_trips
+       |FROM rec WHERE emit""".stripMargin
   }
 
   /** DTW trajectory distance as SQL: the row-major DP of SpatialOps.dtw
@@ -770,7 +860,7 @@ object SparkEntry {
     val ctes = Seq("pfs", "fx", "kept", "cand", "szok", "tplt", "sp3", "un", "flagged",
       "segd", "pfs2", "flg", "starts", "tt", "stream", "shifted", "tripid", "cent2",
       "rep", "locs", "tripx", "conn2", "runs2", "cand3", "lines", "pairsx", "vmx", "tplk",
-      "qpt", "pe", "flags")
+      "qpt", "pe", "flags", "tripv", "tripx2", "markers")
     ctes.foldLeft(sql)((s, n) => s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
   }
 
@@ -933,6 +1023,13 @@ object SparkEntry {
         .select(col("id"), col("user_id"),
           unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
           size(col("trips")).cast("long").as("n_trips"))
+    },
+    "tours_gaps" -> { (s, dir) => // gap budget 1: tours may bridge one discontinuity
+      val (_, tours) = TourGenerator.generate(Pipeline.trips(s, dir), None,
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0, maxNrGaps = 1))
+      tours.select(col("id"), col("user_id"),
+        unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
+        size(col("trips")).cast("long").as("n_trips"))
     },
     "trips_grouped" -> { (s, dir) =>
       TourGenerator.getTripsGrouped(Pipeline.trips(s, dir), Pipeline.tours(s, dir))
@@ -1518,6 +1615,11 @@ object SparkEntry {
       activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
       maxTourDistM = 200.0, maxTourTimeUs = (30.0 * 86400e6).toLong,
       locationMode = false)),
+    "tours_gaps" -> withMaterializedCtes(toursGapsOracle(
+      distM = Pipeline.staypointParams.distThresholdMeters,
+      timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+      activityThresholdSec = 120.0 * 60.0, gapUs = (1e7 * 60e6).toLong,
+      maxTourDistM = 200.0, maxTourTimeUs = (30.0 * 86400e6).toLong, maxNrGaps = 1)),
     "trips_grouped" -> withMaterializedCtes(tripsGroupedOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,

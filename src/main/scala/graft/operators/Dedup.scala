@@ -211,7 +211,14 @@ object Dedup {
     * @return (doc_id, cluster_id = smallest id in the component,
     *         keep = doc_id is that smallest id)
     */
-  /** @param localThreshold pair-count cutoff below which the component
+  /** @param maxIterations bound on min-label propagation rounds on the
+    *        distributed path. Throws IllegalStateException if components
+    *        have not converged within the budget — a silent stop would
+    *        return split clusters as if they were real. Labels advance one
+    *        hop per round, so size it to the worst expected component
+    *        diameter (near-dup components are near-cliques; the default 25
+    *        covers any realistic chain).
+    * @param localThreshold pair-count cutoff below which the component
     *        computation collects to the driver and runs union-find (each
     *        distributed iteration costs two shuffles of fixed latency —
     *        pointless when the pair graph fits in driver memory; dedup

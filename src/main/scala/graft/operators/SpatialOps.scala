@@ -16,6 +16,13 @@ object SpatialOps {
     * united bounding box becomes a *plain column predicate* — pushed into
     * the parquet scan / prunable — and the exact ray-casting test runs
     * only on the survivors. Polygons ride along as a broadcast literal.
+    *
+    * CRS contract: the filter is unit-agnostic (pure coordinate
+    * comparisons), but caller and polygons must share a CRS — the
+    * reference asserts `gdf.crs == areas.crs` before filtering. Frames
+    * carry their CRS as `lon`-column metadata ([[GeoFunctions.withCrs]]/
+    * [[GeoFunctions.crsOf]]); reprojection itself stays out of scope (no
+    * offline proj database), as in SURVEY.md §5.
     */
   def spatialFilterPoints(source: DataFrame, areas: Seq[Seq[(Double, Double)]],
                           lonCol: String = "lon", latCol: String = "lat",

@@ -68,12 +68,18 @@ object StaypointMerger {
     def firstBy(c: Column): Column = min_by(c, rowKey)
     def lastBy(c: Column): Column = max_by(c, rowKey)
 
-    val baseAggs: Seq[Column] = Seq(
-      firstBy(col("id")).as("id"),
-      firstBy(col("started_at")).as("started_at"),
-      lastBy(col("finished_at")).as("finished_at"),
-      firstBy(col("location_id")).as("location_id"))
-    val extraAggs: Seq[Column] = aggExtra.toSeq.map {
+    // Base columns carry default aggregations, but — as in the reference,
+    // where the user agg dict is merged over the defaults
+    // (staypoints.py:346-358) — an aggExtra entry for a base column
+    // overrides it (e.g. finished_at -> "first").
+    val baseDefaults = Seq(
+      "id" -> "first", "started_at" -> "first",
+      "finished_at" -> "last", "location_id" -> "first")
+    val baseNames = baseDefaults.map(_._1).toSet
+    val resolved: Seq[(String, String)] =
+      baseDefaults.map { case (c, d) => c -> aggExtra.getOrElse(c, d) } ++
+        aggExtra.toSeq.filterNot { case (c, _) => baseNames(c) }
+    val aggs: Seq[Column] = resolved.map {
       case (c, "first") => firstBy(col(c)).as(c)
       case (c, "last")  => lastBy(col(c)).as(c)
       case (c, "mean")  => avg(col(c)).as(c)
@@ -85,9 +91,10 @@ object StaypointMerger {
         s"agg '$how' for $c not supported (first/last/mean/sum/min/max/count)")
     }
 
-    val outCols = Seq("id", "user_id", "started_at", "finished_at", "location_id") ++ aggExtra.keys
+    val outCols = Seq("id", "user_id", "started_at", "finished_at", "location_id") ++
+      aggExtra.keys.filterNot(baseNames)
     runs.groupBy(col("user_id"), col("_run"))
-      .agg(baseAggs.head, (baseAggs.tail ++ extraAggs): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .drop("_run")
       .select(outCols.map(col): _*)
   }

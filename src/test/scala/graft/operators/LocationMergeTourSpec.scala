@@ -74,6 +74,53 @@ class LocationMergeTourSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(0L, 3L, 4L, 5L))
   }
 
+  test("merge_staypoints reference matrix: time boundaries, max gap, agg override") {
+    // Port of tests/preprocessing/test_staypoints.py:57-101 (fixture) and
+    // :538-601: merge 2,6,15 (user 0) and 7,80 (user 1); 5 stays separate
+    // at the default gap (1h45 > 10min) but joins at max_time_gap=2h; an
+    // agg entry for a base column (finished_at -> first) overrides it.
+    val t1 = "1971-01-01 00:00:00"; val t2 = "1971-01-02 05:00:00"
+    val t3 = "1971-01-02 06:45:00"; val t4 = "1971-01-02 08:55:00"
+    val t45 = "1971-01-02 08:57:00"; val t5 = "1971-01-02 09:00:00"
+    val t6 = "1971-01-02 09:20:00"
+    val sp = Seq(
+      (1L, 0L, t1, t2, 1L), (5L, 0L, t2, t2, 2L), (2L, 0L, t3, t4, 2L),
+      (6L, 0L, t4, t45, 2L), (15L, 0L, t5, t6, 2L),
+      (7L, 1L, t3, t4, 2L), (80L, 1L, t45, t5, 2L), (3L, 1L, t5, t6, 4L))
+      .toDF("id", "user_id", "s", "f", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("location_id"))
+      .withColumn("geom", concat(lit("g"), col("id")))
+    val noTpls = Seq.empty[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("id", "user_id", "started_at", "finished_at")
+
+    val merged = StaypointMerger.mergeStaypoints(sp, noTpls, aggExtra = Map("geom" -> "first"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId.size == 5) // len(sp) - 3
+    assert(byId.keySet == Set(1L, 5L, 2L, 7L, 3L))
+    // merged boundaries: first started_at, last finished_at
+    assert(byId(7L).getAs[java.sql.Timestamp]("started_at") == ts(t3))
+    assert(byId(7L).getAs[java.sql.Timestamp]("finished_at") == ts(t5))
+    assert(byId(2L).getAs[java.sql.Timestamp]("started_at") == ts(t3))
+    assert(byId(2L).getAs[java.sql.Timestamp]("finished_at") == ts(t6))
+    assert(byId(2L).getAs[String]("geom") == "g2")
+
+    // wider gap budget: 5 joins the user-0 run (1h45 <= 2h)
+    val merged2h = StaypointMerger.mergeStaypoints(sp, noTpls, maxTimeGapMinutes = 120)
+    val byId2h = merged2h.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId2h.size == 4) // len(sp) - 4
+    assert(byId2h(5L).getAs[java.sql.Timestamp]("started_at") == ts(t2))
+    assert(byId2h(5L).getAs[java.sql.Timestamp]("finished_at") == ts(t6))
+
+    // agg override of a base column: finished_at takes the FIRST row's value
+    val mergedAgg = StaypointMerger.mergeStaypoints(sp, noTpls,
+      aggExtra = Map("geom" -> "first", "finished_at" -> "first"))
+    val byIdAgg = mergedAgg.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byIdAgg(7L).getAs[java.sql.Timestamp]("finished_at") == ts(t4))
+    assert(byIdAgg(2L).getAs[java.sql.Timestamp]("finished_at") == ts(t4))
+    assert(byIdAgg(7L).getAs[String]("geom") == "g7")
+  }
+
   test("tours close when a later trip returns to a candidate's origin (distance mode)") {
     def pt(lon: Double, lat: Double) = (lon, lat)
     val trips = Seq(

@@ -146,6 +146,27 @@ class MetricsSpec extends SparkSpec {
     assert(dm.forall(r => r.getAs[Long]("id_1") < r.getAs[Long]("id_2")))
   }
 
+  test("linestring filter pins the documented boundary-touch convention") {
+    // The engine deviates from shapely DE-9IM for degenerate contact (by
+    // documented convention): a line touching the ring from inside counts
+    // as boundary intersection, so it is NOT 'within' and IS 'crosses'.
+    // This fixture freezes that choice — if the kernel changes, this fails.
+    val square = Seq(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)))
+    val lines = Seq(
+      (0L, Seq((0.5, 0.5), (1.0, 0.5))),  // endpoint ON the x=1 edge
+      (1L, Seq((0.2, 0.2), (0.8, 0.8))))  // strictly interior
+      .map { case (id, pts) => (id, pts.map { case (x, y) => (x, y) }) }
+      .toDF("id", "raw")
+      .select(col("id"),
+        expr("transform(raw, p -> struct(p._1 as lon, p._2 as lat))").as("points"))
+    def ids(method: String): Set[Long] =
+      SpatialOps.spatialFilterLinestrings(lines, square, method)
+        .select("id").as[Long].collect().toSet
+    assert(ids("within") == Set(1L))        // touch rejected from 'within'
+    assert(ids("crosses") == Set(0L))       // touch counted as a crossing
+    assert(ids("intersects") == Set(0L, 1L))
+  }
+
   test("distance matrix X×Y dense form; euclidean under a projected CRS") {
     val x = Seq((0L, 8.5, 47.3), (1L, 8.6, 47.3)).toDF("id", "lon", "lat")
     val y = Seq((10L, 8.5, 47.4), (11L, 8.6, 47.4), (12L, 8.7, 47.4)).toDF("id", "lon", "lat")

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * `zielpersonen.csv`), read as plain distributed CSV scans. Differences
   * from the reference, by design:
   *
-  *  - the routed tripleg geometry from the bundled shapefile is not read
-  *    (no shapefile codec offline); the verification-point LineStrings
-  *    (`vp_xy`) are built instead — the reference itself documents them
+  *  - the routed tripleg geometry ships as a shapefile; pass its path as
+  *    `routesPath` to decode it with the pure-JVM [[Shapefile]] reader
+  *    and join it on as `geometry`. The verification-point LineStrings
+  *    (`vp_xy`) are always built — the reference itself documents them
   *    as the always-available geometry;
   *  - entity ids are dense longs in deterministic (user, sequence-number)
   *    order rather than CSV row order (equal whenever the export is
@@ -76,7 +77,15 @@ object Mzmv {
       when(col("finished_at") < col("started_at"), col("finished_at") + expr("INTERVAL 1 DAY"))
         .otherwise(col("finished_at")))
 
-  def read(spark: SparkSession, dir: String): Out = {
+  /** @param routesPath optional routed-geometry shapefile (`.shp` or the
+    *        zip MZMV ships, `CH_routen.zip`): decoded with [[Shapefile]]
+    *        and left-joined onto triplegs by (HHNR, ETNR) as a `geometry`
+    *        linestring column — the reference's gpd.read_file merge
+    *        (dataset_reader.py:395, 434-437). Absent → verification-point
+    *        geometry only, which the reference documents as the
+    *        always-available fallback.
+    */
+  def read(spark: SparkSession, dir: String, routesPath: Option[String] = None): Out = {
     val rename = Seq("HHNR" -> "user_id", "f51100time" -> "started_at", "f51400time" -> "finished_at")
     def renamed(df: DataFrame): DataFrame = castCols(
       rename.foldLeft(df) { case (d, (from, to)) => if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d },
@@ -105,7 +114,15 @@ object Mzmv {
 
     // --- verification-point LineStrings -----------------------------------
     val vp = verificationLinestrings(spark, dir, tpls1)
-    val tpls = tpls1.join(vp, Seq("user_id", "ETNR"), "left")
+    val tplsVp = tpls1.join(vp, Seq("user_id", "ETNR"), "left")
+
+    // --- routed geometry from the shapefile (when provided) ---------------
+    val tpls = routesPath.fold(tplsVp) { shp =>
+      val routes = Shapefile.read(spark, shp)
+        .select(col("HHNR").as("user_id"), col("ETNR"),
+          col("points").as("geometry"))
+      tplsVp.join(routes, Seq("user_id", "ETNR"), "left")
+    }
 
     // --- trip origin/destination staypoints (dataset_reader.py:449-453) ---
     val dest = sp.filter(col("prev_trip_id").isNotNull)

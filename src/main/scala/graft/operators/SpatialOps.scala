@@ -124,6 +124,12 @@ object SpatialOps {
     * dispatches on X's CRS metadata (euclidean for projected frames).
     */
   def distanceMatrixPoints(x: DataFrame, y: Option[DataFrame], symmetric: Boolean): DataFrame = {
+    // the reference asserts X.crs == Y.crs (distances.py:118); without it a
+    // projected X against a geographic Y would silently mix units
+    y.foreach { yf =>
+      val (cx, cy) = (GeoFunctions.crsOf(x), GeoFunctions.crsOf(yf))
+      require(cx == cy, s"X and Y must share a CRS (got '$cx' vs '$cy')")
+    }
     val planar = GeoFunctions.isPlanar(x)
     val a = x.select(col("id").as("id_1"), col("lon").as("_lon1"), col("lat").as("_lat1"))
     val b = y.getOrElse(x)

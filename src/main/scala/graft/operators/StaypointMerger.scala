@@ -71,9 +71,12 @@ object StaypointMerger {
     // Base columns carry default aggregations, but — as in the reference,
     // where the user agg dict is merged over the defaults
     // (staypoints.py:346-358) — an aggExtra entry for a base column
-    // overrides it (e.g. finished_at -> "first").
+    // overrides it (e.g. finished_at -> "first"). user_id is one of the
+    // reference's defaults too (staypoints.py:349): grouping happens on a
+    // hidden copy so an override aggregates the column instead of
+    // colliding with the grouping key.
     val baseDefaults = Seq(
-      "id" -> "first", "started_at" -> "first",
+      "user_id" -> "first", "id" -> "first", "started_at" -> "first",
       "finished_at" -> "last", "location_id" -> "first")
     val baseNames = baseDefaults.map(_._1).toSet
     val resolved: Seq[(String, String)] =
@@ -93,9 +96,10 @@ object StaypointMerger {
 
     val outCols = Seq("id", "user_id", "started_at", "finished_at", "location_id") ++
       aggExtra.keys.filterNot(baseNames)
-    runs.groupBy(col("user_id"), col("_run"))
+    runs.withColumn("_uid", col("user_id"))
+      .groupBy(col("_uid"), col("_run"))
       .agg(aggs.head, aggs.tail: _*)
-      .drop("_run")
+      .drop("_uid", "_run")
       .select(outCols.map(col): _*)
   }
 }

@@ -60,8 +60,8 @@ object Shapefile {
   private def sibling(shpPath: String, ext: String): String =
     shpPath.replaceAll("(?i)\\.shp$", ext)
 
-  private def openBytes(path: String, offset: Long, len: Int): Array[Byte] = {
-    val fs = FileSystem.get(new URI(path), new Configuration())
+  private def openBytes(path: String, offset: Long, len: Int, conf: Configuration): Array[Byte] = {
+    val fs = FileSystem.get(new URI(path), conf)
     val in = fs.open(new HPath(path))
     try {
       val buf = new Array[Byte](len)
@@ -70,8 +70,8 @@ object Shapefile {
     } finally in.close()
   }
 
-  private def fileLen(path: String): Long = {
-    val fs = FileSystem.get(new URI(path), new Configuration())
+  private def fileLen(path: String, conf: Configuration): Long = {
+    val fs = FileSystem.get(new URI(path), conf)
     fs.getFileStatus(new HPath(path)).getLen
   }
 
@@ -192,28 +192,41 @@ object Shapefile {
         Seq((i + 1).toLong, st, parts.toSeq, pts.map(p => Row(p._1, p._2)).toSeq) ++ attrs)
     }
 
+  /** Per-task contiguous .shp read span cap. Keeps a single read's byte
+    * array well under `Int.MaxValue` (JVM array limit) even when the
+    * record-count split would put a multi-GB span in one partition.
+    */
+  private val MaxSpanBytes: Long = 256L * 1024 * 1024
+
   private def readFiles(spark: SparkSession, shpPath: String, numPartitions: Int): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val shxPath = sibling(shpPath, ".shx")
     val dbfPath = sibling(shpPath, ".dbf")
-    val index = parseShx(openBytes(shxPath, 0, fileLen(shxPath).toInt))
-    val dbfHead = parseDbfHeader(openBytes(dbfPath, 0, math.min(fileLen(dbfPath), 32 + 255 * 32 + 1).toInt))
+    val index = parseShx(openBytes(shxPath, 0, fileLen(shxPath, hadoopConf).toInt, hadoopConf))
+    val dbfHead = parseDbfHeader(openBytes(dbfPath, 0,
+      math.min(fileLen(dbfPath, hadoopConf), 32 + 255 * 32 + 1).toInt, hadoopConf))
     val schema = schemaFor(dbfHead.fields)
     val n = index.length
     val parts = if (numPartitions > 0) numPartitions
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, n))
     val fields = dbfHead.fields
     val (hSize, rSize) = (dbfHead.headerSize, dbfHead.recordSize)
+    val confB = spark.sparkContext.broadcast(new graft.util.SerializableHadoopConf(hadoopConf))
+    val ranges = splitRanges(index, parts)
     val rdd = spark.sparkContext
-      .parallelize(splitRanges(n, parts), math.max(1, parts))
+      .parallelize(ranges, math.max(1, ranges.length))
       .mapPartitions { ranges =>
+        val conf = confB.value.value
         ranges.flatMap { case (a, b) =>
           if (a >= b) Iterator.empty
           else {
             // one contiguous read per file per task — records [a, b)
             val shpFrom = index(a)._1
             val shpTo = index(b - 1)._1 + 8 + index(b - 1)._2
-            val shpBuf = openBytes(shpPath, shpFrom, (shpTo - shpFrom).toInt)
-            val dbfBuf = openBytes(dbfPath, hSize.toLong + a.toLong * rSize, (b - a) * rSize)
+            val span = shpTo - shpFrom
+            require(span <= Int.MaxValue, s"shp span $span exceeds a single read; more partitions needed")
+            val shpBuf = openBytes(shpPath, shpFrom, span.toInt, conf)
+            val dbfBuf = openBytes(dbfPath, hSize.toLong + a.toLong * rSize, (b - a) * rSize, conf)
             rowsFor(a until b,
               (off, len) => java.util.Arrays.copyOfRange(
                 shpBuf, (off - shpFrom).toInt, (off - shpFrom).toInt + len),
@@ -223,6 +236,24 @@ object Shapefile {
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Split `[0, n)` into ~`parts` record ranges, additionally breaking any
+    * range whose .shp byte span would exceed [[MaxSpanBytes]].
+    */
+  private def splitRanges(index: Array[(Long, Int)], parts: Int): Seq[(Int, Int)] = {
+    val n = index.length
+    val per = math.max(1, (n + parts - 1) / parts)
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      def spanOf(end: Int): Long = index(end - 1)._1 + 8 + index(end - 1)._2 - index(a)._1
+      while (b < math.min(n, a + per) && spanOf(b + 1) <= MaxSpanBytes) b += 1
+      out += ((a, b))
+      a = b
+    }
+    out.toSeq
   }
 
   private def splitRanges(n: Int, parts: Int): Seq[(Int, Int)] = {
@@ -238,7 +269,11 @@ object Shapefile {
         var found: Array[Byte] = null
         while (es.hasMoreElements && found == null) {
           val e = es.nextElement()
-          if (e.getName.toLowerCase.endsWith(suffix)) found = zf.getInputStream(e).readAllBytes()
+          val name = e.getName
+          val base = name.substring(name.lastIndexOf('/') + 1)
+          // skip resource-fork noise (__MACOSX/._routes.shp also ends in .shp)
+          val junk = e.isDirectory || base.startsWith(".") || name.contains("__MACOSX")
+          if (!junk && name.toLowerCase.endsWith(suffix)) found = zf.getInputStream(e).readAllBytes()
         }
         require(found != null, s"no $suffix entry in $zipPath")
         found

@@ -119,6 +119,16 @@ class LocationMergeTourSpec extends SparkSpec {
     assert(byIdAgg(7L).getAs[java.sql.Timestamp]("finished_at") == ts(t4))
     assert(byIdAgg(2L).getAs[java.sql.Timestamp]("finished_at") == ts(t4))
     assert(byIdAgg(7L).getAs[String]("geom") == "g7")
+
+    // user_id is a reference agg-dict default too (staypoints.py:349): an
+    // override must aggregate cleanly instead of colliding with the
+    // grouping key (grouping happens on a hidden copy)
+    val mergedUid = StaypointMerger.mergeStaypoints(sp, noTpls,
+      aggExtra = Map("geom" -> "first", "user_id" -> "last"))
+    val byIdUid = mergedUid.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byIdUid.keySet == Set(1L, 5L, 2L, 7L, 3L))
+    assert(byIdUid(2L).getAs[Long]("user_id") == 0L)
+    assert(byIdUid(7L).getAs[Long]("user_id") == 1L)
   }
 
   test("tours close when a later trip returns to a candidate's origin (distance mode)") {

@@ -173,13 +173,20 @@ class MetricsSpec extends SparkSpec {
     val dm = SpatialOps.distanceMatrixPoints(x, Some(y), symmetric = false).collect()
     assert(dm.length == 6) // dense |X|×|Y|, no triangle, no self-pair exclusion
     assert(dm.forall(_.getAs[Double]("distance_m") > 0))
-    // projected CRS on X → plain euclidean in CRS units
+    // projected CRS on both frames → plain euclidean in CRS units
     val xp = graft.functions.GeoFunctions.withCrs(
       Seq((0L, 0.0, 0.0)).toDF("id", "lon", "lat"), "EPSG:2056")
-    val yp = Seq((1L, 3.0, 4.0)).toDF("id", "lon", "lat")
+    val yp = graft.functions.GeoFunctions.withCrs(
+      Seq((1L, 3.0, 4.0)).toDF("id", "lon", "lat"), "EPSG:2056")
     val d = SpatialOps.distanceMatrixPoints(xp, Some(yp), symmetric = false)
       .collect()(0).getAs[Double]("distance_m")
     assert(d == 5.0)
+    // mismatched CRSs must fail loudly (reference asserts X.crs == Y.crs,
+    // distances.py:118) instead of mixing meters with degrees
+    val ymismatch = Seq((1L, 3.0, 4.0)).toDF("id", "lon", "lat")
+    intercept[IllegalArgumentException] {
+      SpatialOps.distanceMatrixPoints(xp, Some(ymismatch), symmetric = false)
+    }
   }
 
   test("DTW and Frechet kernels on simple trajectories") {

@@ -32,25 +32,29 @@ object Dedup {
       .groupBy(col("_h").as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Word shingles (n-grams joined by space), distinct per doc. */
+  /** Word shingles (n-grams joined by space), distinct per doc — a
+    * native codegen expression ([[graft.plans.WordShingles]]); the
+    * composed `array_distinct(transform(sequence(...), ...))` form is a
+    * CodegenFallback higher-order chain interpreted per row.
+    */
   def shingles(textCol: Column, n: Int): Column = {
-    val words = split(textCol, " ")
-    array_distinct(when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", words))))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.WordShingles(ColumnShim.expression(textCol), n))
   }
 
   /** MinHash signatures + LSH banding.
     *
-    * Pipeline: shingle → portable 60-bit shingle hash (one md5, see
-    * [[graft.functions.PortableHash]]) → signature slot i = min over
-    * shingles of affine hash h_i → band r slots → candidate pairs join
-    * on (band index, folded band hash). Everything is codegen'd
-    * expressions until the final pair join; the join key (band, hash) is
-    * small and hash-distributable. Exact Jaccard over shingle sets
-    * verifies candidates. The whole computation is engine-portable, so
-    * external SQL engines can reproduce it bit-for-bit.
+    * Pipeline: shingle → band hashes, both single codegen'd scan-stage
+    * expressions ([[graft.plans.WordShingles]],
+    * [[graft.plans.MinHashBands]]: per shingle one md5 h60, per hash
+    * function an affine min-fold, per band a 31-fold of its r-slice) →
+    * candidate pairs join on (band index, band hash). The signature
+    * never leaves the scan stage — no shingle explode, no 64-column
+    * aggregate shuffle. The join key (band, hash) is small and
+    * hash-distributable. Exact Jaccard over shingle sets verifies
+    * candidates. The whole computation is engine-portable
+    * ([[graft.functions.PortableHash]] family), so external SQL engines
+    * can reproduce it bit-for-bit.
     *
     * @return pair table (id_a, id_b, jaccard) with id_a < id_b
     */
@@ -58,32 +62,17 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  verifyThreshold: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    import org.apache.spark.sql.graftshim.ColumnShim
 
     val withShingles = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
 
-    // Explode shingles and compute each signature slot as a codegen'd
-    // `min` aggregate: higher-order array loops (transform/aggregate) are
-    // CodegenFallback expressions, but explode + groupBy aggregation runs
-    // in whole-stage codegen with map-side partial aggregation — the
-    // shuffle carries one pre-aggregated row per (doc, partition). Each
-    // shingle string is md5-hashed once; the per-function hashes are
-    // affine maps of that base.
-    val exploded = withShingles.select(col("_id"), explode(col("_sh")).as("_s"))
-      .withColumn("_base", pmod(PortableHash.h60(col("_s")), lit(PortableHash.M)))
-    val minAggs = (0 until numHashes).map(i => min(PortableHash.affineHash(col("_base"), i)).as(s"_m$i"))
-    val sig = exploded.groupBy("_id").agg(minAggs.head, minAggs.tail: _*)
-
-    // band hashes: fold of each r-slice of the signature; bands carry
-    // only (id, band, hash) — the shingle arrays stay out of the
-    // bands-way row duplication and are joined back once per surviving
-    // pair
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("b"),
-        PortableHash.foldHashes((b * rows until (b + 1) * rows).map(j => col(s"_m$j"))).as("h"))
-    }
-    val banded = sig.withColumn("_band", explode(array(bandStructs: _*)))
-      .select(col("_id"), col("_band.b").as("_b"), col("_band.h").as("_h"))
+    // bands carry only (id, band, hash) — the shingle arrays stay out of
+    // the bands-way row duplication and are joined back once per
+    // surviving pair
+    val bandHashes = ColumnShim.column(
+      graft.plans.MinHashBands(ColumnShim.expression(col("_sh")), numHashes, bands))
+    val banded = withShingles.select(col("_id"), posexplode(bandHashes))
+      .select(col("_id"), col("pos").as("_b"), col("col").as("_h"))
 
     // candidate pairs: same band, same band-hash
     val left = banded.select(col("_b"), col("_h"), col("_id").as("id_a"))
@@ -110,22 +99,16 @@ object Dedup {
   private val chunkBits = simHashBits / simHashChunks
 
   /** 60-bit SimHash fingerprint per document: sum ±1 per bit over
-    * portable token hashes, weighted by token count.
+    * portable token hashes, weighted by token count — one codegen'd
+    * scan-stage expression ([[graft.plans.SimHashFingerprint]]); the
+    * explode → 60 conditional-sum aggregates shape paid a wide
+    * hash-aggregate shuffle for what is a per-row computation.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // explode tokens and compute the 60 per-bit votes as codegen'd sums
-    // (see minHashLsh for why explode+groupBy beats higher-order array
-    // loops); each token is hashed once per row in the projection
-    val tok = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_t"))
-      .withColumn("_h", graft.functions.PortableHash.h60(col("_t")))
-    val voteAggs = (0 until simHashBits).map { b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"_v$b")
-    }
-    tok.groupBy("doc_id")
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until simHashBits).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    docs.select(col(idCol).as("doc_id"),
+      ColumnShim.column(graft.plans.SimHashFingerprint(
+        ColumnShim.expression(split(col(textCol), " ")))).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: bucket on 16-bit chunks, verify Hamming
@@ -185,20 +168,24 @@ object Dedup {
       .agg(first(col("_np")).as("_np"), first(col("_nc")).as("_nc"), count(lit(1)).as("_ni"))
       .withColumn("jaccard",
         col("_ni").cast("double") / (col("_np") + col("_nc") - col("_ni")).cast("double"))
-    val w = Window.partitionBy("probe_id").orderBy(col("jaccard").desc, col("match_id"))
-    val best = top.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("probe_id"), col("match_id"), col("jaccard"))
-    // Zero-Jaccard fallback: probes absent from the join get the smallest
-    // corpus id that is not the probe itself (take the two smallest ids so
-    // the probe can be excluded without a re-scan).
-    val minTwo = c.select(col("match_id")).orderBy(col("match_id")).limit(2)
-    val fallback = p.select(col("probe_id"))
-      .join(best.select(col("probe_id")), Seq("probe_id"), "left_anti")
+    // Zero-Jaccard fallback: every probe also carries a candidate row at
+    // jaccard 0.0 for the smallest corpus id that is not the probe itself
+    // (the two smallest ids suffice to exclude the probe without a
+    // re-scan). Joined pairs always have jaccard > 0, so the window picks
+    // the real best whenever one exists and the fallback otherwise —
+    // unioning BEFORE the window keeps the expensive join lineage single
+    // (an anti-join against the ranked result would recompute it).
+    val minTwo = corpus.select(col(idCol).as("match_id")).orderBy(col("match_id")).limit(2)
+    val fallback = probes.select(col(idCol).as("probe_id"))
       .crossJoin(broadcast(minTwo))
       .filter(col("probe_id") =!= col("match_id"))
       .groupBy(col("probe_id")).agg(min(col("match_id")).as("match_id"))
       .withColumn("jaccard", lit(0.0))
-    best.unionByName(fallback.select(col("probe_id"), col("match_id"), col("jaccard")))
+    val w = Window.partitionBy("probe_id").orderBy(col("jaccard").desc, col("match_id"))
+    top.select(col("probe_id"), col("match_id"), col("jaccard"))
+      .unionByName(fallback)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("probe_id"), col("match_id"), col("jaccard"))
   }
 
   /** Duplicate clusters: connected components over an undirected

@@ -101,7 +101,35 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException("hyperplane_sig: planes must be a literal")
         }
         HyperplaneSignature(children(0), planes)
+      }),
+    (
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles(text, n)")
+        WordShingles(children(0), literalInt(children(1), "word_shingles: n"))
+      }),
+    (
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "minhash_bands(shingles, numHashes, bands)")
+        MinHashBands(children(0),
+          literalInt(children(1), "minhash_bands: numHashes"),
+          literalInt(children(2), "minhash_bands: bands"))
+      }),
+    (
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_fp(tokens)")
+        SimHashFingerprint(children(0))
       }))
+
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case l if l.foldable => l.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: SparkSession): Unit =

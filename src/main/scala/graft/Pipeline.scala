@@ -3,24 +3,43 @@ package graft
 import graft.operators._
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
+
 
 import scala.collection.mutable
 
 /** The canonical mobility pipeline over the driver's derived positionfix
   * view, with per-(session, sfDir) memoization so downstream queries
   * (triplegs needs staypoints, trips needs both, …) don't recompute their
-  * inputs on every action. Intermediate tables are persisted MEMORY_AND_
-  * DISK — at cluster scale these would instead be written back to
-  * user-bucketed parquet between stages.
+  * inputs on every action.
+  *
+  * Every generator call passes `persist` as its `share` hook: each
+  * generator marks the intermediates that appear in more than one output
+  * lineage (or get re-read by the dense-id range sort's sampling pass), so
+  * the expensive scan/window chains materialize exactly once no matter
+  * which output is acted on first. Without the hook, materializing a
+  * generator's two outputs runs its scan chain two to four times — Spark's
+  * cache manager can only dedupe plan fragments that are persisted.
+  *
+  * The share implementation is a lazy `localCheckpoint`: plain row-block
+  * storage (memory, spilling to local disk) with no columnar re-encode,
+  * which measures ~2× cheaper to build and read than `persist(MEMORY_AND_
+  * DISK)` for these window-heavy, nested-column intermediates — the
+  * columnar cache's encode cost exceeds the recompute it saves at every
+  * scale where the blocks fit. The tradeoff is lineage truncation: a lost
+  * block cannot be recomputed, so a multi-executor deployment losing nodes
+  * would instead write stage boundaries back to user-bucketed parquet
+  * (same hook, different function) — which is also the 100 TB shape where
+  * no single cluster's block store holds the intermediates.
   */
 object Pipeline {
 
   private val cache = mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
+  private def persist(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
   private def memo(spark: SparkSession, sfDir: String, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
-      cache.getOrElseUpdate((spark, sfDir, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+      cache.getOrElseUpdate((spark, sfDir, key), build)
     }
 
   // All cache reads happen under the lock: mutable.Map is not safe for a
@@ -39,14 +58,15 @@ object Pipeline {
       gapThresholdMinutes = 1e7, includeLast = true)
 
   /** One generate() call feeds both memo slots — the staypoint scan is
-    * the most expensive stage and must not run twice.
+    * the most expensive stage; the share hook persists it so neither
+    * output (nor the id sort's sampling pass) recomputes it.
     */
   private def spGen(spark: SparkSession, sfDir: String): Unit = cache.synchronized {
     if (!cache.contains((spark, sfDir, "pfs_sp"))) {
       val pfs = EventsAdapter.positionfixes(spark, sfDir).drop("value", "t_us", "k")
-      val (pfsSp, sp) = StaypointGenerator.generate(pfs, staypointParams)
-      cache((spark, sfDir, "sp")) = sp.persist(StorageLevel.MEMORY_AND_DISK)
-      cache((spark, sfDir, "pfs_sp")) = pfsSp.persist(StorageLevel.MEMORY_AND_DISK)
+      val (pfsSp, sp) = StaypointGenerator.generate(pfs, staypointParams, persist)
+      cache((spark, sfDir, "sp")) = sp
+      cache((spark, sfDir, "pfs_sp")) = persist(pfsSp)
     }
   }
 
@@ -63,9 +83,9 @@ object Pipeline {
     val pfsSp = pfsWithStaypoints(spark, sfDir) // materialize outside the lock
     cache.synchronized {
       if (!cache.contains((spark, sfDir, "tpls"))) {
-        val (pfsTpl, tpls) = TriplegGenerator.generate(pfsSp, gapThresholdMinutes = 1e7)
-        cache((spark, sfDir, "tpls")) = tpls.persist(StorageLevel.MEMORY_AND_DISK)
-        cache((spark, sfDir, "pfs_tpl")) = pfsTpl.persist(StorageLevel.MEMORY_AND_DISK)
+        val (pfsTpl, tpls) = TriplegGenerator.generate(pfsSp, gapThresholdMinutes = 1e7, persist)
+        cache((spark, sfDir, "tpls")) = tpls
+        cache((spark, sfDir, "pfs_tpl")) = persist(pfsTpl)
       }
     }
   }
@@ -81,19 +101,20 @@ object Pipeline {
   /** overlap_staypoints triplegs, built from the cached between output. */
   def triplegsOverlap(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tpls_ovl") {
-      TriplegGenerator.overlapFromBetween(
-        pfsWithTriplegs(spark, sfDir), staypoints(spark, sfDir), gapThresholdMinutes = 1e7)._2
+      persist(TriplegGenerator.overlapFromBetween(
+        pfsWithTriplegs(spark, sfDir), staypoints(spark, sfDir),
+        gapThresholdMinutes = 1e7, persist)._2)
     }
 
   def staypointsWithActivity(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "sp_act") {
-      Labelling.createActivityFlag(staypoints(spark, sfDir), timeThresholdMinutes = 120.0)
+      persist(Labelling.createActivityFlag(staypoints(spark, sfDir), timeThresholdMinutes = 120.0))
     }
 
   def trips(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "trips") {
-      TripGenerator.generate(staypointsWithActivity(spark, sfDir), triplegs(spark, sfDir),
-        gapThresholdMinutes = 1e7)._3
+      persist(TripGenerator.generate(staypointsWithActivity(spark, sfDir), triplegs(spark, sfDir),
+        gapThresholdMinutes = 1e7, persist)._3)
     }
 
   /** One generate() call feeds both memo slots (same pattern as spGen —
@@ -103,9 +124,9 @@ object Pipeline {
     val sp = staypoints(spark, sfDir) // materialize outside the lock
     cache.synchronized {
       if (!cache.contains((spark, sfDir, "locs"))) {
-        val (spLoc, locs) = LocationGenerator.generate(sp)
-        cache((spark, sfDir, "locs")) = locs.persist(StorageLevel.MEMORY_AND_DISK)
-        cache((spark, sfDir, "sp_loc")) = spLoc.persist(StorageLevel.MEMORY_AND_DISK)
+        val (spLoc, locs) = LocationGenerator.generate(sp, LocationGenerator.Params(), persist)
+        cache((spark, sfDir, "locs")) = persist(locs)
+        cache((spark, sfDir, "sp_loc")) = persist(spLoc)
       }
     }
   }
@@ -124,13 +145,13 @@ object Pipeline {
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "minhash_pairs") {
-      Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
-        numHashes = 64, bands = 16, verifyThreshold = 0.5)
+      persist(Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
+        numHashes = 64, bands = 16, verifyThreshold = 0.5))
     }
 
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {
       TourGenerator.generate(trips(spark, sfDir), None,
-        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0))._2
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0), persist)._2
     }
 }

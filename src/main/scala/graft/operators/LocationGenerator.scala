@@ -46,7 +46,8 @@ object LocationGenerator {
   /** @return (sp with nullable `location_id`, locations table
     *         (id, user_id, center_lon, center_lat, extent_hull))
     */
-  def generate(sp: DataFrame, params: Params = Params()): (DataFrame, DataFrame) = {
+  def generate(sp: DataFrame, params: Params = Params(),
+               share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     Tables.staypoints.validate(sp)
     require(params.aggLevel == "user" || params.aggLevel == "dataset",
       s"agg_level unknown: ${params.aggLevel}")
@@ -55,7 +56,10 @@ object LocationGenerator {
       col("id").cast(LongType).as("sp_id"), col("user_id").cast(LongType),
       col("lon").cast(DoubleType), col("lat").cast(DoubleType))
 
-    val clustered: DataFrame =
+    // clustered feeds the key distinct, the label join, and (via withLoc)
+    // the centroid, hull, pair, and staypoint outputs — share it so the
+    // clustering scan runs once.
+    val clustered: DataFrame = share(
       if (params.aggLevel == "user")
         input
           .repartition(col("user_id"))
@@ -64,7 +68,7 @@ object LocationGenerator {
             RowEncoder.encoderFor(labelledSchema))
           .toDF()
       else
-        datasetDbscan(input, params.epsilonMeters, params.numSamples)
+        datasetDbscan(input, params.epsilonMeters, params.numSamples))
 
     // Globally-unique dense location ids per cluster key, ordered like the
     // reference's per-user offset pass (staypoints.py:124-137).
@@ -72,7 +76,7 @@ object LocationGenerator {
     val clusterKeys = clustered.filter(col("cluster") =!= -1L)
       .select(keyNames.map(col): _*).distinct()
     val keyed = Ids.withSequentialId(clusterKeys, "location_id", keyNames.map(col): _*)
-    val withLoc = clustered.join(keyed, keyNames, "left")
+    val withLoc = share(clustered.join(keyed, keyNames, "left"))
 
     // Dissolve each location: wrap-aware centroid over *unique* member
     // points (the reference's point-union dedup, staypoints.py:163-177)
@@ -82,8 +86,8 @@ object LocationGenerator {
     // over the (tiny) union of partial hull vertices. A location with
     // millions of staypoints never materializes them in one group:
     // hull(hull(A) ∪ hull(B)) == hull(A ∪ B).
-    val uniquePts = withLoc.filter(col("location_id").isNotNull)
-      .select(col("location_id"), col("lon"), col("lat")).distinct()
+    val uniquePts = share(withLoc.filter(col("location_id").isNotNull)
+      .select(col("location_id"), col("lon"), col("lat")).distinct())
 
     val centers = uniquePts.groupBy(col("location_id"))
       .agg(

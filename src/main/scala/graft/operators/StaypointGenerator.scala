@@ -43,15 +43,23 @@ object StaypointGenerator {
     StructField("pfs_ids", ArrayType(LongType, containsNull = false), nullable = false)))
 
   /** @param pfs positionfixes with at least (id, user_id, tracked_at, lon, lat[, elevation])
+    * @param share applied to every intermediate that appears in BOTH output
+    *        lineages (the deduped input, the raw scan output, the staypoint
+    *        table before its membership explode). Pass a persist (or a
+    *        checkpoint-to-parquet at cluster scale) so materializing the two
+    *        outputs runs the expensive scan chain exactly once — the default
+    *        identity recomputes it per output, and `Ids.withSequentialId`'s
+    *        range sort adds one more pass for partition-boundary sampling.
     * @return (pfs with nullable `staypoint_id` column, staypoints table)
     */
-  def generate(pfs: DataFrame, params: Params = Params()): (DataFrame, DataFrame) = {
+  def generate(pfs: DataFrame, params: Params = Params(),
+               share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     Tables.positionfixes.validate(pfs)
     val spark = pfs.sparkSession
     val hasElev = pfs.columns.contains("elevation")
 
     // Duplicate exclusion before detection (positionfixes.py:105-114).
-    val deduped = if (params.excludeDuplicatePfs) pfs.dropDuplicates() else pfs
+    val deduped = share(if (params.excludeDuplicatePfs) pfs.dropDuplicates() else pfs)
 
     val input = deduped.select(
       col("id").cast(LongType),
@@ -76,14 +84,14 @@ object StaypointGenerator {
     // for planar frames (positionfixes.py:508-522 passes `planar` only
     // into __create_new_staypoints), reproduced faithfully here.
     val planar = GeoFunctions.isPlanar(pfs)
-    val rawSp = sorted.mapPartitions { rows =>
+    val rawSp = share(sorted.mapPartitions { rows =>
       new StaypointScanIterator(rows, gapUs, timeUs, distM, includeLast, planar)
-    }(RowEncoder.encoderFor(spSchema))
+    }(RowEncoder.encoderFor(spSchema)).toDF())
 
     // Dense int64 ids in (user, time) order — reference positional index
     // semantics (positionfixes.py:163-164) without a global single
     // -partition window.
-    val spWithId = Ids.withSequentialId(rawSp.toDF(), "id", col("user_id"), col("started_us"), col("finished_us"))
+    val spWithId = Ids.withSequentialId(rawSp, "id", col("user_id"), col("started_us"), col("finished_us"))
 
     val spCols = Seq(
       col("id"), col("user_id"),
@@ -91,7 +99,7 @@ object StaypointGenerator {
       timestamp_micros(col("finished_us")).as("finished_at"),
       col("lon"), col("lat")) ++ (if (hasElev) Seq(col("elevation")) else Nil)
 
-    val sp = spWithId.select(spCols :+ col("pfs_ids"): _*)
+    val sp = share(spWithId.select(spCols :+ col("pfs_ids"): _*))
 
     // Link pfs → staypoint via the exploded membership list
     // (_explode_agg, preprocessing/util.py:87-114): equi-join on the pf id.

@@ -49,7 +49,8 @@ object TourGenerator {
     * @return (trips + `tour_id` array column, tours table)
     */
   def generate(trips: DataFrame, staypoints: Option[DataFrame] = None,
-               params: Params = Params()): (DataFrame, DataFrame) = {
+               params: Params = Params(),
+               share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val maxTimeUs = (params.maxTimeDays * 86400e6).toLong
     val useLocations = staypoints.isDefined
     val planar = GeoFunctions.isPlanar(trips, "geom")
@@ -79,24 +80,26 @@ object TourGenerator {
         col("geom.destination.lon").as("_d_lon"), col("geom.destination.lat").as("_d_lat"))
     }
 
-    val rawTours = prepared
+    // shared: the id sort's range sampling and the trip-mapping explode
+    // both re-read the scan output
+    val rawTours = share(prepared
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("_s_us"), col("id"))
       .mapPartitions(rows =>
         new TourScanIterator(rows, useLocations, params.maxDistMeters, maxTimeUs,
           params.maxNrGaps, planar))(
         RowEncoder.encoderFor(tourSchema))
-      .toDF()
+      .toDF())
 
     // Dense tour ids: the reference numbers tours in per-user concat order
     // = (user, emission order); the scan emits a per-user sequence number
     // to reproduce it exactly.
-    val tours = Ids.withSequentialId(rawTours, "id", col("user_id"), col("seq"))
+    val tours = share(Ids.withSequentialId(rawTours, "id", col("user_id"), col("seq"))
       .select(col("id"), col("user_id"),
         timestamp_micros(col("started_us")).as("started_at"),
         timestamp_micros(col("finished_us")).as("finished_at"),
         col("origin_staypoint_id"), col("destination_staypoint_id"),
-        col("trips"), col("location_id"))
+        col("trips"), col("location_id")))
 
     // trip → [tour ids] (N:N, preprocessing/trips.py:178-183)
     val mapping = tours.select(col("id").as("_tour_id"), explode(col("trips")).as("_trip_id"))

@@ -35,7 +35,8 @@ object TripGenerator {
     * @param tpls triplegs
     * @return (sp + [trip_id, prev_trip_id, next_trip_id], tpls + [trip_id], trips)
     */
-  def generate(sp: DataFrame, tpls: DataFrame, gapThresholdMinutes: Double = 15.0)
+  def generate(sp: DataFrame, tpls: DataFrame, gapThresholdMinutes: Double = 15.0,
+               share: DataFrame => DataFrame = identity)
       : (DataFrame, DataFrame, DataFrame) = {
     Tables.staypoints.validate(sp)
     Tables.triplegs.validate(tpls)
@@ -65,7 +66,10 @@ object TripGenerator {
     val nextIsActivity = lead(col("is_activity"), 1, false).over(w)
     val prevFin = lag(unix_micros(col("finished_at")), 1).over(w)
 
-    val flagged = spTpls
+    // flagged is read four ways (trip members, activity rows, gap rows,
+    // user-change rows) — share it so the interleave + window chain runs
+    // once across the union instead of once per branch.
+    val flagged = share(spTpls
       .withColumn("_new_user", lag(col("sp_tpls_id"), 1).over(w).isNull)
       .withColumn("_last_activity", col("is_activity") && !nextIsActivity)
       // gap on this row: next record starts > threshold after this one finishes
@@ -74,7 +78,7 @@ object TripGenerator {
       .withColumn("_gap_before",
         coalesce(unix_micros(col("started_at")) - prevFin > gapUs, lit(false)))
       .withColumn("_new_trip", col("_new_user") || col("_last_activity") || col("_gap_before"))
-      .withColumn("_temp_trip", sum(col("_new_trip").cast(LongType)).over(w))
+      .withColumn("_temp_trip", sum(col("_new_trip").cast(LongType)).over(w)))
 
     // --- trip assembly over non-activity members
     val members = flagged.filter(!col("is_activity"))
@@ -90,7 +94,7 @@ object TripGenerator {
       .filter(size(col("_tpl_ids")) > 0) // trips need >= 1 tripleg
       .drop("_members")
 
-    val tripsNumbered = Ids.withSequentialId(grouped, "trip_id", col("user_id"), col("_temp_trip"))
+    val tripsNumbered = Ids.withSequentialId(share(grouped), "trip_id", col("user_id"), col("_temp_trip"))
 
     // --- union with activity staypoints + synthetic gap / user-change rows
     // (the reference's buffer rows that stop origin/destination ids from
@@ -126,13 +130,13 @@ object TripGenerator {
       .when(col("type") === "gap", 2).otherwise(3)
     val w2 = Window.partitionBy("user_id").orderBy(col("started_at"), ord2, col("sp_tpls_id"))
 
-    val shifted = withAct
+    val shifted = share(withAct
       .withColumn("origin_staypoint_id", lag(col("sp_tpls_id"), 1).over(w2))
       .withColumn("destination_staypoint_id", lead(col("sp_tpls_id"), 1).over(w2))
       .withColumn("_origin_pt", lag(col("pt"), 1).over(w2))
       .withColumn("_dest_pt", lead(col("pt"), 1).over(w2))
       .withColumn("prev_trip_id", lag(col("trip_id"), 1).over(w2))
-      .withColumn("next_trip_id", lead(col("trip_id"), 1).over(w2))
+      .withColumn("next_trip_id", lead(col("trip_id"), 1).over(w2)))
 
     // --- trip geometry, with tripleg-endpoint fallback
     val tplEnds = tpls.select(
@@ -141,7 +145,8 @@ object TripGenerator {
       element_at(col("points"), -1).as("_last_pt"))
 
     val tripsShifted = shifted.filter(col("type") === "trip")
-    val trips = tripsShifted
+    // trips feeds the output and both membership explodes
+    val trips = share(tripsShifted
       .join(tplEnds.as("fe"), element_at(col("_tpl_ids"), 1) === col("fe._e_id"), "left")
       .join(tplEnds.as("le"), element_at(col("_tpl_ids"), -1) === col("le._e_id"), "left")
       .select(
@@ -151,7 +156,7 @@ object TripGenerator {
           when(col("origin_staypoint_id").isNull, col("fe._first_pt")).otherwise(col("_origin_pt")).as("origin"),
           when(col("destination_staypoint_id").isNull, col("le._last_pt")).otherwise(col("_dest_pt")).as("destination")
         ).as("geom"),
-        col("_sp_ids"), col("_tpl_ids"))
+        col("_sp_ids"), col("_tpl_ids")))
 
     // --- propagate ids back to the inputs
     val spMembership = trips.select(col("id").as("_trip_id"), explode(col("_sp_ids")).as("_m_id"))

@@ -32,9 +32,15 @@ import org.apache.spark.sql.types._
 object TriplegGenerator {
 
   /** @param pfs positionfixes carrying a nullable `staypoint_id` column
+    * @param share applied to the intermediates both outputs read (the
+    *        flagged fix stream, the grouped candidates, the id-assigned
+    *        tripleg table) — pass a persist so the window chain runs once
+    *        across both outputs instead of once per output plus once for
+    *        the id sort's range sampling.
     * @return (pfs with nullable `tripleg_id`, triplegs table)
     */
-  def generate(pfs: DataFrame, gapThresholdMinutes: Double = 15.0): (DataFrame, DataFrame) = {
+  def generate(pfs: DataFrame, gapThresholdMinutes: Double = 15.0,
+               share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     Tables.positionfixes.validate(pfs)
     require(pfs.columns.contains("staypoint_id"), "positionfixes need a staypoint_id column; run generateStaypoints first")
 
@@ -46,7 +52,7 @@ object TriplegGenerator {
     // (the reference's +1 trick, positionfixes.py:319-321).
     val stpKey = coalesce(col("staypoint_id") + 1, lit(0L))
 
-    val flagged = pfs
+    val flagged = share(pfs
       .withColumn("_t_us", tUs)
       .withColumn("_prev_t", lag("_t_us", 1).over(w))
       .withColumn("_prev_stp", lag(stpKey, 1).over(w))
@@ -55,7 +61,7 @@ object TriplegGenerator {
       .withColumn("_cond_stp", !(stpKey <=> col("_prev_stp")))
       .withColumn("_starts",
         (col("_cond_new_user") || col("_cond_gap") || col("_cond_stp")) && col("staypoint_id").isNull)
-      .withColumn("_seg", sum(col("_starts").cast(LongType)).over(w))
+      .withColumn("_seg", sum(col("_starts").cast(LongType)).over(w)))
 
     // Candidate tripleg fixes; (user_id, _seg) is the tripleg key.
     val tplPfs = flagged.filter(col("staypoint_id").isNull && col("_seg") >= 1)
@@ -66,7 +72,7 @@ object TriplegGenerator {
       .withColumn("_n", count(lit(1)).over(segSize))
       .filter(col("_n") >= 2)
 
-    val grouped = valid
+    val grouped = share(valid
       .groupBy(col("user_id"), col("_seg"))
       .agg(
         min(col("tracked_at")).as("started_at"),
@@ -74,9 +80,9 @@ object TriplegGenerator {
         transform(
           array_sort(collect_list(struct(col("_t_us"), col("id"), col("lon"), col("lat")))),
           p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))
-        ).as("points"))
+        ).as("points")))
 
-    val tpls = Ids.withSequentialId(grouped, "id", col("user_id"), col("started_at"))
+    val tpls = share(Ids.withSequentialId(grouped, "id", col("user_id"), col("started_at")))
 
     // Join tripleg ids back to the member fixes via the (user, seg) key.
     val mapping = tpls.select(col("user_id").as("_m_user"), col("_seg").as("_m_seg"), col("id").as("tripleg_id"))
@@ -112,9 +118,10 @@ object TriplegGenerator {
     * only shape that scales.
     */
   def generateOverlap(pfs: DataFrame, sp: DataFrame,
-                      gapThresholdMinutes: Double = 15.0): (DataFrame, DataFrame) = {
-    val (pfsBetween, _) = generate(pfs, gapThresholdMinutes)
-    overlapFromBetween(pfsBetween, sp, gapThresholdMinutes)
+                      gapThresholdMinutes: Double = 15.0,
+                      share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    val (pfsBetween, _) = generate(pfs, gapThresholdMinutes, share)
+    overlapFromBetween(pfsBetween, sp, gapThresholdMinutes, share)
   }
 
   /** Overlap step over an already-computed between_staypoints result
@@ -123,7 +130,8 @@ object TriplegGenerator {
     * recompute the segmentation.
     */
   def overlapFromBetween(pfsBetween: DataFrame, sp: DataFrame,
-                         gapThresholdMinutes: Double = 15.0): (DataFrame, DataFrame) = {
+                         gapThresholdMinutes: Double = 15.0,
+                         share: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     require(pfsBetween.columns.contains("staypoint_id") && pfsBetween.columns.contains("tripleg_id"),
       "overlap_staypoints needs the between_staypoints output (staypoint_id + tripleg_id columns)")
     val gapUs = (gapThresholdMinutes * 60e6).toLong
@@ -155,10 +163,12 @@ object TriplegGenerator {
     // geometry (positionfixes.py:466-470). sp is tiny next to pfs at any
     // scale — AQE broadcasts this join.
     val spGeom = sp.select(col("id").as("_sp_id"), col("lon").as("_sp_lon"), col("lat").as("_sp_lat"))
-    val withGeom = annotated
+    // withGeom feeds the time agg, the geometry agg, and the pfs output —
+    // share it so the window chain + join run once across all three.
+    val withGeom = share(annotated
       .join(spGeom, col("staypoint_id") === col("_sp_id"), "left")
       .withColumn("_glon", when(col("staypoint_id").isNotNull, col("_sp_lon")).otherwise(col("lon")))
-      .withColumn("_glat", when(col("staypoint_id").isNotNull, col("_sp_lat")).otherwise(col("lat")))
+      .withColumn("_glat", when(col("staypoint_id").isNotNull, col("_sp_lat")).otherwise(col("lat"))))
 
     val timeAgg = withGeom.filter(col("_tid_time").isNotNull)
       .groupBy(col("_tid_time").as("_tid"))

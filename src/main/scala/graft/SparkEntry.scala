@@ -1255,6 +1255,24 @@ object SparkEntry {
       val media = Multimodal.asMediaTable(s.read.parquet(s"$dir/documents.parquet"))
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("n_bytes"), col("byte_checksum"))
+    },
+
+    // ----- training-data pipeline: corpus curation ---------------------
+    "contamination" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      CorpusOps.contamination(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50), n = 5)
+    },
+    "split_assign" -> { (s, dir) =>
+      CorpusOps.hashSplit(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("split"))
+    },
+    "sample_stratified" -> { (s, dir) =>
+      CorpusOps.stratifiedSample(s.read.parquet(s"$dir/documents.parquet"), "lang",
+        Map("en" -> 2500), defaultBp = 7500)
+        .select(col("doc_id"), col("lang"))
+    },
+    "pack_sequences" -> { (s, dir) =>
+      CorpusOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 512)
     }
   )
 
@@ -1732,6 +1750,50 @@ object SparkEntry {
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text,''), c -> CAST(ord(c) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % ${graft.operators.Multimodal.checksumMod}) AS byte_checksum
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // ----- corpus curation (portable-hash determinism: the SQL runs the
+    // same md5-prefix arithmetic as CorpusOps, so assignments match
+    // bit-for-bit) -----------------------------------------------------
+    "contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+         |    THEN list_transform(range(0, len(string_split(text,' ')) - 4),
+         |         i -> array_to_string(string_split(text,' ')[i+1:i+5], ' '))
+         |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams, ${h60Sql("g")} AS h
+         |  FROM (SELECT doc_id, s, unnest(s) AS g FROM sh WHERE doc_id < 50)),
+         |tr AS (
+         |  SELECT DISTINCT ${h60Sql("g")} AS h
+         |  FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id >= 50))
+         |SELECT th.doc_id, first(th.n_grams) AS n_grams, count(tr.h) AS n_contaminated,
+         |  round(CAST(count(tr.h) AS DOUBLE) / CAST(first(th.n_grams) AS DOUBLE), 6) AS contamination
+         |FROM th LEFT JOIN tr ON th.h = tr.h
+         |GROUP BY th.doc_id""".stripMargin,
+    "split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |      CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack(lang, rn, doc_id, tokens, bin, running) AS (
+         |  SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.rn, o.doc_id, o.tokens,
+         |         CASE WHEN p.running + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+         |         CASE WHEN p.running + o.tokens > 512 THEN o.tokens ELSE p.running + o.tokens END
+         |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+         |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin
   )
 }

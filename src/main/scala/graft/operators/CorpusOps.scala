@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: test-set
+  * contamination measurement, deterministic train/val/test splitting,
+  * per-stratum hash sampling, and token-budget sequence packing.
+  *
+  * All randomness is the portable md5-prefix hash family
+  * ([[graft.functions.PortableHash]]): assignments are pure functions of
+  * the row key, so they are reproducible across runs, engines, and
+  * repartitionings — a re-run of a 100 TB split never moves a document
+  * between splits, and an external SQL engine can audit any decision.
+  */
+object CorpusOps {
+
+  /** Test-set contamination: for each test document, the share of its
+    * distinct word n-grams that appear anywhere in the training corpus
+    * (the n-gram-overlap decontamination check run before an evaluation —
+    * cf. the GPT-3/PaLM appendix methodology, here as a relational
+    * operator).
+    *
+    * Scale shape: both sides shingle in the scan stage
+    * ([[graft.plans.WordShingles]]), the training side collapses to
+    * *distinct 60-bit gram hashes* (map-side combinable; the join key is
+    * 8 bytes regardless of n), and the probe side joins hash-partitioned
+    * — no text leaves its scan. A 100 TB train corpus reduces to its
+    * distinct-gram hash set once; test sets are tiny by definition.
+    * Collisions: a false gram hit needs an h60 collision against the
+    * specific test gram (p ≈ |grams|·2⁻⁶⁰) and the oracle runs the same
+    * hash join, so results stay engine-exact.
+    *
+    * @return (doc_id, n_grams, n_contaminated, contamination ∈ [0,1])
+    */
+  def contamination(test: DataFrame, train: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tEx = test
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).cast("long").as("n_grams"), explode(col("_sh")).as("_g"))
+      .select(col("doc_id"), col("n_grams"), PortableHash.h60(col("_g")).as("_h"))
+    val trainGrams = train
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .select(PortableHash.h60(col("_g")).as("_h"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    // left join keeps zero-overlap documents (shingles always emits >= 1
+    // gram, so every test doc survives the explode)
+    tEx.join(trainGrams, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"), count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** Deterministic train/val/test assignment: bucket =
+    * h60(salt ‖ ':' ‖ id) mod Σweights, split = the weight band the
+    * bucket falls in. Pure per-row projection — no shuffle, no state, and
+    * adding documents never reassigns existing ones.
+    *
+    * @param weights ordered (name, weight) bands, e.g.
+    *                ("train",80), ("val",10), ("test",10)
+    */
+  def hashSplit(docs: DataFrame,
+                weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                salt: String = "graft",
+                idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(total.toLong))
+    val cum = weights.map(_._2).scanLeft(0)(_ + _).tail
+    val split = weights.zip(cum).foldRight(lit(weights.last._1)) {
+      case (((name, _), bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", split)
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff
+    * h60(salt ‖ ':' ‖ id) mod 10000 < the stratum's rate (basis points).
+    * The stratum→rate map rides along as a literal map (broadcast-free
+    * lookup in the scan stage); unknown strata fall back to `defaultBp`.
+    * The standard rebalancing step (downsample the head language, keep
+    * the tail) as one codegen'd filter.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       ratesBp: Map[String, Int], defaultBp: Int,
+                       salt: String = "graft",
+                       idCol: String = "doc_id"): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val bucket = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(10000L))
+    val rate = coalesce(element_at(typedlit(ratesBp), col(strataCol)), lit(defaultBp))
+    docs.filter(bucket < rate)
+  }
+
+  /** Greedy token-budget packing: within each group (shard key), walk
+    * documents in `idCol` order and start a new bin whenever adding the
+    * next document would exceed `budgetTokens`; a single over-budget
+    * document gets a bin of its own. The sequence-packing step that turns
+    * a filtered corpus into fixed-budget training examples.
+    *
+    * Scale shape: one shuffle on the group key, then a streaming
+    * per-partition scan carrying two longs of state (same pattern as the
+    * staypoint scan — groups are the parallelism axis, group size is
+    * unbounded). Token counts are whitespace tokens, matching
+    * [[TextAnalysis.tokenCount]]'s `ws_tokens`.
+    *
+    * @return (group, doc_id, tokens, bin) with bins dense from 0 per group
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+                    groupCol: String = "lang",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+
+    val outSchema = StructType(Seq(
+      StructField(groupCol, StringType, nullable = true),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("tokens", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false)))
+
+    docs
+      .select(col(groupCol).cast("string"), col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("tokens"))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col("doc_id"))
+      .mapPartitions { rows =>
+        var curGroup: String = null
+        var hasGroup = false
+        var bin = 0L
+        var running = 0L
+        rows.map { r =>
+          val g = r.getString(0); val id = r.getLong(1); val tok = r.getLong(2)
+          if (!hasGroup || g != curGroup) {
+            curGroup = g; hasGroup = true; bin = 0L; running = tok
+          } else if (running + tok > budgetTokens) {
+            bin += 1L; running = tok
+          } else {
+            running += tok
+          }
+          Row(g, id, tok, bin)
+        }
+      }(RowEncoder.encoderFor(outSchema))
+      .toDF()
+  }
+}

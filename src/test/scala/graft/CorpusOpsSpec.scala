@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-curation operators (contamination, splitting,
+  * stratified sampling, sequence packing). */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("contamination: exact copy scores 1.0, disjoint text scores 0.0") {
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (2L, "one two three four five six seven eight"),       // disjoint
+      (3L, "alpha beta gamma delta epsilon xx yy zz")        // shares one 5-gram
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.contamination(test, train, n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 4L, 1.0)))
+    assert(r(2L) == ((4L, 0L, 0.0)))
+    assert(r(3L)._2 == 1L) // only "alpha beta gamma delta epsilon" is shared
+  }
+
+  test("hashSplit: total assignment, reasonable proportions, determinism") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"))
+    val r = CorpusOps.hashSplit(docs).groupBy("split").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.values.sum == 2000)
+    assert(r("train") > 1400 && r("train") < 1800, s"train band off: $r")
+    assert(r("val") > 100 && r("test") > 100)
+    // pure function of the id: re-running yields identical assignment
+    val a = CorpusOps.hashSplit(docs).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val b = CorpusOps.hashSplit(docs.orderBy(col("doc_id").desc)).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratifiedSample: per-stratum rates hold; lower rate is a subset of higher") {
+    val docs = spark.range(4000)
+      .select(col("id").as("doc_id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val sampled = CorpusOps.stratifiedSample(docs, "lang", Map("en" -> 1000), defaultBp = 5000)
+    val counts = sampled.groupBy("lang").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts("en") > 120 && counts("en") < 280, s"en ~10% of 2000: $counts")
+    assert(counts("de") > 850 && counts("de") < 1150, s"de ~50% of 2000: $counts")
+    // monotone thresholds: the 10% sample is contained in the 20% sample
+    val low = sampled.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val high = CorpusOps.stratifiedSample(docs, "lang", Map("en" -> 2000), defaultBp = 5000)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
+  test("packSequences: bins respect the budget, stay contiguous, isolate oversize docs") {
+    val docs = Seq(
+      ("en", 0L, "a b c"),                          // 3 tokens
+      ("en", 1L, "a b c d"),                        // 4 -> bin 0 total 7
+      ("en", 2L, "a b c d e"),                      // 5 would make 12 > 8 -> bin 1
+      ("en", 3L, (1 to 20).map(_ => "w").mkString(" ")), // 20 > budget -> own bin 2
+      ("en", 4L, "a b"),                            // bin 3 (20+2 > 8)
+      ("de", 5L, "x y z")                           // separate group, bin 0
+    ).toDF("lang", "doc_id", "text")
+    val r = CorpusOps.packSequences(docs, budgetTokens = 8)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r(("en", 0L)) == 0 && r(("en", 1L)) == 0)
+    assert(r(("en", 2L)) == 1)
+    assert(r(("en", 3L)) == 2, "over-budget doc gets its own bin")
+    assert(r(("en", 4L)) == 3)
+    assert(r(("de", 5L)) == 0, "groups pack independently")
+  }
+}

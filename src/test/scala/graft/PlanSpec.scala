@@ -62,4 +62,20 @@ class PlanSpec extends AnyFunSuite {
     val filterSections = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString("\n")
     assert(!filterSections.contains("transform"), "shingle lambda leaked into a Filter")
   }
+
+  test("dedup_simhash: fingerprint is a scan-stage expression — shuffles only on bucket keys") {
+    // simhash_fp replaced an explode -> 60-aggregate groupBy; the only
+    // exchanges left are the chunk-bucket pair join's.
+    val p = plan("dedup_simhash")
+    assert(p.contains("simhash_fp"), "native fingerprint expression missing from plan")
+    assert(!p.contains("partial_sum"), "per-bit vote aggregation resurfaced — fingerprint left the scan stage")
+  }
+
+  test("minhash banding: signature never shuffles — band hashes computed where rows are read") {
+    val p = operators.Dedup.minHashLsh(
+      spark.read.parquet(s"$dir/documents.parquet"), numHashes = 64, bands = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("minhash_bands"), "native banding expression missing from plan")
+    assert(!p.contains("partial_min"), "per-slot min aggregation resurfaced — signature left the scan stage")
+  }
 }

@@ -1026,7 +1026,8 @@ object SparkEntry {
     },
     "tours_gaps" -> { (s, dir) => // gap budget 1: tours may bridge one discontinuity
       val (_, tours) = TourGenerator.generate(Pipeline.trips(s, dir), None,
-        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0, maxNrGaps = 1))
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0, maxNrGaps = 1),
+        share = _.localCheckpoint(false))
       tours.select(col("id"), col("user_id"),
         unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
         size(col("trips")).cast("long").as("n_trips"))
@@ -1104,7 +1105,8 @@ object SparkEntry {
     "tours_locations" -> { (s, dir) => // location-mode tours
       val (_, tours) = TourGenerator.generate(
         Pipeline.trips(s, dir), Some(Pipeline.staypointsWithLocation(s, dir)),
-        TourGenerator.Params(maxTimeDays = 30.0))
+        TourGenerator.Params(maxTimeDays = 30.0),
+        share = _.localCheckpoint(false))
       tours.select(col("id"), col("user_id"), col("location_id"),
         size(col("trips")).cast("long").as("n_trips"))
     },
@@ -1273,6 +1275,10 @@ object SparkEntry {
     },
     "pack_sequences" -> { (s, dir) =>
       CorpusOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 512)
+    },
+    "corpus_shuffle" -> { (s, dir) =>
+      CorpusOps.deterministicShuffle(s.read.parquet(s"$dir/documents.parquet"), shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
     }
   )
 
@@ -1794,6 +1800,12 @@ object SparkEntry {
          |         CASE WHEN p.running + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
          |         CASE WHEN p.running + o.tokens > 512 THEN o.tokens ELSE p.running + o.tokens END
          |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
-         |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin
+         |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin,
+    "corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS hh FROM documents)
+         |SELECT doc_id, hh % 8 AS shard,
+         |       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
+         |FROM h""".stripMargin
   )
 }

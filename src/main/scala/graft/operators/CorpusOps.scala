@@ -94,6 +94,31 @@ object CorpusOps {
     docs.filter(bucket < rate)
   }
 
+  /** Deterministic training-order shuffle + sharding: rows order by the
+    * portable hash of their key (a reproducible pseudo-random permutation
+    * — no RNG state, no seed file), shard = hash mod `shards`, position =
+    * dense rank in hash order within the shard. Re-running on the same
+    * corpus reproduces the exact byte order of every shard, which is what
+    * makes a 100 TB training run resumable and auditable.
+    *
+    * Scale shape: one shuffle on the shard id, then a sort-within-
+    * partitions by hash and a running row count per shard (`row_number`
+    * over the shard partition streams — no buffering) — exactly the
+    * repartition+sort a sharded writer needs anyway, so shuffling into
+    * training order costs nothing beyond the write itself.
+    */
+  def deterministicShuffle(docs: DataFrame, shards: Int, salt: String = "graft",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    docs.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy(col("_h"), col(idCol))).cast("long") - 1L)
+      .drop("_h")
+  }
+
   /** Greedy token-budget packing: within each group (shard key), walk
     * documents in `idCol` order and start a new bin whenever adding the
     * next document would exceed `budgetTokens`; a single over-budget

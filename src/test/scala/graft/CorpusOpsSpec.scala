@@ -53,6 +53,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(low.subsetOf(high))
   }
 
+  test("deterministicShuffle: dense per-shard positions, reproducible, input-order independent") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"))
+    val r = CorpusOps.deterministicShuffle(docs, shards = 4)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.length == 1000)
+    // positions are dense 0..n-1 within each shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // every shard is populated and roughly balanced
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L) && sizes.values.forall(s => s > 180 && s < 320))
+    // pure function of the key: a reversed input yields the identical permutation
+    val rev = CorpusOps.deterministicShuffle(docs.orderBy(col("doc_id").desc), shards = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rev == rows.toSet)
+  }
+
   test("packSequences: bins respect the budget, stay contiguous, isolate oversize docs") {
     val docs = Seq(
       ("en", 0L, "a b c"),                          // 3 tokens

@@ -38,6 +38,31 @@ class StaypointGeneratorSpec extends SparkSpec {
     assert(GeoFunctions.haversineMeters(r.getAs[Double]("lon"), r.getAs[Double]("lat"), 8.5, 47.3) < 50)
   }
 
+  test("zero thresholds with include_last: every fix becomes its own staypoint (reference test_sliding_min)") {
+    val in = pfs(
+      (0L, 1L, "2023-01-01 08:00:00", 8.5000, 47.3000),
+      (1L, 1L, "2023-01-01 08:10:00", 8.5100, 47.3100),
+      (2L, 1L, "2023-01-01 08:20:00", 8.5200, 47.3200),
+      (3L, 2L, "2023-01-01 09:00:00", 8.6000, 47.4000))
+    val (pfsOut, sp) = StaypointGenerator.generate(in,
+      StaypointGenerator.Params(distThresholdMeters = 0, timeThresholdMinutes = 0,
+        gapThresholdMinutes = 1e7, includeLast = true))
+    assert(sp.count() == 4, "dist=0,time=0,include_last => one staypoint per fix")
+    assert(pfsOut.filter(col("staypoint_id").isNull).count() == 0)
+  }
+
+  test("unreachable thresholds: empty staypoints, every pf link null (reference test_sliding_max/missing_link)") {
+    val in = pfs(
+      (0L, 1L, "2023-01-01 08:00:00", 8.5000, 47.3000),
+      (1L, 1L, "2023-01-01 08:10:00", 8.5001, 47.3001),
+      (2L, 1L, "2023-01-01 08:20:00", 8.5002, 47.3002))
+    val (pfsOut, sp) = StaypointGenerator.generate(in,
+      StaypointGenerator.Params(distThresholdMeters = Double.MaxValue,
+        timeThresholdMinutes = 1e15, gapThresholdMinutes = 1e7, includeLast = true))
+    assert(sp.count() == 0)
+    assert(pfsOut.count() == 3 && pfsOut.filter(col("staypoint_id").isNotNull).count() == 0)
+  }
+
   test("dwell shorter than time threshold emits nothing") {
     val in = pfs(
       (0L, 1L, "2023-01-01 08:00:00", 8.5000, 47.3000),

@@ -9,10 +9,16 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercise scheduler/codegen/shuffle machinery once so
-    // the first measured query doesn't absorb JVM session start-up.
+    // the first measured query doesn't absorb JVM session start-up. The
+    // parquet leg writes and reads a small *synthetic* frame (temp dir) —
+    // pure datasource/codec class-loading, no test-data precompute.
     locally {
       import org.apache.spark.sql.functions._
       spark.range(1000000).groupBy((col("id") % 7).as("k")).count().count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warmup").toString
+      spark.range(1000).select(col("id"), (col("id") % 3).as("k"), rand(7).as("v"))
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).filter(col("k") === 1).agg(sum(col("v"))).count()
     }
     // Deterministic name order so per-query timings compare across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

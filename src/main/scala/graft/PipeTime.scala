@@ -10,6 +10,8 @@ object PipeTime {
       println(f"[pipetime] $name%-12s ${(System.nanoTime()-t0)/1e9}%6.2f s  ($n rows)")
     }
     t("warmup") { spark.range(1000000).count() }
+    t("ev_read") { spark.read.parquet(dir + "/events.parquet").count() }
+    t("pfs") { graft.sources.EventsAdapter.positionfixes(spark, dir).count() }
     t("staypoints") { Pipeline.staypoints(spark, dir).count() }
     t("pfs_sp") { Pipeline.pfsWithStaypoints(spark, dir).count() }
     t("triplegs") { Pipeline.triplegs(spark, dir).count() }

@@ -55,7 +55,11 @@ object Pipeline {
     */
   def staypointParams: StaypointGenerator.Params =
     StaypointGenerator.Params(distThresholdMeters = 100, timeThresholdMinutes = 1440,
-      gapThresholdMinutes = 1e7, includeLast = true)
+      gapThresholdMinutes = 1e7, includeLast = true,
+      // the derived positionfixes are unique by construction (one row per
+      // event id), so duplicate exclusion would be a full-row shuffle that
+      // drops nothing — skip it; `pf_dedup` gates the operator separately
+      excludeDuplicatePfs = false)
 
   /** One generate() call feeds both memo slots — the staypoint scan is
     * the most expensive stage; the share hook persists it so neither

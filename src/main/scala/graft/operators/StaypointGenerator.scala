@@ -59,7 +59,10 @@ object StaypointGenerator {
     val hasElev = pfs.columns.contains("elevation")
 
     // Duplicate exclusion before detection (positionfixes.py:105-114).
-    val deduped = share(if (params.excludeDuplicatePfs) pfs.dropDuplicates() else pfs)
+    // Only the deduped *intermediate* is shared; with exclusion off the
+    // input passes through untouched — whether that lineage is persisted
+    // is the caller's call, not this operator's.
+    val deduped = if (params.excludeDuplicatePfs) share(pfs.dropDuplicates()) else pfs
 
     val input = deduped.select(
       col("id").cast(LongType),

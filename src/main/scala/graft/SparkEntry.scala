@@ -1251,6 +1251,30 @@ object SparkEntry {
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("md5_fp"), col("min_word_fp"))
     },
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionMetrics(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "pii_redact" -> { (s, dir) =>
+      // the corpus carries no PII, so a PII-bearing column is derived
+      // deterministically from (doc_id, text) — integer arithmetic only,
+      // mirrored exactly in the oracle SQL
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("pii_text", concat(
+          lit("contact u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 10).cast("string"),
+          lit(".com or call "), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") * 7 % 800 + 200).cast("string"),
+          lit("-"), (col("doc_id") * 13 % 9000 + 1000).cast("string"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") * 3 % 256).cast("string"),
+          lit(" "), col("text")))
+      TextAnalysis.redactPii(aug, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"), col("redacted"))
+    },
+    "bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25(s.read.parquet(s"$dir/documents.parquet"),
+        terms = Seq("spark", "join", "window"), topK = 25)
+    },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
     "multimodal_features" -> { (s, dir) =>
@@ -1742,6 +1766,87 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(
         |    list_transform(string_split(text,' '), w -> substring(md5(w),1,8))))[1:4], '-') AS min_word_fp
         |FROM documents""".stripMargin,
+    // gram hashes run the same md5-prefix arithmetic as the engine, so a
+    // collision (if one ever occurred) would merge the same counts on
+    // both sides; fractions are exact integer divisions (IEEE-identical)
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, n, ${h60Sql("g")} AS h FROM (
+         |    SELECT doc_id, 2 AS n, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |      i -> array_to_string(ws[i+1:i+2], ' '))) AS g FROM w
+         |    UNION ALL
+         |    SELECT doc_id, 3 AS n, unnest(list_transform(range(0, greatest(len(ws)-2, 0)),
+         |      i -> array_to_string(ws[i+1:i+3], ' '))) AS g FROM w
+         |    UNION ALL
+         |    SELECT doc_id, 4 AS n, unnest(list_transform(range(0, greatest(len(ws)-3, 0)),
+         |      i -> array_to_string(ws[i+1:i+4], ' '))) AS g FROM w
+         |    UNION ALL
+         |    SELECT doc_id, 5 AS n, unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+         |      i -> array_to_string(ws[i+1:i+5], ' '))) AS g FROM w)),
+         |c AS (SELECT doc_id, n, h, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY doc_id, n, h),
+         |a AS (SELECT doc_id, n, max(cnt) AS max_cnt, sum(cnt) AS tot,
+         |        coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup
+         |      FROM c GROUP BY doc_id, n),
+         |nw AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words FROM documents)
+         |SELECT nw.doc_id, nw.n_words,
+         |  coalesce(CAST(max(CASE WHEN n = 2 THEN max_cnt * 2 END) AS DOUBLE)
+         |           / CAST(nw.n_words AS DOUBLE), 0.0) AS top2gram_frac,
+         |  coalesce(CAST(max(CASE WHEN n = 3 THEN max_cnt * 3 END) AS DOUBLE)
+         |           / CAST(nw.n_words AS DOUBLE), 0.0) AS top3gram_frac,
+         |  coalesce(CAST(max(CASE WHEN n = 4 THEN max_cnt * 4 END) AS DOUBLE)
+         |           / CAST(nw.n_words AS DOUBLE), 0.0) AS top4gram_frac,
+         |  coalesce(CAST(max(CASE WHEN n = 5 THEN dup END) AS DOUBLE)
+         |           / CAST(max(CASE WHEN n = 5 THEN tot END) AS DOUBLE), 0.0) AS dup5gram_frac,
+         |  (top2gram_frac <= 0.20 AND top3gram_frac <= 0.18 AND top4gram_frac <= 0.16
+         |   AND dup5gram_frac <= 0.15) AS repetition_ok
+         |FROM nw LEFT JOIN a ON nw.doc_id = a.doc_id
+         |GROUP BY nw.doc_id, nw.n_words""".stripMargin,
+    "pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    'contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 10 AS VARCHAR) ||
+         |    '.com or call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+         |    CAST(doc_id * 7 % 800 + 200 AS VARCHAR) || '-' ||
+         |    CAST(doc_id * 13 % 9000 + 1000 AS VARCHAR) ||
+         |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id * 3 % 256 AS VARCHAR) || ' ' || text AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.ipRe}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.ipRe}', '<IP>', 'g') AS redacted
+         |FROM aug""".stripMargin,
+    // constants interpolated from the same Scala doubles the operator
+    // uses (shortest round-trip repr parses back to the identical bits);
+    // the idf ln() is floored to 1e-6 before use and per-term
+    // contributions are integer-quantized before the per-document sum,
+    // so the result is independent of float-add order on both engines
+    "bm25_topk" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+         |  WHERE w IN ('spark','join','window') GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1000000.0) / 1000000.0 AS idf,
+         |    tf.tf, dl.dl, stats.avgdl
+         |  FROM tf JOIN dl USING(doc_id) JOIN df USING(w) CROSS JOIN stats),
+         |q AS (
+         |  SELECT doc_id, CAST(floor(idf * (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75} + ${0.75} * CAST(dl AS DOUBLE) / avgdl))
+         |    * 1000000000.0) AS BIGINT) AS contrib_q
+         |  FROM sc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         |FROM q GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),

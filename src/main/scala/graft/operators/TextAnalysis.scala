@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +69,148 @@ object TextAnalysis {
       .withColumn("ws_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("bpe_tokens",
         size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+
+  /** All word n-grams with multiplicity, as one codegen'd scan-stage pass
+    * ([[graft.plans.WordNgrams]] — the repetition twin of the distinct
+    * shingle kernel used by the sketches).
+    */
+  def ngrams(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.WordNgrams(ColumnShim.expression(textCol), n))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", table A1): per document, the fraction of words covered by
+    * the single most frequent word n-gram for n ∈ `topNs` (counting
+    * overlapped positions, `max_count * n / n_words`), and the fraction
+    * of n-gram positions lying in *duplicated* n-grams for n = `dupN`.
+    * `repetition_ok` applies the published thresholds (0.20/0.18/0.16
+    * for top-2/3/4-gram, 0.15 for duplicate 5-grams).
+    *
+    * Scale shape: grams are generated in the scan stage (codegen kernel),
+    * immediately reduced to 8-byte portable hashes, and aggregated with
+    * map-side combine on (doc, n, gram-hash); nothing wider than a hash
+    * ever shuffles, and both aggregations key on the document id, so a
+    * 100 TB corpus distributes on document boundaries. A gram-hash
+    * collision (p ≈ 2⁻⁶⁰ per distinct-gram pair within one document)
+    * would merge two gram counts; the oracle runs the identical hash
+    * arithmetic, so results stay engine-exact regardless.
+    *
+    * All emitted fractions are exact-integer divisions (IEEE-identical
+    * across engines); no transcendental functions are involved.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5): DataFrame = {
+    val ns = (topNs :+ dupN).distinct.sorted
+    val grams = ns.map { n =>
+      docs.select(col(idCol).as("doc_id"), lit(n).as("n"),
+        explode(ngrams(col(textCol), n)).as("_g"))
+    }.reduce(_.unionAll(_))
+      .select(col("doc_id"), col("n"), PortableHash.h60(col("_g")).as("_h"))
+    val perGram = grams.groupBy(col("doc_id"), col("n"), col("_h"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = perGram.groupBy(col("doc_id"), col("n")).agg(
+      max(col("cnt")).as("max_cnt"),
+      sum(col("cnt")).as("tot"),
+      coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_cnt"))
+    val topCols = topNs.map(n =>
+      max(when(col("n") === n, col("max_cnt") * n)).as(s"_top$n"))
+    val dupCols = Seq(
+      max(when(col("n") === dupN, col("dup_cnt"))).as("_dup"),
+      max(when(col("n") === dupN, col("tot"))).as("_tot"))
+    val aggCols = topCols ++ dupCols
+    val wide = perN.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val nWords = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_words"))
+    val fracCols = topNs.map(n =>
+      coalesce(col(s"_top$n").cast("double") / col("n_words").cast("double"), lit(0.0))
+        .as(s"top${n}gram_frac"))
+    val dupFrac = coalesce(col("_dup").cast("double") / col("_tot").cast("double"), lit(0.0))
+      .as(s"dup${dupN}gram_frac")
+    val okCond = topNs.zip(Seq(0.20, 0.18, 0.16)).map { case (n, t) =>
+      col(s"top${n}gram_frac") <= t
+    }.reduce(_ && _) && col(s"dup${dupN}gram_frac") <= 0.15
+    nWords.join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("n_words") +: fracCols :+ dupFrac: _*)
+      .withColumn("repetition_ok", okCond)
+  }
+
+  /** PII patterns shared between the operator and its oracle twin — the
+    * subset of regex syntax (character classes, bounded repetition) that
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction: counts of email / phone / IPv4 matches and
+    * the text with each match replaced by a type tag. Redaction order is
+    * email → phone → IP (an email's host could otherwise be bitten by the
+    * dotted-quad pattern). Pure scan-stage projection — no shuffle; at
+    * 100 TB this runs where the text is read and nothing else moves.
+    *
+    * The IPv4 pattern is the standard pragmatic dotted-quad (allows
+    * octets > 255), matching common scrubber behavior.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(ipRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>"))
+  }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones): score every document
+    * against a bag of query terms, return the top `k` by score.
+    *
+    * Scale shape: term frequencies come from one map-side-combinable
+    * aggregation over the exploded scan (only rows matching the tiny term
+    * set survive the scan filter); document frequencies and corpus stats
+    * are broadcast (|terms| rows and 1 row); the only data-sized shuffle
+    * keys on doc_id; the top-k is a TakeOrdered, never a global sort.
+    *
+    * Engine-exactness: floating-point addition is order-sensitive, so
+    * per-term contributions are quantized to integer micro-units *before*
+    * the per-document sum — an integer sum is associative, making the
+    * result independent of partial-aggregation order and bit-identical in
+    * any engine. The one transcendental (ln in idf) is floored to 1e-6
+    * before use, so a last-ulp libm divergence cannot propagate.
+    *
+    * @return (doc_id, n_terms_hit, score_q) — score in 1e-9 units.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 25, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term set")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_w"))
+      .filter(col("_w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("_w")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = floor(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6) / 1e6
+    val tfD = col("tf").cast("double")
+    val norm = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+    val contribQ = floor(col("idf") * (tfD * lit(k1 + 1.0)) / norm * 1e9).cast("long")
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("_w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", idf)
+      .withColumn("contrib_q", contribQ)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(topK)
+  }
 
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word

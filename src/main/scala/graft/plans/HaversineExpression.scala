@@ -110,6 +110,13 @@ object GraftExtensions {
         WordShingles(children(0), literalInt(children(1), "word_shingles: n"))
       }),
     (
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_ngrams(text, n)")
+        WordNgrams(children(0), literalInt(children(1), "word_ngrams: n"))
+      }),
+    (
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       (children: Seq[Expression]) => {

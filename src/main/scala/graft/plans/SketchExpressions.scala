@@ -106,6 +106,65 @@ object WordShingles {
   }
 }
 
+/** All word n-grams of a text column WITH multiplicity — the repetition
+  * -measurement twin of [[WordShingles]] (which deduplicates for sketch
+  * inputs). Splits on single spaces like `split(text, " ")` (trailing
+  * empties kept) and emits the `len - n + 1` joined n-grams in order;
+  * a text with fewer than `n` words has no n-grams (empty array), since
+  * a repetition fraction over zero gram positions is zero by definition.
+  * Oracle twin: a DuckDB `list_transform(range(...))` comprehension over
+  * `string_split` (see the `text_repetition` oracle in SparkEntry).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams expects a string column, got ${child.dataType.simpleString}")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"word_ngrams n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.WordNgrams.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgrams {
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val count = math.max(words.length - n + 1, 0)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** LSH band hashes of a shingle set, as one codegen'd pass replacing the
   * explode → 64-wide min-aggregate groupBy → fold projection chain: per
   * shingle one md5 (h60 mod M), per hash function the affine map

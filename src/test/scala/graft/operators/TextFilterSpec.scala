@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Repetition quality filters, PII redaction, and BM25 retrieval. */
+class TextFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word_ngrams keeps multiplicity and is empty below n") {
+    val df = Seq((0L, "a b a b a"), (1L, "x")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.ngrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L) == Seq("a b", "b a", "a b", "b a"))
+    assert(out(1L).isEmpty)
+  }
+
+  test("repetition metrics: degenerate repetition is flagged, varied text passes") {
+    val df = Seq(
+      (0L, "a b a b a b"), // 2-gram "a b" x3 of 5 positions; 6 words -> top2 = 1.0
+      // all-distinct words: long enough that a single n-gram occurrence
+      // stays under every threshold (the rules presume non-trivial length,
+      // as in the reference methodology where a min-length rule runs first)
+      (1L, (1 to 30).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Double]("top2gram_frac") == 1.0) // 3*2/6
+    assert(!out(0L).getAs[Boolean]("repetition_ok"))
+    assert(out(1L).getAs[Double]("top2gram_frac") == 2.0 / 30.0) // every 2-gram unique
+    assert(out(1L).getAs[Double]("dup5gram_frac") == 0.0)
+    assert(out(1L).getAs[Boolean]("repetition_ok"))
+  }
+
+  test("repetition metrics: duplicated 5-gram fraction counts repeated positions") {
+    // "a b c d e" twice -> 5-grams over 10 words: 6 grams, positions of
+    // "a b c d e" repeat (2 of 6); frac = 2/6
+    val df = Seq((0L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(df).collect().head
+    assert(r.getAs[Double]("dup5gram_frac") == 2.0 / 6.0)
+  }
+
+  test("pii redaction counts and replaces email, phone, ip") {
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.org now"),
+      (1L, "call 415-555-0173 or 212-555-0100"),
+      (2L, "host 192.168.10.254 is up"),
+      (3L, "clean text with no identifiers")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 1 && out(0L).getAs[String]("redacted") == "mail <EMAIL> now")
+    assert(out(1L).getAs[Long]("n_phones") == 2 && out(1L).getAs[String]("redacted") == "call <PHONE> or <PHONE>")
+    assert(out(2L).getAs[Long]("n_ips") == 1 && out(2L).getAs[String]("redacted") == "host <IP> is up")
+    assert(out(3L).getAs[String]("redacted") == "clean text with no identifiers")
+  }
+
+  test("bm25 ranks by term frequency and down-weights common terms") {
+    val df = Seq(
+      (0L, "spark spark spark filler filler filler filler filler"),
+      (1L, "spark filler filler filler filler filler filler filler"),
+      (2L, "rare filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, terms = Seq("spark", "rare"), topK = 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.toSet == Set(0L, 1L, 2L)) // doc 3 hits nothing
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    assert(score(0L) > score(1L)) // higher tf wins at equal idf
+    assert(score(2L) > score(1L)) // rarer term (df=1 vs df=2) outweighs
+    // ordering is (score desc, doc_id): output already sorted
+    assert(ids.toSeq == out.sortBy(r => (-r.getAs[Long]("score_q"), r.getAs[Long]("doc_id"))).map(_.getAs[Long]("doc_id")).toSeq)
+  }
+}

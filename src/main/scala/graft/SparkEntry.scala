@@ -1181,8 +1181,11 @@ object SparkEntry {
         .withColumn("ts_us", unix_micros(col("timestamp"))).drop("timestamp")
     },
     "interval_overlap_join" -> { (s, dir) =>
+      // banded execution (the skew-safe scale path); results are
+      // identical to the per-user range join, so the oracle is unchanged
       val iv = EventsAdapter.intervals(s, dir)
-      IntervalJoin.bestOverlapMatch(iv.filter(col("id") % 2 === 0), iv.filter(col("id") % 2 === 1))
+      IntervalJoin.bestOverlapMatch(iv.filter(col("id") % 2 === 0), iv.filter(col("id") % 2 === 1),
+        bandMinutes = Some(10080.0))
     },
     "asof_join" -> { (s, dir) =>
       val ev = EventsAdapter.events(s, dir).select(col("event_id"), col("user_id"), col("t_us"))

@@ -1278,6 +1278,14 @@ object SparkEntry {
       TextAnalysis.bm25(s.read.parquet(s"$dir/documents.parquet"),
         terms = Seq("spark", "join", "window"), topK = 25)
     },
+    "vocab_topk" -> { (s, dir) =>
+      TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
+    },
+    "dedup_prune" -> { (s, dir) =>
+      Dedup.pruneDuplicates(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
+        Pipeline.minhashPairs(s, dir))
+    },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
     "multimodal_features" -> { (s, dir) =>
@@ -1850,6 +1858,30 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(contrib_q) AS BIGINT) AS score_q
          |FROM q GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin,
+    "vocab_topk" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT word, n,
+        |        row_number() OVER (ORDER BY n DESC, word) AS rank,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, word, n, cum / t.total AS cum_frac
+        |FROM r, t WHERE rank <= 50""".stripMargin,
+    "dedup_prune" -> {
+      s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},
+         |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |dropped AS (
+         |  SELECT n.node FROM nodes n JOIN reach r ON r.a = n.node
+         |  GROUP BY n.node HAVING least(n.node, min(r.b)) <> n.node)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM dropped)""".stripMargin
+    },
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),

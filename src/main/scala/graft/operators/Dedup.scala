@@ -274,6 +274,21 @@ object Dedup {
       (col("node") === col("label")).as("keep"))
   }
 
+  /** Surviving corpus after near-duplicate pruning: every document except
+    * cluster members that lost to a smaller-id representative — the
+    * step that turns the pair table into a training corpus. The drop
+    * list is the duplicate set only (usually a small fraction of the
+    * corpus), so the anti-join's build side stays proportional to the
+    * duplicates found, not to corpus size; Spark broadcasts it when it
+    * fits and falls back to a shuffled anti-join when it doesn't.
+    */
+  def pruneDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                      localThreshold: Long = 1000000L): DataFrame = {
+    val drops = duplicateClusters(pairs, localThreshold = localThreshold)
+      .filter(!col("keep")).select(col("doc_id").as("_drop_id"))
+    docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine similarity >= threshold among
     * candidate pairs from random-hyperplane LSH buckets (see Ann for the
     * signature machinery).

@@ -212,6 +212,28 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary induction: the `topK` most frequent words with rank and
+    * cumulative corpus coverage — the token-frequency table a tokenizer
+    * build starts from. One map-side-combinable count aggregation over
+    * the exploded scan; the rank/coverage window runs on `topK` rows
+    * only (a constant), never on the full vocabulary, and total counts
+    * come from a broadcast 1-row aggregate. Ties rank by word for
+    * engine-stable order.
+    */
+  def buildVocab(docs: DataFrame, topK: Int = 100, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("total"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("word")).rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .withColumn("cum_frac", sum(col("n")).over(w).cast("double") / col("total"))
+      .select(col("rank").cast("long").as("rank"), col("word"), col("n"), col("cum_frac"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

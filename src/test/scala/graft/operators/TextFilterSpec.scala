@@ -55,6 +55,21 @@ class TextFilterSpec extends SparkSpec {
     assert(out(3L).getAs[String]("redacted") == "clean text with no identifiers")
   }
 
+  test("vocab induction: rank, counts and cumulative coverage") {
+    val df = Seq((0L, "b a a c b a"), (1L, "a d")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=1, d=1 (ties by word); total 8
+    val out = TextAnalysis.buildVocab(df, topK = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Double]("cum_frac")))
+    assert(out.toSeq == Seq((1L, "a", 4L, 0.5), (2L, "b", 2L, 0.75), (3L, "c", 1L, 0.875)))
+  }
+
+  test("prune duplicates keeps the smallest id of every duplicate component") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.pruneDuplicates(docs, pairs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 4L)) // 0 untouched; 1 and 4 represent their clusters
+  }
+
   test("bm25 ranks by term frequency and down-weights common terms") {
     val df = Seq(
       (0L, "spark spark spark filler filler filler filler filler"),

@@ -78,4 +78,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_bands"), "native banding expression missing from plan")
     assert(!p.contains("partial_min"), "per-slot min aggregation resurfaced — signature left the scan stage")
   }
+
+  test("bm25: df and corpus stats broadcast; tf aggregation is map-side combinable") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"),
+      "df join and 1-row stats join must both broadcast")
+    assert(p.contains("partial_count"), "tf count must partial-aggregate before the shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a TakeOrdered, not a global sort")
+  }
+
+  test("text_repetition: gram kernel runs in the scan stage; aggregations partial-combine") {
+    val p = plan("text_repetition")
+    assert(p.contains("word_ngrams"), "native ngram kernel missing from plan")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "gram counting must partial-aggregate before shuffling")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded interval join executes as an equi-join, never a per-user nested loop") {
+    val p = plan("interval_overlap_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "banded join must key on (user, band)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingIntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("events join the containing label intervals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Long, String)]
+    val lbIn = MemoryStream[(Long, Long, String, String, String)]
+
+    val events = evIn.toDF().toDF("event_id", "user_id", "t")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("t")).as("ts"))
+    val labels = lbIn.toDF().toDF("label_id", "user_id", "label", "s", "f")
+      .select(col("label_id"), col("user_id"), col("label"),
+        to_timestamp(col("s")).as("started_at"), to_timestamp(col("f")).as("finished_at"))
+
+    val query = StreamingIntervalJoin.enrich(events, labels,
+        maxDurationMinutes = 120, watermarkMinutes = 60)
+      .writeStream.format("memory").queryName("ivj_out").outputMode("append").start()
+
+    // labels arrive first; the containing event arrives in a LATER batch
+    lbIn.addData((10L, 1L, "walk", "2023-01-01 08:00:00", "2023-01-01 09:00:00"),
+      (11L, 1L, "bike", "2023-01-01 09:00:00", "2023-01-01 10:00:00"),
+      (12L, 2L, "car", "2023-01-01 08:00:00", "2023-01-01 09:00:00"))
+    query.processAllAvailable()
+    evIn.addData((0L, 1L, "2023-01-01 08:30:00"), // inside walk
+      (1L, 1L, "2023-01-01 09:00:00"), // boundary: start of bike, not in walk (strict end)
+      (2L, 2L, "2023-01-01 08:15:00"), // user 2 -> car
+      (3L, 2L, "2023-01-01 11:00:00")) // after everything -> no match
+    query.processAllAvailable()
+    // an event whose label arrives AFTER it (still within watermark)
+    evIn.addData((4L, 1L, "2023-01-01 09:30:00"))
+    lbIn.addData((13L, 1L, "tram", "2023-01-01 09:20:00", "2023-01-01 09:40:00"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("ivj_out")
+      .select("event_id", "label_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 10L), (1L, 11L), (2L, 12L), (4L, 11L), (4L, 13L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scaling probe: replicate the sf0.1 tables with shifted
+  * keys and time the scale-sensitive operators on the result. Exact
+  * copies are the *adversarial* corpus for dedup (every document becomes
+  * a 10-clique in the pair graph), so this doubles as a stress test of
+  * pair-volume handling, not just a throughput check. Results are
+  * recorded in SURVEY.md §6.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[32]"), shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs10 = (0 until 10).map(i =>
+        docs.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+
+    t("warmup") { spark.range(1000000).count() }
+    t("repetition_10x") { TextAnalysis.repetitionMetrics(docs10).count() }
+    t("pii_redact_10x") { TextAnalysis.redactPii(docs10).count() }
+    t("vocab_10x") { TextAnalysis.buildVocab(docs10, topK = 100).count() }
+    t("bm25_10x") { TextAnalysis.bm25(docs10, Seq("spark", "join", "window"), topK = 25).count() }
+    var pairs: DataFrame = null
+    t("minhash_pairs_10x") {
+      pairs = Dedup.minHashLsh(docs10, numHashes = 64, bands = 16, verifyThreshold = 0.5)
+        .localCheckpoint(eager = true)
+      pairs.count()
+    }
+    t("prune_10x") { Dedup.pruneDuplicates(docs10, pairs).count() }
+
+    // banded interval join at 10× events (1M intervals per side-ish)
+    val iv = graft.sources.EventsAdapter.intervals(spark, dir)
+      .select(col("id"), col("user_id"), col("started_at"), col("finished_at"))
+    val iv10 = (0 until 10).map(i =>
+        iv.select((col("id") + i * 10000000L).as("id"), (col("user_id") + i * 1000L).as("user_id"),
+          col("started_at"), col("finished_at")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    t("interval_join_10x") {
+      IntervalJoin.bestOverlapMatch(iv10.filter(col("id") % 2 === 0),
+        iv10.filter(col("id") % 2 === 1), bandMinutes = Some(10080.0)).count()
+    }
+    spark.stop()
+  }
+}

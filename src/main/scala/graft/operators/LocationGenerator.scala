@@ -240,7 +240,14 @@ object LocationGenerator {
     * min-label connected-components pass. Noise stays -1.
     */
   private def datasetDbscan(input: DataFrame, epsM: Double, minPts: Int): DataFrame = {
-    val cellDeg = math.toDegrees(2 * epsM / GeoFunctions.EarthRadiusMeters)
+    // The grid only *partitions* — the exact kernel inside each cell makes
+    // every clustering decision — so the cell width can be clamped below
+    // without affecting results: a degenerate epsilon (reference's
+    // eps=1e-18 extreme, test_staypoints.py:314-326) would otherwise
+    // produce cell indices beyond Long range (ANSI overflow). 1e-12° is
+    // ~0.1 µm, far below any eps that can still cluster two floats, and
+    // keeps |cell| < 4e14.
+    val cellDeg = math.max(math.toDegrees(2 * epsM / GeoFunctions.EarthRadiusMeters), 1e-12)
 
     val withCell = input
       .withColumn("_cx", floor(col("lon") / cellDeg))

@@ -49,4 +49,31 @@ class DatasetDbscanSpec extends SparkSpec {
         s"noise mismatch at minPts=$minPts")
     }
   }
+
+  // port of tests/preprocessing/test_staypoints.py:314-352
+  // (test_dbscan_min / test_dbscan_max / test_missing_link)
+  test("epsilon extremes: ~0 gives one location per staypoint, huge minPts gives none") {
+    val sp = (0 until 12).map { i =>
+      (i.toLong, (i % 3).toLong, 8.5 + i * 0.01, 47.3 + i * 0.005)
+    }.toDF("id", "user_id", "lon", "lat")
+      .select(col("id"), col("user_id"),
+        to_timestamp(lit("2023-01-01 00:00:00")).as("started_at"),
+        to_timestamp(lit("2023-01-01 01:00:00")).as("finished_at"), col("lon"), col("lat"))
+
+    for (agg <- Seq("user", "dataset")) {
+      // epsilon ~ 0: clustering must not reduce the count
+      val (_, locsMin) = LocationGenerator.generate(sp,
+        LocationGenerator.Params(epsilonMeters = 1e-18, numSamples = 1, aggLevel = agg))
+      assert(locsMin.count() == 12L, s"agg=$agg")
+      // ids stay dense 0..n-1 regardless of agg level
+      assert(locsMin.agg(min(col("id")), max(col("id"))).as[(Long, Long)].head() == (0L, 11L))
+
+      // minPts larger than any neighborhood: everything is noise, the
+      // locations table is empty and every staypoint link is null
+      val (spMax, locsMax) = LocationGenerator.generate(sp,
+        LocationGenerator.Params(epsilonMeters = 1e18, numSamples = 1000, aggLevel = agg))
+      assert(locsMax.count() == 0L, s"agg=$agg")
+      assert(spMax.filter(col("location_id").isNotNull).count() == 0L, s"agg=$agg")
+    }
+  }
 }

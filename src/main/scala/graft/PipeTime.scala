@@ -1,4 +1,5 @@
 package graft
+import graft.operators.TourGenerator
 object PipeTime {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.configure(
@@ -19,6 +20,16 @@ object PipeTime {
     t("trips") { Pipeline.trips(spark, dir).count() }
     t("locations") { Pipeline.locations(spark, dir).count() }
     t("tours") { Pipeline.tours(spark, dir).count() }
+    t("tours_gap1") {
+      TourGenerator.generate(Pipeline.trips(spark, dir), None,
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0, maxNrGaps = 1),
+        share = _.localCheckpoint(false))._2.count()
+    }
+    t("tours_gap1b") {
+      TourGenerator.generate(Pipeline.trips(spark, dir), None,
+        TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0, maxNrGaps = 1),
+        share = _.localCheckpoint(false))._2.count()
+    }
     spark.stop()
   }
 }

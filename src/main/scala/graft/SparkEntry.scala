@@ -162,6 +162,47 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
 
+  /** Lloyd's k-means as unrolled SQL — one (distance, argmin, update)
+    * CTE block per iteration, every arithmetic step the integer/exact
+    * twin of [[graft.operators.KMeans.fit]]: quantization
+    * `floor(x·1e6+0.5)`, integer squared-L2 assignment with ties to the
+    * lowest cluster, update `floor(Σ/n)` via the same double quotient
+    * (exact below 2⁵³), empty clusters carried over by the LEFT JOIN
+    * COALESCE. All iterated CTEs are MATERIALIZED: cent{i} is read twice
+    * per round, and DuckDB's per-reference re-inlining would otherwise
+    * re-run the whole training prefix 2^iters times.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT q.vec_id, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent${i - 1} c ON q.pos = c.pos GROUP BY q.vec_id, c.c),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT a.c, q.pos, CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS val,
+         |         count(*) AS n
+         |  FROM a$i a JOIN kq q ON a.vec_id = q.vec_id GROUP BY a.c, q.pos),
+         |cent$i AS MATERIALIZED (
+         |  SELECT p.c, p.pos, COALESCE(s.val, p.val) AS val
+         |  FROM cent${i - 1} p LEFT JOIN s$i s ON p.c = s.c AND p.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+       |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS val
+       |  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings)),
+       |cent0 AS MATERIALIZED (
+       |  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, pos, val
+       |  FROM kq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |$iterCtes
+       |SELECT c.c AS cluster_id, c.pos, c.val AS cval,
+       |       CAST(COALESCE(n.n, 0) AS BIGINT) AS n
+       |FROM cent$iters c LEFT JOIN (SELECT c, max(n) AS n FROM s$iters GROUP BY c) n ON c.c = n.c""".stripMargin
+  }
+
   private def annLshOracle(k: Int, planes: Int): String = {
     val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
     s"""WITH ${sigCte(planes)},
@@ -1230,6 +1271,13 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
+    // Lloyd's iterations run distributed (see KMeans scaladoc); the gate
+    // checks the full training trajectory bit-for-bit — any divergence in
+    // assignment or update at any iteration changes the final centroids.
+    "kmeans_centroids" -> { (s, dir) =>
+      KMeans.centroidsDf(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 8, iters = 4, share = _.localCheckpoint(false))
+    },
     "embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -1888,6 +1936,7 @@ object SparkEntry {
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
+    "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

@@ -103,6 +103,26 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("_c_id"), col(vecCol).as("_c_v"))
+    ivfSearch(probes, corpus, cent, k, nprobe, idCol, vecCol)
+  }
+
+  /** IVF search against *trained* centroids (a [[KMeans.Model]] fitted on
+    * the corpus) instead of the raw id-seeds — same assignment/search
+    * machinery, better-balanced cells, so recall at equal nprobe can only
+    * improve with cluster structure in the data.
+    */
+  def ivfTopKTrained(probes: DataFrame, corpus: DataFrame, model: KMeans.Model,
+                     k: Int = 5, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (ids, vecs) = KMeans.asIvfCentroids(model)
+    val cent = ids.zip(vecs.map(_.toSeq)).toSeq.toDF("_c_id", "_c_v")
+    ivfSearch(probes, corpus, cent, k, nprobe, idCol, vecCol)
+  }
+
+  private def ivfSearch(probes: DataFrame, corpus: DataFrame, cent: DataFrame,
+                        k: Int, nprobe: Int, idCol: String, vecCol: String): DataFrame = {
 
     def cells(df: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_c_id"))

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd's k-means over an embedding column, built as the
+  * training step for IVF-style ANN search ([[Ann.ivfTopK]] coarse
+  * quantization — its scaladoc defers exactly this).
+  *
+  * Engine-exactness: coordinates quantize once to integer micro-units
+  * (`floor(x·1e6 + 0.5)` as long), assignment minimizes the *integer*
+  * squared L2 distance (ties → lowest cluster id), and the centroid
+  * update is `floor(Σq / n)` — floor of a double quotient whose operands
+  * are < 2⁵³, which is bit-identical in any IEEE engine because an
+  * integer-valued rational p/n is never within 1/n of a *different*
+  * integer. Every iteration is therefore reproducible bit-for-bit by the
+  * SQL oracle (one unrolled CTE block per iteration) and across cluster
+  * re-runs, which is what makes the trained centroids auditable.
+  *
+  * Scale shape (the same one MLlib's k-means uses): the quantized corpus
+  * is materialized once via the `share` hook; each iteration is one
+  * shuffle-free projection (the k distance subexpressions are codegen'd
+  * higher-order functions over a broadcast-literal centroid array — no
+  * join, no window) followed by one map-side-combinable groupBy over
+  * (cluster, dim) whose k·dim result rows collect to the driver. Driver
+  * state is k·dim longs per iteration — constant in corpus size, so the
+  * loop holds at 100 TB as long as k·dim stays driver-sized (guarded).
+  *
+  * Empty clusters keep their previous centroid (count 0 that round) —
+  * deterministic and oracle-expressible, vs. the common random-reseed.
+  */
+object KMeans {
+
+  /** Fitted model: `centroids(c)(d)` in micro-units; `counts(c)` = size
+    * of the final assignment (the one that produced these centroids).
+    */
+  final case class Model(centroids: Array[Array[Long]], counts: Array[Long]) {
+    def k: Int = centroids.length
+    def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
+  }
+
+  /** Quantized long-form vector: `transform` runs in the scan stage. */
+  private def quantize(vecCol: Column, scale: Double): Column =
+    transform(vecCol, x => floor(x * scale + lit(0.5)).cast(LongType))
+
+  /** argmin over k broadcast-literal centroids as one `least(...)` of
+    * (distance, id) structs — lexicographic struct comparison gives the
+    * tie→lowest-id rule for free, and the whole thing stays inside
+    * whole-stage codegen (no join, no shuffle).
+    */
+  private def nearest(cents: Array[Array[Long]], qCol: Column): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, ci) =>
+      val d = aggregate(
+        zip_with(qCol, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d.as("d"), lit(ci.toLong).as("c"))
+    }
+    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Run `iters` Lloyd's iterations from the k lowest-id vectors (the
+    * deterministic seeding [[Ann.ivfTopK]] already uses).
+    *
+    * @param emb   (idCol, vecCol: array<float|double>) — all vectors must
+    *              share one dimensionality
+    * @param share persistence hook for the quantized corpus, which every
+    *              iteration re-reads (pass localCheckpoint/cache; the
+    *              default recomputes)
+    */
+  def fit(emb: DataFrame, k: Int, iters: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          quantScale: Double = 1e6,
+          share: DataFrame => DataFrame = identity): Model = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(k.toLong * 1000 <= 100000000L, s"k=$k: driver holds k*dim longs; keep k*dim << 1e8")
+
+    val q = share(emb.select(col(idCol).as("_id"), quantize(col(vecCol), quantScale).as("_q")))
+
+    // seeds: the k lowest-id vectors, cluster id = rank in that order
+    val seeds = q.orderBy(col("_id")).limit(k).collect()
+    require(seeds.length == k, s"corpus has ${seeds.length} vectors, need >= k=$k")
+    var cents: Array[Array[Long]] = seeds.map(_.getSeq[Long](1).toArray)
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim), "ragged embedding dimensionality")
+    var counts = Array.fill(k)(0L)
+
+    for (_ <- 1 to iters) {
+      val assigned = q.select(nearest(cents, col("_q")).as("_c"), col("_q"))
+      val sums = assigned
+        .select(col("_c"), posexplode(col("_q")).as(Seq("_pos", "_val")))
+        .groupBy(col("_c"), col("_pos"))
+        .agg(sum(col("_val")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.clone())
+      val nextCounts = Array.fill(k)(0L)
+      sums.foreach { r =>
+        val c = r.getLong(0).toInt
+        val pos = r.getInt(1)
+        val s = r.getLong(2)
+        val n = r.getLong(3)
+        // floor of the double quotient: exact (|s| < 2^53, see scaladoc)
+        next(c)(pos) = math.floor(s.toDouble / n).toLong
+        nextCounts(c) = n
+      }
+      cents = next
+      counts = nextCounts
+    }
+    Model(cents, counts)
+  }
+
+  /** Long-form centroid frame for the fitted model: one row per
+    * (cluster, dimension), `pos` 1-based to match SQL subscripts.
+    * Empty clusters appear with n = 0 and their carried-over centroid.
+    */
+  def centroidsDf(emb: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  quantScale: Double = 1e6,
+                  share: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = emb.sparkSession
+    val m = fit(emb, k, iters, idCol, vecCol, quantScale, share)
+    val rows = for {
+      c <- m.centroids.indices
+      d <- 0 until m.dim
+    } yield Row(c.toLong, (d + 1).toLong, m.centroids(c)(d), m.counts(c))
+    val schema = StructType(Seq(
+      StructField("cluster_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("cval", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** Assign each vector to its nearest fitted centroid (same integer
+    * metric and tie rule as training). Pure projection — no shuffle.
+    */
+  def assign(emb: DataFrame, model: Model,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             quantScale: Double = 1e6): DataFrame =
+    emb.withColumn("cluster_id", nearest(model.centroids, quantize(col(vecCol), quantScale)))
+
+  /** Fitted centroids in the (cell id, float vector) shape
+    * [[Ann.ivfTopK]] consumes, de-quantized back to the embedding scale.
+    */
+  def asIvfCentroids(model: Model, quantScale: Double = 1e6): (Array[Long], Array[Array[Float]]) =
+    (model.centroids.indices.map(_.toLong).toArray,
+      model.centroids.map(_.map(v => (v / quantScale).toFloat)))
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDf(vs: Seq[(Long, Seq[Float])]): DataFrame =
+    vs.toDF("vec_id", "embedding")
+
+  test("two separated blobs: centroids land on the blob means") {
+    // blob A around (0, 0), blob B around (10, 10); seeds are ids 0 and 1
+    // (one from each blob), so Lloyd's separates them in one iteration
+    val data = embDf(Seq(
+      0L -> Seq(0.1f, 0.0f), 1L -> Seq(10.0f, 10.2f),
+      2L -> Seq(0.0f, 0.3f), 3L -> Seq(-0.1f, 0.1f),
+      4L -> Seq(9.9f, 10.0f), 5L -> Seq(10.1f, 9.8f)))
+    val m = KMeans.fit(data, k = 2, iters = 3)
+    assert(m.counts.toSeq === Seq(3L, 3L))
+    // exact integer means: floor(avg of quantized coords)
+    // blob A lons: 100000, 0, -100000 -> sum 0 -> 0; lats: 0, 300000, 100000 -> floor(400000/3)=133333
+    assert(m.centroids(0).toSeq === Seq(0L, 133333L))
+    // blob B lons: 10000000, 9900000, 10100000 -> 10000000; lats: 10200000, 10000000, 9800000 -> 10000000
+    assert(m.centroids(1).toSeq === Seq(10000000L, 10000000L))
+  }
+
+  test("empty cluster keeps its seed centroid with n = 0") {
+    // all points sit at the origin except the k=2 seeds; seed 1 is alone
+    // far away but every point (including both seeds) is nearer to one
+    // centroid after round 1 collapses them
+    val data = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(100.0f, 100.0f),
+      2L -> Seq(0.0f, 0.1f), 3L -> Seq(0.1f, 0.0f), 4L -> Seq(100.0f, 100.1f)))
+    val m = KMeans.fit(data, k = 3, iters = 2)
+    // seed 2 was (0, 0.1): after iter 1 the origin cloud assigns to
+    // cluster 0 or 2 by distance; verify some cluster keeps nonzero
+    // counts and that the model stays well-formed with k entries
+    assert(m.centroids.length === 3)
+    assert(m.counts.sum === 5L)
+    assert(m.counts.forall(_ >= 0L))
+  }
+
+  test("tie in distance assigns to the lowest cluster id") {
+    // point 2 is exactly equidistant from both seeds
+    val data = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(2.0f, 0.0f), 2L -> Seq(1.0f, 0.0f)))
+    val m = KMeans.fit(data, k = 2, iters = 1)
+    // tie -> cluster 0, so cluster 0 averages {0.0, 1.0} -> 500000
+    assert(m.counts.toSeq === Seq(2L, 1L))
+    assert(m.centroids(0).toSeq === Seq(500000L, 0L))
+    assert(m.centroids(1).toSeq === Seq(2000000L, 0L))
+  }
+
+  test("matches a naive in-memory Lloyd's run exactly") {
+    val rnd = new scala.util.Random(42)
+    val n = 200; val dim = 8; val k = 5; val iters = 4
+    val raw = (0L until n.toLong).map(i => i -> Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val m = KMeans.fit(embDf(raw), k = k, iters = iters)
+
+    // naive reference on the same quantization
+    val q = raw.map { case (_, v) => v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray }
+    var cents = (0 until k).map(q(_).clone()).toArray
+    var counts = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val asg = q.map { p =>
+        (0 until k).minBy(c => (cents(c), p).zipped.map((a, b) => { val d = b - a; d * d }).sum)
+      }
+      val next = cents.map(_.clone()); val nc = Array.fill(k)(0L)
+      for (c <- 0 until k) {
+        val members = q.indices.filter(asg(_) == c)
+        if (members.nonEmpty) {
+          nc(c) = members.size.toLong
+          for (d <- 0 until dim)
+            next(c)(d) = math.floor(members.map(q(_)(d)).sum.toDouble / members.size).toLong
+        }
+      }
+      cents = next; counts = nc
+    }
+    assert(m.counts.toSeq === counts.toSeq)
+    assert(m.centroids.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+  }
+
+  test("fit is deterministic across runs") {
+    val rnd = new scala.util.Random(7)
+    val raw = (0L until 100L).map(i => i -> Seq.fill(4)(rnd.nextFloat()))
+    val a = KMeans.fit(embDf(raw), k = 3, iters = 3)
+    val b = KMeans.fit(embDf(raw), k = 3, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    assert(a.counts.toSeq === b.counts.toSeq)
+  }
+
+  test("centroidsDf long form: k*dim rows, 1-based pos, counts attached") {
+    val data = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(1.0f, 1.0f), 2L -> Seq(0.1f, 0.1f)))
+    val df = KMeans.centroidsDf(data, k = 2, iters = 2)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 4)
+    assert(rows.map(_._2).toSet === Set(1L, 2L))
+    assert(rows.filter(_._1 == 0L).head._4 === 2L) // cluster 0 holds ids 0 and 2
+  }
+
+  test("assign labels every vector with the training metric") {
+    val data = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.2f, 0.1f), 3L -> Seq(9.8f, 10.1f)))
+    val m = KMeans.fit(data, k = 2, iters = 2)
+    val asg = KMeans.assign(data, m).select("vec_id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    assert(asg(0L) === asg(2L))
+    assert(asg(1L) === asg(3L))
+    assert(asg(0L) !== asg(1L))
+  }
+
+  test("trained IVF centroids slot into ivfTopK and preserve top-1 recall on clustered data") {
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated clusters of 25 vectors each
+    val centers = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val raw = (0L until 100L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + rnd.nextFloat() * 0.05f)
+    }
+    val corpus = embDf(raw)
+    val probes = embDf(raw.take(8))
+    val m = KMeans.fit(corpus, k = 4, iters = 3)
+    val trained = Ann.ivfTopKTrained(probes, corpus, m, k = 3, nprobe = 1)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    val exact = Ann.bruteForceTopK(probes, corpus, k = 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // with cleanly clustered data and nprobe=1, the trained cells contain
+    // each probe's true nearest neighbor
+    val top1 = trained.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(exact.keys.forall(p => top1.get(p).contains(exact(p))))
+  }
+}

@@ -172,36 +172,87 @@ object SparkEntry {
     * per round, and DuckDB's per-reference re-inlining would otherwise
     * re-run the whole training prefix 2^iters times.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  /** The iterated training CTEs, keyed by subspace id `m` = `(pos-1) //
+    * subWidth` so the same block trains one global codebook (subWidth ≥
+    * dim → m ≡ 0, plain k-means) or the per-subspace codebooks of
+    * product quantization — each subspace's Lloyd's run is independent,
+    * so keying every group/join by m trains them all in one CTE chain.
+    */
+  private def kmeansCtes(k: Int, iters: Int, subWidth: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""d$i AS MATERIALIZED (
-         |  SELECT q.vec_id, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
-         |  FROM kq q JOIN cent${i - 1} c ON q.pos = c.pos GROUP BY q.vec_id, c.c),
+         |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent${i - 1} c ON q.m = c.m AND q.pos = c.pos
+         |  GROUP BY q.vec_id, q.m, c.c),
          |a$i AS MATERIALIZED (
-         |  SELECT vec_id, c FROM (
-         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i)
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn FROM d$i)
          |  WHERE rn = 1),
          |s$i AS MATERIALIZED (
-         |  SELECT a.c, q.pos, CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS val,
+         |  SELECT a.m, a.c, q.pos,
+         |         CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS val,
          |         count(*) AS n
-         |  FROM a$i a JOIN kq q ON a.vec_id = q.vec_id GROUP BY a.c, q.pos),
+         |  FROM a$i a JOIN kq q ON a.vec_id = q.vec_id AND a.m = q.m
+         |  GROUP BY a.m, a.c, q.pos),
          |cent$i AS MATERIALIZED (
-         |  SELECT p.c, p.pos, COALESCE(s.val, p.val) AS val
-         |  FROM cent${i - 1} p LEFT JOIN s$i s ON p.c = s.c AND p.pos = s.pos)""".stripMargin
+         |  SELECT p.m, p.c, p.pos, COALESCE(s.val, p.val) AS val
+         |  FROM cent${i - 1} p
+         |  LEFT JOIN s$i s ON p.m = s.m AND p.c = s.c AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
-    s"""WITH kq AS MATERIALIZED (
-       |  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+    s"""kq AS MATERIALIZED (
+       |  SELECT vec_id, CAST((pos - 1) // $subWidth AS BIGINT) AS m, CAST(pos AS BIGINT) AS pos,
        |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS val
        |  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
        |        FROM embeddings)),
        |cent0 AS MATERIALIZED (
-       |  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, pos, val
+       |  SELECT m, CAST(dense_rank() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS BIGINT) AS c,
+       |         pos, val
        |  FROM kq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  /** Lloyd's k-means as unrolled SQL — see [[kmeansCtes]]; every
+    * arithmetic step is the integer/exact twin of
+    * [[graft.operators.KMeans.fit]]: quantization `floor(x·1e6+0.5)`,
+    * integer squared-L2 assignment with ties to the lowest cluster,
+    * update `floor(Σ/n)` via the same double quotient (exact below 2⁵³),
+    * empty clusters carried over by the LEFT JOIN COALESCE. All iterated
+    * CTEs are MATERIALIZED: cent{i} is read twice per round, and
+    * DuckDB's per-reference re-inlining would otherwise re-run the whole
+    * training prefix 2^iters times.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, 1000000)}
        |SELECT c.c AS cluster_id, c.pos, c.val AS cval,
        |       CAST(COALESCE(n.n, 0) AS BIGINT) AS n
        |FROM cent$iters c LEFT JOIN (SELECT c, max(n) AS n FROM s$iters GROUP BY c) n ON c.c = n.c""".stripMargin
-  }
+
+  /** Product quantization ADC search as SQL: per-subspace codebooks from
+    * [[kmeansCtes]], then one distance CTE (`encd`) serves both sides —
+    * its per-(vec, subspace) argmin encodes the corpus, its probe rows
+    * ARE the ADC distance tables, and the score is the m-way sum joined
+    * on (subspace, code). Integer throughout = bit-exact vs Spark.
+    */
+  private def pqOracle(ksub: Int, iters: Int, subWidth: Int, probeMax: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(ksub, iters, subWidth)},
+       |encd AS MATERIALIZED (
+       |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+       |  FROM kq q JOIN cent$iters c ON q.m = c.m AND q.pos = c.pos
+       |  GROUP BY q.vec_id, q.m, c.c),
+       |pqcodes AS MATERIALIZED (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |pscored AS (
+       |  SELECT p.vec_id AS probe_id, co.vec_id AS neighbor_id, sum(p.d) AS adc
+       |  FROM pqcodes co JOIN encd p ON p.m = co.m AND p.c = co.code AND p.vec_id != co.vec_id
+       |  WHERE p.vec_id < $probeMax
+       |  GROUP BY p.vec_id, co.vec_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       CAST(adc AS BIGINT) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
+       |  FROM pscored) WHERE rank <= $k""".stripMargin
 
   private def annLshOracle(k: Int, planes: Int): String = {
     val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
@@ -1278,6 +1329,15 @@ object SparkEntry {
       KMeans.centroidsDf(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 8, iters = 4, share = _.localCheckpoint(false))
     },
+    // PQ training + encoding + ADC search, all in the integer metric:
+    // the gate checks codebooks, code assignment, and the ranked ADC
+    // scan in one result.
+    "ann_pq" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = Ann.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2,
+        share = _.localCheckpoint(false))
+      Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5)
+    },
     "embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -1333,6 +1393,9 @@ object SparkEntry {
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
         Pipeline.minhashPairs(s, dir))
+    },
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
     },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
@@ -1930,6 +1993,35 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM dropped)""".stripMargin
     },
+    // exact duplicated-span removal: first occurrence of each 10-gram
+    // (by (doc_id, pos)) survives; other occurrences mark their word
+    // positions removed; survivors re-join in position order. The same
+    // space-split tokenization as word_ngrams (trailing empties kept).
+    "dedup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |soc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |         ${h60Sql("array_to_string(ws[p+1:p+10], ' ')")} AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 9, 0))) AS p FROM w)),
+         |rnk AS (SELECT doc_id, p,
+         |          row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM soc),
+         |rem AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, CAST(unnest(range(p, p + 10)) AS BIGINT) AS pos
+         |    FROM rnk WHERE rn > 1)),
+         |wp AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+         |              unnest(ws) AS word FROM w),
+         |kept AS (
+         |  SELECT wp.doc_id, array_to_string(list(wp.word ORDER BY wp.pos), ' ') AS kt
+         |  FROM wp LEFT JOIN rem ON wp.doc_id = rem.doc_id AND wp.pos = rem.pos
+         |  WHERE rem.pos IS NULL GROUP BY wp.doc_id),
+         |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+         |       COALESCE(kept.kt, '') AS text_deduped
+         |FROM documents d
+         |LEFT JOIN rc ON d.doc_id = rc.doc_id
+         |LEFT JOIN kept ON d.doc_id = kept.doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
@@ -1937,6 +2029,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
+    "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

@@ -174,4 +174,78 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
+
+  /** Product quantization: the corpus compresses to `m` small integers
+    * per vector (one sub-centroid code per subspace), so a 100 TB float
+    * corpus becomes m bytes/vector of codes + a k·d codebook — the
+    * memory-bandwidth form of ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"). Search is asymmetric
+    * distance computation: per probe, distances to every sub-centroid
+    * (m·ksub integers), then each candidate scores as the sum of m code
+    * lookups instead of a d-dimensional dot product.
+    *
+    * Everything stays in the integer metric of [[KMeans]] — training,
+    * encoding, and ADC scoring are bit-reproducible by the SQL oracle.
+    */
+  final case class PqModel(subModels: Array[KMeans.Model], subWidth: Int) {
+    def m: Int = subModels.length
+    def ksub: Int = subModels.headOption.map(_.k).getOrElse(0)
+  }
+
+  /** Train per-subspace codebooks: dim must split into `m` equal slices;
+    * each slice trains an independent [[KMeans]] (same id-seeding).
+    */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              share: DataFrame => DataFrame = identity): PqModel = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val w = dim / m
+    val models = (0 until m).map { s =>
+      val sub = corpus.select(col(idCol), slice(col(vecCol), s * w + 1, w).as(vecCol))
+      KMeans.fit(sub, ksub, iters, idCol, vecCol, share = share)
+    }
+    PqModel(models.toArray, w)
+  }
+
+  /** Attach the `codes` column (array<long>, one sub-centroid id per
+    * subspace) — a pure projection, all m argmins inside one codegen
+    * stage.
+    */
+  def pqEncode(df: DataFrame, model: PqModel,
+               vecCol: String = "embedding"): DataFrame = {
+    val codes = (0 until model.m).map { s =>
+      val sub = KMeans.quantize(slice(col(vecCol), s * model.subWidth + 1, model.subWidth), 1e6)
+      KMeans.nearest(model.subModels(s).centroids, sub)
+    }
+    df.withColumn("codes", array(codes: _*))
+  }
+
+  /** ADC top-k: probes carry their (m × ksub) integer distance tables as
+    * a broadcast-literal-free column (computed where the probe row is),
+    * candidates score with m array lookups. The corpus side moves only
+    * (id, codes) — never the vectors.
+    */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, model: PqModel, k: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // distance table per probe: dtab[s][c] = |probe_s - cent_{s,c}|² (integer)
+    val dtab = array((0 until model.m).map { s =>
+      val sub = KMeans.quantize(slice(col(vecCol), s * model.subWidth + 1, model.subWidth), 1e6)
+      array(model.subModels(s).centroids.map { cv =>
+        aggregate(
+          zip_with(sub, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val p = probes.select(col(idCol).as("probe_id"), dtab.as("_dtab"))
+    val c = pqEncode(corpus, model, vecCol).select(col(idCol).as("neighbor_id"), col("codes"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("codes"), col("_dtab"), (code, row) => element_at(row, (code + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("adc_dist"))
+  }
 }

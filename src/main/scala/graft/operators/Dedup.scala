@@ -289,6 +289,72 @@ object Dedup {
     docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Exact duplicated-span removal at word-n-gram granularity — the
+    * word-level form of exact-substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * drops repeated spans rather than whole documents; their suffix-array
+    * span finder becomes a relational n-gram equi-join here).
+    *
+    * Rule: the globally-first occurrence of each n-gram (ordered by
+    * (doc_id, position)) survives; every other occurrence marks its n
+    * word positions as duplicated, and marked positions are removed. The
+    * surviving words re-join (space-separated) into the deduplicated
+    * text. In-document repeats count: a doc that repeats its own phrase
+    * keeps only the first copy. Documents shorter than n words carry no
+    * grams and pass through untouched.
+    *
+    * Scale shape: grams are 8-byte h60 hashes generated in the scan stage
+    * ([[graft.plans.WordNgrams]]); the first-occurrence pass is one
+    * map-side-combinable min-struct groupBy on the hash; duplicate
+    * occurrences explode to at most n positions each, so the removal set
+    * is proportional to *duplicated* text, not corpus size. No text
+    * moves through the gram shuffle — only (hash, doc, pos) triples.
+    *
+    * @return (doc_id, n_words, n_removed, text_deduped)
+    */
+  def dedupSpans(docs: DataFrame, n: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+
+    // all gram occurrences: (doc_id, p, h60); gram position = array index
+    val occ = base
+      .select(col("doc_id"), posexplode(TextAnalysis.ngrams(col("_text"), n)).as(Seq("_p", "_g")))
+      .select(col("doc_id"), col("_p").cast(LongType).as("_p"), PortableHash.h60(col("_g")).as("_h"))
+
+    // globally-first occurrence per gram; later occurrences are duplicates
+    val firstOcc = occ.groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("_p"))).as("_f"))
+      .select(col("_h"), col("_f.doc_id").as("_f_doc"), col("_f._p").as("_f_p"))
+    val dupOcc = occ.join(firstOcc, "_h")
+      .filter(!(col("doc_id") === col("_f_doc") && col("_p") === col("_f_p")))
+
+    // word positions covered by any duplicate occurrence
+    val removed = dupOcc
+      .select(col("doc_id"), explode(sequence(col("_p"), col("_p") + (n - 1))).as("_pos"))
+      .distinct()
+      .withColumn("_rm", lit(true))
+
+    val words = base
+      .select(col("doc_id"), posexplode(split(col("_text"), " ")).as(Seq("_pos", "_w")))
+      .withColumn("_pos", col("_pos").cast(LongType))
+    val keptText = words
+      .join(removed, Seq("doc_id", "_pos"), "left")
+      .filter(col("_rm").isNull)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("_pos"), col("_w")))), s => s.getField("_w")))
+        .as("_kept"))
+    val removedCounts = removed.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_removed"))
+
+    base
+      .join(removedCounts, Seq("doc_id"), "left")
+      .join(keptText, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("_text"), " ")).cast(LongType).as("n_words"),
+        coalesce(col("_n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("_kept"), lit("")).as("text_deduped"))
+  }
+
   /** Embedding near-duplicates: cosine similarity >= threshold among
     * candidate pairs from random-hyperplane LSH buckets (see Ann for the
     * signature machinery).

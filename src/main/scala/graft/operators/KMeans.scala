@@ -41,7 +41,7 @@ object KMeans {
   }
 
   /** Quantized long-form vector: `transform` runs in the scan stage. */
-  private def quantize(vecCol: Column, scale: Double): Column =
+  private[operators] def quantize(vecCol: Column, scale: Double): Column =
     transform(vecCol, x => floor(x * scale + lit(0.5)).cast(LongType))
 
   /** argmin over k broadcast-literal centroids as one `least(...)` of
@@ -49,7 +49,7 @@ object KMeans {
     * tie→lowest-id rule for free, and the whole thing stays inside
     * whole-stage codegen (no join, no shuffle).
     */
-  private def nearest(cents: Array[Array[Long]], qCol: Column): Column = {
+  private[operators] def nearest(cents: Array[Array[Long]], qCol: Column): Column = {
     val scored = cents.zipWithIndex.map { case (cv, ci) =>
       val d = aggregate(
         zip_with(qCol, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),

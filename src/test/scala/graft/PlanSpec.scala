@@ -101,4 +101,31 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "banded join must key on (user, band)")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("kmeans assignment is a shuffle-free projection; update partial-aggregates") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = operators.KMeans.fit(emb, k = 4, iters = 1)
+    val p = operators.KMeans.assign(emb, model).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), "assignment must not join against a centroid table")
+    // the per-iteration update: one hashpartitioning exchange with
+    // map-side partial sums over (cluster, dim)
+    val upd = operators.KMeans.assign(emb, model)
+      .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("_pos", "_val")))
+      .groupBy("cluster_id", "_pos").agg(sum("_val"))
+      .queryExecution.executedPlan.toString
+    assert(upd.contains("partial_sum"))
+    assert("Exchange hashpartitioning".r.findAllIn(upd).length == 1)
+  }
+
+  test("PQ search: corpus side carries codes only; probe tables broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = operators.Ann.pqTrain(emb, dim = 64, m = 4, ksub = 4, iters = 1)
+    val p = operators.Ann.pqTopK(emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      emb, model, k = 3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe distance tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -112,6 +112,42 @@ class KMeansSpec extends SparkSpec {
     assert(asg(0L) !== asg(1L))
   }
 
+  test("PQ: codes are in range, identical vectors encode identically") {
+    val rnd = new scala.util.Random(3)
+    val raw = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val dup = raw :+ (60L -> raw(5)._2) // vector 60 duplicates vector 5
+    val corpus = embDf(dup)
+    val model = Ann.pqTrain(corpus, dim = 8, m = 2, ksub = 4, iters = 2)
+    assert(model.m === 2 && model.subWidth === 4)
+    val codes = Ann.pqEncode(corpus, model).select("vec_id", "codes")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    assert(codes(60L) === codes(5L))
+  }
+
+  test("PQ ADC search ranks an exact duplicate first on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val raw = (0L until 90L).map { i =>
+      val c = centers((i % 3).toInt)
+      i -> c.map(x => x + rnd.nextFloat() * 0.05f)
+    }
+    val corpus = embDf(raw :+ (90L -> raw(0)._2)) // 90 duplicates 0
+    val probes = embDf(Seq(0L -> raw(0)._2))
+    val model = Ann.pqTrain(corpus, dim = 4, m = 2, ksub = 4, iters = 3)
+    val hits = Ann.pqTopK(probes, corpus, model, k = 91)
+      .select("rank", "neighbor_id", "adc_dist").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // the exact duplicate shares all PQ codes with the probe, so its ADC
+    // distance is the probe's own quantization error — the minimum any
+    // candidate can achieve (same-cell candidates tie with it, ranked by id)
+    val dupDist = hits.find(_._2 == 90L).get._3
+    assert(dupDist === hits.head._3)
+    assert(hits.map(_._3).toSeq === hits.map(_._3).sorted.toSeq)
+    // and all top-rank ties share the duplicate's code cell distance
+    assert(hits.takeWhile(_._3 == dupDist).map(_._2).contains(90L))
+  }
+
   test("trained IVF centroids slot into ivfTopK and preserve top-1 recall on clustered data") {
     val rnd = new scala.util.Random(11)
     // 4 well-separated clusters of 25 vectors each

@@ -158,4 +158,43 @@ class TrainingDataSpec extends SparkSpec {
     val metas = resized.select("meta.width", "meta.height").collect()
     assert(metas.forall(m => math.max(m.getInt(0), m.getInt(1)) <= 64))
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("dedup spans: the later copy of a shared 3-gram span is removed") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c")).toDF("doc_id", "text")
+    val out = spanRows(Dedup.dedupSpans(docs, n = 3))
+    assert(out(1L) === ((5L, 0L, "a b c d e"))) // first occurrence survives whole
+    assert(out(2L) === ((5L, 3L, "x y")))       // positions 2,3,4 removed
+  }
+
+  test("dedup spans: in-document repetition keeps only the first copy") {
+    val docs = Seq((1L, "p q r s p q r s")).toDF("doc_id", "text")
+    val out = spanRows(Dedup.dedupSpans(docs, n = 4))
+    // gram "p q r s" at pos 0 survives; its copy at pos 4 is removed;
+    // overlapping grams spanning the seam (pos 1..3) are unique, so only
+    // positions 4..7 go
+    assert(out(1L) === ((8L, 4L, "p q r s")))
+  }
+
+  test("dedup spans: overlapping duplicate grams merge their removal spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = spanRows(Dedup.dedupSpans(docs, n = 3))
+    assert(out(1L) === ((6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((6L, 6L, ""))) // every position covered by a dup gram
+  }
+
+  test("dedup spans: documents shorter than n pass through untouched") {
+    val docs = Seq(
+      (1L, "one two"),
+      (2L, "one two")).toDF("doc_id", "text")
+    val out = spanRows(Dedup.dedupSpans(docs, n = 3))
+    assert(out(1L) === ((2L, 0L, "one two")))
+    assert(out(2L) === ((2L, 0L, "one two")))
+  }
 }

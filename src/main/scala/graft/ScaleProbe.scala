@@ -42,6 +42,34 @@ object ScaleProbe {
       pairs.count()
     }
     t("prune_10x") { Dedup.pruneDuplicates(docs10, pairs).count() }
+    // exact copies are adversarial here too: every 10-gram in a replica
+    // is a duplicate occurrence, so the removal set covers ~9/10 of the
+    // corpus — the worst case for the span-coverage explode. Aggregate
+    // over the output columns (a bare count() lets Catalyst eliminate
+    // the distinct-keyed left joins and skip the work entirely).
+    t("dedup_spans_10x") {
+      Dedup.dedupSpans(docs10, n = 10)
+        .agg(sum(col("n_removed")), sum(length(col("text_deduped")))).count()
+    }
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb10 = (0 until 10).map(i =>
+        emb.select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"), col("label")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    var km: KMeans.Model = null
+    t("kmeans_10x") { // 50k vectors x 64 dims, 4 Lloyd's iterations
+      km = KMeans.fit(emb10, k = 8, iters = 4, share = _.localCheckpoint(false))
+      km.counts.sum
+    }
+    var pq: Ann.PqModel = null
+    t("pq_train_10x") {
+      pq = Ann.pqTrain(emb10, dim = 64, m = 4, ksub = 8, iters = 2,
+        share = _.localCheckpoint(false))
+      pq.m.toLong
+    }
+    t("pq_search_10x") {
+      Ann.pqTopK(emb10.filter(col("vec_id") < 10), emb10, pq, k = 5).count()
+    }
 
     // banded interval join at 10× events (1M intervals per side-ish)
     val iv = graft.sources.EventsAdapter.intervals(spark, dir)

@@ -192,19 +192,61 @@ object Ann {
     def ksub: Int = subModels.headOption.map(_.k).getOrElse(0)
   }
 
-  /** Train per-subspace codebooks: dim must split into `m` equal slices;
-    * each slice trains an independent [[KMeans]] (same id-seeding).
+  /** Train per-subspace codebooks: dim must split into `m` equal slices,
+    * each seeded from the ksub lowest-id vectors' slice (the same rule as
+    * [[KMeans.fit]], which this reproduces exactly per subspace).
+    *
+    * All m Lloyd's runs are *fused*: one corpus scan per iteration
+    * assigns every subspace (m codegen argmins in a single projection)
+    * and one map-side-combinable groupBy over (subspace, cluster, dim)
+    * collects all m updates together — m× fewer corpus scans than
+    * training the subspaces separately, which is what makes PQ training
+    * affordable at 100 TB. The SQL oracle mirrors this shape (one
+    * subspace-keyed CTE chain).
     */
   def pqTrain(corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               share: DataFrame => DataFrame = identity): PqModel = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val w = dim / m
-    val models = (0 until m).map { s =>
-      val sub = corpus.select(col(idCol), slice(col(vecCol), s * w + 1, w).as(vecCol))
-      KMeans.fit(sub, ksub, iters, idCol, vecCol, share = share)
+
+    // quantized subvectors, one array<long> per subspace, materialized once
+    val q = share(corpus.select(col(idCol).as("_id"),
+      array((0 until m).map(s =>
+        KMeans.quantize(slice(col(vecCol), s * w + 1, w), 1e6)): _*).as("_qs")))
+
+    val seeds = q.orderBy(col("_id")).limit(ksub).collect()
+    require(seeds.length == ksub, s"corpus has ${seeds.length} vectors, need >= ksub=$ksub")
+    // cents(s)(c)(d)
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      seeds.map(_.getSeq[scala.collection.Seq[Long]](1)(s).toArray)
     }
-    PqModel(models.toArray, w)
+    require(cents.forall(_.forall(_.length == w)), "ragged embedding dimensionality")
+    var counts: Array[Array[Long]] = Array.fill(m)(Array.fill(ksub)(0L))
+
+    for (_ <- 1 to iters) {
+      val codeCols = (0 until m).map(s =>
+        KMeans.nearest(cents(s), element_at(col("_qs"), s + 1)))
+      val sums = q
+        .select(array(codeCols: _*).as("_cs"), col("_qs"))
+        .select(posexplode(arrays_zip(col("_cs"), col("_qs"))).as(Seq("_s", "_z")))
+        .select(col("_s"), col("_z._cs").as("_c"), posexplode(col("_z._qs")).as(Seq("_d", "_val")))
+        .groupBy(col("_s"), col("_c"), col("_d"))
+        .agg(sum(col("_val")).as("_sum"), count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      val nextCounts = Array.fill(m)(Array.fill(ksub)(0L))
+      sums.foreach { r =>
+        val s = r.getInt(0); val c = r.getLong(1).toInt; val d = r.getInt(2)
+        val sm = r.getLong(3); val n = r.getLong(4)
+        next(s)(c)(d) = math.floor(sm.toDouble / n).toLong
+        nextCounts(s)(c) = n
+      }
+      cents = next
+      counts = nextCounts
+    }
+    PqModel((0 until m).map(s => KMeans.Model(cents(s), counts(s))).toArray, w)
   }
 
   /** Attach the `codes` column (array<long>, one sub-centroid id per

@@ -1397,6 +1397,13 @@ object SparkEntry {
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
     },
+    // 4:1:1:1 en/de/fr/es target; zh is outside the target and drops.
+    // en is the scarcest per weight, so it survives in full.
+    "rebalance_mixture" -> { (s, dir) =>
+      CorpusOps.rebalanceMixture(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
     "multimodal_features" -> { (s, dir) =>
@@ -2070,6 +2077,21 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000 <
          |      CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END""".stripMargin,
+    // mixture rebalancing: scarcest group by integer cross-compare keeps
+    // bp 10000; others floor-div down to proportion — identical integer
+    // arithmetic to CorpusOps.rebalanceMixture ('//' truncates, operands
+    // are positive, so it is floor)
+    "rebalance_mixture" ->
+      s"""WITH tgt(g, w) AS (VALUES ('en', CAST(4 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)),
+         |cnt AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n FROM documents
+         |        WHERE lang IN (SELECT g FROM tgt) GROUP BY lang),
+         |scw AS (SELECT c.g, c.n, t.w FROM cnt c JOIN tgt t ON c.g = t.g),
+         |scarce AS (SELECT g, n, w FROM scw a WHERE NOT EXISTS (
+         |  SELECT 1 FROM scw b WHERE b.n * a.w < a.n * b.w
+         |                         OR (b.n * a.w = a.n * b.w AND b.g < a.g))),
+         |thr AS (SELECT scw.g, (10000 * scw.w * s.n) // (s.w * scw.n) AS bp FROM scw, scarce s)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr ON d.lang = thr.g
+         |WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.bp""".stripMargin,
     "pack_sequences" ->
       s"""WITH RECURSIVE ord AS (
          |  SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,

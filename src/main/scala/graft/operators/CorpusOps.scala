@@ -107,6 +107,63 @@ object CorpusOps {
     * repartition+sort a sharded writer needs anyway, so shuffling into
     * training order costs nothing beyond the write itself.
     */
+  /** Mixture rebalancing: thin an imbalanced corpus to a target
+    * group mixture (language/domain weights), keeping the largest corpus
+    * that achieves the target exactly — the scarcest group (smallest
+    * count/weight ratio) survives in full and every other group
+    * hash-thins down to proportion. The per-group acceptance thresholds
+    * are *derived from the data*, which is what distinguishes this from
+    * [[stratifiedSample]] (whose rates are given).
+    *
+    * Determinism: the scarcest group is chosen by integer
+    * cross-multiplication (`n_a·w_b < n_b·w_a`, ties to the smaller
+    * group name) and thresholds are integer floor-divisions
+    * `bp·w_g·n_s / (w_s·n_g)` in BigInt — no float ever enters a
+    * boundary decision, so an external SQL engine reproduces every
+    * accept/reject bit-for-bit. Acceptance is the same salted
+    * basis-point hash as [[stratifiedSample]]: adding documents never
+    * flips earlier decisions.
+    *
+    * Scale shape: one map-side-combinable groupBy collects #groups
+    * counts to the driver (constant-size, like a centroid update), then
+    * acceptance is a scan-stage filter against a broadcast-literal
+    * threshold map. Target groups absent from the corpus are ignored
+    * (the alternative — an empty result — helps nobody); corpus groups
+    * outside the target are dropped.
+    *
+    * @param targetWeights relative integer weights per group, e.g.
+    *                      ("en", 5), ("de", 3); need not sum to anything
+    */
+  def rebalanceMixture(docs: DataFrame, targetWeights: Seq[(String, Long)],
+                       groupCol: String = "lang", salt: String = "mix",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target group")
+    require(targetWeights.forall(_._2 > 0), "target weights must be positive")
+    require(targetWeights.map(_._1).distinct.size == targetWeights.size, "duplicate target group")
+    val bp = 10000L
+
+    val weights = targetWeights.toMap
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).filter(weights.contains).map(_ -> r.getLong(1)))
+      .toMap
+    require(counts.nonEmpty, s"no target group present in '$groupCol'")
+
+    // scarcest group: min count/weight ratio by integer cross-compare
+    val present = targetWeights.filter { case (g, _) => counts.contains(g) }
+    val (sg, sw) = present.reduce { (a, b) =>
+      val cmp = BigInt(counts(a._1)) * b._2 - BigInt(counts(b._1)) * a._2
+      if (cmp < 0 || (cmp == 0 && a._1 < b._1)) a else b
+    }
+    val thresholds: Map[String, Long] = present.map { case (g, w) =>
+      g -> (BigInt(bp) * w * counts(sg) / (BigInt(sw) * counts(g))).toLong
+    }.toMap
+
+    val bucket = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(bp))
+    val thr = element_at(typedlit(thresholds), col(groupCol))
+    docs.filter(thr.isNotNull && bucket < thr)
+  }
+
   def deterministicShuffle(docs: DataFrame, shards: Int, salt: String = "graft",
                            idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")

@@ -88,4 +88,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(("en", 4L)) == 3)
     assert(r(("de", 5L)) == 0, "groups pack independently")
   }
+
+  test("rebalanceMixture: scarcest group kept in full, others thinned toward the target") {
+    import org.apache.spark.sql.functions._
+    // 1000 "en", 100 "de": target 1:1 -> de is scarcest (100/1 < 1000/1),
+    // de keeps bp 10000 (all rows), en thins to bp 1000
+    val docs = ((0L until 1000L).map(i => (i, "en")) ++ (1000L until 1100L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.rebalanceMixture(docs, Seq("en" -> 1L, "de" -> 1L))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") === 100L, "scarcest group must survive in full")
+    // en acceptance is hash-thinned at 1000 bp; binomial around 100
+    assert(byLang("en") > 60L && byLang("en") < 140L)
+  }
+
+  test("rebalanceMixture: absent target groups are ignored, non-target groups drop") {
+    import org.apache.spark.sql.functions._
+    val docs = ((0L until 50L).map(i => (i, "en")) ++ (50L until 60L).map(i => (i, "zh")))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.rebalanceMixture(docs, Seq("en" -> 1L, "fr" -> 5L))
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs === Set("en"), "zh (non-target) drops; fr (absent) is ignored")
+    assert(out.count() === 50L, "en is the only present target group -> scarcest -> full")
+  }
+
+  test("rebalanceMixture is deterministic and stable under corpus growth") {
+    import org.apache.spark.sql.functions._
+    val base = ((0L until 400L).map(i => (i, "en")) ++ (400L until 500L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val a = CorpusOps.rebalanceMixture(base, Seq("en" -> 1L, "de" -> 1L))
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.rebalanceMixture(base, Seq("en" -> 1L, "de" -> 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // growing the scarce side only *raises* thresholds: every earlier
+    // accepted doc stays accepted (monotone acceptance - hash decisions
+    // never flip, only the cutoff moves)
+    val grown = base.unionByName(
+      (500L until 560L).map(i => (i, "de")).toDF("doc_id", "lang"))
+    val c = CorpusOps.rebalanceMixture(grown, Seq("en" -> 1L, "de" -> 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
 }

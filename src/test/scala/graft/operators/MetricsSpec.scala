@@ -37,6 +37,64 @@ class MetricsSpec extends SparkSpec {
     assert(out(0).getAs[java.sql.Timestamp]("finished_at") == ts("2023-01-02 00:00:00"))
   }
 
+  test("non-positive duration records are filtered from every granularity " +
+    "(ref test_tracking_quality.py:253-269, 225-233)") {
+    // reference fixture: zero-duration, negative-duration, and 1h records
+    // all starting at midnight; only the positive one counts
+    val sp = mkSp(
+      (0L, 0L, "1971-01-01 00:00:00", "1971-01-01 00:00:00", 8.5067847, 47.4),
+      (1L, 0L, "1971-01-01 00:00:00", "1970-12-31 23:00:00", 8.5067847, 47.4),
+      (2L, 0L, "1971-01-01 00:00:00", "1971-01-01 01:00:00", 8.5067847, 47.4))
+    def q(g: String): Double =
+      Metrics.temporalTrackingQuality(sp, g).select(col("quality")).as[Double].collect().last
+    assert(math.abs(q("all") - 1.0) < 1e-12)
+    assert(math.abs(q("day") - 1.0 / 24) < 1e-12)
+    assert(math.abs(q("week") - 1.0 / 24 / 7) < 1e-12)
+    assert(math.abs(q("weekday") - 1.0 / 24) < 1e-12)
+    assert(math.abs(q("hour") - 1.0) < 1e-12)
+  }
+
+  test("exact boundary split: zero-length-at-border and 1-unit-around-border records " +
+    "(ref test_exact_midnight_split, at engine resolution = 1 microsecond)") {
+    val mn = "2022-03-18 00:00:00"
+    val us = 1.0 / 1e6
+    val sp = Seq(
+      (0L, 0L, -us, us),  // straddles midnight by 1 us each side
+      (1L, 1L, -us, 0.0), // ends exactly at midnight
+      (2L, 2L, 0.0, us),  // starts exactly at midnight
+      (3L, 3L, 0.0, 0.0)) // zero-length at midnight
+      .toDF("id", "user_id", "ds", "df")
+      .select(col("id"), col("user_id"),
+        timestamp_micros((unix_micros(to_timestamp(lit(mn))) + (col("ds") * 1e6).cast("long"))).as("started_at"),
+        timestamp_micros((unix_micros(to_timestamp(lit(mn))) + (col("df") * 1e6).cast("long"))).as("finished_at"))
+    val out = Metrics.splitAt(sp, "hour")
+      .orderBy("user_id", "started_at")
+      .select(col("user_id"), col("started_at").cast("string"), col("finished_at").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // same shape as the reference: user 0 splits into two slices at the
+    // border; 1, 2 and the zero-length 3 stay whole
+    assert(out.toSeq === Seq(
+      (0L, "2022-03-17 23:59:59.999999", "2022-03-18 00:00:00"),
+      (0L, "2022-03-18 00:00:00", "2022-03-18 00:00:00.000001"),
+      (1L, "2022-03-17 23:59:59.999999", "2022-03-18 00:00:00"),
+      (2L, "2022-03-18 00:00:00", "2022-03-18 00:00:00.000001"),
+      (3L, "2022-03-18 00:00:00", "2022-03-18 00:00:00")))
+  }
+
+  test("absolute extent: a record ending exactly at midnight yields no empty trailing day " +
+    "(ref test_absolute_extent)") {
+    // midnight start + 10 days -> last day bucket is day 9 (Jan 10);
+    // midday start + 10 days -> the half-day tail lands on day 10 (Jan 11)
+    val spMidnight = mkSp((0L, 0L, "1971-01-01 00:00:00", "1971-01-11 00:00:00", 8.5, 47.4))
+    val lastMidnight = Metrics.temporalTrackingQuality(spMidnight, "day")
+      .agg(max(col("day")).cast("string")).as[String].collect().head
+    assert(lastMidnight === "1971-01-10 00:00:00")
+    val spMidday = mkSp((0L, 0L, "1971-01-01 12:00:00", "1971-01-11 12:00:00", 8.5, 47.4))
+    val lastMidday = Metrics.temporalTrackingQuality(spMidday, "day")
+      .agg(max(col("day")).cast("string")).as[String].collect().head
+    assert(lastMidday === "1971-01-11 00:00:00")
+  }
+
   test("radius of gyration count vs duration weighting") {
     // two points 2km apart; duration weights pull the center to the long stay
     val sp = mkSp(

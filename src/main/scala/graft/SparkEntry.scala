@@ -254,6 +254,41 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
        |  FROM pscored) WHERE rank <= $k""".stripMargin
 
+  /** BPE merge training as unrolled SQL — one (pair-count, argmax,
+    * fuse) CTE block per round, the exact twin of
+    * [[graft.operators.TextAnalysis.bpeTrain]]: integer pair counts
+    * over the word-frequency table, ties to the smallest (lhs, rhs),
+    * and the two-pass delimited literal replace whose leftmost-first
+    * non-overlapping semantics both engines share. LEFT JOIN ON true
+    * makes exhausted rounds no-ops (empty merge row → sym unchanged),
+    * mirroring the operator's early stop.
+    */
+  private def bpeOracle(merges: Int): String = {
+    val blocks = (1 to merges).map { i =>
+      s"""bq$i AS MATERIALIZED (
+         |  SELECT t[j] AS a, t[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT t, cnt, unnest(range(1, len(t))) AS j
+         |    FROM (SELECT string_split(trim(sym), ' ') AS t, cnt FROM bw${i - 1}))
+         |  GROUP BY t[j], t[j + 1]),
+         |bm$i AS MATERIALIZED (SELECT a, b, c FROM bq$i ORDER BY c DESC, a, b LIMIT 1),
+         |bw$i AS MATERIALIZED (
+         |  SELECT cnt, CASE WHEN m.a IS NULL THEN w.sym ELSE
+         |    replace(replace(w.sym, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+         |            ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') END AS sym
+         |  FROM bw${i - 1} w LEFT JOIN bm$i m ON true)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS freq FROM bm$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH bw0 AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$blocks
+       |$union""".stripMargin
+  }
+
   private def annLshOracle(k: Int, planes: Int): String = {
     val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
     s"""WITH ${sigCte(planes)},
@@ -1397,6 +1432,13 @@ object SparkEntry {
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
     },
+    // the learned BPE merge table is the full training trajectory: any
+    // divergence in pair counting, tie-breaking, or fusion order at any
+    // round changes every later row
+    "bpe_merges" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(s.read.parquet(s"$dir/documents.parquet"),
+        merges = 8, share = _.localCheckpoint(false))
+    },
     // 4:1:1:1 en/de/fr/es target; zh is outside the target and drops.
     // en is the scarcest per weight, so it survives in full.
     "rebalance_mixture" -> { (s, dir) =>
@@ -2037,6 +2079,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
+    "bpe_merges" -> bpeOracle(merges = 8),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

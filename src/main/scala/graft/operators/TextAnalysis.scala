@@ -234,6 +234,79 @@ object TextAnalysis {
       .select(col("rank").cast("long").as("rank"), col("word"), col("n"), col("cum_frac"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016): learn `merges` byte-pair
+    * merge rules over the corpus's word-frequency table — each round
+    * counts adjacent symbol pairs weighted by word count, picks the most
+    * frequent (ties: lexicographically smallest pair), and fuses it
+    * everywhere. The canonical subword-tokenizer trainer, here as a
+    * distributed loop with the same shape as [[graft.operators.KMeans]]:
+    * per round one map-side-combinable pair-count groupBy whose argmax
+    * (a single row) collects to the driver, then the merge applies as a
+    * scan-stage projection. Driver state is one merge rule per round.
+    *
+    * Engine-exactness: symbol sequences live as single-space-delimited
+    * strings with sentinel boundary spaces, and a merge applies as
+    * left-to-right non-overlapping `replace(' a b ' → ' ab ')` — the
+    * identical algorithm in the JVM and any SQL engine, and exactly
+    * BPE's leftmost-first fusion order. Counting and tie-breaks are
+    * integer/lexicographic, so the full merge table is reproducible
+    * bit-for-bit.
+    *
+    * @return (step ∈ 1..merges, lhs, rhs, freq) — the merge table;
+    *         training stops early if no pair remains
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 8, textCol: String = "text",
+               share: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = docs.sparkSession
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+
+    // word-frequency table, words as boundary-padded char sequences
+    var seqs = share(docs
+      .select(explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+      .select(col("_cnt"),
+        concat(lit(" "), concat_ws(" ", filter(split(col("_w"), ""), c => length(c) > 0)), lit(" "))
+          .as("_sym")))
+
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = seqs
+        .select(col("_cnt"), split(trim(col("_sym")), " ").as("_t"))
+        // single-symbol words carry no pairs (sequence(0, -1) would
+        // descend); drop them before the pair explode
+        .filter(size(col("_t")) >= 2)
+        .select(col("_cnt"), explode(
+          transform(sequence(lit(0), size(col("_t")) - 2),
+            j => struct(element_at(col("_t"), j + 1).as("a"), element_at(col("_t"), j + 2).as("b"))))
+          .as("_p"))
+        .groupBy(col("_p.a"), col("_p.b")).agg(sum(col("_cnt")).as("_c"))
+        .orderBy(col("_c").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((step, a, b, c))
+        // two literal replace passes: a left-to-right non-overlapping
+        // scan misses every second occurrence of a contiguous run (the
+        // shared boundary space is consumed by the previous match), and
+        // after one pass no two missed occurrences remain adjacent, so
+        // the second pass completes the exhaustive leftmost-first fusion
+        // — BPE's application order exactly, in any engine with the
+        // standard replace algorithm. Replacements cannot spawn new
+        // pattern hits: ' a$b ' contains no interior space.
+        val fuse = (s: Column) => replace(s, lit(s" $a $b "), lit(s" $a$b "))
+        seqs = share(seqs.withColumn("_sym", fuse(fuse(col("_sym")))))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "lhs", "rhs", "freq")
+      .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"), col("freq"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

@@ -86,4 +86,67 @@ class TextFilterSpec extends SparkSpec {
     // ordering is (score desc, doc_id): output already sorted
     assert(ids.toSeq == out.sortBy(r => (-r.getAs[Long]("score_q"), r.getAs[Long]("doc_id"))).map(_.getAs[Long]("doc_id")).toSeq)
   }
+
+  /** Reference single-machine BPE trainer: symbol lists, leftmost-first
+    * non-overlapping merge application, ties to the smallest (lhs, rhs).
+    */
+  private def naiveBpe(words: Map[String, Long], merges: Int): Seq[(Long, String, String, Long)] = {
+    var seqs: Seq[(List[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- seqs; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((step.toLong, a, b, c))
+        def app(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: app(rest)
+          case x :: rest => x :: app(rest)
+          case Nil => Nil
+        }
+        seqs = seqs.map { case (syms, c2) => (app(syms), c2) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe training: contiguous runs fuse leftmost-first; training stops when no pair remains") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // round 1: (a,a) appears 3 times in 'a a a a'; fusion is non-overlapping
+    // leftmost-first -> 'aa aa'; round 2 merges (aa,aa); then no pairs remain
+    assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("bpe training matches the naive trainer on the classic corpus") {
+    // Sennrich et al.'s worked example: low x5, lower x2, newest x6, widest x3
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val want = naiveBpe(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 6)
+    assert(got === want)
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L,
+      "first merge must be (e, s) with frequency 9")
+  }
+
+  test("bpe training matches the naive trainer on random multi-document corpora") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd"
+    val words = Seq.fill(40)((1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val docs = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val freq = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val got = TextAnalysis.bpeTrain(docs, merges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === naiveBpe(freq, 10))
+  }
 }

@@ -263,7 +263,10 @@ object SparkEntry {
     * makes exhausted rounds no-ops (empty merge row → sym unchanged),
     * mirroring the operator's early stop.
     */
-  private def bpeOracle(merges: Int): String = {
+  /** The shared training CTE chain: bw{i} keeps the source word `w` so
+    * the encode oracle can join token counts back onto documents.
+    */
+  private def bpeCtes(merges: Int): String = {
     val blocks = (1 to merges).map { i =>
       s"""bq$i AS MATERIALIZED (
          |  SELECT t[j] AS a, t[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -272,22 +275,38 @@ object SparkEntry {
          |  GROUP BY t[j], t[j + 1]),
          |bm$i AS MATERIALIZED (SELECT a, b, c FROM bq$i ORDER BY c DESC, a, b LIMIT 1),
          |bw$i AS MATERIALIZED (
-         |  SELECT cnt, CASE WHEN m.a IS NULL THEN w.sym ELSE
+         |  SELECT w.w, w.cnt, CASE WHEN m.a IS NULL THEN w.sym ELSE
          |    replace(replace(w.sym, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
          |            ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') END AS sym
          |  FROM bw${i - 1} w LEFT JOIN bm$i m ON true)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS freq FROM bm$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH bw0 AS MATERIALIZED (
-       |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+    s"""bw0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
        |         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  private def bpeOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS freq FROM bm$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(merges)}
        |$union""".stripMargin
   }
+
+  /** Encode = the trained bw{N} symbol strings joined back onto each
+    * document's words; token count per word is the symbol count.
+    */
+  private def bpeEncodeOracle(merges: Int): String =
+    s"""WITH ${bpeCtes(merges)}
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(trim(b.sym), ' '))) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+       |JOIN bw$merges b ON d.w = b.w
+       |WHERE len(d.w) > 0
+       |GROUP BY d.doc_id""".stripMargin
 
   private def annLshOracle(k: Int, planes: Int): String = {
     val flips = ("s" +: (0 until planes).map(b => s"xor(s, ${1L << b})")).mkString(", ")
@@ -1439,6 +1458,15 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s.read.parquet(s"$dir/documents.parquet"),
         merges = 8, share = _.localCheckpoint(false))
     },
+    // train -> tokenize end to end: learned merges fold into one
+    // scan-stage projection (driver-held literals, no merge-table join)
+    "bpe_encode" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
+        .select(col("step"), col("lhs"), col("rhs")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, learned)
+    },
     // 4:1:1:1 en/de/fr/es target; zh is outside the target and drops.
     // en is the scarcest per weight, so it survives in full.
     "rebalance_mixture" -> { (s, dir) =>
@@ -2080,6 +2108,7 @@ object SparkEntry {
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
     "bpe_merges" -> bpeOracle(merges = 8),
+    "bpe_encode" -> bpeEncodeOracle(merges = 8),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

@@ -307,6 +307,37 @@ object TextAnalysis {
       .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"), col("freq"))
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]] output, or any
+    * (lhs, rhs) sequence in merge order) and count the resulting subword
+    * tokens per document — the train→tokenize path a pipeline runs to
+    * budget sequence-packing and billing by real tokenizer counts
+    * instead of whitespace proxies.
+    *
+    * The merge fold compiles into one scan-stage projection: per word,
+    * 2·|merges| nested literal replaces over the delimited symbol string
+    * (the same two-pass fusion as training), then a size(split(...)).
+    * No join against the merge table — it is a driver-held literal, like
+    * the k-means centroids. One groupBy(doc) re-aggregates word token
+    * counts.
+    *
+    * @return (doc_id, n_words, n_bpe_tokens)
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val charSym = concat(lit(" "),
+      concat_ws(" ", filter(split(col("_w"), ""), c => length(c) > 0)), lit(" "))
+    val fused = merges.foldLeft(charSym) { case (s, (a, b)) =>
+      val once = replace(s, lit(s" $a $b "), lit(s" $a$b "))
+      replace(once, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .select(col(idCol), size(split(trim(fused), " ")).cast("long").as("_t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

@@ -138,6 +138,19 @@ class TextFilterSpec extends SparkSpec {
       "first merge must be (e, s) with frequency 9")
   }
 
+  test("bpe encode: learned merges shrink token counts; empty merge table counts chars") {
+    val docs = Seq((1L, "abab abab"), (2L, "cd")).toDF("doc_id", "text")
+    val base = TextAnalysis.bpeEncode(docs, Seq.empty)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base(1L) === ((2L, 8L)), "char-level: 2 words x 4 chars")
+    assert(base(2L) === ((1L, 2L)))
+    val merged = TextAnalysis.bpeEncode(docs, Seq(("a", "b"), ("ab", "ab")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 'abab' -> [ab, ab] -> [abab]: one token per word
+    assert(merged(1L) === ((2L, 2L)))
+    assert(merged(2L) === ((1L, 2L)), "merges not touching 'cd' leave it char-level")
+  }
+
   test("bpe training matches the naive trainer on random multi-document corpora") {
     val rnd = new scala.util.Random(29)
     val alphabet = "abcd"

@@ -23,16 +23,19 @@ object SparkEntry {
   import graft.functions.PortableHash.{M, affine, foldHashesSql, h60Sql}
 
   /** DuckDB word-shingle set per doc (same shape as Dedup.shingles). */
-  private val shinglesCte =
-    """sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-      |    THEN list_transform(range(0, len(string_split(text,' ')) - 2),
-      |         i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))
-      |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
-      |  FROM documents)""".stripMargin
+  private def shinglesCteFrom(src: String) =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(0, len(string_split(text,' ')) - 2),
+       |         i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))
+       |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
+       |  FROM $src)""".stripMargin
+
+  private val shinglesCte = shinglesCteFrom("documents")
 
   /** CTE chain producing the verified minhash pair set as `dup(id_a, id_b)`. */
-  private def minhashPairsCte(numHashes: Int, bands: Int, threshold: Double): String = {
+  private def minhashPairsCte(numHashes: Int, bands: Int, threshold: Double,
+                              src: String = "documents"): String = {
     val rows = numHashes / bands
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = affine(i)
@@ -42,7 +45,7 @@ object SparkEntry {
       val fold = foldHashesSql((b * rows until (b + 1) * rows).map(j => s"m$j"))
       s"SELECT doc_id, $b AS bb, $fold AS h FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shinglesCte,
+    s"""${shinglesCteFrom(src)},
        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
        |hb AS (SELECT doc_id, ${h60Sql("sg")} % $M AS b FROM ex),
        |sig AS (
@@ -253,6 +256,90 @@ object SparkEntry {
        |       CAST(adc AS BIGINT) AS adc_dist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
        |  FROM pscored) WHERE rank <= $k""".stripMargin
+
+  /** doc_ids passing the Gopher repetition thresholds, over `src` —
+    * the same gram/count/threshold chain as the text_repetition oracle,
+    * reduced to the boolean and parameterized by source relation for
+    * composition into the curation pipeline.
+    */
+  private def repetitionOkCte(src: String): String =
+    s"""rw AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
+       |rg AS (
+       |  SELECT doc_id, n, ${h60Sql("g")} AS h FROM (
+       |    SELECT doc_id, 2 AS n, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+       |      i -> array_to_string(ws[i+1:i+2], ' '))) AS g FROM rw
+       |    UNION ALL
+       |    SELECT doc_id, 3 AS n, unnest(list_transform(range(0, greatest(len(ws)-2, 0)),
+       |      i -> array_to_string(ws[i+1:i+3], ' '))) AS g FROM rw
+       |    UNION ALL
+       |    SELECT doc_id, 4 AS n, unnest(list_transform(range(0, greatest(len(ws)-3, 0)),
+       |      i -> array_to_string(ws[i+1:i+4], ' '))) AS g FROM rw
+       |    UNION ALL
+       |    SELECT doc_id, 5 AS n, unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+       |      i -> array_to_string(ws[i+1:i+5], ' '))) AS g FROM rw)),
+       |rcn AS (SELECT doc_id, n, h, CAST(count(*) AS BIGINT) AS cnt FROM rg GROUP BY doc_id, n, h),
+       |ragg AS (SELECT doc_id, n, max(cnt) AS max_cnt, sum(cnt) AS tot,
+       |          coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup
+       |        FROM rcn GROUP BY doc_id, n),
+       |rok AS (
+       |  SELECT w.doc_id FROM rw w LEFT JOIN ragg a ON w.doc_id = a.doc_id
+       |  GROUP BY w.doc_id, len(w.ws)
+       |  HAVING coalesce(CAST(max(CASE WHEN n = 2 THEN max_cnt * 2 END) AS DOUBLE)
+       |           / CAST(len(w.ws) AS DOUBLE), 0.0) <= 0.20
+       |     AND coalesce(CAST(max(CASE WHEN n = 3 THEN max_cnt * 3 END) AS DOUBLE)
+       |           / CAST(len(w.ws) AS DOUBLE), 0.0) <= 0.18
+       |     AND coalesce(CAST(max(CASE WHEN n = 4 THEN max_cnt * 4 END) AS DOUBLE)
+       |           / CAST(len(w.ws) AS DOUBLE), 0.0) <= 0.16
+       |     AND coalesce(CAST(max(CASE WHEN n = 5 THEN dup END) AS DOUBLE)
+       |           / CAST(max(CASE WHEN n = 5 THEN tot END) AS DOUBLE), 0.0) <= 0.15)""".stripMargin
+
+  /** The curation pipeline as one composed oracle: every stage is the
+    * SQL twin of the operator [[graft.operators.CorpusOps.curate]] runs,
+    * in the same order, each over the previous stage's output.
+    */
+  private def curateOracle(numHashes: Int, bands: Int, threshold: Double,
+                           tgtValues: String): String =
+    s"""WITH RECURSIVE
+       |cq AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(string_split(text,' ')) >= 5
+       |    AND CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |        / CAST(len(string_split(text,' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0
+       |    AND (CASE WHEN length(text) > 0 THEN
+       |          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.3),
+       |${repetitionOkCte("documents")},
+       |base AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM cq) AND doc_id IN (SELECT doc_id FROM rok)),
+       |${minhashPairsCte(numHashes, bands, threshold, src = "base")},
+       |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |dropped AS (
+       |  SELECT n.node FROM nodes n JOIN reach r ON r.a = n.node
+       |  GROUP BY n.node HAVING least(n.node, min(r.b)) <> n.node),
+       |kept2 AS MATERIALIZED (
+       |  SELECT * FROM base WHERE doc_id NOT IN (SELECT node FROM dropped)),
+       |tgt(g, w) AS (VALUES $tgtValues),
+       |cnt AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n FROM kept2
+       |        WHERE lang IN (SELECT g FROM tgt) GROUP BY lang),
+       |scw AS (SELECT c.g, c.n, t.w FROM cnt c JOIN tgt t ON c.g = t.g),
+       |scarce AS (SELECT g, n, w FROM scw a WHERE NOT EXISTS (
+       |  SELECT 1 FROM scw b WHERE b.n * a.w < a.n * b.w
+       |                         OR (b.n * a.w = a.n * b.w AND b.g < a.g))),
+       |thr AS (SELECT scw.g, (10000 * scw.w * s.n) // (s.w * scw.n) AS bp FROM scw, scarce s),
+       |kept3 AS (
+       |  SELECT k.* FROM kept2 k JOIN thr ON k.lang = thr.g
+       |  WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.bp)
+       |SELECT doc_id, lang, source,
+       |  CASE WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |       WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM kept3""".stripMargin
 
   /** BPE merge training as unrolled SQL — one (pair-count, argmax,
     * fuse) CTE block per round, the exact twin of
@@ -1474,6 +1561,13 @@ object SparkEntry {
         Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
         .select(col("doc_id"), col("lang"), col("source"))
     },
+    // the full curation pipeline: quality -> repetition -> near-dup
+    // pruning -> rebalance -> split, each stage over the previous one's
+    // output (rebalance thresholds derive from post-dedup counts)
+    "curate_corpus" -> { (s, dir) =>
+      CorpusOps.curate(s.read.parquet(s"$dir/documents.parquet"),
+        targetWeights = Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
+    },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
     "multimodal_features" -> { (s, dir) =>
@@ -2109,6 +2203,8 @@ object SparkEntry {
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
+    "curate_corpus" -> curateOracle(numHashes = 64, bands = 16, threshold = 0.5,
+      tgtValues = "('en', CAST(4 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)"),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches
     // Multimodal.decodeBatch's stub kernel exactly

@@ -107,6 +107,42 @@ object CorpusOps {
     * repartition+sort a sharded writer needs anyway, so shuffling into
     * training order costs nothing beyond the write itself.
     */
+  /** End-to-end corpus curation — the composition a real training-data
+    * pipeline runs, as one operator: quality filter → repetition filter
+    * → near-dup pruning (MinHash+LSH pairs → connected components, the
+    * smallest id per component survives) → mixture rebalancing →
+    * deterministic split assignment. Each stage is the library operator
+    * it names; this wires them in the order where each decision is made
+    * on the corpus the previous stage produced (the rebalance thresholds,
+    * for example, derive from *post-dedup* counts — dedup first, or the
+    * mixture drifts by however unevenly duplicates are distributed).
+    *
+    * Scale notes: the filters and the split are scan-stage; the dedup
+    * stage is the banded equi-join pipeline; rebalancing collects only
+    * #groups counts. Nothing here adds a shuffle beyond the stages'own.
+    *
+    * @return kept documents with their split: (doc_id, lang, source, split)
+    */
+  def curate(docs: DataFrame,
+             targetWeights: Seq[(String, Long)],
+             splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+             minHashes: Int = 64, bands: Int = 16, dupThreshold: Double = 0.5,
+             idCol: String = "doc_id"): DataFrame = {
+    val qOk = TextAnalysis.qualityScore(docs)
+      .filter(col("quality_ok")).select(col(idCol))
+    val rOk = TextAnalysis.repetitionMetrics(docs, idCol = idCol)
+      .filter(col("repetition_ok")).select(col(idCol))
+    val base = docs
+      .join(qOk, Seq(idCol), "left_semi")
+      .join(rOk, Seq(idCol), "left_semi")
+    val pairs = Dedup.minHashLsh(base, idCol = idCol,
+      numHashes = minHashes, bands = bands, verifyThreshold = dupThreshold)
+    val deduped = Dedup.pruneDuplicates(base, pairs, idCol = idCol)
+    val balanced = rebalanceMixture(deduped, targetWeights, idCol = idCol)
+    hashSplit(balanced, splitWeights, idCol = idCol)
+      .select(col(idCol), col("lang"), col("source"), col("split"))
+  }
+
   /** Mixture rebalancing: thin an imbalanced corpus to a target
     * group mixture (language/domain weights), keeping the largest corpus
     * that achieves the target exactly — the scarcest group (smallest

@@ -112,6 +112,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.count() === 50L, "en is the only present target group -> scarcest -> full")
   }
 
+  test("curate: each stage drops what it should; survivors carry splits") {
+    import org.apache.spark.sql.functions._
+    // long enough that the Gopher top-n-gram fractions (>= n/n_words
+    // even with zero repetition) clear the published thresholds
+    val doc1 = "the cat sat on a mat while the dog ran across to a park and " +
+      "every bird flew over those trees because morning light warmed each " +
+      "roof along our quiet street before noon"
+    val doc2 = "seven ships left harbor early as winter storms gathered far " +
+      "beyond the gray horizon and their crews watched waves climb against " +
+      "old stone walls until evening came quietly down"
+    val doc6 = "engineers measured the bridge span twice during spring since " +
+      "heavy trucks crossed daily carrying grain from valley farms toward " +
+      "rail yards beside the wide northern river basin"
+    val docs = Seq(
+      (1L, doc1, "en", "src0"),
+      (2L, doc2, "en", "src0"),
+      (3L, doc1, "en", "src0"),                     // exact dup of 1 -> pruned
+      (4L, ("word " * 30).trim, "en", "src0"),      // degenerate repetition -> dropped
+      (5L, "tiny", "en", "src0"),                   // under 5 words -> quality-dropped
+      (6L, doc6, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps.curate(docs, targetWeights = Seq("en" -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet === Set(1L, 2L, 6L),
+      "dup loser, repetitive junk and short doc must all drop")
+    assert(out.values.forall(Set("train", "val", "test")))
+  }
+
   test("rebalanceMixture is deterministic and stable under corpus growth") {
     import org.apache.spark.sql.functions._
     val base = ((0L until 400L).map(i => (i, "en")) ++ (400L until 500L).map(i => (i, "de")))

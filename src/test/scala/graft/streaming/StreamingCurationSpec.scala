@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{CorpusOps, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The curation stages that are pure scan-stage projections — quality
+  * scoring, PII redaction, split assignment, stratified sampling — run
+  * unchanged on a streaming DataFrame: no state, no watermark, append
+  * mode. This spec pins that property (and that the results are
+  * identical to the batch application), so a refactor that sneaks a
+  * shuffle or an aggregation into one of them fails here before it
+  * breaks an ingest topology. The stateful stages (repetition metrics,
+  * dedup, data-derived rebalancing) have their own streaming twins or
+  * stay batch — see StreamingDedup / StreamingNearDup.
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on a mat and ran to the park with a friend", "en"),
+    (2L, "x 9 9 9 9 9 9 9 9 9", "en"),
+    (3L, "mail me at jo@example.com or call 555-123-4567 sometime soon today", "de"),
+    (4L, "short", "de"))
+
+  private def runStream(f: DataFrame => DataFrame, name: String): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val query = f(input.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    input.addData(docs.take(2): _*); query.processAllAvailable()
+    input.addData(docs.drop(2): _*); query.processAllAvailable()
+    query.stop()
+    spark.table(name).collect()
+  }
+
+  test("quality filter, pii redaction, split and sampling are streaming-safe and match batch") {
+    val stage: DataFrame => DataFrame = in =>
+      CorpusOps.stratifiedSample(
+        CorpusOps.hashSplit(
+          TextAnalysis.redactPii(
+            TextAnalysis.qualityScore(in).filter(col("quality_ok"))),
+          salt = "graft"),
+        strataCol = "lang", ratesBp = Map("en" -> 10000), defaultBp = 10000)
+        .select(col("doc_id"), col("split"), (col("n_emails") + col("n_phones")).as("n_pii"), col("redacted"))
+
+    val streamed = runStream(stage, "cur_out")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val batch = stage(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1).contains(1L) && !streamed.map(_._1).contains(4L),
+      "quality filter must act in-stream")
+    val pii = streamed.find(_._1 == 3L).get
+    assert(pii._3 >= 2L && pii._4.contains("<EMAIL>"), "pii redaction must act in-stream")
+  }
+}

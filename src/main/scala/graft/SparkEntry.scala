@@ -1271,6 +1271,12 @@ object SparkEntry {
           unix_micros(col("started_at")).as("s_us"), unix_micros(col("finished_at")).as("f_us"),
           col("origin_staypoint_id"), col("destination_staypoint_id"))
     },
+    "od_flows" -> { (s, dir) =>
+      Metrics.odFlows(Pipeline.staypointsWithLocation(s, dir))
+    },
+    "kanon_cells" -> { (s, dir) =>
+      SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -1948,6 +1954,31 @@ object SparkEntry {
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
       epsM = 100.0)),
+    // OD flows over the same location chain: sid is time-ordered per
+    // user by construction (row_number over (u, a_t, f_t)), so lead()
+    // over sid order is the consecutive-visit transition; the location
+    // key is the component's smallest member staypoint id (rep) — the
+    // engine-neutral key odFlows also derives
+    "od_flows" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |odt AS (
+         |  SELECT user_id, rep AS f, lead(rep) OVER (PARTITION BY user_id ORDER BY sid) AS t
+         |  FROM rep)
+         |SELECT f AS from_loc, t AS to_loc, CAST(count(*) AS BIGINT) AS n_transitions
+         |FROM odt WHERE t IS NOT NULL GROUP BY f, t""".stripMargin),
+    "kanon_cells" ->
+      s"""${EventsAdapter.pfsSql}
+         |SELECT cx AS cell_x, cy AS cell_y,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(count(*) AS BIGINT) AS n_points
+         |FROM (SELECT user_id,
+         |        CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
+         |      FROM pfs)
+         |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
     "frechet_matrix" -> withMaterializedCtes(frechetOracle),
     "tours_generate" -> withMaterializedCtes(toursOracle(

@@ -159,4 +159,32 @@ object Metrics {
         .drop("_total")
     }
   }
+
+  /** Origin–destination flows between generated locations: consecutive
+    * staypoint visits per user become directed (from, to) transitions,
+    * counted over the whole dataset — the classic OD matrix in long
+    * form (dense matrices don't survive real location cardinalities).
+    *
+    * Locations are keyed by their smallest member staypoint id rather
+    * than the generator's dense label: the label depends on cluster
+    * enumeration order, the member set doesn't, so the key is stable
+    * across engines and re-runs (the same convention the location oracle
+    * uses). Self-transitions (consecutive visits to one location) count:
+    * they are real re-visits, and dropping them is one filter away.
+    *
+    * One window over (user, time) + one groupBy — shuffles only on
+    * `user_id` and the (from, to) pair.
+    *
+    * @param spLoc staypoints with `location_id` (see LocationGenerator)
+    */
+  def odFlows(spLoc: DataFrame): DataFrame = {
+    val byLoc = Window.partitionBy(col("user_id"), col("location_id"))
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))
+    spLoc.filter(col("location_id").isNotNull)
+      .withColumn("_lk", min(col("id")).over(byLoc))
+      .withColumn("_next", lead(col("_lk"), 1).over(byTime))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_lk").as("from_loc"), col("_next").as("to_loc"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

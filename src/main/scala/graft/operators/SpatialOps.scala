@@ -202,4 +202,48 @@ object SpatialOps {
       .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
       .select("id_1", "id_2", "distance_m")
   }
+
+  /** k-anonymous spatial coarsening for publishing point data: snap
+    * points to a fixed lon/lat grid and keep only cells visited by at
+    * least `k` distinct users — the standard small-cell-suppression rule
+    * (cells identifying fewer than k individuals never leave the
+    * cluster). Returns the surviving cell summary; join it back
+    * (`suppressRareCells`) to filter row-level data to publishable
+    * cells.
+    *
+    * The cell id is an exact integer floor of micro-degree coordinates —
+    * boundary points land identically in any engine (floating division
+    * by the cell size would not: 0.01 has no binary representation, so
+    * `floor(lon/0.01)` can flip at cell edges; `floor(lon·1e6)` then
+    * integer-dividing by the micro-degree cell width cannot). One
+    * map-side-combinable groupBy; distinct-user counts partial-aggregate.
+    *
+    * @param cellMicroDeg cell width in micro-degrees (10000 ≈ 0.01° ≈ 1.1 km E-W)
+    */
+  def kAnonymousCells(points: DataFrame, cellMicroDeg: Long = 10000L, k: Int = 5,
+                      userCol: String = "user_id"): DataFrame = {
+    require(cellMicroDeg > 0 && k >= 1, "cell width and k must be positive")
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    points
+      .groupBy(cell(col("lon")).as("cell_x"), cell(col("lat")).as("cell_y"))
+      .agg(countDistinct(col(userCol)).as("n_users"), count(lit(1)).as("n_points"))
+      .filter(col("n_users") >= k)
+  }
+
+  /** Row-level suppression against [[kAnonymousCells]]: keep only points
+    * inside publishable cells (left-semi join on the cell id — the cell
+    * table is small and broadcasts).
+    */
+  def suppressRareCells(points: DataFrame, cellMicroDeg: Long = 10000L, k: Int = 5,
+                        userCol: String = "user_id"): DataFrame = {
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    val ok = kAnonymousCells(points, cellMicroDeg, k, userCol)
+      .select(col("cell_x"), col("cell_y"))
+    points
+      .withColumn("cell_x", cell(col("lon")))
+      .withColumn("cell_y", cell(col("lat")))
+      .join(broadcast(ok), Seq("cell_x", "cell_y"), "left_semi")
+  }
 }

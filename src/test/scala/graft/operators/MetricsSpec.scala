@@ -247,6 +247,46 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("od flows: consecutive location visits count directed transitions; noise skipped") {
+    val spLoc = Seq(
+      // user 1: A -> A -> (noise) -> B -> A
+      (10L, 1L, "2023-01-01 08:00:00", java.lang.Long.valueOf(100L)),
+      (11L, 1L, "2023-01-01 09:00:00", java.lang.Long.valueOf(100L)),
+      (12L, 1L, "2023-01-01 10:00:00", null.asInstanceOf[java.lang.Long]),
+      (13L, 1L, "2023-01-01 11:00:00", java.lang.Long.valueOf(200L)),
+      (14L, 1L, "2023-01-01 12:00:00", java.lang.Long.valueOf(100L)),
+      // user 2: C -> D (distinct locations, distinct keys)
+      (20L, 2L, "2023-01-01 08:00:00", java.lang.Long.valueOf(300L)),
+      (21L, 2L, "2023-01-01 09:00:00", java.lang.Long.valueOf(400L)))
+      .toDF("id", "user_id", "s", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"), col("location_id"))
+    val flows = Metrics.odFlows(spLoc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // keys are the smallest member staypoint id per (user, location)
+    assert(flows === Map(
+      (10L, 10L) -> 1L, // A -> A self re-visit
+      (10L, 13L) -> 1L, // A -> B (noise staypoint skipped, not a barrier)
+      (13L, 10L) -> 1L, // B -> A
+      (20L, 21L) -> 1L))
+  }
+
+  test("k-anonymous cells: rare cells suppressed at summary and row level; exact edges") {
+    val pts = (
+      (1 to 6).map(u => (u.toLong * 100, u.toLong, 8.5012, 47.30)) ++      // popular cell: 6 users
+      Seq((900L, 1L, 8.5212, 47.30), (901L, 2L, 8.5212, 47.30)) ++         // rare cell: 2 users
+      Seq((950L, 7L, 8.51, 47.30)))                                        // edge: lon exactly on boundary
+      .toDF("id", "user_id", "lon", "lat")
+    val cells = SpatialOps.kAnonymousCells(pts, cellMicroDeg = 10000L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // 8.5012 -> cell 850; 8.51 -> exactly 851 (boundary belongs to the
+    // upper cell under floor); 8.5212 -> 852 suppressed
+    assert(cells.keySet === Set((850L, 4730L)))
+    assert(cells((850L, 4730L)) === ((6L, 6L)))
+    val kept = SpatialOps.suppressRareCells(pts, cellMicroDeg = 10000L, k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept === (1 to 6).map(_.toLong * 100).toSet)
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

@@ -181,37 +181,51 @@ object SparkEntry {
     * product quantization — each subspace's Lloyd's run is independent,
     * so keying every group/join by m trains them all in one CTE chain.
     */
-  private def kmeansCtes(k: Int, iters: Int, subWidth: Int): String = {
+  /** @param p CTE-name prefix, so two chains (e.g. IVF coarse + PQ
+    *           residual) coexist in one query; "" keeps legacy names
+    * @param fromLongForm when set, train over this already-quantized
+    *           long-form relation (vec_id, pos, val) instead of
+    *           quantizing `embeddings`
+    */
+  private def kmeansCtes(k: Int, iters: Int, subWidth: Int,
+                         p: String = "", fromLongForm: Option[String] = None): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""d$i AS MATERIALIZED (
+      s"""${p}d$i AS MATERIALIZED (
          |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
-         |  FROM kq q JOIN cent${i - 1} c ON q.m = c.m AND q.pos = c.pos
+         |  FROM ${p}kq q JOIN ${p}cent${i - 1} c ON q.m = c.m AND q.pos = c.pos
          |  GROUP BY q.vec_id, q.m, c.c),
-         |a$i AS MATERIALIZED (
+         |${p}a$i AS MATERIALIZED (
          |  SELECT vec_id, m, c FROM (
          |    SELECT vec_id, m, c,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn FROM d$i)
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn FROM ${p}d$i)
          |  WHERE rn = 1),
-         |s$i AS MATERIALIZED (
+         |${p}s$i AS MATERIALIZED (
          |  SELECT a.m, a.c, q.pos,
          |         CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS val,
          |         count(*) AS n
-         |  FROM a$i a JOIN kq q ON a.vec_id = q.vec_id AND a.m = q.m
+         |  FROM ${p}a$i a JOIN ${p}kq q ON a.vec_id = q.vec_id AND a.m = q.m
          |  GROUP BY a.m, a.c, q.pos),
-         |cent$i AS MATERIALIZED (
+         |${p}cent$i AS MATERIALIZED (
          |  SELECT p.m, p.c, p.pos, COALESCE(s.val, p.val) AS val
-         |  FROM cent${i - 1} p
-         |  LEFT JOIN s$i s ON p.m = s.m AND p.c = s.c AND p.pos = s.pos)""".stripMargin
+         |  FROM ${p}cent${i - 1} p
+         |  LEFT JOIN ${p}s$i s ON p.m = s.m AND p.c = s.c AND p.pos = s.pos)""".stripMargin
     }.mkString(",\n")
-    s"""kq AS MATERIALIZED (
-       |  SELECT vec_id, CAST((pos - 1) // $subWidth AS BIGINT) AS m, CAST(pos AS BIGINT) AS pos,
-       |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS val
-       |  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
-       |        FROM embeddings)),
-       |cent0 AS MATERIALIZED (
+    val kqBody = fromLongForm match {
+      case Some(rel) =>
+        s"""  SELECT vec_id, CAST((pos - 1) // $subWidth AS BIGINT) AS m, pos, val
+           |  FROM $rel""".stripMargin
+      case None =>
+        s"""  SELECT vec_id, CAST((pos - 1) // $subWidth AS BIGINT) AS m, CAST(pos AS BIGINT) AS pos,
+           |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS val
+           |  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+           |        FROM embeddings)""".stripMargin
+    }
+    s"""${p}kq AS MATERIALIZED (
+       |$kqBody),
+       |${p}cent0 AS MATERIALIZED (
        |  SELECT m, CAST(dense_rank() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS BIGINT) AS c,
        |         pos, val
-       |  FROM kq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |  FROM ${p}kq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |$iterCtes""".stripMargin
   }
 
@@ -340,6 +354,61 @@ object SparkEntry {
        |       WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM kept3""".stripMargin
+
+  /** IVF-PQ as SQL: the coarse k-means chain (prefix `cv`) assigns every
+    * vector a cell; residuals (quantized vector − integer cell centroid)
+    * feed a second, subspace-keyed chain (prefix `pr`) that trains the
+    * PQ codebooks; one distance CTE per side then serves corpus encoding
+    * and the per-(probe, visited-cell) ADC tables, and candidates meet
+    * their probes through a cell equi-join. Integer end to end.
+    */
+  private def ivfPqOracle(nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+                          pqIters: Int, subWidth: Int, nprobe: Int,
+                          probeMax: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(nlist, coarseIters, 1000000, p = "cv")},
+       |cvencd AS MATERIALIZED (
+       |  SELECT q.vec_id, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+       |  FROM cvkq q JOIN cvcent$coarseIters c ON q.pos = c.pos
+       |  GROUP BY q.vec_id, c.c),
+       |cvasg AS MATERIALIZED (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM cvencd) WHERE rn = 1),
+       |rsd AS MATERIALIZED (
+       |  SELECT q.vec_id, q.pos, q.val - c.val AS val
+       |  FROM cvkq q JOIN cvasg a ON a.vec_id = q.vec_id
+       |  JOIN cvcent$coarseIters c ON c.c = a.c AND c.pos = q.pos),
+       |${kmeansCtes(ksub, pqIters, subWidth, p = "pr", fromLongForm = Some("rsd"))},
+       |prencd AS MATERIALIZED (
+       |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+       |  FROM prkq q JOIN prcent$pqIters c ON q.m = c.m AND q.pos = c.pos
+       |  GROUP BY q.vec_id, q.m, c.c),
+       |prcodes AS MATERIALIZED (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |    FROM prencd) WHERE rn = 1),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, c AS cell FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM cvencd WHERE vec_id < $probeMax) WHERE rn <= $nprobe),
+       |pres AS (
+       |  SELECT p.probe_id, p.cell, q.pos, q.val - c.val AS val
+       |  FROM pcell p JOIN cvkq q ON q.vec_id = p.probe_id
+       |  JOIN cvcent$coarseIters c ON c.c = p.cell AND c.pos = q.pos),
+       |ptab AS MATERIALIZED (
+       |  SELECT r.probe_id, r.cell, c.m, c.c, sum((r.val - c.val) * (r.val - c.val)) AS d
+       |  FROM pres r JOIN prcent$pqIters c ON c.pos = r.pos
+       |  GROUP BY r.probe_id, r.cell, c.m, c.c),
+       |ivcand AS (
+       |  SELECT t.probe_id, a.vec_id AS neighbor_id, sum(t.d) AS adc
+       |  FROM cvasg a JOIN prcodes co ON co.vec_id = a.vec_id
+       |  JOIN ptab t ON t.cell = a.c AND t.m = co.m AND t.c = co.code
+       |  WHERE t.probe_id != a.vec_id
+       |  GROUP BY t.probe_id, a.vec_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       CAST(adc AS BIGINT) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
+       |  FROM ivcand) WHERE rank <= $k""".stripMargin
 
   /** BPE merge training as unrolled SQL — one (pair-count, argmax,
     * fuse) CTE block per round, the exact twin of
@@ -1485,6 +1554,15 @@ object SparkEntry {
         share = _.localCheckpoint(false))
       Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5)
     },
+    // the composite index: coarse cells + PQ-coded residuals; the gate
+    // checks both trainings, the residual codes, the probed cell sets,
+    // and the ranked cell-equi-join ADC scan in one result
+    "ann_ivfpq" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = Ann.ivfPqTrain(emb, dim = 64, nlist = 8, coarseIters = 2,
+        m = 4, ksub = 8, pqIters = 2, share = _.localCheckpoint(false))
+      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5, nprobe = 2)
+    },
     "embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -2232,6 +2310,8 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
+    "ann_ivfpq" -> ivfPqOracle(nlist = 8, coarseIters = 2, m = 4, ksub = 8,
+      pqIters = 2, subWidth = 16, nprobe = 2, probeMax = 10, k = 5),
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
     "curate_corpus" -> curateOracle(numHashes = 64, bands = 16, threshold = 0.5,

@@ -208,13 +208,21 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding",
               share: DataFrame => DataFrame = identity): PqModel = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val w = dim / m
-
-    // quantized subvectors, one array<long> per subspace, materialized once
-    val q = share(corpus.select(col(idCol).as("_id"),
+    val q = corpus.select(col(idCol).as("_id"),
       array((0 until m).map(s =>
-        KMeans.quantize(slice(col(vecCol), s * w + 1, w), 1e6)): _*).as("_qs")))
+        KMeans.quantize(slice(col(vecCol), s * w + 1, w), 1e6)): _*).as("_qs"))
+    pqTrainCore(q, m, ksub, iters, w, share)
+  }
+
+  /** Core trainer over a prepared (_id, _qs: array<array<long>>) frame —
+    * the residual-PQ path of [[ivfPqTrain]] feeds already-integer
+    * residual slices here.
+    */
+  private def pqTrainCore(q0: DataFrame, m: Int, ksub: Int, iters: Int, w: Int,
+                          share: DataFrame => DataFrame): PqModel = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val q = share(q0)
 
     val seeds = q.orderBy(col("_id")).limit(ksub).collect()
     require(seeds.length == ksub, s"corpus has ${seeds.length} vectors, need >= ksub=$ksub")
@@ -287,6 +295,102 @@ object Ann {
         aggregate(zip_with(col("codes"), col("_dtab"), (code, row) => element_at(row, (code + 1).cast("int"))),
           lit(0L), (acc, x) => acc + x))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** The FAISS-style composite index: an IVF coarse quantizer partitions
+    * the corpus into cells, and PQ codebooks trained on the *residuals*
+    * (vector − its cell centroid) compress each vector to m codes.
+    * Residual coding is what makes the combination work — residuals
+    * cluster far tighter than raw vectors, so the same codebook budget
+    * buys much finer quantization.
+    *
+    * Everything stays in the integer metric: residual = quantized vector
+    * minus integer centroid, exactly representable, so training,
+    * encoding, and ADC search all have bit-exact SQL twins.
+    */
+  final case class IvfPqModel(coarse: KMeans.Model, pq: PqModel) {
+    def nlist: Int = coarse.k
+  }
+
+  private def residualCol(coarse: KMeans.Model, vecCol: String): Column = {
+    val q = KMeans.quantize(col(vecCol), 1e6)
+    val cell = KMeans.nearest(coarse.centroids, q)
+    val centLit = typedLit(coarse.centroids.map(_.toSeq).toSeq)
+    zip_with(q, element_at(centLit, (cell + 1).cast("int")), (a, b) => a - b)
+  }
+
+  /** Train coarse cells on the vectors, then PQ codebooks on the
+    * residuals — the residual slices feed the same fused subspace
+    * trainer ([[pqTrainCore]]), so the whole pipeline is
+    * coarseIters + pqIters corpus scans.
+    */
+  def ivfPqTrain(corpus: DataFrame, dim: Int, nlist: Int, coarseIters: Int,
+                 m: Int, ksub: Int, pqIters: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 share: DataFrame => DataFrame = identity): IvfPqModel = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val w = dim / m
+    val coarse = KMeans.fit(corpus, nlist, coarseIters, idCol, vecCol, share = share)
+    val r = residualCol(coarse, vecCol)
+    val q = corpus.select(col(idCol).as("_id"),
+      array((0 until m).map(s => slice(r, s * w + 1, w)): _*).as("_qs"))
+    IvfPqModel(coarse, pqTrainCore(q, m, ksub, pqIters, w, share))
+  }
+
+  /** ADC search over the composite index: probes visit their `nprobe`
+    * nearest cells; in each visited cell the probe's *residual against
+    * that cell* builds the distance table, and candidates join by cell
+    * id — an equi-join on a dense small key, no cross product. The
+    * corpus side moves as (id, cell, m codes): the compressed form that
+    * makes 100 TB of vectors scannable.
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, model: IvfPqModel,
+                k: Int = 5, nprobe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = model.pq.m; val w = model.pq.subWidth
+    val centLit = typedLit(model.coarse.centroids.map(_.toSeq).toSeq)
+
+    // corpus: cell + residual PQ codes (one codegen projection)
+    val r = residualCol(model.coarse, vecCol)
+    val corpusCoded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      KMeans.nearest(model.coarse.centroids, KMeans.quantize(col(vecCol), 1e6)).as("_cell"),
+      array((0 until m).map(s =>
+        KMeans.nearest(model.pq.subModels(s).centroids, slice(r, s * w + 1, w))): _*).as("_codes"))
+
+    // probes: nprobe nearest cells by integer coarse distance (ties ->
+    // lowest cell id), then the per-cell residual distance table
+    val q = KMeans.quantize(col(vecCol), 1e6)
+    val cellScores = array(model.coarse.centroids.zipWithIndex.map { case (cv, ci) =>
+      struct(
+        aggregate(zip_with(q, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(ci.toLong).as("c"))
+    }.toIndexedSeq: _*)
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+        explode(slice(array_sort(cellScores), 1, nprobe)).as("_pc"))
+      .select(col("probe_id"), col("_pv"), col("_pc.c").as("_cell"))
+    val pr = zip_with(KMeans.quantize(col("_pv"), 1e6),
+      element_at(centLit, (col("_cell") + 1).cast("int")), (a, b) => a - b)
+    val dtab = array((0 until m).map { s =>
+      val sub = slice(pr, s * w + 1, w)
+      array(model.pq.subModels(s).centroids.map { cv =>
+        aggregate(zip_with(sub, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val probeTabs = probeCells.select(col("probe_id"), col("_cell"), dtab.as("_dtab"))
+
+    val win = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    corpusCoded.join(broadcast(probeTabs), Seq("_cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("_codes"), col("_dtab"), (code, row) => element_at(row, (code + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("adc_dist"))
   }

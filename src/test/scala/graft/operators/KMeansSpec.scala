@@ -148,6 +148,40 @@ class KMeansSpec extends SparkSpec {
     assert(hits.takeWhile(_._3 == dupDist).map(_._2).contains(90L))
   }
 
+  test("IVF-PQ: exact duplicate lands in the probe's cell and achieves the minimal ADC") {
+    val rnd = new scala.util.Random(17)
+    val centers = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val raw = (0L until 90L).map { i =>
+      val c = centers((i % 3).toInt)
+      i -> c.map(x => x + rnd.nextFloat() * 0.05f)
+    }
+    val corpus = embDf(raw :+ (90L -> raw(0)._2))
+    val probes = embDf(Seq(0L -> raw(0)._2))
+    val model = Ann.ivfPqTrain(corpus, dim = 4, nlist = 3, coarseIters = 3,
+      m = 2, ksub = 4, pqIters = 2)
+    val hits = Ann.ivfPqTopK(probes, corpus, model, k = 91, nprobe = 1)
+      .select("rank", "neighbor_id", "adc_dist").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // the duplicate shares the probe's cell and all residual codes: its
+    // ADC distance is the probe's own quantization error — the minimum
+    val dup = hits.find(_._2 == 90L)
+    assert(dup.isDefined, "duplicate must be searchable in the probe's own cell")
+    assert(dup.get._3 === hits.head._3)
+    assert(hits.map(_._3).toSeq === hits.map(_._3).sorted.toSeq)
+    // nprobe=1 on cleanly clustered data: candidates only from one cell
+    assert(hits.length <= 31, "one cell of a 3-cluster corpus holds about a third of it")
+  }
+
+  test("IVF-PQ training is deterministic") {
+    val rnd = new scala.util.Random(23)
+    val raw = (0L until 80L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val a = Ann.ivfPqTrain(embDf(raw), dim = 8, nlist = 4, coarseIters = 2, m = 2, ksub = 4, pqIters = 2)
+    val b = Ann.ivfPqTrain(embDf(raw), dim = 8, nlist = 4, coarseIters = 2, m = 2, ksub = 4, pqIters = 2)
+    assert(a.coarse.centroids.map(_.toSeq).toSeq === b.coarse.centroids.map(_.toSeq).toSeq)
+    assert(a.pq.subModels.map(_.centroids.map(_.toSeq).toSeq).toSeq ===
+      b.pq.subModels.map(_.centroids.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("trained IVF centroids slot into ivfTopK and preserve top-1 recall on clustered data") {
     val rnd = new scala.util.Random(11)
     // 4 well-separated clusters of 25 vectors each

@@ -70,6 +70,16 @@ object ScaleProbe {
     t("pq_search_10x") {
       Ann.pqTopK(emb10.filter(col("vec_id") < 10), emb10, pq, k = 5).count()
     }
+    var ivfpq: Ann.IvfPqModel = null
+    t("ivfpq_train_10x") {
+      ivfpq = Ann.ivfPqTrain(emb10, dim = 64, nlist = 8, coarseIters = 2,
+        m = 4, ksub = 8, pqIters = 2, share = _.localCheckpoint(false))
+      ivfpq.nlist.toLong
+    }
+    t("ivfpq_search_10x") {
+      Ann.ivfPqTopK(emb10.filter(col("vec_id") < 10), emb10, ivfpq, k = 5, nprobe = 2,
+        share = _.localCheckpoint(false)).count()
+    }
 
     // banded interval join at 10× events (1M intervals per side-ish)
     val iv = graft.sources.EventsAdapter.intervals(spark, dir)

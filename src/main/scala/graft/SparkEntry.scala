@@ -1561,7 +1561,8 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val model = Ann.ivfPqTrain(emb, dim = 64, nlist = 8, coarseIters = 2,
         m = 4, ksub = 8, pqIters = 2, share = _.localCheckpoint(false))
-      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5, nprobe = 2)
+      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5, nprobe = 2,
+        share = _.localCheckpoint(false))
     },
     "embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, planes = 8)

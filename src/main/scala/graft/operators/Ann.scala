@@ -346,19 +346,39 @@ object Ann {
     * corpus side moves as (id, cell, m codes): the compressed form that
     * makes 100 TB of vectors scannable.
     */
+  /** The index build: (id, cell, m residual codes) per corpus vector.
+    * Two staged projections with the `share` hook between them: the
+    * coarse argmin runs once and materializes, then the m residual
+    * argmins read the stored cell — without the barrier, CollapseProject
+    * re-inlines the coarse assignment (and the residual subtraction)
+    * into every per-subspace argmin, multiplying the interpreted
+    * higher-order work ~m-fold. In production the coded corpus IS the
+    * index — built once, persisted, reused by every query — so the hook
+    * is the natural shape, not a workaround.
+    */
+  def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  share: DataFrame => DataFrame = identity): DataFrame = {
+    val m = model.pq.m; val w = model.pq.subWidth
+    val centLit = typedLit(model.coarse.centroids.map(_.toSeq).toSeq)
+    val withCell = share(corpus.select(
+      col(idCol).as("neighbor_id"),
+      KMeans.quantize(col(vecCol), 1e6).as("_q"))
+      .withColumn("_cell", KMeans.nearest(model.coarse.centroids, col("_q"))))
+    val r = zip_with(col("_q"), element_at(centLit, (col("_cell") + 1).cast("int")), (a, b) => a - b)
+    withCell.select(col("neighbor_id"), col("_cell"),
+      array((0 until m).map(s =>
+        KMeans.nearest(model.pq.subModels(s).centroids, slice(r, s * w + 1, w))): _*).as("_codes"))
+  }
+
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, model: IvfPqModel,
                 k: Int = 5, nprobe: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                share: DataFrame => DataFrame = identity): DataFrame = {
     val m = model.pq.m; val w = model.pq.subWidth
     val centLit = typedLit(model.coarse.centroids.map(_.toSeq).toSeq)
 
-    // corpus: cell + residual PQ codes (one codegen projection)
-    val r = residualCol(model.coarse, vecCol)
-    val corpusCoded = corpus.select(
-      col(idCol).as("neighbor_id"),
-      KMeans.nearest(model.coarse.centroids, KMeans.quantize(col(vecCol), 1e6)).as("_cell"),
-      array((0 until m).map(s =>
-        KMeans.nearest(model.pq.subModels(s).centroids, slice(r, s * w + 1, w))): _*).as("_codes"))
+    val corpusCoded = ivfPqEncode(corpus, model, idCol, vecCol, share)
 
     // probes: nprobe nearest cells by integer coarse distance (ties ->
     // lowest cell id), then the per-cell residual distance table

@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(upd).length == 1)
   }
 
+  test("IVF-PQ search: candidates meet probes via a broadcast cell equi-join, never a product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = operators.Ann.ivfPqTrain(emb, dim = 64, nlist = 4, coarseIters = 1,
+      m = 4, ksub = 4, pqIters = 1)
+    val p = operators.Ann.ivfPqTopK(emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      emb, model, k = 3, nprobe = 2).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "probe tables must broadcast-join on the cell id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("PQ search: corpus side carries codes only; probe tables broadcast") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val model = operators.Ann.pqTrain(emb, dim = 64, m = 4, ksub = 4, iters = 1)

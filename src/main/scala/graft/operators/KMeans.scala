@@ -74,7 +74,6 @@ object KMeans {
           share: DataFrame => DataFrame = identity): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(k.toLong * 1000 <= 100000000L, s"k=$k: driver holds k*dim longs; keep k*dim << 1e8")
 
     val q = share(emb.select(col(idCol).as("_id"), quantize(col(vecCol), quantScale).as("_q")))
 
@@ -84,6 +83,8 @@ object KMeans {
     var cents: Array[Array[Long]] = seeds.map(_.getSeq[Long](1).toArray)
     val dim = cents.head.length
     require(cents.forall(_.length == dim), "ragged embedding dimensionality")
+    require(k.toLong * dim <= 100000000L,
+      s"k=$k, dim=$dim: driver holds k*dim longs per iteration; keep k*dim <= 1e8")
     var counts = Array.fill(k)(0L)
 
     for (_ <- 1 to iters) {

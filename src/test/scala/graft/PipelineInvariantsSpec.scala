@@ -56,4 +56,32 @@ class PipelineInvariantsSpec extends SparkSpec {
       .join(sp, col("staypoint_id") === sp("id"))
     assert(linked.filter(col("_pu") =!= col("user_id")).count() == 0)
   }
+
+  test("dedupSpans conserves words: kept tokens + removed positions = original count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/../sf0.01/documents.parquet")
+    val out = operators.Dedup.dedupSpans(docs, n = 10)
+    // token count of the re-joined text must equal n_words - n_removed
+    // (empty deduped text -> size(split) is 1 for "", handle via when)
+    val kept = when(length(col("text_deduped")) === 0, 0L)
+      .otherwise(size(split(col("text_deduped"), " ")).cast("long"))
+    val broken = out.filter(kept + col("n_removed") =!= col("n_words"))
+    assert(broken.count() == 0)
+    // removal is idempotent: no duplicate 10-gram survives across the
+    // deduplicated corpus (every remaining occurrence is the global first)
+    val again = operators.Dedup.dedupSpans(
+      out.select(col("doc_id"), col("text_deduped").as("text")), n = 10)
+    assert(again.filter(col("n_removed") > 0).count() == 0,
+      "a second pass must find nothing left to remove")
+  }
+
+  test("od flows conserve transitions: per-user flow total = visits - 1") {
+    val spLoc = Pipeline.staypointsWithLocation(spark, dir)
+    val flows = operators.Metrics.odFlows(spLoc)
+    val totalFlows = flows.agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    val perUser = spLoc.filter(col("location_id").isNotNull)
+      .groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(totalFlows === perUser)
+  }
 }

@@ -177,6 +177,37 @@ object Metrics {
     *
     * @param spLoc staypoints with `location_id` (see LocationGenerator)
     */
+  /** Per-user location entropy (Song et al. 2010, "Limits of
+    * Predictability in Human Mobility"): the random entropy
+    * `log2(N_locations)` and the temporal-uncorrelated (Shannon)
+    * entropy `−Σ p_i log2 p_i` over the user's location-visit
+    * distribution. Two grouped aggregations, both map-side combinable;
+    * noise staypoints (null location) are excluded like in [[odFlows]].
+    *
+    * Spec-gated, not oracle-gated: `log` is not correctly-rounded in
+    * libm, so unlike the engine's integer surfaces there is no
+    * bit-stable SQL twin — the same reason the trig centroid is
+    * spec-verified (see StaypointGeneratorSpec).
+    *
+    * @return (user_id, n_visits, n_locations, random_entropy, shannon_entropy)
+    */
+  def locationEntropy(spLoc: DataFrame): DataFrame = {
+    val visits = spLoc.filter(col("location_id").isNotNull)
+      .groupBy(col("user_id"), col("location_id"))
+      .agg(count(lit(1)).as("_c"))
+    visits
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("_c")).as("n_visits"),
+        count(lit(1)).as("n_locations"),
+        (-sum(col("_c") * log2(col("_c")))).as("_num"))
+      .withColumn("random_entropy", log2(col("n_locations")))
+      // −Σ (c/N) log2 (c/N) = log2 N − (Σ c log2 c)/N
+      .withColumn("shannon_entropy",
+        log2(col("n_visits")) + col("_num") / col("n_visits"))
+      .drop("_num")
+  }
+
   def odFlows(spLoc: DataFrame): DataFrame = {
     val byLoc = Window.partitionBy(col("user_id"), col("location_id"))
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))

@@ -270,6 +270,27 @@ class MetricsSpec extends SparkSpec {
       (20L, 21L) -> 1L))
   }
 
+  test("location entropy: uniform visits hit log2(k), single location gives zero") {
+    def spLoc(rows: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("id", "user_id", "location_id")
+    // user 1: 4 uniform locations -> shannon = random = 2 bits
+    // user 2: one location -> both zero
+    // user 3: (3, 1) split over two locations
+    val df = spLoc(
+      (Seq.tabulate(4)(i => (i.toLong, 1L, i.toLong * 10)) ++
+        Seq((10L, 2L, 5L)) ++
+        Seq((20L, 3L, 7L), (21L, 3L, 7L), (22L, 3L, 7L), (23L, 3L, 8L))): _*)
+    val e = Metrics.locationEntropy(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(e(1L)._1 === 4L && e(1L)._2 === 4L)
+    assert(math.abs(e(1L)._3 - 2.0) < 1e-12 && math.abs(e(1L)._4 - 2.0) < 1e-12)
+    assert(e(2L)._3 === 0.0 && e(2L)._4 === 0.0)
+    // user 3: H(3/4, 1/4) = 2 - 0.75*log2(3) ≈ 0.8112781
+    val h = 2.0 - 0.75 * math.log(3.0) / math.log(2.0)
+    assert(math.abs(e(3L)._4 - h) < 1e-12)
+    assert(e(3L)._4 < e(3L)._3, "skewed visits must fall below random entropy")
+  }
+
   test("k-anonymous cells: rare cells suppressed at summary and row level; exact edges") {
     val pts = (
       (1 to 6).map(u => (u.toLong * 100, u.toLong, 8.5012, 47.30)) ++      // popular cell: 6 users

@@ -270,6 +270,26 @@ class MetricsSpec extends SparkSpec {
       (20L, 21L) -> 1L))
   }
 
+  test("spatial filter on locations via center points: within == intersects, crosses empty " +
+    "(ref geogr/test_filter.py:77-97)") {
+    // locations filter through the same point path as staypoints, on the
+    // center geometry; the reference asserts within == intersects for
+    // points and that no point can cross an area
+    val locs = Seq(
+      (0L, 1L, 0.5, 0.5),  // inside the unit square
+      (1L, 1L, 2.0, 2.0),  // outside
+      (2L, 2L, 0.0, 0.5))  // exactly on the boundary
+      .toDF("id", "user_id", "center_lon", "center_lat")
+    val square = Seq(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)))
+    def ids(method: String): Set[Long] =
+      SpatialOps.spatialFilterPoints(locs, square,
+        lonCol = "center_lon", latCol = "center_lat", method = method)
+        .select("id").as[Long].collect().toSet
+    assert(ids("within") === ids("intersects"))
+    assert(ids("crosses") === Set.empty)
+    assert(ids("within").contains(0L) && !ids("within").contains(1L))
+  }
+
   test("location entropy: uniform visits hit log2(k), single location gives zero") {
     def spLoc(rows: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
       rows.toSeq.toDF("id", "user_id", "location_id")

@@ -1343,6 +1343,9 @@ object SparkEntry {
     "od_flows" -> { (s, dir) =>
       Metrics.odFlows(Pipeline.staypointsWithLocation(s, dir))
     },
+    "location_diversity" -> { (s, dir) =>
+      Metrics.locationDiversity(Pipeline.staypointsWithLocation(s, dir))
+    },
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
@@ -2048,6 +2051,17 @@ object SparkEntry {
          |  FROM rep)
          |SELECT f AS from_loc, t AS to_loc, CAST(count(*) AS BIGINT) AS n_transitions
          |FROM odt WHERE t IS NOT NULL GROUP BY f, t""".stripMargin),
+    "location_diversity" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |lvc AS (SELECT user_id, rep, CAST(count(*) AS BIGINT) AS c FROM rep GROUP BY user_id, rep)
+         |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_visits,
+         |       CAST(count(*) AS BIGINT) AS n_locations,
+         |       CAST(max(c) AS BIGINT) AS max_visits,
+         |       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
+         |FROM lvc GROUP BY user_id""".stripMargin),
     "kanon_cells" ->
       s"""${EventsAdapter.pfsSql}
          |SELECT cx AS cell_x, cy AS cell_y,

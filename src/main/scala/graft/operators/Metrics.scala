@@ -208,6 +208,26 @@ object Metrics {
       .drop("_num")
   }
 
+  /** Per-user location-visit diversity as *exact integers*: visit and
+    * location counts, the modal visit count, and the Simpson
+    * concentration numerator Σ c·(c−1) (the unnormalized probability
+    * that two random visits hit the same location — divide by N(N−1)
+    * for the index). Unlike Shannon entropy ([[locationEntropy]]) these
+    * are rational in the counts, so the whole surface is oracle-exact.
+    *
+    * @return (user_id, n_visits, n_locations, max_visits, simpson_num)
+    */
+  def locationDiversity(spLoc: DataFrame): DataFrame =
+    spLoc.filter(col("location_id").isNotNull)
+      .groupBy(col("user_id"), col("location_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("_c")).as("n_visits"),
+        count(lit(1)).as("n_locations"),
+        max(col("_c")).as("max_visits"),
+        sum(col("_c") * (col("_c") - 1)).as("simpson_num"))
+
   def odFlows(spLoc: DataFrame): DataFrame = {
     val byLoc = Window.partitionBy(col("user_id"), col("location_id"))
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))

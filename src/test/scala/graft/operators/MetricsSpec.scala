@@ -311,6 +311,17 @@ class MetricsSpec extends SparkSpec {
     assert(e(3L)._4 < e(3L)._3, "skewed visits must fall below random entropy")
   }
 
+  test("location diversity: exact Simpson numerator over visit counts") {
+    val df = Seq(
+      (0L, 1L, 10L), (1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 20L), // user 1: (3,1)
+      (4L, 2L, 30L))                                              // user 2: single visit
+      .toDF("id", "user_id", "location_id")
+    val d = Metrics.locationDiversity(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d(1L) === ((4L, 2L, 3L, 6L))) // sum c(c-1) = 3*2 + 1*0 = 6
+    assert(d(2L) === ((1L, 1L, 1L, 0L))) // one visit: zero pair concentration
+  }
+
   test("k-anonymous cells: rare cells suppressed at summary and row level; exact edges") {
     val pts = (
       (1 to 6).map(u => (u.toLong * 100, u.toLong, 8.5012, 47.30)) ++      // popular cell: 6 users

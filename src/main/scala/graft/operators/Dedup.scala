@@ -14,15 +14,6 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  // shiftleft/shiftright take Int amounts in the Scala DSL; these accept
-  // Column amounts (x * 2^n / x div 2^n on non-negative domains)
-  private def shiftleftc(x: Column, n: Column): Column = expr_shift(x, n, left = true)
-  private def shiftrightc(x: Column, n: Column): Column = expr_shift(x, n, left = false)
-  private def expr_shift(x: Column, n: Column, left: Boolean): Column = {
-    val p = pow(lit(2.0), n).cast("long")
-    if (left) x * p else floor(x.cast("double") / p).cast("long")
-  }
-
   /** Exact dedup on normalized text: keep the smallest id per group.
     * One hash-groupBy — map-side combinable, single shuffle.
     */
@@ -98,6 +89,18 @@ object Dedup {
   private val simHashChunks = 4
   private val chunkBits = simHashBits / simHashChunks
 
+  /** The `simHashChunks` 15-bit bucket keys of a fingerprint, unrolled with
+    * literal Int shift amounts so the extraction is a true integer
+    * `(f >> c*15) & 0x7FFF` — the fingerprint is 60-bit, above double's
+    * 53-bit mantissa, so any float emulation of the shift buckets
+    * differently near ulp boundaries (silent recall loss no downstream
+    * hamming filter can recover).
+    */
+  private[graft] def simHashChunkKeys(fp: Column): Seq[Column] = {
+    val chunkMask = (1L << chunkBits) - 1
+    (0 until simHashChunks).map(c => shiftright(fp, c * chunkBits).bitwiseAND(chunkMask))
+  }
+
   /** 60-bit SimHash fingerprint per document: sum ±1 per bit over
     * portable token hashes, weighted by token count — one codegen'd
     * scan-stage expression ([[graft.plans.SimHashFingerprint]]); the
@@ -123,20 +126,26 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucketSize: Long = 10000L): DataFrame = {
     val fp = simHash(docs, idCol, textCol)
-    val chunkMask = (1L << chunkBits) - 1
-    val chunked = fp.withColumn("_c", explode(transform(sequence(lit(0), lit(simHashChunks - 1)),
-      c => struct(c.as("c"),
-        (shiftrightc(col("simhash"), c * chunkBits).bitwiseAND(chunkMask)).as("h")))))
+    val chunkStructs = simHashChunkKeys(col("simhash")).zipWithIndex.map {
+      case (h, c) => struct(lit(c).as("c"), h.as("h"))
+    }
+    val chunked = fp.withColumn("_c", explode(array(chunkStructs: _*)))
       .select(col("doc_id"), col("simhash"), col("_c.c").as("_chunk"), col("_c.h").as("_h"))
       .withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy("_chunk", "_h")))
       .filter(col("_bucket_n") <= maxBucketSize)
       .drop("_bucket_n")
     val l = chunked.select(col("_chunk"), col("_h"), col("doc_id").as("id_a"), col("simhash").as("_f_a"))
     val r = chunked.select(col("_chunk"), col("_h"), col("doc_id").as("id_b"), col("simhash").as("_f_b"))
+    // Hamming filter BEFORE the pair dedup: both fingerprints are already on
+    // the joined row, so the xor/bit_count is scan-stage and the
+    // dropDuplicates exchange only carries surviving pairs (a candidate can
+    // be duplicated across up to `simHashChunks` chunks; filtering first cuts
+    // that shuffle up to 4x on clone-heavy corpora). hamming is a function of
+    // the pair, so dedup order does not change the result.
     l.join(r, Seq("_chunk", "_h")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("_f_a").bitwiseXOR(col("_f_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

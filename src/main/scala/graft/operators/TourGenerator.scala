@@ -194,15 +194,12 @@ object TourGenerator {
         optLong(4), optLong(5), optLong(6), optLong(7), dbl(8), dbl(9), dbl(10), dbl(11))
 
       if (candidates.nonEmpty) {
-        val lastCand = candidates.reverseIterator.collectFirst { case Some(t) => t }
         // reference checks the literal last entry; a gap marker can only be
         // last transiently (a real trip always follows it immediately)
-        val prev = candidates.last
-        val connected = prev match {
+        val connected = candidates.last match {
           case Some(t) => connects(t, cur)
           case None    => false // defensive; not reachable in reference flow
         }
-        val _ = lastCand
         if (!connected) {
           if (maxNrGaps == 0) {
             candidates = mutable.ArrayBuffer(Some(cur))

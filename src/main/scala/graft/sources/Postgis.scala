@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * database-specific binary encodings. The tours list column round-trips
   * as JSON like the reference (io/postgis.py:722-723).
   *
-  * Untested against a live database in this environment (no server);
-  * the option plumbing is the standard Spark JDBC surface.
+  * No PostGIS server exists in this environment; the JDBC plumbing and
+  * every WKT/JSON codec round-trips against an embedded Derby database in
+  * PostgisSpec (the driver Spark ships). A live-PostGIS run only swaps
+  * the URL/driver in [[Conn]].
   */
 object Postgis {
 

@@ -51,6 +51,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) > java.lang.Long.bitCount(fp(0L) ^ fp(1L)))
   }
 
+  test("simhash chunk keys are exact integer shifts for fingerprints above 2^53") {
+    // 60-bit fingerprints exceed double's 53-bit mantissa (ulp up to 128 at
+    // 2^60): values adjacent to ulp boundaries are exactly where a
+    // float-emulated shift (floor(f / 2^n)) buckets differently than the
+    // true integer (f >> n) & 0x7FFF. Assert the column form equals the
+    // exact JVM integer form on a crafted set of boundary fingerprints.
+    val boundary = Seq(
+      (1L << 60) - 1, (1L << 60) - 64, (1L << 60) - 65, (1L << 60) - 128,
+      (1L << 59) + 127, (1L << 59) + 128, (1L << 53) + 1, (1L << 53) - 1,
+      (0x7FFFL << 45) | 0x7FFFL, // high chunk all-ones, low chunk all-ones
+      ((1L << 45) - 1) << 15, // middle chunks all-ones
+      0x0FFF_FFFF_FFFF_8000L, 0x0AAA_AAAA_AAAA_AAAAL, 0x0555_5555_5555_5555L
+    ) ++ (0 until 16).map(i => (1L << 60) - 1 - i * 127L)
+    val df = boundary.toDF("f")
+    val keyCols = Dedup.simHashChunkKeys(col("f"))
+    val got = df.select(col("f") +: keyCols.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
+      .collect()
+    got.foreach { r =>
+      val f = r.getLong(0)
+      for (c <- 0 until 4) {
+        val exact = (f >> (c * 15)) & 0x7FFFL
+        assert(r.getLong(1 + c) == exact,
+          s"chunk $c of fingerprint $f: got ${r.getLong(1 + c)}, exact integer form $exact")
+      }
+    }
+  }
+
   test("ngram jaccard top-1 finds the exact duplicate") {
     val top = Dedup.ngramJaccardTop1(docs.filter(col("doc_id") === 0L), docs)
       .collect()

@@ -51,6 +51,13 @@ object ScaleProbe {
       Dedup.dedupSpans(docs10, n = 10)
         .agg(sum(col("n_removed")), sum(length(col("text_deduped")))).count()
     }
+    // 8x the gate's merge count: measures the per-round cost curve of the
+    // incremental pair-count trainer (delta explode over affected words
+    // only; the naive recompute-everything form scales with merges x
+    // full-corpus pair explode)
+    t("bpe_train64_10x") {
+      TextAnalysis.bpeTrain(docs10, merges = 64, share = _.localCheckpoint(false)).count()
+    }
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val emb10 = (0 until 10).map(i =>

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Forward transverse-Mercator projection (the `to_crs` path the
+  * reference hits through geopandas when `check_gdf_planar(..., transform=
+  * True)` reprojects a geographic frame — geogr/distances.py:213-250).
+  * No PROJ database exists offline, so the engine carries the one
+  * projection family that covers the reference's real use (meter-true
+  * euclidean math on city/region extents): UTM zones, plus any
+  * explicitly-parameterized TM (Gauss-Krüger, national grids).
+  *
+  * Formulas are the public USGS series (Snyder 1987, Map Projections —
+  * A Working Manual, eq. 3-21 and 8-9..8-15), the same expansion EPSG
+  * Guidance Note 7-2 publishes with its worked example; accurate to
+  * well under a centimeter inside a UTM zone's 3° half-width. Everything
+  * is a pure Catalyst column expression — trig built-ins only, no UDF —
+  * so the transform stays inside whole-stage codegen and a projected
+  * frame costs one scan-stage projection.
+  */
+object Projection {
+
+  /** Transverse-Mercator parameter set.
+    *
+    * @param a            semi-major axis (meters)
+    * @param invF         inverse flattening 1/f
+    * @param k0           central-meridian scale factor
+    * @param lon0Deg      central meridian (degrees)
+    * @param lat0Deg      latitude of natural origin (degrees)
+    * @param falseEasting false easting (meters)
+    * @param falseNorthing false northing (meters)
+    */
+  final case class TmParams(a: Double, invF: Double, k0: Double,
+                            lon0Deg: Double, lat0Deg: Double,
+                            falseEasting: Double, falseNorthing: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2.0 - f)
+    val ep2: Double = e2 / (1.0 - e2)
+  }
+
+  /** WGS84 ellipsoid. */
+  val Wgs84A = 6378137.0
+  val Wgs84InvF = 298.257223563
+
+  /** UTM zone parameters on WGS84 (EPSG:326zz north / 327zz south). */
+  def utm(zone: Int, south: Boolean = false): TmParams = {
+    require(zone >= 1 && zone <= 60, s"UTM zone must be in [1, 60], got $zone")
+    TmParams(Wgs84A, Wgs84InvF, k0 = 0.9996, lon0Deg = zone * 6.0 - 183.0,
+      lat0Deg = 0.0, falseEasting = 500000.0,
+      falseNorthing = if (south) 10000000.0 else 0.0)
+  }
+
+  /** EPSG code of a UTM zone on WGS84. */
+  def utmEpsg(zone: Int, south: Boolean = false): String =
+    s"EPSG:${(if (south) 32700 else 32600) + zone}"
+
+  // meridional arc length M(phi) — Snyder eq. 3-21
+  private def meridianArc(p: TmParams, phi: Column): Column = {
+    val e2 = p.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    lit(p.a) * (
+      lit(1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - lit(3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(phi * 2.0)
+        + lit(15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(phi * 4.0)
+        - lit(35.0 * e6 / 3072.0) * sin(phi * 6.0))
+  }
+
+  private def meridianArc(p: TmParams, phi: Double): Double = {
+    val e2 = p.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    p.a * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+      - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * math.sin(2.0 * phi)
+      + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * math.sin(4.0 * phi)
+      - (35.0 * e6 / 3072.0) * math.sin(6.0 * phi))
+  }
+
+  /** Forward TM: (lon, lat) degrees → (easting, northing) meters.
+    * Snyder eq. 8-9..8-13.
+    */
+  def tmForward(lon: Column, lat: Column, p: TmParams): (Column, Column) = {
+    val phi = radians(lat)
+    val sinPhi = sin(phi); val cosPhi = cos(phi); val tanPhi = tan(phi)
+    val n = lit(p.a) / sqrt(lit(1.0) - lit(p.e2) * sinPhi * sinPhi)
+    val t = tanPhi * tanPhi
+    val c = lit(p.ep2) * cosPhi * cosPhi
+    val aCol = (radians(lon) - lit(math.toRadians(p.lon0Deg))) * cosPhi
+    val a2 = aCol * aCol; val a3 = a2 * aCol; val a4 = a2 * a2
+    val a5 = a4 * aCol; val a6 = a4 * a2
+    val m = meridianArc(p, phi)
+    val m0 = lit(meridianArc(p, math.toRadians(p.lat0Deg)))
+    val easting = lit(p.falseEasting) + lit(p.k0) * n * (
+      aCol + (lit(1.0) - t + c) * a3 / 6.0
+        + (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c - lit(58.0 * p.ep2)) * a5 / 120.0)
+    val northing = lit(p.falseNorthing) + lit(p.k0) * (m - m0 + n * tanPhi * (
+      a2 / 2.0 + (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) * a4 / 24.0
+        + (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0 * p.ep2)) * a6 / 720.0))
+    (easting, northing)
+  }
+
+  /** Scalar twin (driver-side / tests), identical math. */
+  def tmForward(lon: Double, lat: Double, p: TmParams): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val sinPhi = math.sin(phi); val cosPhi = math.cos(phi); val tanPhi = math.tan(phi)
+    val n = p.a / math.sqrt(1.0 - p.e2 * sinPhi * sinPhi)
+    val t = tanPhi * tanPhi
+    val c = p.ep2 * cosPhi * cosPhi
+    val aa = (math.toRadians(lon) - math.toRadians(p.lon0Deg)) * cosPhi
+    val m = meridianArc(p, phi)
+    val m0 = meridianArc(p, math.toRadians(p.lat0Deg))
+    val easting = p.falseEasting + p.k0 * n * (
+      aa + (1.0 - t + c) * math.pow(aa, 3) / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * p.ep2) * math.pow(aa, 5) / 120.0)
+    val northing = p.falseNorthing + p.k0 * (m - m0 + n * tanPhi * (
+      aa * aa / 2.0 + (5.0 - t + 9.0 * c + 4.0 * c * c) * math.pow(aa, 4) / 24.0
+        + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * p.ep2) * math.pow(aa, 6) / 720.0))
+    (easting, northing)
+  }
+
+  /** `to_crs`-equivalent: replace geographic (lon, lat) columns with
+    * projected meters and stamp the projected CRS onto the frame, so
+    * [[GeoFunctions.isPlanar]] dispatches every downstream distance to
+    * euclidean — exactly the reference's check_gdf_planar(transform=True)
+    * contract (geogr/distances.py:213-250).
+    */
+  def toUtm(df: DataFrame, zone: Int, south: Boolean = false,
+            lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val (e, n) = tmForward(col(lonCol), col(latCol), utm(zone, south))
+    // both outputs read both inputs: materialize into temporaries before
+    // overwriting lon/lat, or northing would see the already-projected lon
+    val projected = df.withColumn("_graft_e", e).withColumn("_graft_n", n)
+      .withColumn(lonCol, col("_graft_e")).withColumn(latCol, col("_graft_n"))
+      .drop("_graft_e", "_graft_n")
+    GeoFunctions.withCrs(projected, utmEpsg(zone, south), cols = Seq(lonCol, latCol))
+  }
+
+  /** Standard UTM zone of a longitude (degrees). */
+  def utmZoneOf(lonDeg: Double): Int =
+    (((lonDeg + 180.0) / 6.0).toInt % 60) + 1
+}

@@ -240,9 +240,21 @@ object TextAnalysis {
     * frequent (ties: lexicographically smallest pair), and fuses it
     * everywhere. The canonical subword-tokenizer trainer, here as a
     * distributed loop with the same shape as [[graft.operators.KMeans]]:
-    * per round one map-side-combinable pair-count groupBy whose argmax
-    * (a single row) collects to the driver, then the merge applies as a
-    * scan-stage projection. Driver state is one merge rule per round.
+    * the argmax (a single row) collects to the driver each round, then
+    * the merge applies as a scan-stage projection. Driver state is one
+    * merge rule per round.
+    *
+    * Pair counting is INCREMENTAL (the classic fast-BPE trick): the pair
+    * table is built once with a full explode, then each round only the
+    * words containing the fused pair contribute a delta (their pair
+    * multiset before, negated, plus after) — fusing ' a b ' cannot
+    * change adjacencies in any word that does not contain it. A naive
+    * trainer pays one full-corpus pair explode + shuffle per round
+    * (32k-merge real vocab = 32k corpus scans); here the per-round
+    * shuffle is |pair vocab| + |pairs of affected words|, and the only
+    * full-width per-round work is the scan-stage contains/replace over
+    * the word table. The incremental counts are exact integer sums, so
+    * the trajectory is bit-identical to recomputation.
     *
     * Engine-exactness: symbol sequences live as single-space-delimited
     * strings with sentinel boundary spaces, and a merge applies as
@@ -269,20 +281,28 @@ object TextAnalysis {
         concat(lit(" "), concat_ws(" ", filter(split(col("_w"), ""), c => length(c) > 0)), lit(" "))
           .as("_sym")))
 
+    // signed pair-contribution rows (a, b, _c) of one symbol table:
+    // single-symbol words carry no pairs (sequence(0, -1) would
+    // descend); drop them before the pair explode
+    def pairRows(df: DataFrame, negate: Boolean): DataFrame =
+      df.select((col("_cnt") * lit(if (negate) -1L else 1L)).as("_n"),
+          split(trim(col("_sym")), " ").as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("_n"), explode(
+          transform(sequence(lit(0), size(col("_t")) - 2),
+            j => struct(element_at(col("_t"), j + 1).as("a"), element_at(col("_t"), j + 2).as("b"))))
+          .as("_p"))
+        .select(col("_p.a").as("a"), col("_p.b").as("b"), col("_n").as("_c"))
+
+    // pair-count table, built once; updated by deltas each round
+    var pc = share(pairRows(seqs, negate = false)
+      .groupBy(col("a"), col("b")).agg(sum(col("_c")).as("_c")))
+
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val best = seqs
-        .select(col("_cnt"), split(trim(col("_sym")), " ").as("_t"))
-        // single-symbol words carry no pairs (sequence(0, -1) would
-        // descend); drop them before the pair explode
-        .filter(size(col("_t")) >= 2)
-        .select(col("_cnt"), explode(
-          transform(sequence(lit(0), size(col("_t")) - 2),
-            j => struct(element_at(col("_t"), j + 1).as("a"), element_at(col("_t"), j + 2).as("b"))))
-          .as("_p"))
-        .groupBy(col("_p.a"), col("_p.b")).agg(sum(col("_cnt")).as("_c"))
+      val best = pc.filter(col("_c") > 0)
         .orderBy(col("_c").desc, col("a"), col("b")).limit(1)
         .collect()
       if (best.isEmpty) exhausted = true
@@ -297,8 +317,18 @@ object TextAnalysis {
         // — BPE's application order exactly, in any engine with the
         // standard replace algorithm. Replacements cannot spawn new
         // pattern hits: ' a$b ' contains no interior space.
-        val fuse = (s: Column) => replace(s, lit(s" $a $b "), lit(s" $a$b "))
-        seqs = share(seqs.withColumn("_sym", fuse(fuse(col("_sym")))))
+        val pat = s" $a $b "
+        val fuse = (s: Column) => replace(s, lit(pat), lit(s" $a$b "))
+        // only words containing ' a b ' change their pair multiset:
+        // retract their old pairs, add their fused pairs
+        val affected = seqs.filter(col("_sym").contains(pat))
+        val delta = pairRows(affected, negate = true)
+          .unionAll(pairRows(affected.withColumn("_sym", fuse(fuse(col("_sym")))), negate = false))
+        pc = share(pc.unionAll(delta)
+          .groupBy(col("a"), col("b")).agg(sum(col("_c")).as("_c"))
+          .filter(col("_c") =!= 0))
+        seqs = share(seqs.withColumn("_sym",
+          when(col("_sym").contains(pat), fuse(fuse(col("_sym")))).otherwise(col("_sym"))))
         step += 1
       }
     }

@@ -10,6 +10,15 @@ import org.apache.spark.sql.types._
   * WKT geometry columns for the other tables, ISO timestamps (UTC), and a
   * `columns` rename map.
   *
+  * Timestamp localization contract: a NAIVE timestamp string (no offset,
+  * e.g. "2023-01-01 08:00:00") is localized to UTC — the session timezone
+  * is pinned to UTC ([[graft.GraftSession]]), so `to_timestamp` assigns
+  * naive stamps the UTC instant, exactly the reference's `tz_localize
+  * ("utc")` on naive input (io/from_geopandas.py:410-446; the reference
+  * warns, the engine makes it the documented convention). Offset-carrying
+  * strings ("...+02:00") convert to their UTC instant. Pinned by
+  * IoSpec's "naive timestamps localize to UTC" test.
+  *
   * WKT codecs are pure Catalyst string expressions (concat/transform for
   * formatting, regexp/split/transform for parsing) — they run inside the
   * scan/projection stage with no UDF boundary.

@@ -144,4 +144,21 @@ class IoSpec extends SparkSpec {
     val labelled = Geolife.addModesToTriplegs(tpls, labels)
     assert(labelled.first().getAs[String]("mode") == "train")
   }
+
+  test("naive timestamps localize to UTC; offset-carrying stamps convert to UTC") {
+    // the reference localizes naive stamps to UTC with a warning
+    // (io/from_geopandas.py:410-446); the engine's documented contract is
+    // the same instant assignment, via the UTC-pinned session timezone
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "pfs.csv"),
+      """id,user_id,tracked_at,longitude,latitude
+        |0,1,2023-01-01 08:00:00,8.5,47.3
+        |1,1,2023-01-01 08:00:00+02:00,8.5,47.3
+        |""".stripMargin)
+    val pfs = Csv.readPositionfixes(spark, s"$dir/pfs.csv")
+    val byId = pfs.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[java.sql.Timestamp]("tracked_at").toInstant).toMap
+    assert(byId(0L) == java.time.Instant.parse("2023-01-01T08:00:00Z"))
+    assert(byId(1L) == java.time.Instant.parse("2023-01-01T06:00:00Z"))
+  }
 }

@@ -69,6 +69,43 @@ object SparkEntry {
     s"""WITH ${minhashPairsCte(numHashes, bands, threshold)}
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM dup""".stripMargin
 
+  /** Cross-corpus variant: probe (doc_id < probeMax) vs reference corpus
+    * (doc_id >= probeMax) — the same sig/band CTEs, pairs restricted to
+    * the cross join direction only.
+    */
+  private def minhashCrossOracle(numHashes: Int, bands: Int, threshold: Double,
+                                 probeMax: Long): String = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = affine(i)
+      s"min((b * $a + $b) % $M) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val fold = foldHashesSql((b * rows until (b + 1) * rows).map(j => s"m$j"))
+      s"SELECT doc_id, $b AS bb, $fold AS h FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shinglesCteFrom("documents")},
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |hb AS (SELECT doc_id, ${h60Sql("sg")} % $M AS b FROM ex),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hb GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b ON a.bb = b.bb AND a.h = b.h
+       |  WHERE a.doc_id < $probeMax AND b.doc_id >= $probeMax),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+       |  FROM pairs JOIN sh sa ON sa.doc_id = probe_id JOIN sh sb ON sb.doc_id = corpus_id)
+       |SELECT probe_id, corpus_id, round(j, 6) AS jaccard FROM scored
+       |WHERE j >= $threshold""".stripMargin
+  }
+
   /** Connected components over the minhash pairs via transitive closure
     * (components are tiny, so the closure stays small).
     */
@@ -1516,6 +1553,15 @@ object SparkEntry {
       Pipeline.minhashPairs(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
     },
+    // decontamination-by-similarity: a 50-doc "new crawl" (doc_id < 50)
+    // near-dup-checked against the remaining corpus before joining the mix
+    "dedup_cross" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minHashLshCross(docs.filter(col("doc_id") < 50),
+          docs.filter(col("doc_id") >= 50),
+          numHashes = 64, bands = 16, verifyThreshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
@@ -1684,6 +1730,12 @@ object SparkEntry {
     "corpus_shuffle" -> { (s, dir) =>
       CorpusOps.deterministicShuffle(s.read.parquet(s"$dir/documents.parquet"), shards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    // long-document context-window chunking: 16-token windows, 4-token
+    // overlap (stride 12) — zero-shuffle scan-stage explode
+    "chunk_documents" -> { (s, dir) =>
+      CorpusOps.chunkDocuments(s.read.parquet(s"$dir/documents.parquet"),
+        chunkTokens = 16, overlapTokens = 4)
     }
   )
 
@@ -2318,6 +2370,8 @@ object SparkEntry {
          |LEFT JOIN rc ON d.doc_id = rc.doc_id
          |LEFT JOIN kept ON d.doc_id = kept.doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
+    "dedup_cross" -> minhashCrossOracle(numHashes = 64, bands = 16, threshold = 0.5,
+      probeMax = 50L),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
@@ -2404,6 +2458,18 @@ object SparkEntry {
          |  SELECT doc_id, ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS hh FROM documents)
          |SELECT doc_id, hh % 8 AS shard,
          |       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+    "chunk_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, words,
+        |         unnest(generate_series(CAST(0 AS BIGINT), (len(words) - 1) // 12)) AS chunk_index
+        |  FROM w WHERE len(words) > 0)
+        |SELECT doc_id, chunk_index,
+        |       CAST(len(words[chunk_index*12 + 1 : chunk_index*12 + 16]) AS BIGINT) AS n_tokens,
+        |       array_to_string(words[chunk_index*12 + 1 : chunk_index*12 + 16], ' ') AS chunk_text
+        |FROM starts""".stripMargin
   )
 }

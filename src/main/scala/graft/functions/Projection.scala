@@ -115,6 +115,40 @@ object Projection {
     (easting, northing)
   }
 
+  /** Inverse TM: (easting, northing) meters → (lon, lat) degrees.
+    * Snyder eq. 8-17..8-25 (footpoint latitude via the rectifying-sphere
+    * series, eq. 3-26). Scalar form — the inverse is a driver/test-side
+    * companion (round-trip validation, bounding-box corner conversion);
+    * the distributed hot path only ever projects forward.
+    */
+  def tmInverse(easting: Double, northing: Double, p: TmParams): (Double, Double) = {
+    val e2 = p.e2; val ep2 = p.ep2
+    val m0 = meridianArc(p, math.toRadians(p.lat0Deg))
+    val m = m0 + (northing - p.falseNorthing) / p.k0
+    val mu = m / (p.a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 * e2 * e2 / 256.0))
+    val e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    // footpoint latitude, Snyder eq. 3-26
+    val phi1 = mu +
+      (3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * math.sin(2.0 * mu) +
+      (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+      (151.0 * math.pow(e1, 3) / 96.0) * math.sin(6.0 * mu) +
+      (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+    val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
+    val c1 = ep2 * cos1 * cos1
+    val t1 = tan1 * tan1
+    val n1 = p.a / math.sqrt(1.0 - e2 * sin1 * sin1)
+    val r1 = p.a * (1.0 - e2) / math.pow(1.0 - e2 * sin1 * sin1, 1.5)
+    val d = (easting - p.falseEasting) / (n1 * p.k0)
+    val phi = phi1 - (n1 * tan1 / r1) * (
+      d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * ep2) * math.pow(d, 4) / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * ep2 - 3.0 * c1 * c1) * math.pow(d, 6) / 720.0)
+    val lam = math.toRadians(p.lon0Deg) + (
+      d - (1.0 + 2.0 * t1 + c1) * math.pow(d, 3) / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * ep2 + 24.0 * t1 * t1) * math.pow(d, 5) / 120.0) / cos1
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
   /** `to_crs`-equivalent: replace geographic (lon, lat) columns with
     * projected meters and stamp the projected CRS onto the frame, so
     * [[GeoFunctions.isPlanar]] dispatches every downstream distance to

@@ -264,4 +264,38 @@ object CorpusOps {
       }(RowEncoder.encoderFor(outSchema))
       .toDF()
   }
+
+  /** Fixed-window document chunking with overlap: split each document
+    * into chunks of `chunkTokens` whitespace tokens, each chunk starting
+    * `chunkTokens - overlapTokens` after the previous — the long-document
+    * half of context-window preparation ([[packSequences]] handles the
+    * short-document half). Start positions are 0, stride, 2·stride, …
+    * while they index a real token, so every token lands in at least one
+    * chunk and the final chunk may be short.
+    *
+    * Scale shape: zero shuffles — tokenize, per-chunk sequence explode,
+    * and slice/reassemble are all scan-stage expressions; output size is
+    * corpus size × (1 + overlap fraction).
+    *
+    * @return (doc_id, chunk_index, n_tokens, chunk_text)
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), words.as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("doc_id"), col("_w"),
+        explode(sequence(lit(0L),
+          floor((size(col("_w")) - 1).cast("long") / stride).cast("long"))).as("chunk_index"))
+      .select(col("doc_id"), col("chunk_index"),
+        slice(col("_w"), (col("chunk_index") * stride + 1).cast("int"), lit(chunkTokens)).as("_c"))
+      .select(col("doc_id"), col("chunk_index"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
 }

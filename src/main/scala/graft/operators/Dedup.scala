@@ -81,6 +81,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dup: near-duplicate pairs between a probe corpus
+    * (a new crawl) and a reference corpus (the existing training set) —
+    * the decontamination-by-similarity step that runs before new data
+    * joins a training mix. Same shingle → signature → band machinery as
+    * [[minHashLsh]], but candidates come from a probe-vs-corpus band
+    * equi-join only: the reference side never self-joins, so the cost is
+    * driven by the (small) probe side and true cross matches, not by
+    * |corpus|². Ids may overlap between the two tables (they are
+    * different corpora); no id-ordering filter applies.
+    *
+    * @return (probe_id, corpus_id, jaccard) with jaccard >= verifyThreshold
+    */
+  def minHashLshCross(probes: DataFrame, corpus: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                      verifyThreshold: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.graftshim.ColumnShim
+
+    def withShingles(df: DataFrame) =
+      df.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+    def banded(df: DataFrame) = {
+      val bandHashes = ColumnShim.column(
+        graft.plans.MinHashBands(ColumnShim.expression(col("_sh")), numHashes, bands))
+      df.select(col("_id"), posexplode(bandHashes))
+        .select(col("_id"), col("pos").as("_b"), col("col").as("_h"))
+    }
+    val p = withShingles(probes)
+    val c = withShingles(corpus)
+    val pairs = banded(p).select(col("_b"), col("_h"), col("_id").as("probe_id"))
+      .join(banded(c).select(col("_b"), col("_h"), col("_id").as("corpus_id")), Seq("_b", "_h"))
+      .dropDuplicates("probe_id", "corpus_id")
+    pairs
+      .join(p.select(col("_id").as("probe_id"), col("_sh").as("_sh_p")), "probe_id")
+      .join(c.select(col("_id").as("corpus_id"), col("_sh").as("_sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_p"), col("_sh_c"))).cast("double") /
+          size(array_union(col("_sh_p"), col("_sh_c"))).cast("double"))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select(col("probe_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** SimHash bit width (60: the portable md5-prefix hash width) and the
     * chunk split used for candidate bucketing (4 × 15-bit chunks catch
     * all pairs within Hamming distance 3).

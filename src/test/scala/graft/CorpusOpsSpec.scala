@@ -158,4 +158,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(a.subsetOf(c))
   }
+
+  test("chunkDocuments: coverage, overlap, short tail, exact content") {
+    // 10 words, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    val words = (1 to 10).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" ")), (8L, "solo"), (9L, ""))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_index").collect()
+    val d7 = out.filter(_.getLong(0) == 7L)
+    assert(d7.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d7.map(_.getString(3)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(d7.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // every token appears in at least one chunk; consecutive chunks share
+    // exactly `overlap` tokens (except the short tail)
+    assert(d7.flatMap(_.getString(3).split(" ")).toSet == words.toSet)
+    // single-word and empty docs
+    val d8 = out.filter(_.getLong(0) == 8L)
+    assert(d8.length == 1 && d8(0).getString(3) == "solo" && d8(0).getLong(2) == 1L)
+    assert(!out.exists(_.getLong(0) == 9L))
+    // zero overlap partitions exactly
+    val flat = CorpusOps.chunkDocuments(docs.filter($"doc_id" === 7L), chunkTokens = 5)
+      .orderBy("chunk_index").collect()
+    assert(flat.map(_.getString(3)).toSeq == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+  }
 }

@@ -59,6 +59,19 @@ class ProjectionSpec extends SparkSpec {
     assert(planar > 900 && planar < 1500)
   }
 
+  test("forward -> inverse round trip closes to sub-millimeter across the zone") {
+    val p = Projection.utm(32)
+    val pts = Seq((8.5417, 47.3769), (9.0, 0.0001), (6.01, 45.2), (11.99, 70.0),
+      (9.5, -33.7), (7.2, 12.0))
+    pts.foreach { case (lon, lat) =>
+      val (e, n) = Projection.tmForward(lon, lat, p)
+      val (lonBack, latBack) = Projection.tmInverse(e, n, p)
+      // 1e-8 deg ~ 1 mm
+      assert(math.abs(lonBack - lon) < 1e-8 && math.abs(latBack - lat) < 1e-8,
+        s"($lon, $lat) -> ($e, $n) -> ($lonBack, $latBack)")
+    }
+  }
+
   test("planar dispatch: a toUtm frame is planar and downstream math goes euclidean") {
     val df = Seq((8.5417, 47.3769)).toDF("lon", "lat")
     assert(!GeoFunctions.isPlanar(df)) // default EPSG:4326

@@ -44,6 +44,21 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus minhash finds probe-vs-corpus near-dups only, no intra-corpus pairs") {
+    val probes = docs.filter(col("doc_id") <= 1L)  // docs 0, 1 (near-dups of each other)
+    val corpus = docs.filter(col("doc_id") >= 2L)  // 2 (unrelated), 3 (clone of 0), 4 (german)
+    val pairs = Dedup.minHashLshCross(probes, corpus, verifyThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // probe 0 matches its exact clone 3 with jaccard 1.0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    // probe 1 (near-dup of 0) also matches 3
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0.7))
+    // no pair involves unrelated corpus docs, and the probe-probe near-dup
+    // pair (0,1) is NOT emitted — intra-corpus pairs are out of scope
+    assert(!pairs.exists(p => p._2 == 2L || p._2 == 4L))
+    assert(pairs.forall(p => p._1 <= 1L && p._2 >= 2L))
+  }
+
   test("simhash: identical docs have identical fingerprints; near-dups low hamming") {
     val fp = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(3L))

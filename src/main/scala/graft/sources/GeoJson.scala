@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GeoJSON (RFC 7946) readers/writers for the domain tables — the file
+  * format behind the reference's `read_*_gpd` path when frames come from
+  * .geojson files (geopandas.read_file; trackintel/io/from_geopandas.py
+  * accepts whatever GeoDataFrame that yields).
+  *
+  * Two layouts:
+  *  - **newline-delimited GeoJSON** (one Feature per line, a.k.a.
+  *    ndgeojson) — the scale path: Spark's JSON source splits it like any
+  *    text file, so reads parallelize per block and writes stream from
+  *    executors. This is what [[writePositionfixes]] et al. produce.
+  *  - **FeatureCollection** (one JSON object spanning the whole file) —
+  *    read via `multiLine` + an `inline(features)` explode. Convenience
+  *    for small hand-authored files; a 100 TB corpus should be ndgeojson
+  *    or parquet.
+  *
+  * Geometry parsing/formatting is schema-driven (`from_json`/`to_json`
+  * with exact coordinate arity per geometry type) — scan-stage column
+  * expressions, no UDF.
+  */
+object GeoJson {
+
+  // ---------------- schemas ----------------
+
+  private def geometrySchema(coordinates: DataType) = StructType(Seq(
+    StructField("type", StringType), StructField("coordinates", coordinates)))
+
+  private val pointCoords = ArrayType(DoubleType)
+  private val lineCoords = ArrayType(ArrayType(DoubleType))
+
+  private def featureSchema(coordinates: DataType, properties: StructType) = StructType(Seq(
+    StructField("type", StringType),
+    StructField("geometry", geometrySchema(coordinates)),
+    StructField("properties", properties)))
+
+  private def collectionSchema(coordinates: DataType, properties: StructType) = StructType(Seq(
+    StructField("type", StringType),
+    StructField("features", ArrayType(featureSchema(coordinates, properties)))))
+
+  private val pfsProps = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("tracked_at", StringType)))
+
+  private val spProps = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("started_at", StringType), StructField("finished_at", StringType)))
+
+  // ---------------- generic feature readers ----------------
+
+  /** Features of one geometry arity from ndgeojson (default) or a
+    * FeatureCollection (`multiLine = true`), as (geometry, properties).
+    */
+  private def readFeatures(spark: SparkSession, path: String, coordinates: DataType,
+                           properties: StructType, multiLine: Boolean): DataFrame =
+    if (multiLine)
+      spark.read.option("multiLine", "true")
+        .schema(collectionSchema(coordinates, properties)).json(path)
+        .select(inline(col("features")))
+        .select(col("geometry"), col("properties"))
+    else
+      spark.read.schema(featureSchema(coordinates, properties)).json(path)
+        .select(col("geometry"), col("properties"))
+
+  private def prop(name: String): Column = col("properties").getField(name)
+
+  // ---------------- per-table readers ----------------
+
+  def readPositionfixes(spark: SparkSession, path: String,
+                        multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, pointCoords, pfsProps, multiLine)
+    Tables.positionfixes.validate(f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      to_timestamp(prop("tracked_at")).as("tracked_at"),
+      element_at(col("geometry.coordinates"), 1).as("lon"),
+      element_at(col("geometry.coordinates"), 2).as("lat")))
+  }
+
+  def readStaypoints(spark: SparkSession, path: String,
+                     multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, pointCoords, spProps, multiLine)
+    Tables.staypoints.validate(f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      to_timestamp(prop("started_at")).as("started_at"),
+      to_timestamp(prop("finished_at")).as("finished_at"),
+      element_at(col("geometry.coordinates"), 1).as("lon"),
+      element_at(col("geometry.coordinates"), 2).as("lat")))
+  }
+
+  def readTriplegs(spark: SparkSession, path: String,
+                   multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, lineCoords, spProps, multiLine)
+    Tables.triplegs.validate(f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      to_timestamp(prop("started_at")).as("started_at"),
+      to_timestamp(prop("finished_at")).as("finished_at"),
+      transform(col("geometry.coordinates"),
+        c => struct(element_at(c, 1).as("lon"), element_at(c, 2).as("lat"))).as("points")))
+  }
+
+  // ---------------- per-table writers (ndgeojson) ----------------
+
+  private def pointGeometry(lon: Column, lat: Column): Column =
+    struct(lit("Point").as("type"), array(lon, lat).as("coordinates"))
+
+  def writePositionfixes(pfs: DataFrame, path: String): Unit =
+    pfs.select(to_json(struct(
+        lit("Feature").as("type"),
+        pointGeometry(col("lon"), col("lat")).as("geometry"),
+        struct(col("id"), col("user_id"),
+          date_format(col("tracked_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("tracked_at"))
+          .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def writeStaypoints(sp: DataFrame, path: String): Unit =
+    sp.select(to_json(struct(
+        lit("Feature").as("type"),
+        pointGeometry(col("lon"), col("lat")).as("geometry"),
+        struct(col("id"), col("user_id"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"))
+          .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def writeTriplegs(tpls: DataFrame, path: String): Unit =
+    tpls.select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("LineString").as("type"),
+          transform(col("points"), p => array(p.getField("lon"), p.getField("lat")))
+            .as("coordinates")).as("geometry"),
+        struct(col("id"), col("user_id"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"))
+          .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+}

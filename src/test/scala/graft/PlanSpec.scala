@@ -138,4 +138,19 @@ class PlanSpec extends AnyFunSuite {
       "probe distance tables must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("chunk_documents runs scan-only — tokenize, explode, slice with no shuffle") {
+    val p = plan("chunk_documents")
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+    assert(p.contains("Generate"), "per-chunk explode must be a Generate")
+  }
+
+  test("dedup_cross: probe side broadcasts; corpus never self-joins or products") {
+    val p = plan("dedup_cross")
+    assert(p.contains("BroadcastHashJoin"), "probe bands must broadcast against corpus bands")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the only hash shuffle is the candidate-pair dropDuplicates
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"at most one shuffle (pair dedup):\n$p")
+  }
 }

@@ -26,23 +26,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = "%.3f".format(v) // ms resolution; keeps the line short
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qjson(fmt: Double => String) = results
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def line(fmt: Double => String) =
+      s"""{"queries":${qjson(fmt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     // The driver keeps only the TAIL of stdout (BENCH_r05.json lost its
-    // total and first queries to a 2000-char cap), so (a) timings are
-    // printed at 3 decimals to keep the line small, (b) the headline
+    // total and first queries to a 2000-char cap), so (a) the stdout line
+    // prints timings at 2 decimals to stay under the cap, (b) the headline
     // metric/value fields come AFTER "queries" so they survive a front
-    // truncation, and (c) the complete JSON is also written to a file
-    // (SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL.json in the cwd).
-    val line =
-      s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    // truncation regardless, and (c) the complete ms-resolution JSON is
+    // also written to a file (SPARK_GRAFT_BENCH_OUT, default
+    // BENCH_LOCAL.json in the cwd) for cross-round per-query tracking.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      line(v => "%.3f".format(v)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // bench result still goes to stdout
-    println(line)
+    println(line(v => "%.2f".format(v)))
     spark.stop()
   }
 }

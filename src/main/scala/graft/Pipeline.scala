@@ -37,6 +37,24 @@ object Pipeline {
 
   private def persist(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
+  /** The multi-executor / 100 TB share hook: write the stage boundary to
+    * parquet and read it back — durable, columnar, re-readable from
+    * storage rather than pinned to executor block stores (a lost
+    * localCheckpoint block is unrecoverable; a parquet stage is not).
+    * Same `DataFrame => DataFrame` signature as the localCheckpoint hook,
+    * so any generator/trainer taking a `share` parameter accepts it
+    * unchanged. Results are identical by construction (pinned by
+    * PipelineInvariantsSpec's share-hook equivalence test).
+    */
+  def parquetShare(baseDir: String): DataFrame => DataFrame = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    df => {
+      val p = s"$baseDir/stage_${counter.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    }
+  }
+
   private def memo(spark: SparkSession, sfDir: String, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
       cache.getOrElseUpdate((spark, sfDir, key), build)

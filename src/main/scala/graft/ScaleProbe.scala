@@ -58,6 +58,15 @@ object ScaleProbe {
     t("bpe_train64_10x") {
       TextAnalysis.bpeTrain(docs10, merges = 64, share = _.localCheckpoint(false)).count()
     }
+    // cross-corpus decontamination at its adversarial worst: every probe
+    // doc has 10 exact clones in the reference corpus
+    t("dedup_cross_10x") {
+      Dedup.minHashLshCross(docs.limit(500), docs10,
+        numHashes = 64, bands = 16, verifyThreshold = 0.5).count()
+    }
+    t("chunk_documents_10x") {
+      CorpusOps.chunkDocuments(docs10, chunkTokens = 16, overlapTokens = 4).count()
+    }
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val emb10 = (0 until 10).map(i =>

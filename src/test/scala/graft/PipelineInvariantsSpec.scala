@@ -84,4 +84,28 @@ class PipelineInvariantsSpec extends SparkSpec {
       .agg(sum(col("count") - 1)).collect()(0).getLong(0)
     assert(totalFlows === perUser)
   }
+
+  test("share-hook equivalence: parquet stage boundaries == localCheckpoint, bit for bit") {
+    // the documented 100 TB swap (Pipeline.parquetShare) must be a pure
+    // materialization choice — iterative trainers threaded through either
+    // hook produce identical models/trajectories
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaLocal = operators.TextAnalysis
+      .bpeTrain(docs, merges = 4, share = _.localCheckpoint(false))
+      .orderBy("step").collect().map(_.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_share").toString
+    val viaParquet = operators.TextAnalysis
+      .bpeTrain(docs, merges = 4, share = Pipeline.parquetShare(dir))
+      .orderBy("step").collect().map(_.toSeq)
+    assert(viaLocal.toSeq == viaParquet.toSeq)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kmLocal = operators.KMeans.fit(emb, k = 4, iters = 2, share = _.localCheckpoint(false))
+    val kmParquet = operators.KMeans.fit(emb, k = 4, iters = 2,
+      share = Pipeline.parquetShare(s"$dir/km"))
+    assert(kmLocal.centroids.map(_.toSeq).toSeq == kmParquet.centroids.map(_.toSeq).toSeq)
+    assert(kmLocal.counts.toSeq == kmParquet.counts.toSeq)
+  }
 }

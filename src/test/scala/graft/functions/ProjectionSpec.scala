@@ -72,6 +72,29 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("property: 200 random in-zone points round-trip sub-millimeter; column == scalar") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val p = Projection.utm(32)
+    val genPt = for {
+      lon <- Gen.choose(6.0, 12.0)     // zone 32
+      lat <- Gen.choose(-80.0, 84.0)   // UTM latitude band
+    } yield (lon, lat)
+    val pts = (0 until 200).map(i => genPt.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    pts.foreach { case (lon, lat) =>
+      val (e, n) = Projection.tmForward(lon, lat, p)
+      val (lonBack, latBack) = Projection.tmInverse(e, n, p)
+      assert(math.abs(lonBack - lon) < 1e-8 && math.abs(latBack - lat) < 1e-8,
+        s"round trip drift at ($lon, $lat): (${lonBack - lon}, ${latBack - lat})")
+    }
+    val df = pts.toDF("lon", "lat")
+    val (ec, nc) = Projection.tmForward(col("lon"), col("lat"), p)
+    df.select(col("lon"), col("lat"), ec.as("e"), nc.as("n")).collect().foreach { r =>
+      val (se, sn) = Projection.tmForward(r.getDouble(0), r.getDouble(1), p)
+      assert(r.getDouble(2) == se && r.getDouble(3) == sn)
+    }
+  }
+
   test("planar dispatch: a toUtm frame is planar and downstream math goes euclidean") {
     val df = Seq((8.5417, 47.3769)).toDF("lon", "lat")
     assert(!GeoFunctions.isPlanar(df)) // default EPSG:4326

@@ -1700,7 +1700,8 @@ object SparkEntry {
     // output (rebalance thresholds derive from post-dedup counts)
     "curate_corpus" -> { (s, dir) =>
       CorpusOps.curate(s.read.parquet(s"$dir/documents.parquet"),
-        targetWeights = Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
+        targetWeights = Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L),
+        share = _.localCheckpoint(false))
     },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --

@@ -127,17 +127,23 @@ object CorpusOps {
              targetWeights: Seq[(String, Long)],
              splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
              minHashes: Int = 64, bands: Int = 16, dupThreshold: Double = 0.5,
-             idCol: String = "doc_id"): DataFrame = {
+             idCol: String = "doc_id",
+             share: DataFrame => DataFrame = identity): DataFrame = {
     val qOk = TextAnalysis.qualityScore(docs)
       .filter(col("quality_ok")).select(col(idCol))
     val rOk = TextAnalysis.repetitionMetrics(docs, idCol = idCol)
       .filter(col("repetition_ok")).select(col(idCol))
-    val base = docs
+    // `base` appears in several downstream lineages (the LSH pipeline
+    // reads it three times, prune/rebalance/split once more each) and
+    // `deduped` is acted on twice (rebalance's count collect + the final
+    // output) — share both so the filter semi-joins and the anti-join run
+    // once instead of per consumer
+    val base = share(docs
       .join(qOk, Seq(idCol), "left_semi")
-      .join(rOk, Seq(idCol), "left_semi")
+      .join(rOk, Seq(idCol), "left_semi"))
     val pairs = Dedup.minHashLsh(base, idCol = idCol,
       numHashes = minHashes, bands = bands, verifyThreshold = dupThreshold)
-    val deduped = Dedup.pruneDuplicates(base, pairs, idCol = idCol)
+    val deduped = share(Dedup.pruneDuplicates(base, pairs, idCol = idCol))
     val balanced = rebalanceMixture(deduped, targetWeights, idCol = idCol)
     hashSplit(balanced, splitWeights, idCol = idCol)
       .select(col(idCol), col("lang"), col("source"), col("split"))

@@ -1737,6 +1737,18 @@ object SparkEntry {
     "chunk_documents" -> { (s, dir) =>
       CorpusOps.chunkDocuments(s.read.parquet(s"$dir/documents.parquet"),
         chunkTokens = 16, overlapTokens = 4)
+    },
+    // corpus card: exact surface only — the HLL twin (distinct_tokens_est,
+    // the 100 TB path) is engine-specific and spec-gated against the exact
+    // count instead of oracle-hashed
+    "corpus_stats" -> { (s, dir) =>
+      CorpusOps.corpusStats(s.read.parquet(s"$dir/documents.parquet"), Seq("lang"))
+        .drop("distinct_tokens_est")
+    },
+    // best-10-per-source curation cut; ranking signals are rational in
+    // integer counts, so the double order is engine-reproducible
+    "quality_topk" -> { (s, dir) =>
+      CorpusOps.keepTopKPerGroup(s.read.parquet(s"$dir/documents.parquet"), k = 10)
     }
   )
 
@@ -2460,6 +2472,35 @@ object SparkEntry {
          |SELECT doc_id, hh % 8 AS shard,
          |       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
          |FROM h""".stripMargin,
+    "corpus_stats" ->
+      """WITH w AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS words,
+        |         CAST(length(text) AS BIGINT) AS c
+        |  FROM documents),
+        |dg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+        |         CAST(sum(c) AS BIGINT) AS n_chars
+        |  FROM w GROUP BY lang),
+        |tg AS (
+        |  SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT lang, unnest(words) AS t FROM w) GROUP BY lang)
+        |SELECT dg.lang, n_docs, n_tokens, n_chars,
+        |       coalesce(distinct_tokens, 0) AS distinct_tokens
+        |FROM dg LEFT JOIN tg ON dg.lang = tg.lang""".stripMargin,
+    "quality_topk" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      (CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) DESC,
+        |      n_words DESC, doc_id) AS rank
+        |  FROM q)
+        |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""".stripMargin,
     "chunk_documents" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words

@@ -271,6 +271,67 @@ object CorpusOps {
       .toDF()
   }
 
+  /** Per-group corpus statistics ("corpus card"): document count, token
+    * volume, character volume, and vocabulary size per (group) — the
+    * summary table every curation run publishes with its output.
+    *
+    * Vocabulary size comes in two flavors: `distinct_tokens` (exact — an
+    * explode + count(distinct), which shuffles the token stream and is
+    * the oracle-checkable reference) and `distinct_tokens_est`
+    * (HyperLogLog++ `approx_count_distinct`, the 100 TB path: sketch
+    * merges are constant-size per group, no token shuffle survives the
+    * partial aggregation). The estimate is deterministic for a given
+    * input (register-max merges are order-insensitive) but
+    * engine-specific, so it is spec-gated against the exact value
+    * (within HLL's rsd) rather than oracle-hashed.
+    *
+    * @return (group..., n_docs, n_tokens, n_chars, distinct_tokens,
+    *         distinct_tokens_est)
+    */
+  def corpusStats(docs: DataFrame, groupCols: Seq[String] = Seq("lang", "source"),
+                  textCol: String = "text", rsd: Double = 0.02): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    // doc-grain aggregates and token-grain distincts are different grains:
+    // two map-side-combinable groupBys joined on the (tiny) group key beat
+    // one exploded aggregation (where doc counts/sums would need
+    // de-duplication against the token fan-out)
+    val docGrain = docs
+      .select(groupCols.map(col) :+ size(words).cast("long").as("_n")
+        :+ length(col(textCol)).cast("long").as("_c"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"), sum(col("_c")).as("n_chars"))
+    val tokenGrain = docs
+      .select(groupCols.map(col) :+ explode(words).as("_t"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col("_t")).as("distinct_tokens"),
+        approx_count_distinct(col("_t"), rsd).as("distinct_tokens_est"))
+    docGrain.join(tokenGrain, groupCols, "left")
+      .na.fill(0L, Seq("distinct_tokens", "distinct_tokens_est"))
+      .select(groupCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("distinct_tokens"), col("distinct_tokens_est")): _*)
+  }
+
+  /** Keep the k highest-quality documents per group — the "best N per
+    * domain" curation cut. Ranking is deterministic: quality signals
+    * first, then the id as the tie-break. One shuffle on the group key;
+    * Spark inserts WindowGroupLimit, so each map task keeps only its
+    * local top-k before the exchange.
+    *
+    * @return the surviving documents with their rank (1-based)
+    */
+  def keepTopKPerGroup(docs: DataFrame, k: Int, groupCol: String = "source",
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("stopword_ratio").desc, col("n_words").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col("rank"))
+  }
+
   /** Fixed-window document chunking with overlap: split each document
     * into chunks of `chunkTokens` whitespace tokens, each chunk starting
     * `chunkTokens - overlapTokens` after the previous — the long-document

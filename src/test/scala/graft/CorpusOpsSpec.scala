@@ -159,6 +159,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.subsetOf(c))
   }
 
+  test("corpusStats: exact counts correct; HLL estimate within rsd of exact") {
+    val docs = Seq(
+      (0L, "en", "a b c a b"),     // 3 distinct, 5 tokens, 9 chars
+      (1L, "en", "c d"),           // en total: 4 distinct
+      (2L, "de", "x y z"),
+      (3L, "de", "")
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.corpusStats(docs, Seq("lang")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 2 && en.getAs[Long]("n_tokens") == 7)
+    assert(en.getAs[Long]("n_chars") == 12 && en.getAs[Long]("distinct_tokens") == 4)
+    val de = out("de")
+    assert(de.getAs[Long]("n_docs") == 2 && de.getAs[Long]("n_tokens") == 3)
+    assert(de.getAs[Long]("distinct_tokens") == 3)
+    // scale path: the sketch estimate tracks the exact count on real data
+    val real = CorpusOps.corpusStats(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), Seq("lang")).collect()
+    real.foreach { r =>
+      val exact = r.getAs[Long]("distinct_tokens").toDouble
+      val est = r.getAs[Long]("distinct_tokens_est").toDouble
+      assert(math.abs(est - exact) <= math.max(2.0, 0.1 * exact),
+        s"lang ${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("keepTopKPerGroup: exactly k per group (fewer if small), deterministic ranking") {
+    val docs = Seq(
+      (0L, "s1", "the a of and to x"),   // stop ratio 5/6
+      (1L, "s1", "the a of x y z"),      // 3/6
+      (2L, "s1", "x y z w v u"),        // 0
+      (3L, "s2", "the end")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.keepTopKPerGroup(docs, k = 2, groupCol = "source")
+      .orderBy("source", "rank").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSeq ==
+      Seq(("s1", 0L, 1L), ("s1", 1L, 2L), ("s2", 3L, 1L)))
+  }
+
   test("chunkDocuments: coverage, overlap, short tail, exact content") {
     // 10 words, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6,9
     val words = (1 to 10).map(i => s"w$i")

@@ -139,6 +139,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality_topk: rank limit pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("quality_topk")
+    assert(p.contains("WindowGroupLimit"), s"map tasks must keep only local top-k:\n$p")
+  }
+
   test("chunk_documents runs scan-only — tokenize, explode, slice with no shuffle") {
     val p = plan("chunk_documents")
     assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")

@@ -51,6 +51,24 @@ object GeoJson {
     StructField("id", LongType), StructField("user_id", LongType),
     StructField("started_at", StringType), StructField("finished_at", StringType)))
 
+  // locations: center is THE geometry (a Feature has one); the extent ring
+  // travels in properties, mirroring the reference's one-geometry file IO
+  // with extent as an auxiliary column
+  private val locProps = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("extent", ArrayType(ArrayType(DoubleType)))))
+
+  private val tripProps = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("started_at", StringType), StructField("finished_at", StringType),
+    StructField("origin_staypoint_id", LongType),
+    StructField("destination_staypoint_id", LongType)))
+
+  private val tourProps = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("started_at", StringType), StructField("finished_at", StringType),
+    StructField("trips", ArrayType(LongType))))
+
   // ---------------- generic feature readers ----------------
 
   /** Features of one geometry arity from ndgeojson (default) or a
@@ -103,6 +121,51 @@ object GeoJson {
         c => struct(element_at(c, 1).as("lon"), element_at(c, 2).as("lat"))).as("points")))
   }
 
+  def readLocations(spark: SparkSession, path: String,
+                    multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, pointCoords, locProps, multiLine)
+    val base = f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      element_at(col("geometry.coordinates"), 1).as("center_lon"),
+      element_at(col("geometry.coordinates"), 2).as("center_lat"),
+      transform(prop("extent"),
+        c => struct(element_at(c, 1).as("lon"), element_at(c, 2).as("lat"))).as("extent_hull"))
+    Tables.locations.validate(base)
+  }
+
+  /** Trips: MULTIPOINT (origin, destination) geometry; o/d staypoint ids
+    * in properties (nullable — gap-adjacent trips have no staypoint).
+    */
+  def readTrips(spark: SparkSession, path: String,
+                multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, lineCoords, tripProps, multiLine)
+    Tables.trips.validate(f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      to_timestamp(prop("started_at")).as("started_at"),
+      to_timestamp(prop("finished_at")).as("finished_at"),
+      prop("origin_staypoint_id").as("origin_staypoint_id"),
+      prop("destination_staypoint_id").as("destination_staypoint_id"),
+      struct(
+        struct(element_at(element_at(col("geometry.coordinates"), 1), 1).as("lon"),
+          element_at(element_at(col("geometry.coordinates"), 1), 2).as("lat")).as("origin"),
+        struct(element_at(element_at(col("geometry.coordinates"), 2), 1).as("lon"),
+          element_at(element_at(col("geometry.coordinates"), 2), 2).as("lat")).as("destination"))
+        .as("geom")))
+  }
+
+  /** Tours carry no geometry (RFC 7946 allows a null-geometry Feature);
+    * the trips list rides in properties.
+    */
+  def readTours(spark: SparkSession, path: String,
+                multiLine: Boolean = false): DataFrame = {
+    val f = readFeatures(spark, path, pointCoords, tourProps, multiLine)
+    Tables.tours.validate(f.select(
+      prop("id").as("id"), prop("user_id").as("user_id"),
+      to_timestamp(prop("started_at")).as("started_at"),
+      to_timestamp(prop("finished_at")).as("finished_at"),
+      prop("trips").as("trips")))
+  }
+
   // ---------------- per-table writers (ndgeojson) ----------------
 
   private def pointGeometry(lon: Column, lat: Column): Column =
@@ -137,5 +200,40 @@ object GeoJson {
           date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
           date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"))
           .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def writeLocations(locs: DataFrame, path: String): Unit = {
+    val extent = if (locs.columns.contains("extent_hull"))
+      transform(col("extent_hull"), p => array(p.getField("lon"), p.getField("lat")))
+    else lit(null).cast(ArrayType(ArrayType(DoubleType)))
+    locs.select(to_json(struct(
+        lit("Feature").as("type"),
+        pointGeometry(col("center_lon"), col("center_lat")).as("geometry"),
+        struct(col("id"), col("user_id"), extent.as("extent")).as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  def writeTrips(trips: DataFrame, path: String): Unit =
+    trips.select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("MultiPoint").as("type"),
+          array(array(col("geom.origin.lon"), col("geom.origin.lat")),
+            array(col("geom.destination.lon"), col("geom.destination.lat")))
+            .as("coordinates")).as("geometry"),
+        struct(col("id"), col("user_id"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"),
+          col("origin_staypoint_id"), col("destination_staypoint_id"))
+          .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def writeTours(tours: DataFrame, path: String): Unit =
+    tours.select(to_json(struct(
+        lit("Feature").as("type"),
+        lit(null).cast(geometrySchema(pointCoords)).as("geometry"),
+        struct(col("id"), col("user_id"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"),
+          col("trips")).as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
 }

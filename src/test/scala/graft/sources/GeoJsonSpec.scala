@@ -64,6 +64,53 @@ class GeoJsonSpec extends SparkSpec {
       Seq((8.5, 47.3), (8.51, 47.31), (8.52, 47.32)))
   }
 
+  test("locations round trip: center geometry plus extent ring in properties") {
+    val ring = Seq((8.5, 47.3), (8.6, 47.3), (8.6, 47.4), (8.5, 47.3))
+    val locs = Seq((0L, 1L, 8.55, 47.33, ring))
+      .toDF("id", "user_id", "center_lon", "center_lat", "extent_hull")
+      .withColumn("extent_hull", transform(col("extent_hull"),
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))))
+    val dir = s"${tmpDir()}/locs"
+    GeoJson.writeLocations(locs, dir)
+    val back = GeoJson.readLocations(spark, dir).first()
+    assert(back.getAs[Double]("center_lon") == 8.55 && back.getAs[Double]("center_lat") == 47.33)
+    val hull = back.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("extent_hull")
+    assert(hull.map(r => (r.getDouble(0), r.getDouble(1))) == ring)
+  }
+
+  test("trips round trip: MULTIPOINT o/d geometry, nullable staypoint ids") {
+    val trips = Seq(
+      (0L, 1L, ts("2023-01-01 08:00:00"), ts("2023-01-01 09:00:00"),
+        Some(10L), Some(11L), ((8.5, 47.3), (8.6, 47.4))),
+      (1L, 1L, ts("2023-01-01 10:00:00"), ts("2023-01-01 11:00:00"),
+        None, Some(12L), ((8.6, 47.4), (8.7, 47.5)))
+    ).toDF("id", "user_id", "started_at", "finished_at",
+        "origin_staypoint_id", "destination_staypoint_id", "geom")
+      .withColumn("geom", struct(
+        struct(col("geom._1._1").as("lon"), col("geom._1._2").as("lat")).as("origin"),
+        struct(col("geom._2._1").as("lon"), col("geom._2._2").as("lat")).as("destination")))
+    val dir = s"${tmpDir()}/trips"
+    GeoJson.writeTrips(trips, dir)
+    val back = GeoJson.readTrips(spark, dir).orderBy("id").collect()
+    assert(back(0).getAs[Long]("origin_staypoint_id") == 10L)
+    assert(back(1).isNullAt(back(1).fieldIndex("origin_staypoint_id")))
+    val d = back(1).getAs[org.apache.spark.sql.Row]("geom").getAs[org.apache.spark.sql.Row]("destination")
+    assert(d.getAs[Double]("lon") == 8.7 && d.getAs[Double]("lat") == 47.5)
+  }
+
+  test("tours round trip: null geometry, trips list in properties") {
+    val tours = Seq(
+      (0L, 1L, ts("2023-01-01 08:00:00"), ts("2023-01-01 18:00:00"), Seq(1L, 2L, 3L)))
+      .toDF("id", "user_id", "started_at", "finished_at", "trips")
+    val dir = s"${tmpDir()}/tours"
+    GeoJson.writeTours(tours, dir)
+    val raw = spark.read.text(dir).as[String].first()
+    assert(!raw.contains(""""coordinates""""), "tours features carry null geometry")
+    val back = GeoJson.readTours(spark, dir).first()
+    assert(back.getAs[scala.collection.Seq[Long]]("trips") == Seq(1L, 2L, 3L))
+    assert(back.getAs[java.sql.Timestamp]("finished_at") == ts("2023-01-01 18:00:00"))
+  }
+
   test("staypoints ndgeojson round trip") {
     val sp = Seq((5L, 2L, ts("2023-02-01 07:00:00"), ts("2023-02-01 07:45:00"), 11.57, 48.14))
       .toDF("id", "user_id", "started_at", "finished_at", "lon", "lat")

@@ -101,4 +101,50 @@ object syntax {
         : (DataFrame, DataFrame) =
       TourGenerator.generate(df, staypoints, params)
   }
+
+  /** Corpus-side accessors: the training-data pipeline as method chains
+    * on a (doc_id, text, …) frame.
+    *
+    * {{{
+    * import graft.syntax._
+    * val pairs   = docs.nearDupPairs(verifyThreshold = 0.8)
+    * val clean   = docs.pruneDuplicates(pairs)
+    * val chunks  = clean.chunkDocuments(2048, overlapTokens = 128)
+    * val ready   = clean.curateCorpus(Seq("en" -> 4L, "de" -> 1L))
+    * }}}
+    */
+  implicit final class RichCorpus(private val df: DataFrame) extends AnyVal {
+
+    def dedupExact(): DataFrame = Dedup.exact(df)
+
+    def nearDupPairs(shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                     verifyThreshold: Double = 0.0): DataFrame =
+      Dedup.minHashLsh(df, shingleN = shingleN, numHashes = numHashes,
+        bands = bands, verifyThreshold = verifyThreshold)
+
+    /** Near-dups of THIS frame's documents against a reference corpus. */
+    def nearDupAgainst(corpus: DataFrame, verifyThreshold: Double = 0.0): DataFrame =
+      Dedup.minHashLshCross(df, corpus, verifyThreshold = verifyThreshold)
+
+    def pruneDuplicates(pairs: DataFrame): DataFrame = Dedup.pruneDuplicates(df, pairs)
+
+    def qualityScored: DataFrame = TextAnalysis.qualityScore(df)
+
+    def languageIdentified: DataFrame = TextAnalysis.languageId(df)
+
+    def tokenCounted: DataFrame = TextAnalysis.tokenCount(df)
+
+    def chunkDocuments(chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+      CorpusOps.chunkDocuments(df, chunkTokens, overlapTokens)
+
+    def corpusStats(groupCols: Seq[String] = Seq("lang", "source")): DataFrame =
+      CorpusOps.corpusStats(df, groupCols)
+
+    def hashSplitted(weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        : DataFrame =
+      CorpusOps.hashSplit(df, weights)
+
+    def curateCorpus(targetWeights: Seq[(String, Long)]): DataFrame =
+      CorpusOps.curate(df, targetWeights)
+  }
 }

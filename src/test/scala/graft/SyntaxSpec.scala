@@ -54,4 +54,19 @@ class SyntaxSpec extends SparkSpec {
     assert(quality.count() == 1)
     val _ = (pfsTpl, spT, tplsT, tripsWithTours, spLoc)
   }
+
+  test("corpus pipeline composes through the accessor API") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = docs.nearDupPairs(numHashes = 64, bands = 16, verifyThreshold = 0.5)
+    val clean = docs.pruneDuplicates(pairs)
+    assert(clean.count() > 0 && clean.count() <= docs.count())
+    assert(docs.limit(5).nearDupAgainst(docs, verifyThreshold = 0.99).count() >= 5,
+      "every probe matches itself in the corpus")
+    assert(docs.chunkDocuments(16, overlapTokens = 4).count() > docs.count())
+    val stats = docs.corpusStats(Seq("lang"))
+    assert(stats.columns.contains("distinct_tokens_est"))
+    val splits = clean.hashSplitted()
+    assert(splits.select("split").distinct().count() == 3)
+    assert(docs.curateCorpus(Seq("en" -> 1L)).count() > 0)
+  }
 }

@@ -1280,6 +1280,14 @@ object SparkEntry {
       EventOps.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us")
         .select(col("event_id"), col("user_id"), col("session_id"))
     },
+    // strict-order earliest-match funnel inside a 7-day window
+    "funnel_events" -> { (s, dir) =>
+      EventOps.funnel(EventsAdapter.events(s, dir), Seq("view", "click", "purchase"),
+        windowMinutes = Some(7 * 24 * 60.0), tsCol = "t_us")
+    },
+    "retention_cohorts" -> { (s, dir) =>
+      EventOps.retentionCohorts(EventsAdapter.events(s, dir), tsCol = "t_us")
+    },
 
     // ----- mobility: labelling / aggregation --------------------------
     "activity_flag" -> { (s, dir) =>
@@ -1822,6 +1830,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
+    "funnel_events" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s0 AS (SELECT user_id, min(t) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, any_value(t0) AS t0, min(e.t) AS t1
+        |       FROM ev e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > t0 AND e.t <= t0 + 604800000000
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > t1 AND e.t <= t0 + 604800000000
+        |       GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS users FROM s0
+        |UNION ALL SELECT 2, 'click', count(*) FROM s1
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s2""".stripMargin,
+    "retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |f AS (SELECT user_id, CAST(min(t) // 604800000000 AS BIGINT) AS cohort_week
+        |      FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(t // 604800000000 AS BIGINT) AS w FROM ev)
+        |SELECT cohort_week, w - cohort_week AS week_offset, CAST(count(*) AS BIGINT) AS users
+        |FROM a JOIN f USING (user_id) GROUP BY cohort_week, w""".stripMargin,
     "activity_flag" ->
       s"""${EventsAdapter.pfsSql}
          |SELECT id, user_id, (f_us - s_us) / 1000000.0 > 900.0 AS is_activity FROM intervals""".stripMargin,

@@ -21,4 +21,64 @@ object EventOps {
     val newSession = when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L)
     events.withColumn("session_id", sum(newSession).over(w) - 1L)
   }
+
+  /** Ordered funnel analysis: how many users complete each prefix of a
+    * step sequence, where step i+1 must occur strictly after the user's
+    * earliest completion of step i (the standard strict-order funnel;
+    * earliest-match semantics make the result unique). Optional
+    * conversion window bounds the whole journey from the step-0 time.
+    *
+    * Shape: one min-aggregation per step, each joined on user_id — the
+    * per-user frames after step 0 are tiny (≤ one row per user), so every
+    * post-first join hash-joins on the same user_id partitioning and AQE
+    * broadcasts the shrinking side. No window over the raw stream, no
+    * per-user collect.
+    *
+    * @return (step, event_type, users) — step is 1-based prefix length
+    */
+  def funnel(events: DataFrame, steps: Seq[String], windowMinutes: Option[Double] = None,
+             tsCol: String = "ts_us", userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val winUs = windowMinutes.map(m => (m * 60e6).toLong)
+    // scanLeft: frame i holds, per user who completed the prefix 0..i,
+    // the earliest completion times _t0.._ti
+    val firstStep = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t0"))
+    val prefixFrames = steps.zipWithIndex.tail.scanLeft(firstStep) { case (prev, (s, i)) =>
+      val bound = winUs.map(w => col(tsCol) <= col("_t0") + w).getOrElse(lit(true))
+      val aggs = (0 until i).map(j => first(col(s"_t$j")).as(s"_t$j")) :+
+        min(col(tsCol)).as(s"_t$i")
+      events.filter(col(typeCol) === s)
+        .join(prev, userCol)
+        .filter(col(tsCol) > col(s"_t${i - 1}") && bound)
+        .groupBy(col(userCol))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    prefixFrames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(steps(i)).as("event_type"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * first event; for each cohort and week offset, how many of its users
+    * were active that week. Two map-side-combinable aggregations and one
+    * join on user_id — the canonical cohort shape.
+    *
+    * @return (cohort_week, week_offset, users) with cohort_week an epoch
+    *         week index (floor(us / week))
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String = "ts_us",
+                       userCol: String = "user_id"): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val weekOf = (t: org.apache.spark.sql.Column) => floor(t / weekUs).cast("long")
+    val firsts = events.groupBy(col(userCol))
+      .agg(weekOf(min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), weekOf(col(tsCol)).as("_w")).distinct()
+    active.join(firsts, userCol)
+      .groupBy(col("cohort_week"), (col("_w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

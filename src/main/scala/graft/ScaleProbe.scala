@@ -55,8 +55,27 @@ object ScaleProbe {
     // incremental pair-count trainer (delta explode over affected words
     // only; the naive recompute-everything form scales with merges x
     // full-corpus pair explode)
+    var merges64: Seq[(String, String)] = Nil
     t("bpe_train64_10x") {
-      TextAnalysis.bpeTrain(docs10, merges = 64, share = _.localCheckpoint(false)).count()
+      val m = TextAnalysis.bpeTrain(docs10, merges = 64, share = _.localCheckpoint(false))
+        .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      merges64 = m
+      m.size.toLong
+    }
+    // encode cost must be flat per merge rule: the kernel is a broadcast
+    // table + per-word fusion, so plan size is constant in |merges| (the
+    // compiled-fold alternative dies on Catalyst limits near ~1k). The
+    // 64 learned merges are padded with vocabulary-tail-style rules that
+    // mostly do not fire — exactly a real 32k table's shape, where only a
+    // handful of rules apply to any one word.
+    t("bpe_encode64_10x") { TextAnalysis.bpeEncode(docs10, merges64).count() }
+    t("bpe_encode1k_10x") {
+      val padded = merges64 ++ (0 until 960).map(i => (s"_x$i", s"_y$i"))
+      TextAnalysis.bpeEncode(docs10, padded).count()
+    }
+    t("bpe_encode4k_10x") {
+      val padded = merges64 ++ (0 until 4032).map(i => (s"_x$i", s"_y$i"))
+      TextAnalysis.bpeEncode(docs10, padded).count()
     }
     // cross-corpus decontamination at its adversarial worst: every probe
     // doc has 10 exact clones in the reference corpus

@@ -1718,6 +1718,16 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("n_bytes"), col("byte_checksum"))
     },
+    // real codec path: deterministic PNGs built and encoded by
+    // javax.imageio, decoded back by javax.imageio, plus the explicit
+    // nearest-neighbor resize — every output re-derived in closed form
+    // by the oracle (PNG is lossless, fixture pixels are a formula)
+    "multimodal_decode" -> { (s, dir) =>
+      val media = Multimodal.pngFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeImages(media, resizeTo = 8)
+        .select(col("media_id"), col("width"), col("height"), col("pixel_sum"),
+          col("rs_width"), col("rs_height"), col("rs_pixel_sum"))
+    },
 
     // ----- training-data pipeline: corpus curation ---------------------
     "contamination" -> { (s, dir) =>
@@ -2436,6 +2446,37 @@ object SparkEntry {
          |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text,''), c -> CAST(ord(c) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % ${graft.operators.Multimodal.checksumMod}) AS byte_checksum
          |FROM documents""".stripMargin,
+    // the decoded-image surfaces re-derived in closed form: the PNG
+    // fixtures are gray WxH with pixel(x,y) = (id*31 + x*7 + y*13) % 256
+    // (PNG is lossless, so ImageIO.read returns exactly these samples),
+    // and the nearest-neighbor resize reads src(x*w//rw, y*h//rh)
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, CAST(4 + doc_id % 11 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN greatest(w, h) <= 8 THEN w ELSE greatest(1, (w * 8) // greatest(w, h)) END AS rw,
+        |    CASE WHEN greatest(w, h) <= 8 THEN h ELSE greatest(1, (h * 8) // greatest(w, h)) END AS rh
+        |  FROM m),
+        |full_px AS (
+        |  -- no lateral range() in the gate's DuckDB: fixture dims are bounded
+        |  -- (w <= 16, h <= 14), so iterate the fixed bound and filter per row
+        |  SELECT r.doc_id, CAST(SUM((r.doc_id * 31 + x.range * 7 + y.range * 13) % 256) AS BIGINT) AS pixel_sum
+        |  FROM r, range(0, 16) x, range(0, 14) y
+        |  WHERE x.range < r.w AND y.range < r.h
+        |  GROUP BY r.doc_id),
+        |rs_px AS (
+        |  SELECT r.doc_id, CAST(SUM((r.doc_id * 31 + ((x.range * r.w) // r.rw) * 7
+        |           + ((y.range * r.h) // r.rh) * 13) % 256) AS BIGINT) AS rs_pixel_sum
+        |  FROM r, range(0, 8) x, range(0, 8) y
+        |  WHERE x.range < r.rw AND y.range < r.rh
+        |  GROUP BY r.doc_id)
+        |SELECT r.doc_id AS media_id, r.w AS width, r.h AS height, f.pixel_sum,
+        |  r.rw AS rs_width, r.rh AS rs_height, s.rs_pixel_sum
+        |FROM r
+        |JOIN full_px f USING (doc_id)
+        |JOIN rs_px s USING (doc_id)""".stripMargin,
 
     // ----- corpus curation (portable-hash determinism: the SQL runs the
     // same md5-prefix arithmetic as CorpusOps, so assignments match

@@ -206,7 +206,7 @@ object Ann {
     */
   def pqTrain(corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              share: DataFrame => DataFrame = identity): PqModel = {
+              share: DataFrame => DataFrame = Share.materialize): PqModel = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val w = dim / m
     val q = corpus.select(col(idCol).as("_id"),
@@ -329,7 +329,7 @@ object Ann {
   def ivfPqTrain(corpus: DataFrame, dim: Int, nlist: Int, coarseIters: Int,
                  m: Int, ksub: Int, pqIters: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 share: DataFrame => DataFrame = identity): IvfPqModel = {
+                 share: DataFrame => DataFrame = Share.materialize): IvfPqModel = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val w = dim / m
     val coarse = KMeans.fit(corpus, nlist, coarseIters, idCol, vecCol, share = share)
@@ -358,7 +358,7 @@ object Ann {
     */
   def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  share: DataFrame => DataFrame = identity): DataFrame = {
+                  share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val m = model.pq.m; val w = model.pq.subWidth
     val centLit = typedLit(model.coarse.centroids.map(_.toSeq).toSeq)
     val withCell = share(corpus.select(
@@ -374,7 +374,7 @@ object Ann {
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, model: IvfPqModel,
                 k: Int = 5, nprobe: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                share: DataFrame => DataFrame = identity): DataFrame = {
+                share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val m = model.pq.m; val w = model.pq.subWidth
     val centLit = typedLit(model.coarse.centroids.map(_.toSeq).toSeq)
 

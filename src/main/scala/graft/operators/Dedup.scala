@@ -91,12 +91,20 @@ object Dedup {
     * |corpus|². Ids may overlap between the two tables (they are
     * different corpora); no id-ordering filter applies.
     *
+    * @param maxBucketSize corpus-side hot-bucket guard (the same standard
+    *        LSH cap as [[simHashPairs]]): a band key shared by B corpus
+    *        documents fans every matching probe out to B candidate rows,
+    *        so one clone-heavy bucket can dominate the equi-join despite
+    *        the probe-driven cost model. Corpus (band, hash) buckets
+    *        larger than this are skipped — recall traded for a hard bound
+    *        on join fan-out; <= 0 disables the guard.
     * @return (probe_id, corpus_id, jaccard) with jaccard >= verifyThreshold
     */
   def minHashLshCross(probes: DataFrame, corpus: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                      verifyThreshold: Double = 0.0): DataFrame = {
+                      verifyThreshold: Double = 0.0,
+                      maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -110,8 +118,15 @@ object Dedup {
     }
     val p = withShingles(probes)
     val c = withShingles(corpus)
+    val cBanded = {
+      val b = banded(c).select(col("_b"), col("_h"), col("_id").as("corpus_id"))
+      if (maxBucketSize <= 0) b
+      else b.withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy("_b", "_h")))
+        .filter(col("_bucket_n") <= maxBucketSize)
+        .drop("_bucket_n")
+    }
     val pairs = banded(p).select(col("_b"), col("_h"), col("_id").as("probe_id"))
-      .join(banded(c).select(col("_b"), col("_h"), col("_id").as("corpus_id")), Seq("_b", "_h"))
+      .join(cBanded, Seq("_b", "_h"))
       .dropDuplicates("probe_id", "corpus_id")
     pairs
       .join(p.select(col("_id").as("probe_id"), col("_sh").as("_sh_p")), "probe_id")

@@ -65,13 +65,14 @@ object KMeans {
     * @param emb   (idCol, vecCol: array<float|double>) — all vectors must
     *              share one dimensionality
     * @param share persistence hook for the quantized corpus, which every
-    *              iteration re-reads (pass localCheckpoint/cache; the
-    *              default recomputes)
+    *              iteration re-reads (defaults to [[Share.materialize]];
+    *              pass [[Share.none]] to keep pure lineage and recompute
+    *              the scan each iteration)
     */
   def fit(emb: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", vecCol: String = "embedding",
           quantScale: Double = 1e6,
-          share: DataFrame => DataFrame = identity): Model = {
+          share: DataFrame => DataFrame = Share.materialize): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
 
@@ -118,7 +119,7 @@ object KMeans {
   def centroidsDf(emb: DataFrame, k: Int, iters: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   quantScale: Double = 1e6,
-                  share: DataFrame => DataFrame = identity): DataFrame = {
+                  share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val spark = emb.sparkSession
     val m = fit(emb, k, iters, idCol, vecCol, quantScale, share)
     val rows = for {

@@ -9,10 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batch-shaped decode/feature-extract
   * passes.
   *
-  * The container has no image/audio codecs, so the *decode kernel is a
-  * deterministic stub* (clearly marked below) — the Spark-side contract
-  * is real: schema, batching, partition behavior and the UDF signature
-  * are exactly what a libjpeg/ffmpeg-backed kernel would plug into.
+  * Image decode is REAL: [[decodeImages]] runs the JDK's own codecs
+  * (`javax.imageio` — PNG/JPEG/BMP/GIF ship with the JVM, no external
+  * dependency) inside the batched mapPartitions shape, reading
+  * dimensions and raster samples from actually-decoded images.
+  * [[pngFixtures]] builds deterministic PNG blobs whose every decoded
+  * quantity is predictable in closed form, so an external SQL engine
+  * can oracle-check the full encode→decode→resize path. Audio/video
+  * remain stubbed (no ffmpeg in the JDK): [[extractFeatures]] keeps the
+  * byte-level deterministic kernel as the generic-blob fallback.
   */
 object Multimodal {
 
@@ -86,6 +91,141 @@ object Multimodal {
       }
       Row(id, bytes.length.toLong, checksum, feat.toSeq)
     }
+
+  // ---------------- real image path (javax.imageio) ----------------
+
+  /** Fixture-image geometry/pixels in closed form: gray `W×H` with
+    * `pixel(x, y) = (id·31 + x·7 + y·13) mod 256`. Pure integer
+    * functions of the id, shared by the PNG builder, the specs, and the
+    * SQL oracle (which re-derives every decoded quantity from these).
+    */
+  def fixtureWidth(id: Long): Int = (4 + Math.floorMod(id, 13L)).toInt
+  def fixtureHeight(id: Long): Int = (4 + Math.floorMod(id, 11L)).toInt
+  def fixturePixel(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(id * 31L + x * 7L + y * 13L, 256L).toInt
+
+  private val pngSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false)))
+
+  /** Deterministic REAL-PNG column: one grayscale image per row, built
+    * from [[fixturePixel]] and encoded by `javax.imageio`'s PNG writer
+    * (lossless, so decode returns the exact samples). This is the
+    * encoded-image fixture the decode oracle runs over — real bytes
+    * through a real codec, with SQL-predictable content.
+    */
+  def pngFixtures(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = docs.select(col(idCol).cast(LongType).as("media_id"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = fixtureWidth(id); val h = fixtureHeight(id)
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, fixturePixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }(RowEncoder.encoderFor(pngSchema))
+  }
+
+  private def decodeSchema(resizeTo: Int) = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = true)) ++
+    (if (resizeTo > 0) Seq(
+      StructField("rs_width", LongType, nullable = true),
+      StructField("rs_height", LongType, nullable = true),
+      StructField("rs_pixel_sum", LongType, nullable = true))
+    else Nil))
+
+  /** Integer luma of one decoded pixel: raw raster sample for
+    * single-band (gray) images — `getRGB` would push gray samples
+    * through a color-space conversion and break exactness — and the
+    * ITU-R 601 integer weighting for color images.
+    */
+  private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      ((((rgb >> 16) & 0xFF) * 299 + (((rgb >> 8) & 0xFF)) * 587 + ((rgb & 0xFF)) * 114) / 1000)
+    }
+
+  /** REAL image decode (+ optional resize) in the batched mapPartitions
+    * shape: `javax.imageio.ImageIO.read` per blob, then dimensions, the
+    * integer luma sum and an 8-bin luma histogram from the decoded
+    * raster. Undecodable/empty blobs emit `ok = false` instead of
+    * failing the task (a 100 TB crawl always contains corrupt images).
+    *
+    * When `resizeTo > 0`, the decoded raster also downsamples to that
+    * long edge with EXPLICIT nearest-neighbor mapping
+    * `dst(x, y) = src(x·w/w', y·h/h')` (integer floor division, never
+    * upscaling, min edge 1) — deterministic and SQL-reproducible, unlike
+    * Java2D's interpolated drawImage. The same decoded image serves both
+    * surfaces: one decode per blob.
+    */
+  def decodeImages(media: DataFrame, batchSize: Int = 64, resizeTo: Int = 0): DataFrame = {
+    val input = media.select(col("media_id"), col("blob"))
+    val schema = decodeSchema(resizeTo)
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          val id = r.getLong(0)
+          if (img == null) {
+            if (resizeTo > 0) Row(id, false, null, null, null, null, null, null, null)
+            else Row(id, false, null, null, null, null)
+          } else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            val hist = new Array[Long](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val l = lumaAt(img, x, y)
+                sum += l
+                hist(l >> 5) += 1
+                x += 1
+              }
+              y += 1
+            }
+            if (resizeTo > 0) {
+              val maxDim = math.max(w, h)
+              val (rw, rh) =
+                if (maxDim <= resizeTo) (w, h)
+                else (math.max(1, w * resizeTo / maxDim), math.max(1, h * resizeTo / maxDim))
+              var rsSum = 0L
+              var ry = 0
+              while (ry < rh) {
+                var rx = 0
+                while (rx < rw) { rsSum += lumaAt(img, rx * w / rw, ry * h / rh); rx += 1 }
+                ry += 1
+              }
+              Row(id, true, w.toLong, h.toLong, sum, hist.toSeq, rw.toLong, rh.toLong, rsSum)
+            } else Row(id, true, w.toLong, h.toLong, sum, hist.toSeq)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
 
   /** "Resize" stub: recompute metadata for a bounded long edge; blob
     * passes through untouched (a real kernel would re-encode).

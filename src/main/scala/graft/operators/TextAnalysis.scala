@@ -268,7 +268,7 @@ object TextAnalysis {
     *         training stops early if no pair remains
     */
   def bpeTrain(docs: DataFrame, merges: Int = 8, textCol: String = "text",
-               share: DataFrame => DataFrame = identity): DataFrame = {
+               share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val spark = docs.sparkSession
     require(merges >= 1, s"merges must be >= 1, got $merges")
 
@@ -337,23 +337,92 @@ object TextAnalysis {
       .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"), col("freq"))
   }
 
+  /** One word through the BPE merge table: boundary-padded symbol string,
+    * then per merge rule EXACTLY two non-overlapping left-to-right literal
+    * replaces — bit-identical to the two-pass `replace` fusion the trainer
+    * and the oracle run (`java.lang.String.replace` and Spark's
+    * `StringReplace`/`UTF8String.replace` share the same leftmost
+    * non-overlapping algorithm). A token-list scan that re-checks the pair
+    * at a fused position is NOT equivalent: on an odd run `a a a a a` with
+    * merge (a,a), two-pass replace yields [aa, a, aa] while the list scan
+    * yields [aa, aa, a] — same count here, but different symbols for every
+    * later merge. Returns the token count.
+    */
+  private[graft] def bpeFuseWord(w: String, merges: Array[(String, String)]): Long = {
+    // split(col, "") + nonempty filter ≡ Java regex split on "" with the
+    // trailing empty removed: per-code-unit, identical on both sides
+    var s = w.split("").filter(_.nonEmpty).mkString(" ", " ", " ")
+    var i = 0
+    while (i < merges.length) {
+      val (a, b) = merges(i)
+      val pat = s" $a $b "
+      if (s.contains(pat)) { // fast path only: replace of an absent pattern is identity
+        val rep = s" $a$b "
+        s = s.replace(pat, rep)
+        s = s.replace(pat, rep)
+      }
+      i += 1
+    }
+    // " t1 t2 ... tn " with single interior spaces: tokens = spaces - 1
+    var spaces = 0L
+    var j = 0
+    while (j < s.length) { if (s.charAt(j) == ' ') spaces += 1; j += 1 }
+    spaces - 1
+  }
+
   /** Apply a learned BPE merge table ([[bpeTrain]] output, or any
     * (lhs, rhs) sequence in merge order) and count the resulting subword
     * tokens per document — the train→tokenize path a pipeline runs to
     * budget sequence-packing and billing by real tokenizer counts
     * instead of whitespace proxies.
     *
-    * The merge fold compiles into one scan-stage projection: per word,
-    * 2·|merges| nested literal replaces over the delimited symbol string
-    * (the same two-pass fusion as training), then a size(split(...)).
-    * No join against the merge table — it is a driver-held literal, like
-    * the k-means centroids. One groupBy(doc) re-aggregates word token
-    * counts.
+    * Scale shape: the merge table is a broadcast array, applied per word
+    * by [[bpeFuseWord]] inside one typed `mapPartitions` kernel over the
+    * exploded word scan — plan size is CONSTANT in |merges| (a real
+    * 32k-merge vocabulary is just a bigger broadcast value), unlike a
+    * compiled nested-replace fold whose Catalyst tree grows 2·|merges|
+    * deep and dies on analysis/codegen limits long before real vocab
+    * sizes. Word token counts are pure functions of the word, so the
+    * kernel memoizes per partition (the vocabulary is tiny next to the
+    * occurrence stream); the only shuffle is the final groupBy(doc).
     *
     * @return (doc_id, n_words, n_bpe_tokens)
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val bc = docs.sparkSession.sparkContext.broadcast(merges.toArray)
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val outSchema = StructType(Seq(words.schema.head, StructField("_t", LongType, nullable = false)))
+    words.mapPartitions { rows =>
+      val table = bc.value
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      rows.map { r =>
+        val w = r.getString(1)
+        var t = memo.get(w)
+        if (t == null) {
+          t = java.lang.Long.valueOf(bpeFuseWord(w, table))
+          if (memo.size < (1 << 20)) memo.put(w, t) // bounded per-partition state
+        }
+        Row(r.get(0), t.longValue)
+      }
+    }(Encoders.row(outSchema))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
+  }
+
+  /** The nested-replace-fold twin of [[bpeEncode]]: compiles the merge
+    * table into 2·|merges| literal replaces in one scan-stage projection.
+    * Same semantics by construction (both are two-pass leftmost-first
+    * fusion; TextFilterSpec pins kernel ≡ fold), but the plan grows with
+    * the merge table — usable only at small merge counts, retained as the
+    * executable cross-check of the kernel against Spark's own `replace`.
+    */
+  private[graft] def bpeEncodeFold(docs: DataFrame, merges: Seq[(String, String)],
+                                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val charSym = concat(lit(" "),
       concat_ws(" ", filter(split(col("_w"), ""), c => length(c) > 0)), lit(" "))
     val fused = merges.foldLeft(charSym) { case (s, (a, b)) =>

@@ -176,7 +176,7 @@ object GeoJson {
         lit("Feature").as("type"),
         pointGeometry(col("lon"), col("lat")).as("geometry"),
         struct(col("id"), col("user_id"),
-          date_format(col("tracked_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("tracked_at"))
+          date_format(col("tracked_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("tracked_at"))
           .as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
 
@@ -185,8 +185,8 @@ object GeoJson {
         lit("Feature").as("type"),
         pointGeometry(col("lon"), col("lat")).as("geometry"),
         struct(col("id"), col("user_id"),
-          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
-          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"))
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("finished_at"))
           .as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
 
@@ -197,8 +197,8 @@ object GeoJson {
           transform(col("points"), p => array(p.getField("lon"), p.getField("lat")))
             .as("coordinates")).as("geometry"),
         struct(col("id"), col("user_id"),
-          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
-          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"))
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("finished_at"))
           .as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
 
@@ -221,8 +221,8 @@ object GeoJson {
             array(col("geom.destination.lon"), col("geom.destination.lat")))
             .as("coordinates")).as("geometry"),
         struct(col("id"), col("user_id"),
-          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
-          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("finished_at"),
           col("origin_staypoint_id"), col("destination_staypoint_id"))
           .as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
@@ -232,8 +232,8 @@ object GeoJson {
         lit("Feature").as("type"),
         lit(null).cast(geometrySchema(pointCoords)).as("geometry"),
         struct(col("id"), col("user_id"),
-          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("started_at"),
-          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("finished_at"),
+          date_format(col("started_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("started_at"),
+          date_format(col("finished_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("finished_at"),
           col("trips")).as("properties"))).as("value"))
       .write.mode("overwrite").text(path)
 }

@@ -83,9 +83,14 @@ object StreamingQuota {
         })
   }
 
-  /** Batch twin with identical admission semantics (event time, then id,
-    * first `quota` per (group, window)) — the parity target for specs and
-    * the backfill path.
+  /** Batch twin: same admission rule (event time, then id, first `quota`
+    * per (group, window)) — the parity target for specs and the backfill
+    * path. Parity with the streaming path holds for event-time-ordered
+    * (equivalently, watermarked) input: on OUT-OF-ORDER data the two
+    * diverge by design — streaming counts a late row of an already-passed
+    * window against the current window's budget and stamps it with the
+    * current `window_start_us` (bounded state), while batch assigns every
+    * row to its true window. StreamingQuotaSpec pins the divergence.
     */
   def quotaBatch(docs: DataFrame, quotaN: Long, windowMinutes: Long,
                  groupCol: String = "lang", idCol: String = "doc_id",
@@ -96,8 +101,11 @@ object StreamingQuota {
       .orderBy(col("_t"), col("doc_id"))
     docs.select(col(groupCol).cast("string").as("group"),
         col(idCol).cast("long").as("doc_id"), col(timeCol).cast("long").as("_t"))
+      // integer window start: t - pmod(t, w) == floorDiv(t, w) * w for ALL
+      // longs (incl. negatives) — the double-division form is only exact
+      // while t fits double's 2^53 integer range
       .withColumn("window_start_us",
-        floor(col("_t") / windowUs).cast("long") * windowUs)
+        (col("_t") - pmod(col("_t"), lit(windowUs))).cast("long"))
       .withColumn("seq_in_window", row_number().over(w).cast("long"))
       .filter(col("seq_in_window") <= quotaN)
       .select(col("group"), col("doc_id"), col("window_start_us"), col("seq_in_window"),

@@ -151,6 +151,62 @@ class TextFilterSpec extends SparkSpec {
     assert(merged(2L) === ((1L, 2L)), "merges not touching 'cd' leave it char-level")
   }
 
+  test("bpe training with the default share keeps per-round plan size bounded over 64 rounds") {
+    // the trainer rewrites seqs/pc on top of the previous round's lineage;
+    // with identity share the plan compounds geometrically (observed as
+    // 1.6->33 MB task binaries). The default is now Share.materialize —
+    // this records the logical-plan node count of every frame the default
+    // hook receives (the recorder delegates to the default hook itself,
+    // so the observed sizes ARE the default path's) and asserts late
+    // rounds plan no bigger than early ones.
+    val rnd = new scala.util.Random(47)
+    val alphabet = "abcdef"
+    val words = Seq.fill(200)((2 to (2 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(6))).mkString)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val recordingDefault: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => {
+      sizes += df.queryExecution.logical.collect { case n => n }.length
+      Share.materialize(df)
+    }
+    val trained = TextAnalysis.bpeTrain(docs, merges = 64, share = recordingDefault).collect()
+    assert(trained.length == 64, s"corpus exhausted after ${trained.length} merges; grow the fixture")
+    // >= 2 shares per round (pc delta + seqs fuse); sizes must not trend up
+    assert(sizes.length >= 64)
+    val early = sizes.take(8).max
+    assert(sizes.max <= 2 * early,
+      s"plan size grew from <=$early to ${sizes.max} nodes across rounds — lineage is compounding")
+    // the default trajectory is bit-identical to the explicit opt-out.
+    // Few rounds only: identity share quadruples the collapsed _sym
+    // expression per round (~4^N nodes — 12 rounds OOMs an 8g heap),
+    // which is precisely why the materializing hook is the default.
+    val pure = TextAnalysis.bpeTrain(docs, merges = 6, share = Share.none).collect().map(_.toSeq).toSeq
+    val viaDefault = TextAnalysis.bpeTrain(docs, merges = 6).collect().map(_.toSeq).toSeq
+    assert(viaDefault === pure)
+  }
+
+  test("bpe encode kernel == nested-replace fold on trained merges, incl. odd same-char runs") {
+    // odd runs are where fusion order is subtle: two-pass replace turns
+    // 'aaaaa' + (a,a) into [aa, a, aa], NOT the list-scan's [aa, aa, a];
+    // every later merge sees different symbols if the kernel gets this wrong
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abc"
+    val words = Seq.fill(60)((1 to (1 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(3))).mkString) ++
+      Seq("aaaaa", "aaaaaaa", "ababab", "aaaa", "abcabcabc")
+    val docs = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, merges = 12)
+      .select("step", "lhs", "rhs").collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(TextAnalysis.bpeEncode(docs, learned)) ===
+      run(TextAnalysis.bpeEncodeFold(docs, learned)))
+    // direct kernel pin of the odd-run case
+    assert(TextAnalysis.bpeFuseWord("aaaaa", Array(("a", "a"))) == 3L)
+    assert(TextAnalysis.bpeFuseWord("aaaaa", Array(("a", "a"), ("aa", "a"))) == 2L)
+  }
+
   test("bpe training matches the naive trainer on random multi-document corpora") {
     val rnd = new scala.util.Random(29)
     val alphabet = "abcd"

@@ -59,6 +59,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 <= 1L && p._2 >= 2L))
   }
 
+  test("cross-corpus minhash hot-bucket cap bounds clone-heavy corpus fan-out") {
+    // 8 exact corpus clones of probe 0: every (band, hash) bucket on the
+    // corpus side holds all 8, so a cap of 4 skips them all (recall traded
+    // for the fan-out bound), while the default cap leaves them alone
+    val probes = docs.filter(col("doc_id") === 0L)
+    val cloneText = docs.filter(col("doc_id") === 0L).select("text").as[String].head()
+    val clones = (0 until 8).map(i => (100L + i, cloneText)).toDF("doc_id", "text")
+    val capped = Dedup.minHashLshCross(probes, clones, verifyThreshold = 0.5, maxBucketSize = 4L)
+    assert(capped.count() == 0L, "all corpus buckets exceed the cap and must be skipped")
+    val uncapped = Dedup.minHashLshCross(probes, clones, verifyThreshold = 0.5)
+    assert(uncapped.count() == 8L, "default cap admits the 8 clone matches")
+  }
+
   test("simhash: identical docs have identical fingerprints; near-dups low hamming") {
     val fp = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(3L))
@@ -199,6 +212,52 @@ class TrainingDataSpec extends SparkSpec {
     val resized = Multimodal.resizeMeta(media, maxEdge = 64)
     val metas = resized.select("meta.width", "meta.height").collect()
     assert(metas.forall(m => math.max(m.getInt(0), m.getInt(1)) <= 64))
+  }
+
+  test("multimodal: real PNG encode -> imageio decode round-trips dims and pixels") {
+    val media = Multimodal.pngFixtures(docs) // doc_ids 0..4
+    // the blobs are real PNGs (magic bytes)
+    val blob0 = media.filter(col("media_id") === 0L).select("blob").collect().head.getAs[Array[Byte]](0)
+    assert(blob0.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val dec = Multimodal.decodeImages(media, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 4L) {
+      val r = dec(id)
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+        s"decoded dims of $id must match the built image")
+      val want = (for (x <- 0 until w; y <- 0 until h) yield Multimodal.fixturePixel(id, x, y).toLong).sum
+      assert(r.getAs[Long]("pixel_sum") == want, "PNG is lossless: decoded samples == built samples")
+      assert(r.getAs[Seq[Long]]("hist").sum == w.toLong * h)
+    }
+  }
+
+  test("multimodal: jpeg decodes with exact dims; corrupt blobs flag ok=false") {
+    // a real JPEG through the same path: dims are exact (lossy pixels are not)
+    val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xFF8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val rows = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes), (3L, Array.empty[Byte]))
+    val media = rows.toDF("media_id", "blob")
+    val out = Multimodal.decodeImages(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Long]("width") == 17 && out(1L).getAs[Long]("height") == 9)
+    assert(!out(2L).getAs[Boolean]("ok") && !out(3L).getAs[Boolean]("ok"))
+  }
+
+  test("multimodal: nearest-neighbor resize matches the explicit integer mapping") {
+    val media = Multimodal.pngFixtures(Seq((7L, "x")).toDF("doc_id", "text"))
+    val w = Multimodal.fixtureWidth(7L); val h = Multimodal.fixtureHeight(7L) // 11 x 11
+    val r = Multimodal.decodeImages(media, resizeTo = 8).collect().head
+    val maxDim = math.max(w, h)
+    val (rw, rh) = if (maxDim <= 8) (w, h)
+      else (math.max(1, w * 8 / maxDim), math.max(1, h * 8 / maxDim))
+    assert(r.getAs[Long]("rs_width") == rw && r.getAs[Long]("rs_height") == rh)
+    val want = (for (x <- 0 until rw; y <- 0 until rh)
+      yield Multimodal.fixturePixel(7L, x * w / rw, y * h / rh).toLong).sum
+    assert(r.getAs[Long]("rs_pixel_sum") == want)
   }
 
   private def spanRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =

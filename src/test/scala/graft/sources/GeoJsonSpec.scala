@@ -23,6 +23,17 @@ class GeoJsonSpec extends SparkSpec {
     assert(back(1).getAs[java.sql.Timestamp]("tracked_at") == ts("2023-01-01 09:30:00"))
   }
 
+  test("positionfixes round trip preserves sub-second precision (micros)") {
+    // sub-second GPS fixes must survive the GeoJSON path like they do on
+    // CSV/parquet: writers format with .SSSSSS (full TimestampType precision)
+    val t = java.sql.Timestamp.valueOf("2023-01-01 08:00:00.123456")
+    val pfs = Seq((0L, 1L, t, 8.5, 47.4)).toDF("id", "user_id", "tracked_at", "lon", "lat")
+    val dir = s"${tmpDir()}/pfs_subsec"
+    GeoJson.writePositionfixes(pfs, dir)
+    val back = GeoJson.readPositionfixes(spark, dir).collect()
+    assert(back.head.getAs[java.sql.Timestamp]("tracked_at") == t)
+  }
+
   test("FeatureCollection read: multiLine point features") {
     val dir = tmpDir()
     Files.writeString(Paths.get(dir, "sp.geojson"),

@@ -53,6 +53,46 @@ class StreamingQuotaSpec extends SparkSpec {
     assert(rows == Set((0L, true), (1L, false)))
   }
 
+  test("late rows: streaming charges the current window (documented divergence from batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("lang", "doc_id", "t_us")
+    val query = StreamingQuota.quota(stream, quota = 2, windowMinutes = 10,
+        idleHorizonMinutes = 0)
+      .writeStream.format("memory").queryName("qt_late").outputMode("append").start()
+    // batch 1 advances en to window [10min, 20min)
+    input.addData(("en", 0L, 11 * min))
+    query.processAllAvailable()
+    // batch 2 delivers a LATE row of window [0, 10min)
+    input.addData(("en", 1L, 1 * min))
+    query.processAllAvailable()
+    query.stop()
+
+    val streaming = spark.table("qt_late")
+      .select("doc_id", "window_start_us", "seq_in_window").as[(Long, Long, Long)].collect().toSet
+    // the late row is stamped with (and charged against) the CURRENT window
+    assert(streaming == Set((0L, 10 * min, 1L), (1L, 10 * min, 2L)))
+    // the batch twin assigns the row to its TRUE window — divergence by design
+    val batch = StreamingQuota.quotaBatch(
+        Seq(("en", 0L, 11 * min), ("en", 1L, 1 * min)).toDF("lang", "doc_id", "t_us"),
+        quotaN = 2, windowMinutes = 10)
+      .select("doc_id", "window_start_us", "seq_in_window").as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((0L, 10 * min, 1L), (1L, 0L, 1L)))
+  }
+
+  test("batch window starts use integer arithmetic: exact for negative and > 2^53 timestamps") {
+    val windowUs = 10 * min
+    // pre-epoch rows and rows beyond double's exact-integer range
+    val big = (1L << 53) + 3L * min
+    val df = Seq(("en", 0L, -1L), ("en", 1L, -windowUs - 1L), ("en", 2L, big))
+      .toDF("lang", "doc_id", "t_us")
+    val got = StreamingQuota.quotaBatch(df, quotaN = 10, windowMinutes = 10)
+      .select("doc_id", "window_start_us").as[(Long, Long)].collect().toMap
+    assert(got(0L) == Math.floorDiv(-1L, windowUs) * windowUs)         // -windowUs
+    assert(got(1L) == Math.floorDiv(-windowUs - 1L, windowUs) * windowUs) // -2*windowUs
+    assert(got(2L) == Math.floorDiv(big, windowUs) * windowUs)         // exact beyond 2^53
+  }
+
   test("streaming admission == batch twin on in-order input") {
     implicit val sqlCtx = spark.sqlContext
     // 30 docs, 3 groups, 2 windows, deliberately quota-exceeding traffic

@@ -115,11 +115,43 @@ object Projection {
     (easting, northing)
   }
 
-  /** Inverse TM: (easting, northing) meters → (lon, lat) degrees.
-    * Snyder eq. 8-17..8-25 (footpoint latitude via the rectifying-sphere
-    * series, eq. 3-26). Scalar form — the inverse is a driver/test-side
-    * companion (round-trip validation, bounding-box corner conversion);
-    * the distributed hot path only ever projects forward.
+  /** Inverse TM as a column expression: (easting, northing) meters →
+    * (lon, lat) degrees — the projected→geographic direction at
+    * scan-stage cost for whole frames (Snyder eq. 8-17..8-25, footpoint
+    * latitude via eq. 3-26). Operation-for-operation the scalar twin
+    * below (`pow` is `java.lang.Math.pow` on both sides), so column and
+    * scalar results are bit-identical — pinned by ProjectionSpec's
+    * 200-point property test.
+    */
+  def tmInverse(easting: Column, northing: Column, p: TmParams): (Column, Column) = {
+    val e2 = p.e2; val ep2 = p.ep2
+    val m0 = meridianArc(p, math.toRadians(p.lat0Deg))
+    val m = lit(m0) + (northing - lit(p.falseNorthing)) / p.k0
+    val mu = m / (p.a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 * e2 * e2 / 256.0))
+    val e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    val phi1 = mu +
+      lit(3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * sin(mu * 2.0) +
+      lit(21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * sin(mu * 4.0) +
+      lit(151.0 * math.pow(e1, 3) / 96.0) * sin(mu * 6.0) +
+      lit(1097.0 * math.pow(e1, 4) / 512.0) * sin(mu * 8.0)
+    val sin1 = sin(phi1); val cos1 = cos(phi1); val tan1 = tan(phi1)
+    val c1 = lit(ep2) * cos1 * cos1
+    val t1 = tan1 * tan1
+    val n1 = lit(p.a) / sqrt(lit(1.0) - lit(e2) * sin1 * sin1)
+    val r1 = lit(p.a * (1.0 - e2)) / pow(lit(1.0) - lit(e2) * sin1 * sin1, 1.5)
+    val d = (easting - lit(p.falseEasting)) / (n1 * lit(p.k0))
+    val phi = phi1 - (n1 * tan1 / r1) * (
+      d * d / 2.0
+        - (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 - lit(9.0 * ep2)) * pow(d, 4.0) / 24.0
+        + (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 - lit(252.0 * ep2) - lit(3.0) * c1 * c1) * pow(d, 6.0) / 720.0)
+    val lam = lit(math.toRadians(p.lon0Deg)) + (
+      d - (lit(1.0) + lit(2.0) * t1 + c1) * pow(d, 3.0) / 6.0
+        + (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 + lit(8.0 * ep2) + lit(24.0) * t1 * t1) * pow(d, 5.0) / 120.0) / cos1
+    (degrees(lam), degrees(phi))
+  }
+
+  /** Scalar twin of the column inverse (driver-side / tests), identical
+    * math and operation order.
     */
   def tmInverse(easting: Double, northing: Double, p: TmParams): (Double, Double) = {
     val e2 = p.e2; val ep2 = p.ep2
@@ -164,6 +196,20 @@ object Projection {
       .withColumn(lonCol, col("_graft_e")).withColumn(latCol, col("_graft_n"))
       .drop("_graft_e", "_graft_n")
     GeoFunctions.withCrs(projected, utmEpsg(zone, south), cols = Seq(lonCol, latCol))
+  }
+
+  /** Inverse of [[toUtm]]: projected meter columns → geographic degrees
+    * with the CRS stamp restored to EPSG:4326 — one scan-stage
+    * projection, closing the projected→geographic round trip for whole
+    * frames.
+    */
+  def fromUtm(df: DataFrame, zone: Int, south: Boolean = false,
+              lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val (lo, la) = tmInverse(col(lonCol), col(latCol), utm(zone, south))
+    val geo = df.withColumn("_graft_lo", lo).withColumn("_graft_la", la)
+      .withColumn(lonCol, col("_graft_lo")).withColumn(latCol, col("_graft_la"))
+      .drop("_graft_lo", "_graft_la")
+    GeoFunctions.withCrs(geo, "EPSG:4326", cols = Seq(lonCol, latCol))
   }
 
   /** Standard UTM zone of a longitude (degrees). */

@@ -93,6 +93,26 @@ class ProjectionSpec extends SparkSpec {
       val (se, sn) = Projection.tmForward(r.getDouble(0), r.getDouble(1), p)
       assert(r.getDouble(2) == se && r.getDouble(3) == sn)
     }
+    // the INVERSE as a column over the same 200 projected points:
+    // bit-identical to the scalar inverse (same ops, same order)
+    val projDf = df.select(ec.as("e"), nc.as("n"))
+    val (lonC, latC) = Projection.tmInverse(col("e"), col("n"), p)
+    projDf.select(col("e"), col("n"), lonC.as("lon"), latC.as("lat")).collect().foreach { r =>
+      val (slon, slat) = Projection.tmInverse(r.getDouble(0), r.getDouble(1), p)
+      assert(r.getDouble(2) == slon && r.getDouble(3) == slat,
+        s"column inverse (${r.getDouble(2)}, ${r.getDouble(3)}) vs scalar ($slon, $slat)")
+    }
+  }
+
+  test("fromUtm closes the toUtm frame round trip and restores the geographic CRS") {
+    val df = Seq((0L, 8.5417, 47.3769), (1L, 6.2, -33.7), (2L, 11.9, 70.0))
+      .toDF("id", "lon", "lat")
+    val back = Projection.fromUtm(Projection.toUtm(df, zone = 32), zone = 32)
+    assert(GeoFunctions.crsOf(back) == "EPSG:4326" && !GeoFunctions.isPlanar(back))
+    back.orderBy("id").collect().zip(Seq((8.5417, 47.3769), (6.2, -33.7), (11.9, 70.0))).foreach {
+      case (r, (lon, lat)) =>
+        assert(math.abs(r.getDouble(1) - lon) < 1e-8 && math.abs(r.getDouble(2) - lat) < 1e-8)
+    }
   }
 
   test("planar dispatch: a toUtm frame is planar and downstream math goes euclidean") {

@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query medians over `runs` full-suite repetitions: back-to-back
+    // runs on shared hardware vary ±30%, which made cross-round per-query
+    // diffs judgment calls; the median of 3 is the artifact. Pipeline
+    // memoization resets between repetitions so every run pays the same
+    // cold-stage materialization a single run would (same attribution
+    // semantics as earlier rounds' single-run numbers).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt
     ).getOrCreate()
@@ -21,16 +28,25 @@ object Bench {
       spark.read.parquet(tmp).filter(col("k") === 1).agg(sum(col("v"))).count()
     }
     // Deterministic name order so per-query timings compare across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      Pipeline.reset()
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
     def qjson(fmt: Double => String) = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def line(fmt: Double => String) =
-      s"""{"queries":${qjson(fmt)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":${qjson(fmt)},"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
     // The driver keeps only the TAIL of stdout (BENCH_r05.json lost its
     // total and first queries to a 2000-char cap), so (a) the stdout line
     // prints timings at 2 decimals to stay under the cap, (b) the headline

@@ -55,6 +55,13 @@ object Pipeline {
     }
   }
 
+  /** Drop all memoized stage frames (bench repetitions: each suite run
+    * re-materializes the shared chains from scratch so per-run timings
+    * keep the same cold-stage attribution as a single run; the dropped
+    * localCheckpoint blocks are unpinned for the ContextCleaner).
+    */
+  def reset(): Unit = cache.synchronized(cache.clear())
+
   private def memo(spark: SparkSession, sfDir: String, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
       cache.getOrElseUpdate((spark, sfDir, key), build)

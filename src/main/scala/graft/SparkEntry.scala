@@ -1711,6 +1711,17 @@ object SparkEntry {
         targetWeights = Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L),
         share = _.localCheckpoint(false))
     },
+    // the same pipeline through the DURABLE stage-boundary hook
+    // (Pipeline.parquetShare — the multi-node / 100 TB shape where stage
+    // boundaries live in storage, not executor block stores): identical
+    // oracle, so the gate proves the result is hook-invariant, and the
+    // bench artifact records the parquet-vs-localCheckpoint delta
+    "curate_corpus_pq" -> { (s, dir) =>
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_pq").toString
+      CorpusOps.curate(s.read.parquet(s"$dir/documents.parquet"),
+        targetWeights = Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L),
+        share = Pipeline.parquetShare(stageDir))
+    },
 
     // ----- training-data pipeline: multimodal plumbing (stub kernel) --
     "multimodal_features" -> { (s, dir) =>
@@ -2436,6 +2447,10 @@ object SparkEntry {
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
     "curate_corpus" -> curateOracle(numHashes = 64, bands = 16, threshold = 0.5,
+      tgtValues = "('en', CAST(4 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)"),
+    // hook-invariance: the parquet-share variant must hash-match the
+    // identical oracle
+    "curate_corpus_pq" -> curateOracle(numHashes = 64, bands = 16, threshold = 0.5,
       tgtValues = "('en', CAST(4 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)"),
     // text is ASCII in the testdata, so per-char ord == per-byte value and
     // char length == byte length; the rolling checksum matches

@@ -1739,6 +1739,15 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("pixel_sum"),
           col("rs_width"), col("rs_height"), col("rs_pixel_sum"))
     },
+    // real audio: deterministic PCM16 WAVs containerized and decoded by
+    // javax.sound.sampled; PCM is lossless so the frame count, format
+    // fields and integer sample sum are all re-derivable in closed form
+    "multimodal_audio" -> { (s, dir) =>
+      val media = Multimodal.wavFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("n_frames"), col("channels"),
+          col("sample_rate"), col("sample_sum"))
+    },
 
     // ----- training-data pipeline: corpus curation ---------------------
     "contamination" -> { (s, dir) =>
@@ -2492,6 +2501,24 @@ object SparkEntry {
         |FROM r
         |JOIN full_px f USING (doc_id)
         |JOIN rs_px s USING (doc_id)""".stripMargin,
+    // decoded-WAV surfaces in closed form: PCM16 fixtures carry
+    // sample(i) = (id*31 + i*7) % 65536 - 32768 interleaved over
+    // frames*channels (<= 299*2 = 598 flat samples per clip)
+    "multimodal_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(200 + doc_id % 100 AS BIGINT) AS n_frames,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate
+        |  FROM documents),
+        |s AS (
+        |  SELECT m.doc_id,
+        |    CAST(SUM((m.doc_id * 31 + i.range * 7) % 65536 - 32768) AS BIGINT) AS sample_sum
+        |  FROM m, range(0, 600) i
+        |  WHERE i.range < m.n_frames * m.channels
+        |  GROUP BY m.doc_id)
+        |SELECT m.doc_id AS media_id, m.n_frames, m.channels, m.sample_rate, s.sample_sum
+        |FROM m JOIN s USING (doc_id)""".stripMargin,
 
     // ----- corpus curation (portable-hash determinism: the SQL runs the
     // same md5-prefix arithmetic as CorpusOps, so assignments match

@@ -91,20 +91,24 @@ object Dedup {
     * |corpus|². Ids may overlap between the two tables (they are
     * different corpora); no id-ordering filter applies.
     *
-    * @param maxBucketSize corpus-side hot-bucket guard (the same standard
-    *        LSH cap as [[simHashPairs]]): a band key shared by B corpus
-    *        documents fans every matching probe out to B candidate rows,
-    *        so one clone-heavy bucket can dominate the equi-join despite
-    *        the probe-driven cost model. Corpus (band, hash) buckets
-    *        larger than this are skipped — recall traded for a hard bound
-    *        on join fan-out; <= 0 disables the guard.
+    * @param maxBucketSize optional corpus-side hot-bucket guard (the same
+    *        standard LSH cap as [[simHashPairs]]): a band key shared by B
+    *        corpus documents fans every matching probe out to B candidate
+    *        rows, so one clone-heavy bucket can dominate the equi-join
+    *        despite the probe-driven cost model. Corpus (band, hash)
+    *        buckets larger than this are skipped — recall traded for a
+    *        hard bound on join fan-out. Default 0 = off, because the
+    *        guard costs one corpus-side exchange keyed on (band, hash)
+    *        (the uncapped plan's corpus side never shuffles at all —
+    *        PlanSpec pins that); enable it when deduping against
+    *        clone-heavy reference corpora.
     * @return (probe_id, corpus_id, jaccard) with jaccard >= verifyThreshold
     */
   def minHashLshCross(probes: DataFrame, corpus: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                       verifyThreshold: Double = 0.0,
-                      maxBucketSize: Long = 10000L): DataFrame = {
+                      maxBucketSize: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import org.apache.spark.sql.graftshim.ColumnShim
 

@@ -227,6 +227,106 @@ object Multimodal {
     }(RowEncoder.encoderFor(schema))
   }
 
+  // ---------------- real audio path (javax.sound.sampled) ----------------
+
+  /** Fixture-audio shape in closed form: PCM16 WAV with
+    * `frames = 200 + id mod 100`, `channels = 1 + id mod 2`,
+    * `rate = 8000 + (id mod 4)·4000`, and interleaved
+    * `sample(i) = ((id·31 + i·7) mod 65536) − 32768` over the flat
+    * index. Pure integer functions shared by the WAV builder, the specs
+    * and the SQL oracle.
+    */
+  def audioFrames(id: Long): Int = (200 + Math.floorMod(id, 100L)).toInt
+  def audioChannels(id: Long): Int = (1 + Math.floorMod(id, 2L)).toInt
+  def audioRate(id: Long): Int = (8000 + Math.floorMod(id, 4L) * 4000).toInt
+  def audioSample(id: Long, i: Int): Int =
+    (Math.floorMod(id * 31L + i * 7L, 65536L) - 32768L).toInt
+
+  private val wavSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false)))
+
+  /** Deterministic REAL-WAV column: one PCM16 clip per row, built from
+    * [[audioSample]] and containerized by `javax.sound.sampled`'s WAVE
+    * writer (PCM is lossless, so decode returns the exact samples).
+    */
+  def wavFixtures(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = docs.select(col(idCol).cast(LongType).as("media_id"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = audioFrames(id); val ch = audioChannels(id); val rate = audioRate(id)
+        val raw = java.nio.ByteBuffer.allocate(frames * ch * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < frames * ch) { raw.putShort(audioSample(id, i).toShort); i += 1 }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw.array()), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, "audio/wav")
+      }
+    }(RowEncoder.encoderFor(wavSchema))
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("sample_sum", LongType, nullable = true)))
+
+  /** REAL audio decode in the batched mapPartitions shape:
+    * `AudioSystem.getAudioInputStream` parses the container, and the
+    * integer sample sum comes from the decoded little-endian PCM16
+    * stream. Non-audio/unsupported blobs emit `ok = false` rather than
+    * failing the task. Scan-stage; only the scalar results move.
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val input = media.select(col("media_id"), col("blob"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val decoded =
+            if (bytes == null || bytes.isEmpty) None
+            else
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                val pcm16le = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+                if (!pcm16le) None
+                else {
+                  val frames = ais.getFrameLength
+                  val data = ais.readAllBytes()
+                  var sum = 0L
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    sum += ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort
+                    i += 2
+                  }
+                  Some((frames, fmt.getChannels.toLong, fmt.getSampleRate.toLong, sum))
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => None
+                case _: java.io.IOException => None
+              }
+          decoded match {
+            case Some((frames, ch, rate, sum)) => Row(id, true, frames, ch, rate, sum)
+            case None => Row(id, false, null, null, null, null)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(audioSchema))
+  }
+
   /** "Resize" stub: recompute metadata for a bounded long edge; blob
     * passes through untouched (a real kernel would re-encode).
     */

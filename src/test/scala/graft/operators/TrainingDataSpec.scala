@@ -62,14 +62,14 @@ class TrainingDataSpec extends SparkSpec {
   test("cross-corpus minhash hot-bucket cap bounds clone-heavy corpus fan-out") {
     // 8 exact corpus clones of probe 0: every (band, hash) bucket on the
     // corpus side holds all 8, so a cap of 4 skips them all (recall traded
-    // for the fan-out bound), while the default cap leaves them alone
+    // for the fan-out bound), while the default (guard off) admits them
     val probes = docs.filter(col("doc_id") === 0L)
     val cloneText = docs.filter(col("doc_id") === 0L).select("text").as[String].head()
     val clones = (0 until 8).map(i => (100L + i, cloneText)).toDF("doc_id", "text")
     val capped = Dedup.minHashLshCross(probes, clones, verifyThreshold = 0.5, maxBucketSize = 4L)
     assert(capped.count() == 0L, "all corpus buckets exceed the cap and must be skipped")
     val uncapped = Dedup.minHashLshCross(probes, clones, verifyThreshold = 0.5)
-    assert(uncapped.count() == 8L, "default cap admits the 8 clone matches")
+    assert(uncapped.count() == 8L, "guard off by default: the 8 clone matches all verify")
   }
 
   test("simhash: identical docs have identical fingerprints; near-dups low hamming") {
@@ -245,6 +245,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(1L).getAs[Boolean]("ok"))
     assert(out(1L).getAs[Long]("width") == 17 && out(1L).getAs[Long]("height") == 9)
     assert(!out(2L).getAs[Boolean]("ok") && !out(3L).getAs[Boolean]("ok"))
+  }
+
+  test("multimodal: real WAV encode -> javax.sound decode round-trips format and samples") {
+    val media = Multimodal.wavFixtures(docs) // doc_ids 0..4
+    // the blobs are real RIFF/WAVE containers
+    val blob0 = media.filter(col("media_id") === 0L).select("blob").collect().head.getAs[Array[Byte]](0)
+    assert(new String(blob0.take(4)) == "RIFF" && new String(blob0.slice(8, 12)) == "WAVE")
+    val dec = Multimodal.decodeAudio(media, batchSize = 2).collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 4L) {
+      val r = dec(id)
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Long]("n_frames") == Multimodal.audioFrames(id))
+      assert(r.getAs[Long]("channels") == Multimodal.audioChannels(id))
+      assert(r.getAs[Long]("sample_rate") == Multimodal.audioRate(id))
+      val flat = Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+      val want = (0 until flat).map(i => Multimodal.audioSample(id, i).toLong).sum
+      assert(r.getAs[Long]("sample_sum") == want, "PCM is lossless: decoded samples == built samples")
+    }
+    // corrupt / empty blobs flag ok=false
+    val junk = Seq((1L, "not audio".getBytes), (2L, Array.empty[Byte])).toDF("media_id", "blob")
+    val bad = Multimodal.decodeAudio(junk).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!bad(1L) && !bad(2L))
   }
 
   test("multimodal: nearest-neighbor resize matches the explicit integer mapping") {

@@ -131,7 +131,45 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash_fp(tokens)")
         SimHashFingerprint(children(0))
+      }),
+    // hex-WKB/EWKB geometry codecs (graft.functions.Wkb): kind is one of
+    // 'point' | 'linestring' | 'polygon' | 'multipoint'
+    (
+      new FunctionIdentifier("wkb_parse"),
+      new ExpressionInfo(classOf[graft.functions.WkbParseGeom].getName, "wkb_parse"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "wkb_parse(hex, kind)")
+        graft.functions.WkbParseGeom(children(0), wkbKind(children(1)))
+      }),
+    (
+      new FunctionIdentifier("wkb_point"),
+      new ExpressionInfo(classOf[graft.functions.WkbFormatPoint].getName, "wkb_point"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3, "wkb_point(lon, lat[, srid])")
+        val srid = if (children.length == 3) literalInt(children(2), "wkb_point: srid") else 4326
+        graft.functions.WkbFormatPoint(children(0), children(1), srid)
+      }),
+    (
+      new FunctionIdentifier("wkb_coords"),
+      new ExpressionInfo(classOf[graft.functions.WkbFormatCoords].getName, "wkb_coords"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3, "wkb_coords(points, kind[, srid])")
+        val srid = if (children.length == 3) literalInt(children(2), "wkb_coords: srid") else 4326
+        graft.functions.WkbFormatCoords(children(0), wkbKind(children(1)), srid)
       }))
+
+  private def wkbKind(e: Expression): Int = e match {
+    case l if l.foldable =>
+      String.valueOf(l.eval()) match {
+        case "point" => graft.functions.Wkb.POINT
+        case "linestring" => graft.functions.Wkb.LINESTRING
+        case "polygon" => graft.functions.Wkb.POLYGON
+        case "multipoint" => graft.functions.Wkb.MULTIPOINT
+        case other => throw new IllegalArgumentException(
+          s"wkb kind must be point|linestring|polygon|multipoint, got '$other'")
+      }
+    case _ => throw new IllegalArgumentException("wkb kind must be a literal string")
+  }
 
   private def literalInt(e: Expression, what: String): Int = e match {
     case l if l.foldable => l.eval().asInstanceOf[Number].intValue()

@@ -146,5 +146,34 @@ object syntax {
 
     def curateCorpus(targetWeights: Seq[(String, Long)]): DataFrame =
       CorpusOps.curate(df, targetWeights)
+
+    /** Learn a BPE merge table over this corpus (Sennrich et al.). */
+    def bpeTrained(merges: Int = 8): DataFrame = TextAnalysis.bpeTrain(df, merges)
+
+    /** Real-tokenizer counts per document for a learned merge table —
+      * chain `docs.bpeTrained(...)` → collect merges → `docs.bpeTokenCounts(m)`.
+      */
+    def bpeTokenCounts(merges: Seq[(String, String)]): DataFrame =
+      TextAnalysis.bpeEncode(df, merges)
+  }
+
+  /** Media-side accessors: multimodal frames in the (media_id, blob,
+    * meta) shape ([[Multimodal.mediaSchema]]).
+    */
+  implicit final class RichMedia(private val df: DataFrame) extends AnyVal {
+
+    /** Batched byte-level feature extraction (modality-agnostic). */
+    def extractBlobFeatures(batchSize: Int = 64): DataFrame =
+      Multimodal.extractFeatures(df, batchSize)
+
+    /** Real image decode (+ optional nearest-neighbor resize) via the
+      * JDK's javax.imageio.
+      */
+    def decodeImages(resizeTo: Int = 0, batchSize: Int = 64): DataFrame =
+      Multimodal.decodeImages(df, batchSize, resizeTo)
+
+    /** Real PCM/WAV audio decode via the JDK's javax.sound.sampled. */
+    def decodeAudio(batchSize: Int = 64): DataFrame =
+      Multimodal.decodeAudio(df, batchSize)
   }
 }

@@ -69,4 +69,18 @@ class SyntaxSpec extends SparkSpec {
     assert(splits.select("split").distinct().count() == 3)
     assert(docs.curateCorpus(Seq("en" -> 1L)).count() > 0)
   }
+
+  test("tokenizer and media accessors compose") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val merges = docs.bpeTrained(merges = 4)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 4)
+    val counts = docs.bpeTokenCounts(merges)
+    assert(counts.count() == 50)
+    // real media decodes chain off the fixture builders
+    val imgs = operators.Multimodal.pngFixtures(docs).decodeImages(resizeTo = 8)
+    assert(imgs.filter(org.apache.spark.sql.functions.col("ok")).count() == 50)
+    val clips = operators.Multimodal.wavFixtures(docs).decodeAudio()
+    assert(clips.filter(org.apache.spark.sql.functions.col("ok")).count() == 50)
+  }
 }

@@ -1766,6 +1766,18 @@ object SparkEntry {
     "pack_sequences" -> { (s, dir) =>
       CorpusOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 512)
     },
+    // tokenize -> pack end to end: sequence packing budgeted by REAL
+    // tokenizer counts (the trained BPE's per-doc token counts), not the
+    // whitespace proxy — what a training pipeline actually ships
+    "pack_by_bpe" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
+        .select(col("step"), col("lhs"), col("rhs")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = TextAnalysis.bpeEncode(docs, learned).select(col("doc_id"), col("n_bpe_tokens"))
+      CorpusOps.packSequences(docs.join(counts, "doc_id"), budgetTokens = 256,
+        tokenCountCol = Some("n_bpe_tokens"))
+    },
     "corpus_shuffle" -> { (s, dir) =>
       CorpusOps.deterministicShuffle(s.read.parquet(s"$dir/documents.parquet"), shards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
@@ -2576,6 +2588,28 @@ object SparkEntry {
          |  SELECT o.lang, o.rn, o.doc_id, o.tokens,
          |         CASE WHEN p.running + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
          |         CASE WHEN p.running + o.tokens > 512 THEN o.tokens ELSE p.running + o.tokens END
+         |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+         |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin,
+    // the BPE training chain feeds per-doc real token counts into the
+    // same greedy packing recursion (budget 256)
+    "pack_by_bpe" ->
+      s"""WITH RECURSIVE ${bpeCtes(8)},
+         |cnt AS (
+         |  SELECT d.doc_id, CAST(sum(len(string_split(trim(b.sym), ' '))) AS BIGINT) AS tokens
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+         |  JOIN bw8 b ON d.w = b.w
+         |  WHERE len(d.w) > 0
+         |  GROUP BY d.doc_id),
+         |ord AS (
+         |  SELECT doc.lang, doc.doc_id, cnt.tokens,
+         |         row_number() OVER (PARTITION BY doc.lang ORDER BY doc.doc_id) AS rn
+         |  FROM documents doc JOIN cnt ON doc.doc_id = cnt.doc_id),
+         |pack(lang, rn, doc_id, tokens, bin, running) AS (
+         |  SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.rn, o.doc_id, o.tokens,
+         |         CASE WHEN p.running + o.tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+         |         CASE WHEN p.running + o.tokens > 256 THEN o.tokens ELSE p.running + o.tokens END
          |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
          |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin,
     "corpus_shuffle" ->

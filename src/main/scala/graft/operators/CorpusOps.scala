@@ -227,14 +227,18 @@ object CorpusOps {
     * Scale shape: one shuffle on the group key, then a streaming
     * per-partition scan carrying two longs of state (same pattern as the
     * staypoint scan — groups are the parallelism axis, group size is
-    * unbounded). Token counts are whitespace tokens, matching
-    * [[TextAnalysis.tokenCount]]'s `ws_tokens`.
+    * unbounded). Token counts default to whitespace tokens (matching
+    * [[TextAnalysis.tokenCount]]'s `ws_tokens`); pass `tokenCountCol` to
+    * pack by a precomputed count instead — e.g. real tokenizer counts
+    * from [[TextAnalysis.bpeEncode]], so training examples are budgeted
+    * by what the tokenizer will actually emit.
     *
     * @return (group, doc_id, tokens, bin) with bins dense from 0 per group
     */
   def packSequences(docs: DataFrame, budgetTokens: Long,
                     groupCol: String = "lang",
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    tokenCountCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -246,9 +250,11 @@ object CorpusOps {
       StructField("tokens", LongType, nullable = false),
       StructField("bin", LongType, nullable = false)))
 
+    val tokens = tokenCountCol.map(c => col(c).cast("long"))
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
     docs
       .select(col(groupCol).cast("string"), col(idCol).cast("long").as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("tokens"))
+        tokens.as("tokens"))
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col("doc_id"))
       .mapPartitions { rows =>

@@ -89,6 +89,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(("de", 5L)) == 0, "groups pack independently")
   }
 
+  test("packSequences: tokenCountCol packs by precomputed counts, not the whitespace proxy") {
+    // text says 2 ws tokens everywhere; the real counts drive the bins
+    val docs = Seq(
+      ("en", 0L, "a b", 5L), ("en", 1L, "a b", 3L), // 5+3 = 8 fits
+      ("en", 2L, "a b", 1L),                        // 9 > 8 -> bin 1
+      ("en", 3L, "a b", 20L)                        // oversize -> bin 2
+    ).toDF("lang", "doc_id", "text", "real_tokens")
+    val r = CorpusOps.packSequences(docs, budgetTokens = 8, tokenCountCol = Some("real_tokens"))
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == ((5L, 0L)) && r(1L) == ((3L, 0L)))
+    assert(r(2L) == ((1L, 1L)))
+    assert(r(3L) == ((20L, 2L)))
+  }
+
   test("rebalanceMixture: scarcest group kept in full, others thinned toward the target") {
     import org.apache.spark.sql.functions._
     // 1000 "en", 100 "de": target 1:1 -> de is scarcest (100/1 < 1000/1),

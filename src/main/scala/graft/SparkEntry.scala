@@ -1648,6 +1648,11 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionMetrics(s.read.parquet(s"$dir/documents.parquet"))
     },
+    "lm_score" -> { (s, dir) =>
+      // self-scored corpus: the documents table is its own LM train set
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.lmScore(docs, docs)
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus carries no PII, so a PII-bearing column is derived
       // deterministically from (doc_id, text) — integer arithmetic only,
@@ -2355,6 +2360,26 @@ object SparkEntry {
          |   AND dup5gram_frac <= 0.15) AS repetition_ok
          |FROM nw LEFT JOIN a ON nw.doc_id = a.doc_id
          |GROUP BY nw.doc_id, nw.n_words""".stripMargin,
+    "lm_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg),
+         |uni AS (SELECT unnest(ws) AS w1 FROM w),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |sc AS (SELECT b.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgs b
+         |       LEFT JOIN c12 ON b.bg = c12.bg
+         |       LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+         |       CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(contrib_q) AS BIGINT) AS logprob_q FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(agg.logprob_q, 0) AS logprob_q
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id,

@@ -437,6 +437,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
   }
 
+  /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020 filter
+    * documents by LM perplexity; reference pipeline: ccnet). A word-bigram
+    * LM with add-α smoothing is trained on `train` and every document in
+    * `docs` is scored by its total log-likelihood.
+    *
+    * Engine-stable by construction: P(w2|w1) = (c12 + α) / (c1 + α·V)
+    * where every term is an integer (counts, vocabulary size, α), and the
+    * only transcendental — ln — is applied to those INTEGERS and floored
+    * to 1e-6 units before anything else touches it:
+    *   contrib_q = floor(ln(c12+α)·1e6) − floor(ln(c1+α·V)·1e6)   (longs)
+    * A last-ulp libm divergence between engines can only flip the floor
+    * when ln(n) sits within ~1e-15 of a 1e-6 grid boundary — measure
+    * ~1e-9 per distinct count — so the per-document LONG sum is
+    * bit-identical in any engine and independent of aggregation order
+    * (the same quantization contract as [[bm25]]).
+    *
+    * Distributed shape: model = two map-side-combinable count groupBys
+    * (bigrams, context words) + a 1-row broadcast vocabulary size; scoring
+    * is two hash equi-joins on the gram keys — the model never needs to fit
+    * on the driver or broadcast, so a 100 TB train corpus works unchanged.
+    * Documents with fewer than two words score (0, 0) via the final left
+    * join back to the id spine.
+    *
+    * Conditioning counts use unigram occurrences of w1 (the standard
+    * smoothed-LM shortcut, documented contract) rather than
+    * bigrams-starting-with-w1; α defaults to 1 (Laplace).
+    *
+    * @return (doc_id, n_bigrams, logprob_q) — logprob in 1e-6 ln units.
+    */
+  def lmScore(docs: DataFrame, train: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", alpha: Long = 1L): DataFrame = {
+    require(alpha > 0, "lmScore: alpha must be positive")
+    // floor(ln(n)·1e6) of a positive integer column, in longs.
+    def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+
+    val bgCounts = train
+      .select(explode(ngrams(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = train
+      .select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = ctxCounts.agg(count(lit(1)).as("v"))
+
+    val scored = docs
+      .select(col(idCol).as("doc_id"), explode(ngrams(col(textCol), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(bgCounts, Seq("bg"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("contrib_q",
+        flq(coalesce(col("c12"), lit(0L)) + lit(alpha)) -
+          flq(coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("contrib_q")).as("logprob_q"))
+
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

@@ -218,4 +218,28 @@ class TextFilterSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got === naiveBpe(freq, 10))
   }
+
+  test("lmScore: hand-computed quantized log-likelihood, unseen grams, short docs") {
+    def flq(n: Long): Long = math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
+    // train corpus: "a b" x2 and "a c" -> bigrams: (a b)x2, (a c)x1
+    // unigrams: a x3, b x2, c x1 -> V = 3
+    val train = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),   // c12=2, c1(a)=3: flq(3) - flq(6)
+      (11L, "b z"),   // unseen bigram, seen ctx b: flq(1) - flq(5) = -flq(5)
+      (12L, "z q"),   // unseen bigram AND ctx: flq(1) - flq(3) = -flq(3)
+      (13L, "solo"),  // <2 words -> (0, 0)
+      (14L, "a b a c") // 3 bigrams: (a b) + unseen (b a) + (a c)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(score, train)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((1L, flq(3) - flq(6))))
+    assert(out(11L) == ((1L, -flq(5))))   // den = c1(b)+V = 2+3
+    assert(out(12L) == ((1L, -flq(3))))   // den = 0+V
+    assert(out(13L) == ((0L, 0L)))
+    val d14 = (flq(3) - flq(6)) + (-flq(5)) + (flq(2) - flq(6))
+    assert(out(14L) == ((3L, d14)))
+    // a higher-likelihood doc scores above garbage (the CCNet filter signal)
+    assert(out(10L)._2 > out(12L)._2)
+  }
 }

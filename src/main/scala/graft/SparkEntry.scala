@@ -16,6 +16,16 @@ object SparkEntry {
 
   private val hav = EventsAdapter.havSql _
 
+  /** Dirty-text affixes for the text_normalize gate (ASCII escapes so the
+    * source survives any tooling): decomposed combining sequences
+    * (e+U+0301, i+U+0308, n+U+0300 — NFC must compose them), control
+    * bytes (U+0001, DEL), and mixed-whitespace runs. Interpolated into
+    * BOTH the Spark query and the oracle SQL so the inputs are
+    * code-point-identical by construction.
+    */
+  private val normDirtyPrefix = "Café \t naïve  "
+  private val normDirtySuffix = " x fiǹ"
+
   // ---- generated oracle SQL for the portable-hash sketch operators ----
   // (constants shared with Dedup/Ann/Multimodal via PortableHash — the
   // SQL is derived from the same affine family, so DuckDB reproduces the
@@ -1653,6 +1663,18 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmScore(docs, docs)
     },
+    // the corpus text is clean ASCII, so a dirty column is derived
+    // deterministically: decomposed combining sequences (NFC targets),
+    // control bytes, and runs of mixed whitespace — mirrored exactly in
+    // the oracle SQL (normDirtyPrefix/Suffix interpolate into BOTH)
+    "text_normalize" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("aug_text", concat(
+          lit(normDirtyPrefix), col("text"), lit(normDirtySuffix)))
+      TextAnalysis.normalizeText(aug, "aug_text")
+        .select(col("doc_id"), col("text_norm"), col("n_chars_raw"),
+          col("n_chars_norm"), col("changed"))
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus carries no PII, so a PII-bearing column is derived
       // deterministically from (doc_id, text) — integer arithmetic only,
@@ -1743,6 +1765,16 @@ object SparkEntry {
       Multimodal.decodeImages(media, resizeTo = 8)
         .select(col("media_id"), col("width"), col("height"), col("pixel_sum"),
           col("rs_width"), col("rs_height"), col("rs_pixel_sum"))
+    },
+    // real frame sampling: deterministic animated GIFs built and decoded
+    // by javax.imageio's sequence reader/writer; every k-th frame's
+    // dimensions and luma sum re-derived in closed form (GIF is
+    // palette-lossless for <=256 grays)
+    "multimodal_frames" -> { (s, dir) =>
+      val media = Multimodal.gifFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeFrames(media, everyK = 2)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"), col("pixel_sum"))
     },
     // real audio: deterministic PCM16 WAVs containerized and decoded by
     // javax.sound.sampled; PCM is lossless so the frame count, format
@@ -2360,6 +2392,23 @@ object SparkEntry {
          |   AND dup5gram_frac <= 0.15) AS repetition_ok
          |FROM nw LEFT JOIN a ON nw.doc_id = a.doc_id
          |GROUP BY nw.doc_id, nw.n_words""".stripMargin,
+    // the normalization contract is a Unicode standard (UAX #15), not a
+    // library behavior: DuckDB's utf8proc and the JDK produce the same
+    // NFC, so the full output TEXT is part of the hash surface
+    "text_normalize" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, '$normDirtyPrefix' || text || '$normDirtySuffix' AS aug_text
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, aug_text,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(aug_text),
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[ \\t\\n\\r]+', ' ', 'g')) AS text_norm
+         |  FROM aug)
+         |SELECT doc_id, text_norm, CAST(length(aug_text) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+         |  text_norm <> aug_text AS changed
+         |FROM n""".stripMargin,
     "lm_score" ->
       s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
@@ -2538,6 +2587,28 @@ object SparkEntry {
         |FROM r
         |JOIN full_px f USING (doc_id)
         |JOIN rs_px s USING (doc_id)""".stripMargin,
+    // sampled-frame surfaces in closed form: the GIF fixtures carry
+    // n_frames = 2 + id % 5 full-size gray frames with
+    // pixel(f, x, y) = (id*31 + f*17 + x*7 + y*13) % 256; the sampler
+    // reads every 2nd frame
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+        |    CAST(4 + doc_id % 13 AS BIGINT) AS w, CAST(4 + doc_id % 11 AS BIGINT) AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT m.doc_id, m.n_frames, m.w, m.h, f.range AS frame_idx
+        |  FROM m, range(0, 6) f
+        |  WHERE f.range < m.n_frames AND f.range % 2 = 0),
+        |px AS (
+        |  SELECT fr.doc_id, fr.frame_idx,
+        |    CAST(SUM((fr.doc_id * 31 + fr.frame_idx * 17 + x.range * 7 + y.range * 13) % 256) AS BIGINT) AS pixel_sum
+        |  FROM fr, range(0, 16) x, range(0, 14) y
+        |  WHERE x.range < fr.w AND y.range < fr.h
+        |  GROUP BY fr.doc_id, fr.frame_idx)
+        |SELECT fr.doc_id AS media_id, fr.n_frames, fr.frame_idx, fr.w AS width, fr.h AS height,
+        |  px.pixel_sum
+        |FROM fr JOIN px ON fr.doc_id = px.doc_id AND fr.frame_idx = px.frame_idx""".stripMargin,
     // decoded-WAV surfaces in closed form: PCM16 fixtures carry
     // sample(i) = (id*31 + i*7) % 65536 - 32768 interleaved over
     // frames*channels (<= 299*2 = 598 flat samples per clip)

@@ -327,6 +327,133 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioSchema))
   }
 
+  // ---------------- real frame sampling (animated GIF, javax.imageio) ----------------
+
+  /** Fixture-animation shape in closed form: `frames = 2 + id mod 5`
+    * full-size grayscale frames of [[fixtureWidth]]×[[fixtureHeight]]
+    * with `pixel(f, x, y) = (id·31 + f·17 + x·7 + y·13) mod 256`. Pure
+    * integer functions shared by the GIF builder, the specs and the SQL
+    * oracle (GIF is palette-lossless for ≤256 grays, so decode returns
+    * exactly these samples).
+    */
+  def gifFrames(id: Long): Int = (2 + Math.floorMod(id, 5L)).toInt
+  def gifPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 31L + f * 17L + x * 7L + y * 13L, 256L).toInt
+
+  /** Deterministic REAL animated-GIF column: one multi-frame clip per
+    * row, built from [[gifPixel]] and containerized by `javax.imageio`'s
+    * GIF sequence writer. This is the "video-shaped" fixture the frame
+    * sampler decodes — real container bytes through a real codec, with
+    * SQL-predictable frame content.
+    */
+  def gifFixtures(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = docs.select(col(idCol).cast(LongType).as("media_id"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = fixtureWidth(id); val h = fixtureHeight(id); val n = gifFrames(id)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // interlacing OFF: the JDK GIF writer scrambles row order on
+        // small heights when left in its default progressive mode
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, gifPixel(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row(id, bos.toByteArray, "image/gif")
+      }
+    }(RowEncoder.encoderFor(pngSchema))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("frame_idx", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true)))
+
+  /** Integer luma via getRGB + ITU-R 601 weighting — exact for gray
+    * content (r=g=b=v ⇒ (299+587+114)·v/1000 = v) regardless of whether
+    * the decoder hands back an indexed or component raster, which is
+    * what GIF's palette model requires.
+    */
+  private def lumaRgbAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xFF) * 299 + (((rgb >> 8) & 0xFF)) * 587 + ((rgb & 0xFF)) * 114) / 1000
+  }
+
+  /** REAL frame sampling over multi-frame containers: an `ImageReader`
+    * parses the stream once, `getNumImages` counts frames, and every
+    * k-th frame decodes to dimensions + integer luma sum — one output
+    * row per SAMPLED frame (the explode happens here, so only sampled
+    * frames ever materialize). Undecodable blobs emit a single
+    * `ok = false` row instead of failing the task. Batched mapPartitions
+    * like the other decoders; works for any multi-frame format the JDK
+    * has a reader for (GIF ships; TIFF too on JDK 9+).
+    */
+  def decodeFrames(media: DataFrame, everyK: Int = 2, batchSize: Int = 64): DataFrame = {
+    require(everyK > 0, "decodeFrames: everyK must be positive")
+    val input = media.select(col("media_id"), col("blob"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val out: Seq[Row] =
+            if (bytes == null || bytes.isEmpty) Nil
+            else
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) Nil
+                else {
+                  val reader = readers.next()
+                  try {
+                    reader.setInput(iis)
+                    val n = reader.getNumImages(true)
+                    (0 until n by everyK).map { f =>
+                      val img = reader.read(f)
+                      val w = img.getWidth; val h = img.getHeight
+                      var sum = 0L
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) { sum += lumaRgbAt(img, x, y); x += 1 }
+                        y += 1
+                      }
+                      Row(id, true, n.toLong, f.toLong, w.toLong, h.toLong, sum)
+                    }
+                  } finally reader.dispose()
+                }
+              } catch { case _: java.io.IOException => Nil }
+          if (out.isEmpty) Seq(Row(id, false, null, null, null, null, null)) else out
+        }
+      }
+    }(RowEncoder.encoderFor(frameSchema))
+  }
+
   /** "Resize" stub: recompute metadata for a bounded long edge; blob
     * passes through untouched (a real kernel would re-encode).
     */

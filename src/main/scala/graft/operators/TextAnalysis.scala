@@ -437,6 +437,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
   }
 
+  /** Unicode normalization of a string column (UAX #15, default NFC) as
+    * a codegen'd expression — see [[graft.plans.UnicodeNormalize]].
+    */
+  def unicodeNormalize(textCol: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.UnicodeNormalize(ColumnShim.expression(textCol), form))
+  }
+
+  /** Text cleanup for crawl ingest: Unicode NFC normalization (combining
+    * sequences → canonical composed form, so "e"+U+0301 and "é" hash and
+    * dedup identically), control-character removal (everything below
+    * 0x20 except tab/newline/CR, plus DEL — the bytes broken extractors
+    * leave behind), and whitespace collapse + trim. Everything is
+    * scan-stage (one codegen'd normalize + two regexp_replace), and each
+    * step is an engine-portable standard: UAX #15 for the normalization,
+    * literal byte classes for the regexes — which is what makes the full
+    * output text oracle-checkable, not just its length.
+    *
+    * @return input columns + text_norm, n_chars_raw, n_chars_norm, changed
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stripped = regexp_replace(unicodeNormalize(col(textCol)),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    docs
+      .withColumn("text_norm", collapsed)
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+      .withColumn("changed", col("text_norm") =!= col(textCol))
+  }
+
   /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020 filter
     * documents by LM perplexity; reference pipeline: ccnet). A word-bigram
     * LM with add-α smoothing is trained on `train` and every document in

@@ -132,6 +132,18 @@ object GraftExtensions {
         require(children.length == 1, "simhash_fp(tokens)")
         SimHashFingerprint(children(0))
       }),
+    (
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "unicode_normalize(text, form)")
+        val form = children(1) match {
+          case l if l.foldable => String.valueOf(l.eval())
+          case _ => throw new IllegalArgumentException(
+            "unicode_normalize: form must be a literal string")
+        }
+        UnicodeNormalize(children(0), form)
+      }),
     // hex-WKB/EWKB geometry codecs (graft.functions.Wkb): kind is one of
     // 'point' | 'linestring' | 'polygon' | 'multipoint'
     (

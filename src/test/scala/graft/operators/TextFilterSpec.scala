@@ -219,6 +219,29 @@ class TextFilterSpec extends SparkSpec {
     assert(got === naiveBpe(freq, 10))
   }
 
+  test("normalizeText: NFC composes, control bytes drop, whitespace collapses") {
+    val acute = 0x0301.toChar; val composed = 0x00E9.toChar // e+U+0301 vs é
+    val dirty = s"Cafe$acute  \t x${0x01.toChar}y${0x7f.toChar}z \n end "
+    val df = Seq((1L, dirty), (2L, "already clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text_norm") == s"Caf$composed xyz end")
+    assert(out(1L).getAs[Boolean]("changed"))
+    assert(out(1L).getAs[Long]("n_chars_norm") < out(1L).getAs[Long]("n_chars_raw"))
+    assert(out(2L).getAs[String]("text_norm") == "already clean")
+    assert(!out(2L).getAs[Boolean]("changed"))
+    // tab/newline survive the control strip and fold into the collapse;
+    // NFD decomposes what NFC composes
+    val forms = df.filter(col("doc_id") === 1L).select(
+      TextAnalysis.unicodeNormalize(col("text"), "NFC").as("c"),
+      TextAnalysis.unicodeNormalize(col("text"), "NFD").as("d")).head()
+    assert(forms.getString(0).contains(s"Caf$composed"))
+    assert(forms.getString(1).contains(s"Cafe$acute"))
+    // registered as a SQL function too
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(s"SELECT unicode_normalize('Cafe$acute', 'NFC') AS s").head().getString(0)
+    assert(viaSql == s"Caf$composed")
+  }
+
   test("lmScore: hand-computed quantized log-likelihood, unseen grams, short docs") {
     def flq(n: Long): Long = math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
     // train corpus: "a b" x2 and "a c" -> bigrams: (a b)x2, (a c)x1

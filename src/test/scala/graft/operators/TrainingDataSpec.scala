@@ -269,6 +269,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(!bad(1L) && !bad(2L))
   }
 
+  test("multimodal: animated GIF encode -> frame-sampled decode round-trips frames") {
+    val media = Multimodal.gifFixtures(docs) // doc_ids 0..4
+    // the blobs are real GIF containers
+    val blob0 = media.filter(col("media_id") === 0L).select("blob").collect().head.getAs[Array[Byte]](0)
+    assert(new String(blob0.take(6)) == "GIF89a" || new String(blob0.take(6)) == "GIF87a")
+    val dec = Multimodal.decodeFrames(media, everyK = 2, batchSize = 2).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.sortBy(_.getAs[Long]("frame_idx")) }
+    for (id <- 0L to 4L) {
+      val n = Multimodal.gifFrames(id)
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      val rs = dec(id)
+      assert(rs.map(_.getAs[Long]("frame_idx")).toSeq == (0 until n by 2).map(_.toLong))
+      for (r <- rs) {
+        assert(r.getAs[Boolean]("ok") && r.getAs[Long]("n_frames") == n)
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+        val f = r.getAs[Long]("frame_idx").toInt
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.gifPixel(id, f, x, y).toLong).sum
+        assert(r.getAs[Long]("pixel_sum") == want, "GIF palette is lossless for gray")
+      }
+    }
+    // every-3rd sampling changes the stride; corrupt blobs flag ok=false
+    val one = Multimodal.decodeFrames(Multimodal.gifFixtures(Seq((4L, "x")).toDF("doc_id", "text")), everyK = 3)
+    assert(one.collect().map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 3L)) // 6 frames
+    val junk = Seq((1L, "not media".getBytes), (2L, Array.empty[Byte])).toDF("media_id", "blob")
+    val bad = Multimodal.decodeFrames(junk).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!bad(1L) && !bad(2L))
+  }
+
   test("multimodal: nearest-neighbor resize matches the explicit integer mapping") {
     val media = Multimodal.pngFixtures(Seq((7L, "x")).toDF("doc_id", "text"))
     val w = Multimodal.fixtureWidth(7L); val h = Multimodal.fixtureHeight(7L) // 11 x 11

@@ -1730,6 +1730,12 @@ object SparkEntry {
         Seq("en" -> 4L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
         .select(col("doc_id"), col("lang"), col("source"))
     },
+    // T = 2 keeps the exponent 1 - 1/T an exact double (0.5) in both
+    // engines; thresholds derive from integer group counts
+    "mixture_temperature" -> { (s, dir) =>
+      CorpusOps.temperatureSample(s.read.parquet(s"$dir/documents.parquet"), temperature = 2.0)
+        .select(col("doc_id"), col("lang"))
+    },
     // the full curation pipeline: quality -> repetition -> near-dup
     // pruning -> rebalance -> split, each stage over the previous one's
     // output (rebalance thresholds derive from post-dedup counts)
@@ -2673,6 +2679,15 @@ object SparkEntry {
          |thr AS (SELECT scw.g, (10000 * scw.w * s.n) // (s.w * scw.n) AS bp FROM scw, scarce s)
          |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr ON d.lang = thr.g
          |WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.bp""".stripMargin,
+    "mixture_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+         |           WHERE lang IS NOT NULL GROUP BY lang),
+         |mn AS (SELECT min(n) AS n_min FROM c),
+         |thr AS (SELECT c.lang,
+         |          CAST(floor(10000 * pow(CAST(mn.n_min AS DOUBLE) / CAST(c.n AS DOUBLE), 0.5)) AS BIGINT) AS t
+         |        FROM c, mn)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+         |WHERE ${h60Sql("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.t""".stripMargin,
     "pack_sequences" ->
       s"""WITH RECURSIVE ord AS (
          |  SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,

@@ -206,6 +206,43 @@ object CorpusOps {
     docs.filter(thr.isNotNull && bucket < thr)
   }
 
+  /** Temperature-based mixture flattening (the multilingual-LM sampling
+    * rule: group probability ∝ p^(1/T), downsample-only). With
+    * acceptance a_g = (n_min/n_g)^(1−1/T) the scarcest group keeps
+    * everything and abundant groups shed mass until the kept mix is
+    * ∝ n^(1/T); T = 1 is a pass-through, T → ∞ approaches a uniform
+    * group mix. (Reference regime: the α = 1/T exponentiated sampling
+    * used by multilingual pretraining pipelines à la XLM-R.)
+    *
+    * Determinism contract: per-group thresholds are basis points out of
+    * 10000, computed once from the integer group counts (the one
+    * transcendental, pow, runs on those integers' exact double ratio and
+    * is floored to the bp grid — a last-ulp libm divergence flips the
+    * floor only with probability ~1e-12, the [[TextAnalysis.bm25]]
+    * quantization contract); per-row acceptance is the same portable-hash
+    * bucket as [[rebalanceMixture]]. #groups driver state, scan-stage
+    * acceptance, no shuffle of `docs` itself.
+    */
+  def temperatureSample(docs: DataFrame, temperature: Double,
+                        groupCol: String = "lang", salt: String = "temp",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(temperature >= 1.0, "temperatureSample: T >= 1 (downsample-only flattening)")
+    val bp = 10000L
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    require(counts.nonEmpty, s"temperatureSample: no non-null groups in '$groupCol'")
+    val nMin = counts.values.min
+    val expo = 1.0 - 1.0 / temperature
+    val thresholds: Map[String, Long] = counts.map { case (g, n) =>
+      g -> math.floor(bp * StrictMath.pow(nMin.toDouble / n.toDouble, expo)).toLong
+    }
+    val bucket = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(bp))
+    val thr = element_at(typedlit(thresholds), col(groupCol))
+    docs.filter(thr.isNotNull && bucket < thr)
+  }
+
   def deterministicShuffle(docs: DataFrame, shards: Int, salt: String = "graft",
                            idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")

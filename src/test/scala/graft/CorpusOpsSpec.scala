@@ -126,6 +126,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.count() === 50L, "en is the only present target group -> scarcest -> full")
   }
 
+  test("temperatureSample: T=1 passes through; T=2 flattens by sqrt of the count ratio") {
+    import org.apache.spark.sql.functions._
+    // 6400 "en", 100 "de": a_de = 1 (scarcest), a_en = (100/6400)^0.5 = 1/8
+    val docs = ((0L until 6400L).map(i => (i, "en")) ++ (6400L until 6500L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    assert(CorpusOps.temperatureSample(docs, temperature = 1.0).count() === 6500L,
+      "T=1 is the identity mix")
+    val out = CorpusOps.temperatureSample(docs, temperature = 2.0)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") === 100L, "scarcest group keeps everything")
+    // en keeps bp floor(10000/8) = 1250 -> ~800 of 6400; binomial noise band
+    assert(byLang("en") > 640L && byLang("en") < 960L, s"got ${byLang("en")}")
+    // flattening is monotone in T: hotter -> more aggressive en thinning
+    val hotter = CorpusOps.temperatureSample(docs, temperature = 8.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(hotter("en") < byLang("en") && hotter("de") === 100L)
+    // determinism: same salt, same survivors
+    val again = CorpusOps.temperatureSample(docs, temperature = 2.0)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("curate: each stage drops what it should; survivors carry splits") {
     import org.apache.spark.sql.functions._
     // long enough that the Gopher top-n-gram fractions (>= n/n_words

@@ -26,6 +26,44 @@ object SparkEntry {
   private val normDirtyPrefix = "Café \t naïve  "
   private val normDirtySuffix = " x fiǹ"
 
+  /** Deterministic synthetic URL for the url_* gates (the corpus carries
+    * none): scheme + optional userinfo + mixed-case subdomain + source
+    * domain + optional port + path + optional query, all pure integer
+    * functions of doc_id. [[urlSyntheticSql]] is the byte-identical SQL.
+    */
+  private def withSyntheticUrl(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("user:pw@")).otherwise(lit("")),
+      lit("Sub"), (col("doc_id") % 4).cast("string"), lit("."),
+      col("source"), lit(".example.com"),
+      when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/a/b"),
+      when(col("doc_id") % 2 === 0, lit("/c")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("?q=1")).otherwise(lit(""))))
+
+  private val urlSyntheticSql: String =
+    """'https://' || CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+      |    'Sub' || CAST(doc_id % 4 AS VARCHAR) || '.' || source || '.example.com' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+      |    '/a/b' || CASE WHEN doc_id % 2 = 0 THEN '/c' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END""".stripMargin
+
+  /** host/path_depth/has_query extraction, the SQL twin of
+    * [[graft.operators.TextAnalysis.urlFeatures]] (same RE2-portable
+    * patterns; each is anchored so first-match replace == global).
+    */
+  private val urlFeaturesSql: String =
+    s"""SELECT doc_id, url,
+       |    lower(regexp_replace(regexp_replace(
+       |      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+       |      '^[^@]*@', ''), ':[0-9]+$$', '')) AS host,
+       |    CAST(len(list_filter(string_split(
+       |      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+       |      x -> x <> '')) AS BIGINT) AS path_depth,
+       |    contains(url, '?') AS has_query
+       |  FROM aug""".stripMargin
+
   // ---- generated oracle SQL for the portable-hash sketch operators ----
   // (constants shared with Dedup/Ann/Multimodal via PortableHash — the
   // SQL is derived from the same affine family, so DuckDB reproduces the
@@ -1675,6 +1713,18 @@ object SparkEntry {
         .select(col("doc_id"), col("text_norm"), col("n_chars_raw"),
           col("n_chars_norm"), col("changed"))
     },
+    // the corpus carries no URLs, so one is derived deterministically
+    // from (doc_id, source) — userinfo, mixed-case subdomain, port and
+    // query variants all exercised; mirrored exactly in the oracle SQL
+    "url_features" -> { (s, dir) =>
+      TextAnalysis.urlFeatures(withSyntheticUrl(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("host"), col("path_depth"), col("has_query"))
+    },
+    "url_hostcap" -> { (s, dir) =>
+      val f = TextAnalysis.urlFeatures(withSyntheticUrl(s.read.parquet(s"$dir/documents.parquet")))
+      CorpusOps.capPerHost(f, maxPerHost = 20)
+        .select(col("doc_id"), col("host"), col("host_rank"))
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus carries no PII, so a PII-bearing column is derived
       // deterministically from (doc_id, text) — integer arithmetic only,
@@ -2435,6 +2485,25 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  coalesce(agg.logprob_q, 0) AS logprob_q
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "url_features" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, $urlSyntheticSql AS url
+         |  FROM documents),
+         |f AS (
+         |  $urlFeaturesSql)
+         |SELECT doc_id, host, path_depth, has_query FROM f""".stripMargin,
+    "url_hostcap" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, $urlSyntheticSql AS url
+         |  FROM documents),
+         |f AS (
+         |  $urlFeaturesSql),
+         |r AS (
+         |  SELECT doc_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY ${h60Sql("'hostcap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS host_rank
+         |  FROM f)
+         |SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 20""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id,

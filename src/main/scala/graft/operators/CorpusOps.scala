@@ -375,6 +375,45 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col("rank"))
   }
 
+  /** Deterministic per-host document cap — the crawl-curation rule that
+    * stops a handful of mega-hosts from dominating the corpus (C4 caps
+    * pages per domain; RefinedWeb dedups then caps). Keeps at most
+    * `maxPerHost` documents per host, chosen by portable-hash order with
+    * id tie-break: which documents survive is a pure function of
+    * (salt, id), independent of partitioning, engine, or corpus order.
+    *
+    * Scale shape: one shuffle on host + a rank window whose limit pushes
+    * below the exchange (WindowGroupLimit, same plan as
+    * [[keepTopKPerGroup]]) — hot hosts never materialize beyond the cap
+    * per partition.
+    *
+    * @return input columns + host_rank (1-based within host)
+    */
+  def capPerHost(docs: DataFrame, maxPerHost: Int, hostCol: String = "host",
+                 salt: String = "hostcap", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerHost > 0, "maxPerHost must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(hostCol)).orderBy(h, col(idCol))
+    docs
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .filter(col("host_rank") <= maxPerHost)
+  }
+
+  /** Host blocklist filter: drop documents whose host is on the list or
+    * is a subdomain of a listed domain (`ads.example.com` matches a
+    * blocked `example.com`). The list is driver state (blocklists are
+    * thousands of entries, not corpus-sized) compiled into one scan-stage
+    * predicate — no join, no shuffle.
+    */
+  def filterBlockedHosts(docs: DataFrame, blocked: Seq[String],
+                         hostCol: String = "host"): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val h = col(hostCol)
+    val hit = blocked.map(b => h === b || h.endsWith("." + b)).reduce(_ || _)
+    docs.filter(!hit)
+  }
+
   /** Fixed-window document chunking with overlap: split each document
     * into chunks of `chunkTokens` whitespace tokens, each chunk starting
     * `chunkTokens - overlapTokens` after the previous — the long-document

@@ -437,6 +437,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
   }
 
+  /** URL features for crawl curation (the C4/RefinedWeb source-level
+    * signals): lowercased host with userinfo/port stripped, path segment
+    * depth, and a query-string flag. Pure scan-stage regex/array ops,
+    * each pattern RE2-portable so an external engine reproduces the
+    * parse exactly (no backreferences, no lookaround — and no
+    * `parse_url`, which is Spark-only).
+    *
+    * @return input columns + host, path_depth, has_query
+    */
+  def urlFeatures(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val authority = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(regexp_replace(authority, "^[^@]*@", ""), ":[0-9]+$", ""))
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val depth = size(filter(split(path, "/"), s => s =!= "")).cast("long")
+    docs
+      .withColumn("host", host)
+      .withColumn("path_depth", depth)
+      .withColumn("has_query", u.contains("?"))
+  }
+
   /** Unicode normalization of a string column (UAX #15, default NFC) as
     * a codegen'd expression — see [[graft.plans.UnicodeNormalize]].
     */

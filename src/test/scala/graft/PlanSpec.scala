@@ -158,4 +158,37 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
       s"at most one shuffle (pair dedup):\n$p")
   }
+
+  test("text_normalize and url_features run scan-only — no shuffle at all") {
+    for (q <- Seq("text_normalize", "url_features")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be scan-stage:\n$p")
+    }
+    assert(plan("text_normalize").contains("unicode_normalize"),
+      "NFC must run as the native expression, not a UDF")
+  }
+
+  test("mixture_temperature: acceptance is a scan-stage filter, no shuffle of the corpus") {
+    val p = plan("mixture_temperature")
+    assert(!p.contains("Exchange"), s"threshold filter must not shuffle:\n$p")
+  }
+
+  test("url_hostcap: host-cap rank limit pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("url_hostcap")
+    assert(p.contains("WindowGroupLimit"), s"cap must push below the exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one shuffle (on host):\n$p")
+  }
+
+  test("lm_score: gram joins are hash equi-joins; vocab is the only broadcast product") {
+    val p = plan("lm_score")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // model joins must stay equi-joins (shuffle or broadcast hash), never
+    // a nested loop over the corpus; the 1-row vocab crossJoin is the
+    // single permitted BroadcastNestedLoopJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row vocab join may nest:\n$p")
+    assert(p.contains("word_ngrams"), "bigram kernel must run in the scan stage")
+    assert(p.contains("partial_count"), "model counts must partial-aggregate")
+  }
 }

@@ -219,6 +219,37 @@ class TextFilterSpec extends SparkSpec {
     assert(got === naiveBpe(freq, 10))
   }
 
+  test("urlFeatures: host/userinfo/port/path/query parsing; capPerHost and blocklist") {
+    val df = Seq(
+      (1L, "https://user:pw@Sub1.Example.COM:8443/a/b/c?q=1"),
+      (2L, "http://example.com"),
+      (3L, "https://ads.tracker.net/x"),
+      (4L, "https://tracker.net/y"),
+      (5L, "https://nottracker.net/z"),
+      (6L, "not a url at all")
+    ).toDF("doc_id", "url")
+    val f = TextAnalysis.urlFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[String]("host") == "sub1.example.com")
+    assert(f(1L).getAs[Long]("path_depth") == 3L && f(1L).getAs[Boolean]("has_query"))
+    assert(f(2L).getAs[String]("host") == "example.com")
+    assert(f(2L).getAs[Long]("path_depth") == 0L && !f(2L).getAs[Boolean]("has_query"))
+    assert(f(6L).getAs[String]("host") == "", "non-URL yields empty host, not a crash")
+    // blocklist: exact host and subdomain match, no substring false positive
+    val kept = CorpusOps.filterBlockedHosts(TextAnalysis.urlFeatures(df), Seq("tracker.net"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(3L) && !kept.contains(4L), "exact + subdomain blocked")
+    assert(kept.contains(5L), "'nottracker.net' must NOT match blocked 'tracker.net'")
+    // capPerHost: deterministic, keeps exactly k, dense 1-based ranks
+    val many = (0L until 100L).map(i => (i, s"h${i % 3}.com")).toDF("doc_id", "host")
+    val capped = CorpusOps.capPerHost(many, maxPerHost = 10)
+    assert(capped.count() === 30L)
+    val ranks = capped.groupBy("host").agg(max("host_rank").as("m"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(ranks.forall { case (_, m, n) => m == 10L && n == 10L })
+    val again = CorpusOps.capPerHost(many, maxPerHost = 10).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == capped.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("normalizeText: NFC composes, control bytes drop, whitespace collapses") {
     val acute = 0x0301.toChar; val composed = 0x00E9.toChar // e+U+0301 vs é
     val dirty = s"Cafe$acute  \t x${0x01.toChar}y${0x7f.toChar}z \n end "

@@ -44,12 +44,14 @@ object ScaleProbe {
     t("prune_10x") { Dedup.pruneDuplicates(docs10, pairs).count() }
     // exact copies are adversarial here too: every 10-gram in a replica
     // is a duplicate occurrence, so the removal set covers ~9/10 of the
-    // corpus — the worst case for the span-coverage explode. Aggregate
-    // over the output columns (a bare count() lets Catalyst eliminate
-    // the distinct-keyed left joins and skip the work entirely).
+    // corpus — the worst case for the span-coverage explode. COLLECT the
+    // aggregate value: count() over an ungrouped agg returns 1 without
+    // executing the joins underneath (the optimizer drops them), so only
+    // a collected sum measures the real work.
     t("dedup_spans_10x") {
       Dedup.dedupSpans(docs10, n = 10)
-        .agg(sum(col("n_removed")), sum(length(col("text_deduped")))).count()
+        .agg(sum(col("n_removed")), sum(length(col("text_deduped"))))
+        .collect()(0).getLong(0)
     }
     // 8x the gate's merge count: measures the per-round cost curve of the
     // incremental pair-count trainer (delta explode over affected words
@@ -85,6 +87,24 @@ object ScaleProbe {
     }
     t("chunk_documents_10x") {
       CorpusOps.chunkDocuments(docs10, chunkTokens = 16, overlapTokens = 4).count()
+    }
+    // LM scoring trains on the full 10x corpus and scores it: two count
+    // groupBys (model) + two gram equi-joins (scoring); the model is a
+    // distributed table, never driver or broadcast state
+    t("lm_score_10x") {
+      TextAnalysis.lmScore(docs10, docs10).agg(sum(col("logprob_q"))).collect()(0).getLong(0)
+    }
+    t("text_normalize_10x") {
+      TextAnalysis.normalizeText(docs10).agg(sum(col("n_chars_norm"))).collect()(0).getLong(0)
+    }
+    // per-host cap at its adversarial worst: 10x replication makes every
+    // host a 10x-hot host, and the rank limit must stop materialization
+    // at the cap per partition (WindowGroupLimit), not after it
+    t("hostcap_10x") {
+      val urled = docs10.withColumn("url",
+        concat(lit("https://h"), pmod(col("doc_id"), lit(40L)).cast("string"),
+          lit(".example.com/p")))
+      CorpusOps.capPerHost(TextAnalysis.urlFeatures(urled), maxPerHost = 1000).count()
     }
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -147,6 +147,28 @@ object syntax {
     def curateCorpus(targetWeights: Seq[(String, Long)]): DataFrame =
       CorpusOps.curate(df, targetWeights)
 
+    /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
+    def textNormalized: DataFrame = TextAnalysis.normalizeText(df)
+
+    /** Bigram-LM log-likelihood against a train corpus (CCNet-style). */
+    def lmScored(train: DataFrame): DataFrame = TextAnalysis.lmScore(df, train)
+
+    /** Host/path/query features from a `url` column. */
+    def urlFeatured: DataFrame = TextAnalysis.urlFeatures(df)
+
+    /** Deterministic per-host document cap (needs a `host` column —
+      * chain after [[urlFeatured]]).
+      */
+    def cappedPerHost(maxPerHost: Int): DataFrame = CorpusOps.capPerHost(df, maxPerHost)
+
+    /** Drop blocked hosts and their subdomains. */
+    def withoutBlockedHosts(blocked: Seq[String]): DataFrame =
+      CorpusOps.filterBlockedHosts(df, blocked)
+
+    /** Flatten the group mix by temperature (p^(1/T) sampling). */
+    def temperatureSampled(temperature: Double, groupCol: String = "lang"): DataFrame =
+      CorpusOps.temperatureSample(df, temperature, groupCol)
+
     /** Learn a BPE merge table over this corpus (Sennrich et al.). */
     def bpeTrained(merges: Int = 8): DataFrame = TextAnalysis.bpeTrain(df, merges)
 
@@ -175,5 +197,11 @@ object syntax {
     /** Real PCM/WAV audio decode via the JDK's javax.sound.sampled. */
     def decodeAudio(batchSize: Int = 64): DataFrame =
       Multimodal.decodeAudio(df, batchSize)
+
+    /** Real every-kth frame sampling over multi-frame containers (GIF)
+      * via the JDK's javax.imageio sequence reader.
+      */
+    def sampleDecodedFrames(everyK: Int = 2, batchSize: Int = 64): DataFrame =
+      Multimodal.decodeFrames(df, everyK, batchSize)
   }
 }

@@ -82,5 +82,21 @@ class SyntaxSpec extends SparkSpec {
     assert(imgs.filter(org.apache.spark.sql.functions.col("ok")).count() == 50)
     val clips = operators.Multimodal.wavFixtures(docs).decodeAudio()
     assert(clips.filter(org.apache.spark.sql.functions.col("ok")).count() == 50)
+    val frames = operators.Multimodal.gifFixtures(docs).sampleDecodedFrames(everyK = 2)
+    assert(frames.filter(org.apache.spark.sql.functions.col("ok")).count() >= 50)
+  }
+
+  test("round-7 curation accessors compose") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val clean = docs.textNormalized
+    assert(clean.columns.contains("text_norm"))
+    assert(docs.lmScored(docs).columns.toSet == Set("doc_id", "n_bigrams", "logprob_q"))
+    val urled = docs.withColumn("url",
+      concat(lit("https://h"), (col("doc_id") % 5).cast("string"), lit(".example.com/p")))
+    val capped = urled.urlFeatured.withoutBlockedHosts(Seq("h0.example.com")).cappedPerHost(10)
+    assert(capped.select("host").distinct().count() == 4) // h0 blocked
+    assert(capped.groupBy("host").count().agg(max("count")).head().getLong(0) <= 10)
+    assert(docs.temperatureSampled(2.0).count() > 0)
   }
 }

@@ -33,7 +33,13 @@ object Bench {
       Pipeline.reset()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(): force evaluation of EVERY output column. A bare
+        // count() lets column pruning skip projection-only work entirely
+        // (a scan-stage feature query would time the scan, not the
+        // feature kernels) — same undermeasure class as counting an
+        // ungrouped aggregate. Rows stay on executors; nothing collects.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -296,4 +296,12 @@ class TextFilterSpec extends SparkSpec {
     // a higher-likelihood doc scores above garbage (the CCNet filter signal)
     assert(out(10L)._2 > out(12L)._2)
   }
+
+  test("lmScore is partitioning-invariant (long sums carry no float order dependence)") {
+    val docs = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = TextAnalysis.lmScore(docs.repartition(parts), docs.repartition(parts))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(13), "1 partition vs 13 must be bit-identical")
+  }
 }

@@ -293,6 +293,9 @@ class TrainingDataSpec extends SparkSpec {
     // every-3rd sampling changes the stride; corrupt blobs flag ok=false
     val one = Multimodal.decodeFrames(Multimodal.gifFixtures(Seq((4L, "x")).toDF("doc_id", "text")), everyK = 3)
     assert(one.collect().map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 3L)) // 6 frames
+    // a stride past the clip still yields frame 0 (never an empty clip)
+    val wide = Multimodal.decodeFrames(Multimodal.gifFixtures(Seq((4L, "x")).toDF("doc_id", "text")), everyK = 99)
+    assert(wide.collect().map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L))
     val junk = Seq((1L, "not media".getBytes), (2L, Array.empty[Byte])).toDF("media_id", "blob")
     val bad = Multimodal.decodeFrames(junk).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(!bad(1L) && !bad(2L))

@@ -56,4 +56,37 @@ class StreamingCurationSpec extends SparkSpec {
     val pii = streamed.find(_._1 == 3L).get
     assert(pii._3 >= 2L && pii._4.contains("<EMAIL>"), "pii redaction must act in-stream")
   }
+
+  test("NFC normalization, URL features and blocklist are streaming-safe and match batch") {
+    val acute = 0x0301.toChar
+    val dirty = Seq(
+      (1L, s"Cafe$acute  menu", "en"),
+      (2L, "plain text here", "en"),
+      (3L, "blocked doc", "de"),
+      (4L, "kept doc", "de"))
+    val stage: DataFrame => DataFrame = in =>
+      CorpusOps.filterBlockedHosts(
+        TextAnalysis.urlFeatures(
+          TextAnalysis.normalizeText(in)
+            .withColumn("url", concat(
+              lit("https://h"), (col("doc_id") % 2).cast("string"), lit(".example.com/p")))),
+        blocked = Seq("h0.example.com"))
+        .select(col("doc_id"), col("text_norm"), col("host"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val query = stage(input.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("norm_out").outputMode("append").start()
+    input.addData(dirty: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("norm_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = stage(dirty.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set(1L, 3L), "even ids land on the blocked host")
+    val composed = 0x00E9.toChar
+    val d1 = streamed.find(_._1 == 1L).get
+    assert(d1._2 == s"Caf$composed menu", "NFC must compose and collapse in-stream")
+  }
 }

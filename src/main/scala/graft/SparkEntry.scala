@@ -1646,6 +1646,16 @@ object SparkEntry {
     // Lloyd's iterations run distributed (see KMeans scaladoc); the gate
     // checks the full training trajectory bit-for-bit — any divergence in
     // assignment or update at any iteration changes the final centroids.
+    // SemDeDup: the synthetic embeddings are near-orthogonal (max pair
+    // cosine ~0.44), so duplicate MEANING is injected as exact clones at
+    // id+10000 — same quantized vector, same cluster, cosine exactly 1.0
+    // — and the operator must drop precisely the clones
+    "semantic_dedup" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000)
+      val clones = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+      Dedup.semanticDedup(emb.unionAll(clones), k = 8, iters = 2, threshold = 0.99)
+    },
     "kmeans_centroids" -> { (s, dir) =>
       KMeans.centroidsDf(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 8, iters = 4, share = _.localCheckpoint(false))
@@ -2611,6 +2621,37 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
+    // SemDeDup: k-means chain on the clone-augmented subset (the clones
+    // quantize identically, so training is unchanged vs originals-only
+    // in every centroid), then final assignment + within-cluster earlier-
+    // witness cosine predicate
+    "semantic_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+         |sub AS (
+         |  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS val
+         |  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+         |        FROM aug)),
+         |${kmeansCtes(8, 2, 1000000, fromLongForm = Some("sub"))},
+         |fd AS MATERIALIZED (
+         |  SELECT q.vec_id, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent2 c ON q.m = c.m AND q.pos = c.pos
+         |  GROUP BY q.vec_id, c.c),
+         |fa AS MATERIALIZED (
+         |  SELECT vec_id, c AS cluster_id FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM fa a JOIN fa b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  JOIN aug ea ON ea.vec_id = a.vec_id
+         |  JOIN aug eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= 0.99)
+         |SELECT f.vec_id, CAST(f.cluster_id AS BIGINT) AS cluster_id
+         |FROM fa f WHERE f.vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin,
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
     "ann_ivfpq" -> ivfPqOracle(nlist = 8, coarseIters = 2, m = 4, ksub = 8,
       pqIters = 2, subWidth = 16, nprobe = 2, probeMax = 10, k = 5),

@@ -441,4 +441,39 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Semantic deduplication (the SemDeDup regime, Abbas et al. 2023):
+    * cluster the embedding space with k-means, then drop near-duplicate
+    * *meanings* — any vector with a lower-id same-cluster vector at
+    * cosine ≥ `threshold`. Clustering is what makes the quadratic safe:
+    * pairs are generated by a self-equi-join ON THE CLUSTER ID, so the
+    * pair volume is Σ|cluster|², bounded by choosing k ∝ corpus size
+    * (the paper's design point), never corpus².
+    *
+    * Determinism contract: k-means is [[KMeans.fit]]'s integer-exact
+    * trainer (lowest-id seeding, quantized centroids); the survivor rule
+    * is "no lower-id same-cluster vector above threshold" — a pure
+    * predicate, not a random representative, and it drops a vector even
+    * when its earlier witness is itself dropped (the one-pass chain-drop
+    * variant, documented rather than the paper's random keeper). Cosine
+    * is rounded to 1e-6 before thresholding (the [[Ann]] ranking rule)
+    * so the boundary decision is engine-stable.
+    *
+    * @return (idCol, cluster_id) for surviving vectors
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    val model = KMeans.fit(emb, k, iters, idCol, vecCol, share = share)
+    val assigned = KMeans.assign(emb, model, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col(idCol).as("_id"), col(vecCol).as("_v"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("_id2"), col(vecCol).as("_v2"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("_id2") < col("_id"))
+      .filter(round(Ann.cosine(col("_v"), col("_v2")), 6) >= threshold)
+      .select(col("_id").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
 }

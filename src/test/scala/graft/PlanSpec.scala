@@ -180,6 +180,12 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one shuffle (on host):\n$p")
   }
 
+  test("semantic_dedup: pair generation is an equi-join on cluster_id, never a product") {
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster equi-join only:\n$p")
+  }
+
   test("lm_score: gram joins are hash equi-joins; vocab is the only broadcast product") {
     val p = plan("lm_score")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")

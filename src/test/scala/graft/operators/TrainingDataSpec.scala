@@ -301,6 +301,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(!bad(1L) && !bad(2L))
   }
 
+  test("semanticDedup: clones drop, distinct meanings survive, chain-drop is documented") {
+    // two well-separated directions in 4d; ids 0/1 seed the clusters
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f, 0.0f)),  // near-dup of 0 (cos ~0.9992)
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),     // distinct meaning
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)))     // exact clone of 0
+    val emb = base.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, k = 2, iters = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // 2 survives? cos(0,2) = 0.999/sqrt(0.999^2+0.04^2) ~ 0.99920 >= 0.99 -> dropped
+    assert(kept.contains(0L) && kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(2L), "near-duplicate of an earlier vector must drop")
+    assert(!kept.contains(4L), "exact clone must drop")
+    // chain-drop: 2 dropped via witness 0; 4 similar to both 0 and 2 —
+    // still dropped even though one witness (2) is itself dropped
+    val loose = Dedup.semanticDedup(emb, k = 2, iters = 2, threshold = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(loose == Set(0L, 1L, 2L, 3L), "at 0.9999 only the exact clone drops")
+  }
+
   test("multimodal: nearest-neighbor resize matches the explicit integer mapping") {
     val media = Multimodal.pngFixtures(Seq((7L, "x")).toDF("doc_id", "text"))
     val w = Multimodal.fixtureWidth(7L); val h = Multimodal.fixtureHeight(7L) // 11 x 11

@@ -1711,6 +1711,10 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmScore(docs, docs)
     },
+    "vocab_drift" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.vocabDrift(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    },
     // the corpus text is clean ASCII, so a dirty column is derived
     // deterministically: decomposed combining sequences (NFC targets),
     // control bytes, and runs of mixed whitespace — mirrored exactly in
@@ -2458,6 +2462,30 @@ object SparkEntry {
          |   AND dup5gram_frac <= 0.15) AS repetition_ok
          |FROM nw LEFT JOIN a ON nw.doc_id = a.doc_id
          |GROUP BY nw.doc_id, nw.n_words""".stripMargin,
+    "vocab_drift" ->
+      s"""WITH ca AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_a
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 250)
+         |  GROUP BY word),
+         |cb AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_b
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id >= 250)
+         |  GROUP BY word),
+         |j AS (
+         |  SELECT COALESCE(ca.word, cb.word) AS word,
+         |         COALESCE(ca.n_a, 0) AS n_a, COALESCE(cb.n_b, 0) AS n_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b,
+         |             CAST(count(*) AS BIGINT) AS v FROM j),
+         |sc AS (
+         |  SELECT word, n_a, n_b,
+         |      (CAST(floor(ln(CAST(n_a + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(t.tot_a + t.v AS DOUBLE)) * 1e6) AS BIGINT))
+         |    - (CAST(floor(ln(CAST(n_b + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(t.tot_b + t.v AS DOUBLE)) * 1e6) AS BIGINT)) AS logratio_q
+         |  FROM j, t)
+         |SELECT word, n_a, n_b, logratio_q FROM sc
+         |ORDER BY abs(logratio_q) DESC, word LIMIT 50""".stripMargin,
     // the normalization contract is a Unicode standard (UAX #15), not a
     // library behavior: DuckDB's utf8proc and the JDK produce the same
     // NFC, so the full output TEXT is part of the hash surface

@@ -551,6 +551,44 @@ object TextAnalysis {
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
 
+  /** Vocabulary drift between two corpora — the ingest-monitoring signal
+    * for "did this crawl's word distribution move": per word, the
+    * difference of smoothed log-frequencies
+    *   logratio = ln((n_a+α)/(N_a+αV)) − ln((n_b+α)/(N_b+αV))
+    * over the UNION vocabulary, ranked by |logratio| (the words driving
+    * any KL-style divergence; the consumer can weight by p to get KL
+    * itself). Same engine-stability contract as [[lmScore]]: ln runs on
+    * integers only, floored to 1e-6 units, so every output is a long.
+    *
+    * Scale shape: two map-side-combinable word counts, a full outer join
+    * on the word key, 1-row broadcast totals, TakeOrdered top-k.
+    *
+    * @return (word, n_a, n_b, logratio_q) — top `topK` by |logratio_q|
+    */
+  def vocabDrift(corpusA: DataFrame, corpusB: DataFrame, topK: Int = 50,
+                 textCol: String = "text", alpha: Long = 1L): DataFrame = {
+    require(alpha > 0, "vocabDrift: alpha must be positive")
+    def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    def counts(d: DataFrame, out: String) = d
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as(out))
+
+    val joined = counts(corpusA, "n_a").join(counts(corpusB, "n_b"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("logratio_q",
+        (flq(col("n_a") + lit(alpha)) - flq(col("tot_a") + lit(alpha) * col("v"))) -
+          (flq(col("n_b") + lit(alpha)) - flq(col("tot_b") + lit(alpha) * col("v"))))
+      .orderBy(abs(col("logratio_q")).desc, col("word"))
+      .limit(topK)
+      .select(col("word"), col("n_a"), col("n_b"), col("logratio_q"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

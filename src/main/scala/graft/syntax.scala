@@ -153,6 +153,14 @@ object syntax {
     /** Bigram-LM log-likelihood against a train corpus (CCNet-style). */
     def lmScored(train: DataFrame): DataFrame = TextAnalysis.lmScore(df, train)
 
+    /** Top drifted words vs another corpus (ingest monitoring). */
+    def vocabDriftAgainst(other: DataFrame, topK: Int = 50): DataFrame =
+      TextAnalysis.vocabDrift(df, other, topK)
+
+    /** Semantic dedup over an embedding column (SemDeDup regime). */
+    def semanticDeduped(k: Int, iters: Int = 4, threshold: Double = 0.95): DataFrame =
+      Dedup.semanticDedup(df, k, iters, threshold)
+
     /** Host/path/query features from a `url` column. */
     def urlFeatured: DataFrame = TextAnalysis.urlFeatures(df)
 

@@ -98,5 +98,8 @@ class SyntaxSpec extends SparkSpec {
     assert(capped.select("host").distinct().count() == 4) // h0 blocked
     assert(capped.groupBy("host").count().agg(max("count")).head().getLong(0) <= 10)
     assert(docs.temperatureSampled(2.0).count() > 0)
+    assert(docs.vocabDriftAgainst(docs, topK = 5).count() <= 5)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    assert(emb.semanticDeduped(k = 4, iters = 2).count() > 0)
   }
 }

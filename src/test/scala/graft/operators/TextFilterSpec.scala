@@ -297,6 +297,22 @@ class TextFilterSpec extends SparkSpec {
     assert(out(10L)._2 > out(12L)._2)
   }
 
+  test("vocabDrift: hand-computed log-ratios, union vocabulary, abs ranking") {
+    def flq(n: Long): Long = math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
+    val a = Seq((0L, "x x x y")).toDF("doc_id", "text")  // n: x=3, y=1; tot_a=4
+    val b = Seq((1L, "x z z z")).toDF("doc_id", "text")  // n: x=1, z=3; tot_b=4
+    // union vocab V=3; denominators tot+V=7 cancel in the difference
+    val out = TextAnalysis.vocabDrift(a, b, topK = 10)
+      .as[(String, Long, Long, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("x") == (("x", 3L, 1L, flq(4) - flq(7) - (flq(2) - flq(7)))))
+    assert(m("y")._4 == flq(2) - flq(1)) // present only in a: + drift
+    assert(m("z")._4 == flq(1) - flq(4)) // present only in b: - drift
+    // ranking: |z| = flq(4); |x| = flq(4)-flq(2) = ln2 ties |y| = flq(2),
+    // broken by word order
+    assert(out.map(_._1).toSeq == Seq("z", "x", "y"))
+  }
+
   test("lmScore is partitioning-invariant (long sums carry no float order dependence)") {
     val docs = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}"))
       .toDF("doc_id", "text")

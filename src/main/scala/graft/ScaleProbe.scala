@@ -97,6 +97,10 @@ object ScaleProbe {
     t("text_normalize_10x") {
       TextAnalysis.normalizeText(docs10).agg(sum(col("n_chars_norm"))).collect()(0).getLong(0)
     }
+    t("vocab_drift_10x") {
+      TextAnalysis.vocabDrift(docs10.filter(col("doc_id") % 2 === 0),
+        docs10.filter(col("doc_id") % 2 === 1), topK = 50).count()
+    }
     // per-host cap at its adversarial worst: 10x replication makes every
     // host a 10x-hot host, and the rank limit must stop materialization
     // at the cap per partition (WindowGroupLimit), not after it
@@ -111,6 +115,13 @@ object ScaleProbe {
     val emb10 = (0 until 10).map(i =>
         emb.select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"), col("label")))
       .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    // the 10x replicas are EXACT clones of every vector — the worst case
+    // for semantic dedup (every cluster is 9/10 duplicates; the cluster
+    // equi-join must bound the quadratic, and 9/10 of the corpus drops)
+    t("semantic_dedup_10x") {
+      Dedup.semanticDedup(emb10, k = 64, iters = 2, threshold = 0.99,
+        share = _.localCheckpoint(false)).count()
+    }
     var km: KMeans.Model = null
     t("kmeans_10x") { // 50k vectors x 64 dims, 4 Lloyd's iterations
       km = KMeans.fit(emb10, k = 8, iters = 4, share = _.localCheckpoint(false))

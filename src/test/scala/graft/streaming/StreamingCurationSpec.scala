@@ -89,4 +89,24 @@ class StreamingCurationSpec extends SparkSpec {
     val d1 = streamed.find(_._1 == 1L).get
     assert(d1._2 == s"Caf$composed menu", "NFC must compose and collapse in-stream")
   }
+
+  test("per-host ingest caps compose from urlFeatures + StreamingQuota keyed by host") {
+    // the streaming twin of CorpusOps.capPerHost for ingest topologies:
+    // host extraction is scan-stage, so StreamingQuota's keyed counter
+    // runs directly on the derived host column
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val withHost = (in: DataFrame) => TextAnalysis.urlFeatures(
+      in.toDF("doc_id", "url", "t_us"))
+    val query = StreamingQuota.quota(withHost(input.toDF()), quota = 2,
+      windowMinutes = 60, groupCol = "host", idleHorizonMinutes = 0)
+      .writeStream.format("memory").queryName("hostquota").outputMode("append").start()
+    val rows = (0L until 6L).map(i =>
+      (i, s"https://h${i % 2}.example.com/p$i", i * 1000L))
+    input.addData(rows: _*); query.processAllAvailable()
+    query.stop()
+    val admitted = spark.table("hostquota").collect().map(_.getAs[Long]("doc_id")).toSet
+    // 2 per host in the window: h0 gets 0,2; h1 gets 1,3; 4 and 5 are over quota
+    assert(admitted === Set(0L, 1L, 2L, 3L))
+  }
 }

@@ -1800,6 +1800,21 @@ object SparkEntry {
       CorpusOps.temperatureSample(s.read.parquet(s"$dir/documents.parquet"), temperature = 2.0)
         .select(col("doc_id"), col("lang"))
     },
+    // equal-weight target: en is the most abundant, so it stays at one
+    // epoch and de/fr/es repeat ~3x; zh is outside the target and drops
+    "mixture_upsample" -> { (s, dir) =>
+      CorpusOps.upsampleMixture(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+    },
+    // DSIR importance vs the English slice as target: hashed-bigram
+    // log-ratio weights (256 buckets), every document scored
+    "dsir_importance" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = TextAnalysis.importanceWeights(docs.filter(col("lang") === "en"), docs, dim = 256)
+      TextAnalysis.importanceScore(docs, w, dim = 256)
+        .select(col("doc_id"), col("n_bigrams"), col("importance_q"))
+    },
     // the full curation pipeline: quality -> repetition -> near-dup
     // pruning -> rebalance -> split, each stage over the previous one's
     // output (rebalance thresholds derive from post-dedup counts)
@@ -2826,6 +2841,54 @@ object SparkEntry {
          |        FROM c, mn)
          |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
          |WHERE ${h60Sql("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.t""".stripMargin,
+    // epoch upsampling: reference group by MAX-ratio integer
+    // cross-compare keeps one epoch; others repeat rq//10000 times plus
+    // one iff the salted hash bucket < rq % 10000 — identical integer
+    // arithmetic to CorpusOps.upsampleMixture; copies come from a
+    // recursive numbers CTE joined on i < n_copies
+    "mixture_upsample" ->
+      s"""WITH RECURSIVE tgt(g, w) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)),
+         |cnt AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n FROM documents
+         |        WHERE lang IN (SELECT g FROM tgt) GROUP BY lang),
+         |scw AS (SELECT c.g, c.n, t.w FROM cnt c JOIN tgt t ON c.g = t.g),
+         |ref AS (SELECT g, n, w FROM scw a WHERE NOT EXISTS (
+         |  SELECT 1 FROM scw b WHERE b.n * a.w > a.n * b.w
+         |                         OR (b.n * a.w = a.n * b.w AND b.g < a.g))),
+         |rep AS (SELECT scw.g, (10000 * scw.w * r.n) // (r.w * scw.n) AS rq FROM scw, ref r),
+         |nums(i) AS (SELECT CAST(0 AS BIGINT) UNION ALL SELECT i + 1 FROM nums WHERE i + 1 < 1000),
+         |d AS (SELECT doc_id, lang, rq // 10000 +
+         |        CASE WHEN ${h60Sql("'epoch:' || CAST(doc_id AS VARCHAR)")} % 10000 < rq % 10000
+         |             THEN 1 ELSE 0 END AS n_copies
+         |      FROM documents JOIN rep ON lang = rep.g)
+         |SELECT d.doc_id, d.lang, nums.i AS epoch
+         |FROM d JOIN nums ON nums.i < d.n_copies""".stripMargin,
+    // DSIR: bigrams hash into 256 buckets; per-bucket log-ratio weights
+    // over a dense bucket spine (unseen buckets keep the smoothing-only
+    // weight); document importance = long sum of its bigram weights
+    "dsir_importance" ->
+      s"""WITH RECURSIVE spine(b) AS (
+         |  SELECT CAST(0 AS BIGINT) UNION ALL SELECT b + 1 FROM spine WHERE b + 1 < 256),
+         |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, lang, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |hb AS (SELECT doc_id, lang, ${h60Sql("bg")} % 256 AS bucket FROM bgs),
+         |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb WHERE lang = 'en' GROUP BY bucket),
+         |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct) AS nt,
+         |               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cr) AS nr),
+         |wt AS (SELECT s.b AS bucket,
+         |         (CAST(floor(ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |        - CAST(floor(ln(CAST(tot.nt + 256 AS DOUBLE)) * 1e6) AS BIGINT))
+         |       - (CAST(floor(ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |        - CAST(floor(ln(CAST(tot.nr + 256 AS DOUBLE)) * 1e6) AS BIGINT)) AS w_q
+         |       FROM spine s LEFT JOIN ct ON s.b = ct.bucket
+         |                    LEFT JOIN cr ON s.b = cr.bucket CROSS JOIN tot),
+         |sc AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(wt.w_q) AS BIGINT) AS importance_q
+         |       FROM hb JOIN wt ON hb.bucket = wt.bucket GROUP BY hb.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.importance_q, 0) AS importance_q
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH RECURSIVE ord AS (
          |  SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,

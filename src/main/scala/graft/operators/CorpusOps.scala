@@ -243,6 +243,73 @@ object CorpusOps {
     docs.filter(thr.isNotNull && bucket < thr)
   }
 
+  /** Epoch-style mixture UPSAMPLING: repeat scarce groups until the
+    * group mix matches the target weights, keeping the most
+    * over-represented group at exactly one epoch — the "source seen N
+    * epochs per training pass" regime of large-LM data mixtures, and
+    * the dual of [[rebalanceMixture]] (which thins). Upsample when the
+    * scarce data is too valuable to waste and repetition is acceptable;
+    * downsample when abundance allows.
+    *
+    * Per group the exact repeat ratio r_g = (w_g·n_ref)/(w_ref·n_g) ≥ 1
+    * is quantized to basis points `rq = ⌊bp·w_g·n_ref/(w_ref·n_g)⌋` in
+    * BigInt; every row gets ⌊rq/bp⌋ full copies plus one more iff its
+    * salted hash bucket < rq mod bp, so group sizes land within one
+    * document of the target mixture and every copy count is a pure
+    * function of the row key (an external engine reproduces the output
+    * bit-for-bit; re-runs never change a document's epoch count).
+    * Copies carry a 0-based `epoch` column so a downstream
+    * [[deterministicShuffle]] spreads replicas across shards instead of
+    * leaving them adjacent. Groups outside the target drop (matching
+    * [[rebalanceMixture]]).
+    *
+    * Scale shape: one map-side-combinable groupBy collects #groups
+    * counts to the driver, then copy counts are a scan-stage
+    * sequence-explode against broadcast-literal thresholds — `docs`
+    * itself never shuffles, and output volume is the mixture-corrected
+    * corpus (the intended growth, never more).
+    */
+  def upsampleMixture(docs: DataFrame, targetWeights: Seq[(String, Long)],
+                      groupCol: String = "lang", salt: String = "epoch",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target group")
+    require(targetWeights.forall(_._2 > 0), "target weights must be positive")
+    require(targetWeights.map(_._1).distinct.size == targetWeights.size, "duplicate target group")
+    val bp = 10000L
+
+    val weights = targetWeights.toMap
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).filter(weights.contains).map(_ -> r.getLong(1)))
+      .toMap
+    require(counts.nonEmpty, s"no target group present in '$groupCol'")
+
+    // reference group: MAX count/weight ratio (most over-represented —
+    // it repeats exactly once) by integer cross-compare, ties to the
+    // smaller group name — the mirror image of rebalanceMixture's
+    // scarcest-group selection
+    val present = targetWeights.filter { case (g, _) => counts.contains(g) }
+    val (rg, rw) = present.reduce { (a, b) =>
+      val cmp = BigInt(counts(a._1)) * b._2 - BigInt(counts(b._1)) * a._2
+      if (cmp > 0 || (cmp == 0 && a._1 < b._1)) a else b
+    }
+    val repeats: Map[String, Long] = present.map { case (g, w) =>
+      g -> (BigInt(bp) * w * counts(rg) / (BigInt(rw) * counts(g))).toLong
+    }.toMap
+
+    val bucket = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(bp))
+    val rq = element_at(typedlit(repeats), col(groupCol))
+    // base copies via subtract-remainder (exact in doubles: the numerator
+    // is a multiple of bp, and correctly-rounded division of exact
+    // operands yields the exact integer)
+    val copies = ((rq - pmod(rq, lit(bp))) / lit(bp)).cast("long") +
+      when(bucket < pmod(rq, lit(bp)), lit(1L)).otherwise(lit(0L))
+    docs.filter(rq.isNotNull)
+      .withColumn("_copies", copies)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - lit(1L))))
+      .drop("_copies")
+  }
+
   def deterministicShuffle(docs: DataFrame, shards: Int, salt: String = "graft",
                            idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")

@@ -589,6 +589,83 @@ object TextAnalysis {
       .select(col("word"), col("n_a"), col("n_b"), col("logratio_q"))
   }
 
+  /** DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * train two smoothed bag-of-hashed-bigram models — one on the
+    * `target` corpus (what you want more of), one on the `raw` corpus —
+    * and weight each of the `dim` hash buckets by the log-ratio of its
+    * smoothed frequencies. A document scored by [[importanceScore]]
+    * then carries ln p_target(doc) − ln p_raw(doc), the importance
+    * weight the paper resamples by.
+    *
+    * Same engine-stability contract as [[lmScore]]/[[vocabDrift]]: ln
+    * runs on INTEGER counts only and is floored to 1e-6 units, so
+    *   w_q(b) = [flq(c_t+α) − flq(N_t+α·dim)] − [flq(c_r+α) − flq(N_r+α·dim)]
+    * is a pure long per bucket and every downstream sum is bit-stable
+    * across engines and aggregation orders.
+    *
+    * The weight table is DENSE over all `dim` buckets (buckets unseen in
+    * both corpora still carry the nonzero smoothing-only weight), so
+    * scoring needs no unseen-bucket special case. Scale shape: two
+    * map-side-combinable bucket-count groupBys — at most `dim` rows
+    * each, bounded regardless of corpus size, which is the entire point
+    * of hashing the feature space — joined onto a `spark.range(dim)`
+    * spine with 1-row broadcast totals.
+    *
+    * @return (bucket, n_target, n_raw, w_q) — one row per hash bucket
+    */
+  def importanceWeights(target: DataFrame, raw: DataFrame, dim: Int = 1 << 10,
+                        textCol: String = "text", alpha: Long = 1L): DataFrame = {
+    require(dim > 0, "importanceWeights: dim must be positive")
+    require(alpha > 0, "importanceWeights: alpha must be positive")
+    def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    def bucketCounts(d: DataFrame, out: String) = d
+      .select(explode(ngrams(col(textCol), 2)).as("bg"))
+      .select(pmod(graft.functions.PortableHash.h60(col("bg")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+
+    val spine = target.sparkSession.range(dim).select(col("id").as("bucket"))
+    val joined = spine
+      .join(bucketCounts(target, "_ct"), Seq("bucket"), "left")
+      .join(bucketCounts(raw, "_cr"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("_ct"), lit(0L)).as("n_target"),
+        coalesce(col("_cr"), lit(0L)).as("n_raw"))
+    val totals = joined.agg(
+      sum(col("n_target")).as("_nt"), sum(col("n_raw")).as("_nr"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("w_q",
+        (flq(col("n_target") + lit(alpha)) - flq(col("_nt") + lit(alpha * dim))) -
+          (flq(col("n_raw") + lit(alpha)) - flq(col("_nr") + lit(alpha * dim))))
+      .select(col("bucket"), col("n_target"), col("n_raw"), col("w_q"))
+  }
+
+  /** Score documents against an [[importanceWeights]] table: each
+    * document's bigrams hash into the same `dim` buckets and the
+    * importance is the long sum of their bucket weights (zero-bigram
+    * documents score (0, 0) via the id-spine left join, the [[lmScore]]
+    * contract). The weight table is `dim` rows — broadcast — so scoring
+    * is one scan-stage explode + broadcast equi-join + groupBy, no
+    * corpus shuffle beyond the per-doc aggregation.
+    *
+    * @return (doc_id, n_bigrams, importance_q) — importance in 1e-6 ln units
+    */
+  def importanceScore(docs: DataFrame, weights: DataFrame, dim: Int = 1 << 10,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, "importanceScore: dim must be positive")
+    val scored = docs
+      .select(col(idCol).as("doc_id"), explode(ngrams(col(textCol), 2)).as("bg"))
+      .withColumn("bucket", pmod(graft.functions.PortableHash.h60(col("bg")), lit(dim.toLong)))
+      .join(broadcast(weights.select(col("bucket"), col("w_q"))), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_q")).as("importance_q"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("importance_q"), lit(0L)).as("importance_q"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

@@ -157,6 +157,14 @@ object syntax {
     def vocabDriftAgainst(other: DataFrame, topK: Int = 50): DataFrame =
       TextAnalysis.vocabDrift(df, other, topK)
 
+    /** Epoch-style upsampling toward a target mixture (adds `epoch`). */
+    def upsampledToMixture(targetWeights: Seq[(String, Long)]): DataFrame =
+      CorpusOps.upsampleMixture(df, targetWeights)
+
+    /** DSIR importance vs a target corpus: hashed-bigram log-ratio sum. */
+    def importanceScoredAgainst(target: DataFrame, dim: Int = 1 << 10): DataFrame =
+      TextAnalysis.importanceScore(df, TextAnalysis.importanceWeights(target, df, dim), dim)
+
     /** Semantic dedup over an embedding column (SemDeDup regime). */
     def semanticDeduped(k: Int, iters: Int = 4, threshold: Double = 0.95): DataFrame =
       Dedup.semanticDedup(df, k, iters, threshold)

@@ -148,6 +148,50 @@ class CorpusOpsSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("upsampleMixture: reference group keeps one epoch; scarce groups repeat exactly") {
+    // 1000 en, 100 de at target 1:1 -> en is most over-represented
+    // (reference, 1 epoch); de's repeat ratio is exactly 10.0, so every
+    // de doc gets exactly 10 copies (frac = 0: no hash involved)
+    val docs = ((0L until 1000L).map(i => (i, "en")) ++ (1000L until 1100L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.upsampleMixture(docs, Seq("en" -> 1L, "de" -> 1L))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 1000L, "reference group repeats exactly once")
+    assert(byLang("de") === 1000L, "integer ratio 10 -> exactly 10 copies each")
+    val enEpochs = out.filter(col("lang") === "en").select("epoch").distinct().as[Long].collect()
+    assert(enEpochs.toSeq === Seq(0L), "single-epoch group carries epoch 0 only")
+    val deEpochs = out.filter(col("lang") === "de" && col("doc_id") === 1000L)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(deEpochs === (0L until 10L).toSeq, "copies carry dense 0-based epochs")
+  }
+
+  test("upsampleMixture: fractional repeats land in the binomial band; deterministic") {
+    // 300 en, 70 de at 1:1: rq_de = 10000*300/70 = 42857 -> base 4 copies
+    // plus one more for ~28.57% of de docs (expected total 300)
+    val docs = ((0L until 300L).map(i => (i, "en")) ++ (300L until 370L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.upsampleMixture(docs, Seq("en" -> 1L, "de" -> 1L))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 300L)
+    assert(byLang("de") >= 280L && byLang("de") <= 320L, s"got ${byLang("de")}")
+    // every de doc has 4 or 5 copies — the frac decision is per-doc
+    val perDoc = out.filter(col("lang") === "de").groupBy("doc_id").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(perDoc.subsetOf(Set(4L, 5L)))
+    val again = CorpusOps.upsampleMixture(docs, Seq("en" -> 1L, "de" -> 1L))
+    assert(again.select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq ==
+      out.select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq,
+      "copy sets are a pure function of the row key")
+  }
+
+  test("upsampleMixture: non-target groups drop, absent target groups are ignored") {
+    val docs = ((0L until 50L).map(i => (i, "en")) ++ (50L until 60L).map(i => (i, "zh")))
+      .toDF("doc_id", "lang")
+    val out = CorpusOps.upsampleMixture(docs, Seq("en" -> 1L, "fr" -> 5L))
+    assert(out.select("lang").distinct().as[String].collect().toSet === Set("en"))
+    assert(out.count() === 50L, "sole present target group is its own reference -> 1 epoch")
+  }
+
   test("curate: each stage drops what it should; survivors carry splits") {
     import org.apache.spark.sql.functions._
     // long enough that the Gopher top-n-gram fractions (>= n/n_words

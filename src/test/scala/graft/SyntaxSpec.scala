@@ -101,5 +101,10 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.vocabDriftAgainst(docs, topK = 5).count() <= 5)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     assert(emb.semanticDeduped(k = 4, iters = 2).count() > 0)
+    val up = docs.upsampledToMixture(Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
+    assert(up.columns.contains("epoch") && up.count() >= docs.filter(
+      col("lang").isin("en", "de", "fr", "es")).count())
+    assert(docs.importanceScoredAgainst(docs.filter(col("lang") === "en"), dim = 128)
+      .columns.toSet == Set("doc_id", "n_bigrams", "importance_q"))
   }
 }

@@ -320,4 +320,49 @@ class TextFilterSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run(1) == run(13), "1 partition vs 13 must be bit-identical")
   }
+
+  test("importanceWeights/importanceScore: hand-derived DSIR log-ratios over hashed buckets") {
+    def flq(n: Long): Long = math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
+    def bucket(bg: String, dim: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bg.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      Math.floorMod(java.lang.Long.parseLong(hex, 16), dim.toLong)
+    }
+    val dim = 64
+    // target: one bigram (a b); raw: (a b) and (c d) -> N_t=1, N_r=2
+    val target = Seq((0L, "a b")).toDF("doc_id", "text")
+    val raw = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val bAb = bucket("a b", dim); val bCd = bucket("c d", dim); val bBc = bucket("b c", dim)
+    assume(Set(bAb, bCd, bBc).size == 3, "fixture bigrams must not collide at dim=64")
+
+    val w = TextAnalysis.importanceWeights(target, raw, dim)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(w.size == dim, "weight table is dense over all buckets")
+    // seen in both: [flq(1+1) - flq(1+64)] - [flq(1+1) - flq(2+64)]
+    assert(w(bAb) == ((bAb, 1L, 1L, (flq(2) - flq(65)) - (flq(2) - flq(66)))))
+    // raw-only bucket: the negative-importance direction
+    assert(w(bCd) == ((bCd, 0L, 1L, (flq(1) - flq(65)) - (flq(2) - flq(66)))))
+    // unseen everywhere: smoothing-only weight, still present and nonzero
+    assert(w(bBc) == ((bBc, 0L, 0L, (flq(1) - flq(65)) - (flq(1) - flq(66)))))
+
+    val scored = TextAnalysis.importanceScore(
+      Seq((10L, "a b c d"), (11L, "solo")).toDF("doc_id", "text"),
+      TextAnalysis.importanceWeights(target, raw, dim), dim)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored(10L) == ((3L, w(bAb)._4 + w(bBc)._4 + w(bCd)._4)))
+    assert(scored(11L) == ((0L, 0L)), "zero-bigram docs score (0, 0)")
+    // the target-like bigram pulls importance up vs the raw-only one
+    assert(w(bAb)._4 > w(bCd)._4)
+  }
+
+  test("importanceScore is partitioning-invariant and bounded by the dim-row broadcast") {
+    val docs = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    def run(parts: Int) = TextAnalysis.importanceScore(
+      docs.repartition(parts),
+      TextAnalysis.importanceWeights(target.repartition(parts), docs.repartition(parts), 128), 128)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(13), "1 partition vs 13 must be bit-identical")
+  }
 }

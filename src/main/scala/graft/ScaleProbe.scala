@@ -101,6 +101,22 @@ object ScaleProbe {
       TextAnalysis.vocabDrift(docs10.filter(col("doc_id") % 2 === 0),
         docs10.filter(col("doc_id") % 2 === 1), topK = 50).count()
     }
+    // DSIR at 10x: bucket counts stay bounded at dim rows no matter the
+    // corpus size — the probe verifies the cost is two corpus scans plus
+    // the broadcast-join score pass, not anything supra-linear
+    t("dsir_score_10x") {
+      TextAnalysis.importanceScore(docs10,
+        TextAnalysis.importanceWeights(docs10.filter(col("lang") === "en"), docs10, dim = 1024),
+        dim = 1024)
+        .agg(sum(col("importance_q"))).collect()(0).getLong(0)
+    }
+    // upsampling multiplies the corpus by design; the probe pins that the
+    // work is one scan + generate (no shuffle) even when the output is
+    // ~3x the 50k-doc input
+    t("upsample_10x") {
+      CorpusOps.upsampleMixture(docs10,
+        Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L, "es" -> 1L, "zh" -> 1L)).count()
+    }
     // per-host cap at its adversarial worst: 10x replication makes every
     // host a 10x-hot host, and the rank limit must stop materialization
     // at the cap per partition (WindowGroupLimit), not after it

@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"threshold filter must not shuffle:\n$p")
   }
 
+  test("mixture_upsample: copy explode is scan-stage — no shuffle of the corpus at all") {
+    val p = plan("mixture_upsample")
+    assert(!p.contains("Exchange"), s"sequence-explode must not shuffle:\n$p")
+    assert(p.contains("Generate explode(sequence"), s"copies via codegen sequence-explode:\n$p")
+  }
+
+  test("dsir_importance: dim-row weight table broadcasts; doc side never sort-merges with it") {
+    val p = plan("dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), s"score join must broadcast the weight table:\n$p")
+    // the only sort-merge join allowed is the final id-spine left join
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"weight/count joins must all broadcast:\n$p")
+  }
+
   test("url_hostcap: host-cap rank limit pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("url_hostcap")
     assert(p.contains("WindowGroupLimit"), s"cap must push below the exchange:\n$p")

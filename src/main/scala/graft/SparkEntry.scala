@@ -1815,6 +1815,14 @@ object SparkEntry {
       TextAnalysis.importanceScore(docs, w, dim = 256)
         .select(col("doc_id"), col("n_bigrams"), col("importance_q"))
     },
+    // the scan-only twin: weight array as a plan literal, per-row
+    // transform+aggregate — same oracle proves join ≡ scan under the gate
+    "dsir_importance_scan" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = TextAnalysis.importanceWeights(docs.filter(col("lang") === "en"), docs, dim = 256)
+      TextAnalysis.importanceScoreScan(docs, w, dim = 256)
+        .select(col("doc_id"), col("n_bigrams"), col("importance_q"))
+    },
     // the full curation pipeline: quality -> repetition -> near-dup
     // pruning -> rebalance -> split, each stage over the previous one's
     // output (rebalance thresholds derive from post-dedup counts)
@@ -2864,7 +2872,33 @@ object SparkEntry {
          |FROM d JOIN nums ON nums.i < d.n_copies""".stripMargin,
     // DSIR: bigrams hash into 256 buckets; per-bucket log-ratio weights
     // over a dense bucket spine (unseen buckets keep the smoothing-only
-    // weight); document importance = long sum of its bigram weights
+    // weight); document importance = long sum of its bigram weights.
+    // The scan-only twin shares the oracle verbatim: join ≡ scan is part
+    // of what the gate proves.
+    "dsir_importance_scan" ->
+      s"""WITH RECURSIVE spine(b) AS (
+         |  SELECT CAST(0 AS BIGINT) UNION ALL SELECT b + 1 FROM spine WHERE b + 1 < 256),
+         |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, lang, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |hb AS (SELECT doc_id, lang, ${h60Sql("bg")} % 256 AS bucket FROM bgs),
+         |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb WHERE lang = 'en' GROUP BY bucket),
+         |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct) AS nt,
+         |               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cr) AS nr),
+         |wt AS (SELECT s.b AS bucket,
+         |         (CAST(floor(ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |        - CAST(floor(ln(CAST(tot.nt + 256 AS DOUBLE)) * 1e6) AS BIGINT))
+         |       - (CAST(floor(ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |        - CAST(floor(ln(CAST(tot.nr + 256 AS DOUBLE)) * 1e6) AS BIGINT)) AS w_q
+         |       FROM spine s LEFT JOIN ct ON s.b = ct.bucket
+         |                    LEFT JOIN cr ON s.b = cr.bucket CROSS JOIN tot),
+         |sc AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(wt.w_q) AS BIGINT) AS importance_q
+         |       FROM hb JOIN wt ON hb.bucket = wt.bucket GROUP BY hb.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.importance_q, 0) AS importance_q
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "dsir_importance" ->
       s"""WITH RECURSIVE spine(b) AS (
          |  SELECT CAST(0 AS BIGINT) UNION ALL SELECT b + 1 FROM spine WHERE b + 1 < 256),

@@ -666,6 +666,35 @@ object TextAnalysis {
         coalesce(col("importance_q"), lit(0L)).as("importance_q"))
   }
 
+  /** Scan-only twin of [[importanceScore]]: the dense `dim`-row weight
+    * table collects to a driver array (bounded state, the k-means
+    * centroid regime) and each document scores via higher-order
+    * `transform` + `aggregate` over its bigram array — per-row, in the
+    * scan stage, with NO explode, NO join, NO shuffle at all. Bit-
+    * identical to the join form (long sums carry no order dependence;
+    * parity is spec-pinned), so it is the 100 TB path — one pass over
+    * the corpus — and, being stateless, scores streaming frames
+    * unchanged. Prefer the join form only when `dim` is too large to
+    * hold as a plan literal (≳1M buckets).
+    *
+    * @return (doc_id, n_bigrams, importance_q) — importance in 1e-6 ln units
+    */
+  def importanceScoreScan(docs: DataFrame, weights: DataFrame, dim: Int = 1 << 10,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, "importanceScoreScan: dim must be positive")
+    val arr = new Array[Long](dim)
+    weights.select(col("bucket"), col("w_q")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val wlit = typedlit(arr.toSeq)
+    val grams = ngrams(col(textCol), 2)
+    docs.select(col(idCol).as("doc_id"),
+      size(grams).cast("long").as("n_bigrams"),
+      aggregate(
+        transform(grams, bg => element_at(wlit,
+          (pmod(graft.functions.PortableHash.h60(bg), lit(dim.toLong)) + lit(1L)).cast("int"))),
+        lit(0L), (acc, x) => acc + x).as("importance_q"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

@@ -161,9 +161,11 @@ object syntax {
     def upsampledToMixture(targetWeights: Seq[(String, Long)]): DataFrame =
       CorpusOps.upsampleMixture(df, targetWeights)
 
-    /** DSIR importance vs a target corpus: hashed-bigram log-ratio sum. */
+    /** DSIR importance vs a target corpus: hashed-bigram log-ratio sum
+      * (scan-only scoring — the zero-shuffle path).
+      */
     def importanceScoredAgainst(target: DataFrame, dim: Int = 1 << 10): DataFrame =
-      TextAnalysis.importanceScore(df, TextAnalysis.importanceWeights(target, df, dim), dim)
+      TextAnalysis.importanceScoreScan(df, TextAnalysis.importanceWeights(target, df, dim), dim)
 
     /** Semantic dedup over an embedding column (SemDeDup regime). */
     def semanticDeduped(k: Int, iters: Int = 4, threshold: Double = 0.95): DataFrame =

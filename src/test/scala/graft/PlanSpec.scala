@@ -179,6 +179,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode(sequence"), s"copies via codegen sequence-explode:\n$p")
   }
 
+  test("dsir_importance_scan: per-row scoring is scan-only — no shuffle, no join at all") {
+    val p = plan("dsir_importance_scan")
+    assert(!p.contains("Exchange"), s"scan twin must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"scan twin must not join:\n$p")
+  }
+
   test("dsir_importance: dim-row weight table broadcasts; doc side never sort-merges with it") {
     val p = plan("dsir_importance")
     assert(p.contains("BroadcastHashJoin"), s"score join must broadcast the weight table:\n$p")

@@ -355,6 +355,18 @@ class TextFilterSpec extends SparkSpec {
     assert(w(bAb)._4 > w(bCd)._4)
   }
 
+  test("importanceScoreScan is bit-identical to the join form (including empty docs)") {
+    val docs = ((0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}")) :+
+      ((200L, "solo")) :+ ((201L, ""))).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    val w = TextAnalysis.importanceWeights(target, docs, 128)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sorted(TextAnalysis.importanceScoreScan(docs, w, 128)) ==
+      sorted(TextAnalysis.importanceScore(docs, w, 128)),
+      "scan twin must reproduce the join form exactly")
+  }
+
   test("importanceScore is partitioning-invariant and bounded by the dim-row broadcast") {
     val docs = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}"))
       .toDF("doc_id", "text")

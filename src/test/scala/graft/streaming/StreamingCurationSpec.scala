@@ -90,6 +90,28 @@ class StreamingCurationSpec extends SparkSpec {
     assert(d1._2 == s"Caf$composed menu", "NFC must compose and collapse in-stream")
   }
 
+  test("scan-only DSIR scoring runs on a stream and matches batch scores") {
+    // the weight table is trained in batch (bounded dim-row driver
+    // state); scoring is a stateless per-row projection, so the same
+    // operator runs on a streaming frame with no state, watermark, or
+    // output-mode concern
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "a b a c"), (1L, "a b"), (2L, "c d c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(corpus.filter(col("doc_id") < 2), corpus, 64)
+    val batch = TextAnalysis.importanceScoreScan(corpus, w, 64)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val query = TextAnalysis.importanceScoreScan(input.toDF().toDF("doc_id", "text"), w, 64)
+      .writeStream.format("memory").queryName("dsirscan").outputMode("append").start()
+    input.addData((0L, "a b a c"), (1L, "a b"), (2L, "c d c d"), (3L, "x y"))
+    query.processAllAvailable(); query.stop()
+    val streamed = spark.table("dsirscan")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, "streaming scores must equal batch bit-for-bit")
+  }
+
   test("per-host ingest caps compose from urlFeatures + StreamingQuota keyed by host") {
     // the streaming twin of CorpusOps.capPerHost for ingest topologies:
     // host extraction is scan-stage, so StreamingQuota's keyed counter

@@ -138,6 +138,14 @@ object ScaleProbe {
       Dedup.semanticDedup(emb10, k = 64, iters = 2, threshold = 0.99,
         share = _.localCheckpoint(false)).count()
     }
+    // occupancy drift over shared clusters: train + two assignment scans
+    // + k-row arithmetic — the cost is the k-means fit, nothing more
+    t("embedding_drift_10x") {
+      KMeans.clusterDrift(emb10,
+        emb10.filter(col("vec_id") % 2 === 0), emb10.filter(col("vec_id") % 2 === 1),
+        k = 8, iters = 2, share = _.localCheckpoint(false))
+        .agg(sum(col("drift_q"))).collect()(0).getLong(0)
+    }
     var km: KMeans.Model = null
     t("kmeans_10x") { // 50k vectors x 64 dims, 4 Lloyd's iterations
       km = KMeans.fit(emb10, k = 8, iters = 4, share = _.localCheckpoint(false))

@@ -1660,6 +1660,14 @@ object SparkEntry {
       KMeans.centroidsDf(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 8, iters = 4, share = _.localCheckpoint(false))
     },
+    // embedding-space drift: shared clusters trained on the full table,
+    // even ids as corpus A vs odd ids as corpus B; dense k-row output
+    "embedding_drift" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      KMeans.clusterDrift(emb,
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        k = 8, iters = 2, share = _.localCheckpoint(false))
+    },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
     // scan in one result.
@@ -2672,6 +2680,34 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
+    // shared 8-cluster space (2 iterations), final assignment of every
+    // vector (fd/fa = the semantic_dedup assignment pattern), even/odd
+    // occupancy counts, quantized-ln drift over a dense cluster spine
+    "embedding_drift" ->
+      s"""WITH RECURSIVE ${kmeansCtes(8, 2, 1000000)},
+         |fd AS MATERIALIZED (
+         |  SELECT q.vec_id, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent2 c ON q.m = c.m AND q.pos = c.pos
+         |  GROUP BY q.vec_id, c.c),
+         |fa AS MATERIALIZED (
+         |  SELECT vec_id, c AS cluster_id FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |ca AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM fa
+         |       WHERE vec_id % 2 = 0 GROUP BY cluster_id),
+         |cb AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM fa
+         |       WHERE vec_id % 2 = 1 GROUP BY cluster_id),
+         |tot AS (SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM ca) AS ta,
+         |               (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cb) AS tb),
+         |spine(sc) AS (SELECT CAST(0 AS BIGINT) UNION ALL SELECT sc + 1 FROM spine WHERE sc + 1 < 8)
+         |SELECT s.sc AS cluster_id,
+         |  coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b,
+         |  (CAST(floor(ln(CAST(coalesce(ca.n, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         | - CAST(floor(ln(CAST(tot.ta + 8 AS DOUBLE)) * 1e6) AS BIGINT))
+         |- (CAST(floor(ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         | - CAST(floor(ln(CAST(tot.tb + 8 AS DOUBLE)) * 1e6) AS BIGINT)) AS drift_q
+         |FROM spine s LEFT JOIN ca ON s.sc = ca.cluster_id
+         |             LEFT JOIN cb ON s.sc = cb.cluster_id CROSS JOIN tot""".stripMargin,
     // SemDeDup: k-means chain on the clone-augmented subset (the clones
     // quantize identically, so training is unchanged vs originals-only
     // in every centroid), then final assignment + within-cluster earlier-

@@ -148,4 +148,51 @@ object KMeans {
   def asIvfCentroids(model: Model, quantScale: Double = 1e6): (Array[Long], Array[Array[Float]]) =
     (model.centroids.indices.map(_.toLong).toArray,
       model.centroids.map(_.map(v => (v / quantScale).toFloat)))
+
+  /** Embedding-distribution drift between two corpora — the
+    * embedding-space twin of [[TextAnalysis.vocabDrift]], closing the
+    * ingest-monitoring pair (words drift? meanings drift?): fit k-means
+    * on a shared `train` corpus, assign both corpora to the shared
+    * clusters (a pure projection — no shuffle beyond the per-cluster
+    * count), and per cluster report the difference of smoothed
+    * log-occupancies
+    *   drift_q = [flq(n_a+α) − flq(N_a+α·k)] − [flq(n_b+α) − flq(N_b+α·k)]
+    * under the [[TextAnalysis.lmScore]] quantized-ln contract (ln on
+    * integers only, floored to 1e-6 units — every output is a long, so
+    * an external engine reproduces it bit-for-bit). The table is dense
+    * over all k clusters (a cluster abandoned by both corpora still
+    * reports its smoothing-only drift of 0, and one abandoned by only
+    * one corpus reports the full signal).
+    *
+    * Scale shape: training is [[fit]]'s bounded-driver-state loop; each
+    * corpus contributes one codegen assignment scan + one k-row
+    * map-side-combinable count; the join/arithmetic runs on k-row
+    * frames. Sampling `a`/`b` upstream changes counts, not machinery.
+    *
+    * @return (cluster_id, n_a, n_b, drift_q) — one row per cluster
+    */
+  def clusterDrift(train: DataFrame, a: DataFrame, b: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   alpha: Long = 1L, quantScale: Double = 1e6,
+                   share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(alpha > 0, "clusterDrift: alpha must be positive")
+    def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val model = fit(train, k, iters, idCol, vecCol, quantScale, share)
+    def counts(d: DataFrame, out: String) = assign(d, model, idCol, vecCol, quantScale)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as(out))
+
+    val spine = train.sparkSession.range(k).select(col("id").as("cluster_id"))
+    val joined = spine
+      .join(counts(a, "_na"), Seq("cluster_id"), "left")
+      .join(counts(b, "_nb"), Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("_na"), lit(0L)).as("n_a"),
+        coalesce(col("_nb"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("drift_q",
+        (flq(col("n_a") + lit(alpha)) - flq(col("_ta") + lit(alpha * k))) -
+          (flq(col("n_b") + lit(alpha)) - flq(col("_tb") + lit(alpha * k))))
+      .select(col("cluster_id"), col("n_a"), col("n_b"), col("drift_q"))
+  }
 }

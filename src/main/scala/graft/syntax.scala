@@ -171,6 +171,12 @@ object syntax {
     def semanticDeduped(k: Int, iters: Int = 4, threshold: Double = 0.95): DataFrame =
       Dedup.semanticDedup(df, k, iters, threshold)
 
+    /** Embedding-occupancy drift vs another corpus: clusters train on
+      * this frame (the reference space), both corpora assign into it.
+      */
+    def clusterDriftAgainst(other: DataFrame, k: Int, iters: Int = 4): DataFrame =
+      KMeans.clusterDrift(df, df, other, k, iters)
+
     /** Host/path/query features from a `url` column. */
     def urlFeatured: DataFrame = TextAnalysis.urlFeatures(df)
 

@@ -101,6 +101,7 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.vocabDriftAgainst(docs, topK = 5).count() <= 5)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     assert(emb.semanticDeduped(k = 4, iters = 2).count() > 0)
+    assert(emb.clusterDriftAgainst(emb, k = 4, iters = 2).count() == 4)
     val up = docs.upsampledToMixture(Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L, "es" -> 1L))
     assert(up.columns.contains("epoch") && up.count() >= docs.filter(
       col("lang").isin("en", "de", "fr", "es")).count())

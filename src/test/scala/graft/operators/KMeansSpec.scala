@@ -202,4 +202,28 @@ class KMeansSpec extends SparkSpec {
     val top1 = trained.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
     assert(exact.keys.forall(p => top1.get(p).contains(exact(p))))
   }
+
+  test("clusterDrift: hand-derived occupancy drift over a shared cluster space") {
+    import org.apache.spark.sql.functions.col
+    def flq(n: Long): Long = math.floor(StrictMath.log(n.toDouble) * 1e6).toLong
+    // seeds = ids 0 and 1, one per blob -> cluster 0 at ~0, cluster 1 at ~10;
+    // even ids land in cluster 0, odd ids in cluster 1
+    val emb = embDf(Seq(
+      0L -> Seq(0.0f), 1L -> Seq(10.0f), 2L -> Seq(0.1f), 3L -> Seq(10.1f)))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val out = KMeans.clusterDrift(emb, a, b, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // drift_0 = [flq(3)-flq(4)] - [flq(1)-flq(4)] = flq(3); drift_1 mirrors
+    assert(out == Seq(
+      (0L, 2L, 0L, flq(3) - flq(1)),
+      (1L, 0L, 2L, flq(1) - flq(3))))
+    // a corpus absent everywhere still yields the dense k-row table
+    val empty = emb.filter(col("vec_id") < 0)
+    val vsEmpty = KMeans.clusterDrift(emb, a, empty, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(vsEmpty.map(_._1) == Seq(0L, 1L) && vsEmpty.map(_._3).forall(_ == 0L))
+    // n_b = 0 and N_b = 0 everywhere: the B side contributes flq(1)-flq(2)
+    assert(vsEmpty.head == ((0L, 2L, 0L, (flq(3) - flq(4)) - (flq(1) - flq(2)))))
+  }
 }

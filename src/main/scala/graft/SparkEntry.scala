@@ -1747,6 +1747,21 @@ object SparkEntry {
       CorpusOps.capPerHost(f, maxPerHost = 20)
         .select(col("doc_id"), col("host"), col("host_rank"))
     },
+    // the corpus is single-line, so a multi-line page is synthesized
+    // deterministically: the original text plus a short line, a clean
+    // sentence, a javascript line, and (for doc_id % 7 == 0) a lorem
+    // ipsum line — every C4 rule fires somewhere in the gate
+    "c4_line_filter" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("page", concat(
+          col("text"), when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+          lit("\ntiny line.\nThis clean sentence carries plenty of words to keep."),
+          lit("\nenable javascript to view this page properly today."),
+          when(col("doc_id") % 7 === 0, lit("\nLorem ipsum dolor sit amet sample filler text here."))
+            .otherwise(lit(""))))
+      TextAnalysis.c4LineFilter(aug, minWords = 5, minKeptLines = 2, textCol = "page")
+        .select(col("doc_id"), col("text_clean"), col("n_lines"), col("n_lines_kept"), col("c4_ok"))
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus carries no PII, so a PII-bearing column is derived
       // deterministically from (doc_id, text) — integer arithmetic only,
@@ -2573,6 +2588,33 @@ object SparkEntry {
          |      ORDER BY ${h60Sql("'hostcap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS host_rank
          |  FROM f)
          |SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 20""".stripMargin,
+    // C4 line rules as pure string arithmetic: the same synthesized page,
+    // list_filter with the identical keep predicate, rejoined by chr(10)
+    "c4_line_filter" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END ||
+         |    chr(10) || 'tiny line.' ||
+         |    chr(10) || 'This clean sentence carries plenty of words to keep.' ||
+         |    chr(10) || 'enable javascript to view this page properly today.' ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN chr(10) || 'Lorem ipsum dolor sit amet sample filler text here.'
+         |         ELSE '' END AS page
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS lines,
+         |    list_filter(string_split(page, chr(10)), x ->
+         |      right(trim(x), 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(string_split(x, ' '), w -> len(w) > 0)) >= 5
+         |      AND NOT contains(lower(x), 'javascript')) AS kept
+         |  FROM aug)
+         |SELECT doc_id,
+         |  array_to_string(kept, chr(10)) AS text_clean,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  len(kept) >= 2 AND NOT contains(lower(page), 'lorem ipsum')
+         |    AND NOT contains(page, '{') AS c4_ok
+         |FROM k""".stripMargin,
     "pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id,

@@ -61,6 +61,44 @@ object TextAnalysis {
           col("digit_ratio") <= 0.3)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2): keep only lines that end in
+    * terminal punctuation (`.` `!` `?` `"` after trimming), carry at
+    * least `minWords` whitespace words, and do not mention "javascript"
+    * (case-insensitive); flag the page as `c4_ok` when at least
+    * `minKeptLines` lines survive and the page contains neither "lorem
+    * ipsum" (case-insensitive) nor a curly brace. The kept lines are
+    * rejoined with a newline as `text_clean`.
+    *
+    * The "sentence" unit is the newline-delimited line (the common
+    * large-scale simplification of the paper's sentence rules — exact
+    * sentence splitting needs a language model and is not
+    * engine-portable; this contract is pure string arithmetic, so the
+    * oracle reproduces it bit-for-bit). Everything runs as higher-order
+    * `filter`/`size` over the line array in the scan stage: no explode,
+    * no shuffle.
+    *
+    * @return input columns + (text_clean, n_lines, n_lines_kept, c4_ok)
+    */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5, minKeptLines: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keepLine = (l: Column) => {
+      val nWords = size(filter(split(l, " "), w => length(w) > 0))
+      substring(trim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        nWords >= minWords && !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, keepLine)
+    docs
+      .withColumn("text_clean", array_join(kept, "\n"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("c4_ok",
+        size(kept) >= minKeptLines &&
+          !lower(t).contains("lorem ipsum") && !t.contains("{"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs / digit runs / single non-space symbols).
     */

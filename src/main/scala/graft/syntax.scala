@@ -150,6 +150,10 @@ object syntax {
     /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
     def textNormalized: DataFrame = TextAnalysis.normalizeText(df)
 
+    /** C4 line rules: terminal punctuation, min words, no javascript. */
+    def c4LineFiltered(minWords: Int = 5, minKeptLines: Int = 3): DataFrame =
+      TextAnalysis.c4LineFilter(df, minWords, minKeptLines)
+
     /** Bigram-LM log-likelihood against a train corpus (CCNet-style). */
     def lmScored(train: DataFrame): DataFrame = TextAnalysis.lmScore(df, train)
 

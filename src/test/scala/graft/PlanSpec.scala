@@ -179,6 +179,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode(sequence"), s"copies via codegen sequence-explode:\n$p")
   }
 
+  test("c4_line_filter runs scan-only — line rules are higher-order array ops, no shuffle") {
+    val p = plan("c4_line_filter")
+    assert(!p.contains("Exchange"), s"line filtering must not shuffle:\n$p")
+  }
+
   test("dsir_importance_scan: per-row scoring is scan-only — no shuffle, no join at all") {
     val p = plan("dsir_importance_scan")
     assert(!p.contains("Exchange"), s"scan twin must not shuffle:\n$p")

@@ -355,6 +355,29 @@ class TextFilterSpec extends SparkSpec {
     assert(w(bAb)._4 > w(bCd)._4)
   }
 
+  test("c4LineFilter: every line rule and page flag fires on the hand fixture") {
+    val docs = Seq(
+      (0L, "Good long sentence with enough words here.\nshort one.\n" +
+        "no punct line with many words\nuses javascript heavily on every page.\n" +
+        "Another fine sentence with plenty of words too!"),
+      (1L, "Lorem ipsum dolor sit amet and more words here.\n" +
+        "Second proper sentence with enough words too."),
+      (2L, "Brace page { with } but a fine sentence here.\n" +
+        "Another quite fine long sentence right here."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, minWords = 5, minKeptLines = 2)
+      .select("doc_id", "text_clean", "n_lines", "n_lines_kept", "c4_ok")
+      .as[(Long, String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L,
+      "Good long sentence with enough words here.\n" +
+        "Another fine sentence with plenty of words too!", 5L, 2L, true)),
+      "short, unpunctuated, and javascript lines drop; the rest rejoin")
+    assert(out(1L)._4 == 2L && !out(1L)._5, "lorem ipsum fails the page despite kept lines")
+    assert(out(2L)._4 == 2L && !out(2L)._5, "curly brace fails the page despite kept lines")
+    assert(out(3L) == ((3L, "", 1L, 0L, false)), "empty page: one empty line, nothing kept")
+  }
+
   test("importanceScoreScan is bit-identical to the join form (including empty docs)") {
     val docs = ((0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}")) :+
       ((200L, "solo")) :+ ((201L, ""))).toDF("doc_id", "text")

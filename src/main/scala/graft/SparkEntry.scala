@@ -1762,6 +1762,21 @@ object SparkEntry {
       TextAnalysis.c4LineFilter(aug, minWords = 5, minKeptLines = 2, textCol = "page")
         .select(col("doc_id"), col("text_clean"), col("n_lines"), col("n_lines_kept"), col("c4_ok"))
     },
+    // Gopher A1 rules over a page with deterministically injected bullet
+    // lines (%3), an ellipsis teaser (%5), and hash symbols (%4); word
+    // bounds 25..80 split the corpus's 10..99 word range both ways
+    "gopher_rules" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("page", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n- a bullet line\n- another bullet line")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nteaser to read more...")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" ## ## # #")).otherwise(lit(""))))
+      TextAnalysis.gopherRules(aug, minWords = 25L, maxWords = 80L, textCol = "page")
+        .select(col("doc_id"), col("n_words"), col("word_chars"), col("n_symbols"),
+          col("n_lines"), col("n_bullet_lines"), col("n_ellipsis_lines"), col("gopher_ok"))
+    },
     "pii_redact" -> { (s, dir) =>
       // the corpus carries no PII, so a PII-bearing column is derived
       // deterministically from (doc_id, text) — integer arithmetic only,
@@ -2588,6 +2603,39 @@ object SparkEntry {
          |      ORDER BY ${h60Sql("'hostcap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS host_rank
          |  FROM f)
          |SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 20""".stripMargin,
+    // Gopher rules: identical synthesized page, identical integer
+    // cross-multiplied decisions — the float ratio never exists
+    "gopher_rules" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 3 = 0
+         |             THEN chr(10) || '- a bullet line' || chr(10) || '- another bullet line'
+         |             ELSE '' END
+         |         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'teaser to read more...' ELSE '' END
+         |         || CASE WHEN doc_id % 4 = 0 THEN ' ## ## # #' ELSE '' END AS page
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, page,
+         |    list_filter(string_split(page, ' '), w -> len(w) > 0) AS words,
+         |    string_split(page, chr(10)) AS lines
+         |  FROM aug),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars,
+         |    CAST(len(page) - len(replace(page, '#', '')) AS BIGINT)
+         |      + CAST((len(page) - len(replace(page, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l ->
+         |      starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> right(trim(l), 3) = '...')) AS BIGINT) AS n_ellipsis_lines
+         |  FROM m)
+         |SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+         |  n_words >= 25 AND n_words <= 80 AND 3 * n_words <= word_chars
+         |  AND word_chars <= 10 * n_words AND 10 * n_symbols <= n_words
+         |  AND 10 * n_bullet_lines <= 9 * n_lines
+         |  AND 10 * n_ellipsis_lines <= 3 * n_lines AS gopher_ok
+         |FROM c""".stripMargin,
     // C4 line rules as pure string arithmetic: the same synthesized page,
     // list_filter with the identical keep predicate, rejoined by chr(10)
     "c4_line_filter" ->

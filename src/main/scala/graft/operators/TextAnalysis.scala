@@ -99,6 +99,54 @@ object TextAnalysis {
           !lower(t).contains("lorem ipsum") && !t.contains("{"))
   }
 
+  /** Gopher document-level quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1) as INTEGER-EXACT decisions: word count
+    * within [minWords, maxWords]; mean word length in [3, 10] checked by
+    * cross-multiplication (`3·n ≤ Σlen ≤ 10·n` — no float ratio ever
+    * materializes, so an external engine reproduces every boundary
+    * decision); symbol-to-word ratio ≤ 0.1 for `#` and `...` combined
+    * (`10·(n_hash + n_ellipsis) ≤ n_words`); at most 90% of lines
+    * starting with a bullet (`10·n_bullet ≤ 9·n_lines`) and at most 30%
+    * ending in an ellipsis (`10·n_ell_lines ≤ 3·n_lines`). Words are
+    * single-space splits and lines newline splits (the repo-wide
+    * convention); `...` counts leftmost non-overlapping occurrences (the
+    * `replace` semantics both engines share).
+    *
+    * Everything is higher-order array arithmetic in the scan stage — no
+    * explode, no shuffle.
+    *
+    * @return input columns + (n_words, word_chars, n_symbols, n_lines,
+    *         n_bullet_lines, n_ellipsis_lines, gopher_ok)
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L,
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")), lit(0L), _ + _)
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllipsis = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
+    val nEllLines = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("word_chars", wordChars)
+      .withColumn("n_symbols", nHash + nEllipsis)
+      .withColumn("n_lines", nLines)
+      .withColumn("n_bullet_lines", nBullet)
+      .withColumn("n_ellipsis_lines", nEllLines)
+      .withColumn("gopher_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbols") <= col("n_words") &&
+          lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs / digit runs / single non-space symbols).
     */

@@ -154,6 +154,10 @@ object syntax {
     def c4LineFiltered(minWords: Int = 5, minKeptLines: Int = 3): DataFrame =
       TextAnalysis.c4LineFilter(df, minWords, minKeptLines)
 
+    /** Gopher A1 document rules (integer-exact decisions). */
+    def gopherRuled(minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+      TextAnalysis.gopherRules(df, minWords, maxWords)
+
     /** Bigram-LM log-likelihood against a train corpus (CCNet-style). */
     def lmScored(train: DataFrame): DataFrame = TextAnalysis.lmScore(df, train)
 

@@ -184,6 +184,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"line filtering must not shuffle:\n$p")
   }
 
+  test("gopher_rules runs scan-only — integer rule arithmetic, no shuffle") {
+    val p = plan("gopher_rules")
+    assert(!p.contains("Exchange"), s"document rules must not shuffle:\n$p")
+  }
+
   test("dsir_importance_scan: per-row scoring is scan-only — no shuffle, no join at all") {
     val p = plan("dsir_importance_scan")
     assert(!p.contains("Exchange"), s"scan twin must not shuffle:\n$p")

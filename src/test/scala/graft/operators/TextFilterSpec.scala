@@ -378,6 +378,30 @@ class TextFilterSpec extends SparkSpec {
     assert(out(3L) == ((3L, "", 1L, 0L, false)), "empty page: one empty line, nothing kept")
   }
 
+  test("gopherRules: each A1 rule fails its own fixture; integer decisions only") {
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten"), // clean -> ok
+      (1L, "- a\n- b\n- c"),                                    // 100% bullet lines
+      (2L, "good line number one...\nanother good line too...\n" +
+        "plain good line here\nmore plain text line"),          // 50% ellipsis lines
+      (3L, "alpha beta gamma delta epsilon # # # # ..."),       // symbol ratio 5/10
+      (4L, "aa aa aa aa aa")                                    // mean word length 2 < 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 5L, maxWords = 100L)
+      .select("doc_id", "n_words", "word_chars", "n_symbols", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines", "gopher_ok")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._8, "clean doc passes")
+    assert(out(0L)._2 == 10L && out(0L)._3 == 39L)
+    assert(out(1L)._6 == 3L && !out(1L)._8, "all-bullet page fails the 90% rule")
+    assert(out(2L)._7 == 2L && out(2L)._5 == 4L && !out(2L)._8,
+      "2 of 4 ellipsis-ending lines fails the 30% rule")
+    assert(out(3L)._4 == 5L && !out(3L)._8, "4 hashes + 1 ellipsis vs 10 words fails 0.1")
+    assert(out(4L)._2 == 5L && out(4L)._3 == 10L && !out(4L)._8,
+      "mean word length 2 fails the cross-multiplied lower bound")
+  }
+
   test("importanceScoreScan is bit-identical to the join form (including empty docs)") {
     val docs = ((0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}")) :+
       ((200L, "solo")) :+ ((201L, ""))).toDF("doc_id", "text")

@@ -90,6 +90,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(d1._2 == s"Caf$composed menu", "NFC must compose and collapse in-stream")
   }
 
+  test("C4 line cleaning and Gopher rules run on a stream and match batch") {
+    // both operators are stateless scan-stage projections, so the same
+    // call works on a streaming frame with no state or watermark
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      (0L, "Good long sentence with enough words here.\nshort.\n" +
+        "Another fine sentence with plenty of words too!"),
+      (1L, "- a\n- b\n- c"))
+    val batchDf = pages.toDF("doc_id", "text")
+    val batch = TextAnalysis.gopherRules(TextAnalysis.c4LineFilter(batchDf), minWords = 5L)
+      .select("doc_id", "text_clean", "n_lines_kept", "c4_ok", "gopher_ok")
+      .as[(Long, String, Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val query = TextAnalysis.gopherRules(
+        TextAnalysis.c4LineFilter(input.toDF().toDF("doc_id", "text")), minWords = 5L)
+      .select("doc_id", "text_clean", "n_lines_kept", "c4_ok", "gopher_ok")
+      .writeStream.format("memory").queryName("c4gopher").outputMode("append").start()
+    input.addData(pages: _*)
+    query.processAllAvailable(); query.stop()
+    val streamed = spark.table("c4gopher")
+      .as[(Long, String, Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, "streaming curation rules must equal batch bit-for-bit")
+  }
+
   test("scan-only DSIR scoring runs on a stream and matches batch scores") {
     // the weight table is trained in batch (bounded dim-row driver
     // state); scoring is a stateless per-row projection, so the same

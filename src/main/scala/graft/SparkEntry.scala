@@ -1801,6 +1801,10 @@ object SparkEntry {
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
+    "cms_word_counts" -> { (s, dir) =>
+      TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
+        probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
+    },
     "dedup_prune" -> { (s, dir) =>
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
@@ -1921,6 +1925,11 @@ object SparkEntry {
     "contamination" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       CorpusOps.contamination(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50), n = 5)
+    },
+    "bloom_contamination" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      CorpusOps.bloomContamination(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        n = 5, mBits = 1 << 17, numHashes = 3)
     },
     "split_assign" -> { (s, dir) =>
       CorpusOps.hashSplit(s.read.parquet(s"$dir/documents.parquet"))
@@ -2718,6 +2727,26 @@ object SparkEntry {
         |      FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, word, n, cum / t.total AS cum_frac
         |FROM r, t WHERE rank <= 50""".stripMargin,
+    "cms_word_counts" -> {
+      val (depth, width) = (3, 1024)
+      def posSql(b: String, i: Int) = { val (a, c) = affine(i); s"((($b) * $a + $c) % $M) % $width" }
+      val rowSelects = (0 until depth)
+        .map(i => s"SELECT $i AS i, ${posSql("b", i)} AS p FROM tb").mkString("\n  UNION ALL ")
+      val probeSelects = (0 until depth)
+        .map(i => s"SELECT word, $i AS i, ${posSql("b", i)} AS p FROM pb").mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+         |tb AS (SELECT ${h60Sql("word")} % $M AS b FROM w),
+         |r AS (
+         |  $rowSelects),
+         |s AS (SELECT i, p, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY i, p),
+         |pr AS (SELECT unnest(['join','scan','customer','zzz_absent']) AS word),
+         |pb AS (SELECT word, ${h60Sql("word")} % $M AS b FROM pr),
+         |pp AS (
+         |  $probeSelects)
+         |SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
+         |FROM pp LEFT JOIN s USING (i, p)
+         |GROUP BY word""".stripMargin
+    },
     "dedup_prune" -> {
       s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},
          |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
@@ -2941,6 +2970,35 @@ object SparkEntry {
          |  round(CAST(count(tr.h) AS DOUBLE) / CAST(first(th.n_grams) AS DOUBLE), 6) AS contamination
          |FROM th LEFT JOIN tr ON th.h = tr.h
          |GROUP BY th.doc_id""".stripMargin,
+    // Bloom membership == distinct-position-set membership: a bit is set
+    // iff its position appears in the train position set, so the oracle
+    // skips the bit array and checks the positions directly.
+    "bloom_contamination" -> {
+      val m = 1 << 17
+      def posSql(b: String, i: Int) = { val (a, c) = affine(i); s"((($b) * $a + $c) % $M) % $m" }
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+         |    THEN list_transform(range(0, len(string_split(text,' ')) - 4),
+         |         i -> array_to_string(string_split(text,' ')[i+1:i+5], ' '))
+         |    ELSE [array_to_string(string_split(text,' '), ' ')] END) AS s
+         |  FROM documents),
+         |tb AS (
+         |  SELECT DISTINCT ${h60Sql("g")} % $M AS b
+         |  FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id >= 50)),
+         |pos AS (
+         |  ${(0 until 3).map(i => s"SELECT DISTINCT ${posSql("b", i)} AS p FROM tb").mkString("\n  UNION ")}),
+         |te AS (
+         |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams, ${h60Sql("g")} % $M AS b
+         |  FROM (SELECT doc_id, s, unnest(s) AS g FROM sh WHERE doc_id < 50)),
+         |fl AS (
+         |  SELECT doc_id, n_grams,
+         |    CASE WHEN ${(0 until 3).map(i => s"${posSql("b", i)} IN (SELECT p FROM pos)").mkString("\n      AND ")}
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM te)
+         |SELECT doc_id, first(n_grams) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_bloom,
+         |  round(CAST(sum(hit) AS DOUBLE) / CAST(first(n_grams) AS DOUBLE), 6) AS bloom_contamination
+         |FROM fl GROUP BY doc_id""".stripMargin
+    },
     "split_assign" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'

@@ -495,6 +495,79 @@ object CorpusOps {
     *
     * @return (doc_id, chunk_index, n_tokens, chunk_text)
     */
+  /** Bloom-filter contamination: the fixed-memory approximate twin of
+    * [[contamination]]. The training corpus reduces to an `mBits`-wide
+    * bit array (each distinct gram sets `numHashes` positions from the
+    * portable affine family); a test gram counts as contaminated iff all
+    * of its positions are set. One-sided by construction: every truly
+    * contaminated gram is flagged (no false negatives), and a clean gram
+    * is mis-flagged with p ≈ fill^numHashes where fill is the bit-array
+    * load factor — the classic Bloom bound, chosen via `mBits`.
+    *
+    * Scale shape vs [[contamination]]: the exact operator keeps the
+    * train side as its distinct-gram hash set (∝ corpus vocabulary, and
+    * the probe pays a hash-partitioned join against it); here the train
+    * side collapses to `mBits/8` BYTES — built by one map-side-combinable
+    * `bit_or` aggregation over ≤ `mBits/64` groups, densified once
+    * against a `range` spine, and broadcast as a single array row. The
+    * probe side then never shuffles at all: membership is `element_at`
+    * + shift arithmetic against the broadcast array in the scan stage,
+    * so a streaming source can score against a frozen filter unchanged.
+    * Driver/broadcast state is `mBits/8` bytes regardless of corpus
+    * size (2^27 bits = 16 MB covers ~10^7 grams at ~1% false positives
+    * with 3 hashes; size `mBits` to the executor broadcast budget).
+    *
+    * Engine-portable: positions come from [[graft.functions.PortableHash]]
+    * (md5-prefix h60 + affine family), so an external SQL engine
+    * reproduces every bit decision — the oracle checks membership
+    * against the equivalent distinct-position set, which is exactly the
+    * set-bit predicate.
+    *
+    * @return (doc_id, n_grams, n_bloom, bloom_contamination) — upper
+    *         bounds of the exact operator's (n_contaminated,
+    *         contamination) on the same corpora
+    */
+  def bloomContamination(test: DataFrame, train: DataFrame, n: Int = 5,
+                         mBits: Int = 1 << 17, numHashes: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val spark = train.sparkSession
+    def base(g: org.apache.spark.sql.Column) = pmod(PortableHash.h60(g), lit(PortableHash.M))
+    def pos(i: Int) = pmod(PortableHash.affineHash(col("_b"), i), lit(mBits.toLong))
+    // train corpus -> set bit positions -> dense one-row long-array bitmap
+    val words = train
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .select(base(col("_g")).as("_b"))
+      .select(explode(array((0 until numHashes).map(pos): _*)).as("_p"))
+      .select(shiftright(col("_p"), 6).as("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST((_p % 64) AS INT))").as("_bit"))
+      .groupBy(col("_w")).agg(expr("bit_or(_bit)").as("_bits"))
+    val bloomRow = spark.range(mBits / 64).select(col("id").as("_w"))
+      .join(words, Seq("_w"), "left")
+      .select(struct(col("_w"), coalesce(col("_bits"), lit(0L)).as("_bits")).as("_s"))
+      .agg(array_sort(collect_list(col("_s"))).as("_sorted"))
+      .select(transform(col("_sorted"), s => s.getField("_bits")).as("_bloom"))
+    // probe side: scan-stage membership against the broadcast bitmap
+    val tEx = test
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).cast("long").as("n_grams"), explode(col("_sh")).as("_g"))
+      .select(col("doc_id"), col("n_grams"), base(col("_g")).as("_b"))
+      .crossJoin(broadcast(bloomRow))
+      .select(Seq(col("doc_id"), col("n_grams"), col("_bloom")) ++
+        (0 until numHashes).map(i => pos(i).as(s"_p$i")): _*)
+    val hit = (0 until numHashes).map { i =>
+      expr(s"(shiftright(element_at(_bloom, CAST((_p$i div 64) + 1 AS INT)), " +
+        s"CAST((_p$i % 64) AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    tEx.withColumn("_hit", hit)
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        sum(when(col("_hit"), lit(1L)).otherwise(lit(0L))).as("n_bloom"))
+      .withColumn("bloom_contamination",
+        round(col("n_bloom").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

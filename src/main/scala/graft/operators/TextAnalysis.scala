@@ -320,6 +320,50 @@ object TextAnalysis {
       .select(col("rank").cast("long").as("rank"), col("word"), col("n"), col("cum_frac"))
   }
 
+  /** Count-min-sketch word frequencies (Cormode & Muthukrishnan 2005):
+    * estimate corpus counts for `probes` through a `depth`×`width`
+    * counter matrix instead of a full vocabulary aggregation. Row `i`
+    * hashes each token to bucket `affine_i(h60(word) mod M) mod width`;
+    * the estimate is the minimum over rows of the probe's bucket counts
+    * — an upper bound of the true count (collisions only ever add), with
+    * overshoot ≈ corpus_tokens/width per row, Pr[overshoot > 2e·N/width]
+    * < e^-depth.
+    *
+    * Scale shape: [[buildVocab]]'s exact `groupBy(word)` carries
+    * vocabulary-sized state — fine for natural-language vocabularies,
+    * unbounded for adversarial token spaces (URLs, ids, code
+    * identifiers) at 100 TB. The sketch is a map-side-combinable
+    * aggregation over at most `depth`·`width` groups: the exchange moves
+    * ≤ partitions·depth·width pre-combined rows regardless of corpus or
+    * vocabulary size, and the sketch itself (`depth`·`width` longs) is a
+    * mergeable bounded artifact — shards' sketches sum. Probes are a
+    * broadcast-joined constant. All arithmetic is the portable
+    * [[graft.functions.PortableHash]] family — bucket choices reproduce
+    * bit-for-bit in any engine.
+    *
+    * @return (word, est_n) per probe word, est_n ≥ the true count
+    */
+  def cmsWordCounts(docs: DataFrame, probes: Seq[String], depth: Int = 3,
+                    width: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth/width must be positive, got $depth x $width")
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def buckets = (0 until depth).map(i =>
+      pmod(PortableHash.affineHash(col("_b"), i), lit(width.toLong)))
+    val sketch = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(pmod(PortableHash.h60(col("word")), lit(PortableHash.M)).as("_b"))
+      .select(posexplode(array(buckets: _*)).as(Seq("_i", "_p")))
+      .groupBy(col("_i"), col("_p")).agg(count(lit(1)).as("_c"))
+    val probePos = probes.toDF("word")
+      .select(col("word"), pmod(PortableHash.h60(col("word")), lit(PortableHash.M)).as("_b"))
+      .select(col("word"), posexplode(array(buckets: _*)).as(Seq("_i", "_p")))
+    broadcast(probePos).join(sketch, Seq("_i", "_p"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("_c"), lit(0L))).as("est_n"))
+  }
+
   /** BPE merge training (Sennrich et al. 2016): learn `merges` byte-pair
     * merge rules over the corpus's word-frequency table — each round
     * counts adjacent symbol pairs weighted by word count, picks the most

@@ -144,8 +144,21 @@ object syntax {
         : DataFrame =
       CorpusOps.hashSplit(df, weights)
 
+    /** Exact n-gram contamination of THIS frame vs a training corpus. */
+    def contaminationAgainst(train: DataFrame, n: Int = 5): DataFrame =
+      CorpusOps.contamination(df, train, n)
+
+    /** Bloom-filter contamination (fixed-memory upper bound of exact). */
+    def bloomContaminationAgainst(train: DataFrame, n: Int = 5,
+                                  mBits: Int = 1 << 17, numHashes: Int = 3): DataFrame =
+      CorpusOps.bloomContamination(df, train, n, mBits, numHashes)
+
     def curateCorpus(targetWeights: Seq[(String, Long)]): DataFrame =
       CorpusOps.curate(df, targetWeights)
+
+    /** Count-min-sketch frequency estimates for `probes` (upper bounds). */
+    def cmsWordCounts(probes: Seq[String], depth: Int = 3, width: Int = 1024): DataFrame =
+      TextAnalysis.cmsWordCounts(df, probes, depth, width)
 
     /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
     def textNormalized: DataFrame = TextAnalysis.normalizeText(df)

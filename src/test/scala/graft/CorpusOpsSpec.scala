@@ -265,6 +265,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomContamination: no false negatives; superset of exact; saturation flags all") {
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (2L, "one two three four five six seven eight"),       // disjoint
+      (3L, "alpha beta gamma delta epsilon xx yy zz")        // shares one 5-gram
+    ).toDF("doc_id", "text")
+    // roomy filter: agrees with the exact operator on this fixture
+    val roomy = CorpusOps.bloomContamination(test, train, n = 5, mBits = 1 << 16)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(roomy(1L) == ((4L, 4L))) // every truly contaminated gram flagged
+    assert(roomy(2L) == ((4L, 0L)))
+    assert(roomy(3L)._2 == 1L)
+    // superset property on real data: bloom bounds exact from above per doc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val te = docs.filter(col("doc_id") < 10)
+    val tr = docs.filter(col("doc_id") >= 10)
+    val exact = CorpusOps.contamination(te, tr, n = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val bloom = CorpusOps.bloomContamination(te, tr, n = 5, mBits = 1 << 17)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n") }
+    // 64-bit filter vs the full corpus: every bit set, every gram flagged
+    val sat = CorpusOps.bloomContamination(te, tr, n = 5, mBits = 64)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    sat.foreach { case (grams, hits) => assert(hits == grams) }
+  }
+
   test("keepTopKPerGroup: exactly k per group (fewer if small), deterministic ranking") {
     val docs = Seq(
       (0L, "s1", "the a of and to x"),   // stop ratio 5/6

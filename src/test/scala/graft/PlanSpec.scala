@@ -227,4 +227,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("word_ngrams"), "bigram kernel must run in the scan stage")
     assert(p.contains("partial_count"), "model counts must partial-aggregate")
   }
+
+  test("bloom_contamination: bitmap is the single 1-row broadcast; no product, no probe-side merge join") {
+    val p = plan("bloom_contamination")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"exactly the 1-row bitmap broadcast may nest:\n$p")
+    assert(p.contains("bit_or"), "bitmap build must be a bit_or aggregation")
+    assert(p.contains("partial_bit_or") || p.contains("partial_"),
+      s"bitmap aggregation must be map-side combinable:\n$p")
+  }
+
+  test("cms_word_counts: sketch aggregation partial-combines; probe join broadcasts") {
+    val p = plan("cms_word_counts")
+    assert(p.contains("partial_count"), s"sketch must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe-vs-sketch join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no product, no merge join at sketch size:\n$p")
+  }
 }

@@ -63,6 +63,31 @@ class TextFilterSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", 4L, 0.5), (2L, "b", 2L, 0.75), (3L, "c", 1L, 0.875)))
   }
 
+  test("cms word counts: exact at generous width, upper bound always, absent words bounded") {
+    val df = Seq((0L, "b a a c b a"), (1L, "a d")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=1, d=1; 8 tokens into 4096 buckets -> no collisions
+    val wide = TextAnalysis.cmsWordCounts(df, probes = Seq("a", "b", "c", "d", "nope"),
+        depth = 3, width = 4096)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("est_n")).toMap
+    assert(wide == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "nope" -> 0L))
+    // brutal width: estimates only ever overshoot, never undershoot
+    val narrow = TextAnalysis.cmsWordCounts(df, probes = Seq("a", "b", "c", "d", "nope"),
+        depth = 3, width = 2)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("est_n")).toMap
+    assert(narrow("a") >= 4L && narrow("b") >= 2L && narrow("c") >= 1L && narrow("d") >= 1L)
+    assert(narrow.values.forall(_ <= 8L)) // a bucket never exceeds the corpus
+    // real corpus: every estimate bounds its exact count from above
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+    val probes = Seq("join", "scan", "filter", "zzz_absent")
+    val est = TextAnalysis.cmsWordCounts(docs, probes, depth = 3, width = 1024)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("est_n")).toMap
+    val truth = exact.filter(col("word").isin(probes: _*))
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+    probes.foreach { p => assert(est(p) >= truth.getOrElse(p, 0L), s"$p: ${est(p)} < ${truth.get(p)}") }
+  }
+
   test("prune duplicates keeps the smallest id of every duplicate component") {
     val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

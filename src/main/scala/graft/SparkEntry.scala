@@ -1805,6 +1805,9 @@ object SparkEntry {
       TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
         probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
     },
+    "winnow_fingerprints" -> { (s, dir) =>
+      TextAnalysis.winnowFingerprints(s.read.parquet(s"$dir/documents.parquet"), k = 5, w = 4)
+    },
     "dedup_prune" -> { (s, dir) =>
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
@@ -2746,6 +2749,24 @@ object SparkEntry {
          |SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
          |FROM pp LEFT JOIN s USING (i, p)
          |GROUP BY word""".stripMargin
+    },
+    // Winnowing: packed = (h60(gram) % M) * 2^21 + (2^20 - pos), so the
+    // window MINIMUM is the smallest hash with rightmost-position ties —
+    // the robust-winnowing rule — and decoding is integer arithmetic.
+    "winnow_fingerprints" -> {
+      val (k, w) = (5, 4)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(0, greatest(len(ws) - ${k - 1}, 0)),
+         |        i -> array_to_string(ws[i+1:i+$k], ' ')) AS gs FROM t),
+         |p AS (SELECT doc_id, list_transform(range(0, len(gs)),
+         |        i -> (${h60Sql("gs[i+1]")} % $M) * 2097152 + (1048576 - i)) AS ps FROM g),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(least($w, len(ps)) - 1, len(ps)),
+         |        e -> list_min(ps[greatest(e - $w + 2, 1) : e + 1]))) AS sel
+         |      FROM p WHERE len(ps) > 0)
+         |SELECT doc_id,
+         |  1048576 - (pk % 2097152) AS pos,
+         |  pk // 2097152 AS gram_hash
+         |FROM (SELECT doc_id, unnest(sel) AS pk FROM s)""".stripMargin
     },
     "dedup_prune" -> {
       s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},

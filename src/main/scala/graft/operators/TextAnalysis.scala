@@ -825,6 +825,34 @@ object TextAnalysis {
         lit(0L), (acc, x) => acc + x).as("importance_q"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 / MOSS): the sliding
+    * window-minimum selection over word k-gram hashes, emitting one
+    * (pos, gram_hash) row per selected gram. Any shared run of at least
+    * `w + k − 1` words between two documents yields an identical
+    * selected hash in both — so partial-overlap detection becomes an
+    * equi-join on `gram_hash` over a table ~2/(w+1) the gram count,
+    * where the global-min sketches ([[fingerprint]], minhash) only see
+    * whole-document similarity.
+    *
+    * Scale shape: the selection is ONE codegen scan-stage expression per
+    * document ([[graft.plans.WinnowFingerprints]]: gram md5s + an O(n)
+    * monotonic-deque sliding min) followed by an explode — zero
+    * shuffles, nothing leaves its scan. Portable-hash h60 mod M buckets,
+    * so the oracle reproduces every selection bit-for-bit.
+    *
+    * @return (doc_id, pos — 0-based gram position, gram_hash)
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val fp = ColumnShim.column(
+      graft.plans.WinnowFingerprints(ColumnShim.expression(col(textCol)), k, w))
+    docs.select(col(idCol).as("doc_id"), explode(fp).as("_pk"))
+      .select(col("doc_id"),
+        (lit(1L << 20) - col("_pk").bitwiseAND(lit((1L << 21) - 1))).as("pos"),
+        shiftright(col("_pk"), 21).as("gram_hash"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

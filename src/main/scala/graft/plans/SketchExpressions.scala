@@ -335,3 +335,102 @@ object SimHashFingerprint {
     java.lang.Long.valueOf(f)
   }
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+  * the MOSS algorithm): over the document's ordered word `k`-grams, slide
+  * a window of `w` consecutive gram hashes and record each window's
+  * minimum (rightmost position on hash ties — the robust-winnowing rule,
+  * encoded by packing so larger positions compare smaller). Guarantees:
+  * any shared substring of at least `w + k - 1` words between two
+  * documents produces at least one identical selected (hash, aligned
+  * position) pair, while only ~2/(w+1) of grams are kept — the
+  * position-robust sketch for partial-overlap detection that a global
+  * min-sketch (minhash) cannot provide.
+  *
+  * One codegen pass per document: gram assembly, md5 h60 per gram, and
+  * an O(n) monotonic-deque sliding minimum, emitting the sorted distinct
+  * PACKED selections `hash·2^21 + (2^20 − pos)` (hash already reduced
+  * mod M < 2^31, pos < 2^20, so packed < 2^52). Decoding is plain
+  * integer arithmetic, identical in any engine. Documents with fewer
+  * than `k` words have no grams and fingerprint to an empty array;
+  * fewer than `w` grams form a single clipped window (its overall min).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects a string column, got ${child.dataType.simpleString}")
+    else if (k < 1 || w < 1)
+      TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints: k ($k) and w ($w) must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowFingerprints.compute(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.WinnowFingerprints.compute($v, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+
+  import PortableHashKernel.M
+
+  val posBits = 20
+  val packShift = 21
+
+  /** Kernel invoked from generated code. */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val count = words.length - k + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    require(count < (1 << posBits),
+      s"winnow_fingerprints: document has $count grams, max ${(1 << posBits) - 1}")
+    val md = PortableHashKernel.md()
+    val packed = new Array[Long](count)
+    val sb = new java.lang.StringBuilder()
+    var p = 0
+    while (p < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(p + j))
+        j += 1
+      }
+      val h = PortableHashKernel.h60(md,
+        UTF8String.fromString(sb.toString).getBytes) % M
+      packed(p) = (h << packShift) + ((1L << posBits) - p)
+      p += 1
+    }
+    // O(n) monotonic-deque sliding minimum; packed values are unique
+    // (distinct pos), so the min is unambiguous and ties in HASH resolve
+    // to the rightmost position by construction of the packing.
+    val dq = new java.util.ArrayDeque[Int]()
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    p = 0
+    while (p < count) {
+      while (!dq.isEmpty && packed(dq.peekLast) >= packed(p)) dq.pollLast()
+      dq.addLast(p)
+      if (dq.peekFirst <= p - w) dq.pollFirst()
+      if (p >= w - 1 || p == count - 1) sel.add(packed(dq.peekFirst))
+      p += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -160,6 +160,10 @@ object syntax {
     def cmsWordCounts(probes: Seq[String], depth: Int = 3, width: Int = 1024): DataFrame =
       TextAnalysis.cmsWordCounts(df, probes, depth, width)
 
+    /** Winnowing (MOSS) fingerprints for partial-overlap detection. */
+    def winnowFingerprinted(k: Int = 5, w: Int = 4): DataFrame =
+      TextAnalysis.winnowFingerprints(df, k, w)
+
     /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
     def textNormalized: DataFrame = TextAnalysis.normalizeText(df)
 

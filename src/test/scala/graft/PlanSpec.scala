@@ -238,6 +238,12 @@ class PlanSpec extends AnyFunSuite {
       s"bitmap aggregation must be map-side combinable:\n$p")
   }
 
+  test("winnow_fingerprints runs scan-only — codegen selection kernel, no shuffle") {
+    val p = plan("winnow_fingerprints")
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+    assert(p.contains("winnow_fingerprints"), "selection must be the codegen kernel")
+  }
+
   test("cms_word_counts: sketch aggregation partial-combines; probe join broadcasts") {
     val p = plan("cms_word_counts")
     assert(p.contains("partial_count"), s"sketch must map-side combine:\n$p")

@@ -88,6 +88,56 @@ class TextFilterSpec extends SparkSpec {
     probes.foreach { p => assert(est(p) >= truth.getOrElse(p, 0L), s"$p: ${est(p)} < ${truth.get(p)}") }
   }
 
+  test("winnow fingerprints: naive reference match, shared-run guarantee, density bounds") {
+    import graft.functions.PortableHash
+    // naive winnowing reference: same packing, windows of w gram hashes
+    def naive(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val words = text.split(" ", -1)
+      val count = words.length - k + 1
+      if (count <= 0) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val packed = (0 until count).map { p =>
+        val h = h60(words.slice(p, p + k).mkString(" ")) % PortableHash.M
+        (h << 21) + ((1L << 20) - p)
+      }
+      val ends = (math.min(w, count) - 1) until count
+      ends.map(e => packed.slice(math.max(e - w + 1, 0), e + 1).min).toSet
+        .map((pk: Long) => ((1L << 20) - (pk & ((1L << 21) - 1)), pk >> 21))
+    }
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val texts = (0L until 30L).map(i =>
+      i -> (0 until 12 + rng.nextInt(40)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    texts.foreach { case (id, t) =>
+      assert(out.getOrElse(id, Set.empty) == naive(t, 3, 4), s"doc $id mismatch")
+    }
+    // density: every w consecutive grams contain a selection; never more than gram count
+    texts.foreach { case (id, t) =>
+      val grams = t.split(" ").length - 2
+      val nSel = out.getOrElse(id, Set.empty).size
+      assert(nSel <= grams && nSel >= grams / 4, s"doc $id: $nSel of $grams")
+    }
+    // guarantee: a shared run of >= w + k - 1 words yields a shared selected hash
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w + k - 1 words
+    val pair = Seq(
+      (100L, s"one two three $shared x y z"),
+      (101L, s"p q $shared r s t u v")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(pair, k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(100L) & fps(101L)).nonEmpty, "shared run must fingerprint identically")
+    // sub-k documents have no grams, hence no fingerprints
+    val tiny = TextAnalysis.winnowFingerprints(Seq((0L, "just two")).toDF("doc_id", "text"), k = 3, w = 4)
+    assert(tiny.count() == 0L)
+  }
+
   test("prune duplicates keeps the smallest id of every duplicate component") {
     val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

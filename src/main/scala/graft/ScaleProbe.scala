@@ -138,6 +138,28 @@ object ScaleProbe {
       Dedup.semanticDedup(emb10, k = 64, iters = 2, threshold = 0.99,
         share = _.localCheckpoint(false)).count()
     }
+    // bloom decontamination vs the 10x corpus: the train side collapses
+    // to one 16 KiB bitmap no matter the corpus size; probe membership
+    // is scan-stage arithmetic (cost = two corpus scans, zero probe join)
+    t("bloom_contamination_10x") {
+      CorpusOps.bloomContamination(docs.limit(500), docs10, n = 5,
+          mBits = 1 << 17, numHashes = 3)
+        .agg(sum(col("n_bloom"))).collect()(0).getLong(0)
+    }
+    // CMS over 10x tokens: exchange volume is bounded by partitions x
+    // depth x width regardless of corpus size — the probe pins one-scan
+    // cost growth, not vocabulary-proportional state
+    t("cms_word_counts_10x") {
+      TextAnalysis.cmsWordCounts(docs10, probes = Seq("join", "scan", "customer"),
+          depth = 3, width = 1024)
+        .agg(sum(col("est_n"))).collect()(0).getLong(0)
+    }
+    // winnowing 50k docs: one codegen scan, zero shuffles — forcing the
+    // full (pos, hash) surface so the kernel cost is actually measured
+    t("winnow_10x") {
+      TextAnalysis.winnowFingerprints(docs10, k = 5, w = 4)
+        .agg(sum(col("gram_hash")), sum(col("pos"))).collect()(0).getLong(0)
+    }
     // occupancy drift over shared clusters: train + two assignment scans
     // + k-row arithmetic — the cost is the k-means fit, nothing more
     t("embedding_drift_10x") {

@@ -1719,6 +1719,11 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmScore(docs, docs)
     },
+    "lm_buckets" -> { (s, dir) =>
+      // CCNet head/middle/tail strata, self-trained like lm_score
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.lmBuckets(docs, docs, buckets = 3)
+    },
     "vocab_drift" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.vocabDrift(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
@@ -2596,6 +2601,37 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  coalesce(agg.logprob_q, 0) AS logprob_q
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // ntile over (avg double-division of two longs DESC, doc_id): IEEE
+    // division is correctly rounded, so the rank — and the bucket — is
+    // engine-exact; zero-bigram docs take the -1e18 sentinel (tail).
+    "lm_buckets" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg),
+         |uni AS (SELECT unnest(ws) AS w1 FROM w),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |sc AS (SELECT b.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgs b
+         |       LEFT JOIN c12 ON b.bg = c12.bg
+         |       LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+         |       CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(contrib_q) AS BIGINT) AS logprob_q FROM sc GROUP BY doc_id),
+         |sc2 AS (SELECT d.doc_id, d.lang, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |          coalesce(agg.logprob_q, 0) AS logprob_q
+         |        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         |r AS (SELECT *, CASE WHEN n_bigrams > 0
+         |          THEN CAST(logprob_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |          ELSE -1e18 END AS avgq FROM sc2),
+         |n AS (SELECT doc_id, lang, n_bigrams, logprob_q,
+         |        ntile(3) OVER (PARTITION BY lang ORDER BY avgq DESC, doc_id) AS nt FROM r)
+         |SELECT doc_id, lang, n_bigrams, logprob_q,
+         |  CASE WHEN nt = 1 THEN 'head' WHEN nt = 3 THEN 'tail' ELSE 'middle' END AS ppl_bucket
+         |FROM n""".stripMargin,
     "url_features" ->
       s"""WITH aug AS (
          |  SELECT doc_id, $urlSyntheticSql AS url

@@ -681,6 +681,46 @@ object TextAnalysis {
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
 
+  /** CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank each
+    * language's documents by per-token LM log-likelihood and cut into
+    * `buckets` equal tiles — head (best), middle, tail — the quality
+    * strata CCNet publishes and trains on. Scoring is [[lmScore]]
+    * (quantized-long contract); the ranking key is the IEEE double
+    * division logprob_q / n_bigrams of two longs — correctly rounded and
+    * therefore bit-identical in any engine — with doc_id tie-break, and
+    * zero-bigram documents rank worst (tail) by a sentinel, so the
+    * whole assignment is engine-exact. `ntile` makes the cut a rank
+    * decision (integers), never a score-threshold float compare.
+    *
+    * Scale note: exact tiles need one per-language sort (the window).
+    * At the 100 TB grain CCNet itself cuts by percentile thresholds from
+    * a sample; that path is `percentile_approx` over `_avg` feeding a
+    * scan-stage `when` — same decisions minus rank-exactness at the
+    * boundaries. The rank-exact form is the operator because it is
+    * deterministic enough to oracle.
+    *
+    * @return (doc_id, lang, n_bigrams, logprob_q, ppl_bucket)
+    */
+  def lmBuckets(docs: DataFrame, train: DataFrame, buckets: Int = 3,
+                langCol: String = "lang", textCol: String = "text",
+                idCol: String = "doc_id", alpha: Long = 1L): DataFrame = {
+    require(buckets >= 1, s"lmBuckets: buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(docs, train, textCol, idCol, alpha)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+    val avg = when(col("n_bigrams") > 0,
+      col("logprob_q").cast("double") / col("n_bigrams").cast("double"))
+      .otherwise(lit(-1e18))
+    val w = Window.partitionBy(col("lang")).orderBy(col("_avg").desc, col("doc_id"))
+    scored.withColumn("_avg", avg)
+      .withColumn("_nt", ntile(buckets).over(w))
+      .withColumn("ppl_bucket",
+        when(col("_nt") === 1, "head")
+          .when(col("_nt") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("logprob_q"), col("ppl_bucket"))
+  }
+
   /** Vocabulary drift between two corpora — the ingest-monitoring signal
     * for "did this crawl's word distribution move": per word, the
     * difference of smoothed log-frequencies

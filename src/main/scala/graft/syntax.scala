@@ -164,6 +164,10 @@ object syntax {
     def winnowFingerprinted(k: Int = 5, w: Int = 4): DataFrame =
       TextAnalysis.winnowFingerprints(df, k, w)
 
+    /** CCNet head/middle/tail perplexity strata per language. */
+    def lmBucketed(train: DataFrame, buckets: Int = 3): DataFrame =
+      TextAnalysis.lmBuckets(df, train, buckets)
+
     /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
     def textNormalized: DataFrame = TextAnalysis.normalizeText(df)
 

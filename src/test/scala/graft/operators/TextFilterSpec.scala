@@ -88,6 +88,27 @@ class TextFilterSpec extends SparkSpec {
     probes.foreach { p => assert(est(p) >= truth.getOrElse(p, 0L), s"$p: ${est(p)} < ${truth.get(p)}") }
   }
 
+  test("lmBuckets: fluent docs head, rare-gram docs tail, zero-bigram docs tail, tiles balanced") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (0L, fluent, "en"), (1L, fluent, "en"), (2L, fluent, "en"),
+      (3L, "the cat sat on the mat and the dog ran to a tree", "en"),
+      (4L, "zyx wvu tsr qpo nml kji hgf edc", "en"), // all unseen-in-train bigrams
+      (5L, "word", "en"),                            // zero bigrams -> sentinel tail
+      (6L, fluent, "de"), (7L, "aaa bbb ccc ddd eee fff", "de"), (8L, "q", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmBuckets(docs, docs.filter(col("doc_id") <= 3), buckets = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(4))).toMap
+    assert(out(0L)._2 == "head", s"fluent repeated doc must lead: $out")
+    assert(out(4L)._2 == "tail", s"unseen-bigram doc must trail: $out")
+    assert(out(5L)._2 == "tail", s"zero-bigram doc must take the sentinel tail: $out")
+    assert(out(8L) == (("de", "tail")), "per-lang ranking: 1-word de doc trails its own lang")
+    assert(out(6L)._1 == "de" && out(6L)._2 == "head")
+    // tiles balanced within 1 per lang: en has 6 docs -> 2/2/2
+    val en = out.collect { case (_, ("en", b)) => b }.toSeq
+    assert(Seq("head", "middle", "tail").forall(b => en.count(_ == b) == 2), s"en tiles: $en")
+  }
+
   test("winnow fingerprints: naive reference match, shared-run guarantee, density bounds") {
     import graft.functions.PortableHash
     // naive winnowing reference: same packing, windows of w gram hashes

@@ -137,6 +137,17 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed === batch, "streaming scores must equal batch bit-for-bit")
   }
 
+  test("winnowing fingerprints run on a stream and match batch selections") {
+    val stage: DataFrame => DataFrame = in =>
+      TextAnalysis.winnowFingerprints(in, k = 3, w = 4)
+    val streamed = runStream(stage, "winnow_out")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = stage(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1).size > 2, "multi-doc selections must survive the stream")
+  }
+
   test("per-host ingest caps compose from urlFeatures + StreamingQuota keyed by host") {
     // the streaming twin of CorpusOps.capPerHost for ingest topologies:
     // host extraction is scan-stage, so StreamingQuota's keyed counter

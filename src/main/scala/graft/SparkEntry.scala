@@ -1813,6 +1813,10 @@ object SparkEntry {
     "winnow_fingerprints" -> { (s, dir) =>
       TextAnalysis.winnowFingerprints(s.read.parquet(s"$dir/documents.parquet"), k = 5, w = 4)
     },
+    "heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(s.read.parquet(s"$dir/documents.parquet"),
+        minCount = 500L, depth = 3, width = 1024)
+    },
     "dedup_prune" -> { (s, dir) =>
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
@@ -2785,6 +2789,29 @@ object SparkEntry {
          |SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
          |FROM pp LEFT JOIN s USING (i, p)
          |GROUP BY word""".stripMargin
+    },
+    // CMS candidate filter: est(word) is a pure function of the word, so
+    // the per-token gate reduces to a per-word predicate; est never
+    // undershoots, so (est >= t AND n >= t) == (n >= t).
+    "heavy_hitters" -> {
+      val (depth, width, minCount) = (3, 1024, 500L)
+      def posSql(b: String, i: Int) = { val (a, c) = affine(i); s"((($b) * $a + $c) % $M) % $width" }
+      val rowSelects = (0 until depth)
+        .map(i => s"SELECT $i AS i, ${posSql("b", i)} AS p FROM tb").mkString("\n  UNION ALL ")
+      val wordSelects = (0 until depth)
+        .map(i => s"SELECT word, n, $i AS i, ${posSql("b", i)} AS p FROM wb").mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+         |tb AS (SELECT ${h60Sql("word")} % $M AS b FROM w),
+         |r AS (
+         |  $rowSelects),
+         |s AS (SELECT i, p, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY i, p),
+         |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+         |wb AS (SELECT word, n, ${h60Sql("word")} % $M AS b FROM c),
+         |pp AS (
+         |  $wordSelects),
+         |est AS (SELECT word, first(n) AS n, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+         |        FROM pp LEFT JOIN s USING (i, p) GROUP BY word)
+         |SELECT word, n FROM est WHERE est >= $minCount AND n >= $minCount""".stripMargin
     },
     // Winnowing: packed = (h60(gram) % M) * 2^21 + (2^20 - pos), so the
     // window MINIMUM is the smallest hash with rightmost-position ties —

@@ -364,6 +364,54 @@ object TextAnalysis {
       .agg(min(coalesce(col("_c"), lit(0L))).as("est_n"))
   }
 
+  /** Exact heavy hitters by count-min candidate filtering: all words with
+    * true count ≥ `minCount`, with their EXACT counts — at a cost that
+    * never materializes vocabulary-sized aggregation state for the long
+    * tail. Two scans: (1) build the [[cmsWordCounts]] sketch (bounded
+    * `depth`·`width` groups); (2) re-scan, look each token's estimate up
+    * in the broadcast sketch (scan-stage `array` literal indexing — no
+    * join), and ONLY candidate tokens (estimate ≥ `minCount`, a
+    * deterministic superset of the answer since CMS never undershoots)
+    * enter the exact count groupBy, whose key space is ≤ the true heavy
+    * hitters plus collision survivors (ε·N/width overshoot each), not
+    * the vocabulary. A final exact filter removes the false candidates.
+    *
+    * The sketch travels as a `depth`·`width` long-array plan literal
+    * (e.g. 3·1024 = 24 KiB), the same bounded-broadcast contract as the
+    * DSIR scan scorer; size `width` so ~N/width stays well under
+    * `minCount` or the candidate set degrades toward the vocabulary
+    * (loud in the plan, never wrong).
+    *
+    * @return (word, n) — exact counts, every word with n ≥ minCount
+    */
+  def heavyHitters(docs: DataFrame, minCount: Long, depth: Int = 3,
+                   width: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"heavyHitters: minCount must be >= 1, got $minCount")
+    require(depth >= 1 && width >= 1, s"depth/width must be positive, got $depth x $width")
+    // pass 1: sketch rows -> dense depth*width long array on the driver
+    val sketchRows = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(pmod(PortableHash.h60(col("word")), lit(PortableHash.M)).as("_b"))
+      .select(posexplode(array((0 until depth).map(i =>
+        pmod(PortableHash.affineHash(col("_b"), i), lit(width.toLong))): _*)).as(Seq("_i", "_p")))
+      .groupBy(col("_i"), col("_p")).agg(count(lit(1)).as("_c"))
+      .collect()
+    val arr = new Array[Long](depth * width)
+    sketchRows.foreach(r => arr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val sk = typedlit(arr.toSeq)
+    // pass 2: scan-stage estimate lookup gates the exact aggregation
+    val est = (0 until depth).map(i =>
+      element_at(sk, (lit(i * width) +
+        pmod(PortableHash.affineHash(col("_b"), i), lit(width.toLong)) + lit(1L)).cast("int")))
+      .reduce(least(_, _))
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .withColumn("_b", pmod(PortableHash.h60(col("word")), lit(PortableHash.M)))
+      .filter(est >= minCount)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** BPE merge training (Sennrich et al. 2016): learn `merges` byte-pair
     * merge rules over the corpus's word-frequency table — each round
     * counts adjacent symbol pairs weighted by word count, picks the most

@@ -168,6 +168,10 @@ object syntax {
     def lmBucketed(train: DataFrame, buckets: Int = 3): DataFrame =
       TextAnalysis.lmBuckets(df, train, buckets)
 
+    /** Exact heavy-hitter words via count-min candidate filtering. */
+    def heavyHitters(minCount: Long, depth: Int = 3, width: Int = 1024): DataFrame =
+      TextAnalysis.heavyHitters(df, minCount, depth, width)
+
     /** Unicode NFC + control-strip + whitespace-collapse cleanup. */
     def textNormalized: DataFrame = TextAnalysis.normalizeText(df)
 

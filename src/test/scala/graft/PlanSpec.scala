@@ -251,4 +251,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"no product, no merge join at sketch size:\n$p")
   }
+
+  test("heavy_hitters pass 2: sketch gate is a scan-stage filter, no join; one exact-count shuffle") {
+    val p = plan("heavy_hitters")
+    assert(!p.contains("Join"), s"sketch lookup must be literal-array indexing, not a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the candidate-word exact count may shuffle:\n$p")
+    assert(p.contains("partial_count"), s"exact count must map-side combine:\n$p")
+  }
 }

@@ -88,6 +88,29 @@ class TextFilterSpec extends SparkSpec {
     probes.foreach { p => assert(est(p) >= truth.getOrElse(p, 0L), s"$p: ${est(p)} < ${truth.get(p)}") }
   }
 
+  test("heavyHitters: exact counts above threshold, tail excluded, collision-proof via exact filter") {
+    // skewed fixture: two heavy words, a long unique tail
+    val heavy = (0 until 40).map(_ => "alpha") ++ (0 until 25).map(_ => "beta")
+    val tail = (0 until 200).map(i => s"tail$i")
+    val df = Seq((0L, (heavy ++ tail).mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(df, minCount = 20L, depth = 3, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 40L, "beta" -> 25L), s"got $out")
+    // brutal width forces collisions: candidates inflate, the exact
+    // filter still returns precisely the true heavy hitters
+    val narrow = TextAnalysis.heavyHitters(df, minCount = 20L, depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(narrow == Map("alpha" -> 40L, "beta" -> 25L), s"got $narrow")
+    // real corpus: agrees with the exact vocabulary aggregation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count().filter(col("count") >= 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = TextAnalysis.heavyHitters(docs, minCount = 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact)
+  }
+
   test("lmBuckets: fluent docs head, rare-gram docs tail, zero-bigram docs tail, tiles balanced") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
     val docs = Seq(

@@ -1817,6 +1817,11 @@ object SparkEntry {
       TextAnalysis.heavyHitters(s.read.parquet(s"$dir/documents.parquet"),
         minCount = 500L, depth = 3, width = 1024)
     },
+    "winnow_overlap" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.winnowOverlap(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        k = 5, w = 4, minShared = 2L)
+    },
     "dedup_prune" -> { (s, dir) =>
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
@@ -2830,6 +2835,33 @@ object SparkEntry {
          |  1048576 - (pk % 2097152) AS pos,
          |  pk // 2097152 AS gram_hash
          |FROM (SELECT doc_id, unnest(sel) AS pk FROM s)""".stripMargin
+    },
+    // Overlap vote: same winnow selection, then (pair, offset) counts
+    // with the packed integer argmax (highest count, smallest offset).
+    "winnow_overlap" -> {
+      val (k, w) = (5, 4)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(0, greatest(len(ws) - ${k - 1}, 0)),
+         |        i -> array_to_string(ws[i+1:i+$k], ' ')) AS gs FROM t),
+         |p AS (SELECT doc_id, list_transform(range(0, len(gs)),
+         |        i -> (${h60Sql("gs[i+1]")} % $M) * 2097152 + (1048576 - i)) AS ps FROM g),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(least($w, len(ps)) - 1, len(ps)),
+         |        e -> list_min(ps[greatest(e - $w + 2, 1) : e + 1]))) AS sel
+         |      FROM p WHERE len(ps) > 0),
+         |f AS (SELECT doc_id, 1048576 - (pk % 2097152) AS pos, pk // 2097152 AS h
+         |      FROM (SELECT doc_id, unnest(sel) AS pk FROM s)),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos - b.pos AS off
+         |      FROM f a JOIN f b ON a.h = b.h
+         |      WHERE a.doc_id < 50 AND b.doc_id >= 50),
+         |oc AS (SELECT id_a, id_b, off, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM j GROUP BY id_a, id_b, off),
+         |agg AS (SELECT id_a, id_b, CAST(sum(cnt) AS BIGINT) AS n_matches,
+         |          max(cnt * 4194304 + (2097152 - (off + 1048576))) AS pk
+         |        FROM oc GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, n_matches,
+         |  2097152 - (pk % 4194304) - 1048576 AS modal_offset,
+         |  pk // 4194304 AS n_at_modal
+         |FROM agg WHERE n_matches >= 2""".stripMargin
     },
     "dedup_prune" -> {
       s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},

@@ -941,6 +941,57 @@ object TextAnalysis {
         shiftright(col("_pk"), 21).as("gram_hash"))
   }
 
+  /** MOSS-style overlap detection over [[winnowFingerprints]]: probe
+    * documents against a corpus by joining selected gram hashes, then
+    * vote on the position offset — a genuine shared RUN (plagiarism,
+    * quotation, boilerplate, near-clone spans) shows many matches at ONE
+    * aligned offset `pos_a − pos_b`, while coincidental shared grams
+    * scatter across offsets. Returns per pair the total match count, the
+    * modal offset, and its vote count; `n_at_modal ≈ run length − w − k`
+    * for a single shared run.
+    *
+    * Engine-stable modal vote: offsets are packed `cnt·2^22 +
+    * (2^21 − (offset+2^20))` so a plain integer `max` picks the highest
+    * count with smallest-offset ties — no argmax nondeterminism.
+    *
+    * Scale shape: fingerprint tables are ~2/(w+1) of the gram count and
+    * never leave their scan; the only data motion is the hash-partitioned
+    * equi-join on `gram_hash` plus one (pair, offset) groupBy. Boilerplate
+    * grams selected in thousands of corpus documents make hot join keys —
+    * `maxHashFreq` (opt-in, like the LSH hot-bucket caps) drops corpus
+    * hashes above a selected-occurrence ceiling before the join.
+    *
+    * @return (id_a — probe, id_b — corpus, n_matches, modal_offset,
+    *         n_at_modal), pairs with n_matches ≥ minShared, id_a ≠ id_b
+    */
+  def winnowOverlap(probe: DataFrame, corpus: DataFrame, k: Int = 5, w: Int = 4,
+                    minShared: Long = 2L, maxHashFreq: Long = 0L,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fa = winnowFingerprints(probe, k, w, idCol, textCol)
+      .select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("gram_hash"))
+    val fbAll = winnowFingerprints(corpus, k, w, idCol, textCol)
+      .select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("gram_hash"))
+    val fb =
+      if (maxHashFreq <= 0) fbAll
+      else fbAll
+        .withColumn("_hn", count(lit(1)).over(Window.partitionBy(col("gram_hash"))))
+        .filter(col("_hn") <= maxHashFreq).drop("_hn")
+    val offsets = fa.join(fb, Seq("gram_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), (col("pos_a") - col("pos_b")).as("_off"))
+      .agg(count(lit(1)).as("_cnt"))
+    offsets
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_cnt")).as("n_matches"),
+        max(col("_cnt") * lit(1L << 22) +
+          (lit(1L << 21) - (col("_off") + lit(1L << 20)))).as("_pk"))
+      .filter(col("n_matches") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_matches"),
+        (lit(1L << 21) - col("_pk").bitwiseAND(lit((1L << 22) - 1)) - lit(1L << 20)).as("modal_offset"),
+        shiftright(col("_pk"), 22).as("n_at_modal"))
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

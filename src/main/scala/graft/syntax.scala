@@ -164,6 +164,11 @@ object syntax {
     def winnowFingerprinted(k: Int = 5, w: Int = 4): DataFrame =
       TextAnalysis.winnowFingerprints(df, k, w)
 
+    /** MOSS overlap pairs of THIS frame's documents vs a corpus. */
+    def winnowOverlapAgainst(corpus: DataFrame, k: Int = 5, w: Int = 4,
+                             minShared: Long = 2L, maxHashFreq: Long = 0L): DataFrame =
+      TextAnalysis.winnowOverlap(df, corpus, k, w, minShared, maxHashFreq)
+
     /** CCNet head/middle/tail perplexity strata per language. */
     def lmBucketed(train: DataFrame, buckets: Int = 3): DataFrame =
       TextAnalysis.lmBuckets(df, train, buckets)

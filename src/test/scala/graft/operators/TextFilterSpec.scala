@@ -111,6 +111,30 @@ class TextFilterSpec extends SparkSpec {
     assert(hh == exact)
   }
 
+  test("winnowOverlap: planted shared run votes one aligned offset; hot-hash cap prunes boilerplate") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 words >= w+k-1
+    val probe = Seq((1L, s"p1 p2 $run p3 p4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"c1 c2 c3 $run c4"),
+      (11L, "completely different words with no shared fingerprint content here today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowOverlap(probe, corpus, k = 5, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 10L)), s"only the planted pair may match: $out")
+    val (n, off, atModal) = out((1L, 10L))
+    // run starts at word 2 in the probe and word 3 in the corpus doc
+    assert(off == -1L, s"aligned offset must be -1: $out")
+    assert(n >= 1L && atModal >= 1L && atModal <= n)
+    // boilerplate cap: the same run in many corpus docs makes its hashes
+    // hot; capping document frequency at 2 drops them all
+    val boiler = (10L until 15L).map(i => (i, s"c$i x $run y")).toDF("doc_id", "text")
+    val uncapped = TextAnalysis.winnowOverlap(probe, boiler, k = 5, w = 4, minShared = 1L)
+    assert(uncapped.count() == 5L, "every boilerplate doc pairs without a cap")
+    val capped = TextAnalysis.winnowOverlap(probe, boiler, k = 5, w = 4, minShared = 1L,
+      maxHashFreq = 2L)
+    assert(capped.count() == 0L, "hot hashes above the df cap must not join")
+  }
+
   test("lmBuckets: fluent docs head, rare-gram docs tail, zero-bigram docs tail, tiles balanced") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
     val docs = Seq(

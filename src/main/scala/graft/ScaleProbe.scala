@@ -79,6 +79,16 @@ object ScaleProbe {
       val padded = merges64 ++ (0 until 4032).map(i => (s"_x$i", s"_y$i"))
       TextAnalysis.bpeEncode(docs10, padded).count()
     }
+    // classifier training at 16x the gate's dim: per iteration the
+    // driver holds dim+1 longs and the exchange carries ≤ dim+1 gradient
+    // rows — iteration cost must stay ~flat in dim (bounded by the two
+    // corpus-scan joins), and scoring is one broadcast join + groupBy
+    t("classifier_fit_10x") {
+      val labeled = docs10.withColumn("label", (col("lang") === "en").cast("long"))
+      val w = Classifier.fit(labeled, dim = 1024, iters = 4, stepDiv = 1L << 23,
+        share = _.localCheckpoint(false))
+      Classifier.score(docs10, w, dim = 1024).agg(sum(col("p_q"))).collect()(0).getLong(0)
+    }
     // cross-corpus decontamination at its adversarial worst: every probe
     // doc has 10 exact clones in the reference corpus
     t("dedup_cross_10x") {
@@ -87,6 +97,16 @@ object ScaleProbe {
     }
     t("chunk_documents_10x") {
       CorpusOps.chunkDocuments(docs10, chunkTokens = 16, overlapTokens = 4).count()
+    }
+    // paragraph dedup at its adversarial worst: in the 10x corpus every
+    // paragraph has 10 exact occurrences, so ~9/10 of all paragraph text
+    // drops and the first-occurrence table is 1/10 of the explode
+    t("dedup_paragraphs_10x") {
+      val paras = docs10.withColumn("text",
+        concat(col("text"), lit("\n\n"), col("text")))
+      Dedup.dedupParagraphs(paras)
+        .agg(sum(col("n_removed")), sum(length(col("text_deduped"))))
+        .collect()(0).getLong(0)
     }
     // LM scoring trains on the full 10x corpus and scores it: two count
     // groupBys (model) + two gram equi-joins (scoring); the model is a

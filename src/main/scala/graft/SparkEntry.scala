@@ -330,6 +330,49 @@ object SparkEntry {
        |       CAST(COALESCE(n.n, 0) AS BIGINT) AS n
        |FROM cent$iters c LEFT JOIN (SELECT c, max(n) AS n FROM s$iters GROUP BY c) n ON c.c = n.c""".stripMargin
 
+  /** [[graft.operators.Classifier.fit]] as unrolled SQL — one (margin,
+    * error, gradient, update) CTE block per iteration, every step the
+    * integer twin of the operator: hashed-count features + bias (cx),
+    * labels y = (lang = 'en') (cy), margins as exact long sums (cz),
+    * the division-free 1/2¹⁸-unit hard sigmoid `clamp(z + 2S, 0, 4S)`
+    * (ce), bucket gradients Σ e·x (cg), and the floor-division step
+    * `(G − ((G % d) + d) % d) // d` — DuckDB's `//` truncates toward
+    * zero, so the explicit nonneg-mod construction is required to match
+    * `Math.floorDiv` (the numerator is exactly divisible, making the
+    * truncation exact). CTEs are MATERIALIZED: cx/cw{i} are read twice
+    * per round.
+    */
+  private def classifierCtes(dim: Int, iters: Int, stepDiv: Long): String = {
+    val s2 = 2L * Classifier.S
+    val ps = Classifier.PS
+    val iterCtes = (1 to iters).map { i =>
+      s"""cz$i AS MATERIALIZED (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw${i - 1} w ON x.b = w.b GROUP BY x.doc_id),
+         |ce$i AS MATERIALIZED (
+         |  SELECT y.doc_id, greatest(least(z.z + $s2, $ps), 0) - y.y * $ps AS e
+         |  FROM cy y JOIN cz$i z ON y.doc_id = z.doc_id),
+         |cg$i AS MATERIALIZED (
+         |  SELECT x.b, CAST(sum(x.x * e.e) AS BIGINT) AS g
+         |  FROM cx x JOIN ce$i e ON x.doc_id = e.doc_id GROUP BY x.b),
+         |cw$i AS MATERIALIZED (
+         |  SELECT w.b,
+         |         w.w - COALESCE((g.g - (((g.g % $stepDiv) + $stepDiv) % $stepDiv)) // $stepDiv, 0) AS w
+         |  FROM cw${i - 1} w LEFT JOIN cg$i g ON w.b = g.b)""".stripMargin
+    }.mkString(",\n")
+    s"""cx AS MATERIALIZED (
+       |  SELECT doc_id, ${h60Sql("w")} % $dim AS b, CAST(count(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE length(w) > 0
+       |  GROUP BY doc_id, b
+       |  UNION ALL SELECT doc_id, CAST($dim AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+       |cy AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+       |       FROM documents),
+       |cw0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       |        FROM range(0, ${dim + 1})),
+       |$iterCtes""".stripMargin
+  }
+
   /** Product quantization ADC search as SQL: per-subspace codebooks from
     * [[kmeansCtes]], then one distance CTE (`encd`) serves both sides —
     * its per-(vec, subspace) argmin encodes the corpus, its probe rows
@@ -1660,6 +1703,20 @@ object SparkEntry {
       KMeans.centroidsDf(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 8, iters = 4, share = _.localCheckpoint(false))
     },
+    // fastText-style quality/topic filter: integer full-batch training
+    // against the lang=='en' target, then corpus-wide scoring
+    "classifier_train" -> { (s, dir) =>
+      Classifier.weightsDf(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
+    },
+    "classifier_score" -> { (s, dir) =>
+      Classifier.trainAndScore(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
+    },
     // embedding-space drift: shared clusters trained on the full table,
     // even ids as corpus A vs odd ids as corpus B; dense k-row output
     "embedding_drift" -> { (s, dir) =>
@@ -1829,6 +1886,19 @@ object SparkEntry {
     },
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
+    },
+    // paragraph-level exact dedup over synthetic two-paragraph docs:
+    // each doc carries its even-partner's text as paragraph 2, so every
+    // second paragraph (and every even doc's self-clone) is a duplicate
+    // of a globally-earlier occurrence
+    "dedup_paragraphs" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val partner = d.select(col("doc_id").as("_pid"), col("text").as("_pt"))
+      val in = d
+        .withColumn("_pid", col("doc_id") - pmod(col("doc_id"), lit(2L)))
+        .join(partner, Seq("_pid"))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("_pt")).as("text"))
+      Dedup.dedupParagraphs(in)
     },
     // the learned BPE merge table is the full training trajectory: any
     // divergence in pair counting, tie-breaking, or fusion order at any
@@ -2906,6 +2976,29 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN rc ON d.doc_id = rc.doc_id
          |LEFT JOIN kept ON d.doc_id = kept.doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      s"""WITH pin AS (
+         |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 2)),
+         |pp AS (
+         |  SELECT doc_id, unnest(ps) AS p,
+         |         CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM pin) t),
+         |pf AS MATERIALIZED (
+         |  SELECT doc_id, pos, p, ${h60Sql("p")} AS h FROM pp WHERE length(p) > 0),
+         |keep AS (
+         |  SELECT doc_id, pos, p FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM pf)
+         |  WHERE rn = 1),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs FROM pf GROUP BY doc_id),
+         |ka AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS kt
+         |  FROM keep GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_paragraphs,
+         |       n.n_paragraphs - COALESCE(k.n_kept, 0) AS n_removed,
+         |       COALESCE(k.kt, '') AS text_deduped
+         |FROM nb n LEFT JOIN ka k ON n.doc_id = k.doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_cross" -> minhashCrossOracle(numHashes = 64, bands = 16, threshold = 0.5,
       probeMax = 50L),
@@ -2915,6 +3008,19 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),
     "kmeans_centroids" -> kmeansOracle(k = 8, iters = 4),
+    "classifier_train" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 4, stepDiv = 131072L)}
+         |SELECT b AS bucket, w AS weight FROM cw4""".stripMargin,
+    "classifier_score" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 4, stepDiv = 131072L)},
+         |csz AS (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw4 w ON x.b = w.b GROUP BY x.doc_id)
+         |SELECT doc_id, z,
+         |  greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0) AS p_q,
+         |  CAST(CASE WHEN greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0)
+         |              >= ${Classifier.PS / 2} THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM csz""".stripMargin,
     // shared 8-cluster space (2 iterations), final assignment of every
     // vector (fd/fa = the semantic_dedup assignment pattern), even/odd
     // occupancy counts, quantized-ln drift over a dense cluster spine

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash
+
+/** Linear quality/topic classifier over hashed bag-of-words features —
+  * the fastText-style filtering model LLM data pipelines train against a
+  * high-quality target corpus (GPT-3's WebText-vs-CommonCrawl filter,
+  * LLaMA's Wikipedia-reference classifier, CCNet's language filters) and
+  * then apply to every crawled document. Training is full-batch gradient
+  * descent; scoring is one scan.
+  *
+  * Engine-exactness: everything is scaled-long integer arithmetic.
+  * Features are integer word counts hashed into `dim` buckets with the
+  * portable [[PortableHash.h60]] family (plus a constant bias feature at
+  * bucket `dim`); weights live in 1/2¹⁶ units; the link is the hard
+  * sigmoid `p = clamp(z/4 + 1/2, 0, 1)`, held in 1/2¹⁸ units as
+  * `clamp(z + 2S, 0, 4S)` so the DISTRIBUTED path needs no division at
+  * all (integer division is an engine trap: SQL `//`/`div` truncate
+  * toward zero, Java shifts floor); the gradient `Σ e·x` is a sum of
+  * longs (partitioning-invariant — no float accumulation order
+  * anywhere); the only division is the driver-side step
+  * `w ← w − floorDiv(G, stepDiv)`, which an oracle reproduces with the
+  * explicit floor construction `(G − ((G % d) + d) % d) / d`. Every
+  * iteration is therefore bit-for-bit reproducible by an unrolled SQL
+  * oracle and across cluster re-runs — the same auditability contract
+  * as [[KMeans.fit]].
+  *
+  * Scale shape (mirrors [[KMeans.fit]]): the feature table materializes
+  * once via the `share` hook, partitioned by document; each iteration is
+  * one broadcast join against the (dim+1)-row weight table + one
+  * groupBy(doc) margin shuffle + one doc-keyed join back + one
+  * map-side-combinable groupBy(bucket) whose ≤ dim+1 result rows collect
+  * to the driver. Driver state is dim+1 longs — constant in corpus size,
+  * so the loop holds at 100 TB while `dim` stays driver-sized (guarded).
+  * Scoring never shuffles more than one groupBy(doc).
+  */
+object Classifier {
+
+  /** Fixed-point scale: weights and margins in 1/S units. */
+  val S: Long = 1L << 16
+
+  /** Probability scale: [[pQ]] values live in 1/(4S) = 1/2¹⁸ units, so
+    * the hard sigmoid is pure add/clamp on the margin — division-free.
+    */
+  val PS: Long = 4L * S
+
+  /** Hashed long-form features: one row per (doc, bucket) with the
+    * integer word count, plus one bias row (bucket = dim, x = 1) per
+    * document — so every document, including empty text, has a feature.
+    * `yCol` rides along so training never rejoins labels.
+    */
+  private def features(docs: DataFrame, dim: Int, yCol: Column,
+                       idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("_id"), yCol.as("_y"),
+        explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .select(col("_id"), col("_y"),
+        pmod(PortableHash.h60(col("_w")), lit(dim.toLong)).as("_b"))
+      .groupBy(col("_id"), col("_y"), col("_b"))
+      .agg(count(lit(1)).as("_x"))
+    val bias = docs.select(col(idCol).as("_id"), yCol.as("_y"),
+      lit(dim.toLong).as("_b"), lit(1L).as("_x"))
+    counts.unionAll(bias)
+  }
+
+  /** Hard-sigmoid probability of a 1/S-unit margin, in 1/(4S) units:
+    * `clamp(z + 2S, 0, 4S)` = 4S · clamp(z_real/4 + 1/2, 0, 1) — add
+    * and clamp only, no division, identical in every integer engine.
+    */
+  private def pQ(z: Column): Column =
+    greatest(least(z + lit(2L * S), lit(PS)), lit(0L))
+
+  /** Train `iters` full-batch rounds from w = 0.
+    *
+    * @param docs    (idCol, textCol, labelCol) — labels must be 0/1 longs
+    * @param dim     hashed feature buckets (weights = dim+1 with bias)
+    * @param stepDiv integer inverse learning rate: the weight step is
+    *                `floorDiv(G, stepDiv)` on the raw 1/(4S)-unit
+    *                gradient G = Σ e·x; pick ≈ 4 × corpus size × a few,
+    *                larger = smaller steps
+    * @param share   persistence hook for the feature table every
+    *                iteration re-reads
+    * @return weights in 1/S units, index = bucket, last = bias
+    */
+  def fit(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+          idCol: String = "doc_id", textCol: String = "text", labelCol: String = "label",
+          share: DataFrame => DataFrame = Share.materialize): Array[Long] = {
+    require(dim >= 1 && dim.toLong + 1 <= 100000000L,
+      s"dim=$dim: driver holds dim+1 longs; keep dim <= 1e8")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(stepDiv >= 1, s"stepDiv must be >= 1, got $stepDiv")
+
+    val spark = docs.sparkSession
+    val x = share(features(docs, dim, col(labelCol).cast(LongType), idCol, textCol))
+    val w = Array.fill(dim + 1)(0L)
+
+    for (_ <- 1 to iters) {
+      import spark.implicits._
+      val wDf = w.toIndexedSeq.zipWithIndex
+        .map { case (v, b) => (b.toLong, v) }.toDF("_b", "_w")
+      // per-doc 1/S margin, then hard-sigmoid error e = p − y·4S in
+      // 1/(4S) units, e ∈ [−4S, 4S] — add/clamp/multiply only
+      val e = x.join(broadcast(wDf), Seq("_b"))
+        .groupBy(col("_id"))
+        .agg(sum(col("_x") * col("_w")).as("_z"), max(col("_y")).as("_yy"))
+        .select(col("_id"), (pQ(col("_z")) - col("_yy") * lit(PS)).as("_e"))
+      // bucket gradients Σ e·x — exact long sums, ≤ dim+1 rows collect
+      val grad = x.join(e, Seq("_id"))
+        .groupBy(col("_b"))
+        .agg(sum(col("_x") * col("_e")).as("_g"))
+        .collect()
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) -= Math.floorDiv(r.getLong(1), stepDiv)
+      }
+    }
+    w
+  }
+
+  /** [[fit]] as a (bucket, weight) frame — the gate/oracle surface. */
+  def weightsDf(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+                idCol: String = "doc_id", textCol: String = "text", labelCol: String = "label",
+                share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fit(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+      .toIndexedSeq.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }
+      .toDF("bucket", "weight")
+  }
+
+  /** Score documents with trained weights: the 1/S margin `z`, the
+    * hard-sigmoid probability `p_q` (1/(4S) units), and the 0/1
+    * decision at p ≥ 1/2. One scan + one groupBy(doc): the weight table
+    * broadcasts, so corpus-scale scoring is embarrassingly parallel —
+    * this is the "apply the quality filter to all of CommonCrawl" step.
+    */
+  def score(docs: DataFrame, weights: Array[Long], dim: Int = 64,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(weights.length == dim + 1,
+      s"weights length ${weights.length} != dim+1 = ${dim + 1}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toIndexedSeq.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("_b", "_w")
+    features(docs, dim, lit(0L), idCol, textCol)
+      .join(broadcast(wDf), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_x") * col("_w")).as("z"))
+      .select(col("_id").as(idCol), col("z"), pQ(col("z")).as("p_q"),
+        (pQ(col("z")) >= lit(PS / 2)).cast(LongType).as("pred"))
+  }
+
+  /** Train-then-score in one call (the gate's scoring query): fit on
+    * `docs`' labels, then score every document with the final weights.
+    */
+  def trainAndScore(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+                    idCol: String = "doc_id", textCol: String = "text", labelCol: String = "label",
+                    share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    score(docs, fit(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share),
+      dim, idCol, textCol)
+}

@@ -425,6 +425,57 @@ object Dedup {
         coalesce(col("_kept"), lit("")).as("text_deduped"))
   }
 
+  /** Paragraph-level exact deduplication (the Dolma/RefinedWeb pass
+    * between document-level and span-level dedup): split each document
+    * on `sep`, drop every paragraph whose exact text already occurred
+    * earlier in the corpus — boilerplate headers, navigation blocks,
+    * license footers repeat across millions of pages while their host
+    * documents stay distinct. The keeper is the globally-first
+    * occurrence by (doc_id, position) — deterministic, not sampled.
+    *
+    * Identity is the 60-bit [[PortableHash.h60]] content hash (the
+    * engine-wide exact-dedup contract — same as [[exactDedup]] and
+    * streaming dedup): collisions merge distinct paragraphs with
+    * probability ~n²/2⁶¹, accepted and documented rather than shuffling
+    * full paragraph text twice.
+    *
+    * Scale shape: one posexplode scan; one map-side-combinable
+    * groupBy(hash) for the first-occurrence table; one hash-keyed
+    * equi-join back (the only motion of paragraph text); one
+    * groupBy(doc) reassembly. All linear, no driver state, no products.
+    *
+    * @return (doc_id, n_paragraphs, n_removed, text_deduped) —
+    *         n_paragraphs counts nonempty paragraphs; a document whose
+    *         every paragraph occurred earlier reassembles to "", and a
+    *         document with no nonempty paragraph at all is absent
+    */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n\n",
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val paras = base
+      .select(col("doc_id"),
+        posexplode(split(col("_text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_pos", "_p")))
+      .filter(length(col("_p")) > 0)
+      .select(col("doc_id"), col("_pos").cast(LongType).as("_pos"), col("_p"),
+        PortableHash.h60(col("_p")).as("_h"))
+    val firstOcc = paras.groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("_pos"))).as("_f"))
+    val kept = paras.join(firstOcc, Seq("_h"))
+      .filter(col("doc_id") === col("_f.doc_id") && col("_pos") === col("_f._pos"))
+    val counts = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paragraphs"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("_pos"), col("_p")))),
+            s => s.getField("_p"))).as("_kept"))
+    counts
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paragraphs"),
+        (col("n_paragraphs") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("_kept"), lit("")).as("text_deduped"))
+  }
+
   /** Embedding near-duplicates: cosine similarity >= threshold among
     * candidate pairs from random-hyperplane LSH buckets (see Ann for the
     * signature machinery).

@@ -128,6 +128,9 @@ object syntax {
 
     def pruneDuplicates(pairs: DataFrame): DataFrame = Dedup.pruneDuplicates(df, pairs)
 
+    /** Drop every paragraph whose exact text occurred earlier. */
+    def dedupParagraphs(sep: String = "\n\n"): DataFrame = Dedup.dedupParagraphs(df, sep)
+
     def qualityScored: DataFrame = TextAnalysis.qualityScore(df)
 
     def languageIdentified: DataFrame = TextAnalysis.languageId(df)
@@ -172,6 +175,10 @@ object syntax {
     /** CCNet head/middle/tail perplexity strata per language. */
     def lmBucketed(train: DataFrame, buckets: Int = 3): DataFrame =
       TextAnalysis.lmBuckets(df, train, buckets)
+
+    /** Score every document with a trained hashed-BoW linear filter. */
+    def classifierScored(weights: Array[Long], dim: Int = 64): DataFrame =
+      Classifier.score(df, weights, dim)
 
     /** Exact heavy-hitter words via count-min candidate filtering. */
     def heavyHitters(minCount: Long, depth: Int = 3, width: Int = 1024): DataFrame =

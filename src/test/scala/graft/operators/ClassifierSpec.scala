@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Classifier]] — integer hashed-BoW linear classifier. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference twin of [[Classifier.fit]]: same hashing,
+    * same scaled-integer hard-sigmoid gradient descent, plain Scala
+    * collections — an independent implementation of the contract, not a
+    * re-run of the operator.
+    */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def referenceFit(docs: Seq[(Long, String, Long)], dim: Int, iters: Int,
+                           stepDiv: Long): Array[Long] = {
+    val feats: Seq[(Long, Map[Long, Long])] = docs.map { case (id, text, _) =>
+      val counts = text.split(" ").filter(_.nonEmpty)
+        .groupBy(w => h60(w) % dim).map { case (b, ws) => b -> ws.length.toLong }
+      id -> (counts + (dim.toLong -> (counts.getOrElse(dim.toLong, 0L) + 1L)))
+    }
+    val y = docs.map(d => d._1 -> d._3).toMap
+    val w = Array.fill(dim + 1)(0L)
+    val S = Classifier.S
+    val PS = Classifier.PS
+    for (_ <- 1 to iters) {
+      val g = Array.fill(dim + 1)(0L)
+      feats.foreach { case (id, x) =>
+        val z = x.map { case (b, v) => w(b.toInt) * v }.sum
+        val p = math.max(0L, math.min(z + 2 * S, PS))
+        val e = p - y(id) * PS
+        x.foreach { case (b, v) => g(b.toInt) += e * v }
+      }
+      for (b <- 0 to dim) w(b) -= Math.floorDiv(g(b), stepDiv)
+    }
+    w
+  }
+
+  private val labeled = Seq(
+    (1L, "good great fine good solid", 1L),
+    (2L, "great good nice fine", 1L),
+    (3L, "good good great", 1L),
+    (4L, "bad awful poor bad broken", 0L),
+    (5L, "awful bad poor junk", 0L),
+    (6L, "bad bad awful", 0L))
+
+  test("fit separates a separable fixture and score classifies it") {
+    val docs = labeled.toDF("doc_id", "text", "label")
+    val w = Classifier.fit(docs, dim = 256, iters = 8, stepDiv = 1024L)
+    val scored = Classifier.score(docs, w, dim = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    labeled.foreach { case (id, _, y) =>
+      assert(scored(id)._2 == y, s"doc $id must classify as $y: $scored")
+    }
+    // positive-word buckets above negative-word buckets
+    val bGood = (h60("good") % 256).toInt
+    val bBad = (h60("bad") % 256).toInt
+    assert(w(bGood) > 0 && w(bBad) < 0,
+      s"w(good)=${w(bGood)} must be > 0 > w(bad)=${w(bBad)}")
+  }
+
+  test("fit equals the driver-side reference twin exactly") {
+    val docs = labeled.toDF("doc_id", "text", "label")
+    val got = Classifier.fit(docs, dim = 64, iters = 5, stepDiv = 2048L)
+    val want = referenceFit(labeled, dim = 64, iters = 5, stepDiv = 2048L)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("fit is partitioning-invariant (long sums, no float order)") {
+    val docs = labeled.toDF("doc_id", "text", "label")
+    val w1 = Classifier.fit(docs.repartition(1), dim = 64, iters = 4, stepDiv = 4096L)
+    val w7 = Classifier.fit(docs.repartition(7), dim = 64, iters = 4, stepDiv = 4096L)
+    assert(w1.toSeq == w7.toSeq)
+  }
+
+  test("empty documents carry only the bias feature and still score") {
+    val docs = Seq((1L, "", 0L), (2L, "good", 1L)).toDF("doc_id", "text", "label")
+    val w = Classifier.fit(docs, dim = 16, iters = 2, stepDiv = 512L)
+    val out = Classifier.score(docs, w, dim = 16).collect()
+    assert(out.length == 2, "empty doc must not vanish from scoring")
+  }
+}

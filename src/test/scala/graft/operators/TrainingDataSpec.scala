@@ -339,6 +339,23 @@ class TrainingDataSpec extends SparkSpec {
   private def spanRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
     df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
 
+  test("dedup paragraphs: later occurrences drop, first-by-(doc,pos) keeps, empties vanish") {
+    val docs = Seq(
+      (1L, "intro text\n\nshared footer\n\nunique one"),
+      (2L, "shared footer\n\nown body"),        // footer first seen in doc 1
+      (3L, "shared footer"),                     // loses its only paragraph
+      (4L, "\n\n\n\n"),                          // no nonempty paragraph -> absent
+      (5L, "own body\n\nown body"))              // in-doc repeat: pos 0 of doc 2 wins
+      .toDF("doc_id", "text")
+    val out = spanRows(Dedup.dedupParagraphs(docs))
+    assert(out(1L) === ((3L, 0L, "intro text\n\nshared footer\n\nunique one")))
+    assert(out(2L) === ((2L, 1L, "own body")))
+    assert(out(3L) === ((1L, 1L, "")))
+    assert(!out.contains(4L), "a document with no nonempty paragraph is absent")
+    assert(out(5L) === ((2L, 2L, "")), "both copies lost to doc 2's earlier occurrence")
+    assert(out.size == 4)
+  }
+
   test("dedup spans: the later copy of a shared 3-gram span is removed") {
     val docs = Seq(
       (1L, "a b c d e"),

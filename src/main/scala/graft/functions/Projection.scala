@@ -215,172 +215,4 @@ object Projection {
   /** Standard UTM zone of a longitude (degrees). */
   def utmZoneOf(lonDeg: Double): Int =
     (((lonDeg + 180.0) / 6.0).toInt % 60) + 1
-
-  // ------------------------------------------------------------------
-  // Web Mercator (EPSG:3857, "Popular Visualisation Pseudo-Mercator")
-  // — EPSG Guidance Note 7-2 §3.7.2: spherical Mercator on the WGS84
-  // semi-major axis. The projection of every web tile scheme; closing
-  // it (plus Lambert below) extends the engine's CRS family beyond TM.
-  // ------------------------------------------------------------------
-
-  /** Forward EPSG:3857: (lon, lat) degrees → meters. */
-  def webMercatorForward(lon: Column, lat: Column): (Column, Column) = {
-    val e = radians(lon) * Wgs84A
-    val n = log(tan(lit(math.Pi / 4.0) + radians(lat) / 2.0)) * Wgs84A
-    (e, n)
-  }
-
-  /** Scalar twin: `log`/`exp` go through `StrictMath` (Spark's Log/Exp
-    * codegen does), trig through `Math` (Spark's trig does) — the split
-    * that keeps column and scalar bit-identical.
-    */
-  def webMercatorForward(lon: Double, lat: Double): (Double, Double) =
-    (math.toRadians(lon) * Wgs84A,
-      StrictMath.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)) * Wgs84A)
-
-  /** Inverse EPSG:3857: meters → (lon, lat) degrees. */
-  def webMercatorInverse(easting: Column, northing: Column): (Column, Column) = {
-    val lon = degrees(easting / Wgs84A)
-    val lat = degrees(lit(math.Pi / 2.0) - atan(exp(negate(northing / Wgs84A))) * 2.0)
-    (lon, lat)
-  }
-
-  /** Scalar twin of the column inverse, same libm split. */
-  def webMercatorInverse(easting: Double, northing: Double): (Double, Double) =
-    (math.toDegrees(easting / Wgs84A),
-      math.toDegrees(math.Pi / 2.0 - 2.0 * math.atan(StrictMath.exp(-northing / Wgs84A))))
-
-  /** [[toUtm]]'s Web-Mercator sibling: geographic → EPSG:3857 meters. */
-  def toWebMercator(df: DataFrame, lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
-    val (e, n) = webMercatorForward(col(lonCol), col(latCol))
-    val projected = df.withColumn("_graft_e", e).withColumn("_graft_n", n)
-      .withColumn(lonCol, col("_graft_e")).withColumn(latCol, col("_graft_n"))
-      .drop("_graft_e", "_graft_n")
-    GeoFunctions.withCrs(projected, "EPSG:3857", cols = Seq(lonCol, latCol))
-  }
-
-  /** Inverse of [[toWebMercator]], CRS stamp restored to EPSG:4326. */
-  def fromWebMercator(df: DataFrame, lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
-    val (lo, la) = webMercatorInverse(col(lonCol), col(latCol))
-    val geo = df.withColumn("_graft_lo", lo).withColumn("_graft_la", la)
-      .withColumn(lonCol, col("_graft_lo")).withColumn(latCol, col("_graft_la"))
-      .drop("_graft_lo", "_graft_la")
-    GeoFunctions.withCrs(geo, "EPSG:4326", cols = Seq(lonCol, latCol))
-  }
-
-  // ------------------------------------------------------------------
-  // Lambert Conformal Conic, 2 standard parallels — EPSG Guidance Note
-  // 7-2 §3.1.1 / Snyder eq. 15-1..15-11. The projection of most
-  // mid-latitude national grids (France, US state planes, Canada);
-  // with TM/UTM and Web Mercator this covers the projection families
-  // behind the overwhelming majority of EPSG codes mobility data ships
-  // in.
-  // ------------------------------------------------------------------
-
-  /** LCC-2SP parameter set. Distances are in whatever unit `a`,
-    * `falseEasting`, `falseNorthing` share (the EPSG worked example is
-    * in US survey feet; meters for modern grids).
-    *
-    * The derived cone constants (n, F, rF) are pure functions of the
-    * parameters, computed once here with the same `StrictMath`
-    * `pow`/`log` the column expressions compile to.
-    */
-  final case class LccParams(a: Double, invF: Double,
-                             lat1Deg: Double, lat2Deg: Double,
-                             lat0Deg: Double, lon0Deg: Double,
-                             falseEasting: Double, falseNorthing: Double) {
-    val f: Double = 1.0 / invF
-    val e2: Double = f * (2.0 - f)
-    val e: Double = math.sqrt(e2)
-
-    private def mOf(phi: Double): Double =
-      math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
-    private[Projection] def tOf(phi: Double): Double =
-      math.tan(math.Pi / 4.0 - phi / 2.0) /
-        StrictMath.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2.0)
-
-    private val phi1 = math.toRadians(lat1Deg)
-    private val phi2 = math.toRadians(lat2Deg)
-    /** Cone constant. */
-    val n: Double = (StrictMath.log(mOf(phi1)) - StrictMath.log(mOf(phi2))) /
-      (StrictMath.log(tOf(phi1)) - StrictMath.log(tOf(phi2)))
-    val bigF: Double = mOf(phi1) / (n * StrictMath.pow(tOf(phi1), n))
-    /** Radius at the false origin's latitude. */
-    val rF: Double = a * bigF * StrictMath.pow(tOf(math.toRadians(lat0Deg)), n)
-  }
-
-  /** NAD27 / Texas South Central (EPSG:32040, US survey feet) — the
-    * EPSG Guidance Note 7-2 worked example's CRS, kept as a named
-    * constant because its published test vector pins the whole family.
-    */
-  val Nad27TexasSouthCentral: LccParams = LccParams(
-    a = 20925832.16, invF = 294.97870, // Clarke 1866, axis in US survey feet
-    lat1Deg = 28.0 + 23.0 / 60.0, lat2Deg = 30.0 + 17.0 / 60.0,
-    lat0Deg = 27.0 + 50.0 / 60.0, lon0Deg = -99.0,
-    falseEasting = 2000000.0, falseNorthing = 0.0)
-
-  /** t(φ) as a column — the conformal-latitude kernel of LCC. */
-  private def tCol(p: LccParams, phi: Column): Column =
-    tan(lit(math.Pi / 4.0) - phi / 2.0) /
-      pow((lit(1.0) - lit(p.e) * sin(phi)) / (lit(1.0) + lit(p.e) * sin(phi)), p.e / 2.0)
-
-  /** Forward LCC-2SP: (lon, lat) degrees → projected units. */
-  def lccForward(lon: Column, lat: Column, p: LccParams): (Column, Column) = {
-    val r = lit(p.a * p.bigF) * pow(tCol(p, radians(lat)), p.n)
-    val theta = (radians(lon) - lit(math.toRadians(p.lon0Deg))) * p.n
-    val easting = lit(p.falseEasting) + r * sin(theta)
-    val northing = lit(p.falseNorthing) + lit(p.rF) - r * cos(theta)
-    (easting, northing)
-  }
-
-  /** Scalar twin, identical operation order and libm split. */
-  def lccForward(lon: Double, lat: Double, p: LccParams): (Double, Double) = {
-    val r = p.a * p.bigF * StrictMath.pow(p.tOf(math.toRadians(lat)), p.n)
-    val theta = p.n * (math.toRadians(lon) - math.toRadians(p.lon0Deg))
-    (p.falseEasting + r * math.sin(theta),
-      p.falseNorthing + p.rF - r * math.cos(theta))
-  }
-
-  /** Inverse LCC-2SP: projected units → (lon, lat) degrees. The
-    * latitude recurrence φ ← π/2 − 2·atan(t'·((1−e sinφ)/(1+e sinφ))^(e/2))
-    * has no closed form; it is unrolled `iters` times (EPSG notes
-    * convergence to sub-mm in 3-4 rounds at mid-latitudes) so the
-    * column form stays a pure expression — deterministic and identical
-    * to the scalar twin's loop.
-    */
-  def lccInverse(easting: Column, northing: Column, p: LccParams,
-                 iters: Int = 5): (Column, Column) = {
-    val de = easting - lit(p.falseEasting)
-    val dn = lit(p.rF) - (northing - lit(p.falseNorthing))
-    val sign = if (p.n >= 0) 1.0 else -1.0
-    val rP = sqrt(de * de + dn * dn) * sign
-    val tP = pow(rP / (p.a * p.bigF), 1.0 / p.n)
-    val thetaP = atan2(de * sign, dn * sign)
-    val lam = thetaP / p.n + lit(math.toRadians(p.lon0Deg))
-    var phi: Column = lit(math.Pi / 2.0) - atan(tP) * 2.0
-    for (_ <- 1 to iters)
-      phi = lit(math.Pi / 2.0) -
-        atan(tP * pow((lit(1.0) - lit(p.e) * sin(phi)) / (lit(1.0) + lit(p.e) * sin(phi)),
-          p.e / 2.0)) * 2.0
-    (degrees(lam), degrees(phi))
-  }
-
-  /** Scalar twin of the column inverse, same unrolled iteration count
-    * (no default — Scala forbids defaults on both overloads; pass 5).
-    */
-  def lccInverse(easting: Double, northing: Double, p: LccParams,
-                 iters: Int): (Double, Double) = {
-    val de = easting - p.falseEasting
-    val dn = p.rF - (northing - p.falseNorthing)
-    val sign = if (p.n >= 0) 1.0 else -1.0
-    val rP = sign * math.sqrt(de * de + dn * dn)
-    val tP = StrictMath.pow(rP / (p.a * p.bigF), 1.0 / p.n)
-    val thetaP = math.atan2(sign * de, sign * dn)
-    val lam = thetaP / p.n + math.toRadians(p.lon0Deg)
-    var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
-    for (_ <- 1 to iters)
-      phi = math.Pi / 2.0 - 2.0 * math.atan(
-        tP * StrictMath.pow((1.0 - p.e * math.sin(phi)) / (1.0 + p.e * math.sin(phi)), p.e / 2.0))
-    (math.toDegrees(lam), math.toDegrees(phi))
-  }
 }

@@ -122,99 +122,4 @@ class ProjectionSpec extends SparkSpec {
     assert(GeoFunctions.crsOf(proj) == "EPSG:32632")
     assert(GeoFunctions.isPlanar(proj))
   }
-
-  test("EPSG GN7-2 worked example: Web Mercator (EPSG:3857)") {
-    // phi = 24d22'54.433"N, lambda = 100d20'00.000"W
-    //   -> E = -11169055.58 m, N = 2800000.00 m
-    val lat = 24.0 + 22.0 / 60.0 + 54.433 / 3600.0
-    val lon = -(100.0 + 20.0 / 60.0)
-    val (e, n) = Projection.webMercatorForward(lon, lat)
-    assert(math.abs(e - -11169055.58) < 0.02, s"easting $e")
-    assert(math.abs(n - 2800000.00) < 0.02, s"northing $n")
-    val (lonBack, latBack) = Projection.webMercatorInverse(e, n)
-    assert(math.abs(lonBack - lon) < 1e-9 && math.abs(latBack - lat) < 1e-9)
-  }
-
-  test("EPSG GN7-2 worked example: Lambert Conformal Conic 2SP (Texas South Central)") {
-    // phi = 28d30'00.00"N, lambda = 96d00'00.00"W
-    //   -> E = 2963503.91 US ft, N = 254759.80 US ft
-    val p = Projection.Nad27TexasSouthCentral
-    val (e, n) = Projection.lccForward(-96.0, 28.5, p)
-    assert(math.abs(e - 2963503.91) < 0.05, s"easting $e")
-    assert(math.abs(n - 254759.80) < 0.05, s"northing $n")
-    val (lonBack, latBack) = Projection.lccInverse(e, n, p, iters = 5)
-    assert(math.abs(lonBack - -96.0) < 1e-8 && math.abs(latBack - 28.5) < 1e-8)
-  }
-
-  test("property: Web Mercator and LCC round-trip sub-mm; column == scalar for both") {
-    import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    val lcc = Projection.Nad27TexasSouthCentral
-    val genMerc = for {
-      lon <- Gen.choose(-179.0, 179.0)
-      lat <- Gen.choose(-84.0, 84.0)
-    } yield (lon, lat)
-    val genLcc = for {
-      lon <- Gen.choose(-104.0, -94.0) // around the Texas grid
-      lat <- Gen.choose(26.0, 32.0)
-    } yield (lon, lat)
-    val mercPts = (0 until 100).map(i => genMerc.pureApply(Gen.Parameters.default, Seed(i.toLong)))
-    val lccPts = (0 until 100).map(i => genLcc.pureApply(Gen.Parameters.default, Seed(1000L + i)))
-
-    mercPts.foreach { case (lon, lat) =>
-      val (e, n) = Projection.webMercatorForward(lon, lat)
-      val (lo, la) = Projection.webMercatorInverse(e, n)
-      // 1e-8 deg ~ 1 mm
-      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8,
-        s"mercator drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
-    }
-    lccPts.foreach { case (lon, lat) =>
-      val (e, n) = Projection.lccForward(lon, lat, lcc)
-      val (lo, la) = Projection.lccInverse(e, n, lcc, iters = 5)
-      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8,
-        s"lcc drift at ($lon, $lat): (${lo - lon}, ${la - lat})")
-    }
-
-    // column forms bit-identical to the scalar twins, both directions
-    val mdf = mercPts.toDF("lon", "lat")
-    val (mec, mnc) = Projection.webMercatorForward(col("lon"), col("lat"))
-    val mproj = mdf.select(col("lon"), col("lat"), mec.as("e"), mnc.as("n"))
-    mproj.collect().foreach { r =>
-      val (se, sn) = Projection.webMercatorForward(r.getDouble(0), r.getDouble(1))
-      assert(r.getDouble(2) == se && r.getDouble(3) == sn,
-        s"mercator column (${r.getDouble(2)}, ${r.getDouble(3)}) vs scalar ($se, $sn)")
-    }
-    val (mloC, mlaC) = Projection.webMercatorInverse(col("e"), col("n"))
-    mproj.select(col("e"), col("n"), mloC.as("lo"), mlaC.as("la")).collect().foreach { r =>
-      val (slo, sla) = Projection.webMercatorInverse(r.getDouble(0), r.getDouble(1))
-      assert(r.getDouble(2) == slo && r.getDouble(3) == sla)
-    }
-    val ldf = lccPts.toDF("lon", "lat")
-    val (lec, lnc) = Projection.lccForward(col("lon"), col("lat"), lcc)
-    val lproj = ldf.select(col("lon"), col("lat"), lec.as("e"), lnc.as("n"))
-    lproj.collect().foreach { r =>
-      val (se, sn) = Projection.lccForward(r.getDouble(0), r.getDouble(1), lcc)
-      assert(r.getDouble(2) == se && r.getDouble(3) == sn,
-        s"lcc column (${r.getDouble(2)}, ${r.getDouble(3)}) vs scalar ($se, $sn)")
-    }
-    val (lloC, llaC) = Projection.lccInverse(col("e"), col("n"), lcc)
-    lproj.select(col("e"), col("n"), lloC.as("lo"), llaC.as("la")).collect().foreach { r =>
-      val (slo, sla) = Projection.lccInverse(r.getDouble(0), r.getDouble(1), lcc, iters = 5)
-      assert(r.getDouble(2) == slo && r.getDouble(3) == sla)
-    }
-  }
-
-  test("toWebMercator/fromWebMercator close the frame round trip with CRS stamps") {
-    val df = Seq((0L, 8.5417, 47.3769), (1L, -100.3333, 24.3818), (2L, 151.2, -33.85))
-      .toDF("id", "lon", "lat")
-    val proj = Projection.toWebMercator(df)
-    assert(GeoFunctions.crsOf(proj) == "EPSG:3857" && GeoFunctions.isPlanar(proj))
-    val back = Projection.fromWebMercator(proj)
-    assert(GeoFunctions.crsOf(back) == "EPSG:4326" && !GeoFunctions.isPlanar(back))
-    back.orderBy("id").collect()
-      .zip(Seq((8.5417, 47.3769), (-100.3333, 24.3818), (151.2, -33.85))).foreach {
-        case (r, (lon, lat)) =>
-          assert(math.abs(r.getDouble(1) - lon) < 1e-8 && math.abs(r.getDouble(2) - lat) < 1e-8)
-      }
-  }
 }

@@ -2063,6 +2063,27 @@ object SparkEntry {
     // integer counts, so the double order is engine-reproducible
     "quality_topk" -> { (s, dir) =>
       CorpusOps.keepTopKPerGroup(s.read.parquet(s"$dir/documents.parquet"), k = 10)
+    },
+    // exact doc-length percentiles per language — integer rank selection
+    // over the (lang, n_chars) count table, never a corpus sort
+    "exact_quantiles" -> { (s, dir) =>
+      CorpusOps.exactQuantiles(s.read.parquet(s"$dir/documents.parquet"),
+        valueCol = "n_chars", qsBp = Seq(2500, 5000, 9000, 9900, 10000))
+    },
+    // deterministic ES-weighted sample, chars as the weight: every
+    // priority is a long (quantized-ln contract), so the 40 winners and
+    // their order are engine-exact
+    "weighted_sample" -> { (s, dir) =>
+      CorpusOps.weightedSample(s.read.parquet(s"$dir/documents.parquet"),
+        k = 40, weightCol = "n_chars")
+    },
+    // skew-spread join: every lang is a hot key (5 values over the whole
+    // corpus); the salted result must equal the plain join bit-for-bit
+    "salted_join" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"))
+      val dim = docs.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+      SkewJoin.saltedEquiJoin(docs, dim, Seq("lang"), saltFactor = 8)
+        .select(col("doc_id"), col("lang"), col("lang_docs"))
     }
   )
 
@@ -3410,6 +3431,38 @@ object SparkEntry {
         |SELECT doc_id, chunk_index,
         |       CAST(len(words[chunk_index*12 + 1 : chunk_index*12 + 16]) AS BIGINT) AS n_tokens,
         |       array_to_string(words[chunk_index*12 + 1 : chunk_index*12 + 16], ' ') AS chunk_text
-        |FROM starts""".stripMargin
+        |FROM starts""".stripMargin,
+    "exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, value, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY value) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM c),
+        |q AS (SELECT CAST(unnest([2500, 5000, 9000, 9900, 10000]) AS BIGINT) AS q_bp)
+        |SELECT lang, q_bp, value, n
+        |FROM cum CROSS JOIN q
+        |WHERE cum - cnt < (q_bp * n + 9999) // 10000
+        |  AND (q_bp * n + 9999) // 10000 <= cum""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         |         ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 2147483647 AS r
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (
+         |  SELECT doc_id, lang, weight,
+         |         ((CAST(floor(ln(CAST(2147483647 AS DOUBLE)) * 1000000) AS BIGINT)
+         |           - CAST(floor(ln(CAST(r + 1 AS DOUBLE)) * 1000000) AS BIGINT))
+         |          * 1048576) // weight AS priority_q
+         |  FROM h)
+         |SELECT doc_id, lang, weight, priority_q
+         |FROM k ORDER BY priority_q, doc_id LIMIT 40""".stripMargin,
+    "salted_join" ->
+      """WITH dim AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, lang_docs
+        |FROM documents d JOIN dim ON d.lang = dim.lang""".stripMargin
   )
 }

@@ -568,6 +568,96 @@ object CorpusOps {
         round(col("n_bloom").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Exact per-group discrete quantiles of an integer-valued signal —
+    * the corpus-card percentiles (doc-length p50/p90/p99 per language)
+    * computed exactly and deterministically, without ever sorting the
+    * corpus.
+    *
+    * Definition: for quantile q (basis points, 1..10000) over a group of
+    * n values, the answer is the value at 1-based rank ceil(q·n/10000)
+    * in ascending order — the "lower discrete quantile" (q=10000 is the
+    * max, q=5000 the lower median). Every step is integer arithmetic, so
+    * the result is engine-exact.
+    *
+    * Scale shape: one map-side-combinable groupBy collapses the corpus
+    * to its (group, value) count table — bounded by the VALUE DOMAIN per
+    * group (doc lengths, token counts), not the corpus size — and the
+    * rank selection is a window over that small table. No corpus sort,
+    * no corpus shuffle beyond the count partial-aggregation. This is the
+    * exact/oracle-checkable reference; `percentile_approx` is the
+    * sketch-merge alternative when even the distinct-value table is too
+    * hot, spec-gated against this operator within its accuracy bound
+    * (the same exact/approx dual as [[corpusStats]]'s vocabulary).
+    *
+    * @param qsBp quantiles in basis points, each in [1, 10000]
+    * @return (group..., q_bp, value, n) — n = group row count
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qsBp: Seq[Int],
+                     groupCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(q => q >= 1 && q <= 10000),
+      s"quantiles are basis points in [1, 10000], got $qsBp")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val counts = df
+      .select(gc :+ col(valueCol).cast("long").as("value"): _*)
+      .groupBy(gc :+ col("value"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("value"))
+    val wAll = Window.partitionBy(gc: _*)
+    counts
+      .withColumn("_cum", sum(col("_cnt")).over(wCum))
+      .withColumn("n", sum(col("_cnt")).over(wAll))
+      .withColumn("q_bp", explode(typedlit(qsBp.map(_.toLong).sorted)))
+      // ceil(q*n/10000) via (q*n + 9999) div 10000 — positive longs, so
+      // truncating div == floor div in Spark and DuckDB alike
+      .withColumn("_rank", expr("(q_bp * n + 9999) div 10000"))
+      .filter(col("_cum") - col("_cnt") < col("_rank") && col("_rank") <= col("_cum"))
+      .select(gc ++ Seq(col("q_bp"), col("value"), col("n")): _*)
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): keep the k documents with the largest priority
+    * u^(1/w), where u is uniform per document and w its weight — e.g.
+    * sample a training subset proportional to a quality score. Here u is
+    * the portable hash of (salt, id), so the sample is a pure function
+    * of (salt, corpus): reproducible across runs, engines, and
+    * partitionings, and auditable row by row in SQL.
+    *
+    * Integer-exact by quantization: maximizing u^(1/w) is equivalent to
+    * minimizing (−ln u)/w, and with u = (h60 mod M + 1)/M the numerator
+    * −ln u = ln M − ln(h+1) is the difference of two lns OF INTEGERS —
+    * quantized to 1e-6 units (the [[TextAnalysis.lmScore]] contract)
+    * before anything else touches it. The division by w is then a
+    * 2^20-scaled integer floor division, so the ranking key
+    *   priority_q = (lnq(M) − lnq(h+1)) · 2^20 div w
+    * is a long, identical in any engine; ties break on the id. The
+    * sampled distribution matches ES up to the 1e-6 ln grid and the
+    * 2^-20 priority grid — both far below the hash's own 1/M granularity.
+    *
+    * Scale shape: one scan computes keys; the k smallest reduce via
+    * TakeOrdered (per-partition top-k, then a k-row driver merge) — no
+    * corpus shuffle, no sort. Weights must be positive; rows with
+    * w <= 0 or null are excluded (weight 0 = "never sample").
+    *
+    * @return the k sampled rows: (id, weight, priority_q) + `keep` cols
+    */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     keepCols: Seq[String] = Seq("lang"),
+                     salt: String = "graft", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    def lnq(c: org.apache.spark.sql.Column) = floor(log(c.cast("double")) * 1e6).cast("long")
+    val h = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+      lit(PortableHash.M))
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(Seq(col(idCol), col(weightCol).cast("long").as("weight")) ++ keepCols.map(col): _*)
+      .withColumn("_a", lnq(lit(PortableHash.M)) - lnq(h + 1L))
+      .withColumn("priority_q", expr("(_a * 1048576) div weight"))
+      .orderBy(col("priority_q"), col(idCol))
+      .limit(k)
+      .select(Seq(col(idCol)) ++ keepCols.map(col) ++ Seq(col("weight"), col("priority_q")): _*)
+  }
+
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

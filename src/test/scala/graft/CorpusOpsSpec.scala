@@ -331,4 +331,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       .orderBy("chunk_index").collect()
     assert(flat.map(_.getString(3)).toSeq == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
   }
+
+  test("exactQuantiles: hand fixture ranks, duplicates, multi-group") {
+    val docs = Seq(
+      ("en", 10L), ("en", 20L), ("en", 30L), ("en", 40L),
+      ("de", 5L), ("de", 5L), ("de", 5L), ("de", 7L)
+    ).toDF("lang", "v")
+    val out = CorpusOps.exactQuantiles(docs, "v", Seq(2500, 5000, 7500, 10000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // en: n=4, ranks ceil(q*4/10000) = 1,2,3,4
+    assert(out(("en", 2500L)) == 10L && out(("en", 5000L)) == 20L)
+    assert(out(("en", 7500L)) == 30L && out(("en", 10000L)) == 40L)
+    // de: ranks 1,2,3 all land in the triplicated 5; rank 4 is 7
+    assert(out(("de", 2500L)) == 5L && out(("de", 7500L)) == 5L)
+    assert(out(("de", 10000L)) == 7L)
+    assert(out.size == 8)
+  }
+
+  test("exactQuantiles: partitioning-invariant; percentile_approx agrees on an odd-count median") {
+    val docs = spark.range(101).select(lit("en").as("lang"), col("id").as("v"))
+    val a = CorpusOps.exactQuantiles(docs, "v", Seq(5000)).collect()
+    assert(a.length == 1 && a(0).getLong(2) == 50L && a(0).getLong(3) == 101L)
+    val b = CorpusOps.exactQuantiles(docs.repartition(7), "v", Seq(5000)).collect()
+    assert(b(0).getLong(2) == 50L)
+    // the sketch path (the 100 TB alternative when even the value domain
+    // is hot) lands on the same element here
+    val approx = docs.agg(expr("percentile_approx(v, 0.5, 10000)")).head.getLong(0)
+    assert(approx == 50L)
+  }
+
+  test("weightedSample: exact equality with a driver-side reference twin") {
+    val M = 2147483647L
+    val docs = (0L until 200L).map(i => (i, "en", 10L + i % 90)).toDF("doc_id", "lang", "w")
+    val got = CorpusOps.weightedSample(docs, k = 25, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // the operator's arithmetic, re-derived on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val want = (0L until 200L).map { i =>
+      val w = 10L + i % 90
+      val a = lnq(M) - lnq(h60(s"graft:$i") % M + 1L)
+      (i, w, a * 1048576L / w)
+    }.sortBy(t => (t._3, t._1)).take(25)
+    assert(got.toSeq == want)
+  }
+
+  test("weightedSample: overwhelming weight always wins; non-positive weights excluded") {
+    val docs = ((0L until 100L).map(i => (i, "en", 100L)) :+ ((999L, "en", 1000000000000L)))
+      .toDF("doc_id", "lang", "w")
+    val top = CorpusOps.weightedSample(docs, k = 1, weightCol = "w").head
+    assert(top.getLong(0) == 999L)
+    val zeros = Seq((1L, "en", 0L), (2L, "en", -5L), (3L, "en", 7L)).toDF("doc_id", "lang", "w")
+    val kept = CorpusOps.weightedSample(zeros, k = 10, weightCol = "w").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

@@ -1482,6 +1482,9 @@ object SparkEntry {
     "location_diversity" -> { (s, dir) =>
       Metrics.locationDiversity(Pipeline.staypointsWithLocation(s, dir))
     },
+    "return_times" -> { (s, dir) =>
+      Metrics.returnTimes(Pipeline.staypointsWithLocation(s, dir))
+    },
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
@@ -2483,6 +2486,24 @@ object SparkEntry {
          |       CAST(max(c) AS BIGINT) AS max_visits,
          |       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
          |FROM lvc GROUP BY user_id""".stripMargin),
+    "return_times" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |spk AS (
+         |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sid, u, a_t, f_t FROM kept),
+         |rt AS (
+         |  SELECT r.user_id, r.rep, k.a_t, k.f_t, r.sid
+         |  FROM rep r JOIN spk k ON k.sid = r.sid),
+         |g AS (
+         |  SELECT user_id, rep,
+         |         row_number() OVER (PARTITION BY user_id, rep ORDER BY a_t, sid) - 1 AS revisit,
+         |         a_t - lag(f_t) OVER (PARTITION BY user_id, rep ORDER BY a_t, sid) AS gap_us
+         |  FROM rt)
+         |SELECT user_id, rep AS location_id, CAST(revisit AS BIGINT) AS revisit,
+         |       CAST(gap_us AS BIGINT) AS gap_us
+         |FROM g WHERE gap_us IS NOT NULL""".stripMargin),
     "kanon_cells" ->
       s"""${EventsAdapter.pfsSql}
          |SELECT cx AS cell_x, cy AS cell_y,

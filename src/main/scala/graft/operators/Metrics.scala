@@ -238,4 +238,32 @@ object Metrics {
       .groupBy(col("_lk").as("from_loc"), col("_next").as("to_loc"))
       .agg(count(lit(1)).as("n_transitions"))
   }
+
+  /** Per-(user, location) return times: for every revisit of a location,
+    * the gap between leaving it and arriving back — the return-time
+    * distribution of Song et al. 2010 (the regular spikes at 24 h/1 week
+    * are the signature of human mobility; reference exposes the
+    * ingredients via staypoints+locations, this materializes the curve).
+    *
+    * Location keys are engine-neutral (the smallest member staypoint id,
+    * as in [[odFlows]]) so results compare across engines regardless of
+    * label assignment. Staypoints of one user never overlap, so gaps are
+    * non-negative; `revisit` numbers returns 1..k in time order.
+    *
+    * Scale shape: two windows over the same (user_id, location_id)
+    * partitioning — one shuffle, streaming frames, no joins.
+    *
+    * @return (user_id, location_id, revisit, gap_us)
+    */
+  def returnTimes(spLoc: DataFrame): DataFrame = {
+    val byLoc = Window.partitionBy(col("user_id"), col("location_id"))
+    val byVisit = byLoc.orderBy(col("started_at"), col("id"))
+    spLoc.filter(col("location_id").isNotNull)
+      .withColumn("_lk", min(col("id")).over(byLoc))
+      .withColumn("_prev_f", lag(col("finished_at"), 1).over(byVisit))
+      .withColumn("revisit", (row_number().over(byVisit) - 1).cast("long"))
+      .filter(col("_prev_f").isNotNull)
+      .select(col("user_id"), col("_lk").as("location_id"), col("revisit"),
+        (unix_micros(col("started_at")) - unix_micros(col("_prev_f"))).as("gap_us"))
+  }
 }

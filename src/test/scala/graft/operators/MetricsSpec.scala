@@ -270,6 +270,27 @@ class MetricsSpec extends SparkSpec {
       (20L, 21L) -> 1L))
   }
 
+  test("return times: revisit gaps per (user, location) with neutral keys; noise excluded") {
+    val spLoc = Seq(
+      // user 1 at location 100: visits 08-09, 11-12, next day 08:30-09
+      (10L, 1L, "2023-01-01 08:00:00", "2023-01-01 09:00:00", java.lang.Long.valueOf(100L)),
+      (13L, 1L, "2023-01-01 11:00:00", "2023-01-01 12:00:00", java.lang.Long.valueOf(100L)),
+      (15L, 1L, "2023-01-02 08:30:00", "2023-01-02 09:00:00", java.lang.Long.valueOf(100L)),
+      // single visit to 200 and a noise staypoint: no returns
+      (14L, 1L, "2023-01-01 13:00:00", "2023-01-01 14:00:00", java.lang.Long.valueOf(200L)),
+      (16L, 1L, "2023-01-02 10:00:00", "2023-01-02 11:00:00", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "user_id", "s", "f", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("location_id"))
+    val out = Metrics.returnTimes(spLoc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // location key is the smallest member staypoint id (10); gaps:
+    // 09:00 -> 11:00 = 2 h, 12:00 -> next-day 08:30 = 20.5 h
+    assert(out.toSet === Set(
+      (1L, 10L, 1L, 2L * 3600L * 1000000L),
+      (1L, 10L, 2L, (20L * 3600L + 1800L) * 1000000L)))
+  }
+
   test("spatial filter on locations via center points: within == intersects, crosses empty " +
     "(ref geogr/test_filter.py:77-97)") {
     // locations filter through the same point path as staypoints, on the

@@ -1485,6 +1485,9 @@ object SparkEntry {
     "return_times" -> { (s, dir) =>
       Metrics.returnTimes(Pipeline.staypointsWithLocation(s, dir))
     },
+    "lz_complexity" -> { (s, dir) =>
+      Metrics.lzComplexity(Pipeline.staypointsWithLocation(s, dir))
+    },
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
@@ -2504,6 +2507,44 @@ object SparkEntry {
          |SELECT user_id, rep AS location_id, CAST(revisit AS BIGINT) AS revisit,
          |       CAST(gap_us AS BIGINT) AS gap_us
          |FROM g WHERE gap_us IS NOT NULL""".stripMargin),
+    // LZ76 phrase parsing as a recursive CTE: the per-user symbol string
+    // (dense first-visit ranks as characters — phrase structure is
+    // relabeling-invariant) advances one phrase per recursion step; the
+    // longest prior match is a list_max over candidate lengths with a
+    // character strpos against the prefix before the cursor
+    "lz_complexity" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |spk AS (
+         |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sid, u, a_t, f_t FROM kept),
+         |rt AS (
+         |  SELECT r.user_id, r.rep, k.a_t, k.sid
+         |  FROM rep r JOIN spk k ON k.sid = r.sid),
+         |fv AS (
+         |  SELECT user_id, rep, min(a_t) AS fv_t, min(sid) AS fv_sid
+         |  FROM rt GROUP BY user_id, rep),
+         |rk AS (
+         |  SELECT user_id, rep,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY fv_t, fv_sid) - 1 AS rnk
+         |  FROM fv),
+         |seqs AS (
+         |  SELECT t.user_id, string_agg(chr(CAST(97 + rk.rnk AS INT)), '' ORDER BY t.a_t, t.sid) AS seq
+         |  FROM rt t JOIN rk ON rk.user_id = t.user_id AND rk.rep = t.rep
+         |  GROUP BY t.user_id),
+         |lz(user_id, seq, n, p, c) AS (
+         |  SELECT user_id, seq, length(seq), 1, 0 FROM seqs
+         |  UNION ALL
+         |  SELECT user_id, seq, n, p + least(coalesce(mm, 0) + 1, n - p + 1), c + 1
+         |  FROM (
+         |    SELECT user_id, seq, n, p, c,
+         |           list_max(list_filter(range(1, n - p + 2),
+         |             L -> strpos(substring(seq, 1, CAST(p + L - 2 AS INT)),
+         |                         substring(seq, CAST(p AS INT), CAST(L AS INT))) > 0)) AS mm
+         |    FROM lz WHERE p <= n))
+         |SELECT user_id, CAST(n AS BIGINT) AS n_symbols, CAST(c AS BIGINT) AS n_phrases
+         |FROM lz WHERE p > n""".stripMargin),
     "kanon_cells" ->
       s"""${EventsAdapter.pfsSql}
          |SELECT cx AS cell_x, cy AS cell_y,

@@ -266,4 +266,62 @@ object Metrics {
       .select(col("user_id"), col("_lk").as("location_id"), col("revisit"),
         (unix_micros(col("started_at")) - unix_micros(col("_prev_f"))).as("gap_us"))
   }
+
+  /** Per-user Lempel–Ziv complexity of the location-visit sequence — the
+    * combinatorial core of the "limits of predictability" analysis (Song
+    * et al., Science 2010, whose entropy rate is estimated from LZ
+    * parsing à la Kontoyiannis et al. 1998). Fewer phrases = more
+    * repetitive, more predictable movement.
+    *
+    * Parsing convention (pinned, both engines): scanning left to right,
+    * each phrase is the shortest prefix of the remaining sequence that
+    * does NOT occur as a substring starting strictly before the current
+    * position (the source occurrence may overlap the phrase, the classic
+    * LZ76 rule); the final phrase may be a bare repeat. Phrase structure
+    * is invariant under symbol relabeling, so each engine may use its own
+    * alphabet — here the neutral location key, in the oracle a dense
+    * first-visit rank.
+    *
+    * Scale shape: one shuffle on user_id (`groupByKey.mapGroups`); the
+    * working set per task is one user's symbol sequence — which the
+    * algorithm needs in full regardless. Matching is the O(n²) direct
+    * scan with early exit: per-user sequences are thousands of visits,
+    * far below where a suffix automaton would pay off.
+    *
+    * @return (user_id, n_symbols, n_phrases)
+    */
+  def lzComplexity(spLoc: DataFrame): DataFrame = {
+    def phrases(seq: Array[Long]): Long = {
+      val n = seq.length
+      var p = 0
+      var c = 0L
+      while (p < n) {
+        var best = 0
+        var q = 0
+        while (q < p) {
+          var l = 0
+          val cap = n - p
+          while (l < cap && seq(q + l) == seq(p + l)) l += 1
+          if (l > best) best = l
+          q += 1
+        }
+        p += math.min(best + 1, n - p)
+        c += 1L
+      }
+      c
+    }
+
+    val spark = spLoc.sparkSession
+    import spark.implicits._
+    spLoc.filter(col("location_id").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("started_at")).as("_t"),
+        col("id").cast("long"), col("location_id").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val seq = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+        (u, seq.length.toLong, phrases(seq))
+      }
+      .toDF("user_id", "n_symbols", "n_phrases")
+  }
 }

@@ -291,6 +291,30 @@ class MetricsSpec extends SparkSpec {
       (1L, 10L, 2L, (20L * 3600L + 1800L) * 1000000L)))
   }
 
+  test("lzComplexity: hand-parsed phrase counts; relabeling and partitioning invariance") {
+    // sequence A A B A B A B parses as [A][AB][ABAB] -> 3 phrases:
+    //   p0: nothing before -> [A]
+    //   p1: 'A' matches, 'AB' doesn't -> [AB]
+    //   p3: 'ABA B' matches starting at index 1 (overlap allowed) -> rest
+    def sp(u: Long, locs: Seq[Long]) = locs.zipWithIndex.map { case (l, i) =>
+      (u * 1000L + i, u, s"2023-01-01 0${i + 1}:00:00", java.lang.Long.valueOf(l))
+    }
+    val spLoc = (sp(1L, Seq(100L, 100L, 200L, 100L, 200L, 100L, 200L)) ++
+      sp(2L, Seq(300L)) ++                       // single visit: 1 phrase
+      sp(3L, Seq(1L, 2L, 3L, 4L)))               // all distinct: 4 phrases
+      .toDF("id", "user_id", "s", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        col("location_id"))
+    val out = Metrics.lzComplexity(spLoc)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((7L, 3L)), 2L -> ((1L, 1L)), 3L -> ((4L, 4L))))
+    // phrase structure only depends on the repetition pattern, not labels
+    val relabeled = spLoc.withColumn("location_id", col("location_id") * 7 + 1)
+    val out2 = Metrics.lzComplexity(relabeled.repartition(5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2 === out)
+  }
+
   test("spatial filter on locations via center points: within == intersects, crosses empty " +
     "(ref geogr/test_filter.py:77-97)") {
     // locations filter through the same point path as staypoints, on the

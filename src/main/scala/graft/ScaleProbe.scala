@@ -224,6 +224,37 @@ object ScaleProbe {
       IntervalJoin.bestOverlapMatch(iv10.filter(col("id") % 2 === 0),
         iv10.filter(col("id") % 2 === 1), bandMinutes = Some(10080.0)).count()
     }
+
+    // exact quantiles: the count table is bounded by the value domain
+    // (distinct doc lengths), so 10x corpus rows only deepen counts —
+    // collect the full 25-row answer
+    val docs10w = docs10.withColumn("n_chars", length(col("text")).cast("long"))
+    t("exact_quantiles_10x") {
+      CorpusOps.exactQuantiles(docs10w, "n_chars", Seq(2500, 5000, 9000, 9900, 10000))
+        .collect().length.toLong
+    }
+    // ES top-k: one scan + per-partition top-k reduction, no corpus sort
+    t("weighted_sample_10x") {
+      CorpusOps.weightedSample(docs10w, k = 100, weightCol = "n_chars")
+        .collect().length.toLong
+    }
+    // every lang key is 10x-hot (~1M rows over 5 keys); salting spreads
+    // each across 32 sub-keys
+    t("salted_join_10x") {
+      val dim = docs10.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+      SkewJoin.saltedEquiJoin(docs10.select(col("doc_id"), col("lang")), dim,
+        Seq("lang"), saltFactor = 32).count()
+    }
+    // mobility sequence ops over ~1M synthetic visits (intervals as
+    // visits, 50-location alphabet -> heavy revisiting, the LZ-adversarial
+    // shape where phrases stay short and the O(n^2) scan works hardest)
+    val visits10 = iv10.select(col("id"), col("user_id"), col("started_at"),
+      col("finished_at"), pmod(col("id"), lit(50L)).as("location_id"))
+      .localCheckpoint(eager = true)
+    t("return_times_10x") { Metrics.returnTimes(visits10).count() }
+    t("lz_complexity_10x") {
+      Metrics.lzComplexity(visits10).agg(sum(col("n_phrases"))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }

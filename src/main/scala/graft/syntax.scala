@@ -72,6 +72,12 @@ object syntax {
     def locationIdentifier(method: String = "FREQ", preFilter: Boolean = true): DataFrame =
       LocationLabelling.locationIdentifier(df, method, preFilter)
 
+    /** Revisit gaps per (user, location) — requires `location_id`. */
+    def returnTimes: DataFrame = Metrics.returnTimes(df)
+
+    /** LZ phrase complexity of the visit sequence — requires `location_id`. */
+    def lzComplexity: DataFrame = Metrics.lzComplexity(df)
+
     /** Mean (lon, lat) — `center` (model/staypoints.py:76-81). */
     def center: (Double, Double) = {
       val r = df.agg(avg(col("lon")), avg(col("lat"))).head()
@@ -142,6 +148,15 @@ object syntax {
 
     def corpusStats(groupCols: Seq[String] = Seq("lang", "source")): DataFrame =
       CorpusOps.corpusStats(df, groupCols)
+
+    /** Exact discrete quantiles of an integer signal per group. */
+    def exactQuantiles(valueCol: String, qsBp: Seq[Int],
+                       groupCols: Seq[String] = Seq("lang")): DataFrame =
+      CorpusOps.exactQuantiles(df, valueCol, qsBp, groupCols)
+
+    /** Deterministic ES-weighted sample of k documents. */
+    def weightedSampled(k: Int, weightCol: String): DataFrame =
+      CorpusOps.weightedSample(df, k, weightCol)
 
     def hashSplitted(weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
         : DataFrame =

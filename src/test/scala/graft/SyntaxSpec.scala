@@ -52,7 +52,9 @@ class SyntaxSpec extends SparkSpec {
 
     val quality = spAct.temporalTrackingQuality("all")
     assert(quality.count() == 1)
-    val _ = (pfsTpl, spT, tplsT, tripsWithTours, spLoc)
+    assert(spLoc.returnTimes.count() >= 1) // A is revisited
+    assert(spLoc.lzComplexity.first().getLong(2) >= 1L)
+    val _ = (pfsTpl, spT, tplsT, tripsWithTours)
   }
 
   test("corpus pipeline composes through the accessor API") {
@@ -68,6 +70,9 @@ class SyntaxSpec extends SparkSpec {
     val splits = clean.hashSplitted()
     assert(splits.select("split").distinct().count() == 3)
     assert(docs.curateCorpus(Seq("en" -> 1L)).count() > 0)
+    val med = docs.exactQuantiles("n_chars", Seq(5000), Seq("lang"))
+    assert(med.count() == docs.select("lang").distinct().count())
+    assert(docs.weightedSampled(10, "n_chars").count() == 10)
   }
 
   test("tokenizer and media accessors compose") {

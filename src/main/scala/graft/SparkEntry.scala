@@ -1191,6 +1191,35 @@ object SparkEntry {
        |WHERE d.i = len(p.alon)""".stripMargin
   }
 
+  /** Discrete Hausdorff distance as SQL: no DP — per pair, the max over
+    * both directions of each point's nearest-neighbor distance, as
+    * nested list comprehensions over the same line pairs as
+    * [[dtwOracle]]. Pure min/max of the shared haversine values (no
+    * accumulation), so the floor-meter surface is even more stable than
+    * the DP metrics'.
+    */
+  private def hausdorffOracle: String = {
+    def d(i: String, j: String) = hav(s"alon[CAST($i AS INT)]", s"alat[CAST($i AS INT)]",
+      s"blon[CAST($j AS INT)]", s"blat[CAST($j AS INT)]")
+    s"""${EventsAdapter.pfsSql},
+       |lines AS (
+       |  SELECT user_id * 10000 + (k // 12) AS lid,
+       |         list(lon ORDER BY k) AS lons, list(lat ORDER BY k) AS lats
+       |  FROM pfs WHERE user_id < 3 AND k // 12 < 10
+       |  GROUP BY user_id, k // 12),
+       |pairsx AS (
+       |  SELECT a.lid AS id_1, b.lid AS id_2,
+       |         a.lons AS alon, a.lats AS alat, b.lons AS blon, b.lats AS blat
+       |  FROM lines a JOIN lines b ON a.lid < b.lid)
+       |SELECT id_1, id_2, CAST(floor(greatest(
+       |  list_max(list_transform(range(1, len(alon) + 1), i ->
+       |    list_min(list_transform(range(1, len(blon) + 1), j -> ${d("i", "j")})))),
+       |  list_max(list_transform(range(1, len(blon) + 1), j ->
+       |    list_min(list_transform(range(1, len(alon) + 1), i -> ${d("i", "j")})))))) AS BIGINT)
+       |  AS hausdorff_m
+       |FROM pairsx""".stripMargin
+  }
+
   /** Short per-user trajectory blocks used by both trajectory-distance
     * queries (dtw_matrix / frechet_matrix).
     */
@@ -1571,6 +1600,10 @@ object SparkEntry {
       SpatialOps.distanceMatrixLinestrings(trajectoryLines(s, dir), "frechet")
         .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("frechet_m"))
     },
+    "hausdorff_matrix" -> { (s, dir) =>
+      SpatialOps.distanceMatrixLinestrings(trajectoryLines(s, dir), "hausdorff")
+        .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("hausdorff_m"))
+    },
 
     // ----- mobility: merge / labelling / filters (oracle-checked) -----
     "merge_staypoints" -> { (s, dir) =>
@@ -1884,6 +1917,11 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.winnowOverlap(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
         k = 5, w = 4, minShared = 2L)
+    },
+    "overlap_runs" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      CorpusOps.overlapRuns(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        n = 5, minRun = 2L)
     },
     "dedup_prune" -> { (s, dir) =>
       Dedup.pruneDuplicates(
@@ -2557,6 +2595,7 @@ object SparkEntry {
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
     "frechet_matrix" -> withMaterializedCtes(frechetOracle),
+    "hausdorff_matrix" -> hausdorffOracle,
     "tours_generate" -> withMaterializedCtes(toursOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
@@ -3015,6 +3054,36 @@ object SparkEntry {
          |  2097152 - (pk % 4194304) - 1048576 AS modal_offset,
          |  pk // 4194304 AS n_at_modal
          |FROM agg WHERE n_matches >= 2""".stripMargin
+    },
+    // Aligned-run decontamination: positional gram hashes, diagonal run
+    // grouping (pa − row_number per (pair, diagonal)), then the packed
+    // integer argmax (longest run, smallest probe start, smallest
+    // diagonal) — identical arithmetic to CorpusOps.overlapRuns.
+    "overlap_runs" -> {
+      val n = 5
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |        ${h60Sql(s"array_to_string(ws[p+1:p+$n], ' ')")} AS h
+         |      FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS p
+         |            FROM t)),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS diag
+         |      FROM g a JOIN g b ON a.h = b.h
+         |      WHERE a.doc_id < 50 AND b.doc_id >= 50),
+         |r AS (SELECT id_a, id_b, diag, pa,
+         |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS rk
+         |      FROM j),
+         |runs AS (SELECT id_a, id_b, diag, rk, CAST(count(*) AS BIGINT) AS len,
+         |           min(pa) AS a0 FROM r GROUP BY id_a, id_b, diag, rk),
+         |agg AS (SELECT id_a, id_b, CAST(sum(len) AS BIGINT) AS n_matches,
+         |          max(len * 4398046511104 + (2097151 - a0) * 2097152
+         |              + (2097151 - (diag + 1048576))) AS pk
+         |        FROM runs GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, n_matches,
+         |  pk // 4398046511104 AS max_run,
+         |  pk // 4398046511104 + ${n - 1} AS run_words,
+         |  2097151 - ((pk // 2097152) % 2097152) AS a_start,
+         |  (2097151 - ((pk // 2097152) % 2097152)) - (2097151 - (pk % 2097152) - 1048576) AS b_start
+         |FROM agg WHERE pk // 4398046511104 >= 2""".stripMargin
     },
     "dedup_prune" -> {
       s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},

@@ -54,6 +54,82 @@ object CorpusOps {
         round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Span-level decontamination report: for each (test doc, train doc)
+    * pair sharing word n-grams, the longest CONTIGUOUS aligned run of
+    * matching grams and where it sits in both documents. [[contamination]]
+    * answers "how much of this test doc appears in training?"; this
+    * answers the auditor's follow-up — "is it one long verbatim span
+    * (memorization risk) or scattered common phrases?" — the distinction
+    * the GPT-3/PaLM decontamination appendices draw before deciding what
+    * to strike.
+    *
+    * Mechanics: positional n-gram hashes on both sides; matches join on
+    * the 8-byte hash; a match at probe position p and corpus position q
+    * lies on diagonal d = p − q, and a contiguous shared span is exactly
+    * a run of consecutive p on one diagonal — grouped shuffle-free from
+    * the join output with the classic `p − row_number()` run key (p is
+    * unique within a (pair, diagonal): the diagonal fixes q = p − d and
+    * occurrence rows are unique on (p, q)). The longest run per pair is
+    * then an integer-packed argmax (length, then smallest probe start,
+    * then smallest diagonal — no argmax nondeterminism), the
+    * [[TextAnalysis.winnowOverlap]] contract.
+    *
+    * Scale shape: gram tables never leave their scan; data motion is the
+    * hash-partitioned equi-join (volume ∝ true gram matches, not corpus
+    * size) plus two groupBys over match rows only. Boilerplate grams
+    * occurring in thousands of training docs make hot join keys —
+    * `maxHashFreq` (opt-in, same knob as winnowOverlap) caps the corpus
+    * side's per-hash occurrence count before the join. Positions are
+    * packed into 21-bit fields: documents beyond 2²¹−1 ≈ 2M grams
+    * (~8 MB of text) must chunk first ([[chunkDocuments]]).
+    *
+    * @return (id_a — test, id_b — train, n_matches — total matching gram
+    *         occurrences, max_run — grams in the longest aligned run,
+    *         run_words = max_run + n − 1, a_start / b_start — word
+    *         offsets of that run), pairs with max_run ≥ minRun
+    */
+  def overlapRuns(test: DataFrame, train: DataFrame, n: Int = 5,
+                  minRun: Long = 1L, maxHashFreq: Long = 0L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 1L, "minRun must be >= 1")
+    def grams(df: DataFrame, id: String, pos: String) = df
+      .select(col(idCol).as(id), posexplode(TextAnalysis.ngrams(col(textCol), n)).as(Seq("_p", "_g")))
+      .select(col(id), col("_p").cast("long").as(pos), PortableHash.h60(col("_g")).as("_h"))
+    val fa = grams(test, "id_a", "pos_a")
+    val fbAll = grams(train, "id_b", "pos_b")
+    val fb =
+      if (maxHashFreq <= 0) fbAll
+      else fbAll
+        .withColumn("_hn", count(lit(1)).over(Window.partitionBy(col("_h"))))
+        .filter(col("_hn") <= maxHashFreq).drop("_hn")
+    val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("_diag")).orderBy(col("pos_a"))
+    val runs = fa.join(fb, Seq("_h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("_diag", col("pos_a") - col("pos_b"))
+      .withColumn("_rk", col("pos_a") - row_number().over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"), col("_rk"))
+      .agg(count(lit(1)).as("_len"), min(col("pos_a")).as("_a0"))
+    // pk = len·2^42 + (2^21−1−a_start)·2^21 + (2^21−1−(diag+2^20)):
+    // integer max = longest run, then smallest probe start, then smallest
+    // diagonal. All three fields are nonnegative and < 2^21.
+    runs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_len")).as("n_matches"),
+        max(col("_len") * lit(1L << 42) +
+          (lit((1L << 21) - 1) - col("_a0")) * lit(1L << 21) +
+          (lit((1L << 21) - 1) - (col("_diag") + lit(1L << 20)))).as("_pk"))
+      .filter(shiftright(col("_pk"), 42) >= minRun)
+      .select(col("id_a"), col("id_b"), col("n_matches"),
+        shiftright(col("_pk"), 42).as("max_run"),
+        (shiftright(col("_pk"), 42) + lit(n - 1).cast("long")).as("run_words"),
+        (lit((1L << 21) - 1) - shiftright(col("_pk"), 21).bitwiseAND(lit((1L << 21) - 1)))
+          .as("a_start"),
+        (lit((1L << 21) - 1) - shiftright(col("_pk"), 21).bitwiseAND(lit((1L << 21) - 1)) -
+          (lit((1L << 21) - 1) - col("_pk").bitwiseAND(lit((1L << 21) - 1)) - lit(1L << 20)))
+          .as("b_start"))
+  }
+
   /** Deterministic train/val/test assignment: bucket =
     * h60(salt ‖ ':' ‖ id) mod Σweights, split = the weight band the
     * bucket falls in. Pure per-row projection — no shuffle, no state, and

@@ -183,8 +183,39 @@ object SpatialOps {
     c(n - 1, m - 1)
   }
 
-  /** All-pairs trajectory distance (DTW or discrete Fréchet) over
-    * linestring tables, long form, upper triangle.
+  /** Symmetric discrete Hausdorff distance between two point sequences:
+    * max over both directions of (for each point, the distance to the
+    * nearest point of the other sequence). Unlike DTW/Fréchet it ignores
+    * point ORDER — the right metric when two trajectories cover the same
+    * route but were sampled in different patterns (shapely's
+    * `hausdorff_distance` on the reference's LineStrings computes exactly
+    * this vertex-set form). O(n·m) like the DP metrics, but with no
+    * sequential dependency.
+    */
+  private[operators] def hausdorff(a: Array[(Double, Double)], b: Array[(Double, Double)]): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.NaN
+    // one pass fills both directed minima: minB(j) = min_i d(i,j)
+    val minB = Array.fill(m)(Double.PositiveInfinity)
+    var dAB = 0.0
+    var i = 0
+    while (i < n) {
+      var best = Double.PositiveInfinity
+      var j = 0
+      while (j < m) {
+        val d = GeoFunctions.haversineMeters(a(i)._1, a(i)._2, b(j)._1, b(j)._2)
+        if (d < best) best = d
+        if (d < minB(j)) minB(j) = d
+        j += 1
+      }
+      if (best > dAB) dAB = best
+      i += 1
+    }
+    math.max(dAB, minB.max)
+  }
+
+  /** All-pairs trajectory distance (DTW, discrete Fréchet, or discrete
+    * Hausdorff) over linestring tables, long form, upper triangle.
     */
   def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw"): DataFrame = {
     val kernel = metric match {
@@ -194,6 +225,9 @@ object SpatialOps {
       case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
         frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
                 b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case "hausdorff" => udf { (a: Seq[Row], b: Seq[Row]) =>
+        hausdorff(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+                  b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
       case other     => throw new IllegalArgumentException(s"metric unknown: $other")
     }
     val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))

@@ -392,4 +392,23 @@ class MetricsSpec extends SparkSpec {
     val b = Array((8.5, 47.31), (8.6, 47.31))
     assert(SpatialOps.frechet(a, b) > 1000 && SpatialOps.frechet(a, b) < 1300)
   }
+
+  test("Hausdorff kernel: identity, symmetry, order-blindness, Frechet bound") {
+    val a = Array((8.5, 47.3), (8.6, 47.3), (8.7, 47.3))
+    assert(SpatialOps.hausdorff(a, a) == 0.0)
+    // parallel shifted track: every point's nearest neighbor is the
+    // ~1.11 km meridian offset
+    val b = Array((8.5, 47.31), (8.6, 47.31), (8.7, 47.31))
+    val hab = SpatialOps.hausdorff(a, b)
+    assert(hab > 1000 && hab < 1300)
+    assert(SpatialOps.hausdorff(b, a) == hab)
+    // Hausdorff ignores traversal order; Frechet (a coupling max) does
+    // not — the reversed track is Hausdorff-0 but Frechet-far
+    val rev = a.reverse
+    assert(SpatialOps.hausdorff(a, rev) == 0.0)
+    assert(SpatialOps.frechet(a, rev) > 10000)
+    // discrete Hausdorff is a lower bound of discrete Frechet
+    val c = Array((8.52, 47.305), (8.61, 47.29), (8.66, 47.33))
+    assert(SpatialOps.hausdorff(a, c) <= SpatialOps.frechet(a, c))
+  }
 }

@@ -29,6 +29,11 @@ object Bench {
     }
     // Deterministic name order so per-query timings compare across rounds.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A query that throws must NOT masquerade as a fast one (round 7: 47
+    // broken queries benched as innocent 0.06 s fail-fasts). Failures are
+    // collected, reported as -1 in the JSON plus a "failed" list, and
+    // counted loudly on stderr.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = (1 to runs).map { _ =>
       Pipeline.reset()
       names.map { case (name, fn) =>
@@ -38,21 +43,32 @@ object Bench {
         // (a scan-stage feature query would time the scan, not the
         // feature kernels) — same undermeasure class as counting an
         // ungrouped aggregate. Rows stay on executors; nothing collects.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          failed.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
+    val results = names.map { case (name, _) =>
+      val xs = samples.map(_(name))
+      name -> (if (xs.exists(_.isNaN)) -1.0 else median(xs))
+    }
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} QUERIES FAILED (timed as -1):")
+      failed.foreach { case (n, m) => System.err.println(s"[bench]   $n: $m") }
+    }
     def qjson(fmt: Double => String) = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(fmt: Double => String) =
-      s"""{"queries":${qjson(fmt)},"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
+      s"""{"queries":${qjson(fmt)},"failed":$failedJson,"failed_count":${failed.size},"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
     // The driver keeps only the TAIL of stdout (BENCH_r05.json lost its
     // total and first queries to a 2000-char cap), so (a) the stdout line
     // prints timings at 2 decimals to stay under the cap, (b) the headline

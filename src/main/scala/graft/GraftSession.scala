@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *    skew-join splitting.
   *  - `spark.sql.shuffle.partitions` is a *default*; on a real cluster it
   *    should be ~2-3x the executor-core count. Local runs pass 32.
-  *  - `nanosAsLong` because the driver's events.parquet carries
-  *    TIMESTAMP(NANOS) which Spark's vectorized reader otherwise rejects;
-  *    we convert to micros explicitly (see sources.EventsAdapter).
+  *  - `nanosAsLong` kept for the legacy testdata layout where
+  *    events.parquet carried TIMESTAMP(NANOS) (Spark's vectorized reader
+  *    otherwise rejects it); current layouts use timestamp[us] and the
+  *    adapter dispatches on the found schema (see sources.EventsAdapter).
   */
 object GraftSession {
   def configure(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
@@ -43,9 +44,14 @@ object GraftSession {
     spark
   }
 
-  /** Make an externally-created session safe for graft operators. */
+  /** Make an externally-created session safe for graft operators. UTC is
+    * pinned so TIMESTAMP_NTZ -> TIMESTAMP casts (EventsAdapter's t_us
+    * derivation) are the identity on the underlying micros, matching the
+    * DuckDB oracle's epoch_us on naive timestamps.
+    */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftExtensions.register(spark)
     spark
   }

@@ -2595,7 +2595,7 @@ object SparkEntry {
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
     "frechet_matrix" -> withMaterializedCtes(frechetOracle),
-    "hausdorff_matrix" -> hausdorffOracle,
+    "hausdorff_matrix" -> withMaterializedCtes(hausdorffOracle),
     "tours_generate" -> withMaterializedCtes(toursOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,

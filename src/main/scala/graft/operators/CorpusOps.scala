@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.PortableHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: test-set
@@ -80,8 +80,12 @@ object CorpusOps {
     * occurring in thousands of training docs make hot join keys —
     * `maxHashFreq` (opt-in, same knob as winnowOverlap) caps the corpus
     * side's per-hash occurrence count before the join. Positions are
-    * packed into 21-bit fields: documents beyond 2²¹−1 ≈ 2M grams
-    * (~8 MB of text) must chunk first ([[chunkDocuments]]).
+    * packed into 21-bit fields, and the diagonal field stores diag+2²⁰
+    * (diag = pos_a − pos_b spans ±max position), so the true per-document
+    * limit is 2²⁰ ≈ 1M grams (~4 MB of text): a scan-stage guard raises a
+    * loud error directing to [[chunkDocuments]] if any gram position
+    * reaches 2²⁰ — beyond it the packed diagonal would silently borrow
+    * into the a_start bits and corrupt the argmax tie-break.
     *
     * @return (id_a — test, id_b — train, n_matches — total matching gram
     *         occurrences, max_run — grams in the longest aligned run,
@@ -93,9 +97,18 @@ object CorpusOps {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minRun >= 1L, "minRun must be >= 1")
+    // Packing-domain guard: positions must stay < 2^20 or the diagonal
+    // field overflows (see scaladoc). Scan-stage conditional — codegen'd,
+    // no extra shuffle; fires per offending row with a actionable message.
+    val posLimit = 1L << 20
+    def guardPos(c: Column): Column = when(c >= lit(posLimit),
+      raise_error(concat(
+        lit(s"overlapRuns: document has >= $posLimit grams (~4 MB text); " +
+          "split oversize documents with chunkDocuments first (gram position "),
+        c.cast("string"), lit(")")))).otherwise(c)
     def grams(df: DataFrame, id: String, pos: String) = df
       .select(col(idCol).as(id), posexplode(TextAnalysis.ngrams(col(textCol), n)).as(Seq("_p", "_g")))
-      .select(col(id), col("_p").cast("long").as(pos), PortableHash.h60(col("_g")).as("_h"))
+      .select(col(id), guardPos(col("_p").cast("long")).as(pos), PortableHash.h60(col("_g")).as("_h"))
     val fa = grams(test, "id_a", "pos_a")
     val fbAll = grams(train, "id_b", "pos_b")
     val fb =

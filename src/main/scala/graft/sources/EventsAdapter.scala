@@ -21,9 +21,24 @@ object EventsAdapter {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.prepare(spark)
-    // ts is TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to µs
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("t_us", expr("ts div 1000"))
+    // The driver has shipped events.ts under two layouts so far:
+    // TIMESTAMP(NANOS) (read as long via nanosAsLong) and timestamp[us]
+    // (read as TIMESTAMP or TIMESTAMP_NTZ depending on isAdjustedToUTC).
+    // Dispatch on the schema actually found so a testdata regeneration
+    // cannot silently break every events-derived query again; anything
+    // unrecognized fails loudly naming the found type.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tUs = raw.schema("ts").dataType match {
+      case TimestampType    => unix_micros(col("ts"))
+      // session timeZone is pinned to UTC (GraftSession), so NTZ->TZ cast
+      // is the identity on the underlying micros — same as DuckDB epoch_us
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case LongType         => expr("ts div 1000") // nanos-as-long legacy
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected timestamp[(n)tz] or long(nanos)")
+    }
+    raw.withColumn("t_us", tUs)
   }
 
   // per-user fix index k, then: block = k div 12 (which stop in the tour

@@ -1899,6 +1899,38 @@ object SparkEntry {
       TextAnalysis.bm25(s.read.parquet(s"$dir/documents.parquet"),
         terms = Seq("spark", "join", "window"), topK = 25)
     },
+    // hybrid retrieval: BM25 lexical + brute-force-cosine semantic lists
+    // fused by reciprocal rank (doc_id and vec_id share the 0..N id
+    // space by construction of the driver's tables)
+    "hybrid_rrf" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lex = TextAnalysis.bm25(docs, terms = Seq("spark", "join", "window"), topK = 50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val sem = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 25)
+    },
+    // Gopher duplicate-line/paragraph rules over a page with
+    // deterministically injected duplicate structure: a footer line
+    // repeated twice (three times for %3), and the document's own text
+    // recurring as a second paragraph for even ids
+    "gopher_dup_segments" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("page", concat(
+          col("text"), lit("\n\n"),
+          lit("footer line\nfooter line"),
+          when(col("doc_id") % 3 === 0, lit("\nfooter line")).otherwise(lit("")),
+          lit("\n\n"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(lit("unique tail "), col("doc_id").cast("string")))))
+      TextAnalysis.duplicateSegmentMetrics(aug, textCol = "page")
+    },
+    "text_lz_density" -> { (s, dir) =>
+      TextAnalysis.lzDensity(s.read.parquet(s"$dir/documents.parquet"), maxChars = 120)
+    },
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -2957,6 +2989,115 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(contrib_q) AS BIGINT) AS score_q
          |FROM q GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin,
+    // bm25 chain (top 50) + brute-force cosine chain (probe 7, top 50)
+    // fused by integer reciprocal rank — // truncates positives exactly
+    // like Spark's div, so the fused score never touches a float
+    "hybrid_rrf" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+         |  WHERE w IN ('spark','join','window') GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1000000.0) / 1000000.0 AS idf,
+         |    tf.tf, dl.dl, stats.avgdl
+         |  FROM tf JOIN dl USING(doc_id) JOIN df USING(w) CROSS JOIN stats),
+         |q AS (
+         |  SELECT doc_id, CAST(floor(idf * (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75} + ${0.75} * CAST(dl AS DOUBLE) / avgdl))
+         |    * 1000000000.0) AS BIGINT) AS contrib_q
+         |  FROM sc),
+         |lexs AS (
+         |  SELECT doc_id, sum(contrib_q) AS score_q
+         |  FROM q GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 50),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank FROM lexs),
+         |probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+         |scored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    round(
+         |      list_sum(list_transform(list_zip(p.embedding, c.embedding),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+         |sem AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM scored)
+         |  WHERE rank <= 50),
+         |contrib AS (
+         |  SELECT doc_id, 1000000000000 // (rank + 60) AS c FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000000 // (rank + 60) AS c FROM sem),
+         |f AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_q
+         |  FROM contrib GROUP BY doc_id ORDER BY rrf_q DESC, doc_id LIMIT 25)
+         |SELECT doc_id, n_lists, rrf_q,
+         |       CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
+         |FROM f""".stripMargin,
+    // page synthesis mirrored from the Spark query; dup slots/chars are
+    // total − distinct for both granularities (a segment repeated k
+    // times contributes k−1 slots and (k−1)·len chars)
+    "gopher_dup_segments" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || chr(10) ||
+        |    'footer line' || chr(10) || 'footer line' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'footer line' ELSE '' END ||
+        |    chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN text ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+        |    AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(page, chr(10)), s -> len(s) > 0) AS lns,
+        |    list_filter(string_split(page, chr(10) || chr(10)), s -> len(s) > 0) AS prs
+        |  FROM pages),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup_lines,
+        |    CAST(coalesce(list_sum(list_transform(lns, s -> len(s))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lns, s -> len(s))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lns), s -> len(s))), 0) AS BIGINT) AS dup_line_chars,
+        |    CAST(len(prs) AS BIGINT) AS n_paras,
+        |    CAST(len(prs) - len(list_distinct(prs)) AS BIGINT) AS n_dup_paras,
+        |    CAST(coalesce(list_sum(list_transform(prs, s -> len(s))), 0) AS BIGINT) AS para_chars,
+        |    CAST(coalesce(list_sum(list_transform(prs, s -> len(s))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(prs), s -> len(s))), 0) AS BIGINT) AS dup_para_chars
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_dup_lines, line_chars, dup_line_chars,
+        |  n_paras, n_dup_paras, para_chars, dup_para_chars,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN n_paras > 0 THEN CAST(n_dup_paras AS DOUBLE) / CAST(n_paras AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN line_chars > 0 THEN CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN para_chars > 0 THEN CAST(dup_para_chars AS DOUBLE) / CAST(para_chars AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac,
+        |  (n_dup_lines * 10 <= n_lines * 3 AND n_dup_paras * 10 <= n_paras * 3
+        |   AND dup_line_chars * 5 <= line_chars AND dup_para_chars * 5 <= para_chars) AS dup_ok
+        |FROM c""".stripMargin,
+    // LZ76 parse of the 120-char document prefix as a recursive CTE —
+    // the same one-phrase-per-step recursion as lz_complexity, over raw
+    // characters instead of location symbols
+    "text_lz_density" ->
+      """WITH RECURSIVE seqs AS (
+        |  SELECT doc_id, substring(text, 1, 120) AS seq FROM documents WHERE len(text) > 0),
+        |lz(doc_id, seq, n, p, c) AS (
+        |  SELECT doc_id, seq, length(seq), 1, 0 FROM seqs
+        |  UNION ALL
+        |  SELECT doc_id, seq, n, p + least(coalesce(mm, 0) + 1, n - p + 1), c + 1
+        |  FROM (
+        |    SELECT doc_id, seq, n, p, c,
+        |           list_max(list_filter(range(1, n - p + 2),
+        |             L -> strpos(substring(seq, 1, CAST(p + L - 2 AS INT)),
+        |                         substring(seq, CAST(p AS INT), CAST(L AS INT))) > 0)) AS mm
+        |    FROM lz WHERE p <= n))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_scanned, CAST(c AS BIGINT) AS n_phrases,
+        |       CAST(c * 1000000 // n AS BIGINT) AS lz_q
+        |FROM lz WHERE p > n""".stripMargin,
     "vocab_topk" ->
       """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
         |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),

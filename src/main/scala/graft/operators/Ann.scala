@@ -414,4 +414,43 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("adc_dist"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * merge several ranked candidate lists — e.g. a lexical BM25 ranking
+    * and a semantic embedding-cosine ranking, the standard hybrid-search
+    * shape — into one ranking by summing 1/(k0 + rank) per list.
+    *
+    * Engine-exactness: the fused score is computed in integer arithmetic
+    * as Σ (10^12 div (k0 + rank)) — long division truncates identically
+    * in any engine (all quantities positive), so the fusion never touches
+    * a float and ties break on the id deterministically.
+    *
+    * Scale shape: each input is an already-ranked top-N list (constant
+    * size — the expensive retrieval happened upstream); the union and
+    * groupBy move only Σ|lists| rows, and the final top-k is a
+    * TakeOrdered, never a global sort. At 100 TB the rankings themselves
+    * are the scale problem (see bruteForceTopK vs ivfTopK); fusion cost
+    * is independent of corpus size.
+    *
+    * @param rankings ranked lists, each with `idCol` and a 1-based
+    *                 integral `rank` column
+    * @return (idCol, n_lists — lists containing the id, rrf_q — fused
+    *         score in 1e-12 units, rank — fused 1-based rank), top `topK`
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 25,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(k0 >= 1, "rrfFuse: k0 must be >= 1")
+    val contrib = rankings.map { r =>
+      // `div`, not `/`: Column./ is double true-division in Spark
+      r.select(col(idCol),
+        expr(s"1000000000000L div (cast(rank as bigint) + ${k0}L)").as("_c"))
+    }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("rrf_q").desc, col(idCol))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("_c")).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

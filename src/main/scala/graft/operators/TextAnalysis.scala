@@ -221,6 +221,89 @@ object TextAnalysis {
       .withColumn("repetition_ok", okCond)
   }
 
+  /** LZ76 compression density — the engine-portable twin of the zlib
+    * compression-ratio quality filter (Dolma/RedPajama use gzip ratio;
+    * zlib isn't available to a SQL oracle, an LZ76 parse is): documents
+    * whose prefix parses into few phrases per character are templated or
+    * repetitive. Runs the codegen'd [[graft.plans.Lz76PhraseCount]] over
+    * the first `maxChars` characters — pure scan stage, no shuffle, and
+    * per-row cost is bounded by the `maxChars` plan constant regardless of
+    * document length (at 100 TB the parse happens where the text is read
+    * and only the three small output columns move further).
+    *
+    * `lz_q` = phrases·10⁶ div chars-scanned (integer division, both
+    * engines truncate positive values identically — no float ratio).
+    * Low lz_q = repetitive. Random text parses at roughly
+    * n/log(n) phrases; natural text sits well below.
+    *
+    * @return (doc_id, n_chars_scanned, n_phrases, lz_q)
+    */
+  def lzDensity(docs: DataFrame, maxChars: Int = 120,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val phrases = ColumnShim.column(
+      graft.plans.Lz76PhraseCount(ColumnShim.expression(col(textCol)), maxChars))
+    docs
+      .select(col(idCol).as("doc_id"),
+        least(length(col(textCol)), lit(maxChars)).cast("long").as("n_chars_scanned"),
+        phrases.as("n_phrases"))
+      .filter(col("n_chars_scanned") > 0)
+      // `div`, not `/`: Column./ is double true-division in Spark
+      .withColumn("lz_q", expr("n_phrases * 1000000L div n_chars_scanned"))
+  }
+
+  /** Gopher duplicate-line / duplicate-paragraph filters (Rae et al.
+    * 2021, table A1 — the repetition rules [[repetitionMetrics]] does NOT
+    * cover): per document, the fraction of line (paragraph) slots
+    * occupied by repeats beyond each first occurrence, and the fraction
+    * of line (paragraph) characters in those repeat slots. Paragraphs
+    * split on a blank line, lines on '\n'; empty segments are ignored.
+    * `dup_ok` applies the published thresholds (0.30 for the count
+    * fractions, 0.20 for the character fractions).
+    *
+    * Scale shape: pure scan-stage higher-order array arithmetic — split,
+    * array_distinct, and two aggregates per granularity; NO shuffle, no
+    * explode, nothing leaves the scan. A repeated segment contributes
+    * (count−1) slots and (count−1)·len chars, which is exactly
+    * total − distinct for both measures, so no per-segment counting pass
+    * is needed. Decisions are integer cross-multiplied (the float ratio
+    * never exists); emitted fractions are single exact-integer divisions
+    * (IEEE-identical across engines).
+    */
+  def duplicateSegmentMetrics(docs: DataFrame, textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    def segs(sep: String) = filter(split(col(textCol), sep), s => length(s) > 0)
+    def chars(a: Column) = aggregate(a, lit(0L), (acc, s) => acc + length(s).cast("long"))
+    def metrics(sep: String, tag: String): Seq[(String, Column)] = {
+      val a = segs(sep)
+      val d = array_distinct(a)
+      Seq(
+        s"n_${tag}s" -> size(a).cast("long"),
+        s"n_dup_${tag}s" -> (size(a) - size(d)).cast("long"),
+        s"${tag}_chars" -> chars(a),
+        s"dup_${tag}_chars" -> (chars(a) - chars(d)))
+    }
+    val cols = metrics("\n", "line") ++ metrics("\n\n", "para")
+    val out = cols.foldLeft(docs.select(col(idCol).as("doc_id"), col(textCol))) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    def frac(num: String, den: String) =
+      when(col(den) > 0, col(num).cast("double") / col(den).cast("double")).otherwise(lit(0.0))
+    // integer cross-multiplied thresholds: dup*10 <= n*3 (0.30), *5 <= *1 (0.20)
+    val ok =
+      col("n_dup_lines") * 10 <= col("n_lines") * 3 &&
+      col("n_dup_paras") * 10 <= col("n_paras") * 3 &&
+      col("dup_line_chars") * 5 <= col("line_chars") &&
+      col("dup_para_chars") * 5 <= col("para_chars")
+    out
+      .withColumn("dup_line_frac", frac("n_dup_lines", "n_lines"))
+      .withColumn("dup_para_frac", frac("n_dup_paras", "n_paras"))
+      .withColumn("dup_line_char_frac", frac("dup_line_chars", "line_chars"))
+      .withColumn("dup_para_char_frac", frac("dup_para_chars", "para_chars"))
+      .withColumn("dup_ok", ok)
+      .drop(textCol)
+  }
+
   /** PII patterns shared between the operator and its oracle twin — the
     * subset of regex syntax (character classes, bounded repetition) that
     * behaves identically under Java regex (Spark) and RE2 (DuckDB).

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RRF hybrid-search fusion, Gopher duplicate-segment filters, and the
+  * LZ76 compression-density signal.
+  */
+class RetrievalQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- reciprocal-rank fusion --------------------------------------
+
+  test("rrfFuse: id in both lists outranks single-list ids; scores are exact integer sums") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((12L, 1L), (13L, 2L)).toDF("doc_id", "rank")
+    val out = Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_q"), r.getAs[Long]("rank")))).toMap
+    def c(rank: Long) = 1000000000000L / (rank + 60L)
+    // doc 12: rank 3 lexical + rank 1 semantic — beats everyone
+    assert(out(12L) == ((2L, c(3) + c(1), 1L)))
+    assert(out(10L) == ((1L, c(1), 2L)))
+    assert(out(11L) == ((1L, c(2), 3L))) // ties with 13 on score; smaller id first
+    assert(out(13L) == ((1L, c(2), 4L)))
+  }
+
+  test("rrfFuse: topK truncates after fusion, not per list") {
+    val a = (1L to 30L).map(i => (i, i)).toDF("doc_id", "rank")
+    val b = (1L to 30L).map(i => (100L + i, i)).toDF("doc_id", "rank")
+    val out = Ann.rrfFuse(Seq(a, b), k0 = 60, topK = 5).collect()
+    assert(out.length == 5)
+    // rank-1 of each list tie on score; smaller id first
+    assert(out.map(_.getAs[Long]("doc_id")).take(2).toSeq == Seq(1L, 101L))
+  }
+
+  // ---- duplicate line / paragraph metrics --------------------------
+
+  test("duplicateSegmentMetrics: hand fixture counts slots and chars beyond first occurrences") {
+    // lines: [aa, bb, aa, cc] -> 1 dup slot, 2 dup chars of 8
+    // paras: [aa\nbb, aa\ncc] -> 0 dups
+    val df = Seq((0L, "aa\nbb\n\naa\ncc")).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicateSegmentMetrics(df).collect().head
+    assert(r.getAs[Long]("n_lines") == 4 && r.getAs[Long]("n_dup_lines") == 1)
+    assert(r.getAs[Long]("line_chars") == 8 && r.getAs[Long]("dup_line_chars") == 2)
+    assert(r.getAs[Long]("n_paras") == 2 && r.getAs[Long]("n_dup_paras") == 0)
+    assert(r.getAs[Double]("dup_line_frac") == 0.25)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.25)
+    // line count frac 0.25 passes 0.30, but char frac 0.25 > 0.20 — gated
+    assert(!r.getAs[Boolean]("dup_ok"))
+  }
+
+  test("duplicateSegmentMetrics: published thresholds gate both granularities") {
+    val clean = "one\ntwo\nthree\nfour\nfive"
+    val dupLines = "same line\nsame line\nsame line\nother"     // 2/4 = 0.5 > 0.30
+    val dupParas = "para a\n\npara a\n\npara b"                  // 1/3 = 0.33 > 0.30
+    val df = Seq((0L, clean), (1L, dupLines), (2L, dupParas)).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSegmentMetrics(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup_ok")).toMap
+    assert(out(0L) && !out(1L) && !out(2L))
+  }
+
+  test("duplicateSegmentMetrics stays scan-only — no exchange in the plan") {
+    val df = Seq((0L, "a\nb")).toDF("doc_id", "text")
+    val plan = TextAnalysis.duplicateSegmentMetrics(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- LZ76 compression density ------------------------------------
+
+  test("Lz76PhraseCount: hand-parsed fixtures (convention matches Metrics.lzComplexity)") {
+    val cases = Seq(
+      "aaaa" -> 2L,      // a | aaa (overlapping source)
+      "abab" -> 3L,      // a | b | ab
+      "abcabcabc" -> 4L, // a | b | c | abcabc
+      "abcd" -> 4L,      // no repeats: every char a phrase
+      "a" -> 1L)
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.lzDensity(df, maxChars = 120).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_phrases")).toMap
+    cases.zipWithIndex.foreach { case ((t, want), i) =>
+      assert(out(i.toLong) == want, s"'$t' expected $want got ${out(i.toLong)}")
+    }
+  }
+
+  test("lzDensity: maxChars caps the parse and lz_q is the integer density") {
+    val df = Seq((0L, "abcabcabc")).toDF("doc_id", "text")
+    val r = TextAnalysis.lzDensity(df, maxChars = 4).collect().head
+    // "abca": a | b | c | a -> 4 phrases over 4 chars
+    assert(r.getAs[Long]("n_chars_scanned") == 4)
+    assert(r.getAs[Long]("n_phrases") == 4)
+    assert(r.getAs[Long]("lz_q") == 4L * 1000000L / 4L)
+  }
+
+  test("Lz76PhraseCount equals a naive reference on random small-alphabet strings") {
+    def naive(s: String): Long = {
+      val a = s.codePoints().toArray
+      val n = a.length
+      var p = 0; var c = 0L
+      while (p < n) {
+        var best = 0
+        for (q <- 0 until p) {
+          var l = 0
+          while (l < n - p && a(q + l) == a(p + l)) l += 1
+          if (l > best) best = l
+        }
+        p += math.min(best + 1, n - p); c += 1L
+      }
+      c
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val out = TextAnalysis.lzDensity(texts.toDF("doc_id", "text"), maxChars = 120).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_phrases")).toMap
+    texts.foreach { case (id, t) => assert(out(id) == naive(t), s"'$t'") }
+  }
+
+  test("lzDensity: repetitive text scores lower density than varied text, plan scan-only") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),
+      (1L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val q = TextAnalysis.lzDensity(df)
+    val out = q.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lz_q")).toMap
+    assert(out(0L) < out(1L))
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}

@@ -255,6 +255,38 @@ object ScaleProbe {
     t("lz_complexity_10x") {
       Metrics.lzComplexity(visits10).agg(sum(col("n_phrases"))).collect()(0).getLong(0)
     }
+    // full per-position match-length pass (O(n^2) per user vs the phrase
+    // walk's O(n*phrases)) + the Fano bisection — same one-shuffle shape
+    t("predictability_10x") {
+      Metrics.predictability(visits10).agg(sum(col("sum_lambda"))).collect()(0).getLong(0)
+    }
+    // LZ76 density over 50k docs: per-row cost bounded by the maxChars
+    // plan constant (O(120^2) worst case), scan-only — collect the sums
+    // so the kernel actually runs for every row
+    t("lz_density_10x") {
+      TextAnalysis.lzDensity(docs10, maxChars = 120)
+        .agg(sum(col("n_phrases")), sum(col("lz_q"))).collect()(0).getLong(0)
+    }
+    // duplicate-segment metrics on pages where every paragraph repeats
+    // (text twice) — scan-only array arithmetic, no shuffle at any size
+    t("dup_segments_10x") {
+      val paged = docs10.withColumn("text",
+        concat(col("text"), lit("\n\n"), col("text"), lit("\nfooter\nfooter")))
+      TextAnalysis.duplicateSegmentMetrics(paged)
+        .agg(sum(col("n_dup_lines")), sum(col("dup_para_chars"))).collect()(0).getLong(0)
+    }
+    // hybrid fusion at 10x: the two retrieval legs are the cost (bm25
+    // over 50k docs, brute-force cosine over 50k vectors); fusion itself
+    // moves ≤ 100 constant rows regardless of corpus size
+    t("hybrid_rrf_10x") {
+      val lex = TextAnalysis.bm25(docs10, Seq("spark", "join", "window"), topK = 50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val sem = Ann.bruteForceTopK(emb10.filter(col("vec_id") === 7), emb10, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 25).count()
+    }
     spark.stop()
   }
 }

@@ -1517,6 +1517,13 @@ object SparkEntry {
     "lz_complexity" -> { (s, dir) =>
       Metrics.lzComplexity(Pipeline.staypointsWithLocation(s, dir))
     },
+    // integer surface only (n, N, sum of per-position match lengths);
+    // the transcendental entropy/Fano outputs are spec-gated — the
+    // locationEntropy engine-split contract
+    "predictability" -> { (s, dir) =>
+      Metrics.predictability(Pipeline.staypointsWithLocation(s, dir))
+        .select(col("user_id"), col("n_symbols"), col("n_locations"), col("sum_lambda"))
+    },
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
@@ -2615,6 +2622,47 @@ object SparkEntry {
          |    FROM lz WHERE p <= n))
          |SELECT user_id, CAST(n AS BIGINT) AS n_symbols, CAST(c AS BIGINT) AS n_phrases
          |FROM lz WHERE p > n""".stripMargin),
+    // per-position match lengths need no recursion: one unnest(range)
+    // per symbol + the same strpos prefix probe as lz_complexity; the
+    // checked surface is the pure-integer (n, N, sum lambda) triple
+    "predictability" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |spk AS (
+         |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sid, u, a_t, f_t FROM kept),
+         |rt AS (
+         |  SELECT r.user_id, r.rep, k.a_t, k.sid
+         |  FROM rep r JOIN spk k ON k.sid = r.sid),
+         |fv AS (
+         |  SELECT user_id, rep, min(a_t) AS fv_t, min(sid) AS fv_sid
+         |  FROM rt GROUP BY user_id, rep),
+         |rk AS (
+         |  SELECT user_id, rep,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY fv_t, fv_sid) - 1 AS rnk
+         |  FROM fv),
+         |seqs AS (
+         |  SELECT t.user_id, string_agg(chr(CAST(97 + rk.rnk AS INT)), '' ORDER BY t.a_t, t.sid) AS seq
+         |  FROM rt t JOIN rk ON rk.user_id = t.user_id AND rk.rep = t.rep
+         |  GROUP BY t.user_id),
+         |nl AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_locations FROM rk GROUP BY user_id),
+         |pos AS (
+         |  SELECT user_id, seq, length(seq) AS n, unnest(range(1, length(seq) + 1)) AS i
+         |  FROM seqs),
+         |lam AS (
+         |  SELECT user_id, n,
+         |    least(coalesce(list_max(list_filter(range(1, n - i + 2),
+         |      L -> strpos(substring(seq, 1, CAST(i + L - 2 AS INT)),
+         |                  substring(seq, CAST(i AS INT), CAST(L AS INT))) > 0)), 0) + 1,
+         |      n - i + 1) AS lam
+         |  FROM pos)
+         |SELECT a.user_id, a.n_symbols, nl.n_locations, a.sum_lambda
+         |FROM (SELECT user_id, CAST(max(n) AS BIGINT) AS n_symbols,
+         |             CAST(sum(lam) AS BIGINT) AS sum_lambda
+         |      FROM lam GROUP BY user_id) a
+         |JOIN nl USING(user_id)""".stripMargin),
     "kanon_cells" ->
       s"""${EventsAdapter.pfsSql}
          |SELECT cx AS cell_x, cy AS cell_y,

@@ -324,4 +324,91 @@ object Metrics {
       }
       .toDF("user_id", "n_symbols", "n_phrases")
   }
+
+  /** Per-user limit of predictability Π_max (Song et al., Science 2010):
+    * the ceiling any forecaster can reach on the user's location sequence,
+    * from the Fano inequality over the LZ entropy-rate estimate.
+    *
+    * Per position i, Λ_i = min(longest earlier match + 1, n−i) — exactly
+    * the [[lzComplexity]] phrase-length rule applied at EVERY position
+    * (Kontoyiannis et al. 1998 window estimator; sources may overlap the
+    * target, final positions may be bare repeats). The entropy rate is
+    * S = n·log₂(n)/ΣΛ bits/symbol, and Π_max solves
+    * S = H_b(Π) + (1−Π)·log₂(N−1) (60 bisection steps; N = distinct
+    * locations; N=1 → Π=1, S ≥ log₂N → Π = 1/N).
+    *
+    * Engine split, the [[locationEntropy]] contract: `sum_lambda` /
+    * `n_symbols` / `n_locations` are pure integers — the oracle-checked
+    * surface; `s_est_q` / `pi_max_q` involve libm log (not correctly
+    * rounded, so not hash-stable across engines) and are spec-gated,
+    * quantized to 1e-6 for stable display.
+    *
+    * Scale shape: identical to [[lzComplexity]] — one shuffle on
+    * user_id, per-task working set is one user's sequence, O(n²) direct
+    * scan with early exit.
+    *
+    * @return (user_id, n_symbols, n_locations, sum_lambda, s_est_q,
+    *         pi_max_q)
+    */
+  def predictability(spLoc: DataFrame): DataFrame = {
+    def lambdaSum(seq: Array[Long]): Long = {
+      val n = seq.length
+      var i = 0
+      var s = 0L
+      while (i < n) {
+        var best = 0
+        var q = 0
+        while (q < i) {
+          var l = 0
+          val cap = n - i
+          while (l < cap && seq(q + l) == seq(i + l)) l += 1
+          if (l > best) best = l
+          q += 1
+        }
+        s += math.min(best + 1, n - i)
+        i += 1
+      }
+      s
+    }
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def piMax(s: Double, nLoc: Long): Double = {
+      if (nLoc <= 1L) 1.0
+      else if (s <= 0.0) 1.0
+      else if (s >= log2(nLoc.toDouble)) 1.0 / nLoc.toDouble
+      else {
+        def fano(p: Double): Double = {
+          val h = -p * log2(p) - (1 - p) * log2(1 - p)
+          h + (1 - p) * log2((nLoc - 1).toDouble)
+        }
+        var lo = 1.0 / nLoc.toDouble
+        var hi = 1.0 - 1e-12
+        var k = 0
+        while (k < 60) {
+          val mid = (lo + hi) / 2
+          if (fano(mid) > s) lo = mid else hi = mid
+          k += 1
+        }
+        (lo + hi) / 2
+      }
+    }
+
+    val spark = spLoc.sparkSession
+    import spark.implicits._
+    spLoc.filter(col("location_id").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("started_at")).as("_t"),
+        col("id").cast("long"), col("location_id").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val seq = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+        val n = seq.length
+        val nLoc = seq.distinct.length.toLong
+        val sl = lambdaSum(seq)
+        val s = if (n <= 1) 0.0 else n.toDouble * log2(n.toDouble) / sl.toDouble
+        val pi = piMax(s, nLoc)
+        (u, n.toLong, nLoc, sl,
+          math.floor(s * 1e6).toLong, math.floor(pi * 1e6).toLong)
+      }
+      .toDF("user_id", "n_symbols", "n_locations", "sum_lambda", "s_est_q", "pi_max_q")
+  }
 }

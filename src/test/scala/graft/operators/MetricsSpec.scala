@@ -315,6 +315,56 @@ class MetricsSpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("predictability: hand-computed lambda sums, limits, and the Fano equation") {
+    def sp(u: Long, locs: Seq[Long]) = locs.zipWithIndex.map { case (l, i) =>
+      (u * 1000L + i, u, s"2023-01-01 0${i + 1}:00:00", java.lang.Long.valueOf(l))
+    }
+    // user 1: A A B — lambdas [1, 2, 1] = 4; S = 3*log2(3)/4 ≈ 1.1887
+    //   >= log2(N=2) = 1 -> fully unpredictable floor: pi = 1/N = 0.5
+    // user 2: A A A A — lambdas [1, 3, 2, 1] = 7; N=1 -> pi = 1
+    // user 3: A B A B A B A B (n=8) — lambdas [1,1,6,5,4,3,2,1] = 23,
+    //   S = 8*3/23 ≈ 1.043 < log2(2)?? no: log2(2)=1, S>1 -> pi=0.5
+    val spLoc = (sp(1L, Seq(9L, 9L, 5L)) ++
+      sp(2L, Seq(3L, 3L, 3L, 3L)) ++
+      sp(3L, Seq(1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L)))
+      .toDF("id", "user_id", "s", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        col("location_id"))
+    val out = Metrics.predictability(spLoc).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L && out(1L)._3 == 4L)
+    assert(out(1L)._4 == math.floor(3.0 * (math.log(3.0) / math.log(2.0)) / 4.0 * 1e6).toLong)
+    assert(out(1L)._5 == 500000L) // S >= log2(N): floor at 1/N
+    assert(out(2L) == ((4L, 1L, 7L, out(2L)._4, 1000000L))) // N=1: pi = 1
+    assert(out(3L)._3 == 23L && out(3L)._5 == 500000L)
+  }
+
+  test("predictability: Fano equation holds at the returned pi for interior solutions") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // long repetitive tour over 4 locations: S lands strictly between 0
+    // and log2(4), so pi is an interior bisection solution
+    val pattern = Seq(1L, 2L, 3L, 4L) ++ Seq(1L, 2L, 3L, 4L) ++ Seq(1L, 2L, 1L, 2L) ++
+      Seq(1L, 2L, 3L, 4L) ++ Seq(4L, 3L, 2L, 1L)
+    val rows = pattern.zipWithIndex.map { case (l, i) =>
+      (i.toLong, 1L, f"2023-01-01 ${i % 24}%02d:${i / 24}%02d:00", l)
+    }
+    val spLoc = rows.toDF("id", "user_id", "s", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        col("location_id"))
+    val r = Metrics.predictability(spLoc).collect().head
+    val (n, nLoc, s, pi) = (r.getLong(1), r.getLong(2), r.getLong(4) / 1e6, r.getLong(5) / 1e6)
+    assert(n == 20L && nLoc == 4L)
+    assert(s > 0.0 && s < log2(nLoc.toDouble), s"expected interior S, got $s")
+    assert(pi > 1.0 / nLoc && pi < 1.0)
+    val fano = -pi * log2(pi) - (1 - pi) * log2(1 - pi) + (1 - pi) * log2((nLoc - 1).toDouble)
+    assert(math.abs(fano - s) < 1e-4, s"Fano residual: H(pi)+... = $fano vs S = $s")
+    // relabeling + partitioning invariance, as for lzComplexity
+    val relabeled = spLoc.withColumn("location_id", col("location_id") * 13 + 5)
+    val r2 = Metrics.predictability(relabeled.repartition(7)).collect().head
+    assert(r2.getLong(3) == r.getLong(3) && r2.getLong(5) == r.getLong(5))
+  }
+
   test("spatial filter on locations via center points: within == intersects, crosses empty " +
     "(ref geogr/test_filter.py:77-97)") {
     // locations filter through the same point path as staypoints, on the

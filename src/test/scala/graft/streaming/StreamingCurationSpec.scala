@@ -115,6 +115,34 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed === batch, "streaming curation rules must equal batch bit-for-bit")
   }
 
+  test("LZ76 density and duplicate-segment metrics run on a stream and match batch") {
+    // both are stateless scan-stage projections (codegen'd phrase count /
+    // higher-order array arithmetic) — no state, no watermark, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      (0L, "spam spam spam spam spam\nspam spam spam spam spam\n\nunique paragraph"),
+      (1L, "varied words make longer parses\nanother different line"))
+    val batchDf = pages.toDF("doc_id", "text")
+    val batchLz = TextAnalysis.lzDensity(batchDf, maxChars = 120)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchDup = TextAnalysis.duplicateSegmentMetrics(batchDf)
+      .select("doc_id", "n_dup_lines", "dup_ok")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q1 = TextAnalysis.lzDensity(input.toDF().toDF("doc_id", "text"), maxChars = 120)
+      .writeStream.format("memory").queryName("lzd").outputMode("append").start()
+    input.addData(pages: _*); q1.processAllAvailable(); q1.stop()
+    assert(spark.table("lzd").as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq == batchLz)
+
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = TextAnalysis.duplicateSegmentMetrics(input2.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_dup_lines", "dup_ok")
+      .writeStream.format("memory").queryName("dups").outputMode("append").start()
+    input2.addData(pages: _*); q2.processAllAvailable(); q2.stop()
+    assert(spark.table("dups").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq == batchDup)
+  }
+
   test("scan-only DSIR scoring runs on a stream and matches batch scores") {
     // the weight table is trained in batch (bounded dim-row driver
     // state); scoring is a stateless per-row projection, so the same

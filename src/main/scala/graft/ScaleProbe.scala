@@ -233,6 +233,24 @@ object ScaleProbe {
       CorpusOps.exactQuantiles(docs10w, "n_chars", Seq(2500, 5000, 9000, 9900, 10000))
         .collect().length.toLong
     }
+    // the sketch twin at 10x: percentile_approx (accuracy 10000, rank
+    // error ≤ 0.01% of n) must land inside the exact ±0.5%-rank value
+    // window per (lang, quantile) — the bound check promoted from the
+    // sf-fixture spec to scale; require() makes a drift fail the probe
+    t("approx_quantiles_10x") {
+      val bps = Seq(2450, 2500, 2550, 4950, 5000, 5050, 8950, 9000, 9050)
+      val exact = CorpusOps.exactQuantiles(docs10w, "n_chars", bps)
+        .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("q_bp")) -> r.getAs[Long]("value")).toMap
+      val approx = docs10w.groupBy(col("lang"))
+        .agg(expr("percentile_approx(n_chars, array(0.25, 0.5, 0.9), 10000)").as("a"))
+        .collect().flatMap { r =>
+          Seq(2500L, 5000L, 9000L).zip(r.getSeq[Long](1)).map { case (bp, v) => (r.getString(0), bp) -> v }
+        }
+      require(approx.forall { case ((lang, bp), a) =>
+        exact((lang, bp - 50)) <= a && a <= exact((lang, bp + 50))
+      }, s"approx quantile outside exact rank window: $approx")
+      approx.map(_._2).sum
+    }
     // ES top-k: one scan + per-partition top-k reduction, no corpus sort
     t("weighted_sample_10x") {
       CorpusOps.weightedSample(docs10w, k = 100, weightCol = "n_chars")

@@ -2071,6 +2071,21 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("pixel_sum"),
           col("rs_width"), col("rs_height"), col("rs_pixel_sum"))
     },
+    // perceptual aHash over REAL decoded PNGs; content keyed by
+    // doc_id % 250 so every image has exactly one duplicate partner —
+    // the fixture for the near-dup pair gate below
+    "image_phash" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("cid", pmod(col("doc_id"), lit(250L)))
+      Multimodal.perceptualHash(Multimodal.pngFixtures(docs, contentCol = "cid"))
+    },
+    "image_neardup" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("cid", pmod(col("doc_id"), lit(250L)))
+      Multimodal.imageNearDupPairs(
+        Multimodal.perceptualHash(Multimodal.pngFixtures(docs, contentCol = "cid")),
+        maxHamming = 3)
+    },
     // real frame sampling: deterministic animated GIFs built and decoded
     // by javax.imageio's sequence reader/writer; every k-th frame's
     // dimensions and luma sum re-derived in closed form (GIF is
@@ -3472,6 +3487,65 @@ object SparkEntry {
         |FROM r
         |JOIN full_px f USING (doc_id)
         |JOIN rs_px s USING (doc_id)""".stripMargin,
+    // aHash re-derived in closed form: the 8x8 grid samples the fixture
+    // pixel formula at (rx*w//8, ry*h//8) (the decodeImages nearest-
+    // neighbor rule), bit k set iff g*64 > sum — all integer; the two
+    // 32-bit halves keep every value small-positive in both engines
+    "image_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 250 AS cid,
+        |    CAST(4 + (doc_id % 250) % 13 AS BIGINT) AS w,
+        |    CAST(4 + (doc_id % 250) % 11 AS BIGINT) AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT m.doc_id, k.range AS k,
+        |    (m.cid * 31 + (((k.range % 8) * m.w) // 8) * 7
+        |       + (((k.range // 8) * m.h) // 8) * 13) % 256 AS lum
+        |  FROM m, range(0, 64) k),
+        |tot AS (SELECT doc_id, SUM(lum) AS s FROM samp GROUP BY doc_id),
+        |bits AS (
+        |  SELECT samp.doc_id, samp.k, CASE WHEN samp.lum * 64 > tot.s THEN 1 ELSE 0 END AS b
+        |  FROM samp JOIN tot USING (doc_id))
+        |SELECT doc_id AS media_id, TRUE AS ok,
+        |  CAST(SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    // banded hamming pairs over the same closed-form hashes: 16-bit band
+    // equi-join (shiftright == floor-div on the nonneg halves), exact
+    // bit_count(xor) filter at <= 3 — complete by pigeonhole over 4 bands
+    "image_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 250 AS cid,
+        |    CAST(4 + (doc_id % 250) % 13 AS BIGINT) AS w,
+        |    CAST(4 + (doc_id % 250) % 11 AS BIGINT) AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT m.doc_id, k.range AS k,
+        |    (m.cid * 31 + (((k.range % 8) * m.w) // 8) * 7
+        |       + (((k.range // 8) * m.h) // 8) * 13) % 256 AS lum
+        |  FROM m, range(0, 64) k),
+        |tot AS (SELECT doc_id, SUM(lum) AS s FROM samp GROUP BY doc_id),
+        |bits AS (
+        |  SELECT samp.doc_id, samp.k, CASE WHEN samp.lum * 64 > tot.s THEN 1 ELSE 0 END AS b
+        |  FROM samp JOIN tot USING (doc_id)),
+        |hsh AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bnd AS (
+        |  SELECT media_id, ahash_hi, ahash_lo, bb.range AS band,
+        |    CASE WHEN bb.range = 0 THEN ahash_lo % 65536
+        |         WHEN bb.range = 1 THEN (ahash_lo // 65536) % 65536
+        |         WHEN bb.range = 2 THEN ahash_hi % 65536
+        |         ELSE (ahash_hi // 65536) % 65536 END AS bv
+        |  FROM hsh, range(0, 4) bb)
+        |SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash_hi, c.ahash_hi))
+        |     + bit_count(xor(a.ahash_lo, c.ahash_lo)) AS BIGINT) AS hamming
+        |FROM bnd a JOIN bnd c ON a.band = c.band AND a.bv = c.bv AND a.media_id < c.media_id
+        |WHERE bit_count(xor(a.ahash_hi, c.ahash_hi))
+        |    + bit_count(xor(a.ahash_lo, c.ahash_lo)) <= 3""".stripMargin,
     // sampled-frame surfaces in closed form: the GIF fixtures carry
     // n_frames = 2 + id % 5 full-size gray frames with
     // pixel(f, x, y) = (id*31 + f*17 + x*7 + y*13) % 256; the sampler

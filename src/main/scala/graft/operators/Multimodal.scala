@@ -115,12 +115,19 @@ object Multimodal {
     * encoded-image fixture the decode oracle runs over — real bytes
     * through a real codec, with SQL-predictable content.
     */
-  def pngFixtures(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val input = docs.select(col(idCol).cast(LongType).as("media_id"))
+  def pngFixtures(docs: DataFrame, idCol: String = "doc_id",
+                  contentCol: String = ""): DataFrame = {
+    // contentCol (optional) keys the PIXELS separately from media_id, so
+    // a gate can synthesize distinct media rows with duplicate content
+    // (the perceptual-dedup fixture: media_id unique, content repeating)
+    val cid = if (contentCol.isEmpty) col(idCol) else col(contentCol)
+    val input = docs.select(col(idCol).cast(LongType).as("media_id"),
+      cid.cast(LongType).as("_cid"))
     input.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        val id = r.getLong(1)
         val w = fixtureWidth(id); val h = fixtureHeight(id)
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
@@ -132,7 +139,7 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, bos.toByteArray, "image/png")
+        Row(mediaId, bos.toByteArray, "image/png")
       }
     }(RowEncoder.encoderFor(pngSchema))
   }
@@ -225,6 +232,113 @@ object Multimodal {
         }
       }
     }(RowEncoder.encoderFor(schema))
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = true),
+    StructField("ahash_lo", LongType, nullable = true)))
+
+  /** Perceptual average-hash (aHash) of each decoded image: sample an
+    * 8×8 luma grid with the explicit nearest-neighbor mapping
+    * `g(rx, ry) = luma(rx·w div 8, ry·h div 8)` (same rule as
+    * [[decodeImages]]' resize), then bit k = rx + 8·ry is set iff
+    * `g·64 > Σg` — the mean threshold cross-multiplied so the float mean
+    * never exists. Emitted as TWO 32-bit halves (`ahash_hi` bits 32–63,
+    * `ahash_lo` bits 0–31, both in [0, 2³²)) so every value stays
+    * small-positive in any engine — a single 64-bit hash with bit 63 set
+    * would overflow differently under SQL HUGEINT promotion.
+    *
+    * Scale shape: one decode + 64 samples per blob inside the batched
+    * mapPartitions scan — no shuffle; only (id, ok, two longs) move on.
+    * Near-identical images (rescaled, re-encoded, lightly edited) land
+    * within a few bits of hamming distance; [[imageNearDupPairs]] turns
+    * that into a banded pair join.
+    */
+  def perceptualHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val input = media.select(col("media_id"), col("blob"))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          val id = r.getLong(0)
+          if (img == null) Row(id, false, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val g = new Array[Int](64)
+            var k = 0
+            var sum = 0L
+            while (k < 64) {
+              val rx = k % 8; val ry = k / 8
+              g(k) = lumaAt(img, rx * w / 8, ry * h / 8)
+              sum += g(k)
+              k += 1
+            }
+            var lo = 0L; var hi = 0L
+            k = 0
+            while (k < 64) {
+              if (g(k).toLong * 64L > sum) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            Row(id, true, hi, lo)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(phashSchema))
+  }
+
+  /** Near-duplicate image pairs by hamming distance over [[perceptualHash]]
+    * output: the 64 hash bits split into four 16-bit band keys, candidate
+    * pairs meet through a `(band, value)` self-equi-join — never an
+    * all-pairs product — and survive an exact
+    * `bit_count(xor) ≤ maxHamming` check. For `maxHamming ≤ 3` the four
+    * bands are COMPLETE by pigeonhole (≤ 3 differing bits cannot touch
+    * all 4 bands), the [[Dedup.simHashPairs]] guarantee.
+    *
+    * `maxBandFreq` (opt-in, the overlapRuns/winnowOverlap knob) caps a
+    * band-value's occurrence count before the join — flat-color images
+    * (hash 0) make degenerate hot buckets at crawl scale.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, each pair once
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBandFreq: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = hashes.filter(col("ok"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+    val bandsAll = hs.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array((0 until 4).map { b =>
+        val src = if (b < 2) col("ahash_lo") else col("ahash_hi")
+        struct(lit(b).as("band"),
+          shiftright(src, (b % 2) * 16).bitwiseAND(lit(65535L)).as("bv"))
+      }: _*)).as("_b"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("_b.band").as("band"), col("_b.bv").as("bv"))
+    val bands =
+      if (maxBandFreq <= 0) bandsAll
+      else bandsAll
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+        .filter(col("_n") <= maxBandFreq).drop("_n")
+    val a = bands.select(col("media_id").as("id_a"), col("ahash_hi").as("_ahi"),
+      col("ahash_lo").as("_alo"), col("band"), col("bv"))
+    val b = bands.select(col("media_id").as("id_b"), col("ahash_hi").as("_bhi"),
+      col("ahash_lo").as("_blo"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(_ahi ^ _bhi)") + expr("bit_count(_alo ^ _blo)"))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------- real audio path (javax.sound.sampled) ----------------

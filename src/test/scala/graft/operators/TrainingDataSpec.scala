@@ -336,6 +336,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getAs[Long]("rs_pixel_sum") == want)
   }
 
+  test("multimodal: perceptual aHash matches the closed-form grid computation") {
+    val media = Multimodal.pngFixtures((0L to 4L).map((_, "x")).toDF("doc_id", "text"))
+    val out = Multimodal.perceptualHash(media).collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 4L) {
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      val g = (0 until 64).map(k => Multimodal.fixturePixel(id, (k % 8) * w / 8, (k / 8) * h / 8))
+      val sum = g.map(_.toLong).sum
+      var lo = 0L; var hi = 0L
+      for (k <- 0 until 64 if g(k).toLong * 64L > sum)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      val r = out(id)
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Long]("ahash_hi") == hi && r.getAs[Long]("ahash_lo") == lo,
+        s"hash of image $id must equal the closed-form grid hash")
+    }
+    // corrupt blob: ok=false, null hash halves
+    val bad = Multimodal.perceptualHash(
+      Seq((9L, "not an image".getBytes)).toDF("media_id", "blob")).collect().head
+    assert(!bad.getAs[Boolean]("ok") && bad.isNullAt(2) && bad.isNullAt(3))
+  }
+
+  test("multimodal: banded hamming pairs find planted duplicates and equal brute force at <= 3") {
+    // media 0..9 with content repeating mod 5: pairs (i, i+5) are exact
+    // content duplicates -> hamming 0, must all surface
+    val docs = (0L to 9L).map(i => (i, i % 5)).toDF("doc_id", "cid")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.pngFixtures(docs, contentCol = "cid")).localCheckpoint(true)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- 0L to 4L) assert(pairs.get((i, i + 5)).contains(0L), s"planted dup ($i, ${i + 5})")
+    // pigeonhole completeness: banding equals the all-pairs filter
+    val hs = hashes.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) + java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(pairs == brute, "banded join must equal brute-force hamming at <= 3")
+  }
+
   private def spanRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
     df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
 

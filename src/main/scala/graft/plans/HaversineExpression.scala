@@ -144,6 +144,13 @@ object GraftExtensions {
         }
         UnicodeNormalize(children(0), form)
       }),
+    (
+      new FunctionIdentifier("lz76_phrase_count"),
+      new ExpressionInfo(classOf[Lz76PhraseCount].getName, "lz76_phrase_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "lz76_phrase_count(text, maxChars)")
+        Lz76PhraseCount(children(0), literalInt(children(1), "lz76_phrase_count: maxChars"))
+      }),
     // hex-WKB/EWKB geometry codecs (graft.functions.Wkb): kind is one of
     // 'point' | 'linestring' | 'polygon' | 'multipoint'
     (

@@ -117,6 +117,14 @@ class RetrievalQualitySpec extends SparkSpec {
     texts.foreach { case (id, t) => assert(out(id) == naive(t), s"'$t'") }
   }
 
+  test("lz76_phrase_count is registered as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = Seq(("abcabcabc", 1)).toDF("text", "one")
+      .selectExpr("lz76_phrase_count(text, 120) AS p", "lz76_phrase_count(text, 4) AS p4")
+      .collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 4L)
+  }
+
   test("lzDensity: repetitive text scores lower density than varied text, plan scan-only") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam spam spam"),

@@ -1728,6 +1728,18 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, planes = 8)
     },
+    // MMR diversity re-rank over a brute-force top-50 pool: relevance =
+    // probe cosine in 1e-6 units; the greedy's integer decisions replay
+    // exactly in the oracle's recursive packed-argmax
+    "mmr_rerank" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val pool = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+        .select(col("neighbor_id").as("vec_id"),
+          round(col("cosine") * 1e6, 0).cast("long").as("rel_q"),
+          col("embedding"))
+      Ann.mmrRerank(pool, k = 10, lambdaBp = 7000)
+    },
     "ann_ivf" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
@@ -2762,6 +2774,63 @@ object SparkEntry {
         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the greedy MMR trajectory as a recursive CTE: one pick per step via
+    // a packed integer argmax (score offset to nonneg, id in the low
+    // bits); max-sim-to-selected via list ops over per-candidate
+    // neighbor/sim lists — every decision the same integers as the
+    // driver-side greedy
+    "mmr_rerank" ->
+      """WITH RECURSIVE probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+        |scored AS (
+        |  SELECT c.vec_id, c.embedding,
+        |    round(
+        |      list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, CAST(round(cosine * 1000000.0, 0) AS BIGINT) AS rel_q, embedding
+        |  FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+        |  WHERE rnk <= 50),
+        |simp AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0, 0) AS BIGINT) AS sq
+        |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id),
+        |siml AS (
+        |  SELECT vec_id, list(o ORDER BY o) AS os, list(sq ORDER BY o) AS ss FROM (
+        |    SELECT ia AS vec_id, ib AS o, sq FROM simp
+        |    UNION ALL
+        |    SELECT ib AS vec_id, ia AS o, sq FROM simp)
+        |  GROUP BY vec_id),
+        |mmr(step, sel, pick, rel, mmr_v) AS (
+        |  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT q.step + 1, list_append(q.sel, q.id), q.id, c2.rel_q, q.score
+        |  FROM (
+        |    SELECT t.step, t.sel,
+        |      CAST(2097151 - t.mx % 2097152 AS BIGINT) AS id,
+        |      CAST(t.mx // 2097152 - 34359738368 AS BIGINT) AS score
+        |    FROM (
+        |      SELECT m.step, m.sel,
+        |        max((7000 * c.rel_q - 3000 * coalesce(
+        |              list_max(list_transform(
+        |                list_filter(list_zip(sl.os, sl.ss), p -> list_contains(m.sel, p[1])),
+        |                p -> p[2])), 0)
+        |             + 34359738368) * 2097152 + (2097151 - c.vec_id)) AS mx
+        |      FROM mmr m
+        |      JOIN cand c ON NOT list_contains(m.sel, c.vec_id)
+        |      LEFT JOIN siml sl ON sl.vec_id = c.vec_id
+        |      WHERE m.step < 10
+        |      GROUP BY m.step, m.sel) t) q
+        |  JOIN cand c2 ON c2.vec_id = q.id)
+        |SELECT CAST(step AS BIGINT) AS rank, pick AS vec_id, rel AS rel_q, mmr_v AS mmr_q
+        |FROM mmr WHERE step >= 1""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS BIGINT) AS score_de,

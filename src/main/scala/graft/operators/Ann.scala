@@ -415,6 +415,76 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results trading relevance against novelty —
+    * each step selects the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`. The diversity pass that
+    * runs AFTER retrieval ([[bruteForceTopK]] / [[rrfFuse]]) so near-
+    * duplicate hits don't crowd the final list.
+    *
+    * Engine-exactness: the decision value is pure integer —
+    * `lambdaBp·rel_q + (lambdaBp − 10000)·maxsim_q` with rel/sim in 1e-6
+    * units quantized by the SAME Catalyst round() the retrieval and the
+    * oracle use — and ties break on the smaller id, so the greedy
+    * trajectory is bit-reproducible in any engine.
+    *
+    * Scale shape: the candidate pool is a top-N retrieval output — a
+    * CONSTANT (≤ 4096 enforced), not corpus-sized. Pairwise similarities
+    * compute distributed (pool self-join through the codegen cosine);
+    * only pool + pairs (N + N² bounded rows) reach the driver for the
+    * sequential greedy, the bounded-driver-state contract of
+    * [[KMeans.fit]]/heavyHitters. The corpus itself was only touched by
+    * the upstream retrieval.
+    *
+    * @param candidates pool with `idCol`, `relCol` (1e-6-unit long) and
+    *                   `vecCol`
+    * @return (rank 1..k, idCol, rel_q, mmr_q — the decision value at
+    *         selection time)
+    */
+  def mmrRerank(candidates: DataFrame, k: Int = 10, lambdaBp: Int = 7000,
+                idCol: String = "vec_id", relCol: String = "rel_q",
+                vecCol: String = "embedding"): DataFrame = {
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000], got $lambdaBp")
+    val spark = candidates.sparkSession
+    val pool = candidates.select(
+      col(idCol).cast("long").as("_id"), col(relCol).cast("long").as("_rel"), col(vecCol).as("_v"))
+      .localCheckpoint(eager = true)
+    val n = pool.count()
+    require(n <= 4096, s"mmrRerank pool must be a bounded retrieval output, got $n rows")
+    // pairwise sims distributed, quantized by the same round() as the
+    // retrieval/oracle (HALF_UP in both engines)
+    val a = pool.select(col("_id").as("_ia"), col("_v").as("_va"))
+    val b = pool.select(col("_id").as("_ib"), col("_v").as("_vb"))
+    // round at the 1e6 scale directly: round(c,6)*1e6 can produce
+    // x.99999... doubles that Spark's cast truncates but SQL's rounds
+    val sims = a.crossJoin(b).filter(col("_ia") < col("_ib"))
+      .select(col("_ia"), col("_ib"),
+        round(cosine(col("_va"), col("_vb")) * 1e6, 0).cast("long").as("_sq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cand = pool.select(col("_id"), col("_rel")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    def sim(x: Long, y: Long): Long = if (x < y) sims((x, y)) else sims((y, x))
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)] // (id, rel, mmr)
+    val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
+    while (selected.length < math.min(k.toLong, n).toInt && remaining.nonEmpty) {
+      var bestId = -1L; var bestScore = Long.MinValue
+      remaining.foreach { case (id, rel) =>
+        val maxSim = if (selected.isEmpty) 0L else selected.map(s => sim(id, s._1)).max
+        val score = lambdaBp.toLong * rel + (lambdaBp.toLong - 10000L) * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestId = id; bestScore = score
+        }
+      }
+      selected += ((bestId, remaining(bestId), bestScore))
+      remaining.remove(bestId)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+      .toSeq.toDF("rank", idCol, "rel_q", "mmr_q")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge several ranked candidate lists — e.g. a lexical BM25 ranking
     * and a semantic embedding-cosine ranking, the standard hybrid-search

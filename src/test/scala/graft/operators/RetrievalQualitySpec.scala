@@ -34,6 +34,37 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).take(2).toSeq == Seq(1L, 101L))
   }
 
+  // ---- MMR diversity re-ranking ------------------------------------
+
+  test("mmrRerank: a near-duplicate of the top hit is deferred; pure relevance keeps it") {
+    // candidates: 10 ≅ 11 (near-identical vectors), 12 orthogonal-ish
+    val pool = Seq(
+      (10L, 990000L, Seq(1.0f, 0.0f, 0.1f)),
+      (11L, 980000L, Seq(1.0f, 0.01f, 0.1f)), // clone of 10, slightly less relevant
+      (12L, 900000L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "rel_q", "embedding")
+    val diverse = Ann.mmrRerank(pool, k = 3, lambdaBp = 7000).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(diverse == Map(1L -> 10L, 2L -> 12L, 3L -> 11L),
+      "the clone must fall behind the orthogonal hit under the diversity penalty")
+    val pure = Ann.mmrRerank(pool, k = 3, lambdaBp = 10000).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(pure == Map(1L -> 10L, 2L -> 11L, 3L -> 12L),
+      "lambda = 1 must reduce to pure relevance order")
+  }
+
+  test("mmrRerank: first pick is max relevance (id ties) and k caps the output") {
+    val pool = Seq(
+      (5L, 500000L, Seq(1.0f, 0.0f)),
+      (3L, 500000L, Seq(0.0f, 1.0f)),
+      (9L, 400000L, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "rel_q", "embedding")
+    val out = Ann.mmrRerank(pool, k = 2, lambdaBp = 7000).collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("vec_id") == 3L, "equal top relevance: smaller id wins")
+    assert(out.head.getAs[Long]("mmr_q") == 7000L * 500000L, "first pick has no sim penalty")
+  }
+
   // ---- duplicate line / paragraph metrics --------------------------
 
   test("duplicateSegmentMetrics: hand fixture counts slots and chars beyond first occurrences") {

@@ -2132,6 +2132,19 @@ object SparkEntry {
       CorpusOps.hashSplit(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("split"))
     },
+    // snapshot diff against a synthesized "next crawl": every 7th doc
+    // removed, every 5th changed (among survivors), 50 added under
+    // shifted ids — all four statuses fire
+    "corpus_diff" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nextCrawl = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      CorpusOps.corpusDiff(docs, nextCrawl)
+    },
     "sample_stratified" -> { (s, dir) =>
       CorpusOps.stratifiedSample(s.read.parquet(s"$dir/documents.parquet"), "lang",
         Map("en" -> 2500), defaultBp = 7500)
@@ -3705,6 +3718,20 @@ object SparkEntry {
          |  round(CAST(sum(hit) AS DOUBLE) / CAST(first(n_grams) AS DOUBLE), 6) AS bloom_contamination
          |FROM fl GROUP BY doc_id""".stripMargin
     },
+    "corpus_diff" ->
+      s"""WITH nextcrawl AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         |o AS (SELECT doc_id, ${h60Sql("text")} AS old_hash FROM documents),
+         |n AS (SELECT doc_id, ${h60Sql("text")} AS new_hash FROM nextcrawl)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+         |  CASE WHEN old_hash IS NULL THEN 'added'
+         |       WHEN new_hash IS NULL THEN 'removed'
+         |       WHEN old_hash = new_hash THEN 'same'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'

@@ -143,6 +143,32 @@ object CorpusOps {
           .as("b_start"))
   }
 
+  /** Corpus snapshot diff — the ingest-monitoring pass between two crawl
+    * snapshots: per document id, `added` (new only), `removed` (old
+    * only), `changed` (both, content hash differs) or `same`. Content
+    * identity is the portable 60-bit md5-prefix hash, so two engines —
+    * or two runs years apart — agree on every verdict.
+    *
+    * Scale shape: scan-stage hashing on both sides (the text never
+    * survives past its scan) + ONE full-outer hash equi-join on the id;
+    * output rows carry only (id, two longs, status). At 100 TB the join
+    * keys on the document id — co-partitioned snapshots (bucketed by id)
+    * make it shuffle-free.
+    *
+    * @return (doc_id, old_hash, new_hash, status)
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"), PortableHash.h60(col(textCol)).as("old_hash"))
+    val n = newDocs.select(col(idCol).as("doc_id"), PortableHash.h60(col(textCol)).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("same"))
+          .otherwise(lit("changed")))
+  }
+
   /** Deterministic train/val/test assignment: bucket =
     * h60(salt ‖ ':' ‖ id) mod Σweights, split = the weight band the
     * bucket falls in. Pure per-row projection — no shuffle, no state, and

@@ -25,6 +25,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(3L)._2 == 1L) // only "alpha beta gamma delta epsilon" is shared
   }
 
+  test("corpusDiff: added/removed/changed/same per content hash") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val next = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")
+    val out = CorpusOps.corpusDiff(old, next).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+    val same = CorpusOps.corpusDiff(old, old).collect()
+    assert(same.forall(_.getAs[String]("status") == "same"))
+  }
+
   test("hashSplit: total assignment, reasonable proportions, determinism") {
     val docs = spark.range(2000).select(col("id").as("doc_id"))
     val r = CorpusOps.hashSplit(docs).groupBy("split").count()

@@ -2156,6 +2156,15 @@ object SparkEntry {
     // tokenize -> pack end to end: sequence packing budgeted by REAL
     // tokenizer counts (the trained BPE's per-doc token counts), not the
     // whitespace proxy — what a training pipeline actually ships
+    // trainer handoff: the ordered subword stream per document under the
+    // 8-merge learned table (same train collect as pack_by_bpe)
+    "bpe_export" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
+        .select(col("step"), col("lhs"), col("rhs")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeExportTokens(docs, learned)
+    },
     "pack_by_bpe" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
@@ -3523,6 +3532,20 @@ object SparkEntry {
       pqIters = 2, subWidth = 16, nprobe = 2, probeMax = 10, k = 5),
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
+    // the fused per-word symbol streams (bw8.sym) re-joined onto the word
+    // sequence with positions; parallel unnests zip in DuckDB
+    "bpe_export" ->
+      s"""WITH ${bpeCtes(8)},
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(sum(len(string_split(trim(b.sym), ' '))) AS BIGINT) AS n_tokens,
+         |  string_agg(trim(b.sym), ' ' ORDER BY d.p) AS token_stream
+         |FROM dw d JOIN bw8 b ON d.w = b.w
+         |WHERE len(d.w) > 0
+         |GROUP BY d.doc_id""".stripMargin,
     "curate_corpus" -> curateOracle(numHashes = 64, bands = 16, threshold = 0.5,
       tgtValues = "('en', CAST(4 AS BIGINT)), ('de', 1), ('fr', 1), ('es', 1)"),
     // hook-invariance: the parquet-share variant must hash-match the

@@ -609,7 +609,11 @@ object TextAnalysis {
     * yields [aa, aa, a] — same count here, but different symbols for every
     * later merge. Returns the token count.
     */
-  private[graft] def bpeFuseWord(w: String, merges: Array[(String, String)]): Long = {
+  /** The fused subword stream of one word under a merge table, as the
+    * trimmed single-space-joined token string — the unit both the
+    * count kernel and the export kernel share.
+    */
+  private[graft] def bpeFuseWordSymbols(w: String, merges: Array[(String, String)]): String = {
     // split(col, "") + nonempty filter ≡ Java regex split on "" with the
     // trailing empty removed: per-code-unit, identical on both sides
     var s = w.split("").filter(_.nonEmpty).mkString(" ", " ", " ")
@@ -624,11 +628,16 @@ object TextAnalysis {
       }
       i += 1
     }
-    // " t1 t2 ... tn " with single interior spaces: tokens = spaces - 1
+    s.trim
+  }
+
+  private[graft] def bpeFuseWord(w: String, merges: Array[(String, String)]): Long = {
+    val s = bpeFuseWordSymbols(w, merges)
+    // "t1 t2 ... tn" with single interior spaces: tokens = spaces + 1
     var spaces = 0L
     var j = 0
     while (j < s.length) { if (s.charAt(j) == ' ') spaces += 1; j += 1 }
-    spaces - 1
+    spaces + 1
   }
 
   /** Apply a learned BPE merge table ([[bpeTrain]] output, or any
@@ -673,6 +682,52 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("_t")).as("n_bpe_tokens"))
+  }
+
+  /** Token-SEQUENCE export — the trainer-handoff step after [[bpeEncode]]
+    * has done the counting: per document, the ordered subword token
+    * stream under the learned merge table (space-joined; ids are a
+    * trivial dictionary join away). This is the artifact a training job
+    * actually reads; everything upstream (dedup, filter, pack) was in
+    * service of producing it.
+    *
+    * Scale shape: same broadcast-table + memoizing mapPartitions kernel
+    * as [[bpeEncode]] (plan constant in |merges|), except the kernel
+    * keeps each word's fused STRING; document reassembly is one
+    * groupBy(doc) with an array_sort over (position, tokens) structs —
+    * order-stable under any partitioning, the dedupParagraphs contract.
+    *
+    * @return (doc_id, n_tokens, token_stream)
+    */
+  def bpeExportTokens(docs: DataFrame, merges: Seq[(String, String)],
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val bc = docs.sparkSession.sparkContext.broadcast(merges.toArray)
+    val words = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p", "_w")))
+      .filter(length(col("_w")) > 0)
+    val outSchema = StructType(Seq(words.schema.head, words.schema(1),
+      StructField("_t", StringType, nullable = false)))
+    words.mapPartitions { rows =>
+      val table = bc.value
+      val memo = new java.util.HashMap[String, String]()
+      rows.map { r =>
+        val w = r.getString(2)
+        var t = memo.get(w)
+        if (t == null) {
+          t = bpeFuseWordSymbols(w, table)
+          if (memo.size < (1 << 20)) memo.put(w, t) // bounded per-partition state
+        }
+        Row(r.get(0), r.get(1), t)
+      }
+    }(Encoders.row(outSchema))
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("_p"), col("_t")))), x => x("_t")))
+        .as("token_stream"))
+      .withColumn("n_tokens", size(split(col("token_stream"), " ")).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("token_stream"))
   }
 
   /** The nested-replace-fold twin of [[bpeEncode]]: compiles the merge

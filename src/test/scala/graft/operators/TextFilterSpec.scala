@@ -328,6 +328,33 @@ class TextFilterSpec extends SparkSpec {
     assert(viaDefault === pure)
   }
 
+  test("bpe token-sequence export: exact streams, word order, count consistency") {
+    val docs = Seq((1L, "abab cd abab"), (2L, "cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeExportTokens(docs, Seq(("a", "b"), ("ab", "ab")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // 'abab' -> [abab]; 'cd' untouched -> [c, d]; word order preserved
+    assert(out(1L) == ((4L, "abab c d abab")))
+    assert(out(2L) == ((2L, "c d")))
+    // n_tokens must agree with bpeEncode's counts on a trained table
+    val words = Seq.fill(40)((1 to 5).map(_ => "abc" (scala.util.Random.nextInt(3))).mkString)
+    val corpus = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(corpus, merges = 6)
+      .select("step", "lhs", "rhs").collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = TextAnalysis.bpeEncode(corpus, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streams = TextAnalysis.bpeExportTokens(corpus, learned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streams == counts, "export token totals must equal the count kernel's")
+    // partitioning invariance of the ordered stream
+    val re = TextAnalysis.bpeExportTokens(corpus.repartition(7), learned).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val base = TextAnalysis.bpeExportTokens(corpus, learned).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re == base)
+  }
+
   test("bpe encode kernel == nested-replace fold on trained merges, incl. odd same-char runs") {
     // odd runs are where fusion order is subtle: two-pass replace turns
     // 'aaaaa' + (a,a) into [aa, a, aa], NOT the list-scan's [aa, aa, a];

@@ -171,7 +171,10 @@ object SparkEntry {
        |FROM nodes n JOIN reach r ON r.a = n.node
        |GROUP BY n.node""".stripMargin
 
-  private def simhashOracle(maxHamming: Int): String = {
+  /** CTE chain ending in `pairs(id_a, id_b, fa, fb)` — the banded simhash
+    * candidate pairs (Dedup.simHashPairs before the hamming filter).
+    */
+  private def simhashPairsCtes(src: String = "documents"): String = {
     val bits = graft.operators.Dedup.simHashBits
     val voteCols = (0 until bits)
       .map(b => s"sum(CASE WHEN (hh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -179,8 +182,8 @@ object SparkEntry {
     val fpExpr = (0 until bits)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
        |h AS (SELECT doc_id, ${h60Sql("t")} AS hh FROM tok),
        |votes AS (
        |  SELECT doc_id,
@@ -192,10 +195,44 @@ object SparkEntry {
        |  FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
-       |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
+       |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def simhashOracle(maxHamming: Int): String =
+    s"""WITH ${simhashPairsCtes()}
        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
-  }
+
+  /** The dedup_editdist gate's synthetic revision corpus: insert
+    * `doc_id % 4` 'Z' marker characters after character 10 — near-dup
+    * pair members with different marker lengths then differ by a small
+    * in-prefix edit (insertion + window shift), members with equal
+    * lengths stay at distance 0, so the threshold genuinely separates.
+    * Byte-identical construction on both engines.
+    */
+  private val editDistAugSql: String =
+    """aug AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         substring(text, 1, 10) || repeat('Z', CAST(doc_id % 4 AS INT)) || substring(text, 11) AS text
+      |  FROM documents)""".stripMargin
+
+  /** [[graft.operators.Dedup.editDistancePairs]]: the simhash candidate
+    * pairs re-scored with prefix Levenshtein (both engines' levenshtein
+    * is the standard unit-cost DP — integer, engine-exact).
+    */
+  private def editDistOracle(maxHamming: Int, maxDist: Int, prefixChars: Int): String =
+    s"""WITH $editDistAugSql,
+       |${simhashPairsCtes("aug")},
+       |ham AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |  FROM pairs WHERE bit_count(xor(fa, fb)) <= $maxHamming),
+       |ed AS (
+       |  SELECT id_a, id_b, hamming,
+       |         CAST(levenshtein(substring(da.text, 1, $prefixChars),
+       |                          substring(db.text, 1, $prefixChars)) AS BIGINT) AS edit_dist
+       |  FROM ham JOIN aug da ON da.doc_id = id_a
+       |           JOIN aug db ON db.doc_id = id_b)
+       |SELECT id_a, id_b, hamming, edit_dist FROM ed WHERE edit_dist <= $maxDist""".stripMargin
 
   /** Quantized-integer hyperplane signature (Ann.hyperplaneSignature). */
   private def sigCte(planes: Int): String = {
@@ -249,6 +286,67 @@ object SparkEntry {
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** [[graft.operators.Ann.recallEval]]: brute-force truth and IVF result
+    * CTE chains side by side (renamed from the ann_bruteforce / ann_ivf
+    * oracles), then hits = |truth ∩ approx| per probe and recall =
+    * hits/k. Probes the index missed keep a 0-hit row via the LEFT JOIN.
+    */
+  private def annRecallOracle(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |bscored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("p.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+       |bt AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM bscored) WHERE rank <= $k),
+       |cent AS (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
+       |ranked AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "cv")} DESC, c_id) AS rn
+       |  FROM embeddings e, cent),
+       |corpcell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn = 1),
+       |probecell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.vec_id AS probe_id, p.embedding AS pe, c.vec_id AS neighbor_id, c.embedding AS ce
+       |  FROM probecell p JOIN corpcell c ON p.cell = c.cell WHERE p.vec_id != c.vec_id),
+       |iscored AS (
+       |  SELECT probe_id, neighbor_id, ${cosineSql("pe", "ce")} AS cosine FROM cand),
+       |it AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM iscored) WHERE rank <= $k),
+       |hcnt AS (
+       |  SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM bt JOIN it ON bt.probe_id = it.probe_id AND bt.neighbor_id = it.neighbor_id
+       |  GROUP BY bt.probe_id)
+       |SELECT p.probe_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($k AS DOUBLE) AS recall
+       |FROM (SELECT DISTINCT probe_id FROM bt) p
+       |LEFT JOIN hcnt h ON p.probe_id = h.probe_id""".stripMargin
+
+  /** [[graft.operators.KMeans.outliers]]: the kmeansCtes training chain,
+    * one extra distance/argmin block against the FINAL centroids, then
+    * the top-N by (distance desc, id) — every long the same as Spark's.
+    */
+  private def outliersOracle(k: Int, iters: Int, topN: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, 1000000)},
+       |fd AS MATERIALIZED (
+       |  SELECT q.vec_id, c.c, CAST(sum((q.val - c.val) * (q.val - c.val)) AS BIGINT) AS d
+       |  FROM kq q JOIN cent$iters c ON q.m = c.m AND q.pos = c.pos
+       |  GROUP BY q.vec_id, c.c),
+       |fa AS (
+       |  SELECT vec_id, c, d FROM (
+       |    SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM fd)
+       |  WHERE rn = 1),
+       |topn AS (
+       |  SELECT vec_id, c, d, row_number() OVER (ORDER BY d DESC, vec_id) AS rank FROM fa)
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(c AS BIGINT) AS cluster_id, d AS dist_q
+       |FROM topn WHERE rank <= $topN""".stripMargin
 
   /** Lloyd's k-means as unrolled SQL — one (distance, argmin, update)
     * CTE block per iteration, every arithmetic step the integer/exact
@@ -1711,6 +1809,16 @@ object SparkEntry {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
     },
+    // synthetic revision corpus (variable-length marker insertion after
+    // char 10) so the candidate pairs carry nonzero in-prefix edits and
+    // the distance threshold genuinely separates — see editDistAugSql
+    "dedup_editdist" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", concat(substring(col("text"), 1, 10),
+          expr("repeat('Z', cast(doc_id % 4 as int))"), expr("substring(text, 11)")))
+      Dedup.editDistancePairs(aug, maxDist = 3, prefixChars = 80, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+    },
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.ngramJaccardTop1(docs.filter(col("doc_id") < 10), docs)
@@ -1782,6 +1890,18 @@ object SparkEntry {
       KMeans.clusterDrift(emb,
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
         k = 8, iters = 2, share = _.localCheckpoint(false))
+    },
+    // distance-to-final-centroid outliers: the gate replays the full
+    // training trajectory AND the extra assignment pass bit-for-bit
+    "embedding_outliers" -> { (s, dir) =>
+      KMeans.outliers(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 8, iters = 2, topN = 20, share = _.localCheckpoint(false))
+    },
+    // recall@5 of the id-seeded IVF index vs the brute-force truth —
+    // the honest quality row next to the index's own top-k gates
+    "ann_recall" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.recallEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
@@ -1949,6 +2069,12 @@ object SparkEntry {
     },
     "text_lz_density" -> { (s, dir) =>
       TextAnalysis.lzDensity(s.read.parquet(s"$dir/documents.parquet"), maxChars = 120)
+    },
+    "text_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(s.read.parquet(s"$dir/documents.parquet"), maxChars = 200)
+    },
+    "zipf_fit" -> { (s, dir) =>
+      TextAnalysis.zipfFit(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
@@ -3451,6 +3577,56 @@ object SparkEntry {
       probeMax = 50L),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
+    "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
+    "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
+    "embedding_outliers" -> outliersOracle(k = 8, iters = 2, topN = 20),
+    // char-level Shannon entropy under the quantized-ln contract: the
+    // numerator n·lnq(n) − Σ c·lnq(c) is an exact long; one final division
+    "text_entropy" ->
+      """WITH cs AS (
+        |  SELECT doc_id, string_split(substring(text, 1, 200), '') AS ch,
+        |         CAST(least(len(text), 200) AS BIGINT) AS n_chars
+        |  FROM documents WHERE len(text) > 0),
+        |cnt AS (
+        |  SELECT doc_id, n_chars,
+        |         list_transform(list_distinct(ch),
+        |           c -> CAST(len(list_filter(ch, x -> x = c)) AS BIGINT)) AS cnts
+        |  FROM cs),
+        |ag AS (
+        |  SELECT doc_id, n_chars,
+        |         n_chars * CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+        |           - CAST(list_sum(list_transform(cnts,
+        |               c -> c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT)
+        |           AS entropy_num_q
+        |  FROM cnt)
+        |SELECT doc_id, n_chars, entropy_num_q,
+        |       CAST(entropy_num_q AS DOUBLE)
+        |         / (CAST(n_chars AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS entropy_nats
+        |FROM ag""".stripMargin,
+    // OLS of lnq(count) on lnq(rank) over the top-50 vocabulary — all five
+    // sums exact longs; slope/intercept fixed double-expression trees
+    "zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+        |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c),
+        |xy AS (
+        |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM r WHERE rank <= 50),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy),
+        |sl AS (
+        |  SELECT n_points, sx, sy,
+        |         CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n_points * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM ag)
+        |SELECT n_points, slope,
+        |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
+        |FROM sl""".stripMargin,
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),

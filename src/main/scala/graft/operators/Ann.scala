@@ -147,6 +147,38 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
 
+  /** Recall@k of the IVF index against the brute-force ground truth —
+    * the evaluation harness every approximate index needs before its
+    * nprobe/nlist tradeoff is trusted on real traffic. Per probe, `hits`
+    * counts true top-k neighbors the IVF search also returned and
+    * `recall` = hits/k; probes the index missed entirely still appear
+    * (hits = 0), so the mean over rows is the honest corpus recall.
+    *
+    * Engine-exactness: both rankings already quantize cosine to 1e-6
+    * before ordering, so membership is a set-intersection of identical
+    * integer decisions; recall is one exact division hits/k.
+    *
+    * Scale shape: both searches are the audited operators (broadcast
+    * probes / cell equi-join — no new shuffle shapes); the comparison is
+    * an equi-join on (probe, neighbor) over 2·|probes|·k rows — probe-
+    * sized, not corpus-sized.
+    */
+  def recallEval(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+                 nlist: Int = 32, nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val truth = bruteForceTopK(probes, corpus, k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** LSH-bucketed ANN: probes join the corpus only within matching
     * signature buckets (optionally multi-probe across single-bit flips),
     * then exact cosine rescoring + top-k.

@@ -210,6 +210,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Edit-distance near-duplicate pairs, with simhash banding as the
+    * candidate generator: pairs within `maxHamming` on the 60-bit simhash
+    * are re-scored with the Levenshtein distance of their
+    * `prefixChars`-character prefixes and kept when ≤ `maxDist` — the
+    * character-level confirmation pass that catches what token-set
+    * measures (minhash/simhash alone) cannot distinguish: small insertions
+    * vs. reorderings of the same vocabulary.
+    *
+    * Scale shape: candidates come from [[simHashPairs]]'s banded
+    * equi-join — never all-pairs — so the O(prefix²) DP runs only on the
+    * candidate set; the two text joins project (id, prefix) before
+    * shuffling, so nothing wider than the bounded prefix moves. The
+    * distance itself is `functions.levenshtein` (codegen'd, integer) —
+    * engine-exact against any standard unit-cost implementation.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 40, prefixChars: Int = 80,
+                        maxHamming: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val pref = docs.select(col(idCol).as("_pid"), substring(col(textCol), 1, prefixChars).as("_p"))
+    simHashPairs(docs, maxHamming, idCol, textCol)
+      .join(pref.select(col("_pid").as("id_a"), col("_p").as("_pa")), Seq("id_a"))
+      .join(pref.select(col("_pid").as("id_b"), col("_p").as("_pb")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
+  }
+
   /** Exact n-gram Jaccard similarity of each probe document against a
     * corpus, returning the top-1 match per probe.
     *

@@ -49,15 +49,18 @@ object KMeans {
     * tie→lowest-id rule for free, and the whole thing stays inside
     * whole-stage codegen (no join, no shuffle).
     */
-  private[operators] def nearest(cents: Array[Array[Long]], qCol: Column): Column = {
+  private[operators] def nearestScored(cents: Array[Array[Long]], qCol: Column): Column = {
     val scored = cents.zipWithIndex.map { case (cv, ci) =>
       val d = aggregate(
         zip_with(qCol, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
       struct(d.as("d"), lit(ci.toLong).as("c"))
     }
-    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)).getField("c")
+    if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
   }
+
+  private[operators] def nearest(cents: Array[Array[Long]], qCol: Column): Column =
+    nearestScored(cents, qCol).getField("c")
 
   /** Run `iters` Lloyd's iterations from the k lowest-id vectors (the
     * deterministic seeding [[Ann.ivfTopK]] already uses).
@@ -141,6 +144,41 @@ object KMeans {
              idCol: String = "vec_id", vecCol: String = "embedding",
              quantScale: Double = 1e6): DataFrame =
     emb.withColumn("cluster_id", nearest(model.centroids, quantize(col(vecCol), quantScale)))
+
+  /** Distance-to-centroid outliers: fit a model, assign every vector to
+    * its nearest *final* centroid (same integer metric and tie rule as
+    * training), and return the `topN` farthest vectors — the
+    * embedding-space outlier candidates a curation pass reviews or drops
+    * (mislabeled points, encoder glitches, off-distribution content).
+    *
+    * Engine-exactness: `dist_q` is the integer squared L2 distance in
+    * quantized micro-units — the exact longs the training loop itself
+    * ranks on — so the top-N set and its ordering (distance desc, id asc)
+    * reproduce bit-for-bit in any engine running the same arithmetic.
+    *
+    * Scale shape: training is [[fit]]'s bounded-driver-state loop; the
+    * assignment+distance pass is a shuffle-free codegen projection over
+    * broadcast-literal centroids, and the top-N lands via orderBy+limit —
+    * Spark plans TakeOrdered (per-partition heaps + driver merge of
+    * topN·partitions rows), never a global sort. The final rank window
+    * runs on the ≤ topN collected rows.
+    */
+  def outliers(emb: DataFrame, k: Int, iters: Int, topN: Int = 20,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               quantScale: Double = 1e6,
+               share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = fit(emb, k, iters, idCol, vecCol, quantScale, share)
+    val s = nearestScored(model.centroids, quantize(col(vecCol), quantScale))
+    emb
+      .select(col(idCol).as("vec_id"),
+        s.getField("c").as("cluster_id"), s.getField("d").as("dist_q"))
+      .orderBy(col("dist_q").desc, col("vec_id"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("dist_q").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("cluster_id"), col("dist_q"))
+  }
 
   /** Fitted centroids in the (cell id, float vector) shape
     * [[Ann.ivfTopK]] consumes, de-quantized back to the embedding scale.

@@ -1130,6 +1130,77 @@ object TextAnalysis {
         shiftright(col("_pk"), 22).as("n_at_modal"))
   }
 
+  /** Character-level Shannon entropy of the document prefix — a cheap
+    * quality/compressibility signal (uniform-random text scores near
+    * ln|alphabet|, repeated boilerplate near 0) complementing
+    * [[lzDensity]]'s parse-based measure. Low-entropy outliers are
+    * keyboard-mash / template pages; filtering on an entropy band is a
+    * standard pretraining-curation heuristic.
+    *
+    * Engine-exactness: with character counts c_1..c_m over n = Σc_i
+    * prefix characters, H = ln(n) − (Σ c_i·ln c_i)/n nats. Each ln is
+    * quantized once to integer micro-nats (`floor(ln·1e6)` — the same
+    * lnq contract as lmScore/vocabDrift), making the numerator
+    * `n·lnq(n) − Σ c_i·lnq(c_i)` an exact integer; the one final double
+    * division of exact longs is IEEE-identical across engines.
+    *
+    * Scale shape: pure scan-stage higher-order array arithmetic — split
+    * to characters, array_distinct, one aggregate over ≤ |alphabet|
+    * distinct characters; NO shuffle, nothing leaves the scan. Work per
+    * document is O(maxChars·|alphabet|), both bounded constants.
+    */
+  def charEntropy(docs: DataFrame, maxChars: Int = 200,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val chars = split(substring(col(textCol), 1, maxChars), "")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("long"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        least(length(col(textCol)), lit(maxChars)).cast("long").as("n_chars"),
+        aggregate(counts, lit(0L), (acc, c) => acc + c * lnq(c)).as("_sum_clnc_q"))
+      .filter(col("n_chars") > 0)
+      .withColumn("entropy_num_q", col("n_chars") * lnq(col("n_chars")) - col("_sum_clnc_q"))
+      .withColumn("entropy_nats",
+        col("entropy_num_q").cast("double") / (col("n_chars").cast("double") * lit(1e6)))
+      .select("doc_id", "n_chars", "entropy_num_q", "entropy_nats")
+  }
+
+  /** Zipf's-law fit over the top-K vocabulary: OLS slope and intercept of
+    * quantized log-frequency against quantized log-rank — a one-row
+    * corpus health signal (natural language sits near slope −1; synthetic
+    * or template-heavy corpora drift flat, boilerplate-dominated ones
+    * steep). Extends [[buildVocab]]'s rank table the way vocab_drift
+    * extends its counts.
+    *
+    * Engine-exactness: x = lnq(rank), y = lnq(count) are exact longs, so
+    * all five OLS sums (n, Σx, Σy, Σxy, Σx²) are exact integers
+    * (|n·Σxy| < 2⁶² even at 100 TB corpus counts); slope and intercept
+    * are then fixed double-expression trees over those integers —
+    * IEEE-identical across engines. The 1e6 quantization scale cancels
+    * in the slope (dimensionless); the intercept is divided back to nats.
+    *
+    * Scale shape: the vocabulary aggregation is [[buildVocab]]'s
+    * map-side-combinable groupBy + top-K; the fit itself aggregates K
+    * rows — driver-sized regardless of corpus scale.
+    */
+  def zipfFit(docs: DataFrame, topK: Int = 50, textCol: String = "text"): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    buildVocab(docs, topK, textCol)
+      .select(lnq(col("rank")).as("_x"), lnq(col("n")).as("_y"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("slope",
+        (col("n_points") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+          / (col("n_points") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("intercept",
+        ((col("_sy").cast("double") - col("slope") * col("_sx").cast("double"))
+          / col("n_points").cast("double")) / lit(1e6))
+      .select("n_points", "slope", "intercept")
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

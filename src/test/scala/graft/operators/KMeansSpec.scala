@@ -112,6 +112,29 @@ class KMeansSpec extends SparkSpec {
     assert(asg(0L) !== asg(1L))
   }
 
+  test("outliers: the far point ranks first with its exact integer distance") {
+    // two tight blobs plus one point far from both — it must be rank 1,
+    // and dist_q must be the exact quantized squared L2 to ITS centroid
+    val data = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.1f, 0.0f), 3L -> Seq(9.9f, 10.0f),
+      4L -> Seq(5.0f, 20.0f))) // the outlier
+    val out = KMeans.outliers(data, k = 2, iters = 2, topN = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("dist_q")))
+    assert(out.length == 3)
+    assert(out.head._1 == 1L && out.head._2 == 4L)
+    // cross-check the distance against a direct assign+recompute
+    val m = KMeans.fit(data, k = 2, iters = 2)
+    val c = m.centroids(out.head._3.toInt)
+    val q = Seq(5000000L, 20000000L)
+    val expect = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(out.head._4 == expect)
+    // ranks are dense and ordered by distance desc
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.sliding(2).forall(w => w.head._4 >= w.last._4))
+  }
+
   test("PQ: codes are in range, identical vectors encode identically") {
     val rnd = new scala.util.Random(3)
     val raw = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))

@@ -36,6 +36,29 @@ class RetrievalQualitySpec extends SparkSpec {
 
   // ---- MMR diversity re-ranking ------------------------------------
 
+  test("recallEval: probe whose true neighbor sits in an unprobed cell scores below 1") {
+    // cells seeded by ids 0=(1,0) and 1=(0,1); vector 4=(0.7,0.7) ties on
+    // cosine and lands in cell 0 (tie → lowest id). Probe 3 lives in cell 1,
+    // its true top-2 is {1, 4} — but nprobe=1 only searches cell 1, so the
+    // index returns {1} alone: hits 1, recall 0.5. Probe 0's true top-2
+    // {2, 4} is entirely inside cell 0: recall 1.
+    val emb = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f),
+      4L -> Seq(0.7f, 0.7f)).toDF("vec_id", "embedding")
+    val out = Ann.recallEval(emb.filter(col("vec_id").isin(0L, 3L)), emb,
+      k = 2, nlist = 2, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("recall")))).toMap
+    assert(out(0L) == ((2L, 1.0)))
+    assert(out(3L) == ((1L, 0.5)))
+    // and with nprobe=2 every cell is searched: recall recovers to 1
+    val full = Ann.recallEval(emb.filter(col("vec_id").isin(0L, 3L)), emb,
+      k = 2, nlist = 2, nprobe = 2)
+      .collect().map(r => r.getAs[Double]("recall"))
+    assert(full.forall(_ == 1.0))
+  }
+
   test("mmrRerank: a near-duplicate of the top hit is deferred; pure relevance keeps it") {
     // candidates: 10 ≅ 11 (near-identical vectors), 12 orthogonal-ish
     val pool = Seq(
@@ -94,6 +117,12 @@ class RetrievalQualitySpec extends SparkSpec {
   test("duplicateSegmentMetrics stays scan-only — no exchange in the plan") {
     val df = Seq((0L, "a\nb")).toDF("doc_id", "text")
     val plan = TextAnalysis.duplicateSegmentMetrics(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("charEntropy stays scan-only — no exchange in the plan") {
+    val df = Seq((0L, "abab")).toDF("doc_id", "text")
+    val plan = TextAnalysis.charEntropy(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
 

@@ -431,4 +431,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(1L) === ((2L, 0L, "one two")))
     assert(out(2L) === ((2L, 0L, "one two")))
   }
+
+  test("edit-distance pairs: confirms identical candidates at 0, rejects beyond the threshold") {
+    // 0/1: same vocabulary, one substitution inside the prefix (dist 5: "today"→"and a") ...
+    // use texts the simhash banding will pair, with controlled prefix edits
+    val revDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact clone: dist 0
+      (2L, "the quick brewn fox jumps over the lazy dog near the river bank today"), // 1 char substitution
+      (3L, "completely different content about spark query engines and distributed joins")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(revDocs, maxDist = 1, prefixChars = 80, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out.contains((0L, 1L, 0L))) // exact clone confirmed at distance 0
+    assert(out.contains((0L, 2L, 1L)) || out.contains((1L, 2L, 1L))) // single-edit revision kept at 1
+    assert(out.forall(p => p._3 <= 1L)) // nothing beyond the threshold survives
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("char entropy: constant text scores 0, uniform text scores ln(alphabet)") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),      // one symbol: H = 0 exactly
+      (2L, "abcdabcd"),      // uniform over 4 symbols: H = ln 4
+      (3L, "")               // empty: filtered out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, maxChars = 200)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy_nats")).toMap
+    assert(out.size == 2)
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(4.0)) < 1e-5) // quantization error ≤ ~1e-6/char
+  }
+
+  test("zipf fit: exact power-law counts recover the exponent") {
+    // counts n(rank) = 1024 / rank for ranks 1..8 → slope exactly -1 in
+    // log-log space (up to ln-quantization): build a corpus with those counts
+    val words = (1 to 8).flatMap(r => Seq.fill(1024 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfFit(docs, topK = 8).collect().head
+    assert(out.getAs[Long]("n_points") == 8L)
+    assert(math.abs(out.getAs[Double]("slope") - (-1.0)) < 0.02) // 1024/r rounds down
+    assert(math.abs(out.getAs[Double]("intercept") - math.log(1024.0)) < 0.05)
+  }
 }

@@ -143,6 +143,18 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.table("dups").as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq == batchDup)
   }
 
+  test("char entropy runs on a stream and matches batch — stateless scan projection") {
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq((0L, "aaaaaaaa"), (1L, "abcdabcd"), (2L, "mixed entropy text sample"))
+    val batch = TextAnalysis.charEntropy(pages.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalysis.charEntropy(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("entro").outputMode("append").start()
+    input.addData(pages: _*); q.processAllAvailable(); q.stop()
+    assert(spark.table("entro").as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq == batch)
+  }
+
   test("scan-only DSIR scoring runs on a stream and matches batch scores") {
     // the weight table is trained in batch (bounded dim-row driver
     // state); scoring is a stateless per-row projection, so the same

@@ -193,6 +193,17 @@ object ScaleProbe {
       km = KMeans.fit(emb10, k = 8, iters = 4, share = _.localCheckpoint(false))
       km.counts.sum
     }
+    // recall eval at 10x: both legs are the audited searches; the brute
+    // leg (10 probes x 500k corpus broadcast product) is the cost
+    t("ann_recall_10x") {
+      Ann.recallEval(emb10.filter(col("vec_id") < 10), emb10,
+        k = 5, nlist = 32, nprobe = 4).count()
+    }
+    // outliers: fit + one shuffle-free assignment scan + TakeOrdered
+    t("outliers_10x") {
+      KMeans.outliers(emb10, k = 8, iters = 2, topN = 20,
+        share = _.localCheckpoint(false)).count()
+    }
     var pq: Ann.PqModel = null
     t("pq_train_10x") {
       pq = Ann.pqTrain(emb10, dim = 64, m = 4, ksub = 8, iters = 2,
@@ -292,6 +303,40 @@ object ScaleProbe {
         concat(col("text"), lit("\n\n"), col("text"), lit("\nfooter\nfooter")))
       TextAnalysis.duplicateSegmentMetrics(paged)
         .agg(sum(col("n_dup_lines")), sum(col("dup_para_chars"))).collect()(0).getLong(0)
+    }
+    // char entropy over 50k docs: scan-only, per-row cost bounded by
+    // maxChars x |alphabet| — collect the numerator sums to force it
+    t("char_entropy_10x") {
+      TextAnalysis.charEntropy(docs10)
+        .agg(sum(col("entropy_num_q"))).collect()(0).getLong(0)
+    }
+    // vocab groupBy dominates; the OLS itself aggregates topK rows
+    t("zipf_fit_10x") {
+      TextAnalysis.zipfFit(docs10, topK = 50).collect().length.toLong
+    }
+    // edit-distance confirm at its adversarial worst: every doc has 10
+    // exact clones, so each family is a 45-pair candidate clique that
+    // survives the hamming filter and pays the full 80x80 DP
+    t("editdist_pairs_10x") {
+      Dedup.editDistancePairs(docs10, maxDist = 80, prefixChars = 80)
+        .agg(count(lit(1)), sum(col("edit_dist"))).collect()(0).getLong(0)
+    }
+    t("badwords_10x") {
+      TextAnalysis.badwordsFilter(docs10, Seq("slow", "crash", "zzz"))
+        .filter(col("kept")).count()
+    }
+    t("token_fertility_10x") {
+      TextAnalysis.tokenFertility(docs10)
+        .agg(sum(col("sum_bpe"))).collect()(0).getLong(0)
+    }
+    t("concentration_10x") {
+      CorpusOps.concentration(docs10).agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    }
+    // boundary table stays |langs| x 3 no matter the corpus; assignment
+    // is a broadcast join + scan comparisons — sum(stage) forces it
+    t("curriculum_10x") {
+      CorpusOps.curriculumStages(docs10, stages = 4)
+        .agg(sum(col("stage"))).collect()(0).getLong(0)
     }
     // hybrid fusion at 10x: the two retrieval legs are the cost (bm25
     // over 50k docs, brute-force cosine over 50k vectors); fusion itself

@@ -157,6 +157,23 @@ object SparkEntry {
   /** Connected components over the minhash pairs via transitive closure
     * (components are tiny, so the closure stays small).
     */
+  /** [[graft.operators.Dedup.clusterSizeHistogram]]: the dedup_clusters
+    * component chain reduced to its (size, n_clusters) histogram.
+    */
+  private def dedupClusterSizesOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(numHashes, bands, threshold)},
+       |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |cl AS (
+       |  SELECT n.node AS doc_id, least(n.node, min(r.b)) AS cluster_id
+       |  FROM nodes n JOIN reach r ON r.a = n.node GROUP BY n.node),
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM cl GROUP BY cluster_id)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY size""".stripMargin
+
   private def dedupClustersOracle(numHashes: Int, bands: Int, threshold: Double): String =
     s"""WITH RECURSIVE ${minhashPairsCte(numHashes, bands, threshold)},
        |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
@@ -1826,6 +1843,9 @@ object SparkEntry {
     "dedup_clusters" -> { (s, dir) =>
       Dedup.duplicateClusters(Pipeline.minhashPairs(s, dir))
     },
+    "dedup_cluster_sizes" -> { (s, dir) =>
+      Dedup.clusterSizeHistogram(Pipeline.minhashPairs(s, dir))
+    },
 
     // ----- training-data pipeline: similarity search ------------------
     "ann_bruteforce" -> { (s, dir) =>
@@ -1882,6 +1902,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .withColumn("label", (col("lang") === "en").cast("long")),
         dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
+    },
+    // reliability table of the trained filter: 8 probability buckets,
+    // observed positive rate vs mean prediction — exact-long sums
+    "classifier_calibration" -> { (s, dir) =>
+      Classifier.calibration(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        dim = 64, iters = 8, stepDiv = 16384L, buckets = 8,
+        share = _.localCheckpoint(false))
     },
     // embedding-space drift: shared clusters trained on the full table,
     // even ids as corpus A vs odd ids as corpus B; dense k-row output
@@ -2316,6 +2345,22 @@ object SparkEntry {
     "corpus_stats" -> { (s, dir) =>
       CorpusOps.corpusStats(s.read.parquet(s"$dir/documents.parquet"), Seq("lang"))
         .drop("distinct_tokens_est")
+    },
+    "token_fertility" -> { (s, dir) =>
+      TextAnalysis.tokenFertility(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    // blocklist mixes present corpus words with an absent probe so both
+    // filter outcomes fire
+    "badwords_filter" -> { (s, dir) =>
+      TextAnalysis.badwordsFilter(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("slow", "crash", "zzz_absent"))
+        .select(col("doc_id"), col("n_badwords"), col("kept"))
+    },
+    "source_concentration" -> { (s, dir) =>
+      CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "curriculum_stages" -> { (s, dir) =>
+      CorpusOps.curriculumStages(s.read.parquet(s"$dir/documents.parquet"), stages = 4)
     },
     // best-10-per-source curation cut; ranking signals are rational in
     // integer counts, so the double order is engine-reproducible
@@ -3576,6 +3621,7 @@ object SparkEntry {
     "dedup_cross" -> minhashCrossOracle(numHashes = 64, bands = 16, threshold = 0.5,
       probeMax = 50L),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
+    "dedup_cluster_sizes" -> dedupClusterSizesOracle(numHashes = 64, bands = 16, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
     "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
@@ -3644,6 +3690,25 @@ object SparkEntry {
          |  CAST(CASE WHEN greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0)
          |              >= ${Classifier.PS / 2} THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM csz""".stripMargin,
+    // the reliability table over the same trained weights: probability
+    // buckets on exact longs, observed vs mean-predicted per bucket
+    "classifier_calibration" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 8, stepDiv = 16384L)},
+         |csz AS (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw8 w ON x.b = w.b GROUP BY x.doc_id),
+         |scal AS (
+         |  SELECT s.doc_id,
+         |         greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0) AS p_q,
+         |         y.y AS label
+         |  FROM csz s JOIN cy y ON s.doc_id = y.doc_id)
+         |SELECT (p_q * 8) // ${Classifier.PS + 1} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST(sum(p_q) AS BIGINT) AS sum_p_q,
+         |  CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS observed,
+         |  CAST(sum(p_q) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * CAST(${Classifier.PS} AS DOUBLE)) AS predicted
+         |FROM scal GROUP BY bucket""".stripMargin,
     // shared 8-cluster space (2 iterations), final assignment of every
     // vector (fd/fa = the semantic_dedup assignment pattern), even/odd
     // occupancy counts, quantized-ln drift over a dense cluster spine
@@ -4096,6 +4161,68 @@ object SparkEntry {
         |SELECT dg.lang, n_docs, n_tokens, n_chars,
         |       coalesce(distinct_tokens, 0) AS distinct_tokens
         |FROM dg LEFT JOIN tg ON dg.lang = tg.lang""".stripMargin,
+    // tokenizer fertility: exact-long sums, one final division
+    "token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ws) AS BIGINT) AS sum_ws, CAST(sum(bpe) AS BIGINT) AS sum_bpe,
+        |       CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+        |FROM t GROUP BY lang""".stripMargin,
+    // C4 blocklist decision — distinct-set intersection in both engines
+    "badwords_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(string_split(text,' '), ['slow','crash','zzz_absent'])) AS BIGINT) AS n_badwords,
+        |  len(list_intersect(string_split(text,' '), ['slow','crash','zzz_absent'])) = 0 AS kept
+        |FROM documents""".stripMargin,
+    // per-lang source HHI + top share: integer sums, two divisions
+    "source_concentration" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |         CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(n * n) AS BIGINT) AS sumsq, CAST(max(n) AS BIGINT) AS maxn
+        |  FROM g GROUP BY lang)
+        |SELECT lang, n_sources, n_docs,
+        |       CAST(sumsq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
+        |       CAST(maxn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+        |FROM a""".stripMargin,
+    // value-based curriculum bands from the exactQuantiles rank rule —
+    // boundary pivot + scan-stage comparisons, ties land low
+    "curriculum_stages" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, bpe_tokens AS value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY lang, bpe_tokens),
+        |cum AS (
+        |  SELECT lang, value, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY value) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM c),
+        |q AS (SELECT CAST(unnest([2500, 5000, 7500]) AS BIGINT) AS q_bp),
+        |b0 AS (
+        |  SELECT lang, q_bp, value FROM cum CROSS JOIN q
+        |  WHERE cum - cnt < (q_bp * n + 9999) // 10000
+        |    AND (q_bp * n + 9999) // 10000 <= cum),
+        |b AS (
+        |  SELECT lang,
+        |    max(CASE WHEN q_bp = 2500 THEN value END) AS b1,
+        |    max(CASE WHEN q_bp = 5000 THEN value END) AS b2,
+        |    max(CASE WHEN q_bp = 7500 THEN value END) AS b3
+        |  FROM b0 GROUP BY lang)
+        |SELECT t.doc_id, t.lang, t.bpe_tokens,
+        |       CAST(1 + (CASE WHEN t.bpe_tokens > b.b1 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN t.bpe_tokens > b.b2 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN t.bpe_tokens > b.b3 THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM t JOIN b ON t.lang = b.lang""".stripMargin,
     "quality_topk" ->
       """WITH q AS (
         |  SELECT doc_id, source,

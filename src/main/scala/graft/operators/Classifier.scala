@@ -156,6 +156,38 @@ object Classifier {
         (pQ(col("z")) >= lit(PS / 2)).cast(LongType).as("pred"))
   }
 
+  /** Reliability (calibration) table for the trained filter — the eval
+    * row behind every "keep p ≥ τ" threshold choice: bucket the corpus by
+    * predicted probability and compare the observed positive rate per
+    * bucket against the mean prediction. A filter whose observed curve
+    * sags under its predicted one is over-confident; thresholds set from
+    * its raw scores keep junk.
+    *
+    * Engine-exactness: bucket = (p_q·buckets) div (4S+1) on exact longs
+    * (range [0, buckets−1] with both endpoints in-band); n/n_pos/sum_p_q
+    * are exact-long sums; observed/predicted are single divisions.
+    *
+    * Scale shape: training is [[fit]]'s bounded loop; scoring is the
+    * broadcast-join scan; the label join keys on the id and the final
+    * aggregation carries ≤ `buckets` rows.
+    */
+  def calibration(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+                  buckets: Int = 8, idCol: String = "doc_id", textCol: String = "text",
+                  labelCol: String = "label",
+                  share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000, s"buckets must be in [2, 10000], got $buckets")
+    trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .withColumn("bucket", expr(s"(p_q * $buckets) div ${PS + 1}"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("n_pos"), sum(col("p_q")).as("sum_p_q"))
+      .withColumn("observed", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("predicted",
+        col("sum_p_q").cast("double") / (col("n").cast("double") * lit(PS.toDouble)))
+      .select(col("bucket"), col("n"), col("n_pos"), col("sum_p_q"),
+        col("observed"), col("predicted"))
+  }
+
   /** Train-then-score in one call (the gate's scoring query): fit on
     * `docs`' labels, then score every document with the final weights.
     */

@@ -536,6 +536,64 @@ object CorpusOps {
         col("distinct_tokens"), col("distinct_tokens_est")): _*)
   }
 
+  /** Source-concentration metrics per group — the "is this language's
+    * corpus one crawl in a trenchcoat?" ingest-monitoring row: per
+    * `groupCol`, the Herfindahl–Hirschman index Σ(nᵢ/N)² and the top
+    * source's share over `overCol`. HHI near 1/n_sources = balanced,
+    * near 1 = monoculture; tracked across crawls it flags silent
+    * collapses of a language onto a single domain.
+    *
+    * Engine-exactness: numerator Σnᵢ² and N are exact longs (Σnᵢ² < 2⁶³
+    * up to ~3·10⁹ docs per (group, source) — guarded); hhi and top_share
+    * are single divisions of exact integers.
+    *
+    * Scale shape: two map-side-combinable groupBys, the first bounded by
+    * the (group × source) domain, the second by |groups|. Nothing
+    * corpus-sized shuffles.
+    */
+  def concentration(docs: DataFrame, groupCol: String = "lang",
+                    overCol: String = "source"): DataFrame =
+    docs
+      .groupBy(col(groupCol), col(overCol)).agg(count(lit(1)).as("_n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("_n")).as("n_docs"),
+        sum(col("_n") * col("_n")).as("_sumsq"),
+        max(col("_n")).as("_maxn"))
+      .withColumn("hhi",
+        col("_sumsq").cast("double") / (col("n_docs") * col("n_docs")).cast("double"))
+      .withColumn("top_share", col("_maxn").cast("double") / col("n_docs").cast("double"))
+      .select(col(groupCol), col("n_sources"), col("n_docs"), col("hhi"), col("top_share"))
+
+  /** Length-curriculum stage assignment: per `groupCol`, split documents
+    * into `stages` bands by BPE-ish token count using EXACT per-group
+    * quantile boundaries — the short→long ordering curricula schedule
+    * training on. Value-based banding (stage s ⇔ tokens in
+    * (bound_{s-1}, bound_s]) rather than rank-based ntile: a global
+    * rank window would single-partition the corpus, while the exact
+    * boundaries come from [[exactQuantiles]]'s value-domain-bounded
+    * count table and the assignment is a scan-stage comparison against
+    * a broadcast |groups|-row boundary table. Ties on a boundary value
+    * all land in the lower stage — deterministic, engine-exact, and
+    * stable under repartitioning (rank-based ntile is none of these at
+    * equal values).
+    */
+  def curriculumStages(docs: DataFrame, stages: Int = 4, groupCol: String = "lang",
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stages >= 2 && stages <= 1000, s"stages must be in [2, 1000], got $stages")
+    val qs = (1 until stages).map(i => i * 10000 / stages)
+    val wt = TextAnalysis.tokenCount(docs, textCol)
+      .select(col(idCol), col(groupCol), col("bpe_tokens"))
+    val bCols = qs.map(q => max(when(col("q_bp") === q.toLong, col("value"))).as(s"_b$q"))
+    val bounds = exactQuantiles(wt, "bpe_tokens", qs, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(bCols.head, bCols.tail: _*)
+    val stageExpr = qs.foldLeft(lit(1L))((acc, q) =>
+      acc + when(col("bpe_tokens") > col(s"_b$q"), 1L).otherwise(0L))
+    wt.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("bpe_tokens"), stageExpr.as("stage"))
+  }
+
   /** Keep the k highest-quality documents per group — the "best N per
     * domain" curation cut. Ranking is deterministic: quality signals
     * first, then the id as the tie-break. One shuffle on the group key;

@@ -310,6 +310,23 @@ object Dedup {
     *        1M pairs ≈ 16 MB of primitive longs plus the union-find map —
     *        size it to driver memory if raised.
     */
+  /** Duplicate-cluster size histogram — the dedup monitoring row next to
+    * the cluster table itself: (size, n_clusters) says whether the corpus
+    * carries mostly pairs or a few mega-families (a boilerplate page
+    * cloned across a whole crawl), which drives banding/threshold tuning
+    * and flags crawler loops crawl-over-crawl.
+    *
+    * Scale shape: [[duplicateClusters]] does the work; the histogram is
+    * two map-side-combinable groupBys, the first bounded by the number of
+    * clustered documents, the second by the distinct-size domain.
+    */
+  def clusterSizeHistogram(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                           maxIterations: Int = 25,
+                           localThreshold: Long = 1000000L): DataFrame =
+    duplicateClusters(pairs, idA, idB, maxIterations, localThreshold)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                         maxIterations: Int = 25, localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession

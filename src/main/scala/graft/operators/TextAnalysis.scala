@@ -156,6 +156,44 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
 
+  /** Tokenizer fertility per group — BPE-ish tokens per whitespace word,
+    * the standard "how expensive is this language/source under the
+    * tokenizer" diagnostic that drives mixture and budget decisions
+    * (fertility far above ~1.3 on a language usually means the vocabulary
+    * underserves it). Sums are exact longs; `fertility` is one final
+    * division of exact integers (IEEE-identical across engines).
+    *
+    * Scale shape: [[tokenCount]]'s counters are scan-stage; the
+    * aggregation is one map-side-combinable groupBy over |groups| rows.
+    */
+  def tokenFertility(docs: DataFrame, groupCol: String = "lang",
+                     textCol: String = "text"): DataFrame =
+    tokenCount(docs, textCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws"),
+        sum(col("bpe_tokens")).as("sum_bpe"))
+      .withColumn("fertility", col("sum_bpe").cast("double") / col("sum_ws").cast("double"))
+
+  /** C4-style blocklist filter (Raffel et al. 2020 drop pages containing
+    * any "bad word"): per document, the number of DISTINCT blocklist
+    * words present and the keep decision. Distinct-set semantics
+    * (`array_intersect`) make the count order- and multiplicity-free —
+    * identical in any engine.
+    *
+    * Scale shape: the blocklist is a plan literal (real lists are
+    * 100s–1000s of words — well under broadcast size) and the
+    * intersection is scan-stage; NO shuffle, every column passes through.
+    */
+  def badwordsFilter(docs: DataFrame, blocklist: Seq[String],
+                     textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist — nothing to filter")
+    docs
+      .withColumn("n_badwords",
+        size(array_intersect(split(col(textCol), " "), typedLit(blocklist))).cast("long"))
+      .withColumn("kept", col("n_badwords") === 0L)
+  }
+
   /** All word n-grams with multiplicity, as one codegen'd scan-stage pass
     * ([[graft.plans.WordNgrams]] — the repetition twin of the distinct
     * shingle kernel used by the sketches).

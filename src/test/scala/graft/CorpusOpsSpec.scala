@@ -399,4 +399,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     val kept = CorpusOps.weightedSample(zeros, k = 10, weightCol = "w").collect()
     assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("concentration: monoculture scores hhi 1, uniform scores 1/n") {
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"), (4L, "en", "a"), // en: all one source
+      (5L, "de", "a"), (6L, "de", "b"), (7L, "de", "c"), (8L, "de", "d")  // de: perfectly spread
+    ).toDF("doc_id", "lang", "source")
+    val out = CorpusOps.concentration(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("en") == ((1L, 4L, 1.0, 1.0)))
+    assert(out("de") == ((4L, 4L, 0.25, 0.25)))
+  }
+
+  test("curriculumStages: per-group value bands, boundary ties land low, all stages populated") {
+    // 8 docs per lang with token counts 1..8 → stages=4 boundaries at the
+    // exact 25/50/75% ranks (values 2, 4, 6); tokens are single words
+    val docs = (1 to 8).flatMap(i => Seq(
+      (i.toLong, "en", Seq.fill(i)("w").mkString(" ")),
+      (100L + i, "de", Seq.fill(i)("x").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusOps.curriculumStages(docs, stages = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("stage")).toMap
+    for (i <- 1 to 8) {
+      val expect = i match {
+        case 1 | 2 => 1L // <= b1=2 (boundary value 2 lands LOW)
+        case 3 | 4 => 2L
+        case 5 | 6 => 3L
+        case _     => 4L
+      }
+      assert(out(i.toLong) == expect, s"en doc $i")
+      assert(out(100L + i) == expect, s"de doc $i")
+    }
+  }
 }

@@ -84,4 +84,32 @@ class ClassifierSpec extends SparkSpec {
     val out = Classifier.score(docs, w, dim = 16).collect()
     assert(out.length == 2, "empty doc must not vanish from scoring")
   }
+
+  test("calibration: buckets partition the corpus; observed and predicted are exact ratios") {
+    val docs = labeled.toDF("doc_id", "text", "label")
+    val cal = Classifier.calibration(docs, dim = 256, iters = 8, stepDiv = 1024L, buckets = 4)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("sum_p_q"),
+        r.getAs[Double]("observed"), r.getAs[Double]("predicted")))
+    assert(cal.map(_._2).sum == labeled.size.toLong) // buckets partition all docs
+    assert(cal.forall(c => c._1 >= 0L && c._1 <= 3L))
+    cal.foreach { c =>
+      assert(c._5 == c._3.toDouble / c._2.toDouble, s"observed mismatch: $c")
+      assert(c._6 == c._4.toDouble / (c._2.toDouble * Classifier.PS.toDouble), s"predicted: $c")
+    }
+    // a separable fixture calibrates at the extremes: the top bucket is
+    // all positives, the bottom all negatives
+    val byBucket = cal.map(c => c._1 -> c).toMap
+    assert(byBucket(cal.map(_._1).max)._5 == 1.0)
+    assert(byBucket(cal.map(_._1).min)._5 == 0.0)
+  }
+
+  test("clusterSizeHistogram: chain and pair reduce to (size -> count) rows") {
+    import spark.implicits._
+    // component {1,2,3} (size 3) and {10,11} (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSizeHistogram(pairs).collect()
+      .map(r => r.getAs[Long]("size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(out == Map(3L -> 1L, 2L -> 1L))
+  }
 }

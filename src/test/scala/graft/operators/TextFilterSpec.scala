@@ -55,6 +55,40 @@ class TextFilterSpec extends SparkSpec {
     assert(out(3L).getAs[String]("redacted") == "clean text with no identifiers")
   }
 
+  test("badwords filter: distinct hits counted, multiplicity ignored, clean docs kept") {
+    val df = Seq(
+      (0L, "clean words only here"),
+      (1L, "bad bad bad word"),            // one blocklist word, thrice
+      (2L, "bad and worse together"),      // two distinct hits
+      (3L, "badly unrelated")              // substring must NOT match
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.badwordsFilter(df, Seq("bad", "worse")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_badwords"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((2L, false)))
+    assert(out(3L) == ((0L, true)))
+  }
+
+  test("badwords filter stays scan-only — no exchange in the plan") {
+    val df = Seq((0L, "a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.badwordsFilter(df, Seq("x")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("token fertility: exact sums per group, fertility is their ratio") {
+    val df = Seq(
+      (0L, "en", "one-two three"),   // ws 2, bpe: one,-,two,three = 4
+      (1L, "en", "plain words"),     // ws 2, bpe 2
+      (2L, "de", "a.b")              // ws 1, bpe: a,.,b = 3
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(df).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_ws"),
+        r.getAs[Long]("sum_bpe"), r.getAs[Double]("fertility")))).toMap
+    assert(out("en") == ((2L, 4L, 6L, 1.5)))
+    assert(out("de") == ((1L, 1L, 3L, 3.0)))
+  }
+
   test("vocab induction: rank, counts and cumulative coverage") {
     val df = Seq((0L, "b a a c b a"), (1L, "a d")).toDF("doc_id", "text")
     // counts: a=4, b=2, c=1, d=1 (ties by word); total 8

@@ -2108,6 +2108,9 @@ object SparkEntry {
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
+    "hll_distinct" -> { (s, dir) =>
+      Hll.distinctTokens(s.read.parquet(s"$dir/documents.parquet"))
+    },
     "cms_word_counts" -> { (s, dir) =>
       TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
         probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
@@ -3673,6 +3676,7 @@ object SparkEntry {
         |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
+    "hll_distinct" -> Hll.distinctTokensSql(),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),

@@ -1642,6 +1642,9 @@ object SparkEntry {
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
+    "zorder_cells" -> { (s, dir) =>
+      SpatialOps.zorderCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L)
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -2896,6 +2899,15 @@ object SparkEntry {
          |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    "zorder_cells" ->
+      s"""${EventsAdapter.pfsSql}
+         |, cells AS (
+         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576 AS gx,
+         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576 AS gy
+         |  FROM pfs)
+         |SELECT ${graft.functions.ZOrder.interleaveSql("gx", "gy")} AS zkey,
+         |       CAST(count(*) AS BIGINT) AS n_points
+         |FROM cells GROUP BY 1""".stripMargin,
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
     "frechet_matrix" -> withMaterializedCtes(frechetOracle),
     "hausdorff_matrix" -> withMaterializedCtes(hausdorffOracle),

@@ -265,6 +265,25 @@ object SpatialOps {
       .filter(col("n_users") >= k)
   }
 
+  /** Point counts per integer grid cell keyed by the Morton (Z-order)
+    * code of the cell — the write-layout surface of
+    * [[graft.functions.ZOrder]]: sorting cell traffic by this key is
+    * what makes parquet row-group pruning effective on both axes at
+    * once. The +2^20 offset maps signed grid indices (±18e3 for any
+    * earthly coordinate at the 0.01° cell width) into the unsigned
+    * [0, 2^21) domain the bit-interleave expects. Map-side combinable;
+    * the exchange carries one row per occupied cell.
+    */
+  def zorderCells(points: DataFrame, cellMicroDeg: Long = 10000L): DataFrame = {
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    val gx = cell(col("lon")) + lit(1L << 20)
+    val gy = cell(col("lat")) + lit(1L << 20)
+    points
+      .groupBy(graft.functions.ZOrder.interleave(gx, gy).as("zkey"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** Row-level suppression against [[kAnonymousCells]]: keep only points
     * inside publishable cells (left-semi join on the cell id — the cell
     * table is small and broadcasts).

@@ -1645,6 +1645,11 @@ object SparkEntry {
     "zorder_cells" -> { (s, dir) =>
       SpatialOps.zorderCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L)
     },
+    "geohash_cells" -> { (s, dir) =>
+      EventsAdapter.positionfixes(s, dir)
+        .groupBy(graft.functions.Geohash.encode(col("lon"), col("lat"), 6).as("geohash"))
+        .agg(count(lit(1)).as("n_points"))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -2899,6 +2904,22 @@ object SparkEntry {
          |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    "geohash_cells" -> {
+      val chars = (0 until 6).map { j =>
+        s"substring('${graft.functions.Geohash.Alphabet}', CAST((((code >> ${5 * (6 - 1 - j)}) & 31) + 1) AS INT), 1)"
+      }.mkString("(", " || ", ")")
+      s"""${EventsAdapter.pfsSql}
+         |, gq AS (
+         |  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767) AS lonq,
+         |         least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767) AS latq
+         |  FROM pfs)
+         |, gc AS (
+         |  SELECT (${graft.functions.ZOrder.spreadSql("latq")}
+         |          | (${graft.functions.ZOrder.spreadSql("lonq")} << 1)) AS code
+         |  FROM gq)
+         |SELECT $chars AS geohash, CAST(count(*) AS BIGINT) AS n_points
+         |FROM gc GROUP BY 1""".stripMargin
+    },
     "zorder_cells" ->
       s"""${EventsAdapter.pfsSql}
          |, cells AS (

@@ -42,7 +42,10 @@ object ZOrder {
       v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(m))
     }
 
-  private def spreadSql(e: String): String =
+  /** DuckDB twin of [[spread]]. NOTE: textually duplicates `e` 32×, so
+    * pass a column name (bind complex inputs in a CTE first).
+    */
+  def spreadSql(e: String): String =
     masks.foldLeft(s"(($e) & $Max)") { case (v, (s, m)) =>
       s"((($v) | (($v) << $s)) & $m)"
     }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeohashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: the classic per-bit bisection algorithm. */
+  private def refGeohash(lon: Double, lat: Double, precision: Int): String = {
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    var even = true
+    val sb = new StringBuilder
+    var bit = 0
+    var idx = 0
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { idx = idx * 2 + 1; lonLo = mid } else { idx = idx * 2; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { idx = idx * 2 + 1; latLo = mid } else { idx = idx * 2; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(Geohash.Alphabet(idx)); bit = 0; idx = 0 }
+    }
+    sb.toString
+  }
+
+  test("matches the published vector and the bisection reference") {
+    val coords = Seq(
+      (10.40744, 57.64911),   // geohash.org example -> u4pruy at precision 6
+      (-122.4, 47.6), (0.0, 0.0), (-0.0001, -0.0001),
+      (179.9999, 89.9999), (-180.0, -90.0), (2.3488, 48.8534))
+    val got = coords.toDF("lon", "lat")
+      .select(Geohash.encode(col("lon"), col("lat"), 6).as("g")).as[String].collect().toSeq
+    assert(got.head == "u4pruy")
+    val want = coords.map { case (lon, lat) => refGeohash(lon, lat, 6) }
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("prefix nesting: precision-4 hash is a prefix of precision-6") {
+    val coords = Seq((10.40744, 57.64911), (-122.4, 47.6), (151.2093, -33.8688))
+    val rows = coords.toDF("lon", "lat").select(
+      Geohash.encode(col("lon"), col("lat"), 4).as("g4"),
+      Geohash.encode(col("lon"), col("lat"), 6).as("g6")).as[(String, String)].collect()
+    rows.foreach { case (g4, g6) => assert(g6.startsWith(g4), s"$g6 !startsWith $g4") }
+  }
+
+  test("odd precisions are rejected (bit would split across axes)") {
+    intercept[IllegalArgumentException] { Geohash.encode(lit(0.0), lit(0.0), 5) }
+  }
+}

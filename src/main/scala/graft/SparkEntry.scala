@@ -2119,6 +2119,10 @@ object SparkEntry {
     "hll_distinct" -> { (s, dir) =>
       Hll.distinctTokens(s.read.parquet(s"$dir/documents.parquet"))
     },
+    "unimax_allocation" -> { (s, dir) =>
+      CorpusOps.unimaxAllocation(s.read.parquet(s"$dir/documents.parquet"),
+        budget = 40000L, epochCap = 2)
+    },
     "cms_word_counts" -> { (s, dir) =>
       TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
         probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
@@ -3710,6 +3714,7 @@ object SparkEntry {
         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
+    "unimax_allocation" -> CorpusOps.unimaxAllocationSql(budget = 40000L, epochCap = 2),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),

@@ -850,4 +850,84 @@ object CorpusOps {
         size(col("_c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
+
+  /** UniMax token-budget allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget as uniformly as
+    * possible across sources, capping each source at `epochCap` epochs
+    * of its own data, and waterfill the remainder.
+    *
+    * The sequential waterfilling recurrence has a closed form over the
+    * cap-ascending order: source i (0-based, k sources, prefix cap sum
+    * S_i) is *capped* iff `cap_i · (k − i) ≤ B − S_i` — the predicate
+    * is prefix-closed and its complement is suffix-closed (proof:
+    * substituting the sort order into both sides), so it identifies
+    * exactly the binding set without iteration. Uncapped sources split
+    * the remaining budget R as `R div m`, the first `R mod m` of them
+    * (in sort order) taking one extra token, so `Σ alloc =
+    * min(B, Σ cap)` holds exactly in integers.
+    *
+    * Scale: token counts are a map-side-combinable groupBy; everything
+    * after operates on one row per source. The unpartitioned windows
+    * run on that #sources-row frame only — bounded by the domain count,
+    * never by corpus size (same contract as mixtureRebalance).
+    */
+  def unimaxAllocation(docs: DataFrame, budget: Long, epochCap: Int,
+                       groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budget > 0 && epochCap >= 1, "budget and epochCap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    val ord = Window.orderBy("cap", groupCol)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("_i", row_number().over(ord).cast("long") - 1L)
+      .withColumn("_k", count(lit(1)).over(all))
+      .withColumn("_prefix", coalesce(
+        sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped", col("cap") * (col("_k") - col("_i")) <= lit(budget) - col("_prefix"))
+    val water = ranked
+      .withColumn("_r", lit(budget) - sum(when(col("capped"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("_m", sum(when(col("capped"), 0L).otherwise(1L)).over(all))
+      .withColumn("_j", row_number().over(
+        Window.partitionBy("capped").orderBy("cap", groupCol)).cast("long"))
+    water.select(
+      col(groupCol), col("n_tokens"), col("cap"), col("capped"),
+      when(col("capped"), col("cap"))
+        .otherwise(expr("_r div _m") + when(col("_j") <= pmod(col("_r"), col("_m")), 1L).otherwise(0L))
+        .as("allocated"))
+      .withColumn("epochs", col("allocated").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** DuckDB twin of [[unimaxAllocation]]. */
+  def unimaxAllocationSql(budget: Long, epochCap: Int, groupCol: String = "source"): String =
+    s"""WITH tc AS (
+       |  SELECT $groupCol, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY $groupCol
+       |), capd AS (
+       |  SELECT $groupCol, n_tokens, n_tokens * $epochCap AS cap,
+       |         row_number() OVER (ORDER BY n_tokens * $epochCap, $groupCol) - 1 AS i,
+       |         count(*) OVER () AS k,
+       |         coalesce(sum(n_tokens * $epochCap) OVER (
+       |           ORDER BY n_tokens * $epochCap, $groupCol
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM tc
+       |), flag AS (
+       |  SELECT *, cap * (k - i) <= $budget - prefix AS capped FROM capd
+       |), pool AS (
+       |  SELECT *,
+       |         $budget - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS r,
+       |         sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS m,
+       |         row_number() OVER (PARTITION BY capped ORDER BY cap, $groupCol) AS j
+       |  FROM flag
+       |)
+       |SELECT $groupCol, n_tokens, cap, capped,
+       |       CAST(CASE WHEN capped THEN cap
+       |                 ELSE r // m + (CASE WHEN j <= r % m THEN 1 ELSE 0 END) END AS BIGINT) AS allocated,
+       |       CAST(CASE WHEN capped THEN cap
+       |                 ELSE r // m + (CASE WHEN j <= r % m THEN 1 ELSE 0 END) END AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE) AS epochs
+       |FROM pool""".stripMargin
 }

@@ -2123,6 +2123,9 @@ object SparkEntry {
       CorpusOps.unimaxAllocation(s.read.parquet(s"$dir/documents.parquet"),
         budget = 40000L, epochCap = 2)
     },
+    "embedding_covariance" -> { (s, dir) =>
+      EmbeddingStats.covarianceGate(s.read.parquet(s"$dir/embeddings.parquet"))
+    },
     "cms_word_counts" -> { (s, dir) =>
       TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
         probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
@@ -3715,6 +3718,7 @@ object SparkEntry {
         |FROM sl""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
     "unimax_allocation" -> CorpusOps.unimaxAllocationSql(budget = 40000L, epochCap = 2),
+    "embedding_covariance" -> EmbeddingStats.covarianceGateSql(),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),

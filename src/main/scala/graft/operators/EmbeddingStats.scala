@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Second-moment / covariance statistics over an embedding column, and
+  * the PCA that rides on them.
+  *
+  * The scale design is the classic one-pass moment accumulation: each
+  * partition folds its rows into `dim + dim·(dim+1)/2` longs (mean and
+  * upper-triangle second-moment accumulators) inside `mapPartitions`
+  * — constant state, no per-row shuffle rows — and emits one partial
+  * row per (partition, i, j). The exchange is bounded by
+  * #partitions × triangle size regardless of corpus size; the final
+  * combine sums partials as DECIMAL(38,0) so the global sums cannot
+  * overflow a long even at 100 TB row counts. PCA then runs on the
+  * driver over the dim×dim matrix (bounded state, like KMeans'
+  * k×dim centroids) with deterministic power iteration.
+  *
+  * Components are quantized `floor(x·1e6 + 0.5)` — the same contract as
+  * the ANN/k-means oracles — so every emitted sum is an exact integer
+  * reproducible in external SQL.
+  */
+object EmbeddingStats {
+
+  val Scale = 1000000.0
+
+  /** Exact quantized second-moment table: (i, j, sum_prod) for
+    * 0 ≤ i ≤ j < dim, sum_prod = Σ_rows q_i·q_j as DECIMAL(38,0),
+    * plus (i, -1, sum_q) first-moment rows and a single (-1, -1, n)
+    * count row — everything PCA needs in one result.
+    */
+  def moments(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val partials = embs.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
+      var dim = 0
+      var prod: Array[Long] = null // upper triangle, row-major
+      var sums: Array[Long] = null
+      var n = 0L
+      val q = new scala.collection.mutable.ArrayBuffer[Long]()
+      it.foreach { v =>
+        if (prod == null) {
+          dim = v.length
+          prod = new Array[Long](dim * (dim + 1) / 2)
+          sums = new Array[Long](dim)
+        }
+        require(v.length == dim, s"ragged embedding: ${v.length} vs $dim")
+        q.clear()
+        v.foreach(x => q += math.floor(x.toDouble * Scale + 0.5).toLong)
+        var idx = 0
+        var i = 0
+        while (i < dim) {
+          sums(i) += q(i)
+          var j = i
+          while (j < dim) {
+            prod(idx) += q(i) * q(j)
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+        n += 1
+      }
+      if (prod == null) Iterator.empty
+      else {
+        // replay the same (i, j >= i) fill order to emit positions
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+        var idx = 0
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { out += ((i, j, prod(idx))); idx += 1; j += 1 }
+          i += 1
+        }
+        (0 until dim).foreach(i => out += ((i, -1, sums(i))))
+        out += ((-1, -1, n))
+        out.iterator
+      }
+    }.toDF("i", "j", "partial")
+    partials.groupBy("i", "j")
+      .agg(sum(col("partial").cast("decimal(38,0)")).as("sum_val"))
+  }
+
+  /** Gate surface: the upper-triangle second moments as exact longs
+    * (safe below ~9e6 rows per the Scaladoc; the decimal path is the
+    * scale variant).
+    */
+  def covarianceGate(embs: DataFrame, vecCol: String = "embedding"): DataFrame =
+    moments(embs, vecCol)
+      .filter(col("j") >= 0)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("sum_val").cast("long").as("sum_prod"))
+
+  /** DuckDB twin of [[covarianceGate]]. */
+  def covarianceGateSql(table: String = "embeddings", vecCol: String = "embedding"): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(pos - 1 AS BIGINT) AS d,
+       |         CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, unnest($vecCol) AS x,
+       |               generate_subscripts($vecCol, 1) AS pos FROM $table)
+       |)
+       |SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_prod
+       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d
+       |GROUP BY a.d, b.d""".stripMargin
+
+  /** Top principal component of the (double) covariance matrix via
+    * deterministic power iteration: start from the normalized all-ones
+    * vector, `iters` fixed multiply-normalize rounds. Driver state is
+    * the dim×dim matrix — bounded, independent of corpus size.
+    * Returns (eigenvector, eigenvalue).
+    */
+  def pcaTopComponent(embs: DataFrame, vecCol: String = "embedding",
+                      iters: Int = 50): (Array[Double], Double) = {
+    val rows = moments(embs, vecCol).collect()
+    val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .map(_.getDecimal(2).doubleValue()).getOrElse(0.0)
+    require(n > 1, s"need at least 2 rows, got $n")
+    val means = rows.filter(r => r.getInt(1) == -1 && r.getInt(0) >= 0)
+      .map(r => r.getInt(0) -> r.getDecimal(2).doubleValue() / n / Scale).toMap
+    val dim = means.size
+    val c = Array.ofDim[Double](dim, dim)
+    rows.filter(_.getInt(1) >= 0).foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val m2 = r.getDecimal(2).doubleValue() / (Scale * Scale)
+      val cov = m2 / n - means(i) * means(j)
+      c(i)(j) = cov
+      c(j)(i) = cov
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    (0 until iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) {
+        v = w.map(_ / norm)
+        lambda = norm
+      }
+    }
+    (v, lambda)
+  }
+}

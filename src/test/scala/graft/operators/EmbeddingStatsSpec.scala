@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("moments match a local single-threaded recomputation across partitions") {
+    val vecs = (0 until 40).map(i =>
+      Array(0.1f * (i % 7), -0.05f * i, 0.3f - 0.01f * i))
+    val df = spark.createDataset(vecs.map(_.toSeq)).toDF("embedding").repartition(5)
+    val got = EmbeddingStats.covarianceGate(df)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val want = (for { i <- 0 until 3; j <- i until 3 } yield
+      (i.toLong, j.toLong) -> q.map(v => v(i) * v(j)).sum).toMap
+    assert(got == want)
+  }
+
+  test("first-moment and count rows are present and exact") {
+    val vecs = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f))
+    val df = spark.createDataset(vecs).toDF("embedding")
+    val rows = EmbeddingStats.moments(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).longValueExact()).toMap
+    assert(rows((-1, -1)) == 3L)
+    assert(rows((0, -1)) == 9000000L) // (1+3+5)*1e6
+    assert(rows((1, -1)) == 12000000L)
+  }
+
+  test("partials combine through a bounded exchange (one row set per partition)") {
+    val vecs = (0 until 100).map(i => Seq(i.toFloat, (100 - i).toFloat))
+    val df = spark.createDataset(vecs).toDF("embedding").repartition(8)
+    val plan = EmbeddingStats.moments(df).queryExecution.executedPlan.toString
+    // partial + final aggregate around the single exchange
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // points spread along (3, 4)/5 with small orthogonal noise
+    val dir = Array(0.6, 0.8)
+    val vecs = (0 until 200).map { i =>
+      val t = (i - 100) * 0.01
+      val noise = ((i * 37) % 11 - 5) * 0.001
+      Seq((t * dir(0) - noise * dir(1)).toFloat, (t * dir(1) + noise * dir(0)).toFloat)
+    }
+    val df = spark.createDataset(vecs).toDF("embedding")
+    val (v, lambda) = EmbeddingStats.pcaTopComponent(df)
+    val dot = math.abs(v(0) * dir(0) + v(1) * dir(1))
+    assert(dot > 0.999, s"recovered ${v.toSeq}, |cos|=$dot")
+    assert(lambda > 0)
+    // Rayleigh stationarity: C v ~ lambda v (fixed-point of the iteration)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+}

@@ -2126,6 +2126,9 @@ object SparkEntry {
     "embedding_covariance" -> { (s, dir) =>
       EmbeddingStats.covarianceGate(s.read.parquet(s"$dir/embeddings.parquet"))
     },
+    "dp_counts" -> { (s, dir) =>
+      CorpusOps.dpNoisyCounts(EventsAdapter.events(s, dir), groupCol = "event_type")
+    },
     "cms_word_counts" -> { (s, dir) =>
       TextAnalysis.cmsWordCounts(s.read.parquet(s"$dir/documents.parquet"),
         probes = Seq("join", "scan", "customer", "zzz_absent"), depth = 3, width = 1024)
@@ -3719,6 +3722,7 @@ object SparkEntry {
     "hll_distinct" -> Hll.distinctTokensSql(),
     "unimax_allocation" -> CorpusOps.unimaxAllocationSql(budget = 40000L, epochCap = 2),
     "embedding_covariance" -> EmbeddingStats.covarianceGateSql(),
+    "dp_counts" -> CorpusOps.dpNoisyCountsSql("events", "event_type"),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),
     "ann_ivf" -> annIvfOracle(k = 5, nlist = 32, nprobe = 4),

@@ -901,6 +901,47 @@ object CorpusOps {
       .withColumn("epochs", col("allocated").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Differentially-private count release via the geometric mechanism
+    * (Ghosh, Roughgarden & Sundararajan 2009): per-group counts plus
+    * two-sided geometric noise Z ~ DLap(α = 1/2), i.e. ε = ln 2 for
+    * sensitivity-1 counting queries. Z is built as the difference of
+    * two iid Geometric(1/2) draws (Inusah & Kozubowski 2006) extracted
+    * from disjoint 30-bit halves of the group's h60 — geometric-by-
+    * leading-zeros, so the noise arithmetic is pure integer/bit ops and
+    * the SQL twin is exact. Negative releases clamp at 0
+    * (post-processing, DP-safe).
+    *
+    * NOTE on determinism: keying noise off the group value makes the
+    * release reproducible (what a pipeline gate needs) but means
+    * re-releasing the same group never refreshes its noise — a real
+    * deployment derives `salt` from a per-release secret.
+    *
+    * Scale: one map-side-combinable groupBy; the noise is a scan-stage
+    * expression over the #groups-row aggregate.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, salt: String = "dp"): DataFrame = {
+    def geom(w: Column): Column = when(w === 0L, lit(30L)).otherwise(lit(30L) - length(bin(w)))
+    val h = PortableHash.h60(concat_ws(":", lit(salt), col(groupCol).cast("string")))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_h", h)
+      .withColumn("_z", geom(pmod(col("_h"), lit(1L << 30))) - geom(expr(s"_h div ${1L << 30}")))
+      .select(col(groupCol), greatest(col("_n") + col("_z"), lit(0L)).as("noisy_count"))
+  }
+
+  /** DuckDB twin of [[dpNoisyCounts]] over a named table/CTE. */
+  def dpNoisyCountsSql(table: String, groupCol: String, salt: String = "dp"): String = {
+    val h = PortableHash.h60Sql(s"'$salt' || ':' || CAST($groupCol AS VARCHAR)")
+    val g = (w: String) => s"(CASE WHEN ($w) = 0 THEN 30 ELSE 30 - length(bin($w)) END)"
+    s"""WITH cnt AS (
+       |  SELECT $groupCol, CAST(count(*) AS BIGINT) AS n, $h AS h
+       |  FROM $table GROUP BY $groupCol
+       |)
+       |SELECT $groupCol,
+       |       CAST(greatest(n + ${g(s"h % ${1L << 30}")} - ${g(s"h // ${1L << 30}")}, 0) AS BIGINT) AS noisy_count
+       |FROM cnt""".stripMargin
+  }
+
   /** DuckDB twin of [[unimaxAllocation]]. */
   def unimaxAllocationSql(budget: Long, epochCap: Int, groupCol: String = "source"): String =
     s"""WITH tc AS (

@@ -61,17 +61,36 @@ object Hll {
       .agg(max("_rank").as("_mr"))
   }
 
-  /** Exact-integer sketch summary per group:
-    * n_registers, n_zero_registers, sum_pow = Σ 2^(53 - max_rank) over
-    * occupied registers (empty registers contribute 2^53 via n_zero).
+  /** Collapse a register table (or a [[merge]] of several) into the
+    * exact-integer per-group summary: n_registers, n_zero_registers,
+    * sum_pow = Σ 2^(53 - max_rank) over occupied registers (empty
+    * registers contribute 2^53 via n_zero).
     */
-  def sketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    registerTable(df, groupCol, valueCol)
-      .groupBy(col(groupCol))
+  def summarize(regs: DataFrame, groupCol: String): DataFrame =
+    regs.groupBy(col(groupCol))
       .agg(
         count(lit(1)).cast("long").as("n_registers"),
         (lit(M.toLong) - count(lit(1))).cast("long").as("n_zero_registers"),
         sum(expr(s"shiftleft(cast(1 as bigint), $RankCap - _mr)")).cast("long").as("sum_pow"))
+
+  /** Exact-integer sketch summary per group (see [[summarize]]). */
+  def sketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    summarize(registerTable(df, groupCol, valueCol), groupCol)
+
+  /** Merge register tables by register-wise max — the HLL union. This
+    * is what makes the sketch *incremental*: daily/batch sketches can
+    * be persisted as (group, register, rank) tables and merged later
+    * with a shuffle bounded by #tables × #groups × m rows, never a
+    * rescan of the underlying corpora; `summarize(merge(a, b)) ==
+    * sketch(a ∪ b)` exactly (register max is associative/commutative/
+    * idempotent).
+    */
+  def merge(regTables: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(regTables.nonEmpty, "need at least one register table")
+    regTables.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("_r"))
+      .agg(max("_mr").as("_mr"))
+  }
 
   /** One final double per group: the HLL estimate with the linear-counting
     * small-range correction. Z = (sum_pow + n_zero·2^53) / 2^53.

@@ -2113,6 +2113,15 @@ object SparkEntry {
     "zipf_fit" -> { (s, dir) =>
       TextAnalysis.zipfFit(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
+    "ngram_diversity" -> { (s, dir) =>
+      TextAnalysis.ngramDiversity(s.read.parquet(s"$dir/documents.parquet"), n = 3)
+    },
+    "length_histogram" -> { (s, dir) =>
+      TextAnalysis.lengthHistogram(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "boilerplate_share" -> { (s, dir) =>
+      TextAnalysis.boilerplateShare(s.read.parquet(s"$dir/documents.parquet"), n = 2, minDocs = 5)
+    },
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -3720,6 +3729,40 @@ object SparkEntry {
         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
+    "ngram_diversity" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT source, ${h60Sql("g")} AS h FROM (
+         |    SELECT source, unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+         |      i -> array_to_string(ws[i+1:i+3], ' '))) AS g FROM w))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |       CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
+         |FROM g GROUP BY source""".stripMargin,
+    "length_histogram" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        |SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(CAST(1 AS BIGINT) << CAST(length(bin(n)) - 1 AS INT) AS BIGINT) AS bucket_lo
+        |FROM t GROUP BY source, length(bin(n)) - 1""".stripMargin,
+    "boilerplate_share" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, ${h60Sql("g")} AS h FROM (
+         |    SELECT doc_id, source, unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+         |      i -> array_to_string(ws[i+1:i+2], ' '))) AS g FROM w)),
+         |b AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h, count(DISTINCT doc_id) AS nd FROM g GROUP BY source, h)
+         |  WHERE nd >= 5)
+         |SELECT g.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS boiler_share
+         |FROM g LEFT JOIN b ON g.source = b.source AND g.h = b.h
+         |GROUP BY g.doc_id""".stripMargin,
     "unimax_allocation" -> CorpusOps.unimaxAllocationSql(budget = 40000L, epochCap = 2),
     "embedding_covariance" -> EmbeddingStats.covarianceGateSql(),
     "dp_counts" -> CorpusOps.dpNoisyCountsSql("events", "event_type"),

@@ -1253,4 +1253,71 @@ object TextAnalysis {
       .agg(
         first(col("md5_fp")).as("md5_fp"),
         array_join(slice(array_sort(collect_set(col("_p"))), 1, k), "-").as("min_word_fp"))
+
+  /** Per-group n-gram type/token diversity: distinct n-grams over total
+    * n-gram positions — the standard corpus-diversity diagnostic (a
+    * generation-heavy or template-heavy source scores low). Exact
+    * variant: `count_distinct` shuffles the (group, gram-hash) pairs;
+    * [[Hll.distinctTokens]]-style sketching is the 100 TB path when the
+    * exact distinct is not required. The final ratio is one division of
+    * two exact longs (IEEE-identical across engines).
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), explode(ngrams(col(textCol), n)).as("_g"))
+      .select(col(groupCol), PortableHash.h60(col("_g")).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        countDistinct(col("_h")).cast("long").as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+
+  /** Log2-bucketed document-length histogram per group — the sequence-
+    * length planning surface (what max_seq_len / packing factor fit a
+    * corpus). The bucket is `bitlength(n) - 1 = floor(log2 n)` via the
+    * minimal-binary-string trick, so it is pure integer/string
+    * arithmetic, exact in any engine. Map-side combinable.
+    */
+  def lengthHistogram(docs: DataFrame, groupCol: String = "source",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("_n"))
+      .withColumn("bucket", (length(bin(col("_n"))) - 1).cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("_n").cast("long").as("n_tokens"))
+      .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+
+  /** Cross-document boilerplate share (CCNet/C4-style, Wenzek et al.
+    * 2020 §3: common lines repeated across pages): the fraction of a
+    * document's n-gram positions covered by grams that occur in at
+    * least `minDocs` distinct documents of the same group. Documents
+    * dominated by such grams are navigation chrome / templates even
+    * when no two full lines match exactly.
+    *
+    * Scale: both aggregations are map-side-combinable groupBys on
+    * (group, gram-hash); the join back to gram positions is a hash
+    * equi-join on the same key, carrying only grams that passed the
+    * `minDocs` bar (the boilerplate set is the small side — it shrinks
+    * as minDocs grows).
+    */
+  def boilerplateShare(docs: DataFrame, n: Int = 5, minDocs: Int = 3,
+                       groupCol: String = "source", idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), col(groupCol), explode(ngrams(col(textCol), n)).as("_g"))
+      .select(col(idCol), col(groupCol), PortableHash.h60(col("_g")).as("_h"))
+    val boiler = grams
+      .groupBy(col(groupCol), col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col(groupCol), col("_h"), lit(1L).as("_isb"))
+    grams
+      .join(boiler, Seq(groupCol, "_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        coalesce(sum("_isb"), lit(0L)).cast("long").as("n_boiler"))
+      .withColumn("boiler_share",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+  }
 }

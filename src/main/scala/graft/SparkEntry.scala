@@ -2122,6 +2122,12 @@ object SparkEntry {
     "boilerplate_share" -> { (s, dir) =>
       TextAnalysis.boilerplateShare(s.read.parquet(s"$dir/documents.parquet"), n = 2, minDocs = 5)
     },
+    "oov_rate" -> { (s, dir) =>
+      TextAnalysis.oovRate(s.read.parquet(s"$dir/documents.parquet"), vocabSize = 50)
+    },
+    "negative_samples" -> { (s, dir) =>
+      CorpusOps.negativeSamples(s.read.parquet(s"$dir/documents.parquet"), k = 4)
+    },
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -3729,6 +3735,8 @@ object SparkEntry {
         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
+    "oov_rate" -> TextAnalysis.oovRateSql(vocabSize = 50),
+    "negative_samples" -> CorpusOps.negativeSamplesSql(k = 4),
     "ngram_diversity" ->
       s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
          |g AS (

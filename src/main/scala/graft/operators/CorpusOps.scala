@@ -901,6 +901,54 @@ object CorpusOps {
       .withColumn("epochs", col("allocated").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * document, `k` pseudo-random partner ids drawn by hashing
+    * (doc_id, attempt) into the observed id range — the in-batch-
+    * negatives replacement when batches are built offline. Semantics
+    * are "attempted-k": a draw that lands on the anchor itself or on a
+    * hole in the id space is dropped rather than redrawn, which keeps
+    * the op a pure scan + one hash equi-join (existence check against
+    * the corpus ids) with no iteration; the expected loss is k/n + the
+    * hole density, negligible at corpus scale.
+    *
+    * Scale: the id-range bound is a 1-row broadcast; candidate
+    * generation is scan-stage (explode of k attempts); the only
+    * shuffle is the equi-join on candidate id. Reproducible end to end
+    * — same corpus, same salt, same pairs, on any engine.
+    */
+  def negativeSamples(docs: DataFrame, k: Int = 4, salt: String = "neg",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val ids = docs.select(col(idCol).cast("long").as("_id"))
+    val bound = ids.agg((max("_id") + 1L).as("_n"))
+    val attempts = ids.crossJoin(broadcast(bound))
+      .select(col("_id"), explode(array((0 until k).map(lit): _*)).as("attempt"),
+        col("_n"))
+      .withColumn("_cand",
+        pmod(PortableHash.h60(concat_ws(":", lit(salt), col("_id"), col("attempt"))), col("_n")))
+      .filter(col("_cand") =!= col("_id"))
+    attempts
+      .join(ids.select(col("_id").as("_cand")), Seq("_cand"))
+      .select(col("_id").as(idCol), col("attempt").cast("long").as("attempt"),
+        col("_cand").as("neg_id"))
+  }
+
+  /** DuckDB twin of [[negativeSamples]]. */
+  def negativeSamplesSql(k: Int, salt: String = "neg", idCol: String = "doc_id",
+                         table: String = "documents"): String = {
+    val h = PortableHash.h60Sql(s"'$salt' || ':' || CAST($idCol AS VARCHAR) || ':' || CAST(attempt AS VARCHAR)")
+    s"""WITH ids AS (SELECT CAST($idCol AS BIGINT) AS $idCol FROM $table),
+       |bound AS (SELECT max($idCol) + 1 AS n FROM ids),
+       |att AS (
+       |  SELECT $idCol, unnest(range(0, $k)) AS attempt FROM ids),
+       |cand AS (
+       |  SELECT a.$idCol, CAST(a.attempt AS BIGINT) AS attempt, ($h) % b.n AS neg_id
+       |  FROM att a, bound b)
+       |SELECT c.$idCol, c.attempt, CAST(c.neg_id AS BIGINT) AS neg_id
+       |FROM cand c JOIN ids i ON c.neg_id = i.$idCol
+       |WHERE c.neg_id <> c.$idCol""".stripMargin
+  }
+
   /** Differentially-private count release via the geometric mechanism
     * (Ghosh, Roughgarden & Sundararajan 2009): per-group counts plus
     * two-sided geometric noise Z ~ DLap(α = 1/2), i.e. ε = ln 2 for

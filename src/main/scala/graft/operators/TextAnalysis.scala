@@ -1288,6 +1288,39 @@ object TextAnalysis {
         sum("_n").cast("long").as("n_tokens"))
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
 
+  /** Out-of-vocabulary rate per group against the corpus top-`vocabSize`
+    * vocabulary — the coverage diagnostic run before committing to a
+    * tokenizer vocab (a source with high OOV under the candidate vocab
+    * will fragment into bytes/unks and train poorly; compare
+    * [[tokenFertility]], which measures the same pressure after BPE).
+    * The vocabulary is tiny by construction and broadcasts; token
+    * classification is scan-stage and the final agg map-side combines.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 50, groupCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    val vocab = buildVocab(docs, vocabSize, textCol)
+      .select(col("word"), lit(1L).as("_iv"))
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (count(lit(1)) - coalesce(sum("_iv"), lit(0L))).cast("long").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** DuckDB twin of [[oovRate]]. */
+  def oovRateSql(vocabSize: Int = 50, groupCol: String = "source"): String =
+    s"""WITH w AS (SELECT $groupCol, unnest(string_split(text, ' ')) AS word FROM documents),
+       |v AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS n FROM w GROUP BY word)
+       |  ORDER BY n DESC, word LIMIT $vocabSize)
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) - count(v.word) AS BIGINT) AS n_oov,
+       |       CAST(count(*) - count(v.word) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM w LEFT JOIN v USING (word)
+       |GROUP BY $groupCol""".stripMargin
+
   /** Cross-document boilerplate share (CCNet/C4-style, Wenzek et al.
     * 2020 §3: common lines repeated across pages): the fraction of a
     * document's n-gram positions covered by grams that occur in at

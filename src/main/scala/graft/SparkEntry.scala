@@ -2128,6 +2128,9 @@ object SparkEntry {
     "negative_samples" -> { (s, dir) =>
       CorpusOps.negativeSamples(s.read.parquet(s"$dir/documents.parquet"), k = 4)
     },
+    "cdc_chunks" -> { (s, dir) =>
+      CorpusOps.cdcChunks(s.read.parquet(s"$dir/documents.parquet"), k = 2, maskBits = 5)
+    },
     "vocab_topk" -> { (s, dir) =>
       TextAnalysis.buildVocab(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -3737,6 +3740,7 @@ object SparkEntry {
     "hll_distinct" -> Hll.distinctTokensSql(),
     "oov_rate" -> TextAnalysis.oovRateSql(vocabSize = 50),
     "negative_samples" -> CorpusOps.negativeSamplesSql(k = 4),
+    "cdc_chunks" -> CorpusOps.cdcChunksSql(k = 2, maskBits = 5),
     "ngram_diversity" ->
       s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
          |g AS (

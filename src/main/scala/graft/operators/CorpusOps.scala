@@ -851,6 +851,74 @@ object CorpusOps {
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
 
+  /** Content-defined chunking (the word-level analogue of LBFS/FastCDC
+    * cut-point selection, Muthitacharoen et al. 2001; Xia et al. 2016):
+    * cut after word i when the hash of the k-gram ending at i has its
+    * low `maskBits` bits zero — expected chunk length 2^maskBits words.
+    * Unlike [[chunkDocuments]]' fixed windows, boundaries depend only
+    * on local content, so an insertion near the head of a document
+    * shifts ONE chunk, not every chunk after it — which is what makes
+    * chunk-level dedup across crawl snapshots stable (the same property
+    * rsync/backup systems rely on).
+    *
+    * Scale: gram hashing is scan-stage; the only exchange is the
+    * per-document window that prefix-sums cut marks into chunk indices
+    * — keyed by doc id, the natural partitioning of every downstream
+    * chunk consumer. Hashes are [[PortableHash.h60]], so boundaries are
+    * engine-exact.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 2, maskBits: Int = 5,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && maskBits >= 1 && maskBits <= 20, s"bad params k=$k maskBits=$maskBits")
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << maskBits) - 1L
+    val words = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.ngrams(col(textCol), k)).as(Seq("gpos", "_g")))
+      // gram at 0-based gpos covers words gpos .. gpos+k-1: cut AFTER its last word
+      .filter(PortableHash.h60(col("_g")).bitwiseAND(lit(mask)) === 0L)
+      .select(col("doc_id"), (col("gpos") + (k - 1)).as("pos"), lit(1L).as("_cut"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words
+      .join(grams, Seq("doc_id", "pos"), "left")
+      .withColumn("chunk_index", coalesce(sum("_cut").over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_index"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]]. */
+  def cdcChunksSql(k: Int = 2, maskBits: Int = 5, table: String = "documents"): String = {
+    val mask = (1L << maskBits) - 1L
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM $table),
+       |words AS (
+       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS pos FROM w),
+       |cuts AS (
+       |  SELECT doc_id, gpos + ${k - 1} AS pos, 1 AS cut FROM (
+       |    SELECT doc_id, ${PortableHash.h60Sql("g")} AS h,
+       |           CAST(i AS BIGINT) AS gpos
+       |    FROM (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - ${k - 1}, 0)),
+       |            i -> array_to_string(ws[i+1:i+$k], ' '))) AS g,
+       |            unnest(range(0, greatest(len(ws) - ${k - 1}, 0))) AS i
+       |          FROM w))
+       |  WHERE h & $mask = 0),
+       |marked AS (
+       |  SELECT doc_id, pos, word,
+       |         coalesce(sum(cut) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_index
+       |  FROM words LEFT JOIN cuts USING (doc_id, pos))
+       |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       string_agg(word, ' ' ORDER BY pos) AS chunk_text
+       |FROM marked GROUP BY doc_id, chunk_index""".stripMargin
+  }
+
   /** UniMax token-budget allocation (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): spread a total token budget as uniformly as

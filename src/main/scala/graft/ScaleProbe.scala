@@ -350,6 +350,48 @@ object ScaleProbe {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 25).count()
     }
+    // portable HLL at 10x: the register exchange is ≤ 256 rows/group no
+    // matter the corpus — vs the exact count_distinct twin below, which
+    // must shuffle every distinct (group, gram) pair
+    t("hll_distinct_10x") {
+      Hll.distinctTokens(docs10).agg(sum(col("sum_pow"))).collect()(0).getLong(0)
+    }
+    t("ngram_diversity_10x") {
+      TextAnalysis.ngramDiversity(docs10, n = 3)
+        .agg(sum(col("n_distinct"))).collect()(0).getLong(0)
+    }
+    // boilerplate at its adversarial worst: 10 exact clones put EVERY
+    // bigram over minDocs, so the "small side" join table is the entire
+    // gram vocabulary and every position joins a match
+    t("boilerplate_10x") {
+      TextAnalysis.boilerplateShare(docs10, n = 2, minDocs = 5)
+        .agg(sum(col("n_boiler"))).collect()(0).getLong(0)
+    }
+    t("cdc_chunks_10x") {
+      CorpusOps.cdcChunks(docs10, k = 2, maskBits = 5)
+        .agg(sum(col("n_tokens")), count(lit(1))).collect()(0).getLong(0)
+    }
+    t("negative_samples_10x") {
+      CorpusOps.negativeSamples(docs10, k = 4).count()
+    }
+    t("covariance_10x") {
+      EmbeddingStats.covarianceGate(emb10)
+        .agg(sum(col("sum_prod"))).collect()(0).getLong(0)
+    }
+    // spatial keys over the 10x point cloud (~6M pfs): both are
+    // scan-stage integer kernels + one bounded cell groupBy
+    val pfs10 = (0 until 10).map(i =>
+        sources.EventsAdapter.positionfixes(spark, dir)
+          .select((col("id") + i * 10000000L).as("id"), col("user_id"),
+            col("lon"), col("lat")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    t("zorder_cells_10x") {
+      SpatialOps.zorderCells(pfs10).agg(sum(col("n_points"))).collect()(0).getLong(0)
+    }
+    t("geohash_cells_10x") {
+      pfs10.groupBy(graft.functions.Geohash.encode(col("lon"), col("lat"), 6).as("g"))
+        .agg(count(lit(1)).as("n")).agg(sum(col("n"))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }

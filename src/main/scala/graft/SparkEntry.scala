@@ -2311,6 +2311,15 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("channels"),
           col("sample_rate"), col("sample_sum"))
     },
+    "audio_energy" -> { (s, dir) =>
+      val media = Multimodal.wavFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.audioEnergyWindows(media, windowSamples = 128,
+        thresholdMeanSquare = 100000000L)
+    },
+    "video_keyframes" -> { (s, dir) =>
+      val media = Multimodal.gifFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.keyframes(media, minLumaDelta = 200L)
+    },
 
     // ----- training-data pipeline: corpus curation ---------------------
     "contamination" -> { (s, dir) =>
@@ -4019,6 +4028,50 @@ object SparkEntry {
         |SELECT fr.doc_id AS media_id, fr.n_frames, fr.frame_idx, fr.w AS width, fr.h AS height,
         |  px.pixel_sum
         |FROM fr JOIN px ON fr.doc_id = px.doc_id AND fr.frame_idx = px.frame_idx""".stripMargin,
+    // per-window energies re-derived from the same closed-form samples;
+    // the silence decision is the identical integer cross-compare
+    "audio_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(200 + doc_id % 100 AS BIGINT) AS n_frames,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels
+        |  FROM documents),
+        |s AS (
+        |  SELECT m.doc_id, CAST(i.range // 128 AS BIGINT) AS window_idx,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(((m.doc_id * 31 + i.range * 7) % 65536 - 32768)
+        |           * ((m.doc_id * 31 + i.range * 7) % 65536 - 32768)) AS BIGINT) AS energy_q
+        |  FROM m, range(0, 600) i
+        |  WHERE i.range < m.n_frames * m.channels
+        |  GROUP BY m.doc_id, i.range // 128)
+        |SELECT doc_id AS media_id, window_idx, n_samples, energy_q,
+        |  energy_q < n_samples * 100000000 AS silent
+        |FROM s""".stripMargin,
+    // keyframes: the multimodal_frames pixel sums at everyK=1 plus the
+    // identical lag/delta/keep decision
+    "video_keyframes" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+        |    CAST(4 + doc_id % 13 AS BIGINT) AS w, CAST(4 + doc_id % 11 AS BIGINT) AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT m.doc_id, m.n_frames, m.w, m.h, f.range AS frame_idx
+        |  FROM m, range(0, 6) f
+        |  WHERE f.range < m.n_frames),
+        |px AS (
+        |  SELECT fr.doc_id, fr.n_frames, fr.frame_idx,
+        |    CAST(SUM((fr.doc_id * 31 + fr.frame_idx * 17 + x.range * 7 + y.range * 13) % 256) AS BIGINT) AS pixel_sum
+        |  FROM fr, range(0, 16) x, range(0, 14) y
+        |  WHERE x.range < fr.w AND y.range < fr.h
+        |  GROUP BY fr.doc_id, fr.n_frames, fr.frame_idx),
+        |lagd AS (
+        |  SELECT doc_id, n_frames, frame_idx, pixel_sum,
+        |    lag(pixel_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM px)
+        |SELECT doc_id AS media_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx, pixel_sum,
+        |  CAST(CASE WHEN prev IS NULL THEN 0 ELSE abs(pixel_sum - prev) END AS BIGINT) AS luma_delta
+        |FROM lagd
+        |WHERE prev IS NULL OR abs(pixel_sum - prev) >= 200""".stripMargin,
     // decoded-WAV surfaces in closed form: PCM16 fixtures carry
     // sample(i) = (id*31 + i*7) % 65536 - 32768 interleaved over
     // frames*channels (<= 299*2 = 598 flat samples per clip)

@@ -441,6 +441,74 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioSchema))
   }
 
+  private val energySchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy_q", LongType, nullable = false)))
+
+  /** Windowed audio energy / silence detection over the decoded PCM16
+    * stream: fixed `windowSamples`-sample windows of the interleaved
+    * stream, per-window integer energy Σ s² (s ≤ 2^15 so a 2^30-bounded
+    * term; any practical window stays far below long range), and a
+    * `silent` flag via the integer cross-compare
+    * `energy · 1 < thresholdMeanSquare · n` — the float mean-square
+    * never exists. This is the VAD-ish front of audio curation: clips
+    * that are mostly silence are cut before feature extraction.
+    * Scan-stage mapPartitions like [[decodeAudio]]; only window scalars
+    * move. Undecodable blobs are dropped (audit via decodeAudio's
+    * ok=false surface).
+    */
+  def audioEnergyWindows(media: DataFrame, windowSamples: Int = 128,
+                         thresholdMeanSquare: Long = 100000000L,
+                         batchSize: Int = 64): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val input = media.select(col("media_id"), col("blob"))
+    val windows = input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.isEmpty) Nil
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm16le = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              if (!pcm16le) Nil
+              else {
+                val data = ais.readAllBytes()
+                val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+                var widx = 0L
+                var n = 0L
+                var energy = 0L
+                var i = 0
+                while (i + 1 < data.length) {
+                  val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong
+                  energy += s * s
+                  n += 1
+                  if (n == windowSamples) {
+                    out += Row(id, widx, n, energy)
+                    widx += 1; n = 0L; energy = 0L
+                  }
+                  i += 2
+                }
+                if (n > 0) out += Row(id, widx, n, energy)
+                out.toSeq
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => Nil
+              case _: java.io.IOException => Nil
+            }
+        }
+      }
+    }(RowEncoder.encoderFor(energySchema))
+    windows.withColumn("silent",
+      col("energy_q") < col("n_samples") * thresholdMeanSquare)
+  }
+
   // ---------------- real frame sampling (animated GIF, javax.imageio) ----------------
 
   /** Fixture-animation shape in closed form: `frames = 2 + id mod 5`
@@ -566,6 +634,28 @@ object Multimodal {
         }
       }
     }(RowEncoder.encoderFor(frameSchema))
+  }
+
+  /** Keyframe selection over the decoded animation: keep frame 0 and
+    * every frame whose luma sum moves at least `minLumaDelta` from the
+    * previous frame — the shot-boundary heuristic that decides which
+    * frames of a video are worth the (expensive) downstream vision
+    * encoder. Decode is the [[decodeFrames]] scan (everyK = 1); the
+    * lag comparison is one per-media window — keyed by media id, the
+    * partitioning every per-video consumer already has.
+    */
+  def keyframes(media: DataFrame, minLumaDelta: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLumaDelta >= 0, "minLumaDelta must be non-negative")
+    val frames = decodeFrames(media, everyK = 1).filter(col("ok"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("_prev", lag(col("pixel_sum"), 1).over(w))
+      .withColumn("luma_delta",
+        when(col("_prev").isNull, lit(0L)).otherwise(abs(col("pixel_sum") - col("_prev"))))
+      .filter(col("_prev").isNull || col("luma_delta") >= minLumaDelta)
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("pixel_sum"), col("luma_delta"))
   }
 
   /** "Resize" stub: recompute metadata for a bounded long edge; blob

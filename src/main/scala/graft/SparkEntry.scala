@@ -2019,6 +2019,24 @@ object SparkEntry {
       TextAnalysis.urlFeatures(withSyntheticUrl(s.read.parquet(s"$dir/documents.parquet")))
         .select(col("doc_id"), col("host"), col("path_depth"), col("has_query"))
     },
+    "url_canonicalize" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").withColumn("url", concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, lit("user:pw@")).otherwise(lit("")),
+        lit("Sub"), (col("doc_id") % 4).cast("string"), lit("."),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443"))
+          .otherwise(when(col("doc_id") % 5 === 1, lit(":8443")).otherwise(lit(""))),
+        lit("/a//b"),
+        when(col("doc_id") % 2 === 0, lit("/c/")).otherwise(lit("/c")),
+        when(col("doc_id") % 7 === 0, lit("?z=1&utm_source=t&a=2"))
+          .otherwise(when(col("doc_id") % 7 === 1, lit("?fbclid=x")).otherwise(lit(""))),
+        when(col("doc_id") % 3 === 1, lit("#frag")).otherwise(lit(""))))
+      TextAnalysis.urlCanonicalize(docs).select(col("doc_id"), col("canon_url"))
+    },
+    "langid_mismatch" -> { (s, dir) =>
+      TextAnalysis.langidMismatch(s.read.parquet(s"$dir/documents.parquet"))
+    },
     "url_hostcap" -> { (s, dir) =>
       val f = TextAnalysis.urlFeatures(withSyntheticUrl(s.read.parquet(s"$dir/documents.parquet")))
       CorpusOps.capPerHost(f, maxPerHost = 20)
@@ -3748,6 +3766,61 @@ object SparkEntry {
         |FROM sl""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
     "oov_rate" -> TextAnalysis.oovRateSql(vocabSize = 50),
+    "url_canonicalize" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+        |    'Sub' || CAST(doc_id % 4 AS VARCHAR) || '.' || source || '.Example.COM' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+        |    '/a//b' || CASE WHEN doc_id % 2 = 0 THEN '/c/' ELSE '/c' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '?z=1&utm_source=t&a=2'
+        |         WHEN doc_id % 7 = 1 THEN '?fbclid=x' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{2,}', '/') AS sq,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u0),
+        |e AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+        |    CASE WHEN length(sq) > 1 AND sq LIKE '%/' THEN substring(sq, 1, length(sq) - 1) ELSE sq END AS path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |           AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid='))) AS params
+        |  FROM c)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |            AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  path ||
+        |  CASE WHEN len(params) = 0 THEN '' ELSE '?' || array_to_string(params, '&') END AS canon_url
+        |FROM e""".stripMargin,
+    "langid_mismatch" ->
+      """WITH sc AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, lang,
+        |    CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |         ELSE 'fr' END AS predicted_lang
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mismatch_rate
+        |FROM p GROUP BY source""".stripMargin,
     "negative_samples" -> CorpusOps.negativeSamplesSql(k = 4),
     "cdc_chunks" -> CorpusOps.cdcChunksSql(k = 2, maskBits = 5),
     "ngram_diversity" ->

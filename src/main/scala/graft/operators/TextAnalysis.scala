@@ -1288,6 +1288,55 @@ object TextAnalysis {
         sum("_n").cast("long").as("n_tokens"))
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
 
+  /** Declared-vs-detected language mismatch rate per group — the ingest
+    * monitor that catches mislabeled feeds (a "fr" source suddenly
+    * scoring English is a crawler/labeling bug upstream). Deterministic
+    * because [[languageId]] is: marker counts + fixed tie order.
+    * One map-side-combinable groupBy over the scan.
+    */
+  def langidMismatch(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    languageId(docs)
+      .withColumn("_mis", when(col("predicted_lang") =!= col("lang"), 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("_mis").cast("long").as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        col("n_mismatch").cast("double") / col("n_docs").cast("double"))
+
+  /** URL canonicalization for crawl-level dedup (the RFC 3986 §6
+    * normalizations that matter for equivalence, plus the tracking-param
+    * strip every production crawler applies): lowercase scheme/host,
+    * drop userinfo, drop default ports (http:80 / https:443), collapse
+    * duplicate path slashes, strip one trailing slash (except root),
+    * drop the fragment, drop `utm_*`/`fbclid`/`gclid` params, and sort
+    * the surviving query params byte-wise. Pure regexp/array ops — no
+    * backreference replacements (Spark `$1` vs DuckDB `\1` would
+    * diverge), so the twin is exact. Scan-stage.
+    */
+  def urlCanonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val authority = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_replace(authority, "^[^@]*@", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") && !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val squashed = regexp_replace(rawPath, "/{2,}", "/")
+    val path = when(length(squashed) > 1 && squashed.endsWith("/"),
+      squashed.substr(lit(1), length(squashed) - 1)).otherwise(squashed)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
+    val qs = array_join(params, "&")
+    docs.withColumn("canon_url", concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** Out-of-vocabulary rate per group against the corpus top-`vocabSize`
     * vocabulary — the coverage diagnostic run before committing to a
     * tokenizer vocab (a source with high OOV under the candidate vocab

@@ -1650,6 +1650,9 @@ object SparkEntry {
         .groupBy(graft.functions.Geohash.encode(col("lon"), col("lat"), 6).as("geohash"))
         .agg(count(lit(1)).as("n_points"))
     },
+    "traj_simplify" -> { (s, dir) =>
+      SpatialOps.simplifyRadial(EventsAdapter.positionfixes(s, dir), epsilonMeters = 300.0)
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -1990,6 +1993,11 @@ object SparkEntry {
       // self-scored corpus: the documents table is its own LM train set
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmScore(docs, docs)
+    },
+    "min_k_prob" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.minKProb(docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        kPercent = 20)
     },
     "lm_buckets" -> { (s, dir) =>
       // CCNet head/middle/tail strata, self-trained like lm_score
@@ -2975,6 +2983,25 @@ object SparkEntry {
          |SELECT $chars AS geohash, CAST(count(*) AS BIGINT) AS n_points
          |FROM gc GROUP BY 1""".stripMargin
     },
+    "traj_simplify" -> {
+      val breach =
+        s"""(SELECT min(f2.kk) FROM fx f2, fx f1
+           |      WHERE f2.user_id = an.u AND f1.user_id = an.u AND f1.kk = an.a
+           |        AND f2.kk > an.a AND ${hav("f1.lon", "f1.lat", "f2.lon", "f2.lat")} >= 300.0)""".stripMargin
+      s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |fx AS (
+         |  SELECT user_id, t_us, lon, lat,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY t_us, id) - 1 AS kk
+         |  FROM pfs),
+         |anchors(u, a) AS (
+         |  SELECT user_id, 0 FROM fx WHERE kk = 0
+         |  UNION ALL
+         |  SELECT an.u, $breach
+         |  FROM anchors an
+         |  WHERE $breach IS NOT NULL)
+         |SELECT an.u AS user_id, CAST(an.a AS BIGINT) AS k, f.t_us, f.lon, f.lat
+         |FROM anchors an JOIN fx f ON f.user_id = an.u AND f.kk = an.a""".stripMargin
+    },
     "zorder_cells" ->
       s"""${EventsAdapter.pfsSql}
          |, cells AS (
@@ -3230,6 +3257,36 @@ object SparkEntry {
          |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
          |  text_norm <> aug_text AS changed
          |FROM n""".stripMargin,
+    "min_k_prob" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |tr AS (SELECT * FROM w WHERE doc_id >= 50),
+         |pr AS (SELECT * FROM w WHERE doc_id < 50),
+         |bgt AS (SELECT unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM tr),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgt GROUP BY bg),
+         |uni AS (SELECT unnest(ws) AS w1 FROM tr),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |bgp AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM pr),
+         |sc AS (SELECT b.doc_id, b.bg,
+         |         CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgp b
+         |       LEFT JOIN c12 ON b.bg = c12.bg
+         |       LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+         |       CROSS JOIN v),
+         |rk AS (SELECT doc_id, bg, contrib_q,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY contrib_q, bg) AS rk,
+         |         count(*) OVER (PARTITION BY doc_id) AS n
+         |       FROM sc),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lowk,
+         |          CAST(sum(contrib_q) AS BIGINT) AS sum_lowk_q
+         |        FROM rk WHERE rk <= greatest(1, n * 20 // 100) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_lowk, 0) AS n_lowk,
+         |  coalesce(agg.sum_lowk_q, 0) AS sum_lowk_q
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "lm_score" ->
       s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),

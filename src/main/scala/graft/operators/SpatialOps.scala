@@ -265,6 +265,52 @@ object SpatialOps {
       .filter(col("n_users") >= k)
   }
 
+  /** Radial-distance trajectory simplification (the streaming cousin of
+    * Douglas–Peucker used when a single ordered pass must suffice):
+    * keep the first fix, then every fix at least `epsilonMeters` of
+    * haversine distance from the LAST KEPT fix — the same anchor-jump
+    * recursion as the staypoint detector, minus the dwell-time test.
+    * At 100 TB of raw GPS this is the storage lever: jitter inside the
+    * epsilon ball collapses to its anchor before the expensive
+    * downstream operators run.
+    *
+    * Scale: one shuffle keyed by user, then a sequential per-user scan
+    * (`groupByKey.flatMapGroups`) holding only the anchor — the
+    * lzComplexity contract. Distances use the scalar
+    * [[graft.functions.GeoFunctions.haversineMeters]], bit-identical to
+    * the SQL oracle's expression shape.
+    */
+  def simplifyRadial(points: DataFrame, epsilonMeters: Double): DataFrame = {
+    require(epsilonMeters > 0, "epsilonMeters must be positive")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("user_id").cast("long"), col("t_us").cast("long"),
+        col("id").cast("long"), col("lon"), col("lat"))
+      .as[(Long, Long, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Double, Double)]) =>
+        val fixes = it.toArray.sortBy(f => (f._2, f._3)) // (t_us, id)
+        if (fixes.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+          var (aLon, aLat) = (fixes(0)._4, fixes(0)._5)
+          out += ((u, 0L, fixes(0)._2, aLon, aLat))
+          var i = 1
+          while (i < fixes.length) {
+            val f = fixes(i)
+            if (graft.functions.GeoFunctions.haversineMeters(aLon, aLat, f._4, f._5) >= epsilonMeters) {
+              out += ((u, i.toLong, f._2, f._4, f._5))
+              aLon = f._4; aLat = f._5
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("user_id", "k", "t_us", "lon", "lat")
+  }
+
   /** Point counts per integer grid cell keyed by the Morton (Z-order)
     * code of the cell — the write-layout surface of
     * [[graft.functions.ZOrder]]: sorting cell traffic by this key is

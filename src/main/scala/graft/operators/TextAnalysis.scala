@@ -905,6 +905,57 @@ object TextAnalysis {
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
 
+  /** Min-K% Prob membership inference (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): a probe document's
+    * k% LOWEST per-token log-probabilities under a model trained on the
+    * corpus are the telltale — member documents have no surprisingly-
+    * improbable tokens, non-members do. Here the model is the same
+    * add-α bigram LM as [[lmScore]] (quantized-long contract), so the
+    * per-gram contributions, the bottom-k selection (a rank decision
+    * with gram-string tie-break — ties carry equal values, so the sum
+    * is selection-order-free) and the emitted sums are all engine-exact
+    * integers.
+    *
+    * Scale: the lmScore join shape (count tables + gram equi-joins)
+    * plus one per-document window — keyed by doc id.
+    */
+  def minKProb(probe: DataFrame, train: DataFrame, kPercent: Int = 20,
+               textCol: String = "text", idCol: String = "doc_id",
+               alpha: Long = 1L): DataFrame = {
+    require(kPercent >= 1 && kPercent <= 100, s"kPercent must be in [1,100], got $kPercent")
+    require(alpha > 0, "minKProb: alpha must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val bgCounts = train
+      .select(explode(ngrams(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = train
+      .select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = ctxCounts.agg(count(lit(1)).as("v"))
+    val contribs = probe
+      .select(col(idCol).as("doc_id"), explode(ngrams(col(textCol), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(bgCounts, Seq("bg"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("contrib_q",
+        flq(coalesce(col("c12"), lit(0L)) + lit(alpha)) -
+          flq(coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v")))
+    val lowk = contribs
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("contrib_q"), col("bg"))))
+      .filter(col("_rk") <= greatest(lit(1L), expr(s"_n * $kPercent div 100")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lowk"), sum(col("contrib_q")).as("sum_lowk_q"))
+    probe.select(col(idCol).as("doc_id"))
+      .join(lowk, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lowk"), lit(0L)).as("n_lowk"),
+        coalesce(col("sum_lowk_q"), lit(0L)).as("sum_lowk_q"))
+  }
+
   /** CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank each
     * language's documents by per-token LM log-likelihood and cut into
     * `buckets` equal tiles — head (best), middle, tail — the quality

@@ -1653,6 +1653,10 @@ object SparkEntry {
     "traj_simplify" -> { (s, dir) =>
       SpatialOps.simplifyRadial(EventsAdapter.positionfixes(s, dir), epsilonMeters = 300.0)
     },
+    "colocation_pairs" -> { (s, dir) =>
+      SpatialOps.colocationPairs(EventsAdapter.intervals(s, dir),
+        cellMicroDeg = 10000L, bandMinutes = 120.0)
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -2983,6 +2987,26 @@ object SparkEntry {
          |SELECT $chars AS geohash, CAST(count(*) AS BIGINT) AS n_points
          |FROM gc GROUP BY 1""".stripMargin
     },
+    "colocation_pairs" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |  CAST(count(*) AS BIGINT) AS n_meetings,
+         |  CAST(sum(least(a.f_us, b.f_us) - greatest(a.s_us, b.s_us)) AS BIGINT) AS overlap_us
+         |FROM cells a JOIN cells b
+         |  ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |WHERE a.band = greatest(a.b0, b.b0)
+         |  AND a.user_id < b.user_id
+         |  AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |GROUP BY a.user_id, b.user_id""".stripMargin,
     "traj_simplify" -> {
       val breach =
         s"""(SELECT min(f2.kk) FROM fx f2, fx f1

@@ -265,6 +265,45 @@ object SpatialOps {
       .filter(col("n_users") >= k)
   }
 
+  /** Co-location (meeting) detection: pairs of users whose stay
+    * intervals overlap in time while inside the same spatial grid cell
+    * — the contact/encounter primitive of epidemiology and social-tie
+    * inference on mobility data.
+    *
+    * Scale: the naive formulation is a per-cell interval cross join;
+    * here candidates meet through a (cell, time-band) equi-join — the
+    * IntervalJoin.bandedCandidates envelope, keyed by space AND time —
+    * so the pair volume is quadratic only in the intervals touching one
+    * cell-band, which the band width tunes. A pair spanning several
+    * bands is kept once, at the first band both intervals touch
+    * (`band = greatest(first_a, first_b)` — no post-dedup shuffle).
+    * The final per-pair aggregation map-side combines.
+    */
+  def colocationPairs(intervals: DataFrame, cellMicroDeg: Long = 10000L,
+                      bandMinutes: Double = 120.0): DataFrame = {
+    require(cellMicroDeg > 0 && bandMinutes > 0, "cell and band must be positive")
+    val bandUs = (bandMinutes * 60e6).toLong
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    def side(pfx: String): DataFrame = intervals.select(
+      col("user_id").as(s"${pfx}_user"),
+      col("s_us").as(s"${pfx}_s"), col("f_us").as(s"${pfx}_f"),
+      cell(col("lon")).as("cx"), cell(col("lat")).as("cy"),
+      floor(col("s_us") / lit(bandUs.toDouble)).cast("long").as(s"${pfx}_b0"),
+      explode(sequence(
+        floor(col("s_us") / lit(bandUs.toDouble)).cast("long"),
+        floor(greatest(col("f_us") - 1, col("s_us")) / lit(bandUs.toDouble)).cast("long")))
+        .as("band"))
+    side("a").join(side("b"), Seq("cx", "cy", "band"))
+      .filter(col("band") === greatest(col("a_b0"), col("b_b0")))
+      .filter(col("a_user") < col("b_user"))
+      .filter(col("a_s") < col("b_f") && col("b_s") < col("a_f"))
+      .groupBy(col("a_user").as("user_a"), col("b_user").as("user_b"))
+      .agg(count(lit(1)).cast("long").as("n_meetings"),
+        sum(least(col("a_f"), col("b_f")) - greatest(col("a_s"), col("b_s")))
+          .cast("long").as("overlap_us"))
+  }
+
   /** Radial-distance trajectory simplification (the streaming cousin of
     * Douglas–Peucker used when a single ordered pass must suffice):
     * keep the first fix, then every fix at least `epsilonMeters` of

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ColocationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, user_id, s_us, f_us, lon, lat)
+  private def df(rows: (Long, Long, Long, Long, Double, Double)*) =
+    rows.toDF("id", "user_id", "s_us", "f_us", "lon", "lat")
+
+  private val M = 60000000L // one minute in us
+
+  test("overlapping stays in the same cell pair up; different cells or disjoint times don't") {
+    val intervals = df(
+      (0L, 1L, 0L, 60 * M, -122.4, 47.6),        // A: 0-60min at cell X
+      (1L, 2L, 30 * M, 90 * M, -122.4, 47.6),    // B: 30-90min at cell X -> meets A 30min
+      (2L, 3L, 0L, 60 * M, -122.3, 47.6),        // C: same time, different cell
+      (3L, 4L, 120 * M, 180 * M, -122.4, 47.6))  // D: same cell, later
+    val got = SpatialOps.colocationPairs(intervals, bandMinutes = 120.0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L, 30 * M)))
+  }
+
+  test("pairs spanning multiple time bands count exactly once") {
+    val intervals = df(
+      (0L, 1L, 0L, 300 * M, -122.4, 47.6),   // 0-5h: touches bands 0,1,2 at 2h bands
+      (1L, 2L, 10 * M, 290 * M, -122.4, 47.6))
+    val got = SpatialOps.colocationPairs(intervals, bandMinutes = 120.0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 280 * M)))
+  }
+
+  test("matches a brute-force pair scan on a random-ish fixture") {
+    val rows = (0 until 80).map { i =>
+      val u = (i % 7).toLong + 1
+      val s = (i * 17 % 50).toLong * M
+      val len = ((i * 13) % 40 + 1).toLong * M
+      val lon = -122.4 + ((i * 3) % 4) * 0.01
+      (i.toLong, u, s, s + len, lon, 47.6)
+    }
+    val got = SpatialOps.colocationPairs(df(rows: _*), bandMinutes = 30.0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def cell(c: Double): Long =
+      math.floor(math.floor(c * 1e6 + 0.5) / 10000.0).toLong
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 < b._2
+      if cell(a._5) == cell(b._5) && cell(a._6) == cell(b._6)
+      if a._3 < b._4 && b._3 < a._4
+    } yield (a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3)))
+      .groupBy(p => (p._1, p._2))
+      .map { case ((ua, ub), ps) => (ua, ub, ps.size.toLong, ps.map(_._3).sum) }.toSet
+    assert(got == want)
+  }
+
+  test("candidates meet through the (cell, band) equi-join — no cartesian product") {
+    val rows = (0 until 50).map(i => (i.toLong, (i % 5).toLong, (i % 10).toLong * M,
+      (i % 10 + 5).toLong * M, -122.4, 47.6))
+    val plan = SpatialOps.colocationPairs(df(rows: _*)).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1629,6 +1629,9 @@ object SparkEntry {
     "return_times" -> { (s, dir) =>
       Metrics.returnTimes(Pipeline.staypointsWithLocation(s, dir))
     },
+    "next_location_acc" -> { (s, dir) =>
+      Metrics.nextLocationAccuracy(Pipeline.staypointsWithLocation(s, dir), trainPct = 80)
+    },
     "lz_complexity" -> { (s, dir) =>
       Metrics.lzComplexity(Pipeline.staypointsWithLocation(s, dir))
     },
@@ -2882,6 +2885,41 @@ object SparkEntry {
          |SELECT user_id, rep AS location_id, CAST(revisit AS BIGINT) AS revisit,
          |       CAST(gap_us AS BIGINT) AS gap_us
          |FROM g WHERE gap_us IS NOT NULL""".stripMargin),
+    // markov train/test split + argmax transition + hit counting over
+    // the same rep/spk visit chain as return_times
+    "next_location_acc" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |spk AS (
+         |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sid, u, a_t, f_t FROM kept),
+         |rt AS (
+         |  SELECT r.user_id, r.rep, k.a_t, k.sid
+         |  FROM rep r JOIN spk k ON k.sid = r.sid),
+         |vis AS (
+         |  SELECT user_id, rep AS loc,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY a_t, sid) - 1 AS pos,
+         |         count(*) OVER (PARTITION BY user_id) AS n,
+         |         lag(rep) OVER (PARTITION BY user_id ORDER BY a_t, sid) AS prev
+         |  FROM rt),
+         |tr AS (
+         |  SELECT user_id, prev AS from_loc, loc AS to_loc, count(*) AS c
+         |  FROM vis WHERE prev IS NOT NULL AND pos < (n * 80) // 100
+         |  GROUP BY user_id, prev, loc),
+         |best AS (
+         |  SELECT user_id, from_loc, to_loc AS pred FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, from_loc
+         |                                 ORDER BY c DESC, to_loc) AS rk FROM tr)
+         |  WHERE rk = 1),
+         |ev AS (
+         |  SELECT v.user_id, v.loc, v.prev, b.pred
+         |  FROM vis v LEFT JOIN best b ON b.user_id = v.user_id AND b.from_loc = v.prev
+         |  WHERE v.pos >= (v.n * 80) // 100 AND v.prev IS NOT NULL)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(count(pred) AS BIGINT) AS n_predicted,
+         |  CAST(sum(CASE WHEN pred = loc THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM ev GROUP BY user_id""".stripMargin),
     // LZ76 phrase parsing as a recursive CTE: the per-user symbol string
     // (dense first-visit ranks as characters — phrase structure is
     // relabeling-invariant) advances one phrase per recursion step; the

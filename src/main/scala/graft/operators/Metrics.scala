@@ -267,6 +267,53 @@ object Metrics {
         (unix_micros(col("started_at")) - unix_micros(col("_prev_f"))).as("gap_us"))
   }
 
+  /** First-order Markov next-location prediction accuracy — the
+    * standard empirical companion to the predictability ceiling (Song
+    * et al. 2010 measure Π_max; this measures what the simplest model
+    * actually achieves, cf. Lu et al. 2013 "Approaching the limit of
+    * predictability in human mobility"): per user, train transition
+    * counts on the first `trainPct`% of visits, predict each later
+    * visit from its predecessor by argmax count (ties to the smallest
+    * location key), and report hits. All-integer surface: n_test,
+    * n_predicted (test visits whose context was seen in training),
+    * n_hits.
+    *
+    * Scale: three windows and one aggregation, all keyed by user; the
+    * transition model lives in the cluster as a (user, from, to) count
+    * table — never driver state.
+    */
+  def nextLocationAccuracy(spLoc: DataFrame, trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99, s"trainPct must be in [1,99], got $trainPct")
+    val byLoc = Window.partitionBy(col("user_id"), col("location_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))
+    val visits = spLoc.filter(col("location_id").isNotNull)
+      .withColumn("loc", min(col("id")).over(byLoc))
+      .withColumn("pos", (row_number().over(byUser) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("prev", lag(col("loc"), 1).over(byUser))
+      .withColumn("is_test", col("pos") >= expr(s"(n * $trainPct) div 100"))
+    val transitions = visits
+      .filter(col("prev").isNotNull && !col("is_test"))
+      .groupBy(col("user_id"), col("prev").as("from_loc"), col("loc").as("to_loc"))
+      .agg(count(lit(1)).as("c"))
+    // rename the model side: best derives from `visits`, so joining on
+    // shared-lineage attributes would resolve ambiguously (both sides'
+    // user_id trace to the same expression id)
+    val best = transitions
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("user_id"), col("from_loc"))
+          .orderBy(col("c").desc, col("to_loc"))))
+      .filter(col("_rk") === 1)
+      .select(col("user_id").as("b_user"), col("from_loc"), col("to_loc").as("pred"))
+    visits.filter(col("is_test") && col("prev").isNotNull)
+      .join(best,
+        col("user_id") === col("b_user") && col("prev") === col("from_loc"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        count(col("pred")).cast("long").as("n_predicted"),
+        sum(when(col("pred") === col("loc"), 1L).otherwise(0L)).cast("long").as("n_hits"))
+  }
+
   /** Per-user Lempel–Ziv complexity of the location-visit sequence — the
     * combinatorial core of the "limits of predictability" analysis (Song
     * et al., Science 2010, whose entropy rate is estimated from LZ

@@ -1660,6 +1660,13 @@ object SparkEntry {
       SpatialOps.colocationPairs(EventsAdapter.intervals(s, dir),
         cellMicroDeg = 10000L, bandMinutes = 120.0)
     },
+    "commute_distance" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      Metrics.commuteDistance(sp)
+    },
+    "burstiness" -> { (s, dir) =>
+      EventOps.burstiness(EventsAdapter.events(s, dir))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -3025,6 +3032,52 @@ object SparkEntry {
          |SELECT $chars AS geohash, CAST(count(*) AS BIGINT) AS n_points
          |FROM gc GROUP BY 1""".stripMargin
     },
+    "commute_distance" ->
+      s"""${EventsAdapter.pfsSql},
+         |sp AS (
+         |  SELECT user_id, s_us, f_us, (k // 12) % 4 AS loc, lon, lat FROM intervals),
+         |per AS (
+         |  SELECT user_id, loc, sum(f_us - s_us) AS tot,
+         |         sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS sy,
+         |         count(*) AS n
+         |  FROM sp GROUP BY user_id, loc),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tot DESC, loc) AS rk FROM per),
+         |c AS (
+         |  SELECT user_id, loc,
+         |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS clon,
+         |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS clat, rk
+         |  FROM ranked WHERE rk <= 2)
+         |SELECT h.user_id, CAST(h.loc AS BIGINT) AS home_loc, CAST(w.loc AS BIGINT) AS work_loc,
+         |  ${hav("h.clon", "h.clat", "w.clon", "w.clat")} AS commute_m
+         |FROM c h JOIN c w ON h.user_id = w.user_id AND h.rk = 1 AND w.rk = 2""".stripMargin,
+    "burstiness" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |            PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |         CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+         |         CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+         |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+         |SELECT user_id, n_gaps, sum_gap_s, sum_gap_sq,
+         |  CASE WHEN sqrt(greatest(CAST(sum_gap_sq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+         |                          - (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |                            * (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+         |            + CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0.0
+         |       THEN 0.0
+         |       ELSE (sqrt(greatest(CAST(sum_gap_sq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+         |                           - (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |                             * (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+         |             - CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |            / (sqrt(greatest(CAST(sum_gap_sq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+         |                             - (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |                               * (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+         |               + CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END AS burstiness
+         |FROM m""".stripMargin,
     "colocation_pairs" ->
       s"""${EventsAdapter.pfsSql},
          |cells AS (

@@ -81,4 +81,33 @@ object EventOps {
       .groupBy(col("cohort_week"), (col("_w") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Goh & Barabási (2008) burstiness parameter B = (σ−μ)/(σ+μ) of each
+    * user's inter-event times: B → −1 for clockwork activity, 0 for a
+    * Poisson process, → 1 for extreme burst-silence alternation. The
+    * gate surface carries the exact integer moments (n, Σgap, Σgap²,
+    * in whole seconds so the squares stay well inside a long); the one
+    * double B derives from them through a fixed expression tree — IEEE
+    * division and sqrt are correctly rounded, so the value is
+    * engine-exact. One window + one map-side-combinable groupBy.
+    */
+  def burstiness(events: DataFrame, tsCol: String = "t_us",
+                 userCol: String = "user_id", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val moments = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_gap_s", expr(s"($tsCol - _prev) div 1000000"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("_gap_s")).cast("long").as("sum_gap_s"),
+        sum(col("_gap_s") * col("_gap_s")).cast("long").as("sum_gap_sq"))
+    val mu = col("sum_gap_s").cast("double") / col("n_gaps").cast("double")
+    val variance = greatest(
+      col("sum_gap_sq").cast("double") / col("n_gaps").cast("double") - mu * mu, lit(0.0))
+    val sigma = sqrt(variance)
+    moments.withColumn("burstiness",
+      when(sigma + mu === 0.0, lit(0.0)).otherwise((sigma - mu) / (sigma + mu)))
+  }
 }

@@ -267,6 +267,41 @@ object Metrics {
         (unix_micros(col("started_at")) - unix_micros(col("_prev_f"))).as("gap_us"))
   }
 
+  /** Per-user commute distance: haversine between the FREQ-method home
+    * (top-1 dwell time) and work (top-2) location centers — the derived
+    * quantity home/work identification exists to feed (transport
+    * planning's person-level commute statistic). Centers are integer
+    * micro-degree sums divided once at the end (exact, order-free), the
+    * freqMethod ranking contract. Users with fewer than two locations
+    * drop (no commute to measure).
+    */
+  def commuteDistance(sp: DataFrame): DataFrame = {
+    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
+    val per = sp.filter(col("location_id").isNotNull)
+      .withColumn("_dur", durUs)
+      .groupBy(col("user_id"), col("location_id"))
+      .agg(sum(col("_dur")).as("_total"),
+        sum(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("_sx"),
+        sum(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("_sy"),
+        count(lit(1)).as("_n"))
+    val centers = per
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("_total").desc, col("location_id"))))
+      .filter(col("_rank") <= 2)
+      .withColumn("_clon", col("_sx").cast("double") / col("_n").cast("double") / 1e6)
+      .withColumn("_clat", col("_sy").cast("double") / col("_n").cast("double") / 1e6)
+    val home = centers.filter(col("_rank") === 1).select(
+      col("user_id"), col("location_id").cast("long").as("home_loc"),
+      col("_clon").as("_hlon"), col("_clat").as("_hlat"))
+    val work = centers.filter(col("_rank") === 2).select(
+      col("user_id").as("_wuser"), col("location_id").cast("long").as("work_loc"),
+      col("_clon").as("_wlon"), col("_clat").as("_wlat"))
+    home.join(work, col("user_id") === col("_wuser"))
+      .select(col("user_id"), col("home_loc"), col("work_loc"),
+        graft.functions.GeoFunctions.haversineMeters(
+          col("_hlon"), col("_hlat"), col("_wlon"), col("_wlat")).as("commute_m"))
+  }
+
   /** First-order Markov next-location prediction accuracy — the
     * standard empirical companion to the predictability ceiling (Song
     * et al. 2010 measure Π_max; this measures what the simplest model

@@ -2156,6 +2156,9 @@ object SparkEntry {
     "ngram_diversity" -> { (s, dir) =>
       TextAnalysis.ngramDiversity(s.read.parquet(s"$dir/documents.parquet"), n = 3)
     },
+    "heaps_fit" -> { (s, dir) =>
+      TextAnalysis.heapsFit(s.read.parquet(s"$dir/documents.parquet"), sampleEvery = 8L)
+    },
     "length_histogram" -> { (s, dir) =>
       TextAnalysis.lengthHistogram(s.read.parquet(s"$dir/documents.parquet"))
     },
@@ -3995,6 +3998,35 @@ object SparkEntry {
         |FROM p GROUP BY source""".stripMargin,
     "negative_samples" -> CorpusOps.negativeSamplesSql(k = 4),
     "cdc_chunks" -> CorpusOps.cdcChunksSql(k = 2, maskBits = 5),
+    "heaps_fit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |fo AS (
+        |  SELECT min(doc_id) AS fd FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY word),
+        |nv AS (SELECT fd // 8 AS bucket, CAST(count(*) AS BIGINT) AS nv FROM fo GROUP BY fd // 8),
+        |tk AS (SELECT doc_id // 8 AS bucket, CAST(sum(len(ws)) AS BIGINT) AS nt FROM w GROUP BY doc_id // 8),
+        |cum AS (
+        |  SELECT tk.bucket,
+        |         sum(coalesce(nv.nv, 0)) OVER (ORDER BY tk.bucket ROWS UNBOUNDED PRECEDING) AS v,
+        |         sum(tk.nt) OVER (ORDER BY tk.bucket ROWS UNBOUNDED PRECEDING) AS n
+        |  FROM tk LEFT JOIN nv ON tk.bucket = nv.bucket),
+        |xy AS (
+        |  SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM cum),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy),
+        |sl AS (
+        |  SELECT n_points, sx, sy,
+        |         CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n_points * sxx - sx * sx AS DOUBLE) AS beta
+        |  FROM ag)
+        |SELECT n_points, beta,
+        |       ((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+        |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS log_k
+        |FROM sl""".stripMargin,
     "ngram_diversity" ->
       s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
          |g AS (

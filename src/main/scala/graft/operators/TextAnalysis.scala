@@ -1290,6 +1290,52 @@ object TextAnalysis {
       .select("n_points", "slope", "intercept")
   }
 
+  /** Heaps'-law fit (Heaps 1978; Herdan): the vocabulary-growth exponent
+    * β in V(n) ≈ K·n^β, estimated as the lnq-OLS slope of cumulative
+    * vocabulary against cumulative tokens over the doc_id-ordered
+    * corpus — the zipfFit twin on the growth axis (healthy natural text
+    * sits near β ≈ 0.5; β → 0 means a closed template vocabulary,
+    * β → 1 means id-like churn).
+    *
+    * Scale: the curve is a global prefix sum, which does NOT get a
+    * corpus-wide window — new-vocabulary and token counts first
+    * aggregate per `sampleEvery`-doc bucket (map-side combinable,
+    * #buckets rows), and the cumulative window runs over that bounded
+    * spine only. First occurrences are one groupBy(word).min(doc_id).
+    */
+  def heapsFit(docs: DataFrame, sampleEvery: Long = 8L, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(sampleEvery >= 1, "sampleEvery must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val newVocab = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_w"))
+      .groupBy(col("_w")).agg(min("doc_id").as("_fd"))
+      .groupBy(expr(s"_fd div $sampleEvery").as("bucket"))
+      .agg(count(lit(1)).as("_nv"))
+    val tokens = docs
+      .select(expr(s"$idCol div $sampleEvery").as("bucket"),
+        size(split(col(textCol), " ")).cast("long").as("_nt"))
+      .groupBy(col("bucket")).agg(sum("_nt").as("_nt"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val points = tokens
+      .join(newVocab, Seq("bucket"), "left")
+      .withColumn("_v", sum(coalesce(col("_nv"), lit(0L))).over(w))
+      .withColumn("_n", sum(col("_nt")).over(w))
+      .select(lnq(col("_n")).as("_x"), lnq(col("_v")).as("_y"))
+    points.agg(
+        count(lit(1)).as("n_points"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("beta",
+        (col("n_points") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+          / (col("n_points") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("log_k",
+        ((col("_sy").cast("double") - col("beta") * col("_sx").cast("double"))
+          / col("n_points").cast("double")) / lit(1e6))
+      .select("n_points", "beta", "log_k")
+  }
+
   /** Document fingerprint: the k smallest word-hash hex prefixes (a
     * winnowing-style stable sketch) plus a full-text md5. The per-word
     * md5 runs on exploded rows (codegen) rather than inside a

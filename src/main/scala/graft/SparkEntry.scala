@@ -4020,8 +4020,10 @@ object SparkEntry {
         |  FROM xy),
         |sl AS (
         |  SELECT n_points, sx, sy,
-        |         CAST(n_points * sxy - sx * sy AS DOUBLE)
-        |           / CAST(n_points * sxx - sx * sx AS DOUBLE) AS beta
+        |         CAST(CAST(n_points AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+        |           / CAST(CAST(n_points AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS beta
         |  FROM ag)
         |SELECT n_points, beta,
         |       ((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))

@@ -1327,9 +1327,15 @@ object TextAnalysis {
         count(lit(1)).as("n_points"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
         sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
-      .withColumn("beta",
-        (col("n_points") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
-          / (col("n_points") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("beta", {
+        // slope numerator/denominator overflow a long once the spine has
+        // a few hundred points (n·Σxy with x ~ ln(1e6)·1e6) — do the
+        // cross terms in DECIMAL(38,0) (HUGEINT in the oracle), one
+        // final cast to double each
+        def d(c: Column): Column = c.cast("decimal(38,0)")
+        (d(col("n_points")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))).cast("double") /
+          (d(col("n_points")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))).cast("double")
+      })
       .withColumn("log_k",
         ((col("_sy").cast("double") - col("beta") * col("_sx").cast("double"))
           / col("n_points").cast("double")) / lit(1e6))

@@ -3020,19 +3020,17 @@ object SparkEntry {
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     "geohash_cells" -> {
-      val chars = (0 until 6).map { j =>
-        s"substring('${graft.functions.Geohash.Alphabet}', CAST((((code >> ${5 * (6 - 1 - j)}) & 31) + 1) AS INT), 1)"
-      }.mkString("(", " || ", ")")
+      import graft.functions.{Geohash, ZOrder}
       s"""${EventsAdapter.pfsSql}
          |, gq AS (
-         |  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767) AS lonq,
-         |         least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767) AS latq
+         |  SELECT ${Geohash.quantSql("lon", 6, isLat = false)} AS lonq,
+         |         ${Geohash.quantSql("lat", 6, isLat = true)} AS latq
          |  FROM pfs)
          |, gc AS (
-         |  SELECT (${graft.functions.ZOrder.spreadSql("latq")}
-         |          | (${graft.functions.ZOrder.spreadSql("lonq")} << 1)) AS code
+         |  SELECT (${ZOrder.spreadSql("latq")}
+         |          | (${ZOrder.spreadSql("lonq")} << 1)) AS code
          |  FROM gq)
-         |SELECT $chars AS geohash, CAST(count(*) AS BIGINT) AS n_points
+         |SELECT ${Geohash.charsSql("code", 6)} AS geohash, CAST(count(*) AS BIGINT) AS n_points
          |FROM gc GROUP BY 1""".stripMargin
     },
     "commute_distance" ->
@@ -3123,8 +3121,8 @@ object SparkEntry {
     "zorder_cells" ->
       s"""${EventsAdapter.pfsSql}
          |, cells AS (
-         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576 AS gx,
-         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576 AS gy
+         |  SELECT greatest(least(CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576, 2097151), 0) AS gx,
+         |         greatest(least(CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) + 1048576, 2097151), 0) AS gy
          |  FROM pfs)
          |SELECT ${graft.functions.ZOrder.interleaveSql("gx", "gy")} AS zkey,
          |       CAST(count(*) AS BIGINT) AS n_points
@@ -3952,13 +3950,14 @@ object SparkEntry {
         |         WHEN doc_id % 7 = 1 THEN '?fbclid=x' ELSE '' END ||
         |    CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END AS url
         |  FROM documents),
+        |u1 AS (SELECT doc_id, regexp_extract(url, '^([^#]*)', 1) AS url FROM u0),
         |c AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
         |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{2,}', '/') AS sq,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
-        |  FROM u0),
+        |    regexp_extract(url, '\?(.*)$', 1) AS query
+        |  FROM u1),
         |e AS (
         |  SELECT doc_id, scheme,
         |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,

@@ -35,8 +35,13 @@ object Geohash {
   def encode(lon: Column, lat: Column, precision: Int = 6): Column = {
     val k = checkPrecision(precision)
     val max = (1L << k) - 1L
+    // clamp BOTH ends: coordinates beyond range (malformed GPS like
+    // lon = -999) must pin to the boundary cell, not wrap through the
+    // bit-spread mask into an arbitrary valid-looking hash
     def quant(c: Column, offset: Double, span: Double): Column =
-      least(floor((c + lit(offset)) / lit(span) * lit((1L << k).toDouble)).cast("long"), lit(max))
+      greatest(least(
+        floor((c + lit(offset)) / lit(span) * lit((1L << k).toDouble)).cast("long"),
+        lit(max)), lit(0L))
     val lonQ = quant(lon, 180.0, 360.0)
     val latQ = quant(lat, 90.0, 180.0)
     // geohash bit order from the top: lon, lat, lon, lat, ... so lon
@@ -51,19 +56,33 @@ object Geohash {
     concat(chars: _*)
   }
 
-  /** DuckDB twin of [[encode]] (same operation order, bit-exact). */
-  def encodeSql(lon: String, lat: String, precision: Int = 6): String = {
+  /** SQL twin of one axis' quantization (the single source the full
+    * [[encodeSql]] expansion AND CTE-structured oracles both build on).
+    */
+  def quantSql(e: String, precision: Int, isLat: Boolean): String = {
     val k = checkPrecision(precision)
     val max = (1L << k) - 1L
-    def quant(e: String, offset: String, span: Double): String =
-      s"least(CAST(floor((($e) + $offset) / $span * ${(1L << k).toDouble}) AS BIGINT), $max)"
-    val lonQ = quant(lon, "180.0", 360.0)
-    val latQ = quant(lat, "90.0", 180.0)
-    val code = s"(${ZOrder.spreadSql(latQ)} | (${ZOrder.spreadSql(lonQ)} << 1))"
-    val chars = (0 until precision).map { j =>
+    val (offset, span) = if (isLat) ("90.0", 180.0) else ("180.0", 360.0)
+    s"greatest(least(CAST(floor((($e) + $offset) / $span * ${(1L << k).toDouble}) AS BIGINT), $max), 0)"
+  }
+
+  /** SQL emitting the base-32 chars of an already-bound `code` column. */
+  def charsSql(codeCol: String, precision: Int): String = {
+    checkPrecision(precision)
+    (0 until precision).map { j =>
       val shift = 5 * (precision - 1 - j)
-      s"substring('$Alphabet', CAST(((($code >> $shift) & 31) + 1) AS INT), 1)"
-    }
-    chars.mkString("(", " || ", ")")
+      s"substring('$Alphabet', CAST(((($codeCol >> $shift) & 31) + 1) AS INT), 1)"
+    }.mkString("(", " || ", ")")
+  }
+
+  /** DuckDB twin of [[encode]] (same operation order, bit-exact).
+    * NOTE: textually expands the spread 64×; bind complex lon/lat in a
+    * CTE first, or compose [[quantSql]]/[[charsSql]] with
+    * [[ZOrder.spreadSql]] over bound columns as the gate oracle does.
+    */
+  def encodeSql(lon: String, lat: String, precision: Int = 6): String = {
+    val code = s"(${ZOrder.spreadSql(quantSql(lat, precision, isLat = true))}" +
+      s" | (${ZOrder.spreadSql(quantSql(lon, precision, isLat = false))} << 1))"
+    charsSql(code, precision)
   }
 }

@@ -75,6 +75,11 @@ object EmbeddingStats {
         }
         (0 until dim).foreach(i => out += ((i, -1, sums(i))))
         out += ((-1, -1, n))
+        // dim sentinel: the per-partition require() only sees ITS rows,
+        // so two partitions with different widths would otherwise merge
+        // mismatched accumulators silently — collectors check that all
+        // (-2, dim) rows agree
+        out += ((-2, dim, 1L))
         out.iterator
       }
     }.toDF("i", "j", "partial")
@@ -88,7 +93,7 @@ object EmbeddingStats {
     */
   def covarianceGate(embs: DataFrame, vecCol: String = "embedding"): DataFrame =
     moments(embs, vecCol)
-      .filter(col("j") >= 0)
+      .filter(col("i") >= 0 && col("j") >= 0)
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("sum_val").cast("long").as("sum_prod"))
 
@@ -113,6 +118,9 @@ object EmbeddingStats {
   def pcaTopComponent(embs: DataFrame, vecCol: String = "embedding",
                       iters: Int = 50): (Array[Double], Double) = {
     val rows = moments(embs, vecCol).collect()
+    val dims = rows.filter(_.getInt(0) == -2).map(_.getInt(1)).distinct
+    require(dims.length <= 1,
+      s"ragged embeddings across partitions: dims ${dims.sorted.mkString(", ")}")
     val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
       .map(_.getDecimal(2).doubleValue()).getOrElse(0.0)
     require(n > 1, s"need at least 2 rows, got $n")
@@ -120,7 +128,7 @@ object EmbeddingStats {
       .map(r => r.getInt(0) -> r.getDecimal(2).doubleValue() / n / Scale).toMap
     val dim = means.size
     val c = Array.ofDim[Double](dim, dim)
-    rows.filter(_.getInt(1) >= 0).foreach { r =>
+    rows.filter(r => r.getInt(0) >= 0 && r.getInt(1) >= 0).foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val m2 = r.getDecimal(2).doubleValue() / (Scale * Scale)
       val cov = m2 / n - means(i) * means(j)

@@ -49,17 +49,26 @@ object LocationLabelling {
   /** FREQ method: rank locations by summed duration per user; top-1 gets
     * "home", top-2 "work" (location_identification.py:165-243).
     */
-  def freqMethod(sp: DataFrame, labels: Seq[String] = Seq("home", "work")): DataFrame = {
-    // integer-microsecond durations: exact, order-independent sums, so the
-    // ranking is reproducible across runs and engines
+  /** Per-(user, location) dwell totals ranked per user — THE shared
+    * ranking contract of the FREQ labeller and Metrics.commuteDistance:
+    * integer-microsecond durations (exact, order-independent sums, so
+    * the ranking is reproducible across runs and engines), rank by
+    * (total desc, location_id). `extraAggs` ride the same groupBy so a
+    * caller needing per-location aggregates (centroid sums) pays no
+    * second pass.
+    */
+  def dwellRanking(sp: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
     val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
-    val perLoc = sp
-      .filter(col("location_id").isNotNull)
+    sp.filter(col("location_id").isNotNull)
       .withColumn("_dur", durUs)
-      .groupBy("user_id", "location_id")
-      .agg(sum(col("_dur")).as("_total"))
-    val ranked = perLoc.withColumn("_rank",
-      row_number().over(Window.partitionBy("user_id").orderBy(col("_total").desc, col("location_id"))))
+      .groupBy(col("user_id"), col("location_id"))
+      .agg(sum(col("_dur")).as("_total"), extraAggs: _*)
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("_total").desc, col("location_id"))))
+  }
+
+  def freqMethod(sp: DataFrame, labels: Seq[String] = Seq("home", "work")): DataFrame = {
+    val ranked = dwellRanking(sp)
     val labelled = ranked.withColumn("purpose",
       labels.zipWithIndex.foldLeft(lit(null).cast("string")) { case (acc, (l, i)) =>
         when(col("_rank") === i + 1, l).otherwise(acc)

@@ -276,17 +276,10 @@ object Metrics {
     * drop (no commute to measure).
     */
   def commuteDistance(sp: DataFrame): DataFrame = {
-    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
-    val per = sp.filter(col("location_id").isNotNull)
-      .withColumn("_dur", durUs)
-      .groupBy(col("user_id"), col("location_id"))
-      .agg(sum(col("_dur")).as("_total"),
+    val centers = LocationLabelling.dwellRanking(sp, Seq(
         sum(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("_sx"),
         sum(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("_sy"),
-        count(lit(1)).as("_n"))
-    val centers = per
-      .withColumn("_rank", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("_total").desc, col("location_id"))))
+        count(lit(1)).as("_n")))
       .filter(col("_rank") <= 2)
       .withColumn("_clon", col("_sx").cast("double") / col("_n").cast("double") / 1e6)
       .withColumn("_clat", col("_sy").cast("double") / col("_n").cast("double") / 1e6)

@@ -362,8 +362,10 @@ object SpatialOps {
   def zorderCells(points: DataFrame, cellMicroDeg: Long = 10000L): DataFrame = {
     def cell(c: Column): Column =
       floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
-    val gx = cell(col("lon")) + lit(1L << 20)
-    val gy = cell(col("lat")) + lit(1L << 20)
+    // clamp both ends: out-of-range coordinates pin to the boundary cell
+    // instead of wrapping through the interleave's bit mask
+    val gx = greatest(least(cell(col("lon")) + lit(1L << 20), lit(graft.functions.ZOrder.Max)), lit(0L))
+    val gy = greatest(least(cell(col("lat")) + lit(1L << 20), lit(graft.functions.ZOrder.Max)), lit(0L))
     points
       .groupBy(graft.functions.ZOrder.interleave(gx, gy).as("zkey"))
       .agg(count(lit(1)).as("n_points"))

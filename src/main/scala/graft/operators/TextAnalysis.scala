@@ -1417,7 +1417,10 @@ object TextAnalysis {
     * diverge), so the twin is exact. Scan-stage.
     */
   def urlCanonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val u = col(urlCol)
+    // fragment goes FIRST: a '?' whose first appearance is inside the
+    // fragment ('https://ex.com/app#/route?tab=1') must not resurrect
+    // as a query string after the fragment is dropped
+    val u = regexp_extract(col(urlCol), "^([^#]*)", 1)
     val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val authority = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val hostPort = regexp_replace(authority, "^[^@]*@", "")
@@ -1429,7 +1432,7 @@ object TextAnalysis {
     val squashed = regexp_replace(rawPath, "/{2,}", "/")
     val path = when(length(squashed) > 1 && squashed.endsWith("/"),
       squashed.substr(lit(1), length(squashed) - 1)).otherwise(squashed)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val query = regexp_extract(u, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"), p =>
       p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
     val qs = array_join(params, "&")

@@ -6,27 +6,8 @@ import org.apache.spark.sql.functions._
 class GeohashSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent reference: the classic per-bit bisection algorithm. */
-  private def refGeohash(lon: Double, lat: Double, precision: Int): String = {
-    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
-    var even = true
-    val sb = new StringBuilder
-    var bit = 0
-    var idx = 0
-    while (sb.length < precision) {
-      if (even) {
-        val mid = (lonLo + lonHi) / 2
-        if (lon >= mid) { idx = idx * 2 + 1; lonLo = mid } else { idx = idx * 2; lonHi = mid }
-      } else {
-        val mid = (latLo + latHi) / 2
-        if (lat >= mid) { idx = idx * 2 + 1; latLo = mid } else { idx = idx * 2; latHi = mid }
-      }
-      even = !even
-      bit += 1
-      if (bit == 5) { sb.append(Geohash.Alphabet(idx)); bit = 0; idx = 0 }
-    }
-    sb.toString
-  }
+  private def refGeohash(lon: Double, lat: Double, precision: Int): String =
+    GeohashReference.encode(lon, lat, precision)
 
   test("matches the published vector and the bisection reference") {
     val coords = Seq(
@@ -46,6 +27,15 @@ class GeohashSpec extends SparkSpec {
       Geohash.encode(col("lon"), col("lat"), 4).as("g4"),
       Geohash.encode(col("lon"), col("lat"), 6).as("g6")).as[(String, String)].collect()
     rows.foreach { case (g4, g6) => assert(g6.startsWith(g4), s"$g6 !startsWith $g4") }
+  }
+
+  test("out-of-range coordinates clamp to boundary cells, never wrap") {
+    val got = Seq((-999.0, 47.6), (999.0, -999.0), (0.0, 95.0)).toDF("lon", "lat")
+      .select(Geohash.encode(col("lon"), col("lat"), 6).as("g")).as[String].collect().toSeq
+    // clamped = the hash of the clamped corner coordinate, not garbage
+    assert(got(0) == refGeohash(-180.0, 47.6, 6))
+    assert(got(1) == refGeohash(179.9999999, -90.0, 6)) // max-bin lon, min lat
+    assert(got(2) == refGeohash(0.0, 89.9999999, 6))
   }
 
   test("odd precisions are rejected (bit would split across axes)") {

@@ -37,22 +37,8 @@ class KeyKernelPropertySpec extends SparkSpec {
   }
 
   test("geohash matches the bisection reference on random coordinates (200 cases)") {
-    def refGeohash(lon: Double, lat: Double, precision: Int): String = {
-      var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
-      var even = true; val sb = new StringBuilder; var bit = 0; var idx = 0
-      while (sb.length < precision) {
-        if (even) {
-          val mid = (lonLo + lonHi) / 2
-          if (lon >= mid) { idx = idx * 2 + 1; lonLo = mid } else { idx = idx * 2; lonHi = mid }
-        } else {
-          val mid = (latLo + latHi) / 2
-          if (lat >= mid) { idx = idx * 2 + 1; latLo = mid } else { idx = idx * 2; latHi = mid }
-        }
-        even = !even; bit += 1
-        if (bit == 5) { sb.append(Geohash.Alphabet(idx)); bit = 0; idx = 0 }
-      }
-      sb.toString
-    }
+    def refGeohash(lon: Double, lat: Double, precision: Int): String =
+      GeohashReference.encode(lon, lat, precision)
     val gen = for {
       lon <- Gen.choose(-179.9999, 179.9999)
       lat <- Gen.choose(-89.9999, 89.9999)

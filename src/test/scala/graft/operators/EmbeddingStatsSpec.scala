@@ -37,6 +37,19 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("ragged dims across partitions fail loudly instead of merging") {
+    val mixed = spark.createDataset(
+      (0 until 20).map(_ => Seq(1.0f, 2.0f, 3.0f)) ++
+        (0 until 20).map(_ => Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("embedding")
+      .repartition(4)
+    val e = intercept[Exception] {
+      EmbeddingStats.pcaTopComponent(mixed)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("ragged"), s"expected a ragged-dims error, got: $msgs")
+  }
+
   test("power iteration recovers a planted dominant direction") {
     // points spread along (3, 4)/5 with small orthogonal noise
     val dir = Array(0.6, 0.8)

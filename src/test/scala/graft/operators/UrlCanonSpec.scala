@@ -27,6 +27,16 @@ class UrlCanonSpec extends SparkSpec {
       "https://h.example.com/deep/path/x"))
   }
 
+  test("a '?' first appearing inside the fragment is not resurrected as a query") {
+    val got = canon(
+      "https://ex.com/app#/route?tab=1", // SPA route: no real query
+      "https://ex.com/app#/route",
+      "https://ex.com/app?real=1#sec?x=2")
+    assert(got(0) == "https://ex.com/app")
+    assert(got(0) == got(1)) // fragment-only difference -> same class
+    assert(got(2) == "https://ex.com/app?real=1")
+  }
+
   test("canonical equivalence classes collapse crawl duplicates") {
     val variants = Seq(
       "https://Site.Example.com/page?utm_campaign=x",

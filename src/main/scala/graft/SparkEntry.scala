@@ -2216,6 +2216,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
         Pipeline.minhashPairs(s, dir))
     },
+    "dedup_rate" -> { (s, dir) =>
+      Dedup.dedupRateByGroup(
+        s.read.parquet(s"$dir/documents.parquet"), Pipeline.minhashPairs(s, dir))
+    },
+    "weighted_sample_grouped" -> { (s, dir) =>
+      CorpusOps.weightedSampleByGroup(
+        s.read.parquet(s"$dir/documents.parquet"), kPerGroup = 5, weightCol = "n_chars",
+        groupCol = "lang")
+    },
+    "ann_filtered" -> { (s, dir) =>
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.filteredTopK(embs.filter(col("vec_id") < 10), embs, labelValue = 1L, k = 5)
+    },
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
     },
@@ -4698,6 +4711,52 @@ object SparkEntry {
         |FROM cum CROSS JOIN q
         |WHERE cum - cnt < (q_bp * n + 9999) // 10000
         |  AND (q_bp * n + 9999) // 10000 <= cum""".stripMargin,
+    "weighted_sample_grouped" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         |         ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 2147483647 AS r
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (
+         |  SELECT doc_id, lang, weight,
+         |         ((CAST(floor(ln(CAST(2147483647 AS DOUBLE)) * 1000000) AS BIGINT)
+         |           - CAST(floor(ln(CAST(r + 1 AS DOUBLE)) * 1000000) AS BIGINT))
+         |          * 1048576) // weight AS priority_q
+         |  FROM h),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority_q, doc_id) AS rank
+         |  FROM k)
+         |SELECT doc_id, lang, weight, priority_q, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 5""".stripMargin,
+    "dedup_rate" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},
+         |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |dropped AS (
+         |  SELECT n.node FROM nodes n JOIN reach r ON r.a = n.node
+         |  GROUP BY n.node HAVING least(n.node, min(r.b)) <> n.node)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT node FROM dropped) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT node FROM dropped) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS drop_rate
+         |FROM documents GROUP BY source""".stripMargin,
+    "ann_filtered" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |  FROM cand c, probes p WHERE p.vec_id != c.vec_id)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     "weighted_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,

@@ -42,6 +42,20 @@ object Ann {
   /** Exact top-k cosine neighbors for each probe vector.
     * @param probes small table (broadcast) with (idCol, vecCol)
     */
+  /** Attribute-filtered top-k: search only the corpus rows matching a
+    * label predicate — with PRE-filter semantics (the filter applies
+    * before candidate generation, so the result is the true top-k of
+    * the filtered set and always has k rows when the set is large
+    * enough; post-filtering an unfiltered top-k would silently return
+    * fewer). At scale the filter rides the scan (predicate pushdown to
+    * parquet), shrinking the side that moves — the standard shape of
+    * filtered vector search.
+    */
+  def filteredTopK(probes: DataFrame, corpus: DataFrame, labelValue: Long,
+                   k: Int = 5, labelCol: String = "label",
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(probes, corpus.filter(col(labelCol) === labelValue), k, idCol, vecCol)
+
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int = 5,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))

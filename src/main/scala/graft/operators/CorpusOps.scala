@@ -831,6 +831,34 @@ object CorpusOps {
       .select(Seq(col(idCol)) ++ keepCols.map(col) ++ Seq(col("weight"), col("priority_q")): _*)
   }
 
+  /** Per-group deterministic weighted sampling without replacement —
+    * [[weightedSample]]'s grouped form (k docs from EVERY group in one
+    * pass, the "balanced eval slice per language" cut). Same
+    * Efraimidis–Spirakis quantized-priority keys; the global
+    * TakeOrdered becomes a per-group rank that Spark executes as
+    * WindowGroupLimit, so each partition stops materializing a group's
+    * candidates past k before the shuffle — no corpus sort anywhere.
+    */
+  def weightedSampleByGroup(docs: DataFrame, kPerGroup: Int, weightCol: String,
+                            groupCol: String = "lang", salt: String = "graft",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(kPerGroup > 0, "kPerGroup must be positive")
+    def lnq(c: Column) = floor(log(c.cast("double")) * 1e6).cast("long")
+    val h = pmod(PortableHash.h60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+      lit(PortableHash.M))
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(groupCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("_a", lnq(lit(PortableHash.M)) - lnq(h + 1L))
+      .withColumn("priority_q", expr("(_a * 1048576) div weight"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("priority_q"), col(idCol))))
+      .filter(col("_rk") <= kPerGroup)
+      .select(col(idCol), col(groupCol), col("weight"), col("priority_q"),
+        col("_rk").cast("long").as("rank"))
+  }
+
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

@@ -403,6 +403,27 @@ object Dedup {
     docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Per-group dedup-rate monitor: how much of each source/language the
+    * near-dup pass removes — the ingest-health number that flags a feed
+    * republishing its own archive (or a crawler looping) before the
+    * mixture math silently re-weights around it. Same loser set as
+    * [[pruneDuplicates]]; the drop flag is one broadcast-size hash join
+    * (losers ≪ corpus), the rate one map-side-combinable groupBy.
+    */
+  def dedupRateByGroup(docs: DataFrame, pairs: DataFrame, groupCol: String = "source",
+                       idCol: String = "doc_id",
+                       localThreshold: Long = 1000000L): DataFrame = {
+    val drops = duplicateClusters(pairs, localThreshold = localThreshold)
+      .filter(!col("keep")).select(col("doc_id").as("_drop_id"), lit(1L).as("_dropped"))
+    docs.select(col(idCol), col(groupCol))
+      .join(drops, docs(idCol) === col("_drop_id"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum("_dropped"), lit(0L)).cast("long").as("n_dropped"))
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Exact duplicated-span removal at word-n-gram granularity — the
     * word-level form of exact-substring deduplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", which

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationMonitorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup rate per group: cloned source shows the drop, clean source shows zero") {
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "copied text payload one two three four five six", "cloned")) ++
+      (0 until 6).map(i => (10L + i, s"unique document number $i with its own words entirely", "clean")))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.minHashLsh(docs, numHashes = 64, bands = 16, verifyThreshold = 0.5)
+    val got = Dedup.dedupRateByGroup(docs, pairs)
+      .select("source", "n_docs", "n_dropped").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("cloned") == ((6L, 5L))) // one keeper survives the 6-clone family
+    assert(got("clean") == ((6L, 0L)))
+  }
+
+  test("grouped weighted sample takes exactly k per group and matches the global priorities") {
+    val docs = (0 until 60).map(i => (i.toLong, s"t$i", if (i % 2 == 0) "en" else "de", 10L + i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = CorpusOps.weightedSampleByGroup(docs, kPerGroup = 4, weightCol = "n_chars")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.groupBy(_._2).forall(_._2.length == 4))
+    // per-group winners = the global priority order restricted to the group
+    val global = CorpusOps.weightedSample(docs, k = 60, weightCol = "n_chars")
+      .select("doc_id", "lang", "priority_q").as[(Long, String, Long)].collect()
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val expect = global.filter(_._2 == lang).sortBy(r => (r._3, r._1)).take(4).map(_._1).toSet
+      assert(rows.map(_._1).toSet == expect, s"group $lang")
+    }
+  }
+
+  test("grouped sampling plans a WindowGroupLimit (rank stops materializing past k)") {
+    val docs = (0 until 100).map(i => (i.toLong, "t", "en", 10L + i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val plan = CorpusOps.weightedSampleByGroup(docs, kPerGroup = 3, weightCol = "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("filtered ANN is the true top-k of the filtered set (pre-filter semantics)") {
+    def vec(seed: Int) = (0 until 8).map(d => math.sin(seed * 7.0 + d).toFloat)
+    val embs = (0 until 40).map(i => (i.toLong, vec(i), (i % 3)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.filteredTopK(embs.filter(col("vec_id") < 3), embs, labelValue = 1L, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n) => assert(n % 3 == 1, s"neighbor $n escaped the label filter") }
+    assert(got.groupBy(_._1).forall(_._2.length == 5)) // pre-filter: full k from the 13 label-1 rows
+  }
+}

@@ -2153,6 +2153,19 @@ object SparkEntry {
     "zipf_fit" -> { (s, dir) =>
       TextAnalysis.zipfFit(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
+    "tfidf_topterms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(s.read.parquet(s"$dir/documents.parquet"), topK = 3)
+    },
+    "pmi_collocations" -> { (s, dir) =>
+      TextAnalysis.pmiCollocations(s.read.parquet(s"$dir/documents.parquet"),
+        minCount = 5, discount = 1, topK = 50)
+    },
+    "event_rate_anomalies" -> { (s, dir) =>
+      EventOps.rateAnomalies(EventsAdapter.events(s, dir), zThreshold = 3L)
+    },
+    "event_decayed_counts" -> { (s, dir) =>
+      EventOps.decayedCounts(EventsAdapter.events(s, dir), halfLifeHours = 24L)
+    },
     "ngram_diversity" -> { (s, dir) =>
       TextAnalysis.ngramDiversity(s.read.parquet(s"$dir/documents.parquet"), n = 3)
     },
@@ -3950,6 +3963,73 @@ object SparkEntry {
         |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
+    // tf · quantized-idf exact longs; per-doc top-3 with term-asc tie-break
+    "tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |         tf.tf * (CAST(floor(ln(CAST(nd.n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+        |                - CAST(floor(ln(CAST(df.df AS DOUBLE)) * 1e6) AS BIGINT)) AS score_q
+        |  FROM tf JOIN df USING(w) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, w) AS rk
+        |      FROM sc)
+        |SELECT doc_id, w AS term, tf, df, score_q, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3""".stripMargin,
+    // word2phrase discounted PMI: lnq(c_ab−δ)+lnq(N)−lnq(c_a)−lnq(c_b)
+    // exact longs; zero-shuffle adjacent pairs become 1-indexed list peeks
+    "pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text,' '), w -> len(w) > 0) AS ws FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |    FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i))
+        |  GROUP BY w1, w2 HAVING count(*) >= 5 AND count(*) > 1)
+        |SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |       CAST(floor(ln(CAST(c_ab - 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |       + CAST(floor(ln(CAST(tot.n_words AS DOUBLE)) * 1e6) AS BIGINT)
+        |       - CAST(floor(ln(CAST(ca.c AS DOUBLE)) * 1e6) AS BIGINT)
+        |       - CAST(floor(ln(CAST(cb.c AS DOUBLE)) * 1e6) AS BIGINT) AS score_q
+        |FROM bi JOIN uni ca ON bi.w1 = ca.w JOIN uni cb ON bi.w2 = cb.w CROSS JOIN tot
+        |ORDER BY score_q DESC, w1, w2 LIMIT 50""".stripMargin,
+    // cross-multiplied z² decision in int128 — no float mean/stddev exists
+    "event_rate_anomalies" ->
+      """WITH c AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(n_events) AS BIGINT) AS sum_c,
+        |         CAST(sum(n_events * n_events) AS BIGINT) AS sum_c2
+        |  FROM c GROUP BY user_id)
+        |SELECT c.user_id, c.bucket_us, c.n_events, m.n_buckets, m.sum_c, m.sum_c2
+        |FROM c JOIN m USING (user_id)
+        |WHERE c.n_events * m.n_buckets - m.sum_c > 0
+        |  AND CAST(c.n_events * m.n_buckets - m.sum_c AS HUGEINT)
+        |      * CAST(c.n_events * m.n_buckets - m.sum_c AS HUGEINT)
+        |      > 9 * CAST(m.n_buckets * m.sum_c2 - m.sum_c * m.sum_c AS HUGEINT)""".stripMargin,
+    // exact power-of-two half-life weights: 2^40 >> age, floored at 40
+    "event_decayed_counts" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         CASE WHEN (r.ref_us - epoch_us(ts)) // 86400000000 >= 40 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(1099511627776 AS BIGINT)
+        |                   >> CAST((r.ref_us - epoch_us(ts)) // 86400000000 AS INT) END AS w_q
+        |  FROM events CROSS JOIN r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(w_q) AS DECIMAL(38,0)) AS decayed_q
+        |FROM w GROUP BY event_type""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
     "oov_rate" -> TextAnalysis.oovRateSql(vocabSize = 50),
     "url_canonicalize" ->

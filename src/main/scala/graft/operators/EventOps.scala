@@ -110,4 +110,77 @@ object EventOps {
     moments.withColumn("burstiness",
       when(sigma + mu === 0.0, lit(0.0)).otherwise((sigma - mu) / (sigma + mu)))
   }
+
+  /** Per-user event-rate anomaly detection: flag time buckets whose event
+    * count sits more than `zThreshold` standard deviations above that
+    * user's own bucket-rate distribution — the ingest-monitoring primitive
+    * behind "this feed just 50×'d, is the crawler looping?" alerts.
+    *
+    * The baseline is over the user's OBSERVED buckets (silent hours carry
+    * no row and do not dilute the variance — documented semantics, not an
+    * accident: for sparse streams an all-zeros spine would flag every
+    * active hour).
+    *
+    * Scale shape: one (user, bucket) map-side-combinable count, one
+    * per-user moment aggregate (n, Σc, Σc²), one equi-join keyed on the
+    * user. The z² decision is cross-multiplied — `(c·n − Σc)² >
+    * z²·(n·Σc² − (Σc)²)` — in DECIMAL(38,0) so the squares are exact at
+    * any realistic count (a long² would overflow past ~3·10⁹·√n), and no
+    * float mean/stddev ever exists.
+    */
+  def rateAnomalies(events: DataFrame, zThreshold: Long = 3L,
+                    bucketUs: Long = 3600000000L, tsCol: String = "t_us",
+                    userCol: String = "user_id"): DataFrame = {
+    require(zThreshold > 0, "rateAnomalies: zThreshold must be positive")
+    require(bucketUs > 0, "rateAnomalies: bucketUs must be positive")
+    val counts = events
+      .withColumn("bucket_us", expr(s"($tsCol div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col(userCol), col("bucket_us"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val moments = counts
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("n_events")).cast("long").as("sum_c"),
+        sum(col("n_events") * col("n_events")).cast("long").as("sum_c2"))
+    val dec = "decimal(38,0)"
+    counts.join(moments, Seq(userCol))
+      .withColumn("dev_num", col("n_events") * col("n_buckets") - col("sum_c"))
+      .withColumn("var_num",
+        col("n_buckets") * col("sum_c2") - col("sum_c") * col("sum_c"))
+      .filter(col("dev_num") > 0 &&
+        col("dev_num").cast(dec) * col("dev_num").cast(dec) >
+          lit(zThreshold * zThreshold).cast(dec) * col("var_num").cast(dec))
+      .select(col(userCol), col("bucket_us"), col("n_events"),
+        col("n_buckets"), col("sum_c"), col("sum_c2"))
+  }
+
+  /** Time-decayed event counts per event type — the freshness-weighted
+    * activity monitor ("how alive is this source *lately*") with an
+    * exponential half-life. Decay is exact: age in whole half-lives
+    * shifts a power-of-two weight, `w_q = 2^40 >> min(age_hl, 40)` (0
+    * beyond 40 half-lives), so `decayed_q = Σ w_q` is pure long
+    * arithmetic — no `exp()`, no float accumulation order, bit-identical
+    * in any engine. The reference instant is the stream's own max
+    * timestamp (a 1-row broadcast), so the result is a deterministic
+    * function of the data alone.
+    *
+    * Scale shape: one 1-row aggregate broadcast + a scan-stage weight
+    * decision + one map-side-combinable groupBy over |event types| rows.
+    */
+  def decayedCounts(events: DataFrame, halfLifeHours: Long = 24L,
+                    tsCol: String = "t_us", typeCol: String = "event_type"): DataFrame = {
+    require(halfLifeHours > 0, "decayedCounts: halfLifeHours must be positive")
+    val hlUs = halfLifeHours * 3600000000L
+    val ref = events.agg(max(col(tsCol)).as("_ref_us"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("_age_hl", expr(s"(_ref_us - $tsCol) div ${hlUs}L"))
+      .withColumn("_w_q", when(col("_age_hl") >= 40L, lit(0L))
+        .otherwise(expr("shiftright(cast(1099511627776 as bigint), cast(_age_hl as int))")))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        // 2^40-scaled weights summed in DECIMAL(38,0): a long Σ would
+        // overflow past ~8·10⁶ fully-fresh events per type — fine at test
+        // scale, not at 100 TB (the embedding-covariance contract)
+        sum(col("_w_q").cast("decimal(38,0)")).as("decayed_q"))
+  }
 }

@@ -1508,4 +1508,89 @@ object TextAnalysis {
       .withColumn("boiler_share",
         col("n_boiler").cast("double") / col("n_grams").cast("double"))
   }
+
+  /** Per-document tf-idf top-k keyword extraction — the classic salient-term
+    * summary behind corpus browsing, topic labelling, and per-source keyword
+    * drift monitors (cf. Salton & Buckley 1988 term weighting).
+    *
+    * Scale shape: term frequencies and document frequencies are two
+    * map-side-combinable groupBys over one exploded scan; the tf↔df join
+    * keys on the term (df carries only terms past `minDf`); N is a 1-row
+    * broadcast. The per-document top-k is a rank window Spark executes as
+    * WindowGroupLimit — each partition stops materializing a document's
+    * candidates past k before the shuffle, never a global sort.
+    *
+    * Engine-exactness: idf is the quantized-ln contract — `score_q =
+    * tf · (lnq(N) − lnq(df))` is an exact long, so ranking (score desc,
+    * term asc) is bit-identical in any engine; a corpus-universal term
+    * (df = N) scores exactly 0.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3, minDf: Long = 1L,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "tfidfTopTerms: topK must be positive")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf
+      .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("_w"))
+    tf.join(dfreq, Seq("_w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_q", col("tf") * (lnq(col("n_docs")) - lnq(col("df"))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col("doc_id"), col("_w").as("term"), col("tf"), col("df"),
+        col("score_q"), col("_rk").cast("long").as("rank"))
+  }
+
+  /** PMI collocation mining (the word2phrase pass of Mikolov et al. 2013 —
+    * "new york" should be one token before a vocabulary is committed).
+    * Scores adjacent word pairs by the discounted pointwise mutual
+    * information `score = (c(ab) − δ) · N / (c(a) · c(b))` and returns the
+    * global top-K above `minCount`.
+    *
+    * Scale shape: bigrams come from a zero-shuffle `zip_with` over each
+    * document's word array (no positional self-join); unigram and bigram
+    * counts are map-side-combinable groupBys; the two count lookups are
+    * equi-joins keyed on the word where the bigram side has already been
+    * cut to `minCount` survivors; the final top-K is a TakeOrdered.
+    *
+    * Engine-exactness: `score_q = lnq(c_ab − δ) + lnq(N) − lnq(c_a) −
+    * lnq(c_b)` — exact long arithmetic over quantized lns, ties broken by
+    * (w1, w2), so the ranked list is engine-stable.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, discount: Long = 1L,
+                      topK: Int = 50, textCol: String = "text"): DataFrame = {
+    require(topK > 0, "pmiCollocations: topK must be positive")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val toks = docs.select(
+      filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
+    val uni = toks
+      .select(explode(col("_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+    val n1 = greatest(size(col("_ws")) - 1, lit(0))
+    val bi = toks
+      .select(explode(zip_with(
+        slice(col("_ws"), lit(1), n1), slice(col("_ws"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c_ab"))
+      .filter(col("c_ab") >= minCount && col("c_ab") > discount)
+    val total = uni.agg(sum(col("c")).cast("long").as("n_words"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_q",
+        lnq(col("c_ab") - lit(discount)) + lnq(col("n_words")) -
+          lnq(col("c_a")) - lnq(col("c_b")))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("score_q"))
+      .orderBy(col("score_q").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -346,6 +346,55 @@ object SparkEntry {
        |FROM (SELECT DISTINCT probe_id FROM bt) p
        |LEFT JOIN hcnt h ON p.probe_id = h.probe_id""".stripMargin
 
+  /** [[graft.operators.Ann.ndcgEval]]: the recall-oracle truth/IVF chains
+    * kept WITH their ranks, then quantized-discount DCG vs the ideal
+    * replayed over the probe's own truth ranks. `//` on positive BIGINTs
+    * truncates exactly like Spark's `div`.
+    */
+  private def annNdcgOracle(k: Int, nlist: Int, nprobe: Int): String = {
+    def wq(r: String) =
+      s"(1000000000000 // CAST(floor(log2($r + 1) * 1000000) AS BIGINT))"
+    s"""WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |bscored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("p.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+       |bt AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS tr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM bscored) WHERE rank <= $k),
+       |cent AS (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $nlist),
+       |ranked AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "cv")} DESC, c_id) AS rn
+       |  FROM embeddings e, cent),
+       |corpcell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn = 1),
+       |probecell AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.vec_id AS probe_id, p.embedding AS pe, c.vec_id AS neighbor_id, c.embedding AS ce
+       |  FROM probecell p JOIN corpcell c ON p.cell = c.cell WHERE p.vec_id != c.vec_id),
+       |iscored AS (
+       |  SELECT probe_id, neighbor_id, ${cosineSql("pe", "ce")} AS cosine FROM cand),
+       |it AS (
+       |  SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM iscored) WHERE rank <= $k),
+       |idcg AS (
+       |  SELECT probe_id, CAST(sum(($k - tr + 1) * ${wq("tr")}) AS BIGINT) AS idcg_q
+       |  FROM bt GROUP BY probe_id),
+       |dj AS (
+       |  SELECT it.probe_id, COALESCE($k - bt.tr + 1, 0) AS rel, it.rank
+       |  FROM it LEFT JOIN bt ON it.probe_id = bt.probe_id AND it.neighbor_id = bt.neighbor_id),
+       |dcg AS (
+       |  SELECT probe_id, CAST(sum(rel * ${wq("rank")}) AS BIGINT) AS dcg_q
+       |  FROM dj GROUP BY probe_id)
+       |SELECT i.probe_id, CAST(COALESCE(d.dcg_q, 0) AS BIGINT) AS dcg_q, i.idcg_q,
+       |       CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / CAST(i.idcg_q AS DOUBLE) AS ndcg
+       |FROM idcg i LEFT JOIN dcg d ON i.probe_id = d.probe_id""".stripMargin
+  }
+
   /** [[graft.operators.KMeans.outliers]]: the kmeansCtes training chain,
     * one extra distance/argmin block against the FINAL centroids, then
     * the top-N by (distance desc, id) — every long the same as Spark's.
@@ -1937,6 +1986,18 @@ object SparkEntry {
         dim = 64, iters = 8, stepDiv = 16384L, buckets = 8,
         share = _.localCheckpoint(false))
     },
+    "classifier_auc" -> { (s, dir) =>
+      Classifier.aucEval(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        dim = 64, iters = 8, stepDiv = 16384L,
+        share = _.localCheckpoint(false))
+    },
+    "split_leakage" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.splitLeakage(docs,
+        Dedup.minHashLsh(docs, numHashes = 64, bands = 16, verifyThreshold = 0.5))
+    },
     // embedding-space drift: shared clusters trained on the full table,
     // even ids as corpus A vs odd ids as corpus B; dense k-row output
     "embedding_drift" -> { (s, dir) =>
@@ -1956,6 +2017,10 @@ object SparkEntry {
     "ann_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.recallEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+    },
+    "ann_ndcg" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ndcgEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
@@ -3915,6 +3980,24 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
     "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
+    "ann_ndcg" -> annNdcgOracle(k = 5, nlist = 32, nprobe = 4),
+    // near-dup pairs straddling the hash-split boundary: the dedup_minhash
+    // pair chain joined twice against the split_assign CASE predicate
+    "split_leakage" ->
+      s"""WITH ${minhashPairsCte(64, 16, 0.5)},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${h60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_1,
+         |       greatest(sa.split, sb.split) AS split_2,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(CASE WHEN least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         |FROM dup JOIN sp sa ON dup.id_a = sa.doc_id JOIN sp sb ON dup.id_b = sb.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "embedding_outliers" -> outliersOracle(k = 8, iters = 2, topN = 20),
     // char-level Shannon entropy under the quantized-ln contract: the
     // numerator n·lnq(n) − Σ c·lnq(c) is an exact long; one final division
@@ -4194,6 +4277,36 @@ object SparkEntry {
          |  CAST(sum(p_q) AS DOUBLE)
          |    / (CAST(count(*) AS DOUBLE) * CAST(${Classifier.PS} AS DOUBLE)) AS predicted
          |FROM scal GROUP BY bucket""".stripMargin,
+    // Mann–Whitney U from per-score class counts: the calibration chain's
+    // scal CTE regrouped by p_q, cumulative negatives below, U·2 exact in
+    // int128 — auc is the one final double division
+    "classifier_auc" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 8, stepDiv = 16384L)},
+         |csz AS (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw8 w ON x.b = w.b GROUP BY x.doc_id),
+         |scal AS (
+         |  SELECT s.doc_id,
+         |         greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0) AS p_q,
+         |         y.y AS label
+         |  FROM csz s JOIN cy y ON s.doc_id = y.doc_id),
+         |bys AS (
+         |  SELECT p_q, CAST(sum(label) AS BIGINT) AS c_pos,
+         |         CAST(count(*) - sum(label) AS BIGINT) AS c_neg
+         |  FROM scal GROUP BY p_q),
+         |cum AS (
+         |  SELECT p_q, c_pos, c_neg,
+         |    COALESCE(sum(c_neg) OVER (ORDER BY p_q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+         |  FROM bys),
+         |ag AS (
+         |  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos, CAST(sum(c_neg) AS BIGINT) AS n_neg,
+         |         CAST(sum(CAST(c_pos AS HUGEINT)
+         |           * (2 * CAST(cum_neg AS HUGEINT) + c_neg)) AS DECIMAL(38,0)) AS u2
+         |  FROM cum)
+         |SELECT n_pos, n_neg, u2,
+         |       CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+         |FROM ag""".stripMargin,
     // shared 8-cluster space (2 iterations), final assignment of every
     // vector (fd/fa = the semantic_dedup assignment pattern), even/odd
     // occupancy counts, quantized-ln drift over a dense cluster spine

@@ -71,6 +71,47 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
 
+  /** nDCG@k of the IVF search against brute-force truth — the
+    * rank-position-aware companion to [[recallEval]] (recall says "how
+    * many truth neighbors appear at all"; nDCG says "and how high"). The
+    * graded relevance of a returned neighbor is `k − truth_rank + 1`
+    * (truth's #1 is worth k, its #k worth 1, non-truth 0), discounted by
+    * the standard 1/log₂(rank+1) position weight.
+    *
+    * Engine-exactness: the discount is quantized —
+    * `w_q(r) = 10¹² div lnq₂(r+1)` with `lnq₂(x) = floor(log₂(x)·10⁶)` —
+    * so per-probe DCG/iDCG are exact integer sums and `ndcg = dcg_q /
+    * idcg_q` is one correctly-rounded double division. iDCG replays the
+    * same weights over the probe's own truth ranks, so a probe with fewer
+    * than k truth neighbors is normalized by its achievable ideal.
+    *
+    * Scale shape: both search legs are the audited operators; the overlay
+    * is one (probe, neighbor) equi-join + two bounded per-probe
+    * aggregates. No new shuffle class.
+    */
+  def ndcgEval(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+               nlist: Int = 32, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def wq(rankCol: String) =
+      expr(s"1000000000000 div cast(floor(log2($rankCol + 1) * 1000000) as bigint)")
+    val truth = bruteForceTopK(probes, corpus, k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("_tr"))
+    val idcg = truth
+      .groupBy(col("probe_id"))
+      .agg(sum((lit(k.toLong) - col("_tr") + 1L) * wq("_tr")).as("idcg_q"))
+    val dcg = ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("_rel", coalesce(lit(k.toLong) - col("_tr") + 1L, lit(0L)))
+      .groupBy(col("probe_id"))
+      .agg(sum(col("_rel") * wq("rank")).as("dcg_q"))
+    idcg.join(dcg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"), col("idcg_q"),
+        (coalesce(col("dcg_q"), lit(0L)).cast("double") /
+          col("idcg_q").cast("double")).as("ndcg"))
+  }
+
   /** Max embedding dimensionality covered by the precomputed hyperplane
     * tables. Vectors longer than this throw at eval (loud failure — the
     * old composed form silently null-padded oversized vectors into one

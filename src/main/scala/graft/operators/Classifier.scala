@@ -188,6 +188,45 @@ object Classifier {
         col("observed"), col("predicted"))
   }
 
+  /** ROC AUC of the trained classifier via the Mann–Whitney U rank
+    * statistic — the threshold-free companion to [[calibration]]
+    * (calibration asks "are the probabilities honest", AUC asks "does the
+    * ranking separate the classes at all").
+    *
+    * Computed from per-score class counts, never per-pair: group the
+    * corpus by the quantized score `p_q` (domain-bounded — at most PS+1 =
+    * 2¹⁸+1 distinct values regardless of corpus size), then
+    * `U·2 = Σ_s c_pos(s) · (2·cum_neg(<s) + c_neg(s))` — concordant pairs
+    * plus ties-count-half, doubled so the sum stays integer. The one
+    * unpartitioned window runs over the bounded by-score table, not the
+    * corpus; products accumulate in DECIMAL(38,0) so 100 TB-scale
+    * n_pos·n_neg cannot overflow.
+    *
+    * AUC = U2 / (2·n_pos·n_neg) — a single double division of exact
+    * integers at the end.
+    */
+  def aucEval(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+              idCol: String = "doc_id", textCol: String = "text", labelCol: String = "label",
+              share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val byScore = trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("p_q"))
+      .agg(sum(col(labelCol)).cast("long").as("c_pos"),
+        (count(lit(1)) - sum(col(labelCol))).cast("long").as("c_neg"))
+    val w = Window.orderBy(col("p_q")).rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_neg", coalesce(sum(col("c_neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("c_pos")).cast("long").as("n_pos"),
+        sum(col("c_neg")).cast("long").as("n_neg"),
+        sum(col("c_pos").cast(dec) *
+          (lit(2L).cast(dec) * col("cum_neg").cast(dec) + col("c_neg").cast(dec))).as("u2"))
+      .withColumn("auc", col("u2").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+  }
+
   /** Train-then-score in one call (the gate's scoring query): fit on
     * `docs`' labels, then score every document with the final weights.
     */

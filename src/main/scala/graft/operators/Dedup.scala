@@ -424,6 +424,31 @@ object Dedup {
         col("n_dropped").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Cross-split near-dup leakage monitor: how many near-duplicate pairs
+    * straddle the train/val/test boundary — the contamination a hash
+    * split structurally cannot prevent (each clone hashes independently),
+    * and the reason near-dup pruning must run BEFORE splitting. A nonzero
+    * (train, test) row means eval numbers are inflated.
+    *
+    * Scale shape: the split assignment is the scan-stage [[CorpusOps
+    * .hashSplit]] predicate (recomputed, no stored state); the overlay is
+    * two id equi-joins of the pair table against it, output bounded by
+    * |splits|². Pair volume — not corpus size — drives the cost.
+    */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+                   weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                   salt: String = "graft", idCol: String = "doc_id"): DataFrame = {
+    val sp = CorpusOps.hashSplit(docs, weights, salt, idCol)
+      .select(col(idCol), col("split"))
+    pairs
+      .join(sp.select(col(idCol).as("id_a"), col("split").as("_sa")), Seq("id_a"))
+      .join(sp.select(col(idCol).as("id_b"), col("split").as("_sb")), Seq("id_b"))
+      .groupBy(least(col("_sa"), col("_sb")).as("split_1"),
+        greatest(col("_sa"), col("_sb")).as("split_2"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .withColumn("is_leak", (col("split_1") =!= col("split_2")).cast("long"))
+  }
+
   /** Exact duplicated-span removal at word-n-gram granularity — the
     * word-level form of exact-substring deduplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", which

@@ -104,6 +104,26 @@ class ClassifierSpec extends SparkSpec {
     assert(byBucket(cal.map(_._1).min)._5 == 0.0)
   }
 
+  test("aucEval: separable fixture scores AUC 1.0 with exact U-statistic") {
+    val docs = labeled.toDF("doc_id", "text", "label")
+    val r = Classifier.aucEval(docs, dim = 256, iters = 8, stepDiv = 1024L).collect().head
+    val (nPos, nNeg) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    assert((nPos, nNeg) == ((3L, 3L)))
+    // perfectly separated: every positive outranks every negative —
+    // U2 = 2·n_pos·n_neg exactly, AUC exactly 1.0
+    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact() == 2L * nPos * nNeg)
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("aucEval: identical texts with mixed labels tie every score — AUC exactly 0.5") {
+    val docs = (0 until 8).map(i => (i.toLong, "same words here", (i % 2).toLong))
+      .toDF("doc_id", "text", "label")
+    val r = Classifier.aucEval(docs, dim = 64, iters = 4, stepDiv = 1024L).collect().head
+    // one tie group: U2 = n_pos·n_neg (ties count half, doubled)
+    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact() == 16L)
+    assert(r.getAs[Double]("auc") == 0.5)
+  }
+
   test("clusterSizeHistogram: chain and pair reduce to (size -> count) rows") {
     import spark.implicits._
     // component {1,2,3} (size 3) and {10,11} (size 2)

@@ -52,4 +52,22 @@ class CurationMonitorsSpec extends SparkSpec {
     got.foreach { case (_, n) => assert(n % 3 == 1, s"neighbor $n escaped the label filter") }
     assert(got.groupBy(_._1).forall(_._2.length == 5)) // pre-filter: full k from the 13 label-1 rows
   }
+
+  test("splitLeakage: pair counts per canonical split combo match a brute-force replay") {
+    val docs = (0 until 40).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val split = CorpusOps.hashSplit(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val expect = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L), (10L, 11L))
+      .map { case (a, b) =>
+        val ss = Seq(split(a), split(b)).sorted; (ss(0), ss(1)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Dedup.splitLeakage(docs, pairs)
+      .select("split_1", "split_2", "n_pairs", "is_leak")
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == expect)
+    got.foreach { r => assert(r._4 == (if (r._1 != r._2) 1L else 0L)) }
+    assert(got.map(_._3).sum == 6L) // every pair lands in exactly one combo
+  }
 }

@@ -59,6 +59,25 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(full.forall(_ == 1.0))
   }
 
+  test("ndcgEval: perfect probe scores 1.0; the probe missing its rank-2 truth pays the graded loss") {
+    // same geometry as the recall fixture: probe 0's IVF list equals its
+    // truth list; probe 3's list finds only truth-rank-1 (neighbor 1)
+    val emb = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f),
+      4L -> Seq(0.7f, 0.7f)).toDF("vec_id", "embedding")
+    def wq(r: Long): Long = 1000000000000L / math.floor(math.log(r + 1.0) / math.log(2.0) * 1e6).toLong
+    val out = Ann.ndcgEval(emb.filter(col("vec_id").isin(0L, 3L)), emb,
+      k = 2, nlist = 2, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("dcg_q"), r.getAs[Long]("idcg_q"), r.getAs[Double]("ndcg")))).toMap
+    val idcg = 2L * wq(1) + 1L * wq(2)
+    assert(out(0L) == ((idcg, idcg, 1.0)))
+    // probe 3: only its truth-#1 returned, at position 1 → dcg = 2·w(1)
+    assert(out(3L) == ((2L * wq(1), idcg, (2L * wq(1)).toDouble / idcg.toDouble)))
+    assert(out(3L)._3 < 1.0)
+  }
+
   test("mmrRerank: a near-duplicate of the top hit is deferred; pure relevance keeps it") {
     // candidates: 10 ≅ 11 (near-identical vectors), 12 orthogonal-ish
     val pool = Seq(

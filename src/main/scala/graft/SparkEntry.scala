@@ -1887,6 +1887,10 @@ object SparkEntry {
       Pipeline.minhashPairs(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
     },
+    "dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"),
+        numHashes = 64, bands = 16, threshold = 0.5)
+    },
     // decontamination-by-similarity: a 50-doc "new crawl" (doc_id < 50)
     // near-dup-checked against the remaining corpus before joining the mix
     "dedup_cross" -> { (s, dir) =>
@@ -2449,6 +2453,19 @@ object SparkEntry {
       val media = Multimodal.wavFixtures(s.read.parquet(s"$dir/documents.parquet"))
       Multimodal.audioEnergyWindows(media, windowSamples = 128,
         thresholdMeanSquare = 100000000L)
+    },
+    "audio_clipping" -> { (s, dir) =>
+      val media = Multimodal.wavFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.audioClipping(media, threshold = 32000L)
+    },
+    "image_size_filter" -> { (s, dir) =>
+      val media = Multimodal.pngFixtures(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.imageSizeFilter(media, minEdge = 6L, maxAspect = 2L)
+    },
+    "packing_efficiency" -> { (s, dir) =>
+      val packed = CorpusOps.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), budgetTokens = 512L)
+      CorpusOps.packingEfficiency(packed, budgetTokens = 512L)
     },
     "video_keyframes" -> { (s, dir) =>
       val media = Multimodal.gifFixtures(s.read.parquet(s"$dir/documents.parquet"))
@@ -3973,6 +3990,20 @@ object SparkEntry {
          |       COALESCE(k.kt, '') AS text_deduped
          |FROM nb n LEFT JOIN ka k ON n.doc_id = k.doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
+    // Broder containment over the same band-candidate chain (threshold -1
+    // keeps every candidate in dup); |∩|/|A| and |∩|/|B| rounded to 1e-6
+    // before the either-direction admission — identical on both engines
+    "dedup_containment" ->
+      s"""WITH ${minhashPairsCte(64, 16, -1.0)},
+         |cont AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |          / CAST(len(sa.s) AS DOUBLE), 6) AS containment_a,
+         |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |          / CAST(len(sb.s) AS DOUBLE), 6) AS containment_b
+         |  FROM dup JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, containment_a, containment_b
+         |FROM cont WHERE greatest(containment_a, containment_b) >= 0.5""".stripMargin,
     "dedup_cross" -> minhashCrossOracle(numHashes = 64, bands = 16, threshold = 0.5,
       probeMax = 50L),
     "dedup_clusters" -> dedupClustersOracle(numHashes = 64, bands = 16, threshold = 0.5),
@@ -4531,6 +4562,36 @@ object SparkEntry {
         |SELECT doc_id AS media_id, window_idx, n_samples, energy_q,
         |  energy_q < n_samples * 100000000 AS silent
         |FROM s""".stripMargin,
+    // clipping: closed-form PCM16 fixture samples, |s| >= 32000 count and
+    // peak per clip — the audio_energy sample formula reaggregated
+    "audio_clipping" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(200 + doc_id % 100 AS BIGINT) AS n_frames,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels
+        |  FROM documents),
+        |s AS (
+        |  SELECT m.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN abs((m.doc_id * 31 + i.range * 7) % 65536 - 32768) >= 32000
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |    CAST(max(abs((m.doc_id * 31 + i.range * 7) % 65536 - 32768)) AS BIGINT) AS peak
+        |  FROM m, range(0, 600) i
+        |  WHERE i.range < m.n_frames * m.channels
+        |  GROUP BY m.doc_id)
+        |SELECT doc_id AS media_id, TRUE AS ok, n_samples, n_clipped, peak,
+        |  CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE) AS clipped_share
+        |FROM s""".stripMargin,
+    // size/aspect policy over the closed-form fixture dimensions; the
+    // aspect decision is the same integer cross-compare as the operator
+    "image_size_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |         CAST(4 + doc_id % 11 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, TRUE AS ok, w AS width, h AS height,
+        |  (least(w, h) >= 6 AND greatest(w, h) <= 2 * least(w, h)) AS keep
+        |FROM m""".stripMargin,
     // keyframes: the multimodal_frames pixel sums at everyK=1 plus the
     // identical lag/delta/keep decision
     "video_keyframes" ->
@@ -4759,6 +4820,26 @@ object SparkEntry {
          |         CASE WHEN p.running + o.tokens > 512 THEN o.tokens ELSE p.running + o.tokens END
          |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
          |SELECT lang, doc_id, tokens, bin FROM pack""".stripMargin,
+    // the pack_sequences recursion reduced to its per-group efficiency
+    // card: bins, exact basis-point fill, oversize-document count
+    "packing_efficiency" ->
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack(lang, rn, doc_id, tokens, bin, running) AS (
+         |  SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.rn, o.doc_id, o.tokens,
+         |         CASE WHEN p.running + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+         |         CASE WHEN p.running + o.tokens > 512 THEN o.tokens ELSE p.running + o.tokens END
+         |  FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CASE WHEN tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+         |  (10000 * CAST(sum(tokens) AS BIGINT)) // ((max(bin) + 1) * 512) AS fill_bp
+         |FROM pack GROUP BY lang""".stripMargin,
     // the BPE training chain feeds per-doc real token counts into the
     // same greedy packing recursion (budget 256)
     "pack_by_bpe" ->

@@ -496,6 +496,25 @@ object CorpusOps {
       .toDF()
   }
 
+  /** Packing-efficiency report over [[packSequences]] output: per group,
+    * how many bins the greedy pack used, how full they are (integer
+    * basis points — `10000·Σtokens div (bins·budget)`, exact in any
+    * engine), and how many documents exceed the budget outright (each
+    * burns a dedicated overflowing bin — the "raise max_seq_len or chunk
+    * first" signal). One map-side-combinable groupBy over the packed
+    * table; |groups| rows out.
+    */
+  def packingEfficiency(packed: DataFrame, budgetTokens: Long,
+                        groupCol: String = "lang"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    packed.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        (max(col("bin")) + 1L).cast("long").as("n_bins"),
+        sum(col("tokens")).cast("long").as("sum_tokens"),
+        sum((col("tokens") > budgetTokens).cast("long")).cast("long").as("n_oversize"))
+      .withColumn("fill_bp", expr(s"(10000 * sum_tokens) div (n_bins * ${budgetTokens}L)"))
+  }
+
   /** Per-group corpus statistics ("corpus card"): document count, token
     * volume, character volume, and vocabulary size per (group) — the
     * summary table every curation run publishes with its output.

@@ -424,6 +424,41 @@ object Dedup {
         col("n_dropped").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Shingle-containment near-dup pairs (Broder 1997's asymmetric
+    * resemblance): `containment(A→B) = |A∩B| / |A|` catches a document
+    * EMBEDDED in a larger one — a quoted article inside a blog page, a
+    * README pasted into a repo dump — which symmetric Jaccard dilutes
+    * below any usable threshold as the host grows. Candidates come from
+    * the same minhash band equi-join as [[minHashLsh]] (band collision
+    * probability is driven by the smaller set's resemblance, so
+    * high-containment pairs still collide); a pair survives if EITHER
+    * direction reaches `threshold`. Both containments are emitted, both
+    * rounded to 1e-6 before the threshold so admission is engine-exact.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val withShingles = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+    val bandHashes = ColumnShim.column(
+      graft.plans.MinHashBands(ColumnShim.expression(col("_sh")), numHashes, bands))
+    val banded = withShingles.select(col("_id"), posexplode(bandHashes))
+      .select(col("_id"), col("pos").as("_b"), col("col").as("_h"))
+    val left = banded.select(col("_b"), col("_h"), col("_id").as("id_a"))
+    val right = banded.select(col("_b"), col("_h"), col("_id").as("id_b"))
+    val pairs = left.join(right, Seq("_b", "_h")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(withShingles.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(withShingles.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double"))
+      .withColumn("containment_a", round(col("_inter") / size(col("_sh_a")).cast("double"), 6))
+      .withColumn("containment_b", round(col("_inter") / size(col("_sh_b")).cast("double"), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+  }
+
   /** Cross-split near-dup leakage monitor: how many near-duplicate pairs
     * straddle the train/val/test boundary — the contamination a hash
     * split structurally cannot prevent (each clone hashes independently),

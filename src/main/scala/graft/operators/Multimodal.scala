@@ -441,6 +441,87 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioSchema))
   }
 
+  /** LAION-style image admission policy over the REAL decoded
+    * dimensions: keep iff both edges ≥ `minEdge` and the aspect ratio
+    * (long edge : short edge) is at most `maxAspect` — decided by the
+    * integer cross-compare `long ≤ maxAspect · short`, so no float ratio
+    * exists. Corrupt/undecodable blobs (ok = false) are kept in the
+    * output with keep = false (never a silent drop — the audit row).
+    * Same batched-decode scan as [[decodeImages]]; zero shuffle.
+    */
+  def imageSizeFilter(media: DataFrame, minEdge: Long = 6L, maxAspect: Long = 2L,
+                      batchSize: Int = 64): DataFrame = {
+    require(minEdge > 0 && maxAspect > 0, "minEdge and maxAspect must be positive")
+    decodeImages(media, batchSize)
+      .select(col("media_id"), col("ok"), col("width"), col("height"))
+      .withColumn("keep", col("ok") &&
+        least(col("width"), col("height")) >= minEdge &&
+        greatest(col("width"), col("height")) <=
+          lit(maxAspect) * least(col("width"), col("height")))
+  }
+
+  private val clipSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("n_clipped", LongType, nullable = true),
+    StructField("peak", LongType, nullable = true)))
+
+  /** Clipping detection over the decoded PCM16 stream: the share of
+    * samples at or beyond `threshold` absolute amplitude plus the peak —
+    * the distortion-QA row of audio curation (a clip recorded too hot is
+    * useless to a speech model no matter what the VAD says). Same
+    * batched decode scan as [[decodeAudio]]; only four scalars per clip
+    * move on. Undecodable blobs keep an ok = false audit row.
+    */
+  def audioClipping(media: DataFrame, threshold: Long = 32000L,
+                    batchSize: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 32768L, "threshold must be in (0, 32768]")
+    val input = media.select(col("media_id"), col("blob"))
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val decoded =
+            if (bytes == null || bytes.isEmpty) None
+            else
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                val pcm16le = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+                if (!pcm16le) None
+                else {
+                  val data = ais.readAllBytes()
+                  var n = 0L; var nClip = 0L; var peak = 0L
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong
+                    val a = math.abs(s)
+                    if (a >= threshold) nClip += 1
+                    if (a > peak) peak = a
+                    n += 1
+                    i += 2
+                  }
+                  Some((n, nClip, peak))
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => None
+                case _: java.io.IOException => None
+              }
+          decoded match {
+            case Some((n, c, p)) => Row(id, true, n, c, p)
+            case None => Row(id, false, null, null, null)
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(clipSchema))
+      .withColumn("clipped_share",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+  }
+
   private val energySchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("window_idx", LongType, nullable = false),

@@ -53,6 +53,40 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.length == 5)) // pre-filter: full k from the 13 label-1 rows
   }
 
+  test("containmentPairs: a document embedded in a larger host is caught where Jaccard dilutes") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val host = s"intro words before the quoted body $quote and a long tail of extra " +
+      "unrelated commentary stretching the host document much further onward " +
+      "with more and more filler terms diluting the union"
+    val docs = Seq((1L, quote), (2L, host), (3L, "completely different content here entirely"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, numHashes = 64, bands = 32, threshold = 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, ca, cb) = cont.head
+    assert(ca >= 0.8, s"containment quote->host $ca") // quote fully inside host
+    assert(cb < 0.8, s"host side dilutes: $cb")
+    // symmetric Jaccard on the same pair would miss it at this bar
+    val jac = Dedup.minHashLsh(docs, numHashes = 64, bands = 32, verifyThreshold = 0.8)
+    assert(jac.count() == 0L)
+  }
+
+  test("packingEfficiency: exact bins, basis-point fill, and oversize count") {
+    // group g: docs of 3, 3, 5 tokens at budget 6 -> bins [3+3], [5]
+    // group h: one 9-token doc (oversize) and one 2-token doc
+    val docs = Seq(
+      (1L, "a b c", "g"), (2L, "d e f", "g"), (3L, "p q r s t", "g"),
+      (4L, "one two three four five six seven eight nine", "h"), (5L, "x y", "h"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.packingEfficiency(
+      CorpusOps.packSequences(docs, budgetTokens = 6L), budgetTokens = 6L)
+      .select("lang", "n_docs", "n_bins", "sum_tokens", "n_oversize", "fill_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("g") == ((3L, 2L, 11L, 0L, 10000L * 11 / 12)))
+    assert(out("h") == ((2L, 2L, 11L, 1L, 10000L * 11 / 12)))
+  }
+
   test("splitLeakage: pair counts per canonical split combo match a brute-force replay") {
     val docs = (0 until 40).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L), (10L, 11L))

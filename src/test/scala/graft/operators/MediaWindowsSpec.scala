@@ -36,6 +36,37 @@ class MediaWindowsSpec extends SparkSpec {
     assert(quiet.filter(!col("silent")).count() == 0)
   }
 
+  test("audio clipping counts and peak match a closed-form replay; corrupt blob keeps an audit row") {
+    val docs = (0L until 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Multimodal.audioClipping(Multimodal.wavFixtures(docs), threshold = 32000L)
+      .select("media_id", "ok", "n_samples", "n_clipped", "peak")
+      .as[(Long, Boolean, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    (0L until 5L).foreach { id =>
+      val flat = Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+      val ss = (0 until flat).map(i => math.abs(Multimodal.audioSample(id, i).toLong))
+      assert(got(id) == ((true, flat.toLong, ss.count(_ >= 32000L).toLong, ss.max)), s"clip $id")
+    }
+    // corrupt payload: ok=false row survives, never silently dropped
+    val bad = Seq((9L, Array[Byte](1, 2, 3), "audio/wav")).toDF("media_id", "blob", "mime")
+    val r = Multimodal.audioClipping(bad).select("media_id", "ok").as[(Long, Boolean)].collect()
+    assert(r.toSeq == Seq((9L, false)))
+  }
+
+  test("image size filter applies min-edge and aspect rules on real decoded dims") {
+    val docs = (0L until 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Multimodal.imageSizeFilter(Multimodal.pngFixtures(docs), minEdge = 6L, maxAspect = 2L)
+      .select("media_id", "width", "height", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == 30)
+    got.foreach { case (id, w, h, keep) =>
+      assert(w == Multimodal.fixtureWidth(id).toLong && h == Multimodal.fixtureHeight(id).toLong)
+      val expect = math.min(w, h) >= 6L && math.max(w, h) <= 2L * math.min(w, h)
+      assert(keep == expect, s"image $id ${w}x$h")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4)) // both outcomes fire
+  }
+
   test("keyframes keep frame 0 and every frame moving >= the luma threshold") {
     val docs = (0L until 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val media = Multimodal.gifFixtures(docs)

@@ -1513,10 +1513,13 @@ object TextAnalysis {
     * summary behind corpus browsing, topic labelling, and per-source keyword
     * drift monitors (cf. Salton & Buckley 1988 term weighting).
     *
-    * Scale shape: term frequencies and document frequencies are two
-    * map-side-combinable groupBys over one exploded scan; the tf↔df join
-    * keys on the term (df carries only terms past `minDf`); N is a 1-row
-    * broadcast. The per-document top-k is a rank window Spark executes as
+    * Scale shape: ONE pass over the text — term frequencies are a
+    * map-side-combinable groupBy over the exploded scan, and document
+    * frequency is a count window over the same table keyed on the term
+    * (a separate df aggregate would re-run the exploded scan: observed as
+    * a doubled scan stage in the first cut's plan). N is a 1-row
+    * broadcast (a count-star scan that reads no text bytes). The
+    * per-document top-k is a rank window Spark executes as
     * WindowGroupLimit — each partition stops materializing a document's
     * candidates past k before the shuffle, never a global sort.
     *
@@ -1534,12 +1537,11 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("_w"))
       .filter(length(col("_w")) > 0)
       .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).cast("long").as("tf"))
-    val dfreq = tf
-      .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("df"))
-      .filter(col("df") >= minDf)
     val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("_w"))
-    tf.join(dfreq, Seq("_w"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("_w"))).cast("long"))
+      .filter(col("df") >= minDf)
       .crossJoin(broadcast(nDocs))
       .withColumn("score_q", col("tf") * (lnq(col("n_docs")) - lnq(col("df"))))
       .withColumn("_rk", row_number().over(w))
@@ -1556,23 +1558,27 @@ object TextAnalysis {
     *
     * Scale shape: bigrams come from a zero-shuffle `zip_with` over each
     * document's word array (no positional self-join); unigram and bigram
-    * counts are map-side-combinable groupBys; the two count lookups are
-    * equi-joins keyed on the word where the bigram side has already been
-    * cut to `minCount` survivors; the final top-K is a TakeOrdered.
+    * counts are map-side-combinable groupBys. The vocabulary-bounded
+    * unigram table goes through the `share` hook once and feeds BOTH
+    * count lookups and the 1-row total — without it the plan re-runs the
+    * token scan for each consumer (observed as 4 scan stages in the
+    * first cut). The bigram side is cut to `minCount` survivors before
+    * joining; the final top-K is a TakeOrdered.
     *
     * Engine-exactness: `score_q = lnq(c_ab − δ) + lnq(N) − lnq(c_a) −
     * lnq(c_b)` — exact long arithmetic over quantized lns, ties broken by
     * (w1, w2), so the ranked list is engine-stable.
     */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L, discount: Long = 1L,
-                      topK: Int = 50, textCol: String = "text"): DataFrame = {
+                      topK: Int = 50, textCol: String = "text",
+                      share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     require(topK > 0, "pmiCollocations: topK must be positive")
     def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
     val toks = docs.select(
       filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
-    val uni = toks
+    val uni = share(toks
       .select(explode(col("_ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c")))
     val n1 = greatest(size(col("_ws")) - 1, lit(0))
     val bi = toks
       .select(explode(zip_with(

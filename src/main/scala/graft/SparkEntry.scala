@@ -2235,6 +2235,23 @@ object SparkEntry {
     "event_decayed_counts" -> { (s, dir) =>
       EventOps.decayedCounts(EventsAdapter.events(s, dir), halfLifeHours = 24L)
     },
+    "event_props_summary" -> { (s, dir) =>
+      EventOps.propsSummary(EventsAdapter.events(s, dir))
+    },
+    "template_affix" -> { (s, dir) =>
+      TextAnalysis.templateAffix(s.read.parquet(s"$dir/documents.parquet"), cap = 120)
+    },
+    "license_tag" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").withColumn("lic_text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" Creative Commons Attribution"))
+            .when(col("doc_id") % 5 === 1, lit(" Released under the MIT License"))
+            .when(col("doc_id") % 5 === 2, lit(" All Rights Reserved."))
+            .when(col("doc_id") % 5 === 3, lit(" Apache License 2.0 All Rights Reserved"))
+            .otherwise(lit(""))))
+      TextAnalysis.licenseTag(docs, "lic_text")
+        .groupBy(col("license")).agg(count(lit(1)).cast("long").as("n_docs"))
+    },
     "ngram_diversity" -> { (s, dir) =>
       TextAnalysis.ngramDiversity(s.read.parquet(s"$dir/documents.parquet"), n = 3)
     },
@@ -4132,6 +4149,54 @@ object SparkEntry {
         |  AND CAST(c.n_events * m.n_buckets - m.sum_c AS HUGEINT)
         |      * CAST(c.n_events * m.n_buckets - m.sum_c AS HUGEINT)
         |      > 9 * CAST(m.n_buckets * m.sum_c2 - m.sum_c * m.sum_c AS HUGEINT)""".stripMargin,
+    // schema-driven JSON payload extraction + per-type profile
+    "event_props_summary" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM p GROUP BY event_type""".stripMargin,
+    // group-wide LCP/LCS from the lexicographic extremes; the monotone
+    // prefix-equality count is identical string arithmetic on both sides
+    "template_affix" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         min(text) AS mint, max(text) AS maxt,
+        |         min(reverse(right(text, 120))) AS minr,
+        |         max(reverse(right(text, 120))) AS maxr
+        |  FROM documents GROUP BY source),
+        |l AS (
+        |  SELECT source, n_docs, mint,
+        |    CAST(len(list_filter(range(1, least(least(len(mint), len(maxt)), 120) + 1),
+        |        i -> substr(mint, 1, CAST(i AS INT)) = substr(maxt, 1, CAST(i AS INT)))) AS BIGINT) AS lcp_len,
+        |    CAST(len(list_filter(range(1, least(least(len(minr), len(maxr)), 120) + 1),
+        |        i -> substr(minr, 1, CAST(i AS INT)) = substr(maxr, 1, CAST(i AS INT)))) AS BIGINT) AS lcs_len
+        |  FROM g)
+        |SELECT source, n_docs, lcp_len, lcs_len,
+        |       substr(mint, 1, CAST(lcp_len AS INT)) AS lcp
+        |FROM l""".stripMargin,
+    // first-match-wins license CASE over injected markers (priority
+    // exercised by the apache+arr branch)
+    "license_tag" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lower(text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' Creative Commons Attribution'
+        |         WHEN doc_id % 5 = 1 THEN ' Released under the MIT License'
+        |         WHEN doc_id % 5 = 2 THEN ' All Rights Reserved.'
+        |         WHEN doc_id % 5 = 3 THEN ' Apache License 2.0 All Rights Reserved'
+        |         ELSE '' END) AS lt
+        |  FROM documents),
+        |t AS (
+        |  SELECT CASE WHEN contains(lt, 'creative commons') THEN 'cc'
+        |              WHEN contains(lt, 'mit license') THEN 'mit'
+        |              WHEN contains(lt, 'apache license') THEN 'apache'
+        |              WHEN contains(lt, 'general public license') THEN 'gpl'
+        |              WHEN contains(lt, 'all rights reserved') THEN 'arr'
+        |              ELSE 'none' END AS license
+        |  FROM aug)
+        |SELECT license, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY license""".stripMargin,
     // exact power-of-two half-life weights: 2^40 >> age, floored at 40
     "event_decayed_counts" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),

@@ -154,6 +154,36 @@ object EventOps {
         col("n_buckets"), col("sum_c"), col("sum_c2"))
   }
 
+  /** Typed extraction of the JSON `props` payload — schema-driven
+    * `from_json` (codegen'd, scan-stage, null on malformed rows), the
+    * Spark-first alternative to regex scraping a semi-structured column.
+    * Adds `prop_k`; extend the struct schema as payloads grow.
+    */
+  def parseProps(events: DataFrame, propsCol: String = "props"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    events
+      .withColumn("_p", from_json(col(propsCol), new StructType().add("k", LongType)))
+      .withColumn("prop_k", col("_p").getField("k"))
+      .drop("_p")
+  }
+
+  /** Per-type rollup of the extracted payload: event count, payload sum /
+    * range / distinct cardinality — the "what is actually in this event
+    * stream" profile. One map-side-combinable groupBy over the
+    * [[parseProps]] scan; |event types| rows out (exact count_distinct
+    * is the oracle surface; swap in approx_count_distinct / [[Hll]] at
+    * 100 TB if payload cardinality explodes).
+    */
+  def propsSummary(events: DataFrame, typeCol: String = "event_type",
+                   propsCol: String = "props"): DataFrame =
+    parseProps(events, propsCol)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("prop_k")).cast("long").as("sum_k"),
+        min(col("prop_k")).cast("long").as("min_k"),
+        max(col("prop_k")).cast("long").as("max_k"),
+        countDistinct(col("prop_k")).cast("long").as("n_distinct_k"))
+
   /** Time-decayed event counts per event type — the freshness-weighted
     * activity monitor ("how alive is this source *lately*") with an
     * exponential half-life. Decay is exact: age in whole half-lives

@@ -1509,6 +1509,65 @@ object TextAnalysis {
         col("n_boiler").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Per-source template-chrome detection via the group-wide longest
+    * common prefix/suffix: every page of a templated scrape starts with
+    * the same navigation header and ends with the same footer. The
+    * group-wide LCP equals the LCP of the lexicographic MIN and MAX
+    * strings (any mismatch against either extreme bounds the whole
+    * group), so one map-side-combinable min/max groupBy replaces any
+    * pairwise comparison; the suffix twin runs the same trick on the
+    * reversed prefix window.
+    *
+    * Engine-exactness: prefix-equality at length i is monotone in i, so
+    * `lcp_len = #{ i ≤ cap : a[1..i] = b[1..i] }` — a pure
+    * string-compare count, identical in any engine. `cap` bounds the
+    * O(cap²) character work per GROUP (not per row — the extremes are
+    * two strings), so the post-aggregation cost is constant.
+    */
+  def templateAffix(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", cap: Int = 120): DataFrame = {
+    require(cap > 0, "templateAffix: cap must be positive")
+    def affixLen(a: Column, b: Column): Column = {
+      val m = least(least(length(a), length(b)), lit(cap))
+      // sequence(1, 0) would DESCEND in Spark — guard the empty-string case
+      when(m <= 0, lit(0L)).otherwise(
+        size(filter(sequence(lit(1), m),
+          i => substring(a, lit(1), i) === substring(b, lit(1), i))).cast("long"))
+    }
+    docs
+      .select(col(groupCol), col(textCol).as("_t"),
+        // right() keeps the whole string when shorter than cap (a negative
+        // substring start would return "" for short strings instead)
+        reverse(expr(s"right($textCol, $cap)")).as("_r"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("_t")).as("_mint"), max(col("_t")).as("_maxt"),
+        min(col("_r")).as("_minr"), max(col("_r")).as("_maxr"))
+      .withColumn("lcp_len", affixLen(col("_mint"), col("_maxt")))
+      .withColumn("lcs_len", affixLen(col("_minr"), col("_maxr")))
+      .withColumn("lcp", substring(col("_mint"), 1, cap).substr(lit(1), col("lcp_len").cast("int")))
+      .select(col(groupCol), col("n_docs"), col("lcp_len"), col("lcs_len"), col("lcp"))
+  }
+
+  /** License-marker tagging (the license-aware admission pass of code /
+    * commons corpora): first matching marker wins by the fixed priority
+    * below; pages with no marker tag "none". One codegen CASE over a
+    * lowercase contains scan — zero shuffle; pair with a groupBy for the
+    * per-source license mix.
+    */
+  val licenseMarkers: Seq[(String, String)] = Seq(
+    "cc" -> "creative commons", "mit" -> "mit license",
+    "apache" -> "apache license", "gpl" -> "general public license",
+    "arr" -> "all rights reserved")
+
+  def licenseTag(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lt = lower(col(textCol))
+    val tag = licenseMarkers.foldRight(lit("none")) { case ((name, marker), rest) =>
+      when(lt.contains(marker), lit(name)).otherwise(rest)
+    }
+    docs.withColumn("license", tag)
+  }
+
   /** Per-document tf-idf top-k keyword extraction — the classic salient-term
     * summary behind corpus browsing, topic labelling, and per-source keyword
     * drift monitors (cf. Salton & Buckley 1988 term weighting).

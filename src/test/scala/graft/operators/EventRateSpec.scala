@@ -32,6 +32,45 @@ class EventRateSpec extends SparkSpec {
     assert(EventOps.rateAnomalies(events).count() == 0L)
   }
 
+  test("propsSummary: schema-driven JSON extraction with malformed rows null-tolerated") {
+    val events = Seq(
+      (0L, "click", """{"k": 5}"""), (1L, "click", """{"k": 7}"""),
+      (2L, "click", """{"k": 5}"""), (3L, "view", """not json at all"""),
+      (4L, "view", """{"k": 9}""")).toDF("event_id", "event_type", "props")
+    val got = EventOps.propsSummary(events)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("click") == ((3L, 17L, 5L, 7L, 2L)))
+    // malformed row: counted in n_events, null k ignored by the aggs
+    assert(got("view") == ((2L, 9L, 9L, 9L, 1L)))
+  }
+
+  test("templateAffix: shared header/footer found; diverse source scores zero") {
+    val docs = Seq(
+      (0L, "NAV HOME | body one here FOOTER(c)", "tpl"),
+      (1L, "NAV HOME | body two words FOOTER(c)", "tpl"),
+      (2L, "NAV HOME | something else x FOOTER(c)", "tpl"),
+      (3L, "alpha content", "free"), (4L, "zeta differs", "free"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.templateAffix(docs, cap = 120)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("tpl")._2 == "NAV HOME | ".length.toLong)
+    assert(got("tpl")._4 == "NAV HOME | ")
+    assert(got("tpl")._3 == " FOOTER(c)".length.toLong)
+    assert(got("free")._2 == 0L && got("free")._3 == 0L && got("free")._4 == "")
+  }
+
+  test("licenseTag: first matching marker wins by priority") {
+    val docs = Seq(
+      (0L, "released under Creative Commons terms and All Rights Reserved"),
+      (1L, "see the MIT License file"),
+      (2L, "plain page")).toDF("doc_id", "text")
+    val got = TextAnalysis.licenseTag(docs).select("doc_id", "license")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "cc", 1L -> "mit", 2L -> "none"))
+  }
+
   test("decayed counts: exact power-of-two weights with the documented 40-half-life floor") {
     val day = 24L * H
     val ref = 100L * day

@@ -1716,6 +1716,15 @@ object SparkEntry {
     "burstiness" -> { (s, dir) =>
       EventOps.burstiness(EventsAdapter.events(s, dir))
     },
+    "activity_ellipse" -> { (s, dir) =>
+      Metrics.activityEllipse(EventsAdapter.positionfixes(s, dir))
+        .select(col("user_id"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"),
+          col("varx_num"), col("vary_num"), col("cov_num"))
+    },
+    "circadian_profile" -> { (s, dir) =>
+      EventOps.circadianProfile(EventsAdapter.events(s, dir))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -3178,6 +3187,47 @@ object SparkEntry {
          |SELECT h.user_id, CAST(h.loc AS BIGINT) AS home_loc, CAST(w.loc AS BIGINT) AS work_loc,
          |  ${hav("h.clon", "h.clat", "w.clon", "w.clat")} AS commute_m
          |FROM c h JOIN c w ON h.user_id = w.user_id AND h.rk = 1 AND w.rk = 2""".stripMargin,
+    // Yuill standard-deviational-ellipse moments on the integer
+    // micro-degree grid: Σx² in int128, variance numerators exact
+    "activity_ellipse" ->
+      s"""${EventsAdapter.pfsSql},
+         |q AS (
+         |  SELECT user_id, CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |         CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM pfs),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * x) AS hxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS hyy,
+         |    sum(CAST(x AS HUGEINT) * y) AS hxy
+         |  FROM q GROUP BY user_id)
+         |SELECT user_id, n, sx, sy,
+         |  CAST(hxx AS DECIMAL(38,0)) AS sxx, CAST(hyy AS DECIMAL(38,0)) AS syy,
+         |  CAST(hxy AS DECIMAL(38,0)) AS sxy,
+         |  CAST(n * hxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS varx_num,
+         |  CAST(n * hyy - CAST(sy AS HUGEINT) * sy AS DECIMAL(38,0)) AS vary_num,
+         |  CAST(n * hxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS cov_num
+         |FROM m""".stripMargin,
+    // circadian chi-square vs uniform: 24Σc² − n² exact in int128, the
+    // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
+    "circadian_profile" ->
+      """WITH c AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_active_hours,
+        |    CAST(max(c) AS BIGINT) AS peak_hour_events,
+        |    sum(CAST(c AS HUGEINT) * c) AS h2
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_active_hours, peak_hour_events,
+        |  CAST(h2 AS DECIMAL(38,0)) AS sum_c2,
+        |  CAST(24 * h2 - CAST(n_events AS HUGEINT) * n_events AS DECIMAL(38,0)) AS chi2_num,
+        |  (100 * (24 * h2 - CAST(n_events AS HUGEINT) * n_events))
+        |    > 4973 * CAST(n_events AS HUGEINT) AS nonuniform
+        |FROM m""".stripMargin,
     "burstiness" ->
       s"""WITH g AS (
          |  SELECT user_id,

@@ -154,6 +154,41 @@ object EventOps {
         col("n_buckets"), col("sum_c"), col("sum_c2"))
   }
 
+  /** Hour-of-day activity profile with a uniformity chi-square — the
+    * circadian-rhythm check (a human's clock shows day/night structure; a
+    * bot's doesn't — and a feed whose "users" are uniform around the
+    * clock is telling you something).
+    *
+    * The chi-square against uniform needs no 24-hour spine: absent hours
+    * contribute c = 0 to Σc², and algebraically
+    * `Σ_h (c_h − n/24)² = Σc² − n²/24`, so `χ²·n = 24·Σc² − n²` exactly
+    * — kept in DECIMAL(38,0). The nonuniform flag is the integer
+    * cross-compare `100·(24Σc² − n²) > 4973·n` (χ²₀.₀₀₁ at df 23 ≈
+    * 49.73); no float statistic exists.
+    *
+    * Scale shape: one (user, hour) map-side-combinable count, one
+    * per-user aggregate. ≤ 24 rows per user into the second exchange.
+    */
+  def circadianProfile(events: DataFrame, tsCol: String = "t_us",
+                       userCol: String = "user_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    events
+      .withColumn("_hour", expr(s"($tsCol div 3600000000L) % 24"))
+      .groupBy(col(userCol), col("_hour"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .groupBy(col(userCol))
+      .agg(sum(col("_c")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_active_hours"),
+        max(col("_c")).cast("long").as("peak_hour_events"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("sum_c2"))
+      .withColumn("chi2_num",
+        lit(24L).cast(dec) * col("sum_c2") -
+          col("n_events").cast(dec) * col("n_events").cast(dec))
+      .withColumn("nonuniform",
+        lit(100L).cast(dec) * col("chi2_num") >
+          lit(4973L).cast(dec) * col("n_events").cast(dec))
+  }
+
   /** Typed extraction of the JSON `props` payload — schema-driven
     * `from_json` (codegen'd, scan-stage, null on malformed rows), the
     * Spark-first alternative to regex scraping a semi-structured column.

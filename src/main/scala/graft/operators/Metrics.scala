@@ -486,4 +486,39 @@ object Metrics {
       }
       .toDF("user_id", "n_symbols", "n_locations", "sum_lambda", "s_est_q", "pi_max_q")
   }
+
+  /** Standard deviational ellipse of each user's activity space (Yuill
+    * 1971 — THE classic activity-space summary: how spread out, how
+    * elongated, and along which axis a person's movement is). Second
+    * moments of the micro-degree point cloud per user.
+    *
+    * Engine-exactness: points quantize to the integer micro-degree grid
+    * (the kAnonymousCells/commuteDistance contract); Σx² accumulates in
+    * DECIMAL(38,0) (a long Σ overflows past ~250 points at coastal
+    * longitudes), and the variance/covariance NUMERATORS `n·Σxx − Σx²`
+    * etc. stay exact decimals — the oracle surface. The transcendental
+    * tail (σ in degrees, orientation θ = ½·atan2(2·cov, varx − vary))
+    * is spec-gated like every other libm output.
+    */
+  def activityEllipse(sp: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = floor(col("lon") * 1e6 + lit(0.5)).cast("long")
+    val y = floor(col("lat") * 1e6 + lit(0.5)).cast("long")
+    sp.select(col("user_id"), x.as("_x"), y.as("_y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_x")).cast("long").as("sx"),
+        sum(col("_y")).cast("long").as("sy"),
+        sum(col("_x").cast(dec) * col("_x").cast(dec)).as("sxx"),
+        sum(col("_y").cast(dec) * col("_y").cast(dec)).as("syy"),
+        sum(col("_x").cast(dec) * col("_y").cast(dec)).as("sxy"))
+      .withColumn("varx_num", col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+      .withColumn("vary_num", col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy").cast(dec))
+      .withColumn("cov_num", col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy").cast(dec))
+      // spec-gated doubles: micro-deg² variances and the ellipse angle
+      .withColumn("var_x", col("varx_num").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("var_y", col("vary_num").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("cov_xy", col("cov_num").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("theta", atan2(lit(2.0) * col("cov_xy"), col("var_x") - col("var_y")) / 2.0)
+  }
 }

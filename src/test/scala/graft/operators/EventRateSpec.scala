@@ -32,6 +32,21 @@ class EventRateSpec extends SparkSpec {
     assert(EventOps.rateAnomalies(events).count() == 0L)
   }
 
+  test("circadianProfile: single-hour user flags nonuniform, round-the-clock user does not") {
+    // user 1: 10 events all at hour 3; user 2: one event each hour
+    val burst = (0 until 10).map(i => (i.toLong, 3L * H + i, 1L))
+    val clock = (0 until 24).map(h => (100L + h, h * H + 9L, 2L))
+    val events = (burst ++ clock).toDF("event_id", "t_us", "user_id")
+    val got = EventOps.circadianProfile(events)
+      .select("user_id", "n_events", "n_active_hours", "peak_hour_events", "chi2_num", "nonuniform")
+      .as[(Long, Long, Long, Long, BigDecimal, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // 24·Σc² − n² = 24·100 − 100 = 2300; 100·2300 > 4973·10
+    assert(got(1L) == ((10L, 1L, 10L, BigDecimal(2300), true)))
+    // perfectly uniform: 24·24 − 576 = 0
+    assert(got(2L) == ((24L, 24L, 1L, BigDecimal(0), false)))
+  }
+
   test("propsSummary: schema-driven JSON extraction with malformed rows null-tolerated") {
     val events = Seq(
       (0L, "click", """{"k": 5}"""), (1L, "click", """{"k": 7}"""),

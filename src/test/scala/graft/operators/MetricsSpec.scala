@@ -461,4 +461,30 @@ class MetricsSpec extends SparkSpec {
     val c = Array((8.52, 47.305), (8.61, 47.29), (8.66, 47.33))
     assert(SpatialOps.hausdorff(a, c) <= SpatialOps.frechet(a, c))
   }
+
+  test("activityEllipse: exact grid moments and the hand-replayed orientation") {
+    import spark.implicits._
+    // cloud elongated along the 45° diagonal plus one off-axis point
+    val pts = Seq((0.0, 0.0), (0.001, 0.001), (0.002, 0.002), (0.003, 0.003), (0.001, 0.0))
+    val sp = pts.zipWithIndex.map { case ((lon, lat), i) => (1L, i.toLong, lon, lat) }
+      .toDF("user_id", "id", "lon", "lat")
+    val r = Metrics.activityEllipse(sp).collect().head
+    val xs = pts.map(p => math.floor(p._1 * 1e6 + 0.5).toLong)
+    val ys = pts.map(p => math.floor(p._2 * 1e6 + 0.5).toLong)
+    val (n, sx, sy) = (pts.length.toLong, xs.sum, ys.sum)
+    val (sxx, syy, sxy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum,
+      xs.zip(ys).map { case (a, b) => a * b }.sum)
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("sx") == sx && r.getAs[Long]("sy") == sy)
+    assert(r.getAs[java.math.BigDecimal]("sxx").longValueExact() == sxx)
+    assert(r.getAs[java.math.BigDecimal]("sxy").longValueExact() == sxy)
+    assert(r.getAs[java.math.BigDecimal]("varx_num").longValueExact() == n * sxx - sx * sx)
+    // double tail replayed from the same exact integers
+    val (vx, vy, cv) = ((n * sxx - sx * sx).toDouble / (n * n).toDouble,
+      (n * syy - sy * sy).toDouble / (n * n).toDouble,
+      (n * sxy - sx * sy).toDouble / (n * n).toDouble)
+    assert(r.getAs[Double]("var_x") == vx && r.getAs[Double]("cov_xy") == cv)
+    assert(r.getAs[Double]("theta") == math.atan2(2.0 * cv, vx - vy) / 2.0)
+    // near-diagonal cloud: orientation close to 45°
+    assert(math.abs(r.getAs[Double]("theta") - math.Pi / 4) < 0.2)
+  }
 }

@@ -1716,6 +1716,16 @@ object SparkEntry {
     "burstiness" -> { (s, dir) =>
       EventOps.burstiness(EventsAdapter.events(s, dir))
     },
+    "mobility_motifs" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      Metrics.mobilityMotifs(sp)
+    },
+    "gap_histogram" -> { (s, dir) =>
+      EventOps.gapHistogram(EventsAdapter.events(s, dir))
+    },
+    "word_entropy" -> { (s, dir) =>
+      TextAnalysis.wordEntropy(s.read.parquet(s"$dir/documents.parquet"))
+    },
     "activity_ellipse" -> { (s, dir) =>
       Metrics.activityEllipse(EventsAdapter.positionfixes(s, dir))
         .select(col("user_id"), col("n"), col("sx"), col("sy"),
@@ -3187,6 +3197,64 @@ object SparkEntry {
          |SELECT h.user_id, CAST(h.loc AS BIGINT) AS home_loc, CAST(w.loc AS BIGINT) AS work_loc,
          |  ${hav("h.clon", "h.clat", "w.clon", "w.clat")} AS commute_m
          |FROM c h JOIN c w ON h.user_id = w.user_id AND h.rk = 1 AND w.rk = 2""".stripMargin,
+    // Schneider daily motifs: ordered day sequence, consecutive-repeat
+    // collapse and first-appearance relabel as pure list ops (1-based
+    // lambda index in DuckDB, 0-based in Spark — both written explicitly)
+    "mobility_motifs" ->
+      s"""${EventsAdapter.pfsSql},
+         |v AS (
+         |  SELECT user_id, s_us // 86400000000 AS day, s_us AS t, id AS i,
+         |         (k // 12) % 4 AS l
+         |  FROM intervals),
+         |g AS (
+         |  SELECT user_id, day, list(l ORDER BY t, i) AS seq
+         |  FROM v GROUP BY user_id, day),
+         |c AS (
+         |  SELECT user_id, day,
+         |    list_filter(seq, (x, i) -> i = 1 OR x != seq[i - 1]) AS cl
+         |  FROM g),
+         |f AS (
+         |  SELECT user_id, day, cl,
+         |    list_filter(cl, (x, i) -> list_position(list_slice(cl, 1, i - 1), x) = 0) AS firsts
+         |  FROM c),
+         |m AS (
+         |  SELECT array_to_string(list_transform(cl, x -> list_position(firsts, x)), '-') AS motif,
+         |    CAST(len(cl) AS BIGINT) AS n_visits, CAST(len(firsts) AS BIGINT) AS n_distinct
+         |  FROM f)
+         |SELECT motif, n_visits, n_distinct, CAST(count(*) AS BIGINT) AS n_user_days
+         |FROM m GROUP BY 1, 2, 3""".stripMargin,
+    // bit-length gap buckets after the per-user lag — the burstiness
+    // window reaggregated into the lengthHistogram shape
+    "gap_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |       PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    greatest(CAST(length(bin(gap_s)) - 1 AS BIGINT), 0) AS bucket, gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |  CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS BIGINT) AS bucket_lo
+        |FROM b GROUP BY event_type, bucket""".stripMargin,
+    // corpus-level quantized-ln word entropy per source
+    "word_entropy" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY source, w),
+        |m AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) - sq AS entropy_num_q,
+        |  CAST(n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) - sq AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS entropy_nats
+        |FROM m""".stripMargin,
     // Yuill standard-deviational-ellipse moments on the integer
     // micro-degree grid: Σx² in int128, variance numerators exact
     "activity_ellipse" ->

@@ -154,6 +154,30 @@ object EventOps {
         col("n_buckets"), col("sum_c"), col("sum_c2"))
   }
 
+  /** Log₂-bucketed inter-event gap histogram per event type — the
+    * empirical distribution behind every session-gap / timeout choice
+    * (the lengthHistogram bit-length trick applied to whole-second
+    * gaps; bucket = bitlength(gap_s)−1, gap 0 lands in bucket −1's
+    * stead as bucket 0 via greatest). Map-side-combinable after the
+    * per-user lag window — the one shuffle keys on the user.
+    */
+  def gapHistogram(events: DataFrame, tsCol: String = "t_us",
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_gap_s", expr(s"($tsCol - _prev) div 1000000"))
+      .withColumn("bucket",
+        greatest(length(bin(col("_gap_s"))) - 1, lit(0)).cast("long"))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("_gap_s")).cast("long").as("sum_gap_s"))
+      .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+  }
+
   /** Hour-of-day activity profile with a uniformity chi-square — the
     * circadian-rhythm check (a human's clock shows day/night structure; a
     * bot's doesn't — and a feed whose "users" are uniform around the

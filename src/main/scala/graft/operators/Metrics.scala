@@ -487,6 +487,50 @@ object Metrics {
       .toDF("user_id", "n_symbols", "n_locations", "sum_lambda", "s_est_q", "pi_max_q")
   }
 
+  /** Daily mobility motifs (Schneider et al. 2013, "Unravelling daily
+    * human mobility motifs": ~90% of a population's days collapse onto
+    * ~17 network shapes): per user-day, the visit sequence with
+    * consecutive repeats collapsed and locations relabeled by FIRST
+    * APPEARANCE (so "home→work→home" and "work→gym→work" are the same
+    * motif "1-2-1"), then the corpus-wide motif histogram.
+    *
+    * Engine-exactness: the day's sequence is sorted by (time, visit id)
+    * then canonicalized by pure higher-order array ops — collapse =
+    * index-filter against the predecessor, relabel = position in the
+    * first-occurrence list (computed by an index-filter over prefixes,
+    * NOT by a distinct() whose order an engine may not guarantee). No
+    * RNG, no trig, no floats anywhere.
+    *
+    * Scale shape: one (user, day) shuffle carrying (time, id, location)
+    * triples; everything after the collect is scan-stage array work on
+    * day-bounded lists; the histogram is a map-side-combinable groupBy
+    * over motif strings (bounded by the motif universe, which is tiny).
+    */
+  def mobilityMotifs(sp: DataFrame, locCol: String = "location_id",
+                     tsCol: String = "s_us", userCol: String = "user_id",
+                     idCol: String = "id"): DataFrame = {
+    val dayUs = 86400000000L
+    val days = sp
+      .withColumn("_day", expr(s"$tsCol div ${dayUs}L"))
+      .groupBy(col(userCol), col("_day"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), col(idCol).as("i"),
+        col(locCol).cast("long").as("l")))).as("_vs"))
+      .withColumn("_seq", transform(col("_vs"), v => v.getField("l")))
+      // collapse consecutive repeats: keep position i iff i=1 or seq[i] != seq[i-1]
+      .withColumn("_col", filter(col("_seq"),
+        (x, i) => i === 0 || x =!= element_at(col("_seq"), i)))
+      // first-occurrence list: keep x at index i iff x not in the prefix before i
+      .withColumn("_firsts", filter(col("_col"),
+        (x, i) => array_position(slice(col("_col"), lit(1), i), x) === 0))
+      .withColumn("motif", concat_ws("-",
+        transform(col("_col"), x => array_position(col("_firsts"), x).cast("string"))))
+      .withColumn("n_visits", size(col("_col")).cast("long"))
+      .withColumn("n_distinct", size(col("_firsts")).cast("long"))
+    days
+      .groupBy(col("motif"), col("n_visits"), col("n_distinct"))
+      .agg(count(lit(1)).cast("long").as("n_user_days"))
+  }
+
   /** Standard deviational ellipse of each user's activity space (Yuill
     * 1971 — THE classic activity-space summary: how spread out, how
     * elongated, and along which axis a person's movement is). Second

@@ -1509,6 +1509,34 @@ object TextAnalysis {
         col("n_boiler").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Per-group word-distribution Shannon entropy — the corpus-level twin
+    * of [[charEntropy]] (low entropy = a source dominated by a few tokens:
+    * templates, logs, generated spam; high = natural prose). The
+    * quantized-ln contract keeps the numerator `n·lnq(n) − Σ c·lnq(c)` an
+    * exact long; the one double division happens at the end. Two
+    * map-side-combinable groupBys — (group, word) counts then the
+    * |groups|-row rollup.
+    */
+  def wordEntropy(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col(groupCol), col("_w"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("_c") * lnq(col("_c"))).cast("long").as("_sum_clnc_q"))
+      .withColumn("entropy_num_q",
+        col("n_tokens") * lnq(col("n_tokens")) - col("_sum_clnc_q"))
+      .withColumn("entropy_nats",
+        col("entropy_num_q").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("entropy_num_q"), col("entropy_nats"))
+  }
+
   /** Per-source template-chrome detection via the group-wide longest
     * common prefix/suffix: every page of a templated scrape starts with
     * the same navigation header and ends with the same footer. The

@@ -32,6 +32,30 @@ class EventRateSpec extends SparkSpec {
     assert(EventOps.rateAnomalies(events).count() == 0L)
   }
 
+  test("gapHistogram: bit-length buckets over per-user gaps") {
+    // user 1 gaps: 1s, 3s, 8s -> buckets 0, 1, 3
+    val events = Seq(
+      (0L, 0L, 1L, "click"), (1L, 1000000L, 1L, "click"),
+      (2L, 4000000L, 1L, "click"), (3L, 12000000L, 1L, "click"))
+      .toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.gapHistogram(events)
+      .select("bucket", "n_gaps", "sum_gap_s", "bucket_lo")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(0L -> ((1L, 1L, 1L)), 1L -> ((1L, 3L, 2L)), 3L -> ((1L, 8L, 8L))))
+  }
+
+  test("wordEntropy: constant source scores zero, uniform source scores ln k") {
+    val docs = Seq(
+      (0L, "same same same same", "tpl"), (1L, "same same", "tpl"),
+      (2L, "a b c d", "mix")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.wordEntropy(docs)
+      .select("source", "n_tokens", "n_types", "entropy_num_q")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("tpl") == ((6L, 1L, 0L))) // n·lnq n − n·lnq n = 0 exactly
+    val lnq4 = math.floor(math.log(4.0) * 1e6).toLong
+    assert(got("mix") == ((4L, 4L, 4L * lnq4))) // counts of 1: lnq(1)=0
+  }
+
   test("circadianProfile: single-hour user flags nonuniform, round-the-clock user does not") {
     // user 1: 10 events all at hour 3; user 2: one event each hour
     val burst = (0 until 10).map(i => (i.toLong, 3L * H + i, 1L))

@@ -462,6 +462,25 @@ class MetricsSpec extends SparkSpec {
     assert(SpatialOps.hausdorff(a, c) <= SpatialOps.frechet(a, c))
   }
 
+  test("mobilityMotifs: collapse, first-appearance relabel, and cross-user motif identity") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1 day 0: home work home          -> 1-2-1
+    // user 2 day 0: cafe gym gym cafe       -> 1-2-1 (same motif, different places)
+    // user 1 day 1: a b c                   -> 1-2-3
+    val sp = Seq(
+      (1L, 0L, 0L * day + 1L, 10L), (1L, 1L, 0L * day + 2L, 20L), (1L, 2L, 0L * day + 3L, 10L),
+      (2L, 3L, 0L * day + 1L, 77L), (2L, 4L, 0L * day + 2L, 88L),
+      (2L, 5L, 0L * day + 3L, 88L), (2L, 6L, 0L * day + 4L, 77L),
+      (1L, 7L, 1L * day + 1L, 1L), (1L, 8L, 1L * day + 2L, 2L), (1L, 9L, 1L * day + 3L, 3L))
+      .toDF("user_id", "id", "s_us", "location_id")
+    val got = Metrics.mobilityMotifs(sp)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "1-2-1" -> ((3L, 2L, 2L)), // both users' days collapse onto one motif
+      "1-2-3" -> ((3L, 3L, 1L))))
+  }
+
   test("activityEllipse: exact grid moments and the hand-replayed orientation") {
     import spark.implicits._
     // cloud elongated along the 45° diagonal plus one off-axis point

@@ -1716,6 +1716,16 @@ object SparkEntry {
     "burstiness" -> { (s, dir) =>
       EventOps.burstiness(EventsAdapter.events(s, dir))
     },
+    "jump_length_fit" -> { (s, dir) =>
+      Metrics.jumpLengthFit(EventsAdapter.intervals(s, dir))
+    },
+    "score_drift" -> { (s, dir) =>
+      Classifier.scoreDrift(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        dim = 64, iters = 8, stepDiv = 16384L, buckets = 8,
+        share = _.localCheckpoint(false))
+    },
     "mobility_motifs" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
       Metrics.mobilityMotifs(sp)
@@ -3197,6 +3207,70 @@ object SparkEntry {
          |SELECT h.user_id, CAST(h.loc AS BIGINT) AS home_loc, CAST(w.loc AS BIGINT) AS work_loc,
          |  ${hav("h.clon", "h.clat", "w.clon", "w.clat")} AS commute_m
          |FROM c h JOIN c w ON h.user_id = w.user_id AND h.rk = 1 AND w.rk = 2""".stripMargin,
+    // González power-law jump fit: bit-length metre buckets over the
+    // jump_length window, zipf-style lnq OLS on the bounded bucket table
+    "jump_length_fit" ->
+      s"""${EventsAdapter.pfsSql}, nxt AS (
+         |  SELECT id, user_id, lon, lat,
+         |         lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat
+         |  FROM intervals WINDOW w AS (PARTITION BY user_id ORDER BY s_us, id)),
+         |j AS (
+         |  SELECT CAST(floor(${hav("lon", "lat", "nlon", "nlat")}) AS BIGINT) AS m
+         |  FROM nxt WHERE nlon IS NOT NULL),
+         |jb AS (
+         |  SELECT CAST(length(bin(m)) - 1 AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM j WHERE m >= 1 GROUP BY 1),
+         |xy AS (
+         |  SELECT CAST(floor(ln(CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM jb),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy),
+         |sl AS (
+         |  SELECT n_buckets, sx, sy,
+         |         CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+         |           / CAST(n_buckets * sxx - sx * sx AS DOUBLE) AS slope
+         |  FROM ag)
+         |SELECT n_buckets, slope,
+         |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |          / CAST(n_buckets AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
+         |FROM sl""".stripMargin,
+    // PSI over the calibration chain's score buckets, even vs odd ids:
+    // signed mass diff × quantized log-ratio, int128-exact, one division
+    "score_drift" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 8, stepDiv = 16384L)},
+         |csz AS (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw8 w ON x.b = w.b GROUP BY x.doc_id),
+         |scal AS (
+         |  SELECT s.doc_id,
+         |         greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0) AS p_q
+         |  FROM csz s),
+         |bb AS (
+         |  SELECT (p_q * 8) // ${Classifier.PS + 1} AS bucket,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM scal GROUP BY 1),
+         |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM bb),
+         |u AS (
+         |  SELECT c_a, c_b, n_a, n_b, (c_a > 0 AND c_b > 0) AS used,
+         |    c_a * n_b - c_b * n_a AS diff,
+         |    CASE WHEN c_a > 0 AND c_b > 0
+         |         THEN CAST(floor(ln(CAST(c_a * n_b AS DOUBLE)) * 1e6) AS BIGINT)
+         |            - CAST(floor(ln(CAST(c_b * n_a AS DOUBLE)) * 1e6) AS BIGINT)
+         |         ELSE 0 END AS lnr
+         |  FROM bb CROSS JOIN t)
+         |SELECT n_a, n_b,
+         |  CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
+         |  CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
+         |  CAST(sum(CASE WHEN used THEN CAST(diff AS HUGEINT) * lnr ELSE 0 END) AS DECIMAL(38,0)) AS psi_num,
+         |  CAST(CAST(sum(CASE WHEN used THEN CAST(diff AS HUGEINT) * lnr ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000.0) AS psi
+         |FROM u GROUP BY n_a, n_b""".stripMargin,
     // Schneider daily motifs: ordered day sequence, consecutive-repeat
     // collapse and first-appearance relabel as pure list ops (1-based
     // lambda index in DuckDB, 0-based in Spark — both written explicitly)

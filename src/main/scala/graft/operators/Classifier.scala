@@ -227,6 +227,53 @@ object Classifier {
         (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
   }
 
+  /** Population Stability Index between the score distributions of two
+    * halves of the corpus (even vs odd ids by default) — THE standard
+    * model-monitoring drift metric (PSI < 0.1 stable, > 0.25 action):
+    * `PSI = Σ_b (p_A(b) − p_B(b)) · ln(p_A(b)/p_B(b))`.
+    *
+    * Engine-exactness: per score bucket, the signed mass difference
+    * `c_a·n_b − c_b·n_a` and the quantized log-ratio `lnq(c_a·n_b) −
+    * lnq(c_b·n_a)` are exact longs; their product sums in DECIMAL(38,0)
+    * and divides ONCE by `n_a·n_b·10⁶` at the end. Buckets empty on
+    * either side are excluded from the sum (the standard epsilon-free
+    * convention) and reported in `n_buckets_skipped` so a
+    * degenerate-comparison PSI can't masquerade as stable.
+    */
+  def scoreDrift(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
+                 buckets: Int = 8, idCol: String = "doc_id", textCol: String = "text",
+                 labelCol: String = "label",
+                 share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000, s"buckets must be in [2, 10000], got $buckets")
+    val dec = "decimal(38,0)"
+    // bucket table is ≤ `buckets` rows but sits on the whole scored
+    // lineage — materialize once so the totals cross join doesn't re-run
+    // the scoring chain
+    val byBucket = share(trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+      .withColumn("_bucket", expr(s"(p_q * $buckets) div ${PS + 1}"))
+      .withColumn("_side", pmod(col(idCol), lit(2L)))
+      .groupBy(col("_bucket"))
+      .agg(sum(when(col("_side") === 0L, 1L).otherwise(0L)).cast("long").as("c_a"),
+        sum(when(col("_side") === 1L, 1L).otherwise(0L)).cast("long").as("c_b")))
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val withTotals = byBucket
+      .crossJoin(broadcast(byBucket.agg(
+        sum(col("c_a")).cast("long").as("n_a"), sum(col("c_b")).cast("long").as("n_b"))))
+      .withColumn("_used", col("c_a") > 0L && col("c_b") > 0L)
+      .withColumn("_diff", col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+      // guarded: lnq(0) is a NaN-floor cast, never evaluated off-branch
+      .withColumn("_lnr", when(col("_used"),
+        lnq(col("c_a") * col("n_b")) - lnq(col("c_b") * col("n_a"))).otherwise(lit(0L)))
+    withTotals.agg(
+      first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+      sum(col("_used").cast("long")).cast("long").as("n_buckets_used"),
+      sum((!col("_used")).cast("long")).cast("long").as("n_buckets_skipped"),
+      sum(when(col("_used"), col("_diff").cast(dec) * col("_lnr").cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("psi_num"))
+      .withColumn("psi", col("psi_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double") * lit(1e6)))
+  }
+
   /** Train-then-score in one call (the gate's scoring query): fit on
     * `docs`' labels, then score every document with the final weights.
     */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{GeoFunctions, TimeFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -485,6 +485,41 @@ object Metrics {
           math.floor(s * 1e6).toLong, math.floor(pi * 1e6).toLong)
       }
       .toDF("user_id", "n_symbols", "n_locations", "sum_lambda", "s_est_q", "pi_max_q")
+  }
+
+  /** Truncated-power-law exponent of the jump-length distribution
+    * (González, Hidalgo & Barabási 2008, "Understanding individual human
+    * mobility patterns": P(Δr) ∝ Δr^(−β), β ≈ 1.75 for the D1/D2 phone
+    * traces): jumps log₂-binned by the exact bit-length trick (floor
+    * metres — the haversine double is bit-identical cross-engine, so its
+    * floor is too), then the zipfFit lnq-OLS of bucket count against
+    * bucket lower edge. `slope ≈ −β`.
+    *
+    * Scale shape: one per-user lag window (the jumpLength shuffle), a
+    * map-side-combinable bucket count (≤ 64 buckets), OLS on the bounded
+    * bucket table. All OLS sums exact longs.
+    */
+  def jumpLengthFit(sp: DataFrame, minJumpM: Long = 1L): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    jumpLength(sp)
+      .filter(col("jump_length").isNotNull)
+      .withColumn("_m", floor(col("jump_length")).cast("long"))
+      .filter(col("_m") >= minJumpM)
+      .withColumn("_bucket", (length(bin(col("_m"))) - 1).cast("long"))
+      .groupBy(col("_bucket")).agg(count(lit(1)).cast("long").as("_c"))
+      .withColumn("_lo", expr("shiftleft(cast(1 as bigint), cast(_bucket as int))"))
+      .select(lnq(col("_lo")).as("_x"), lnq(col("_c")).as("_y"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("slope",
+        (col("n_buckets") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+          / (col("n_buckets") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("intercept",
+        ((col("_sy").cast("double") - col("slope") * col("_sx").cast("double"))
+          / col("n_buckets").cast("double")) / lit(1e6))
+      .select("n_buckets", "slope", "intercept")
   }
 
   /** Daily mobility motifs (Schneider et al. 2013, "Unravelling daily

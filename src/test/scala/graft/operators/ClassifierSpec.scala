@@ -124,6 +124,27 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.5)
   }
 
+  test("scoreDrift: mirrored halves score PSI exactly 0; disjoint halves drift positive") {
+    // ids 2i and 2i+1 share text -> per-bucket counts identical -> psi_num = 0
+    val mirrored = (0 until 12).flatMap { i =>
+      val t = if (i % 2 == 0) "good great fine" else "bad awful poor"
+      Seq((2L * i, t, (i % 2).toLong), (2L * i + 1, t, (i % 2).toLong))
+    }.toDF("doc_id", "text", "label")
+    val r0 = Classifier.scoreDrift(mirrored, dim = 256, iters = 8, stepDiv = 1024L).collect().head
+    assert(r0.getAs[java.math.BigDecimal]("psi_num").longValueExact() == 0L)
+    assert(r0.getAs[Double]("psi") == 0.0)
+    // overlapping but shifted mixes: even ids 8:4 positive-text, odd ids
+    // 4:8 — hand value 2·(1/3)·ln 2 ≈ 0.462 (disjoint halves would all
+    // be skipped buckets, which is why the monitor reports that count)
+    val drifted = (0 until 24).map { i =>
+      val pos = if (i % 2 == 0) i % 3 != 0 else i % 3 == 0
+      (i.toLong, if (pos) "good great fine" else "bad awful poor", if (pos) 1L else 0L)
+    }.toDF("doc_id", "text", "label")
+    val r1 = Classifier.scoreDrift(drifted, dim = 256, iters = 8, stepDiv = 1024L).collect().head
+    assert(r1.getAs[Double]("psi") > 0.3, s"psi ${r1.getAs[Double]("psi")}")
+    assert(r1.getAs[Long]("n_buckets_used") >= 2L)
+  }
+
   test("clusterSizeHistogram: chain and pair reduce to (size -> count) rows") {
     import spark.implicits._
     // component {1,2,3} (size 3) and {10,11} (size 2)

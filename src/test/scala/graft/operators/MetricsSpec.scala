@@ -462,6 +462,30 @@ class MetricsSpec extends SparkSpec {
     assert(SpatialOps.hausdorff(a, c) <= SpatialOps.frechet(a, c))
   }
 
+  test("jumpLengthFit: OLS replayed exactly from the jump buckets") {
+    import spark.implicits._
+    // zig-zag track with growing step sizes -> several distance buckets
+    val pts = (0 until 40).scanLeft((0.0, 47.0)) { case ((lon, lat), i) =>
+      (lon + 0.00002 * (1 << (i % 5)), lat) }
+    val sp = pts.zipWithIndex.map { case ((lon, lat), i) =>
+      (1L, i.toLong, i.toLong * 1000000L, lon, lat, ts("2023-01-01 00:00:00")) }
+      .toDF("user_id", "id", "s_us", "lon", "lat", "started_at")
+    val r = Metrics.jumpLengthFit(sp).collect().head
+    // replay: same buckets from the operator's own jump column
+    val jumps = Metrics.jumpLength(sp).select("jump_length").as[Option[Double]].collect()
+      .flatten.map(j => math.floor(j).toLong).filter(_ >= 1L)
+    val counts = jumps.groupBy(m => 63 - java.lang.Long.numberOfLeadingZeros(m)).view
+      .mapValues(_.length.toLong).toMap
+    def lnq(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val xy = counts.toSeq.map { case (b, c) => (lnq(1L << b), lnq(c)) }
+    val (n, sx, sy) = (xy.length.toLong, xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getAs[Long]("n_buckets") == n)
+    assert(r.getAs[Double]("slope") == slope)
+    assert(n >= 3) // the fixture genuinely spans buckets
+  }
+
   test("mobilityMotifs: collapse, first-appearance relabel, and cross-user motif identity") {
     import spark.implicits._
     val day = 86400000000L

@@ -1719,6 +1719,16 @@ object SparkEntry {
     "jump_length_fit" -> { (s, dir) =>
       Metrics.jumpLengthFit(EventsAdapter.intervals(s, dir))
     },
+    "colocation_degrees" -> { (s, dir) =>
+      SpatialOps.colocationDegrees(SpatialOps.colocationPairs(
+        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+    },
+    "pq_distortion" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = Ann.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2,
+        share = _.localCheckpoint(false))
+      Ann.pqDistortion(emb, model)
+    },
     "score_drift" -> { (s, dir) =>
       Classifier.scoreDrift(
         s.read.parquet(s"$dir/documents.parquet")
@@ -3416,6 +3426,53 @@ object SparkEntry {
          |  AND a.user_id < b.user_id
          |  AND a.s_us < b.f_us AND b.s_us < a.f_us
          |GROUP BY a.user_id, b.user_id""".stripMargin,
+    // contact-network degree histogram: the colocation pair chain
+    // exploded to endpoints, bit-length degree buckets
+    "colocation_degrees" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS (
+         |  SELECT a.user_id AS user_a, b.user_id AS user_b
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |deg AS (
+         |  SELECT u AS user_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT user_a AS u FROM prs UNION ALL SELECT user_b AS u FROM prs)
+         |  GROUP BY u)
+         |SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(degree) AS BIGINT) AS sum_degree,
+         |  CAST(CAST(1 AS BIGINT) << CAST(length(bin(degree)) - 1 AS INT) AS BIGINT) AS bucket_lo
+         |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
+    // PQ codebook distortion: the pq chain's per-(vec, subspace) best
+    // distance reaggregated per subspace
+    "pq_distortion" ->
+      s"""WITH ${kmeansCtes(8, 2, 16)},
+         |encd AS MATERIALIZED (
+         |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent2 c ON q.m = c.m AND q.pos = c.pos
+         |  GROUP BY q.vec_id, q.m, c.c),
+         |best AS (
+         |  SELECT vec_id, m, d FROM (
+         |    SELECT vec_id, m, c, d,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM encd) WHERE rn = 1)
+         |SELECT m AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(d) AS DECIMAL(38,0)) AS sum_dist_q,
+         |  CAST(CAST(sum(d) AS DECIMAL(38,0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist_q
+         |FROM best GROUP BY m""".stripMargin,
     "traj_simplify" -> {
       val breach =
         s"""(SELECT min(f2.kk) FROM fx f2, fx f1

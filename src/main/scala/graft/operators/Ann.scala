@@ -71,6 +71,33 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("_simr").as("cosine"))
   }
 
+  /** PQ reconstruction distortion per subspace: the mean integer
+    * quantization error between each vector's sub-block and its nearest
+    * codebook centroid — the quality number behind every (m, ksub)
+    * choice (recall@k tells you the end effect; distortion tells you
+    * WHICH subspace's codebook is starving). Same quantized metric as
+    * training, so the report is exactly the quantity k-means minimized.
+    *
+    * Scale shape: one codegen scan (centroids are plan literals — the
+    * KMeans assignment shape, no join), one m-row bounded aggregate;
+    * Σd in DECIMAL(38,0).
+    */
+  def pqDistortion(corpus: DataFrame, model: PqModel,
+                   vecCol: String = "embedding"): DataFrame = {
+    val perSub = (0 until model.m).map { s =>
+      val sub = KMeans.quantize(slice(col(vecCol), s * model.subWidth + 1, model.subWidth), 1e6)
+      struct(lit(s.toLong).as("subspace"),
+        KMeans.nearestScored(model.subModels(s).centroids, sub).getField("d").as("d"))
+    }
+    corpus.select(explode(array(perSub: _*)).as("_sd"))
+      .select(col("_sd.subspace").as("subspace"), col("_sd.d").as("d"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(col("d").cast("decimal(38,0)")).as("sum_dist_q"))
+      .withColumn("mean_dist_q",
+        col("sum_dist_q").cast("double") / col("n_vectors").cast("double"))
+  }
+
   /** nDCG@k of the IVF search against brute-force truth — the
     * rank-position-aware companion to [[recallEval]] (recall says "how
     * many truth neighbors appear at all"; nDCG says "and how high"). The

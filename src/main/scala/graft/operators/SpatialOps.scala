@@ -304,6 +304,26 @@ object SpatialOps {
           .cast("long").as("overlap_us"))
   }
 
+  /** Contact-network degree distribution over the co-location pairs —
+    * the first statistic of every epidemiological / social-tie study
+    * built on meeting detection (how many distinct contacts does a
+    * person have, and is the network's tail heavy). Degrees come from
+    * exploding each pair to both endpoints (one map-side-combinable
+    * count), the histogram from the lengthHistogram bit-length trick.
+    */
+  def colocationDegrees(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    deg
+      .withColumn("bucket", (length(bin(col("degree"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("degree")).cast("long").as("sum_degree"))
+      .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+  }
+
   /** Radial-distance trajectory simplification (the streaming cousin of
     * Douglas–Peucker used when a single ordered pass must suffice):
     * keep the first fix, then every fix at least `epsilonMeters` of

@@ -32,6 +32,23 @@ class ColocationSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, 280 * M)))
   }
 
+  test("colocationDegrees: endpoint explode gives each user its distinct-contact count") {
+    // star: user 1 meets 2, 3, 4; plus the isolated pair (5, 6)
+    val intervals = df(
+      (0L, 1L, 0L, 100 * M, -122.4, 47.6),
+      (1L, 2L, 10 * M, 20 * M, -122.4, 47.6),
+      (2L, 3L, 30 * M, 40 * M, -122.4, 47.6),
+      (3L, 4L, 50 * M, 60 * M, -122.4, 47.6),
+      (4L, 5L, 0L, 30 * M, -122.2, 47.6),
+      (5L, 6L, 10 * M, 40 * M, -122.2, 47.6))
+    val hist = SpatialOps.colocationDegrees(
+      SpatialOps.colocationPairs(intervals, bandMinutes = 120.0))
+      .select("bucket", "n_users", "sum_degree", "bucket_lo")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // degrees: user1 -> 3 (bucket 1), users 2,3,4,5,6 -> 1 (bucket 0)
+    assert(hist == Set((1L, 1L, 3L, 2L), (0L, 5L, 5L, 1L)))
+  }
+
   test("matches a brute-force pair scan on a random-ish fixture") {
     val rows = (0 until 80).map { i =>
       val u = (i % 7).toLong + 1

@@ -135,6 +135,27 @@ class KMeansSpec extends SparkSpec {
     assert(out.sliding(2).forall(w => w.head._4 >= w.last._4))
   }
 
+  test("pqDistortion: per-subspace sums equal a local quantize-and-assign replay") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val corpus = embDf(raw)
+    val model = Ann.pqTrain(corpus, dim = 8, m = 2, ksub = 4, iters = 2)
+    val got = Ann.pqDistortion(corpus, model)
+      .select("subspace", "n_vectors", "sum_dist_q")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[java.math.BigDecimal](2).longValueExact()))).toMap
+    val expect = (0 until model.m).map { s =>
+      val sums = raw.map { case (_, v) =>
+        val sub = v.slice(s * model.subWidth, (s + 1) * model.subWidth)
+          .map(x => math.floor(x * 1e6 + 0.5).toLong)
+        model.subModels(s).centroids.map(c =>
+          c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+      s.toLong -> ((raw.length.toLong, sums))
+    }.toMap
+    assert(got == expect)
+  }
+
   test("PQ: codes are in range, identical vectors encode identically") {
     val rnd = new scala.util.Random(3)
     val raw = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))

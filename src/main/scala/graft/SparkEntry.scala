@@ -1719,6 +1719,21 @@ object SparkEntry {
     "jump_length_fit" -> { (s, dir) =>
       Metrics.jumpLengthFit(EventsAdapter.intervals(s, dir))
     },
+    "dwell_time_fit" -> { (s, dir) =>
+      Metrics.dwellTimeFit(EventsAdapter.intervals(s, dir))
+    },
+    "returners_explorers" -> { (s, dir) =>
+      Metrics.kRadiusGyration(
+        EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")),
+        kTop = 2)
+    },
+    "location_growth_fit" -> { (s, dir) =>
+      Metrics.locationGrowthFit(
+        EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")))
+    },
+    "hotspot_cells" -> { (s, dir) =>
+      SpatialOps.hotspotCells(EventsAdapter.positionfixes(s, dir))
+    },
     "colocation_degrees" -> { (s, dir) =>
       SpatialOps.colocationDegrees(SpatialOps.colocationPairs(
         EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
@@ -2614,6 +2629,19 @@ object SparkEntry {
     "source_concentration" -> { (s, dir) =>
       CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
     },
+    "gini_sources" -> { (s, dir) =>
+      CorpusOps.gini(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "score_correlation" -> { (s, dir) =>
+      CorpusOps.scoreCorrelation(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("n_words", size(split(col("text"), " ")).cast("long")),
+        aCol = "n_chars", bCol = "n_words")
+    },
+    "cluster_purity" -> { (s, dir) =>
+      KMeans.clusterPurity(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 8, iters = 2, share = _.localCheckpoint(false))
+    },
     "curriculum_stages" -> { (s, dir) =>
       CorpusOps.curriculumStages(s.read.parquet(s"$dir/documents.parquet"), stages = 4)
     },
@@ -3249,6 +3277,119 @@ object SparkEntry {
          |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |          / CAST(n_buckets AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
          |FROM sl""".stripMargin,
+    // waiting-time power law: whole-second durations, the same
+    // bit-bucket lnq-OLS tail as jump_length_fit
+    "dwell_time_fit" ->
+      s"""${EventsAdapter.pfsSql}, dm AS (
+         |  SELECT CAST(floor((f_us - s_us) / 1000000.0) AS BIGINT) AS m FROM intervals),
+         |jb AS (
+         |  SELECT CAST(length(bin(m)) - 1 AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM dm WHERE m >= 1 GROUP BY 1),
+         |xy AS (
+         |  SELECT CAST(floor(ln(CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM jb),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy),
+         |sl AS (
+         |  SELECT n_buckets, sx, sy,
+         |         CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+         |           / CAST(n_buckets * sxx - sx * sx AS DOUBLE) AS slope
+         |  FROM ag)
+         |SELECT n_buckets, slope,
+         |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |          / CAST(n_buckets AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
+         |FROM sl""".stripMargin,
+    // Pappalardo returners/explorers: rg twice (all visits; top-2
+    // locations only), floored-metre comparison for the flag
+    "returners_explorers" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, lon, lat, (k // 12) % 4 AS loc FROM intervals),
+         |cnts AS (
+         |  SELECT user_id, loc, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY user_id, loc),
+         |topk AS (
+         |  SELECT user_id, loc FROM (
+         |    SELECT user_id, loc,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY n DESC, loc) AS rk
+         |    FROM cnts) WHERE rk <= 2),
+         |cent AS (
+         |  SELECT user_id, sum(lon * 1.0) / sum(1.0) AS cx, sum(lat * 1.0) / sum(1.0) AS cy
+         |  FROM sp GROUP BY user_id),
+         |rga AS (
+         |  SELECT i.user_id,
+         |    CAST(floor(sqrt(sum(pow(${hav("i.lon", "i.lat", "c.cx", "c.cy")}, 2) * 1.0) / sum(1.0))) AS BIGINT) AS rg_m
+         |  FROM sp i JOIN cent c ON i.user_id = c.user_id
+         |  GROUP BY i.user_id),
+         |spk AS (
+         |  SELECT s.user_id, s.lon, s.lat FROM sp s
+         |  JOIN topk t ON s.user_id = t.user_id AND s.loc = t.loc),
+         |centk AS (
+         |  SELECT user_id, sum(lon * 1.0) / sum(1.0) AS cx, sum(lat * 1.0) / sum(1.0) AS cy
+         |  FROM spk GROUP BY user_id),
+         |rgk AS (
+         |  SELECT i.user_id,
+         |    CAST(floor(sqrt(sum(pow(${hav("i.lon", "i.lat", "c.cx", "c.cy")}, 2) * 1.0) / sum(1.0))) AS BIGINT) AS rgk_m
+         |  FROM spk i JOIN centk c ON i.user_id = c.user_id
+         |  GROUP BY i.user_id)
+         |SELECT a.user_id, a.rg_m, k.rgk_m, (k.rgk_m * 2 >= a.rg_m) AS is_returner
+         |FROM rga a JOIN rgk k ON a.user_id = k.user_id""".stripMargin,
+    // Song exploration curve S(t) ~ t^mu: heaps_fit's cumulative-spine
+    // lnq-OLS over (visit index, new-location discoveries)
+    "location_growth_fit" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT user_id, k, (k // 12) % 4 AS loc FROM intervals),
+         |fo AS (
+         |  SELECT min(k) AS fk FROM sp GROUP BY user_id, loc),
+         |ns AS (SELECT fk // 8 AS bucket, CAST(count(*) AS BIGINT) AS ns FROM fo GROUP BY fk // 8),
+         |nt AS (SELECT k // 8 AS bucket, CAST(count(*) AS BIGINT) AS nt FROM sp GROUP BY k // 8),
+         |cum AS (
+         |  SELECT nt.bucket,
+         |         sum(coalesce(ns.ns, 0)) OVER (ORDER BY nt.bucket ROWS UNBOUNDED PRECEDING) AS v,
+         |         sum(nt.nt) OVER (ORDER BY nt.bucket ROWS UNBOUNDED PRECEDING) AS n
+         |  FROM nt LEFT JOIN ns ON nt.bucket = ns.bucket),
+         |xy AS (
+         |  SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |         CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM cum),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy),
+         |sl AS (
+         |  SELECT n_points, sx, sy,
+         |         CAST(CAST(n_points AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+         |           / CAST(CAST(n_points AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS beta
+         |  FROM ag)
+         |SELECT n_points, beta,
+         |       ((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+         |          / CAST(n_points AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS log_k
+         |FROM sl""".stripMargin,
+    // 3x3 focal hotspot surface: per-cell counts, 9-offset re-group,
+    // total via scalar subquery
+    "hotspot_cells" ->
+      s"""${EventsAdapter.pfsSql}, cells AS (
+         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cell_x,
+         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cell_y,
+         |         CAST(count(*) AS BIGINT) AS n_points
+         |  FROM pfs GROUP BY 1, 2),
+         |focal AS (
+         |  SELECT cell_x + dx AS cell_x, cell_y + dy AS cell_y,
+         |         CAST(sum(n_points) AS BIGINT) AS focal_points
+         |  FROM cells,
+         |       LATERAL (SELECT unnest(range(-1, 2)) AS dx),
+         |       LATERAL (SELECT unnest(range(-1, 2)) AS dy)
+         |  GROUP BY 1, 2)
+         |SELECT c.cell_x, c.cell_y, c.n_points, f.focal_points,
+         |       CAST(f.focal_points AS DOUBLE)
+         |         / CAST((SELECT sum(n_points) FROM cells) AS DOUBLE) AS focal_share
+         |FROM cells c JOIN focal f ON c.cell_x = f.cell_x AND c.cell_y = f.cell_y""".stripMargin,
     // PSI over the calibration chain's score buckets, even vs odd ids:
     // signed mass diff × quantized log-ratio, int128-exact, one division
     "score_drift" ->
@@ -5229,6 +5370,69 @@ object SparkEntry {
         |       CAST(sumsq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
         |       CAST(maxn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
         |FROM a""".stripMargin,
+    // Lorenz-curve inequality of the source mix: ascending rank-weighted
+    // sum, one final division
+    "gini_sources" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n, source) AS BIGINT) AS i
+        |  FROM g)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(2 * sum(i * n) - (count(*) + 1) * sum(n) AS DOUBLE)
+        |         / CAST(count(*) * sum(n) AS DOUBLE) AS gini
+        |FROM r GROUP BY lang""".stripMargin,
+    // Pearson on raw integer scores, Spearman on dense (value, id) ranks
+    // — int128 cross terms, doubles only in the last expression
+    "score_correlation" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, n_chars AS a,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT id, a, b,
+        |         CAST(row_number() OVER (ORDER BY a, id) AS BIGINT) AS ra,
+        |         CAST(row_number() OVER (ORDER BY b, id) AS BIGINT) AS rb
+        |  FROM t),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |         sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sab,
+        |         sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+        |         sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb,
+        |         sum(CAST(ra - rb AS HUGEINT) * CAST(ra - rb AS HUGEINT)) AS sdd
+        |  FROM r)
+        |SELECT n_docs,
+        |       CAST(CAST(n_docs AS HUGEINT) * sab
+        |            - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE)
+        |         / (sqrt(CAST(CAST(n_docs AS HUGEINT) * saa
+        |                      - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT) AS DOUBLE))
+        |            * sqrt(CAST(CAST(n_docs AS HUGEINT) * sbb
+        |                        - CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE))) AS pearson,
+        |       1.0 - (6.0 * CAST(sdd AS DOUBLE))
+        |         / CAST(CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT)
+        |                - CAST(n_docs AS HUGEINT) AS DOUBLE) AS spearman
+        |FROM ag""".stripMargin,
+    // purity of the 2-iteration kmeans assignment against the shipped
+    // label column; a3 = assignment under the final cent2 model
+    "cluster_purity" ->
+      s"""WITH ${kmeansCtes(8, 3, 1000000)},
+         |g AS (
+         |  SELECT a.c AS cluster_id, CAST(e.label AS BIGINT) AS lbl,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY a.c, e.label),
+         |r AS (
+         |  SELECT cluster_id, lbl, n,
+         |         row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, lbl) AS rk,
+         |         CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS tot
+         |  FROM g)
+         |SELECT cluster_id, tot AS n, lbl AS majority_label, n AS n_majority,
+         |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS purity
+         |FROM r WHERE rk = 1""".stripMargin,
     // value-based curriculum bands from the exactQuantiles rank rule —
     // boundary pivot + scan-stage comparisons, ties land low
     "curriculum_stages" ->

@@ -584,6 +584,105 @@ object CorpusOps {
       .withColumn("top_share", col("_maxn").cast("double") / col("n_docs").cast("double"))
       .select(col(groupCol), col("n_sources"), col("n_docs"), col("hhi"), col("top_share"))
 
+  /** Gini coefficient of the per-`overCol` document counts inside each
+    * `groupCol` — the inequality companion to [[concentration]]'s HHI
+    * (HHI weights the head; Gini reads the whole Lorenz curve, the
+    * standard "how skewed is my source mix" number in data-mixture
+    * papers). With counts x₁ ≤ … ≤ xₙ ranked ascending (ties broken by
+    * the source name so the rank — and hence the sum — is deterministic;
+    * Σi·xᵢ is invariant under permutations within a tie group anyway),
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Every sum is an exact long; the
+    * one division happens last.
+    *
+    * Scale shape: the count table is one map-side-combinable groupBy
+    * bounded by the (group × source) domain; the rank window and final
+    * aggregate run over that bounded table, never over documents.
+    */
+  def gini(docs: DataFrame, groupCol: String = "lang",
+           overCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_n"), col(overCol))
+    docs
+      .groupBy(col(groupCol), col(overCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("_n")).as("n_docs"),
+        sum(col("_i") * col("_n")).as("_swr"))
+      .withColumn("gini",
+        (col("_swr") * lit(2L) - (col("n_sources") + lit(1L)) * col("n_docs")).cast("double")
+          / (col("n_sources") * col("n_docs")).cast("double"))
+      .select(col(groupCol), col("n_sources"), col("n_docs"), col("gini"))
+  }
+
+  /** Exact global rank of every row under the total order (valueCol,
+    * idCol) WITHOUT a single-partition window: range-repartition on the
+    * order key, rank locally per partition, then add each partition's
+    * start offset (per-partition counts collected to the driver —
+    * bounded by `partitions`, the classic sorted-zipWithIndex shape).
+    * The result is a pure function of the total order, so it is exact
+    * under any partitioning and any engine.
+    */
+  private def globalRank(df: DataFrame, valueCol: String, idCol: String,
+                         rankName: String, partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .repartitionByRange(partitions, col(valueCol), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = sorted.withColumn("_r",
+      row_number().over(Window.partitionBy("_pid").orderBy(col(valueCol), col(idCol))).cast("long"))
+    val cnt = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = cnt.map(_._1).zip(cnt.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_pid", "_off")
+    local.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(rankName, col("_r") + col("_off"))
+      .drop("_pid", "_r")
+  }
+
+  /** Pearson and Spearman correlation between two integer per-document
+    * scores — the agreement check run before swapping one quality signal
+    * for a cheaper one (a high-rank-correlation proxy can replace an
+    * expensive scorer). Pearson runs on the raw values (five exact sums,
+    * cross terms in DECIMAL(38,0) — n·Σab overflows a long at corpus
+    * scale); Spearman on exact dense global ranks under the
+    * deterministic total order (value, id) — ties broken by id, the
+    * documented convention (not fractional ranks), so Σd² is exact.
+    *
+    * Scale shape: no single-partition window anywhere — ranks come from
+    * [[globalRank]]'s range-repartition + offset shape (driver state =
+    * `partitions` counts); the rank join is an equi-join on the unique
+    * id; everything else is one bounded aggregate.
+    */
+  def scoreCorrelation(docs: DataFrame, aCol: String, bCol: String,
+                       idCol: String = "doc_id",
+                       partitions: Int = 32): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val base = docs.select(col(idCol).as("_id"),
+      col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
+    val ra = globalRank(base.select(col("_id"), col("_a")), "_a", "_id", "_ra", partitions)
+      .select(col("_id"), col("_ra"))
+    val rb = globalRank(base.select(col("_id"), col("_b")), "_b", "_id", "_rb", partitions)
+      .select(col("_id"), col("_rb"))
+    base.join(ra, Seq("_id")).join(rb, Seq("_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_a")).as("_sa"), sum(col("_b")).as("_sb"),
+        sum(d(col("_a")) * d(col("_b"))).as("_sab"),
+        sum(d(col("_a")) * d(col("_a"))).as("_saa"),
+        sum(d(col("_b")) * d(col("_b"))).as("_sbb"),
+        sum(d(col("_ra") - col("_rb")) * d(col("_ra") - col("_rb"))).as("_sdd"))
+      .withColumn("pearson",
+        (d(col("n_docs")) * col("_sab") - d(col("_sa")) * d(col("_sb"))).cast("double")
+          / (sqrt((d(col("n_docs")) * col("_saa") - d(col("_sa")) * d(col("_sa"))).cast("double"))
+            * sqrt((d(col("n_docs")) * col("_sbb") - d(col("_sb")) * d(col("_sb"))).cast("double"))))
+      .withColumn("spearman",
+        lit(1.0) - (lit(6.0) * col("_sdd").cast("double"))
+          / (d(col("n_docs")) * d(col("n_docs")) * d(col("n_docs")) - d(col("n_docs"))).cast("double"))
+      .select(col("n_docs"), col("pearson"), col("spearman"))
+  }
+
   /** Length-curriculum stage assignment: per `groupCol`, split documents
     * into `stages` bands by BPE-ish token count using EXACT per-group
     * quantile boundaries — the short→long ordering curricula schedule

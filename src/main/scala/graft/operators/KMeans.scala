@@ -145,6 +145,37 @@ object KMeans {
              quantScale: Double = 1e6): DataFrame =
     emb.withColumn("cluster_id", nearest(model.centroids, quantize(col(vecCol), quantScale)))
 
+  /** Cluster purity against an external label column — the quick "did
+    * unsupervised structure recover the known classes" check run after
+    * any embedding-space clustering (topic balance audits, encoder
+    * regression tests). Per cluster: size, the majority label (ties →
+    * lowest label, via one lexicographic struct-min — no second window),
+    * its count, and purity = n_majority / n. All counts exact longs;
+    * the division is last.
+    *
+    * Scale shape: training is [[fit]]'s bounded-driver-state loop;
+    * assignment is the shuffle-free codegen projection; the only data
+    * motion is a map-side-combinable (cluster, label) count bounded by
+    * k·|labels|, then a k-row reaggregation.
+    */
+  def clusterPurity(emb: DataFrame, k: Int, iters: Int,
+                    labelCol: String = "label",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    quantScale: Double = 1e6,
+                    share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    val model = fit(emb, k, iters, idCol, vecCol, quantScale, share)
+    assign(emb, model, idCol, vecCol, quantScale)
+      .groupBy(col("cluster_id"), col(labelCol).cast("long").as("_lbl"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("_n")).as("n"),
+        min(struct((-col("_n")).as("_neg"), col("_lbl"))).as("_top"))
+      .select(col("cluster_id"), col("n"),
+        col("_top._lbl").as("majority_label"),
+        (-col("_top._neg")).as("n_majority"))
+      .withColumn("purity", col("n_majority").cast("double") / col("n").cast("double"))
+  }
+
   /** Distance-to-centroid outliers: fit a model, assign every vector to
     * its nearest *final* centroid (same integer metric and tie rule as
     * training), and return the `topN` farthest vectors — the

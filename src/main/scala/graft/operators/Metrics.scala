@@ -499,12 +499,22 @@ object Metrics {
     * map-side-combinable bucket count (≤ 64 buckets), OLS on the bounded
     * bucket table. All OLS sums exact longs.
     */
-  def jumpLengthFit(sp: DataFrame, minJumpM: Long = 1L): DataFrame = {
+  def jumpLengthFit(sp: DataFrame, minJumpM: Long = 1L): DataFrame =
+    bitBucketPowerFit(
+      jumpLength(sp)
+        .filter(col("jump_length").isNotNull)
+        .withColumn("_m", floor(col("jump_length")).cast("long"))
+        .filter(col("_m") >= minJumpM))
+
+  /** Shared tail of every log₂-bucket power-law fit: bit-length buckets
+    * over an integer magnitude column `_m` (exact), then the lnq-OLS of
+    * ln(count) against ln(bucket lower edge). `slope` is the estimated
+    * power-law exponent (−β). All OLS sums exact longs; the bucket table
+    * is ≤ 64 rows, so the final aggregation is trivially bounded.
+    */
+  private def bitBucketPowerFit(values: DataFrame): DataFrame = {
     def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
-    jumpLength(sp)
-      .filter(col("jump_length").isNotNull)
-      .withColumn("_m", floor(col("jump_length")).cast("long"))
-      .filter(col("_m") >= minJumpM)
+    values
       .withColumn("_bucket", (length(bin(col("_m"))) - 1).cast("long"))
       .groupBy(col("_bucket")).agg(count(lit(1)).cast("long").as("_c"))
       .withColumn("_lo", expr("shiftleft(cast(1 as bigint), cast(_bucket as int))"))
@@ -520,6 +530,106 @@ object Metrics {
         ((col("_sy").cast("double") - col("slope") * col("_sx").cast("double"))
           / col("n_buckets").cast("double")) / lit(1e6))
       .select("n_buckets", "slope", "intercept")
+  }
+
+  /** Truncated-power-law exponent of the stay-duration (waiting-time)
+    * distribution (Song, Koren, Wang & Barabási 2010, "Modelling the
+    * scaling properties of human mobility": P(Δt) ∝ |Δt|^(−1−β),
+    * β ≈ 0.8 ± 0.1 — the second of the two scaling laws, alongside the
+    * jump-length law [[jumpLengthFit]] covers). Durations floor to whole
+    * seconds (`f_us − s_us` is an exact long, so the floor is too), then
+    * the same log₂-bucket lnq-OLS; `slope ≈ −(1+β)`.
+    *
+    * Scale shape: one scan-stage projection (no window — durations are
+    * per-row), a ≤ 64-bucket map-side-combinable count, OLS on the
+    * bounded bucket table.
+    */
+  def dwellTimeFit(sp: DataFrame, minSec: Long = 1L): DataFrame =
+    bitBucketPowerFit(
+      sp.select(((unix_micros(col("finished_at")) - unix_micros(col("started_at")))
+          / lit(1000000L)).cast("long").as("_m"))
+        .filter(col("_m") >= minSec))
+
+  /** Returners-vs-explorers decomposition (Pappalardo et al. 2015,
+    * "Returners and explorers dichotomy in human mobility"): per user,
+    * the total radius of gyration and the k-radius `rg_k` computed over
+    * visits to the user's k most-visited locations only (ties broken by
+    * lowest location id, matching the paper's most-frequent-first rank).
+    * A user is a k-returner when `rg_k` dominates: 2·rg_k ≥ rg —
+    * compared on the floored integer metres so the boolean is exact
+    * cross-engine (the haversine doubles themselves are bit-identical,
+    * see [[radiusGyration]]).
+    *
+    * Scale shape: the visit-count table is one map-side-combinable
+    * groupBy (≤ locations·users rows); top-k is a per-user window over
+    * that bounded table, never over raw fixes; both gyration passes are
+    * [[radiusGyration]]'s two-aggregation shape, the second on the
+    * semi-joined top-k subset.
+    */
+  def kRadiusGyration(sp: DataFrame, kTop: Int = 2,
+                      locCol: String = "location_id"): DataFrame = {
+    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
+    val wTop = Window.partitionBy("user_id").orderBy(col("_n").desc, col(locCol))
+    val topK = sp.groupBy(col("user_id"), col(locCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(wTop))
+      .filter(col("_rk") <= kTop)
+      .select(col("user_id"), col(locCol))
+    val rgAll = radiusGyration(sp)
+      .select(col("user_id"), floor(col("radius_gyration")).cast("long").as("rg_m"))
+    val rgK = radiusGyration(sp.join(topK, Seq("user_id", locCol)))
+      .select(col("user_id"), floor(col("radius_gyration")).cast("long").as("rgk_m"))
+    rgAll.join(rgK, Seq("user_id"))
+      .withColumn("is_returner", (col("rgk_m") * lit(2L)) >= col("rg_m"))
+  }
+
+  /** Exploration-curve exponent (Song et al. 2010: the number of
+    * distinct locations visited grows sublinearly, S(t) ∝ t^μ with
+    * μ ≈ 0.6 — the preferential-return signature). Heaps-law shape
+    * ([[TextAnalysis.heapsFit]]) applied to the visit stream: bucket the
+    * per-user visit index `seqCol` on a `sampleEvery` spine, count new
+    * (user, location) discoveries per bucket (a discovery is the MIN
+    * visit index at that location — exact, order-free), cumulate both
+    * series over the spine, lnq-OLS of ln S against ln n. `beta ≈ μ`.
+    *
+    * Scale shape: discoveries = one map-side-combinable min-groupBy;
+    * totals = one count-groupBy; the cumulative window runs over the
+    * bucket spine only (≤ max visit index / sampleEvery rows — size the
+    * spine with `sampleEvery`, same knob and caveat as heapsFit). Cross
+    * terms in DECIMAL(38,0): n·Σxy overflows a long past a few hundred
+    * spine points.
+    */
+  def locationGrowthFit(sp: DataFrame, sampleEvery: Long = 8L,
+                        locCol: String = "location_id",
+                        seqCol: String = "k"): DataFrame = {
+    require(sampleEvery >= 1, "sampleEvery must be positive")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val discoveries = sp.groupBy(col("user_id"), col(locCol))
+      .agg(min(col(seqCol)).as("_fk"))
+      .groupBy(expr(s"_fk div $sampleEvery").as("bucket"))
+      .agg(count(lit(1)).as("_ns"))
+    val visits = sp
+      .select(expr(s"$seqCol div $sampleEvery").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_nt"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val points = visits
+      .join(discoveries, Seq("bucket"), "left")
+      .withColumn("_s", sum(coalesce(col("_ns"), lit(0L))).over(w))
+      .withColumn("_n", sum(col("_nt")).over(w))
+      .select(lnq(col("_n")).as("_x"), lnq(col("_s")).as("_y"))
+    points.agg(
+        count(lit(1)).as("n_points"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("beta", {
+        def d(c: Column): Column = c.cast("decimal(38,0)")
+        (d(col("n_points")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))).cast("double") /
+          (d(col("n_points")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))).cast("double")
+      })
+      .withColumn("log_k",
+        ((col("_sy").cast("double") - col("beta") * col("_sx").cast("double"))
+          / col("n_points").cast("double")) / lit(1e6))
+      .select("n_points", "beta", "log_k")
   }
 
   /** Daily mobility motifs (Schneider et al. 2013, "Unravelling daily

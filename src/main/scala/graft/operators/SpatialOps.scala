@@ -304,6 +304,45 @@ object SpatialOps {
           .cast("long").as("overlap_us"))
   }
 
+  /** Focal (3×3-neighborhood) hotspot statistics on the micro-degree
+    * grid — the Getis-Ord-style local density surface behind every
+    * "where does activity cluster" map (a cell whose neighborhood share
+    * far exceeds the uniform expectation is a hotspot). Per visited
+    * cell: its own point count, the 9-cell focal sum (cell + 8
+    * neighbors), and the focal share of all points — the exact-integer
+    * core of Gi*; the z-normalization is a driver-side afterthought at
+    * report time and deliberately left out of the engine result.
+    *
+    * Scale shape: points collapse to per-cell counts first (one
+    * map-side-combinable groupBy bounded by the visited-cell domain);
+    * the focal sum is a 9-way offset explode + re-groupBy over that
+    * bounded cell table, never over raw points; the total rides in via
+    * one broadcast single-row cross join.
+    */
+  def hotspotCells(points: DataFrame, cellMicroDeg: Long = 10000L): DataFrame = {
+    require(cellMicroDeg > 0, "cell width must be positive")
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    val cells = points
+      .groupBy(cell(col("lon")).as("cell_x"), cell(col("lat")).as("cell_y"))
+      .agg(count(lit(1)).cast("long").as("n_points"))
+    val offsets = for { dx <- -1L to 1L; dy <- -1L to 1L }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val focal = cells
+      .select(col("cell_x"), col("cell_y"), col("n_points"),
+        explode(array(offsets: _*)).as("_o"))
+      .groupBy((col("cell_x") + col("_o.dx")).as("cell_x"),
+        (col("cell_y") + col("_o.dy")).as("cell_y"))
+      .agg(sum(col("n_points")).as("focal_points"))
+    val total = cells.agg(sum(col("n_points")).as("_total"))
+    cells.join(focal, Seq("cell_x", "cell_y"))
+      .crossJoin(broadcast(total))
+      .withColumn("focal_share",
+        col("focal_points").cast("double") / col("_total").cast("double"))
+      .select(col("cell_x"), col("cell_y"), col("n_points"),
+        col("focal_points"), col("focal_share"))
+  }
+
   /** Contact-network degree distribution over the co-location pairs —
     * the first statistic of every epidemiological / social-tie study
     * built on meeting detection (how many distinct contacts does a

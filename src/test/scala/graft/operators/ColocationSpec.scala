@@ -49,6 +49,22 @@ class ColocationSpec extends SparkSpec {
     assert(hist == Set((1L, 1L, 3L, 2L), (0L, 5L, 5L, 1L)))
   }
 
+  test("hotspotCells: focal sums count the 3x3 neighborhood, share sums to the total") {
+    // 1-degree cells: (0,0) x3, (1,0) x2 (adjacent), (3,3) x1 (isolated)
+    val pts = Seq(
+      (0.5, 0.5), (0.4, 0.6), (0.6, 0.4),
+      (1.5, 0.5), (1.4, 0.6),
+      (3.5, 3.5)).toDF("lon", "lat")
+    val got = SpatialOps.hotspotCells(pts, cellMicroDeg = 1000000L)
+      .select("cell_x", "cell_y", "n_points", "focal_points", "focal_share")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((0L, 0L)) == ((3L, 5L, 5.0 / 6.0)))
+    assert(got((1L, 0L)) == ((2L, 5L, 5.0 / 6.0)))
+    assert(got((3L, 3L)) == ((1L, 1L, 1.0 / 6.0)))
+    assert(got.size == 3) // neighbor-only cells don't appear in the output
+  }
+
   test("matches a brute-force pair scan on a random-ish fixture") {
     val rows = (0 until 80).map { i =>
       val u = (i % 7).toLong + 1

@@ -19,6 +19,44 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got("clean") == ((6L, 0L)))
   }
 
+  test("gini: hand-computed inequality for a skewed mix, zero for a uniform one") {
+    // skewed lang: source counts 1, 1, 2, 4 -> G = (2*25 - 5*8) / (4*8)
+    val docs = (
+      Seq((0L, "a")) ++ Seq((1L, "b")) ++ (0 until 2).map(i => (2L + i, "c")) ++
+        (0 until 4).map(i => (4L + i, "d"))).map { case (id, src) => (id, "en", src) } ++
+      (0 until 6).map(i => (100L + i, "de", s"s${i % 3}")) // uniform: 2 each of 3 sources
+    val got = CorpusOps.gini(docs.toDF("doc_id", "lang", "source"))
+      .select("lang", "n_sources", "n_docs", "gini")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 4L, 8L, (2.0 * 25 - 5 * 8) / (4.0 * 8))))
+    assert(got("de") == (("de", 3L, 6L, 0.0)))
+  }
+
+  test("scoreCorrelation: identical order gives spearman 1, reversed gives -1, ties stay deterministic") {
+    val n = 40
+    val docs = (0 until n).map { i =>
+      (i.toLong, 10L + i / 2, 1000L - (10L + i / 2)) // paired ties in both scores
+    }.toDF("doc_id", "a", "b")
+    val up = CorpusOps.scoreCorrelation(docs.withColumn("b2", col("a") * 2), "a", "b2", partitions = 7)
+      .select("n_docs", "pearson", "spearman").as[(Long, Double, Double)].collect().head
+    assert(up._1 == n.toLong && up._3 == 1.0 && math.abs(up._2 - 1.0) < 1e-12)
+    val down = CorpusOps.scoreCorrelation(docs, "a", "b", partitions = 7)
+      .select("n_docs", "pearson", "spearman").as[(Long, Double, Double)].collect().head
+    // b = 1000 - a: value-reversed, but rank ties break by doc_id on BOTH
+    // sides, so tied pairs keep their id order: spearman is near -1, not
+    // exactly -1 (d^2 replay below is the exact contract)
+    val ranksA = docs.select("doc_id", "a").as[(Long, Long)].collect()
+      .sortBy(t => (t._2, t._1)).zipWithIndex.map { case ((id, _), r) => id -> (r + 1L) }.toMap
+    val ranksB = docs.select("doc_id", "b").as[(Long, Long)].collect()
+      .sortBy(t => (t._2, t._1)).zipWithIndex.map { case ((id, _), r) => id -> (r + 1L) }.toMap
+    val sdd = (0 until n).map { i =>
+      val d = ranksA(i.toLong) - ranksB(i.toLong); d * d
+    }.sum
+    val expect = 1.0 - 6.0 * sdd.toDouble / (n.toLong * n * n - n).toDouble
+    assert(down._3 == expect && expect < -0.99)
+    assert(math.abs(down._2 + 1.0) < 1e-12)
+  }
+
   test("grouped weighted sample takes exactly k per group and matches the global priorities") {
     val docs = (0 until 60).map(i => (i.toLong, s"t$i", if (i % 2 == 0) "en" else "de", 10L + i))
       .toDF("doc_id", "text", "lang", "n_chars")

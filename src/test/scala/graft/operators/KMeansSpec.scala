@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, when}
 
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
@@ -154,6 +155,23 @@ class KMeansSpec extends SparkSpec {
       s.toLong -> ((raw.length.toLong, sums))
     }.toMap
     assert(got == expect)
+  }
+
+  test("clusterPurity: separated blobs score 1.0; label ties pick the lowest label") {
+    // seeds are ids 0 and 1, one in each blob, so Lloyd's separates them
+    val blobA = Seq(0L -> Seq(0.1f, 0.0f), 2L -> Seq(0.0f, 0.2f), 3L -> Seq(-0.1f, 0.1f))
+    val blobB = Seq(1L -> Seq(10.0f, 10.1f), 4L -> Seq(9.9f, 10.0f),
+      5L -> Seq(10.1f, 9.9f), 6L -> Seq(10.0f, 10.0f))
+    val emb = embDf(blobA ++ blobB)
+      // blob A all label 0; blob B splits 2-2 between labels 3 and 1
+      .withColumn("label",
+        when(col("vec_id").isin(0L, 2L, 3L), 0L)
+          .when(col("vec_id").isin(1L, 4L), 3L).otherwise(1L).cast("int"))
+    val got = KMeans.clusterPurity(emb, k = 2, iters = 2)
+      .select("cluster_id", "n", "majority_label", "n_majority", "purity")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 0L, 3L, 1.0)))
+    assert(got(1L) == ((1L, 4L, 1L, 2L, 0.5))) // 2-2 tie: lowest label wins
   }
 
   test("PQ: codes are in range, identical vectors encode identically") {

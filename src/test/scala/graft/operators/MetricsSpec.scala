@@ -530,4 +530,81 @@ class MetricsSpec extends SparkSpec {
     // near-diagonal cloud: orientation close to 45°
     assert(math.abs(r.getAs[Double]("theta") - math.Pi / 4) < 0.2)
   }
+
+  test("dwellTimeFit: slope/intercept equal a local replay of the bucket OLS") {
+    // durations (seconds): 4x ~2s (bucket 1), 8x 4-7s (bucket 2), 2x 9s (bucket 3)
+    val durs = Seq.fill(4)(2L) ++ (0 until 8).map(i => 4L + i % 4) ++ Seq(9L, 9L)
+    val sp = mkSp(durs.zipWithIndex.map { case (d, i) =>
+      (i.toLong, 1L, "2023-01-01 08:00:00", s"2023-01-01 08:00:0$d", 8.5, 47.3)
+    }: _*)
+    val r = Metrics.dwellTimeFit(sp).collect().head
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val buckets = durs.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (b, vs) => (lnq(1L << b), lnq(vs.length.toLong)) }.toSeq
+    val (n, sx, sy) = (buckets.length.toLong, buckets.map(_._1).sum, buckets.map(_._2).sum)
+    val sxy = buckets.map(p => p._1 * p._2).sum
+    val sxx = buckets.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getAs[Long]("n_buckets") == n)
+    assert(r.getAs[Double]("slope") == slope)
+    assert(r.getAs[Double]("intercept") ==
+      ((sy.toDouble - slope * sx.toDouble) / n.toDouble) / 1e6)
+    // more short stays than long: the fitted exponent is negative
+    assert(slope < 0.0)
+  }
+
+  test("kRadiusGyration: concentrated top-2 user is a returner, dispersed user is not") {
+    def visits(u: Long, loc: Long, n: Int, lon: Double, lat: Double, off: Int) =
+      (0 until n).map(i => (off + i.toLong, u, "2023-01-01 08:00:00", "2023-01-01 09:00:00", lon, lat, loc))
+    // user 1: 10+10 visits at two points 100 m apart, 1 visit ~300 m away
+    // (one modest excursion: top-2 dominates the spread -> returner)
+    // user 2: 5+5 visits at the same near pair, 4 visits each at three
+    // far points ~20 km out (the excursions dominate -> explorer)
+    val rows =
+      visits(1L, 0L, 10, 8.5000, 47.3000, 0) ++ visits(1L, 1L, 10, 8.5013, 47.3000, 100) ++
+        visits(1L, 2L, 1, 8.504, 47.30, 200) ++
+      visits(2L, 0L, 5, 8.5000, 47.3000, 300) ++ visits(2L, 1L, 5, 8.5013, 47.3000, 400) ++
+        visits(2L, 2L, 4, 8.76, 47.30, 500) ++ visits(2L, 3L, 4, 8.50, 47.48, 600) ++
+        visits(2L, 4L, 4, 8.24, 47.30, 700)
+    val sp = rows.toDF("id", "user_id", "s", "f", "lon", "lat", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("lon"), col("lat"), col("location_id"))
+    val got = Metrics.kRadiusGyration(sp, kTop = 2)
+      .select("user_id", "rg_m", "rgk_m", "is_returner")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 && !got(2L)._4)
+    // rgk_m equals radiusGyration restricted to each user's top-2 locations
+    val manual = Metrics.radiusGyration(sp.filter(col("location_id") <= 1))
+      .select(col("user_id"), floor(col("radius_gyration")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L)._3 == manual(1L) && got(2L)._3 == manual(2L))
+    // both users' top-2 spread is ~50 m; user 1's full spread stays
+    // double that, user 2's is km-scale
+    assert(got(1L)._3 < 100L && got(2L)._3 < 100L)
+    assert(got(1L)._2 > 60L && got(1L)._2 < 150L && got(2L)._2 > 5000L)
+  }
+
+  test("locationGrowthFit: points equal a local replay of the cumulative spine") {
+    // 3 users x 24 visits cycling through 4 locations: discoveries front-load
+    val rows = for { u <- 1L to 3L; k <- 0L until 24L }
+      yield (u * 100 + k, u, k, (k / 3) % 4, 8.5 + 0.001 * u, 47.3)
+    val sp = rows.toDF("id", "user_id", "k", "location_id", "lon", "lat")
+    val r = Metrics.locationGrowthFit(sp, sampleEvery = 4L).collect().head
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val firsts = rows.groupBy(t => (t._2, t._4)).values.map(_.map(_._3).min).toSeq
+    val spine = rows.map(_._3 / 4).distinct.sorted
+    val pts = spine.map { b =>
+      val n = rows.count(_._3 / 4 <= b).toLong
+      val s = firsts.count(_ / 4 <= b).toLong
+      (lnq(n), lnq(s))
+    }
+    val (np, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (BigInt(np) * sxy - BigInt(sx) * sy).toDouble / (BigInt(np) * sxx - BigInt(sx) * sx).toDouble
+    assert(r.getAs[Long]("n_points") == np)
+    assert(r.getAs[Double]("beta") == beta)
+    // sublinear growth: 0 < beta < 1 on a saturating tour
+    assert(beta > 0.0 && beta < 1.0)
+  }
 }

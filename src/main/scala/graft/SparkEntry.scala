@@ -1738,11 +1738,19 @@ object SparkEntry {
       SpatialOps.colocationDegrees(SpatialOps.colocationPairs(
         EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
     },
+    "colocation_pagerank" -> { (s, dir) =>
+      SpatialOps.colocationPagerank(SpatialOps.colocationPairs(
+        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0),
+        iters = 3)
+    },
     "pq_distortion" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val model = Ann.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2,
         share = _.localCheckpoint(false))
       Ann.pqDistortion(emb, model)
+    },
+    "sq8_profile" -> { (s, dir) =>
+      Ann.sq8Profile(s.read.parquet(s"$dir/embeddings.parquet"))
     },
     "score_drift" -> { (s, dir) =>
       Classifier.scoreDrift(
@@ -2079,6 +2087,10 @@ object SparkEntry {
     "ann_ndcg" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.ndcgEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+    },
+    "ann_dim_ablation" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.dimAblationRecall(emb.filter(col("vec_id") < 10), emb, k = 5, dims = 32)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
@@ -3597,6 +3609,68 @@ object SparkEntry {
          |  CAST(sum(degree) AS BIGINT) AS sum_degree,
          |  CAST(CAST(1 AS BIGINT) << CAST(length(bin(degree)) - 1 AS INT) AS BIGINT) AS bucket_lo
          |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
+    // fixed-point PageRank over the contact graph: 3 unrolled
+    // iterations of int128 floor-division flow along weighted edges
+    "colocation_pagerank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst,
+           |         CAST(sum((CAST(r.r AS HUGEINT) * 85 * e.w) // (100 * CAST(d.deg AS HUGEINT))) AS BIGINT) AS cin
+           |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.user_id
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT d.src AS user_id, CAST(150000 + coalesce(c.cin, 0) AS BIGINT) AS r
+           |  FROM deg d LEFT JOIN c$i c ON d.src = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst, w FROM prs),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS user_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$iterCtes
+         |SELECT user_id, r AS rank_q FROM r3""".stripMargin
+    },
+    // SQ8 byte-quantization profile: per-dim min/max linear codes and
+    // exact integer reconstruction error
+    "sq8_profile" ->
+      """WITH q AS (
+        |  SELECT pos, CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+        |  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |rg AS (SELECT pos, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY pos),
+        |c AS (
+        |  SELECT q.pos, q.xq, rg.mn, rg.mx,
+        |         CASE WHEN rg.mx > rg.mn
+        |              THEN ((q.xq - rg.mn) * 255) // (rg.mx - rg.mn) ELSE 0 END AS code
+        |  FROM q JOIN rg ON q.pos = rg.pos),
+        |e AS (
+        |  SELECT pos, mn, mx, code,
+        |         abs(xq - (mn + (code * (mx - mn)) // 255)) AS err
+        |  FROM c)
+        |SELECT CAST(pos - 1 AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n_values,
+        |       CAST(min(mn) AS BIGINT) AS min_q, CAST(min(mx) AS BIGINT) AS max_q,
+        |       CAST(sum(code) AS BIGINT) AS sum_code, CAST(sum(err) AS BIGINT) AS sum_err_q,
+        |       CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_err_q
+        |FROM e GROUP BY pos""".stripMargin,
     // PQ codebook distortion: the pq chain's per-(vec, subspace) best
     // distance reaggregated per subspace
     "pq_distortion" ->
@@ -4418,6 +4492,34 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
     "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
+    // Matryoshka ablation: full-dim brute-force truth vs first-32-dim
+    // brute-force, per-probe surviving-hit share
+    "ann_dim_ablation" ->
+      s"""WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         |bscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("p.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+         |bt AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM bscored) WHERE rank <= 5),
+         |tscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("p.embedding[1:32]", "c.embedding[1:32]")} AS cosine
+         |  FROM embeddings c, probes p WHERE p.vec_id != c.vec_id),
+         |tt AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM tscored) WHERE rank <= 5),
+         |hcnt AS (
+         |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM bt b JOIN tt t ON b.probe_id = t.probe_id AND b.neighbor_id = t.neighbor_id
+         |  GROUP BY b.probe_id)
+         |SELECT p.probe_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT probe_id FROM bt) p
+         |LEFT JOIN hcnt h ON p.probe_id = h.probe_id""".stripMargin,
     "ann_ndcg" -> annNdcgOracle(k = 5, nlist = 32, nprobe = 4),
     // near-dup pairs straddling the hash-split boundary: the dedup_minhash
     // pair chain joined twice against the split_assign CASE predicate

@@ -98,6 +98,42 @@ object Ann {
         col("sum_dist_q").cast("double") / col("n_vectors").cast("double"))
   }
 
+  /** SQ8 scalar-quantization profile — the per-dimension quality report
+    * for the simplest vector-compression family (one byte per
+    * dimension, linear between the per-dim min and max; FAISS's SQ8).
+    * For each dimension: the quantized range, the code mass, and the
+    * exact integer reconstruction error |xq − (min + code·range div
+    * 255)| — the number that says which dimensions survive byte
+    * quantization and which need PQ ([[pqDistortion]] is the
+    * codebook-family sibling). Codes and errors are pure integer
+    * arithmetic on micro-unit values, engine-exact.
+    *
+    * Scale shape: one posexplode shuffle partial-aggregated map-side
+    * into the dim-row min/max table, which broadcasts back onto the
+    * exploded scan; the final per-dim aggregate is bounded by `dim`.
+    */
+  def sq8Profile(corpus: DataFrame, vecCol: String = "embedding",
+                 quantScale: Double = 1e6): DataFrame = {
+    val vals = corpus.select(
+      posexplode(KMeans.quantize(col(vecCol), quantScale)).as(Seq("_pos", "_xq")))
+    val ranges = vals.groupBy(col("_pos"))
+      .agg(min(col("_xq")).as("_min"), max(col("_xq")).as("_max"))
+    vals.join(broadcast(ranges), Seq("_pos"))
+      .withColumn("_code", when(col("_max") > col("_min"),
+        expr("((_xq - _min) * 255) div (_max - _min)")).otherwise(lit(0L)))
+      .withColumn("_err",
+        abs(col("_xq") - (col("_min") + expr("(_code * (_max - _min)) div 255"))))
+      .groupBy(col("_pos"))
+      .agg(count(lit(1)).cast("long").as("n_values"),
+        first(col("_min")).as("min_q"), first(col("_max")).as("max_q"),
+        sum(col("_code")).cast("long").as("sum_code"),
+        sum(col("_err")).cast("long").as("sum_err_q"))
+      .withColumn("mean_err_q",
+        col("sum_err_q").cast("double") / col("n_values").cast("double"))
+      .select(col("_pos").cast("long").as("pos"), col("n_values"), col("min_q"),
+        col("max_q"), col("sum_code"), col("sum_err_q"), col("mean_err_q"))
+  }
+
   /** nDCG@k of the IVF search against brute-force truth — the
     * rank-position-aware companion to [[recallEval]] (recall says "how
     * many truth neighbors appear at all"; nDCG says "and how high"). The
@@ -253,6 +289,37 @@ object Ann {
     val approx = ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol)
       .select(col("probe_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Truncated-dimension recall — the Matryoshka-representation
+    * question (Kusupati et al. 2022): how much of the full-dimension
+    * top-k survives if search keeps only the first `dims` coordinates?
+    * High recall at half the dims means the index (and its memory bill)
+    * can shrink 2× before ANN structure is even discussed. Truth and
+    * ablated search are both exact brute-force scans, so the report
+    * isolates the dimension effect from index effects.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (broadcast probes over
+    * one corpus scan each — probes are small by contract) and one
+    * per-probe hit join; nothing corpus-sized shuffles.
+    */
+  def dimAblationRecall(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+                        dims: Int = 32,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def trunc(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val truth = bruteForceTopK(probes, corpus, k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ablated = bruteForceTopK(trunc(probes), trunc(corpus), k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(ablated, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
     truth.select(col("probe_id")).distinct()
       .join(hits, Seq("probe_id"), "left")

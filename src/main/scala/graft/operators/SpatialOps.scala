@@ -363,6 +363,53 @@ object SpatialOps {
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
   }
 
+  /** Fixed-point PageRank over the co-location contact graph — the
+    * influence/centrality ranking epidemiology and social-tie studies
+    * compute after meeting detection (who reaches the network fastest).
+    * Deterministic integer arithmetic so the result is engine-exact:
+    * scores live in millionths (`scale`), each iteration sends
+    * `(r·damping·w) div (100·deg)` along every weighted edge (the
+    * products in DECIMAL(38,0) — a hub's rank × weight overflows a long
+    * at billion-node scale; `div` floors back to a long) and every node
+    * restarts with `(100−damping)·scale div 100`. The per-edge floor
+    * leaks a little mass each round (documented convention, identical
+    * in both engines) — ranking, not normalization, is the contract.
+    *
+    * Scale shape: one symmetric edge table (2|pairs| rows) joined with
+    * a degree table once, `share`d so the `iters` rank joins reuse the
+    * materialized edges; each iteration is one hash equi-join rank⋈edges
+    * on src + one map-side-combinable dst sum + one left join back to
+    * the node table. Driver state: none.
+    */
+  def colocationPagerank(pairs: DataFrame, iters: Int = 3, dampingPct: Long = 85L,
+                         scale: Long = 1000000L,
+                         share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale >= 1,
+      "need iters >= 1, dampingPct in [0,100], scale >= 1")
+    val edges = pairs
+      .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
+      .unionByName(pairs
+        .select(col("user_b").as("src"), col("user_a").as("dst"), col("n_meetings").as("w")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val edgesDeg = share(edges.join(deg, Seq("src")))
+    val nodes = deg.select(col("src").as("user_id"))
+    val teleport = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.select(col("user_id"), lit(scale).as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("user_id"))
+        .select(col("dst"),
+          expr(s"cast(rank_q as decimal(38,0)) * $dampingPct * w div (100 * cast(deg as decimal(38,0)))")
+            .as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      ranks = nodes
+        .join(contribs, nodes("user_id") === contribs("dst"), "left")
+        .select(col("user_id"),
+          (lit(teleport) + coalesce(col("_in"), lit(0L))).cast("long").as("rank_q"))
+    }
+    ranks
+  }
+
   /** Radial-distance trajectory simplification (the streaming cousin of
     * Douglas–Peucker used when a single ordered pass must suffice):
     * keep the first fix, then every fix at least `epsilonMeters` of

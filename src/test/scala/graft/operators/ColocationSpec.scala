@@ -65,6 +65,28 @@ class ColocationSpec extends SparkSpec {
     assert(got.size == 3) // neighbor-only cells don't appear in the output
   }
 
+  test("colocationPagerank: ranks equal a local integer replay; hub ranks highest") {
+    // path graph 1 -(w2)- 2 -(w1)- 3 plus leaf 4 -(w1)- 2: node 2 is the hub
+    val pairs = Seq((1L, 2L, 2L, 0L), (2L, 3L, 1L, 0L), (2L, 4L, 1L, 0L))
+      .toDF("user_a", "user_b", "n_meetings", "overlap_us")
+    val iters = 3
+    val got = SpatialOps.colocationPagerank(pairs, iters = iters)
+      .as[(Long, Long)].collect().toMap
+    // replay: symmetric edges, weighted degrees, floor-division flow
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 2L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 1L), (4L, 2L, 1L))
+    val deg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        (BigInt(r(s)) * 85 * w / (100 * deg(s))).toLong
+      }.sum).toMap
+      r = deg.keys.map(u => u -> (150000L + in.getOrElse(u, 0L))).toMap
+    }
+    assert(got == r)
+    assert(got(2L) > got(1L) && got(1L) > got(3L) && got(3L) == got(4L))
+  }
+
   test("matches a brute-force pair scan on a random-ish fixture") {
     val rows = (0 until 80).map { i =>
       val u = (i % 7).toLong + 1

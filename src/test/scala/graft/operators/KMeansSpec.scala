@@ -174,6 +174,23 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == ((1L, 4L, 1L, 2L, 0.5))) // 2-2 tie: lowest label wins
   }
 
+  test("sq8Profile: codes and reconstruction errors equal a local replay; constant dim is exact") {
+    val rnd = new scala.util.Random(7)
+    // dim 0 constant (zero range -> code 0, error 0), dims 1-3 random
+    val raw = (0L until 30L).map(i => i -> (0.5f +: Seq.fill(3)(rnd.nextFloat() * 2 - 1)))
+    val got = Ann.sq8Profile(embDf(raw))
+      .select("pos", "n_values", "min_q", "max_q", "sum_code", "sum_err_q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (p <- 0 until 4) {
+      val xs = raw.map(t => math.floor(t._2(p) * 1e6 + 0.5).toLong)
+      val (mn, mx) = (xs.min, xs.max)
+      val codes = xs.map(x => if (mx > mn) (x - mn) * 255 / (mx - mn) else 0L)
+      val errs = xs.zip(codes).map { case (x, c) => math.abs(x - (mn + c * (mx - mn) / 255)) }
+      assert(got(p.toLong) == ((p.toLong, 30L, mn, mx, codes.sum, errs.sum)))
+    }
+    assert(got(0L)._5 == 0L && got(0L)._6 == 0L)
+  }
+
   test("PQ: codes are in range, identical vectors encode identically") {
     val rnd = new scala.util.Random(3)
     val raw = (0L until 60L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))

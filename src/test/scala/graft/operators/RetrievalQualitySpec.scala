@@ -78,6 +78,29 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(out(3L)._3 < 1.0)
   }
 
+  test("dimAblationRecall: front-loaded signal keeps recall 1, back-loaded signal loses it") {
+    import org.apache.spark.sql.DataFrame
+    // 4-dim corpus; probe 0's true neighbors differ in WHICH half carries signal
+    def run(corpus: Seq[(Long, Seq[Float])]): Map[Long, (Long, Double)] =
+      Ann.dimAblationRecall(
+        corpus.toDF("vec_id", "embedding").filter(col("vec_id") < 1): DataFrame,
+        corpus.toDF("vec_id", "embedding"), k = 2, dims = 2)
+        .select("probe_id", "hits", "recall").as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // signal in the first two dims: truncation changes nothing
+    val front = Seq(
+      0L -> Seq(1.0f, 0.1f, 0.0f, 0.0f), 1L -> Seq(1.0f, 0.12f, 0.0f, 0.0f),
+      2L -> Seq(0.9f, 0.1f, 0.0f, 0.0f), 3L -> Seq(-1.0f, 0.5f, 0.0f, 0.0f))
+    assert(run(front)(0L) == ((2L, 1.0)))
+    // neighbors distinguished ONLY by the last two dims: ablated search
+    // sees identical prefixes and ranks by id, losing the true top-2
+    val back = Seq(
+      0L -> Seq(1.0f, 0.0f, 1.0f, 0.5f), 1L -> Seq(1.0f, 0.0f, -1.0f, 0.4f),
+      2L -> Seq(1.0f, 0.0f, -0.9f, -0.6f), 3L -> Seq(1.0f, 0.0f, 0.98f, 0.52f))
+    val got = run(back)(0L)
+    assert(got._1 < 2L && got._2 < 1.0)
+  }
+
   test("mmrRerank: a near-duplicate of the top hit is deferred; pure relevance keeps it") {
     // candidates: 10 ≅ 11 (near-identical vectors), 12 orthogonal-ish
     val pool = Seq(

@@ -1722,6 +1722,13 @@ object SparkEntry {
     "dwell_time_fit" -> { (s, dir) =>
       Metrics.dwellTimeFit(EventsAdapter.intervals(s, dir))
     },
+    // one visit row per (user, tour block): the block's first fix
+    "od_gravity_fit" -> { (s, dir) =>
+      Metrics.odGravityFit(
+        EventsAdapter.intervals(s, dir)
+          .filter(expr("k % 12 = 0"))
+          .withColumn("location_id", expr("(k div 12) % 4")))
+    },
     "returners_explorers" -> { (s, dir) =>
       Metrics.kRadiusGyration(
         EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")),
@@ -3315,6 +3322,53 @@ object SparkEntry {
          |SELECT n_buckets, slope,
          |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |          / CAST(n_buckets AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
+         |FROM sl""".stripMargin,
+    // Zipf gravity law: flows between block-first visits, centroids as
+    // exact micro-degree sums divided once, ln-ln OLS over OD pairs
+    "od_gravity_fit" ->
+      s"""${EventsAdapter.pfsSql}, vis AS (
+         |  SELECT user_id, id, s_us, (k // 12) % 4 AS loc, lon, lat
+         |  FROM intervals WHERE k % 12 = 0),
+         |tr AS (
+         |  SELECT user_id, loc AS f, lead(loc) OVER (PARTITION BY user_id ORDER BY s_us, id) AS t
+         |  FROM vis),
+         |fl AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS flow
+         |  FROM tr WHERE t IS NOT NULL AND t != f GROUP BY f, t),
+         |ce AS (
+         |  SELECT loc,
+         |         sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS sy,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM vis GROUP BY loc),
+         |cc AS (
+         |  SELECT loc, (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS clon,
+         |         (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS clat
+         |  FROM ce),
+         |dst AS (
+         |  SELECT fl.flow,
+         |         CAST(floor(${hav("a.clon", "a.clat", "b.clon", "b.clat")}) AS BIGINT) AS d
+         |  FROM fl JOIN cc a ON fl.f = a.loc JOIN cc b ON fl.t = b.loc),
+         |xy AS (
+         |  SELECT CAST(floor(ln(CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |         CAST(floor(ln(CAST(flow AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM dst WHERE d >= 1),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |  FROM xy),
+         |sl AS (
+         |  SELECT n_pairs, sx, sy,
+         |         CAST(CAST(n_pairs AS HUGEINT) * sxy
+         |              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+         |           / CAST(CAST(n_pairs AS HUGEINT) * sxx
+         |                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS slope
+         |  FROM ag)
+         |SELECT n_pairs, slope,
+         |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |          / CAST(n_pairs AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
          |FROM sl""".stripMargin,
     // Pappalardo returners/explorers: rg twice (all visits; top-2
     // locations only), floored-metre comparison for the flag

@@ -239,6 +239,63 @@ object Metrics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Gravity-law distance-decay exponent of the OD flow matrix (Zipf
+    * 1946 "the P₁P₂/D hypothesis"; the spatial-interaction model behind
+    * commuting/migration studies): pool transitions into (from, to)
+    * flows, place each location at its exact visit centroid (integer
+    * micro-degree sums divided once — the [[commuteDistance]]
+    * convention), and lnq-OLS ln(flow) against ln(distance). `slope` is
+    * the fitted −γ (γ ≈ 1–2 in commuting data). Self-loops are excluded
+    * — a zero distance has no gravity reading.
+    *
+    * Scale shape: one per-user lag window (the odFlows shuffle), a
+    * map-side-combinable flow count bounded by the location-pair
+    * domain, a location-bounded centroid table broadcast onto it twice,
+    * and the OLS aggregate with DECIMAL(38,0) cross terms (Σxy over a
+    * million location pairs overflows a long).
+    */
+  def odGravityFit(spLoc: DataFrame, locCol: String = "location_id"): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val vis = spLoc.filter(col(locCol).isNotNull)
+    val flows = vis
+      .withColumn("_to", lead(col(locCol), 1).over(byUser))
+      .filter(col("_to").isNotNull && col("_to") =!= col(locCol))
+      .groupBy(col(locCol).as("_f"), col("_to").as("_t"))
+      .agg(count(lit(1)).as("_flow"))
+    val cents = vis
+      .groupBy(col(locCol).as("_loc"))
+      .agg(sum(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("_sx"),
+        sum(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("_sy"),
+        count(lit(1)).as("_n"))
+      .select(col("_loc"),
+        (col("_sx").cast("double") / col("_n").cast("double") / 1e6).as("_clon"),
+        (col("_sy").cast("double") / col("_n").cast("double") / 1e6).as("_clat"))
+    val from = cents.select(col("_loc").as("_f"), col("_clon").as("_flon"), col("_clat").as("_flat"))
+    val to = cents.select(col("_loc").as("_t"), col("_clon").as("_tlon"), col("_clat").as("_tlat"))
+    val pts = flows
+      .join(broadcast(from), Seq("_f")).join(broadcast(to), Seq("_t"))
+      .withColumn("_d", floor(GeoFunctions.haversineMeters(
+        col("_flon"), col("_flat"), col("_tlon"), col("_tlat"))).cast("long"))
+      .filter(col("_d") >= 1L)
+      .select(lnq(col("_d")).as("_x"), lnq(col("_flow")).as("_y"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    // cross terms summed in DECIMAL(38,0): x·y ≈ 3·10¹⁴ per pair, so the
+    // running Σ itself outgrows a long past ~30k location pairs
+    pts.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(d(col("_x")) * d(col("_y"))).as("_sxy"),
+        sum(d(col("_x")) * d(col("_x"))).as("_sxx"))
+      .withColumn("slope",
+        (d(col("n_pairs")) * col("_sxy") - d(col("_sx")) * d(col("_sy"))).cast("double") /
+          (d(col("n_pairs")) * col("_sxx") - d(col("_sx")) * d(col("_sx"))).cast("double"))
+      .withColumn("intercept",
+        ((col("_sy").cast("double") - col("slope") * col("_sx").cast("double"))
+          / col("n_pairs").cast("double")) / lit(1e6))
+      .select("n_pairs", "slope", "intercept")
+  }
+
   /** Per-(user, location) return times: for every revisit of a location,
     * the gap between leaving it and arriving back — the return-time
     * distribution of Song et al. 2010 (the regular spikes at 24 h/1 week

@@ -259,4 +259,47 @@ class PlanSpec extends AnyFunSuite {
       s"only the candidate-word exact count may shuffle:\n$p")
     assert(p.contains("partial_count"), s"exact count must map-side combine:\n$p")
   }
+
+  test("score_correlation: ranks come from range partitioning — no single-partition window") {
+    val p = plan("score_correlation")
+    // two globalRank passes = two range repartitions; an unpartitioned
+    // row_number window would instead demand Exchange SinglePartition
+    // BEFORE a Window (the corpus on one executor). The only allowed
+    // SinglePartition exchange feeds the final 1-row aggregate.
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 2, s"two rank sorts:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the final bounded aggregate may single-partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("sq8_profile: dim-row range table broadcasts back; aggregations partial-combine") {
+    val p = plan("sq8_profile")
+    assert(p.contains("BroadcastHashJoin"), s"range table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no merge join or product at dim size:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"range aggregation must map-side combine:\n$p")
+  }
+
+  test("hotspot_cells: focal sums aggregate cells, not points — map-side combine, no product") {
+    val p = plan("hotspot_cells")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cell counts must map-side combine:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row total may nest-broadcast:\n$p")
+  }
+
+  test("colocation_pagerank: rank flow is equi-joins only — no product at any iteration") {
+    val p = plan("colocation_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every iteration must move rank along hash-joinable edges:\n$p")
+    assert(p.contains("partial_sum"), s"contribution sums must map-side combine:\n$p")
+  }
+
+  test("returners_explorers: top-k locations pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("returners_explorers")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }

@@ -584,6 +584,38 @@ class MetricsSpec extends SparkSpec {
     assert(got(1L)._2 > 60L && got(1L)._2 < 150L && got(2L)._2 > 5000L)
   }
 
+  test("odGravityFit: fit equals a local scalar replay; flows decay with distance") {
+    val locs = Map(0L -> (8.50, 47.30), 1L -> (8.51, 47.30), 2L -> (8.56, 47.30))
+    // visit sequences: heavy short-hop 0<->1 traffic, light long 0<->2
+    val seqs = Map(1L -> Seq(0L, 1L, 0L, 1L, 0L, 2L), 2L -> Seq(0L, 1L, 0L, 2L, 0L, 1L))
+    val rows = seqs.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (l, i) =>
+        (u * 100 + i, u, f"2023-01-01 ${8 + i}%02d:00:00", f"2023-01-01 ${8 + i}%02d:30:00",
+          locs(l)._1, locs(l)._2, l)
+      }
+    }
+    val sp = rows.toDF("id", "user_id", "s", "f", "lon", "lat", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        to_timestamp(col("f")).as("finished_at"), col("lon"), col("lat"), col("location_id"))
+    val r = Metrics.odGravityFit(sp).collect().head
+    // replay: flows over non-self transitions, single-point centroids
+    val flows = seqs.values.toSeq.flatMap(_.sliding(2).map(p => (p(0), p(1))))
+      .filter(p => p._1 != p._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val pts = flows.toSeq.map { case ((a, b), n) =>
+      val d = math.floor(graft.functions.GeoFunctions.haversineMeters(
+        locs(a)._1, locs(a)._2, locs(b)._1, locs(b)._2)).toLong
+      (lnq(d), lnq(n))
+    }
+    val (np, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val slope = (BigInt(np) * sxy - BigInt(sx) * sy).toDouble / (BigInt(np) * sxx - BigInt(sx) * sx).toDouble
+    assert(r.getAs[Long]("n_pairs") == np)
+    assert(r.getAs[Double]("slope") == slope)
+    assert(slope < 0.0) // gravity: more flow where less distance
+  }
+
   test("locationGrowthFit: points equal a local replay of the cumulative spine") {
     // 3 users x 24 visits cycling through 4 locations: discoveries front-load
     val rows = for { u <- 1L to 3L; k <- 0L until 24L }

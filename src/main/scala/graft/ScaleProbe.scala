@@ -392,6 +392,40 @@ object ScaleProbe {
       pfs10.groupBy(graft.functions.Geohash.encode(col("lon"), col("lat"), 6).as("g"))
         .agg(count(lit(1)).as("n")).agg(sum(col("n"))).collect()(0).getLong(0)
     }
+    // focal hotspot over the 10x cloud: points collapse to cells first,
+    // so the 9-offset explode touches the bounded cell table only
+    t("hotspot_10x") {
+      SpatialOps.hotspotCells(pfs10)
+        .agg(sum(col("focal_points"))).collect()(0).getLong(0)
+    }
+    // contact pagerank at 10x users: each replica shifts lon by i degrees
+    // (distinct cells), so the pair table scales linearly with replicas —
+    // the fair growth model (users in different cities don't meet); the
+    // adversarial same-cell case is colocation_pairs' own probe territory
+    val iv10g = (0 until 10).map(i =>
+        sources.EventsAdapter.intervals(spark, dir)
+          .select(col("id"), (col("user_id") + i * 100000L).as("user_id"),
+            col("s_us"), col("f_us"), (col("lon") + i * 1.0).as("lon"), col("lat")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    t("pagerank_10x") {
+      SpatialOps.colocationPagerank(
+        SpatialOps.colocationPairs(iv10g, cellMicroDeg = 10000L, bandMinutes = 120.0),
+        iters = 3, share = _.localCheckpoint(false))
+        .agg(sum(col("rank_q"))).collect()(0).getLong(0)
+    }
+    // spearman/pearson over 500k docs: the two global ranks must come
+    // from range repartitions (32-way sorts), never one-executor windows
+    t("score_corr_10x") {
+      CorpusOps.scoreCorrelation(
+        docs10w.withColumn("n_words", size(split(col("text"), " ")).cast("long")),
+        "n_chars", "n_words")
+        .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    }
+    // SQ8 over 500k x 64 values: one posexplode partial-agg into the
+    // 64-row range table + one broadcast-join rescan
+    t("sq8_10x") {
+      Ann.sq8Profile(emb10).agg(sum(col("sum_err_q"))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }

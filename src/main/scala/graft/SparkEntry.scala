@@ -1884,6 +1884,14 @@ object SparkEntry {
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
       LocationLabelling.freqMethod(sp).select(col("id"), col("purpose"))
     },
+    "location_rank_curve" -> { (s, dir) =>
+      Metrics.locationRankCurve(
+        EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")))
+    },
+    "home_stay_share" -> { (s, dir) =>
+      Metrics.homeStayShare(
+        EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")))
+    },
     "location_osna" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
       LocationLabelling.osnaMethod(sp).select(col("id"), col("purpose"))
@@ -2098,6 +2106,10 @@ object SparkEntry {
     "ann_dim_ablation" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.dimAblationRecall(emb.filter(col("vec_id") < 10), emb, k = 5, dims = 32)
+    },
+    "intrinsic_dim" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.intrinsicDim(emb.filter(col("vec_id") < 100), emb)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
@@ -2650,6 +2662,9 @@ object SparkEntry {
     },
     "gini_sources" -> { (s, dir) =>
       CorpusOps.gini(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "score_percentiles" -> { (s, dir) =>
+      CorpusOps.percentileRank(s.read.parquet(s"$dir/documents.parquet"), "n_chars")
     },
     "score_correlation" -> { (s, dir) =>
       CorpusOps.scoreCorrelation(
@@ -3323,6 +3338,41 @@ object SparkEntry {
          |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |          / CAST(n_buckets AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
          |FROM sl""".stripMargin,
+    // Gonzalez visit-frequency rank curve: per-user ranks off the
+    // bounded (user, loc) count table, pooled corpus-wide
+    "location_rank_curve" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT user_id, (k // 12) % 4 AS loc FROM intervals),
+         |cnt AS (
+         |  SELECT user_id, loc, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY user_id, loc),
+         |rk AS (
+         |  SELECT user_id, loc, n,
+         |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY n DESC, loc) AS BIGINT) AS rank
+         |  FROM cnt),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM rk)
+         |SELECT rank, CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(n) AS BIGINT) AS sum_visits,
+         |       CAST(sum(n) AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS visit_share
+         |FROM rk, tot GROUP BY rank, tot.tot""".stripMargin,
+    // FREQ-home dwell share: rank-1 total-dwell location over the same
+    // bounded per-(user, loc) table
+    "home_stay_share" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT user_id, (k // 12) % 4 AS loc, f_us - s_us AS dur FROM intervals),
+         |per AS (
+         |  SELECT user_id, loc, CAST(sum(dur) AS BIGINT) AS total
+         |  FROM sp GROUP BY user_id, loc),
+         |rk AS (
+         |  SELECT user_id, loc, total,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY total DESC, loc) AS r
+         |  FROM per)
+         |SELECT user_id,
+         |  CAST(max(CASE WHEN r = 1 THEN loc END) AS BIGINT) AS home_loc,
+         |  CAST(max(CASE WHEN r = 1 THEN total END) AS BIGINT) AS home_us,
+         |  CAST(sum(total) AS BIGINT) AS total_us,
+         |  CAST(max(CASE WHEN r = 1 THEN total END) AS DOUBLE)
+         |    / CAST(sum(total) AS DOUBLE) AS home_share
+         |FROM rk GROUP BY user_id""".stripMargin,
     // Zipf gravity law: flows between block-first visits, centroids as
     // exact micro-degree sums divided once, ln-ln OLS over OD pairs
     "od_gravity_fit" ->
@@ -4546,6 +4596,44 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
     "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
+    // Facco Two-NN: integer squared-L2 two-nearest ratios, lnq CDF fit
+    // through the origin
+    "intrinsic_dim" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 100),
+        |dd AS (
+        |  SELECT p.probe_id, c.vec_id AS nid,
+        |         list_sum(list_transform(list_zip(p.pq, c.qv), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+        |  FROM q c, p WHERE c.vec_id != p.probe_id),
+        |two AS (
+        |  SELECT probe_id, dist, row_number() OVER (PARTITION BY probe_id ORDER BY dist, nid) AS rn
+        |  FROM dd),
+        |xs AS (
+        |  SELECT probe_id,
+        |         CAST(floor(ln(CAST(min(CASE WHEN rn = 2 THEN dist END) AS DOUBLE)) * 1e6) AS BIGINT)
+        |         - CAST(floor(ln(CAST(min(CASE WHEN rn = 1 THEN dist END) AS DOUBLE)) * 1e6) AS BIGINT) AS x
+        |  FROM two WHERE rn <= 2 GROUP BY probe_id
+        |  HAVING min(CASE WHEN rn = 1 THEN dist END) >= 1
+        |     AND min(CASE WHEN rn = 2 THEN dist END) IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xs),
+        |rkd AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, probe_id) AS BIGINT) AS i FROM xs),
+        |ys AS (
+        |  SELECT nn.n, x,
+        |         CAST(floor(ln(CAST(nn.n AS DOUBLE)) * 1e6) AS BIGINT)
+        |         - CAST(floor(ln(CAST(nn.n - i AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rkd, nn WHERE i < nn.n),
+        |ag AS (
+        |  SELECT n AS n_probes, CAST(count(*) AS BIGINT) AS n_points,
+        |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM ys GROUP BY n)
+        |SELECT n_probes, n_points,
+        |       (2.0 * CAST(sxy AS DOUBLE)) / CAST(sxx AS DOUBLE) AS d_hat
+        |FROM ag""".stripMargin,
     // Matryoshka ablation: full-dim brute-force truth vs first-32-dim
     // brute-force, per-probe surviving-hit share
     "ann_dim_ablation" ->
@@ -5541,6 +5629,19 @@ object SparkEntry {
         |       CAST(2 * sum(i * n) - (count(*) + 1) * sum(n) AS DOUBLE)
         |         / CAST(count(*) * sum(n) AS DOUBLE) AS gini
         |FROM r GROUP BY lang""".stripMargin,
+    // strictly-below percentile ranks off the value-domain count table;
+    // ties share one rank
+    "score_percentiles" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS value FROM documents),
+        |c AS (SELECT lang, value, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY lang, value),
+        |cum AS (
+        |  SELECT lang, value, cnt,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY value) - cnt AS below,
+        |         sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c)
+        |SELECT t.doc_id, t.lang, t.value,
+        |       CAST((10000 * cum.below) // cum.n AS BIGINT) AS pct_bp
+        |FROM t JOIN cum ON t.lang = cum.lang AND t.value = cum.value""".stripMargin,
     // Pearson on raw integer scores, Spearman on dense (value, id) ranks
     // — int128 cross terms, doubles only in the last expression
     "score_correlation" ->

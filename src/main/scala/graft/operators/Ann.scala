@@ -297,6 +297,66 @@ object Ann {
         (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Two-NN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
+    * Laio 2017, "Estimating the intrinsic dimension of datasets by a
+    * minimal neighborhood information"): embeddings usually occupy a
+    * manifold of far lower dimension than their ambient width — the ID
+    * is the honest capacity number behind compression choices (PQ
+    * subspaces, Matryoshka truncation depth). Per probe, the ratio
+    * μ = r₂/r₁ of its two nearest neighbors; the CDF of μ satisfies
+    * −ln(1−F(μ)) = d·ln μ, fitted through the origin.
+    *
+    * Engine-exactness: distances are quantized integer squared L2 (the
+    * k-means metric), so `x = lnq d₂ − lnq d₁ = 2·ln μ` in 1e-6 units
+    * is a difference of lnq's OF INTEGERS; the empirical CDF term
+    * `y = lnq N − lnq (N−i)` likewise (ranks deterministic by (x,
+    * probe id); the last point F = 1 drops, exact-duplicate probes with
+    * r₁ = 0 drop — both documented conventions of the method). The
+    * estimator d̂ = 2·Σxy/Σxx divides two exact sums once.
+    *
+    * Scale shape: probes broadcast over one corpus scan; top-2 via a
+    * per-probe window (WindowGroupLimit — each map task keeps 2 rows);
+    * the rank window and OLS run over the ≤|probes| x-table (probes
+    * are small by contract — the paper's estimator needs only a
+    * sample). Σ in DECIMAL(38,0).
+    */
+  def intrinsicDim(probes: DataFrame, corpus: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   quantScale: Double = 1e6): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val p = probes.select(col(idCol).as("probe_id"),
+      KMeans.quantize(col(vecCol), quantScale).as("_pq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      KMeans.quantize(col(vecCol), quantScale).as("_cq"))
+    val dist = aggregate(
+      zip_with(col("_pq"), col("_cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))
+    val two = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("_d", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+    val xs = two.groupBy(col("probe_id"))
+      .agg(min(when(col("_rn") === 1, col("_d"))).as("_d1"),
+        min(when(col("_rn") === 2, col("_d"))).as("_d2"))
+      .filter(col("_d1") >= 1L && col("_d2").isNotNull)
+      .select(col("probe_id"), (lnq(col("_d2")) - lnq(col("_d1"))).as("_x"))
+    val n = xs.agg(count(lit(1)).as("_n"))
+    xs.withColumn("_i", row_number().over(Window.orderBy(col("_x"), col("probe_id"))).cast("long"))
+      .crossJoin(broadcast(n))
+      .filter(col("_i") < col("_n"))
+      .select(col("_n"), col("_x"), (lnq(col("_n")) - lnq(col("_n") - col("_i"))).as("_y"))
+      .groupBy(col("_n").as("n_probes"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(d(col("_x")) * d(col("_y"))).as("_sxy"),
+        sum(d(col("_x")) * d(col("_x"))).as("_sxx"))
+      .withColumn("d_hat",
+        (lit(2.0) * col("_sxy").cast("double")) / col("_sxx").cast("double"))
+      .select(col("n_probes"), col("n_points"), col("d_hat"))
+  }
+
   /** Truncated-dimension recall — the Matryoshka-representation
     * question (Kusupati et al. 2022): how much of the full-dimension
     * top-k survives if search keeps only the first `dims` coordinates?

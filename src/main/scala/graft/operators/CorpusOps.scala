@@ -906,6 +906,37 @@ object CorpusOps {
       .select(gc ++ Seq(col("q_bp"), col("value"), col("n")): _*)
   }
 
+  /** Per-group exact percentile rank of every document's integer score —
+    * the normalization step before mixing quality signals across groups
+    * whose raw score scales differ (a "good" length for code is not a
+    * "good" length for prose; rank space is the common currency).
+    * Convention: `pct_bp = (10000·|strictly below|) div n` — ties share
+    * one rank, deterministic and engine-exact.
+    *
+    * Scale shape: the [[exactQuantiles]] trick — the corpus collapses to
+    * its (group, value) count table (bounded by the VALUE DOMAIN, not
+    * corpus size), the cumulative window runs over that bounded table,
+    * and the ranks broadcast back onto the scan as one equi-join. No
+    * corpus sort, no single-partition window.
+    */
+  def percentileRank(df: DataFrame, valueCol: String,
+                     groupCols: Seq[String] = Seq("lang"),
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val base = df.select(gc ++ Seq(col(idCol), col(valueCol).cast("long").as("value")): _*)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("value"))
+    val wAll = Window.partitionBy(gc: _*)
+    val table = base
+      .groupBy(gc :+ col("value"): _*).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_below", sum(col("_cnt")).over(wCum) - col("_cnt"))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .withColumn("pct_bp", expr("(10000 * _below) div _n"))
+      .select(gc ++ Seq(col("value"), col("pct_bp")): _*)
+    base.join(broadcast(table), groupCols :+ "value")
+      .select(col(idCol) +: gc :+ col("value") :+ col("pct_bp"): _*)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006): keep the k documents with the largest priority
     * u^(1/w), where u is uniform per document and w its weight — e.g.

@@ -239,6 +239,65 @@ object Metrics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Visit-frequency rank curve (González, Hidalgo & Barabási 2008,
+    * Fig. 2c: the probability of finding a user at their k-th most
+    * visited location follows f_k ∝ k^−1.2 — the signature of
+    * preferential return): rank each user's locations by visit count
+    * (ties → lowest location id), then pool the corpus-wide curve —
+    * per rank, how many users have a location of that rank and how many
+    * visits it absorbs. All-integer surface; the visit share is one
+    * final division.
+    *
+    * Scale shape: one map-side-combinable (user, location) count, a
+    * per-user window over that bounded table (never raw fixes), and a
+    * rank-bounded final groupBy.
+    */
+  def locationRankCurve(spLoc: DataFrame, locCol: String = "location_id"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("_n").desc, col(locCol))
+    val ranked = spLoc.filter(col(locCol).isNotNull)
+      .groupBy(col("user_id"), col(locCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val total = ranked.agg(sum(col("_n")).as("_tot"))
+    ranked.groupBy(col("rank"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("_n")).cast("long").as("sum_visits"))
+      .crossJoin(broadcast(total))
+      .withColumn("visit_share",
+        col("sum_visits").cast("double") / col("_tot").cast("double"))
+      .select(col("rank"), col("n_users"), col("sum_visits"), col("visit_share"))
+  }
+
+  /** Share of tracked dwell time spent at the FREQ home location — the
+    * "home attachment" statistic activity-space studies report beside
+    * radius of gyration (and the sanity check on any home-detection
+    * rule: a population whose home share dips below ~1/3 is mislabeled).
+    * Home = rank-1 total-dwell location, the
+    * [[LocationLabelling.dwellRanking]] convention (ties → lowest
+    * location id). Durations are exact integer microseconds; the share
+    * is one final division.
+    *
+    * Scale shape: dwellRanking's bounded (user, location) aggregation +
+    * per-user window, then one user-keyed aggregate. No raw-fix window.
+    */
+  def homeStayShare(spLoc: DataFrame): DataFrame = {
+    val durUs = unix_micros(col("finished_at")) - unix_micros(col("started_at"))
+    val perLoc = spLoc.filter(col("location_id").isNotNull)
+      .withColumn("_dur", durUs)
+      .groupBy(col("user_id"), col("location_id"))
+      .agg(sum(col("_dur")).as("_total"))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("_total").desc, col("location_id"))))
+    perLoc.groupBy(col("user_id"))
+      .agg(sum(col("_total")).cast("long").as("total_us"),
+        max(when(col("_rank") === 1,
+          struct(col("location_id").cast("long").as("_loc"), col("_total").as("_dur")))).as("_home"))
+      .select(col("user_id"), col("_home._loc").as("home_loc"),
+        col("_home._dur").cast("long").as("home_us"), col("total_us"))
+      .withColumn("home_share",
+        col("home_us").cast("double") / col("total_us").cast("double"))
+  }
+
   /** Gravity-law distance-decay exponent of the OD flow matrix (Zipf
     * 1946 "the P₁P₂/D hypothesis"; the spatial-interaction model behind
     * commuting/migration studies): pool transitions into (from, to)

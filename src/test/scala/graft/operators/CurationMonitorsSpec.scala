@@ -32,6 +32,20 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got("de") == (("de", 3L, 6L, 0.0)))
   }
 
+  test("percentileRank: strictly-below ranks with shared ties, per group") {
+    val docs = Seq(
+      (0L, "en", 10L), (1L, "en", 20L), (2L, "en", 20L), (3L, "en", 30L),
+      (10L, "de", 5L), (11L, "de", 7L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = CorpusOps.percentileRank(docs, "n_chars")
+      .select("doc_id", "lang", "value", "pct_bp")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, "en", 10L, 0L)))
+    assert(got(1L) == ((1L, "en", 20L, 2500L)) && got(2L) == ((2L, "en", 20L, 2500L)))
+    assert(got(3L) == ((3L, "en", 30L, 7500L)))
+    assert(got(10L) == ((10L, "de", 5L, 0L)) && got(11L) == ((11L, "de", 7L, 5000L)))
+  }
+
   test("scoreCorrelation: identical order gives spearman 1, reversed gives -1, ties stay deterministic") {
     val n = 40
     val docs = (0 until n).map { i =>

@@ -174,6 +174,33 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == ((1L, 4L, 1L, 2L, 0.5))) // 2-2 tie: lowest label wins
   }
 
+  test("intrinsicDim: estimate equals a local replay and reads ~2 on a planted 2-manifold") {
+    val rnd = new scala.util.Random(5)
+    // points on a 2-plane linearly embedded in 8 ambient dims
+    val raw = (0L until 60L).map { i =>
+      val a = rnd.nextFloat() * 4 - 2; val b = rnd.nextFloat() * 4 - 2
+      i -> Seq(a, b, a + b, a - b, 0.5f * a, 0.5f * b, 2 * a + b, a - 2 * b).map(_.toFloat)
+    }
+    val r = Ann.intrinsicDim(embDf(raw), embDf(raw)).collect().head
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val q = raw.map { case (id, v) => id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong) }.toMap
+    val xs = raw.map(_._1).flatMap { pid =>
+      val ds = raw.map(_._1).filter(_ != pid).map { nid =>
+        q(pid).zip(q(nid)).map { case (x, y) => (x - y) * (x - y) }.sum -> nid
+      }.sorted
+      if (ds(0)._1 >= 1L) Some(pid -> (lnq(ds(1)._1) - lnq(ds(0)._1))) else None
+    }
+    val n = xs.length.toLong
+    val pts = xs.sortBy { case (pid, x) => (x, pid) }.zipWithIndex
+      .collect { case ((_, x), i0) if i0 + 1 < n => (x, lnq(n) - lnq(n - (i0 + 1))) }
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val dHat = 2.0 * sxy.toDouble / sxx.toDouble
+    assert(r.getAs[Long]("n_probes") == n && r.getAs[Long]("n_points") == n - 1)
+    assert(r.getAs[Double]("d_hat") == dHat)
+    assert(dHat > 1.2 && dHat < 3.0, s"2-manifold should read ~2, got $dHat")
+  }
+
   test("sq8Profile: codes and reconstruction errors equal a local replay; constant dim is exact") {
     val rnd = new scala.util.Random(7)
     // dim 0 constant (zero range -> code 0, error 0), dims 1-3 random

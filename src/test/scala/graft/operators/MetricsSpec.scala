@@ -584,6 +584,33 @@ class MetricsSpec extends SparkSpec {
     assert(got(1L)._2 > 60L && got(1L)._2 < 150L && got(2L)._2 > 5000L)
   }
 
+  test("locationRankCurve: per-user ranks pool into the corpus curve; count ties break by location id") {
+    // u1: loc0 x3, loc1 x1; u2: loc0 x2, loc2 x2 (tie -> loc0 is rank 1)
+    val rows = Seq((1L, 0L), (1L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 0L), (2L, 0L), (2L, 2L), (2L, 2L))
+      .zipWithIndex.map { case ((u, l), i) => (i.toLong, u, l) }
+    val got = Metrics.locationRankCurve(rows.toDF("id", "user_id", "location_id"))
+      .select("rank", "n_users", "sum_visits", "visit_share")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 5L, 5.0 / 8.0)))
+    assert(got(2L) == ((2L, 2L, 3L, 3.0 / 8.0)))
+  }
+
+  test("homeStayShare: rank-1 dwell location and its share; dwell ties break by location id") {
+    val sp = mkSp(
+      (0L, 1L, "2023-01-01 00:00:00", "2023-01-01 03:00:00", 8.5, 47.3), // u1 loc0: 3h
+      (1L, 1L, "2023-01-01 05:00:00", "2023-01-01 06:00:00", 8.5, 47.3), // u1 loc1: 1h
+      (2L, 2L, "2023-01-01 00:00:00", "2023-01-01 02:00:00", 8.5, 47.3), // u2 loc1: 2h
+      (3L, 2L, "2023-01-01 03:00:00", "2023-01-01 05:00:00", 8.5, 47.3)) // u2 loc0: 2h (tie)
+      .withColumn("location_id", col("id") % 2)
+    val got = Metrics.homeStayShare(sp)
+      .select("user_id", "home_loc", "home_us", "total_us", "home_share")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val h = 3600000000L
+    assert(got(1L) == ((1L, 0L, 3 * h, 4 * h, 0.75)))
+    assert(got(2L) == ((2L, 0L, 2 * h, 4 * h, 0.5)))
+  }
+
   test("odGravityFit: fit equals a local scalar replay; flows decay with distance") {
     val locs = Map(0L -> (8.50, 47.30), 1L -> (8.51, 47.30), 2L -> (8.56, 47.30))
     // visit sequences: heavy short-hop 0<->1 traffic, light long 0<->2

@@ -386,11 +386,20 @@ object SpatialOps {
                          share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale >= 1,
       "need iters >= 1, dampingPct in [0,100], scale >= 1")
-    val edges = pairs
+    // Share the PAIR TABLE first: the symmetric union reads it twice,
+    // and deg/edgesDeg/nodes all sit above it — without this one
+    // materialization the expensive upstream (the banded co-location
+    // self-join) re-runs during setup and once more per iteration
+    // through the unshared deg lineage. Probed at 10x users: 37 s
+    // unshared → 29 s shared, and the 29 s is one evaluation of the
+    // pair join itself (linear in users at fixed density — 2.6 s at
+    // 1x) — i.e. the chain now costs its input plus bounded joins.
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edges = p
       .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
-      .unionByName(pairs
+      .unionByName(p
         .select(col("user_b").as("src"), col("user_a").as("dst"), col("n_meetings").as("w")))
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val deg = share(edges.groupBy(col("src")).agg(sum(col("w")).as("deg")))
     val edgesDeg = share(edges.join(deg, Seq("src")))
     val nodes = deg.select(col("src").as("user_id"))
     val teleport = (100L - dampingPct) * scale / 100L

@@ -2111,6 +2111,10 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.intrinsicDim(emb.filter(col("vec_id") < 100), emb)
     },
+    "knn_confusion" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.knnConfusion(emb.filter(col("vec_id") < 100), emb, k = 5)
+    },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
     // scan in one result.
@@ -4596,6 +4600,31 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "dedup_editdist" -> editDistOracle(maxHamming = 3, maxDist = 3, prefixChars = 80),
     "ann_recall" -> annRecallOracle(k = 5, nlist = 32, nprobe = 4),
+    // kNN label vote: integer squared-L2 top-k, majority with tie ->
+    // lowest label, tabulated against the probe's own label
+    "knn_confusion" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, lbl AS true_label, qv AS pq FROM q WHERE vec_id < 100),
+        |dd AS (
+        |  SELECT p.probe_id, p.true_label, c.vec_id AS nid, c.lbl AS nl,
+        |         list_sum(list_transform(list_zip(p.pq, c.qv), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+        |  FROM q c, p WHERE c.vec_id != p.probe_id),
+        |topk AS (
+        |  SELECT probe_id, true_label, nl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, nid) AS rn FROM dd)
+        |  WHERE rn <= 5),
+        |vote AS (
+        |  SELECT probe_id, true_label, nl, CAST(count(*) AS BIGINT) AS v
+        |  FROM topk GROUP BY probe_id, true_label, nl),
+        |pred AS (
+        |  SELECT probe_id, true_label, nl AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY v DESC, nl) AS rk FROM vote)
+        |  WHERE rk = 1)
+        |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_probes
+        |FROM pred GROUP BY true_label, pred_label""".stripMargin,
     // Facco Two-NN: integer squared-L2 two-nearest ratios, lnq CDF fit
     // through the origin
     "intrinsic_dim" ->

@@ -297,6 +297,48 @@ object Ann {
         (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** k-NN label-prediction confusion matrix — the classic embedding
+    * probe (fit nothing; if k nearest neighbors vote the right label,
+    * the space separates the classes): per probe, the majority label of
+    * its k nearest corpus vectors (integer squared-L2, ties in the vote
+    * → lowest label, ties in distance → lowest neighbor id), tabulated
+    * against the probe's own label. Diagonal mass / total = accuracy;
+    * off-diagonal cells say WHICH classes the encoder confuses.
+    *
+    * Scale shape: probes broadcast over one corpus scan; top-k via a
+    * per-probe window (WindowGroupLimit); the vote and the confusion
+    * tabulation are map-side-combinable groupBys bounded by
+    * |probes| and |labels|² respectively.
+    */
+  def knnConfusion(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+                   labelCol: String = "label",
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   quantScale: Double = 1e6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).cast("long").as("true_label"),
+      KMeans.quantize(col(vecCol), quantScale).as("_pq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("_nl"),
+      KMeans.quantize(col(vecCol), quantScale).as("_cq"))
+    val dist = aggregate(
+      zip_with(col("_pq"), col("_cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))
+    val votes = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("_d", dist)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col("probe_id"), col("true_label"), col("_nl"))
+      .agg(count(lit(1)).as("_v"))
+      .groupBy(col("probe_id"), col("true_label"))
+      .agg(min(struct((-col("_v")).as("_neg"), col("_nl").as("_l"))).as("_top"))
+      .select(col("probe_id"), col("true_label"), col("_top._l").as("pred_label"))
+    votes.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).cast("long").as("n_probes"))
+  }
+
   /** Two-NN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
     * Laio 2017, "Estimating the intrinsic dimension of datasets by a
     * minimal neighborhood information"): embeddings usually occupy a

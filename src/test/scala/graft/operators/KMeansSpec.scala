@@ -174,6 +174,19 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == ((1L, 4L, 1L, 2L, 0.5))) // 2-2 tie: lowest label wins
   }
 
+  test("knnConfusion: separated blobs sit on the diagonal; split votes fall to the lowest label") {
+    // A-blob ids 0,1 (label 0), B-blob ids 3,4 (label 1), center id 6
+    // (label 1) whose 2 nearest split 1-1 across the blobs -> pred 0
+    val emb = embDf(Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.0f, 2.0f),
+      3L -> Seq(10.0f, 10.0f), 4L -> Seq(10.0f, 8.0f),
+      6L -> Seq(5.0f, 5.0f)))
+      .withColumn("label", (col("vec_id") >= 3L).cast("int"))
+    val got = Ann.knnConfusion(emb, emb, k = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((0L, 0L) -> 2L, (1L, 1L) -> 2L, (1L, 0L) -> 1L))
+  }
+
   test("intrinsicDim: estimate equals a local replay and reads ~2 on a planted 2-manifold") {
     val rnd = new scala.util.Random(5)
     // points on a 2-plane linearly embedded in 8 ambient dims

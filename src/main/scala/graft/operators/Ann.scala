@@ -28,6 +28,17 @@ object Ann {
     ColumnShim.column(graft.plans.CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
+  /** Quantized integer squared-L2 of two raw vector columns, as the
+    * native codegen'd [[graft.plans.QuantizedSquaredL2]] — same integer
+    * metric as [[KMeans.quantize]] + `aggregate(zip_with(...))`, one
+    * tight loop, no intermediate quantized array.
+    */
+  def quantizedL2(a: Column, b: Column, scale: Double = 1e6): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.QuantizedSquaredL2(
+      ColumnShim.expression(a), ColumnShim.expression(b), scale))
+  }
+
   /** The composed-builtin form (kept for engine-portability reference —
     * its SQL twin is what external oracles execute).
     */
@@ -316,14 +327,10 @@ object Ann {
                    quantScale: Double = 1e6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val p = probes.select(col(idCol).as("probe_id"),
-      col(labelCol).cast("long").as("true_label"),
-      KMeans.quantize(col(vecCol), quantScale).as("_pq"))
+      col(labelCol).cast("long").as("true_label"), col(vecCol).as("_pq"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).cast("long").as("_nl"),
-      KMeans.quantize(col(vecCol), quantScale).as("_cq"))
-    val dist = aggregate(
-      zip_with(col("_pq"), col("_cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+      col(labelCol).cast("long").as("_nl"), col(vecCol).as("_cq"))
+    val dist = quantizedL2(col("_pq"), col("_cq"), quantScale)
     val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))
     val votes = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -367,13 +374,12 @@ object Ann {
                    quantScale: Double = 1e6): DataFrame = {
     def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    val p = probes.select(col(idCol).as("probe_id"),
-      KMeans.quantize(col(vecCol), quantScale).as("_pq"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      KMeans.quantize(col(vecCol), quantScale).as("_cq"))
-    val dist = aggregate(
-      zip_with(col("_pq"), col("_cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cq"))
+    // native codegen kernel (plans/L2Expression) — same integer metric
+    // as the composed quantize + zip_with + aggregate chain, one tight
+    // loop, no intermediate quantized array per row
+    val dist = quantizedL2(col("_pq"), col("_cq"), quantScale)
     val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))
     val two = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))

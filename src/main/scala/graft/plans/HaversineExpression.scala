@@ -92,6 +92,17 @@ object GraftExtensions {
         CosineSimilarity(children(0), children(1))
       }),
     (
+      new FunctionIdentifier("l2_sq_q"),
+      new ExpressionInfo(classOf[QuantizedSquaredL2].getName, "l2_sq_q"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "l2_sq_q(vec_a, vec_b, scale)")
+        val scale = children(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].doubleValue()
+          case _ => throw new IllegalArgumentException("l2_sq_q: scale must be a literal")
+        }
+        QuantizedSquaredL2(children(0), children(1), scale)
+      }),
+    (
       new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
       (children: Seq[Expression]) => {

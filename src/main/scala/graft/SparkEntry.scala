@@ -2670,6 +2670,18 @@ object SparkEntry {
     "score_percentiles" -> { (s, dir) =>
       CorpusOps.percentileRank(s.read.parquet(s"$dir/documents.parquet"), "n_chars")
     },
+    "token_budget_curve" -> { (s, dir) =>
+      CorpusOps.tokenBudgetCurve(s.read.parquet(s"$dir/documents.parquet"), "n_chars")
+    },
+    "label_separation" -> { (s, dir) =>
+      EmbeddingStats.labelSeparation(s.read.parquet(s"$dir/embeddings.parquet"))
+    },
+    "event_transitions" -> { (s, dir) =>
+      EventOps.typeTransitions(EventsAdapter.events(s, dir))
+    },
+    "conversion_latency" -> { (s, dir) =>
+      EventOps.conversionLatency(EventsAdapter.events(s, dir), "click", "purchase")
+    },
     "score_correlation" -> { (s, dir) =>
       CorpusOps.scoreCorrelation(
         s.read.parquet(s"$dir/documents.parquet")
@@ -5658,6 +5670,83 @@ object SparkEntry {
         |       CAST(2 * sum(i * n) - (count(*) + 1) * sum(n) AS DOUBLE)
         |         / CAST(count(*) * sum(n) AS DOUBLE) AS gini
         |FROM r GROUP BY lang""".stripMargin,
+    // tokens surviving each quality-percentile cut: percentile ranks ->
+    // 100 buckets -> descending cumulative mass
+    "token_budget_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS value,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, value, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY lang, value),
+        |cum AS (
+        |  SELECT lang, value, cnt,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY value) - cnt AS below,
+        |         sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c),
+        |r AS (
+        |  SELECT t.doc_id, t.tok, (10000 * cum.below) // cum.n AS pct
+        |  FROM t JOIN cum ON t.lang = cum.lang AND t.value = cum.value),
+        |b AS (
+        |  SELECT CAST(pct // 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM r GROUP BY 1)
+        |SELECT bucket, n_docs, n_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+        |FROM b""".stripMargin,
+    // between-class centroid separation: kmeans floor-mean centroids,
+    // pairwise integer squared L2 over the bounded centroid table
+    "label_separation" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS lbl, pos,
+        |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |ce AS (
+        |  SELECT lbl, pos, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY lbl, pos)
+        |SELECT a.lbl AS label_a, b.lbl AS label_b,
+        |       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_q,
+        |       CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b
+        |FROM ce a JOIN ce b ON a.pos = b.pos AND a.lbl < b.lbl
+        |GROUP BY a.lbl, b.lbl""".stripMargin,
+    // clickstream Markov matrix: per-user lead, |types|^2-bounded counts,
+    // row-conditional p
+    "event_transitions" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+        |  FROM ev),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+    // last-touch click->purchase latency: conditional running max over
+    // the ordered per-user stream, bit-length second buckets
+    "conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
+        |lf AS (
+        |  SELECT user_id, t, event_type,
+        |         max(CASE WHEN event_type = 'click' THEN t END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastf
+        |  FROM ev),
+        |conv AS (
+        |  SELECT CAST(floor((t - lastf) / 1000000.0) AS BIGINT) AS sec
+        |  FROM lf WHERE event_type = 'purchase' AND lastf IS NOT NULL)
+        |SELECT CASE WHEN sec < 1 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(length(bin(sec)) - 1 AS BIGINT) END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(sec) AS BIGINT) AS sum_sec
+        |FROM conv GROUP BY 1""".stripMargin,
     // strictly-below percentile ranks off the value-domain count table;
     // ties share one rank
     "score_percentiles" ->

@@ -937,6 +937,38 @@ object CorpusOps {
       .select(col(idCol) +: gc :+ col("value") :+ col("pct_bp"): _*)
   }
 
+  /** Token-budget curve over quality percentiles: "if I keep only the
+    * top X% of documents by this score, how many tokens survive?" — the
+    * planning table behind every quality-threshold decision (plotting
+    * tokens-vs-cut is how thresholds actually get picked). Documents
+    * land in 100 percentile buckets via [[percentileRank]]; per bucket
+    * (descending quality) the doc/token mass and the cumulative share
+    * kept at that cut. Exact longs until the final share divisions.
+    *
+    * Scale shape: percentileRank's value-domain-bounded machinery + one
+    * map-side-combinable bucket aggregate + windows over the ≤100-row
+    * bucket table.
+    */
+  def tokenBudgetCurve(docs: DataFrame, scoreCol: String,
+                       groupCols: Seq[String] = Seq("lang"),
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.withColumn("_tok", size(split(col(textCol), " ")).cast("long"))
+    val ranked = percentileRank(withTok, scoreCol, groupCols, idCol)
+      .select(col(idCol), col("pct_bp"))
+    val buckets = withTok.select(col(idCol), col("_tok"))
+      .join(ranked, Seq(idCol))
+      .groupBy(expr("pct_bp div 100").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("_tok")).cast("long").as("n_tokens"))
+    val wDesc = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    buckets
+      .withColumn("cum_docs", sum(col("n_docs")).over(wDesc).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wDesc).cast("long"))
+      .withColumn("token_share",
+        col("cum_tokens").cast("double") / sum(col("n_tokens")).over(wAll).cast("double"))
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006): keep the k documents with the largest priority
     * u^(1/w), where u is uniform per document and w its weight — e.g.

@@ -91,6 +91,37 @@ object EmbeddingStats {
     * (safe below ~9e6 rows per the Scaladoc; the decimal path is the
     * scale variant).
     */
+  /** Between-class separation matrix: for every label pair, the integer
+    * squared L2 distance between the labels' quantized centroids — the
+    * one-table answer to "which classes does this encoder actually pull
+    * apart" (a near-zero off-diagonal cell explains every downstream
+    * kNN/purity confusion between those classes). Centroids use the
+    * k-means update convention: per (label, dim), `floor(Σq/n)` via the
+    * double quotient (exact below 2⁵³, negatives floor correctly).
+    *
+    * Scale shape: one posexplode shuffle partial-aggregated into the
+    * |labels|·dim centroid table; the pair matrix is a self-join of
+    * that bounded table, never of vectors.
+    */
+  def labelSeparation(embs: DataFrame, labelCol: String = "label",
+                      vecCol: String = "embedding", quantScale: Double = 1e6): DataFrame = {
+    val cents = embs
+      .select(col(labelCol).cast("long").as("_lbl"),
+        posexplode(KMeans.quantize(col(vecCol), quantScale)).as(Seq("_pos", "_q")))
+      .groupBy(col("_lbl"), col("_pos"))
+      .agg(floor(sum(col("_q")).cast("double") / count(lit(1)).cast("double")).cast("long").as("_c"),
+        count(lit(1)).as("_n"))
+    val a = cents.select(col("_lbl").as("label_a"), col("_pos"), col("_c").as("_ca"),
+      col("_n").as("n_a"))
+    val b = cents.select(col("_lbl").as("label_b"), col("_pos"), col("_c").as("_cb"),
+      col("_n").as("n_b"))
+    a.join(b, Seq("_pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("_ca") - col("_cb")) * (col("_ca") - col("_cb"))).cast("long").as("dist_q"),
+        max(col("n_a")).cast("long").as("n_a"), max(col("n_b")).cast("long").as("n_b"))
+  }
+
   def covarianceGate(embs: DataFrame, vecCol: String = "embedding"): DataFrame =
     moments(embs, vecCol)
       .filter(col("i") >= 0 && col("j") >= 0)

@@ -8,6 +8,60 @@ import org.apache.spark.sql.types.LongType
 /** Generic event-stream operators (no geometry). */
 object EventOps {
 
+  /** First-order transition matrix between event types — the Markov
+    * structure of a clickstream (which action follows which, the input
+    * to next-action prediction and to funnel design). Per (from, to):
+    * the transition count and its row-conditional probability
+    * p = n / Σ_to n (ties none — counts are exact; the one division is
+    * last).
+    *
+    * Scale shape: one per-user lag window (the sessionize shuffle), a
+    * map-side-combinable (from, to) count bounded by |types|², and a
+    * row-total window over that bounded table.
+    */
+  def typeTransitions(events: DataFrame, tsCol: String = "t_us",
+                      userCol: String = "user_id", idCol: String = "event_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("_to", lead(col(typeCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    counts
+      .withColumn("_row", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p", col("n").cast("double") / col("_row").cast("double"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Time-to-convert histogram between two event types: for every
+    * `toType` event with at least one earlier `fromType` event by the
+    * same user, the latency from the MOST RECENT preceding `fromType`
+    * (the product-analytics "last touch" convention), log₂-bucketed in
+    * whole seconds by the exact bit-length trick. Zero-latency pairs
+    * (same microsecond) land in a dedicated bucket −1.
+    *
+    * Scale shape: one per-user ordered window carrying a conditional
+    * running max (the last fromType time so far — constant state, no
+    * join), then a ≤ 64-bucket map-side-combinable count.
+    */
+  def conversionLatency(events: DataFrame, fromType: String, toType: String,
+                        tsCol: String = "t_us", userCol: String = "user_id",
+                        idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_lastFrom", max(when(col(typeCol) === fromType, col(tsCol))).over(w))
+      .filter(col(typeCol) === toType && col("_lastFrom").isNotNull)
+      .withColumn("_sec", ((col(tsCol) - col("_lastFrom")) / lit(1000000L)).cast("long"))
+      .withColumn("bucket",
+        when(col("_sec") < 1L, lit(-1L))
+          .otherwise((length(bin(col("_sec"))) - 1).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(col("_sec")).cast("long").as("sum_sec"))
+  }
+
   /** Gap-based sessionization: a new session starts at the first event of
     * a user or after a silence > gapMinutes. Same conditional-cumulative
     * -sum idiom as tripleg segmentation (SURVEY.md §2.5). Adds a per-user

@@ -32,6 +32,20 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got("de") == (("de", 3L, 6L, 0.0)))
   }
 
+  test("tokenBudgetCurve: descending cumulative token mass over percentile buckets") {
+    // scores 10,20,20,30 -> pct 0,2500,2500,7500 -> buckets 0,25,25,75
+    val docs = Seq(
+      (0L, "en", 10L, "a"), (1L, "en", 20L, "b b"), (2L, "en", 20L, "c c c"),
+      (3L, "en", 30L, "d d d d"))
+      .toDF("doc_id", "lang", "score", "text")
+    val got = CorpusOps.tokenBudgetCurve(docs, "score")
+      .select("bucket", "n_docs", "n_tokens", "cum_docs", "cum_tokens", "token_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(75L) == ((75L, 1L, 4L, 1L, 4L, 0.4)))
+    assert(got(25L) == ((25L, 2L, 5L, 3L, 9L, 0.9)))
+    assert(got(0L) == ((0L, 1L, 1L, 4L, 10L, 1.0)))
+  }
+
   test("percentileRank: strictly-below ranks with shared ties, per group") {
     val docs = Seq(
       (0L, "en", 10L), (1L, "en", 20L), (2L, "en", 20L), (3L, "en", 30L),

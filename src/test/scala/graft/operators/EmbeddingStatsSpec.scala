@@ -19,6 +19,22 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("labelSeparation: pairwise floor-mean centroid distances over three labels") {
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(0.0f, 2.0f), 0), // label 0 centroid (0, 1e6)
+      (2L, Seq(3.0f, 1.0f), 1),                           // label 1 centroid (3e6, 1e6)
+      (3L, Seq(0.0f, 1.0f), 2), (4L, Seq(0.0f, 2.0f), 2)  // label 2 centroid (0, 1.5e6)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingStats.labelSeparation(df)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val M = 1000000L
+    assert(got((0L, 1L)) == ((9L * M * M, 2L, 1L)))
+    assert(got((0L, 2L)) == ((M / 2 * (M / 2), 2L, 2L)))
+    assert(got((1L, 2L)) == ((9L * M * M + M / 2 * (M / 2), 1L, 2L)))
+    assert(got.size == 3)
+  }
+
   test("first-moment and count rows are present and exact") {
     val vecs = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f))
     val df = spark.createDataset(vecs).toDF("embedding")

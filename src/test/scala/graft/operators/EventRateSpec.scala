@@ -8,6 +8,34 @@ class EventRateSpec extends SparkSpec {
 
   private val H = 3600000000L // one hour in micros
 
+  test("typeTransitions: lead-pair counts and row-conditional probabilities") {
+    val events = Seq(
+      (0L, 0L, 1L, "A"), (1L, 10L, 1L, "B"), (2L, 20L, 1L, "A"), (3L, 30L, 1L, "C"),
+      (4L, 0L, 2L, "A"), (5L, 10L, 2L, "B")) // u2 adds one more A->B
+      .toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.typeTransitions(events)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) == ((2L, 2.0 / 3.0)))
+    assert(got(("A", "C")) == ((1L, 1.0 / 3.0)))
+    assert(got(("B", "A")) == ((1L, 1.0)))
+    assert(got.size == 3)
+  }
+
+  test("conversionLatency: last-touch semantics, zero bucket, and no-context exclusion") {
+    val S = 1000000L
+    val events = Seq(
+      (0L, 0L, 1L, "click"), (1L, 10 * S, 1L, "purchase"),        // 10 s -> bucket 3
+      (2L, 20 * S, 1L, "click"), (3L, 30 * S, 1L, "click"),
+      (4L, 90 * S, 1L, "purchase"),                               // last touch 30 -> 60 s -> bucket 5
+      (5L, 100 * S, 1L, "click"), (6L, 100 * S, 1L, "purchase"),  // same micro -> bucket -1
+      (7L, 5 * S, 2L, "purchase"))                                // no prior click: excluded
+      .toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.conversionLatency(events, "click", "purchase")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(3L -> ((1L, 10L)), 5L -> ((1L, 60L)), -1L -> ((1L, 0L))))
+  }
+
   test("rate anomalies: burst bucket flagged, quiet buckets and steady user clean") {
     // user 1: one event in each of hours 0..9, 30 events in hour 10
     val quiet = (0 until 10).map(h => (h.toLong, h * H + 5L, 1L))

@@ -1517,6 +1517,25 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(20,2)") * (lit(1.0) - col("l_discount")).cast("decimal(20,2)"))
             .cast("double").as("revenue"))
     },
+    "q7_volume" -> { (s, dir) =>
+      val n1 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val n2 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(s.read.parquet(s"$dir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
+        .join(s.read.parquet(s"$dir/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$dir/customer.parquet"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("_snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,2)") * (lit(1.0) - col("l_discount")).cast("decimal(20,2)"))
+            .cast("double").as("revenue"))
+    },
     "q5_join" -> { (s, dir) =>
       // 5-table join chain: region -> nation -> customer+supplier -> orders -> lineitem
       val region = s.read.parquet(s"$dir/region.parquet")
@@ -1749,6 +1768,13 @@ object SparkEntry {
       SpatialOps.colocationPagerank(SpatialOps.colocationPairs(
         EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0),
         iters = 3)
+    },
+    "colocation_components" -> { (s, dir) =>
+      SpatialOps.colocationComponents(SpatialOps.colocationPairs(
+        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+    },
+    "msd_curve" -> { (s, dir) =>
+      Metrics.msdCurve(EventsAdapter.positionfixes(s, dir))
     },
     "pq_distortion" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -3729,6 +3755,76 @@ object SparkEntry {
          |  CAST(sum(degree) AS BIGINT) AS sum_degree,
          |  CAST(CAST(1 AS BIGINT) << CAST(length(bin(degree)) - 1 AS INT) AS BIGINT) AS bucket_lo
          |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
+    // TPC-H Q7 shape: bidirectional nation-pair volume by ship year,
+    // decimal-exact revenue
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // MSD curve: squared displacement from each user's first fix,
+    // log2 elapsed-time buckets, int128 metre^2 sums
+    "msd_curve" ->
+      s"""${EventsAdapter.pfsSql}, org AS (
+         |  SELECT user_id, t_us AS ot, lon AS olon, lat AS olat FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t_us, id) AS rn FROM pfs)
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT CAST(floor((p.t_us - o.ot) / 1000000.0) AS BIGINT) AS dt,
+         |         ${hav("o.olon", "o.olat", "p.lon", "p.lat")} AS d
+         |  FROM pfs p JOIN org o ON p.user_id = o.user_id),
+         |f AS (
+         |  SELECT CAST(length(bin(dt)) - 1 AS BIGINT) AS bucket,
+         |         CAST(floor(d * d) AS BIGINT) AS d2
+         |  FROM m WHERE dt >= 1)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_points,
+         |       CAST(sum(d2) AS DECIMAL(38,0)) AS sum_d2m,
+         |       CAST(CAST(sum(d2) AS DECIMAL(38,0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_d2m
+         |FROM f GROUP BY bucket""".stripMargin,
+    // contact-graph component sizes: recursive closure over the pair
+    // chain, two bounded groupBys
+    "colocation_components" -> {
+      val prefix = EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$prefix,
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |und AS (SELECT ua AS a, ub AS b FROM prs UNION SELECT ub, ua FROM prs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |comp AS (
+         |  SELECT n.node, least(n.node, min(r.b)) AS cluster_id
+         |  FROM nodes n JOIN reach r ON r.a = n.node GROUP BY n.node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s FROM comp GROUP BY cluster_id)
+         |SELECT s AS component_size, CAST(count(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY s""".stripMargin
+    },
     // fixed-point PageRank over the contact graph: 3 unrolled
     // iterations of int128 floor-division flow along weighted edges
     "colocation_pagerank" -> {

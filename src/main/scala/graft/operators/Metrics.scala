@@ -239,6 +239,38 @@ object Metrics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Mean-squared-displacement curve (the physics-style mobility
+    * diagnostic, cf. Brockmann et al. 2006 "The scaling laws of human
+    * travel" and González et al. 2008: human MSD saturates instead of
+    * growing linearly like a random walk — the signature of bounded
+    * activity spaces): per fix, the squared haversine displacement from
+    * the user's FIRST fix, pooled into log₂ elapsed-time buckets.
+    * `floor(d²)` of bit-identical doubles is exact cross-engine; Σd² in
+    * DECIMAL(38,0) (metre² sums outgrow a long past ~10⁶ km-scale
+    * points).
+    *
+    * Scale shape: the origin table is one map-side-combinable
+    * lexicographic struct-min per user (never a window over raw fixes),
+    * hash-joined back; buckets are ≤ 64 rows.
+    */
+  def msdCurve(pfs: DataFrame): DataFrame = {
+    val origin = pfs.groupBy(col("user_id"))
+      .agg(min(struct(col("t_us"), col("id"), col("lon"), col("lat"))).as("_o"))
+      .select(col("user_id"), col("_o.t_us").as("_ot"),
+        col("_o.lon").as("_olon"), col("_o.lat").as("_olat"))
+    val d = GeoFunctions.haversineMeters(col("_olon"), col("_olat"), col("lon"), col("lat"))
+    pfs.join(origin, Seq("user_id"))
+      .withColumn("_dt", ((col("t_us") - col("_ot")) / lit(1000000L)).cast("long"))
+      .filter(col("_dt") >= 1L)
+      .withColumn("_d2", floor(d * d).cast("long"))
+      .withColumn("bucket", (length(bin(col("_dt"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(col("_d2").cast("decimal(38,0)")).as("sum_d2m"))
+      .withColumn("mean_d2m",
+        col("sum_d2m").cast("double") / col("n_points").cast("double"))
+  }
+
   /** Visit-frequency rank curve (González, Hidalgo & Barabási 2008,
     * Fig. 2c: the probability of finding a user at their k-th most
     * visited location follows f_k ∝ k^−1.2 — the signature of

@@ -363,6 +363,20 @@ object SpatialOps {
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
   }
 
+  /** Connected-component size histogram of the contact graph — the
+    * epidemiological "outbreak reach" statistic (how large is the set a
+    * single introduction can percolate through). Components come from
+    * the audited min-label machinery ([[Dedup.duplicateClusters]]:
+    * driver union-find under a documented pair threshold, distributed
+    * min-label propagation with a loud non-convergence throw above it);
+    * the histogram is two bounded groupBys on top.
+    */
+  def colocationComponents(pairs: DataFrame): DataFrame =
+    Dedup.duplicateClusters(pairs, idA = "user_a", idB = "user_b")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("component_size"))
+      .agg(count(lit(1)).cast("long").as("n_components"))
+
   /** Fixed-point PageRank over the co-location contact graph — the
     * influence/centrality ranking epidemiology and social-tie studies
     * compute after meeting detection (who reaches the network fastest).

@@ -297,6 +297,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"contribution sums must map-side combine:\n$p")
   }
 
+  test("q7_volume: nation dims broadcast on both sides; no product") {
+    val p = plan("q7_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"nation sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_sum"), s"revenue must map-side combine:\n$p")
+  }
+
   test("returners_explorers: top-k locations pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("returners_explorers")
     assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")

@@ -65,6 +65,20 @@ class ColocationSpec extends SparkSpec {
     assert(got.size == 3) // neighbor-only cells don't appear in the output
   }
 
+  test("colocationComponents: star and isolated pair give sizes 4 and 2") {
+    val intervals = df(
+      (0L, 1L, 0L, 100 * M, -122.4, 47.6),
+      (1L, 2L, 10 * M, 20 * M, -122.4, 47.6),
+      (2L, 3L, 30 * M, 40 * M, -122.4, 47.6),
+      (3L, 4L, 50 * M, 60 * M, -122.4, 47.6),
+      (4L, 5L, 0L, 30 * M, -122.2, 47.6),
+      (5L, 6L, 10 * M, 40 * M, -122.2, 47.6))
+    val got = SpatialOps.colocationComponents(
+      SpatialOps.colocationPairs(intervals, bandMinutes = 120.0))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 1L, 2L -> 1L))
+  }
+
   test("colocationPagerank: ranks equal a local integer replay; hub ranks highest") {
     // path graph 1 -(w2)- 2 -(w1)- 3 plus leaf 4 -(w1)- 2: node 2 is the hub
     val pairs = Seq((1L, 2L, 2L, 0L), (2L, 3L, 1L, 0L), (2L, 4L, 1L, 0L))

@@ -584,6 +584,30 @@ class MetricsSpec extends SparkSpec {
     assert(got(1L)._2 > 60L && got(1L)._2 < 150L && got(2L)._2 > 5000L)
   }
 
+  test("msdCurve: buckets and squared displacements equal a local scalar replay") {
+    val S = 1000000L
+    // fixes: origin at t=0, then (dt sec, lon offset) pairs
+    val moves = Seq((2L, 8.501), (5L, 8.501), (10L, 8.503), (40L, 8.510))
+    val rows = (0L, 1L, 0L, 8.500, 47.3) +: moves.zipWithIndex.map { case ((dt, lon), i) =>
+      (i + 1L, 1L, dt * S, lon, 47.3)
+    }
+    val got = Metrics.msdCurve(rows.toDF("id", "user_id", "t_us", "lon", "lat"))
+      .select("bucket", "n_points", "sum_d2m", "mean_d2m").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getAs[java.math.BigDecimal](2).longValueExact(), r.getDouble(3)))).toMap
+    def d2(lon: Double): Long = {
+      val h = graft.functions.GeoFunctions.haversineMeters(8.500, 47.3, lon, 47.3)
+      math.floor(h * h).toLong
+    }
+    // buckets: dt=2,5 -> buckets 1,2; 10 -> 3; 40 -> 5
+    assert(got(1L) == ((1L, d2(8.501), d2(8.501).toDouble)))
+    assert(got(2L) == ((1L, d2(8.501), d2(8.501).toDouble)))
+    assert(got(3L) == ((1L, d2(8.503), d2(8.503).toDouble)))
+    assert(got(5L) == ((1L, d2(8.510), d2(8.510).toDouble)))
+    // MSD grows with the time bucket on an outward walk
+    assert(got(5L)._2 > got(1L)._2)
+  }
+
   test("locationRankCurve: per-user ranks pool into the corpus curve; count ties break by location id") {
     // u1: loc0 x3, loc1 x1; u2: loc0 x2, loc2 x2 (tie -> loc0 is rank 1)
     val rows = Seq((1L, 0L), (1L, 0L), (1L, 0L), (1L, 1L),

@@ -2708,6 +2708,38 @@ object SparkEntry {
     "conversion_latency" -> { (s, dir) =>
       EventOps.conversionLatency(EventsAdapter.events(s, dir), "click", "purchase")
     },
+    "user_lifespan" -> { (s, dir) =>
+      EventOps.userLifespan(EventsAdapter.events(s, dir))
+    },
+    "intercontact_times" -> { (s, dir) =>
+      SpatialOps.interContactTimes(SpatialOps.colocationMeetings(
+        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+    },
+    "q4_priority" -> { (s, dir) =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      orders.join(li,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    "q14_promo" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val rev = col("l_extendedprice").cast("decimal(20,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(20,2)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(20,2)"))).as("_p"),
+          sum(rev).as("_t"))
+        .select(col("n_items"),
+          col("_p").cast("double").as("promo_revenue"),
+          col("_t").cast("double").as("total_revenue"),
+          ((lit(100.0) * col("_p").cast("double")) / col("_t").cast("double")).as("promo_share"))
+    },
     "score_correlation" -> { (s, dir) =>
       CorpusOps.scoreCorrelation(
         s.read.parquet(s"$dir/documents.parquet")
@@ -3755,6 +3787,70 @@ object SparkEntry {
          |  CAST(sum(degree) AS BIGINT) AS sum_degree,
          |  CAST(CAST(1 AS BIGINT) << CAST(length(bin(degree)) - 1 AS INT) AS BIGINT) AS bucket_lo
          |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
+    // engagement lifespan card: per-user firsts/lasts/active days
+    "user_lifespan" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(min(t) AS BIGINT) AS first_us, CAST(max(t) AS BIGINT) AS last_us,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT t // 86400000000) AS BIGINT) AS n_active_days
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, first_us, last_us, n_events, n_active_days,
+        |       CAST(last_us // 86400000000 - first_us // 86400000000 + 1 AS BIGINT) AS span_days,
+        |       CAST(n_active_days AS DOUBLE)
+        |         / CAST(last_us // 86400000000 - first_us // 86400000000 + 1 AS DOUBLE) AS activity_ratio
+        |FROM a""".stripMargin,
+    // inter-contact gaps per user pair over the meeting-level rows
+    "intercontact_times" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |mts AS (
+         |  SELECT a.user_id AS ua, b.user_id AS ub,
+         |         greatest(a.s_us, b.s_us) AS ms, least(a.f_us, b.f_us) AS mf
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us),
+         |gaps AS (
+         |  SELECT CAST(floor((ms - lag(mf) OVER (PARTITION BY ua, ub ORDER BY ms, mf)) / 1000000.0) AS BIGINT) AS g
+         |  FROM mts)
+         |SELECT CAST(length(bin(g)) - 1 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_gaps, CAST(sum(g) AS BIGINT) AS sum_sec
+         |FROM gaps WHERE g >= 1 GROUP BY 1""".stripMargin,
+    // TPC-H Q4 shape: order-priority counts gated by a lineitem
+    // existence semi-join
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // TPC-H Q14 shape: promo revenue share in a ship window,
+    // decimal-exact sums, doubles last
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2)) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |         sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(20,2)) END) AS p,
+        |         sum(rev) AS t
+        |  FROM j)
+        |SELECT n_items, CAST(p AS DOUBLE) AS promo_revenue, CAST(t AS DOUBLE) AS total_revenue,
+        |       (100.0 * CAST(p AS DOUBLE)) / CAST(t AS DOUBLE) AS promo_share
+        |FROM a""".stripMargin,
     // TPC-H Q7 shape: bidirectional nation-pair volume by ship year,
     // decimal-exact revenue
     "q7_volume" ->

@@ -8,6 +8,31 @@ import org.apache.spark.sql.types.LongType
 /** Generic event-stream operators (no geometry). */
 object EventOps {
 
+  /** Per-user engagement lifespan card: first/last activity, event
+    * count, distinct active days, the calendar span those days sit in,
+    * and the activity ratio (active days / span days) — the retention
+    * surface cohort studies slice. All-integer except the one final
+    * ratio.
+    *
+    * Scale shape: one map-side-combinable groupBy; the distinct-day
+    * count partial-aggregates on (user, day) first.
+    */
+  def userLifespan(events: DataFrame, tsCol: String = "t_us",
+                   userCol: String = "user_id"): DataFrame = {
+    val dayUs = 86400000000L
+    val day = expr(s"$tsCol div ${dayUs}L")
+    events
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).cast("long").as("first_us"),
+        max(col(tsCol)).cast("long").as("last_us"),
+        count(lit(1)).cast("long").as("n_events"),
+        countDistinct(day).cast("long").as("n_active_days"))
+      .withColumn("span_days",
+        (expr(s"last_us div ${dayUs}L") - expr(s"first_us div ${dayUs}L") + lit(1L)).cast("long"))
+      .withColumn("activity_ratio",
+        col("n_active_days").cast("double") / col("span_days").cast("double"))
+  }
+
   /** First-order transition matrix between event types — the Markov
     * structure of a clickstream (which action follows which, the input
     * to next-action prediction and to funnel design). Per (from, to):

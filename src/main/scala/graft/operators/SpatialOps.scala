@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.GeoFunctions
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial filtering and pairwise distance matrices.
@@ -280,7 +281,19 @@ object SpatialOps {
     * The final per-pair aggregation map-side combines.
     */
   def colocationPairs(intervals: DataFrame, cellMicroDeg: Long = 10000L,
-                      bandMinutes: Double = 120.0): DataFrame = {
+                      bandMinutes: Double = 120.0): DataFrame =
+    colocationMeetings(intervals, cellMicroDeg, bandMinutes)
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).cast("long").as("n_meetings"),
+        sum(col("m_f_us") - col("m_s_us")).cast("long").as("overlap_us"))
+
+  /** The meeting-level rows under [[colocationPairs]]: one row per
+    * co-located interval pair, carrying the overlap window
+    * `[m_s_us, m_f_us)` — the input to inter-contact-time analysis.
+    * Same banded candidate join and once-per-pair band rule.
+    */
+  def colocationMeetings(intervals: DataFrame, cellMicroDeg: Long = 10000L,
+                         bandMinutes: Double = 120.0): DataFrame = {
     require(cellMicroDeg > 0 && bandMinutes > 0, "cell and band must be positive")
     val bandUs = (bandMinutes * 60e6).toLong
     def cell(c: Column): Column =
@@ -298,10 +311,33 @@ object SpatialOps {
       .filter(col("band") === greatest(col("a_b0"), col("b_b0")))
       .filter(col("a_user") < col("b_user"))
       .filter(col("a_s") < col("b_f") && col("b_s") < col("a_f"))
-      .groupBy(col("a_user").as("user_a"), col("b_user").as("user_b"))
-      .agg(count(lit(1)).cast("long").as("n_meetings"),
-        sum(least(col("a_f"), col("b_f")) - greatest(col("a_s"), col("b_s")))
-          .cast("long").as("overlap_us"))
+      .select(col("a_user").as("user_a"), col("b_user").as("user_b"),
+        greatest(col("a_s"), col("b_s")).as("m_s_us"),
+        least(col("a_f"), col("b_f")).as("m_f_us"))
+  }
+
+  /** Inter-contact-time histogram: per user pair, the whole-second gaps
+    * between the end of one meeting and the start of the next
+    * (SocioPatterns-style contact analysis — the inter-contact
+    * distribution's heavy tail drives epidemic spreading speed, cf.
+    * Cattuto et al. 2010). Meetings order by (start, end) — exact
+    * duplicates are order-invariant for the gap multiset; overlapping
+    * or back-to-back meetings (gap < 1 s) drop.
+    *
+    * Scale shape: one (pair)-keyed lag window over meeting rows, then a
+    * ≤ 64-bucket map-side-combinable count.
+    */
+  def interContactTimes(meetings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_a", "user_b").orderBy(col("m_s_us"), col("m_f_us"))
+    meetings
+      .withColumn("_pf", lag(col("m_f_us"), 1).over(w))
+      .filter(col("_pf").isNotNull)
+      .withColumn("_gap", ((col("m_s_us") - col("_pf")) / lit(1000000L)).cast("long"))
+      .filter(col("_gap") >= 1L)
+      .withColumn("bucket", (length(bin(col("_gap"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("_gap")).cast("long").as("sum_sec"))
   }
 
   /** Focal (3×3-neighborhood) hotspot statistics on the micro-degree

@@ -304,6 +304,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"revenue must map-side combine:\n$p")
   }
 
+  test("q4_priority executes the EXISTS as a semi-join, never a full join + distinct") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q14_promo: part dim broadcasts; revenue partial-combines") {
+    val p = plan("q14_promo")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("partial_sum") && !p.contains("SortMergeJoin"), s"map-side combine:\n$p")
+  }
+
   test("returners_explorers: top-k locations pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("returners_explorers")
     assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")

@@ -79,6 +79,20 @@ class ColocationSpec extends SparkSpec {
     assert(got == Map(4L -> 1L, 2L -> 1L))
   }
 
+  test("interContactTimes: gaps between successive meetings; back-to-back and sub-second drop") {
+    val meetings = Seq(
+      (1L, 2L, 0L, 10 * M),            // pair (1,2): meeting 1
+      (1L, 2L, 20 * M, 30 * M),        // gap 10 min = 600 s -> bucket 9
+      (1L, 2L, 30 * M, 35 * M),        // back-to-back: gap 0 -> dropped
+      (1L, 2L, 35 * M + 500000L, 40 * M), // 0.5 s gap -> dropped
+      (3L, 4L, 0L, 1 * M),
+      (3L, 4L, 3 * M, 4 * M))          // gap 2 min = 120 s -> bucket 6
+      .toDF("user_a", "user_b", "m_s_us", "m_f_us")
+    val got = SpatialOps.interContactTimes(meetings)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(9L -> ((1L, 600L)), 6L -> ((1L, 120L))))
+  }
+
   test("colocationPagerank: ranks equal a local integer replay; hub ranks highest") {
     // path graph 1 -(w2)- 2 -(w1)- 3 plus leaf 4 -(w1)- 2: node 2 is the hub
     val pairs = Seq((1L, 2L, 2L, 0L), (2L, 3L, 1L, 0L), (2L, 4L, 1L, 0L))

@@ -36,6 +36,19 @@ class EventRateSpec extends SparkSpec {
     assert(got == Map(3L -> ((1L, 10L)), 5L -> ((1L, 60L)), -1L -> ((1L, 0L))))
   }
 
+  test("userLifespan: firsts, lasts, active days, span and ratio") {
+    val D = 86400000000L
+    val events = Seq(
+      (0L, 5L, 1L), (1L, D + 3L, 1L), (2L, D + 9L, 1L), (3L, 4 * D + 1L, 1L), // days 0,1,1,4
+      (4L, 2 * D, 2L))                                                        // single event
+      .toDF("event_id", "t_us", "user_id")
+    val got = EventOps.userLifespan(events)
+      .select("user_id", "first_us", "last_us", "n_events", "n_active_days", "span_days", "activity_ratio")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 4 * D + 1L, 4L, 3L, 5L, 3.0 / 5.0)))
+    assert(got(2L) == ((2L, 2 * D, 2 * D, 1L, 1L, 1L, 1.0)))
+  }
+
   test("rate anomalies: burst bucket flagged, quiet buckets and steady user clean") {
     // user 1: one event in each of hours 0..9, 30 events in hour 10
     val quiet = (0 until 10).map(h => (h.toLong, h * H + 5L, 1L))

@@ -2024,6 +2024,23 @@ object SparkEntry {
     "dedup_clusters" -> { (s, dir) =>
       Dedup.duplicateClusters(Pipeline.minhashPairs(s, dir))
     },
+    "dedup_jaccard_calibration" -> { (s, dir) =>
+      Dedup.jaccardCalibration(Pipeline.minhashPairs(s, dir))
+    },
+    "lang_confusion" -> { (s, dir) =>
+      TextAnalysis.langConfusion(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "q10_returned" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet").filter(col("l_returnflag") === "R")
+      val rev = col("l_extendedprice").cast("decimal(20,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(20,2)")
+      li.join(s.read.parquet(s"$dir/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$dir/customer.parquet"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
     "dedup_cluster_sizes" -> { (s, dir) =>
       Dedup.clusterSizeHistogram(Pipeline.minhashPairs(s, dir))
     },
@@ -5134,6 +5151,46 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS mismatch_rate
         |FROM p GROUP BY source""".stripMargin,
+    // declared-vs-detected confusion cells (same langid CTEs as the
+    // rate monitor)
+    "lang_confusion" ->
+      """WITH sc AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','nicht'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |         ELSE 'fr' END AS predicted_lang
+        |  FROM sc)
+        |SELECT lang AS declared, predicted_lang AS detected,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY lang, predicted_lang""".stripMargin,
+    // LSH S-curve calibration: verified-jaccard buckets over the
+    // minhash candidate pairs
+    "dedup_jaccard_calibration" -> {
+      s"""WITH ${minhashPairsCte(numHashes = 64, bands = 16, threshold = 0.5)}
+         |SELECT CAST(floor(j * 20) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(j) AS min_j, max(j) AS max_j
+         |FROM dup GROUP BY 1""".stripMargin
+    },
+    // TPC-H Q10 shape: top returned-revenue customers via TakeOrdered
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "negative_samples" -> CorpusOps.negativeSamplesSql(k = 4),
     "cdc_chunks" -> CorpusOps.cdcChunksSql(k = 2, maskBits = 5),
     "heaps_fit" ->

@@ -81,6 +81,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Verified-Jaccard calibration histogram of an LSH candidate set —
+    * the empirical S-curve check behind every (numHashes, bands) choice:
+    * banding theory promises candidates concentrate above the threshold
+    * knee, and this table says whether they actually do (mass piling up
+    * in low buckets means the band count is too aggressive for the
+    * corpus). Buckets are `floor(j·buckets)` of the exact
+    * intersection/union ratio; min/max per bucket (order-independent,
+    * unlike a mean of doubles) bound the observed range.
+    *
+    * Scale shape: one map-side-combinable groupBy over the pair table,
+    * bounded by `buckets` rows.
+    */
+  def jaccardCalibration(pairs: DataFrame, jCol: String = "jaccard",
+                         buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    pairs
+      .withColumn("bucket", floor(col(jCol) * buckets).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col(jCol)).as("min_j"), max(col(jCol)).as("max_j"))
+  }
+
   /** Cross-corpus near-dup: near-duplicate pairs between a probe corpus
     * (a new crawl) and a reference corpus (the existing training set) —
     * the decontamination-by-similarity step that runs before new data

@@ -1397,6 +1397,18 @@ object TextAnalysis {
     * because [[languageId]] is: marker counts + fixed tie order.
     * One map-side-combinable groupBy over the scan.
     */
+  /** Declared-vs-detected language confusion matrix — the richer
+    * companion to [[langidMismatch]]'s rate (the off-diagonal cells say
+    * WHICH labels a feed confuses, which is the difference between "the
+    * es feed is mislabeled fr" and "the detector can't tell es from
+    * fr"). Deterministic for the same reason languageId is.
+    * One map-side-combinable groupBy bounded by |langs|².
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .groupBy(col("lang").as("declared"), col("predicted_lang").as("detected"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+
   def langidMismatch(docs: DataFrame, groupCol: String = "source"): DataFrame =
     languageId(docs)
       .withColumn("_mis", when(col("predicted_lang") =!= col("lang"), 1L).otherwise(0L))

@@ -316,6 +316,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && !p.contains("SortMergeJoin"), s"map-side combine:\n$p")
   }
 
+  test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
+    val p = plan("q10_returned")
+    assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("returners_explorers: top-k locations pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("returners_explorers")
     assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")

@@ -32,6 +32,26 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got("de") == (("de", 3L, 6L, 0.0)))
   }
 
+  test("jaccardCalibration: floor buckets with order-independent min/max bounds") {
+    val pairs = Seq(
+      (1L, 2L, 0.5), (3L, 4L, 0.52), (5L, 6L, 0.95), (7L, 8L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.jaccardCalibration(pairs)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      10L -> ((2L, 0.5, 0.52)), 19L -> ((1L, 0.95, 0.95)), 20L -> ((1L, 1.0, 1.0))))
+  }
+
+  test("langConfusion: off-diagonal cell for a mislabeled doc, diagonal for a correct one") {
+    val docs = Seq(
+      (0L, "the a of and to the a", "en"),   // detected en, declared en
+      (1L, "the a of and to the a", "de"))   // detected en, declared de
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langConfusion(docs)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("en", "en") -> 1L, ("de", "en") -> 1L))
+  }
+
   test("tokenBudgetCurve: descending cumulative token mass over percentile buckets") {
     // scores 10,20,20,30 -> pct 0,2500,2500,7500 -> buckets 0,25,25,75
     val docs = Seq(

@@ -2728,6 +2728,15 @@ object SparkEntry {
     "user_lifespan" -> { (s, dir) =>
       EventOps.userLifespan(EventsAdapter.events(s, dir))
     },
+    "hourly_autocorr" -> { (s, dir) =>
+      EventOps.hourlyAutocorr(EventsAdapter.events(s, dir))
+    },
+    "score_joint_deciles" -> { (s, dir) =>
+      CorpusOps.scoreJointDeciles(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("n_words", size(split(col("text"), " ")).cast("long")),
+        "n_chars", "n_words")
+    },
     "intercontact_times" -> { (s, dir) =>
       SpatialOps.interContactTimes(SpatialOps.colocationMeetings(
         EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
@@ -3804,6 +3813,51 @@ object SparkEntry {
          |  CAST(sum(degree) AS BIGINT) AS sum_degree,
          |  CAST(CAST(1 AS BIGINT) << CAST(length(bin(degree)) - 1 AS INT) AS BIGINT) AS bucket_lo
          |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
+    // seasonality r at 1/24/168h lags: dense hour spine, int128 Pearson
+    // sums, one division per lag
+    "hourly_autocorr" -> {
+      def lagBlock(l: Int): String =
+        s"""SELECT CAST($l AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(CAST(count(*) AS HUGEINT) * sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT))
+           |            - CAST(sum(a.c) AS HUGEINT) * CAST(sum(b.c) AS HUGEINT) AS DOUBLE)
+           |         / (sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(a.c AS HUGEINT) * CAST(a.c AS HUGEINT))
+           |                      - CAST(sum(a.c) AS HUGEINT) * CAST(sum(a.c) AS HUGEINT) AS DOUBLE))
+           |            * sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(b.c AS HUGEINT) * CAST(b.c AS HUGEINT))
+           |                        - CAST(sum(b.c) AS HUGEINT) * CAST(sum(b.c) AS HUGEINT) AS DOUBLE))) AS r
+           |FROM d a JOIN d b ON b.h = a.h + $l""".stripMargin
+      s"""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+         |c AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY h),
+         |sp AS (SELECT unnest(generate_series((SELECT min(h) FROM c), (SELECT max(h) FROM c))) AS h),
+         |d AS MATERIALIZED (SELECT sp.h, COALESCE(c.c, 0) AS c FROM sp LEFT JOIN c ON sp.h = c.h)
+         |${Seq(1, 24, 168).map(lagBlock).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // joint decile dependence table of two scores via the global
+    // percentile-rank machinery
+    "score_joint_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+        |  FROM documents),
+        |ca AS (SELECT a AS value, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY a),
+        |cma AS (
+        |  SELECT value, cnt, sum(cnt) OVER (ORDER BY value) - cnt AS below,
+        |         sum(cnt) OVER () AS n
+        |  FROM ca),
+        |ra AS (
+        |  SELECT t.doc_id, ((10000 * cma.below) // cma.n) // 1000 AS da
+        |  FROM t JOIN cma ON t.a = cma.value),
+        |cb AS (SELECT b AS value, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY b),
+        |cmb AS (
+        |  SELECT value, cnt, sum(cnt) OVER (ORDER BY value) - cnt AS below,
+        |         sum(cnt) OVER () AS n
+        |  FROM cb),
+        |rb AS (
+        |  SELECT t.doc_id, ((10000 * cmb.below) // cmb.n) // 1000 AS db
+        |  FROM t JOIN cmb ON t.b = cmb.value)
+        |SELECT CAST(ra.da AS BIGINT) AS decile_a, CAST(rb.db AS BIGINT) AS decile_b,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // engagement lifespan card: per-user firsts/lasts/active days
     "user_lifespan" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),

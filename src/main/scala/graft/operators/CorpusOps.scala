@@ -937,6 +937,26 @@ object CorpusOps {
       .select(col(idCol) +: gc :+ col("value") :+ col("pct_bp"): _*)
   }
 
+  /** Joint decile table of two document scores — the dependence surface
+    * [[scoreCorrelation]]'s single coefficient flattens (a U-shaped or
+    * corner-heavy table changes a filtering decision even when r looks
+    * mild). Both axes use the global [[percentileRank]] (deterministic
+    * ties), bucketed to deciles; cells are exact counts.
+    *
+    * Scale shape: two percentileRank passes (value-domain-bounded), one
+    * id equi-join, and a ≤100-cell map-side-combinable count.
+    */
+  def scoreJointDeciles(docs: DataFrame, aCol: String, bCol: String,
+                        idCol: String = "doc_id"): DataFrame = {
+    val ra = percentileRank(docs, aCol, Nil, idCol)
+      .select(col(idCol), expr("pct_bp div 1000").as("decile_a"))
+    val rb = percentileRank(docs, bCol, Nil, idCol)
+      .select(col(idCol), expr("pct_bp div 1000").as("decile_b"))
+    ra.join(rb, Seq(idCol))
+      .groupBy(col("decile_a"), col("decile_b"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
   /** Token-budget curve over quality percentiles: "if I keep only the
     * top X% of documents by this score, how many tokens survive?" — the
     * planning table behind every quality-threshold decision (plotting

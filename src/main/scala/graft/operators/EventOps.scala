@@ -8,6 +8,47 @@ import org.apache.spark.sql.types.LongType
 /** Generic event-stream operators (no geometry). */
 object EventOps {
 
+  /** Autocorrelation of the hourly event-count series at chosen lags —
+    * the seasonality detector (r at lag 24 ≈ daily rhythm, 168 ≈ weekly;
+    * a flat r says the load is memoryless). The series densifies over
+    * the full hour spine (missing hours count 0 — skipping them would
+    * fake correlation), pairs meet through an exact hour equi-join, and
+    * every Pearson sum is an exact integer in DECIMAL(38,0); the one
+    * r division runs last.
+    *
+    * Scale shape: counts are one map-side-combinable groupBy bounded by
+    * the hour domain; the spine explodes from a single min/max row; per
+    * lag one equi-join + bounded aggregate over the hour table, never
+    * over events.
+    */
+  def hourlyAutocorr(events: DataFrame, lags: Seq[Int] = Seq(1, 24, 168),
+                     tsCol: String = "t_us"): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be positive")
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val counts = events.groupBy(expr(s"$tsCol div 3600000000L").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val spine = counts.agg(min(col("h")).as("_h0"), max(col("h")).as("_h1"))
+      .select(explode(sequence(col("_h0"), col("_h1"))).as("h"))
+    val dense = spine.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(false)
+    lags.map { lag =>
+      val a = dense.select(col("h"), col("c").as("_x"))
+      val b = dense.select((col("h") - lit(lag.toLong)).as("h"), col("c").as("_y"))
+      a.join(b, Seq("h"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+          sum(d(col("_x")) * d(col("_y"))).as("_sxy"),
+          sum(d(col("_x")) * d(col("_x"))).as("_sxx"),
+          sum(d(col("_y")) * d(col("_y"))).as("_syy"))
+        .select(lit(lag.toLong).as("lag"), col("n_pairs"),
+          ((d(col("n_pairs")) * col("_sxy") - d(col("_sx")) * d(col("_sy"))).cast("double")
+            / (sqrt((d(col("n_pairs")) * col("_sxx") - d(col("_sx")) * d(col("_sx"))).cast("double"))
+              * sqrt((d(col("n_pairs")) * col("_syy") - d(col("_sy")) * d(col("_sy"))).cast("double"))))
+            .as("r"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-user engagement lifespan card: first/last activity, event
     * count, distinct active days, the calendar span those days sit in,
     * and the activity ratio (active days / span days) — the retention

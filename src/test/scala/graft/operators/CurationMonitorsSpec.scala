@@ -32,6 +32,20 @@ class CurationMonitorsSpec extends SparkSpec {
     assert(got("de") == (("de", 3L, 6L, 0.0)))
   }
 
+  test("scoreJointDeciles: identical scores land on the diagonal, reversed on the anti-diagonal") {
+    val docs = Seq((0L, 10L, "x"), (1L, 20L, "x x x"), (2L, 30L, "x x x x x x"),
+      (3L, 40L, "x x x x x x x x"))
+      .toDF("doc_id", "a", "text")
+      .withColumn("b", size(split(col("text"), " ")).cast("long"))
+    val same = CorpusOps.scoreJointDeciles(docs, "a", "b")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // a-pcts 0,2500,5000,7500 -> deciles 0,2,5,7; b is monotone in a
+    assert(same == Map((0L, 0L) -> 1L, (2L, 2L) -> 1L, (5L, 5L) -> 1L, (7L, 7L) -> 1L))
+    val rev = CorpusOps.scoreJointDeciles(docs.withColumn("b", lit(100L) - col("a")), "a", "b")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rev == Map((0L, 7L) -> 1L, (2L, 5L) -> 1L, (5L, 2L) -> 1L, (7L, 0L) -> 1L))
+  }
+
   test("jaccardCalibration: floor buckets with order-independent min/max bounds") {
     val pairs = Seq(
       (1L, 2L, 0.5), (3L, 4L, 0.52), (5L, 6L, 0.95), (7L, 8L, 1.0))

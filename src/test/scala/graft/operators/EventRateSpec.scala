@@ -36,6 +36,19 @@ class EventRateSpec extends SparkSpec {
     assert(got == Map(3L -> ((1L, 10L)), 5L -> ((1L, 60L)), -1L -> ((1L, 0L))))
   }
 
+  test("hourlyAutocorr: a period-2 series reads r=1 at lag 2 and negative at lag 1") {
+    // hours 0..9: even hours 3 events, odd hours 1 event
+    val events = (0 until 10).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1
+      (0 until n).map(i => (h.toLong * 10 + i, h.toLong * H + i))
+    }.toDF("event_id", "t_us")
+    val got = EventOps.hourlyAutocorr(events, lags = Seq(1, 2))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 9L && got(2L)._1 == 8L)
+    assert(math.abs(got(2L)._2 - 1.0) < 1e-12)
+    assert(got(1L)._2 < -0.99)
+  }
+
   test("userLifespan: firsts, lasts, active days, span and ratio") {
     val D = 86400000000L
     val events = Seq(

@@ -178,6 +178,24 @@ object Pipeline {
         numHashes = 64, bands = 16, verifyThreshold = 0.5))
     }
 
+  /** Meeting-level co-location rows, shared across the whole contact
+    * family (pairs / degrees / pagerank / components / inter-contact):
+    * the banded cell×band self-join is the one expensive input they all
+    * start from — exactly the production shape, where the contact table
+    * is computed once per day and every analysis reads it.
+    */
+  def colocationMeetings(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "colocation_meetings") {
+      persist(SpatialOps.colocationMeetings(
+        EventsAdapter.intervals(spark, sfDir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+    }
+
+  /** The aggregated pair table over [[colocationMeetings]]. */
+  def colocationPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "colocation_pairs") {
+      persist(SpatialOps.colocationPairsFromMeetings(colocationMeetings(spark, sfDir)))
+    }
+
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {
       TourGenerator.generate(trips(spark, sfDir), None,

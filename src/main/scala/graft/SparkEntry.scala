@@ -1725,8 +1725,7 @@ object SparkEntry {
       SpatialOps.simplifyRadial(EventsAdapter.positionfixes(s, dir), epsilonMeters = 300.0)
     },
     "colocation_pairs" -> { (s, dir) =>
-      SpatialOps.colocationPairs(EventsAdapter.intervals(s, dir),
-        cellMicroDeg = 10000L, bandMinutes = 120.0)
+      Pipeline.colocationPairs(s, dir)
     },
     "commute_distance" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
@@ -1761,17 +1760,13 @@ object SparkEntry {
       SpatialOps.hotspotCells(EventsAdapter.positionfixes(s, dir))
     },
     "colocation_degrees" -> { (s, dir) =>
-      SpatialOps.colocationDegrees(SpatialOps.colocationPairs(
-        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+      SpatialOps.colocationDegrees(Pipeline.colocationPairs(s, dir))
     },
     "colocation_pagerank" -> { (s, dir) =>
-      SpatialOps.colocationPagerank(SpatialOps.colocationPairs(
-        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0),
-        iters = 3)
+      SpatialOps.colocationPagerank(Pipeline.colocationPairs(s, dir), iters = 3)
     },
     "colocation_components" -> { (s, dir) =>
-      SpatialOps.colocationComponents(SpatialOps.colocationPairs(
-        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+      SpatialOps.colocationComponents(Pipeline.colocationPairs(s, dir))
     },
     "msd_curve" -> { (s, dir) =>
       Metrics.msdCurve(EventsAdapter.positionfixes(s, dir))
@@ -2738,8 +2733,7 @@ object SparkEntry {
         "n_chars", "n_words")
     },
     "intercontact_times" -> { (s, dir) =>
-      SpatialOps.interContactTimes(SpatialOps.colocationMeetings(
-        EventsAdapter.intervals(s, dir), cellMicroDeg = 10000L, bandMinutes = 120.0))
+      SpatialOps.interContactTimes(Pipeline.colocationMeetings(s, dir))
     },
     "q4_priority" -> { (s, dir) =>
       val orders = s.read.parquet(s"$dir/orders.parquet")

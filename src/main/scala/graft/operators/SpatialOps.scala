@@ -282,7 +282,14 @@ object SpatialOps {
     */
   def colocationPairs(intervals: DataFrame, cellMicroDeg: Long = 10000L,
                       bandMinutes: Double = 120.0): DataFrame =
-    colocationMeetings(intervals, cellMicroDeg, bandMinutes)
+    colocationPairsFromMeetings(colocationMeetings(intervals, cellMicroDeg, bandMinutes))
+
+  /** Aggregate a meeting-level frame to the per-pair contact table —
+    * split out so a memoized/shared meetings frame can feed the whole
+    * contact family without recomputing the banded join.
+    */
+  def colocationPairsFromMeetings(meetings: DataFrame): DataFrame =
+    meetings
       .groupBy(col("user_a"), col("user_b"))
       .agg(count(lit(1)).cast("long").as("n_meetings"),
         sum(col("m_f_us") - col("m_s_us")).cast("long").as("overlap_us"))

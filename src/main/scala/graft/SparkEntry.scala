@@ -1583,6 +1583,24 @@ object SparkEntry {
       EventOps.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us")
         .select(col("event_id"), col("user_id"), col("session_id"))
     },
+    "session_length_hist" -> { (s, dir) =>
+      EventOps.sessionLengthHistogram(
+        EventOps.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us"),
+        tsCol = "t_us")
+    },
+    "term_burstiness" -> { (s, dir) =>
+      TextAnalysis.termBurstiness(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
+    },
+    "pq_recall" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, dim = 64, m = 4, ksub = 8,
+        iters = 2, k = 5, share = _.localCheckpoint(false))
+    },
+    "uniqueness_risk" -> { (s, dir) =>
+      Metrics.uniquenessRisk(
+        EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")),
+        kTop = 2)
+    },
     // strict-order earliest-match funnel inside a 7-day window
     "funnel_events" -> { (s, dir) =>
       EventOps.funnel(EventsAdapter.events(s, dir), Seq("view", "click", "purchase"),
@@ -2871,6 +2889,97 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
+    // engagement-depth histogram over the sessionize chain
+    "session_length_hist" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, t_us,
+        |    sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        |  FROM t),
+        |per AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(max(t_us) - min(t_us) AS BIGINT) AS dur
+        |  FROM se GROUP BY user_id, sid)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS sum_events,
+        |       CAST(sum(dur) AS BIGINT) AS sum_dur_us
+        |FROM per GROUP BY 1""".stripMargin,
+    // Church-Gale cf/df burstiness for the top-50 corpus terms
+    "term_burstiness" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf FROM w GROUP BY word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word),
+        |top AS (
+        |  SELECT cf.word, cf.cf, df.df,
+        |         row_number() OVER (ORDER BY cf.cf DESC, cf.word) AS rank
+        |  FROM cf JOIN df USING (word))
+        |SELECT CAST(rank AS BIGINT) AS rank, word, cf, df,
+        |       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+        |FROM top WHERE rank <= 50""".stripMargin,
+    // PQ ADC recall vs exact integer-L2 truth (the PQ family's own
+    // metric)
+    "pq_recall" ->
+      s"""WITH ${kmeansCtes(8, 2, 16)},
+         |encd AS MATERIALIZED (
+         |  SELECT q.vec_id, q.m, c.c, sum((q.val - c.val) * (q.val - c.val)) AS d
+         |  FROM kq q JOIN cent2 c ON q.m = c.m AND q.pos = c.pos
+         |  GROUP BY q.vec_id, q.m, c.c),
+         |pqcodes AS MATERIALIZED (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+         |    FROM encd) WHERE rn = 1),
+         |pscored AS (
+         |  SELECT p.vec_id AS probe_id, co.vec_id AS neighbor_id, sum(p.d) AS adc
+         |  FROM pqcodes co JOIN encd p ON p.m = co.m AND p.c = co.code AND p.vec_id != co.vec_id
+         |  WHERE p.vec_id < 10
+         |  GROUP BY p.vec_id, co.vec_id),
+         |pqk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
+         |    FROM pscored) WHERE rank <= 5),
+         |btd AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         sum((p.val - c.val) * (p.val - c.val)) AS d
+         |  FROM kq p JOIN kq c ON p.pos = c.pos
+         |  WHERE p.vec_id < 10 AND c.vec_id != p.vec_id
+         |  GROUP BY p.vec_id, c.vec_id),
+         |bt AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d, neighbor_id) AS rank
+         |    FROM btd) WHERE rank <= 5),
+         |hcnt AS (
+         |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM bt b JOIN pqk t ON b.probe_id = t.probe_id AND b.neighbor_id = t.neighbor_id
+         |  GROUP BY b.probe_id)
+         |SELECT p.probe_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT probe_id FROM bt) p
+         |LEFT JOIN hcnt h ON p.probe_id = h.probe_id""".stripMargin,
+    // de Montjoye top-2-location anonymity-set histogram
+    "uniqueness_risk" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT user_id, (k // 12) % 4 AS loc FROM intervals),
+         |cnt AS (
+         |  SELECT user_id, loc, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY user_id, loc),
+         |rk AS (
+         |  SELECT user_id, loc,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, loc) AS r
+         |  FROM cnt),
+         |sig AS (
+         |  SELECT user_id,
+         |         CAST(coalesce(max(CASE WHEN r = 1 THEN loc END), -1) AS BIGINT) AS l1,
+         |         CAST(coalesce(max(CASE WHEN r = 2 THEN loc END), -1) AS BIGINT) AS l2
+         |  FROM rk WHERE r <= 2 GROUP BY user_id),
+         |ss AS (SELECT l1, l2, CAST(count(*) AS BIGINT) AS sz FROM sig GROUP BY l1, l2)
+         |SELECT sz AS set_size, CAST(count(*) AS BIGINT) AS n_signatures,
+         |       CAST(sum(sz) AS BIGINT) AS n_users
+         |FROM ss GROUP BY sz""".stripMargin,
     "funnel_events" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |s0 AS (SELECT user_id, min(t) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),

@@ -346,6 +346,42 @@ object Ann {
       .agg(count(lit(1)).cast("long").as("n_probes"))
   }
 
+  /** Recall@k of the PQ ADC search against exact integer-L2 truth —
+    * the quality number for the PQ family under ITS OWN metric (cosine
+    * recall answers a different question; ADC approximates squared L2,
+    * so the honest truth set is the exact quantized-L2 top-k via the
+    * native kernel). Complements [[recallEval]] (IVF) and
+    * [[pqDistortion]] (which subspace hurts).
+    *
+    * Scale shape: truth = broadcast probes over one corpus scan through
+    * plans/L2Expression + WindowGroupLimit; approx = the audited
+    * [[pqTopK]] chain; one per-probe hit join.
+    */
+  def pqRecall(probes: DataFrame, corpus: DataFrame, dim: Int, m: Int,
+               ksub: Int, iters: Int, k: Int = 5,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    val model = pqTrain(corpus, dim, m, ksub, iters, idCol, vecCol, share = share)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))
+    val truth = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("_d", quantizedL2(col("_pv"), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = pqTopK(probes, corpus, model, k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Two-NN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
     * Laio 2017, "Estimating the intrinsic dimension of datasets by a
     * minimal neighborhood information"): embeddings usually occupy a

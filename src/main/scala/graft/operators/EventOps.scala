@@ -8,6 +8,25 @@ import org.apache.spark.sql.types.LongType
 /** Generic event-stream operators (no geometry). */
 object EventOps {
 
+  /** Session-length histogram over [[sessionize]] output: sessions
+    * log₂-bucketed by event count, with total events and exact-µs
+    * duration mass per bucket — the engagement-depth profile (a
+    * one-event-heavy histogram means the gap threshold is splitting
+    * real visits). Two map-side-combinable groupBys: (user, session)
+    * then the ≤64-bucket histogram.
+    */
+  def sessionLengthHistogram(sessions: DataFrame, tsCol: String = "ts_us",
+                             userCol: String = "user_id"): DataFrame =
+    sessions
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("_n"),
+        (max(col(tsCol)) - min(col(tsCol))).as("_dur"))
+      .withColumn("bucket", (length(bin(col("_n"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("_n")).cast("long").as("sum_events"),
+        sum(col("_dur")).cast("long").as("sum_dur_us"))
+
   /** Autocorrelation of the hourly event-count series at chosen lags —
     * the seasonality detector (r at lag 24 ≈ daily rhythm, 168 ≈ weekly;
     * a flat r says the load is memoryless). The series densifies over

@@ -239,6 +239,39 @@ object Metrics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top-k-location uniqueness risk (de Montjoye et al. 2013, "Unique
+    * in the Crowd": a handful of spatio-temporal points identifies most
+    * individuals): per user, the ORDERED top-k most-visited locations
+    * as a signature; the anonymity-set histogram says how many users
+    * hide behind each signature size (`set_size = 1` rows are the
+    * re-identifiable population — publish their share, not their data).
+    * All-integer; missing ranks encode as −1 so single-location users
+    * get a well-defined signature.
+    *
+    * Scale shape: visit counts map-side combine; the rank window runs
+    * over the bounded (user, location) table; signatures and the
+    * histogram are two more bounded groupBys.
+    */
+  def uniquenessRisk(spLoc: DataFrame, kTop: Int = 2,
+                     locCol: String = "location_id"): DataFrame = {
+    require(kTop >= 1 && kTop <= 8, s"kTop must be in [1,8], got $kTop")
+    val wTop = Window.partitionBy("user_id").orderBy(col("_n").desc, col(locCol))
+    val ranked = spLoc.filter(col(locCol).isNotNull)
+      .groupBy(col("user_id"), col(locCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(wTop))
+      .filter(col("_rk") <= kTop)
+    val sigCols = (1 to kTop).map(i =>
+      coalesce(max(when(col("_rk") === i, col(locCol))).cast("long"), lit(-1L)).as(s"_l$i"))
+    val sigs = ranked.groupBy(col("user_id")).agg(sigCols.head, sigCols.tail: _*)
+    sigs
+      .groupBy((1 to kTop).map(i => col(s"_l$i")): _*)
+      .agg(count(lit(1)).as("_setSize"))
+      .groupBy(col("_setSize").as("set_size"))
+      .agg(count(lit(1)).cast("long").as("n_signatures"),
+        sum(col("_setSize")).cast("long").as("n_users"))
+  }
+
   /** Mean-squared-displacement curve (the physics-style mobility
     * diagnostic, cf. Brockmann et al. 2006 "The scaling laws of human
     * travel" and González et al. 2008: human MSD saturates instead of

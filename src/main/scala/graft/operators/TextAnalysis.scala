@@ -1397,6 +1397,31 @@ object TextAnalysis {
     * because [[languageId]] is: marker counts + fixed tie order.
     * One map-side-combinable groupBy over the scan.
     */
+  /** Term burstiness for the top-K corpus terms (Church & Gale 1995:
+    * content words are "bursty" — high corpus frequency concentrated in
+    * few documents — while function words spread evenly; cf/df is the
+    * classic one-number separator and a stopword-list generator). Both
+    * counts exact; the ratio divides last; rank ties → word order.
+    *
+    * Scale shape: cf is one map-side-combinable word count; df counts
+    * over per-doc DISTINCT words (one (doc, word) pre-aggregation);
+    * top-K lands via TakeOrdered, the rank window runs on K rows.
+    */
+  def termBurstiness(docs: DataFrame, topK: Int = 50,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    val cf = words.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val df = words.select(col(idCol), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    cf.join(df, Seq("word"))
+      .orderBy(col("cf").desc, col("word")).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cf").desc, col("word"))).cast("long"))
+      .withColumn("burstiness", col("cf").cast("double") / col("df").cast("double"))
+      .select(col("rank"), col("word"), col("cf").cast("long").as("cf"),
+        col("df").cast("long").as("df"), col("burstiness"))
+  }
+
   /** Declared-vs-detected language confusion matrix — the richer
     * companion to [[langidMismatch]]'s rate (the off-diagonal cells say
     * WHICH labels a feed confuses, which is the difference between "the

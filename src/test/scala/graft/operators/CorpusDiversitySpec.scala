@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class CorpusDiversitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("termBurstiness: bursty content word separates from an evenly-spread function word") {
+    val docs = Seq(
+      (0L, "the cat zap zap zap zap"),
+      (1L, "the dog"),
+      (2L, "the bird")).toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, topK = 2)
+      .select("rank", "word", "cf", "df", "burstiness")
+      .as[(Long, String, Long, Long, Double)].collect().map(r => r._2 -> r).toMap
+    // zap: cf 4 in one doc -> burstiness 4; the: cf 3 across 3 docs -> 1
+    assert(got("zap") == ((1L, "zap", 4L, 1L, 4.0)))
+    assert(got("the") == ((2L, "the", 3L, 3L, 1.0)))
+  }
+
   test("ngram diversity: repeated text scores low, unique text scores 1.0") {
     val docs = Seq(
       ("rep", "a b c a b c a b c a b c"),   // 10 trigram positions, 3 distinct... (cyclic)

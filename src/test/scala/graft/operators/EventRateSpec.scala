@@ -36,6 +36,21 @@ class EventRateSpec extends SparkSpec {
     assert(got == Map(3L -> ((1L, 10L)), 5L -> ((1L, 60L)), -1L -> ((1L, 0L))))
   }
 
+  test("sessionLengthHistogram: bit-length buckets with exact duration mass") {
+    val M = 60000000L
+    val events = Seq(
+      (0L, 0L, 1L), (1L, 10 * M, 1L),      // session of 2, dur 10 min
+      (2L, 120 * M, 1L),                   // session of 1, dur 0
+      (3L, 0L, 2L), (4L, 5 * M, 2L), (5L, 9 * M, 2L)) // session of 3, dur 9 min
+      .toDF("event_id", "t_us", "user_id")
+    val got = EventOps.sessionLengthHistogram(
+      EventOps.sessionize(events, gapMinutes = 30.0, tsCol = "t_us"), tsCol = "t_us")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 5L, 19 * M)), // sizes 2 and 3 share bucket 1
+      0L -> ((1L, 1L, 0L))))
+  }
+
   test("hourlyAutocorr: a period-2 series reads r=1 at lag 2 and negative at lag 1") {
     // hours 0..9: even hours 3 events, odd hours 1 event
     val events = (0 until 10).flatMap { h =>

@@ -174,6 +174,23 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == ((1L, 4L, 1L, 2L, 0.5))) // 2-2 tie: lowest label wins
   }
 
+  test("pqRecall: blob-level truth survives ADC exactly; intra-blob rank loss doesn't count") {
+    val rnd = new scala.util.Random(13)
+    // 4 well-separated blobs of 5 vectors each; with k = 4 the exact-L2
+    // truth set is exactly the 4 blob-mates, a set ADC preserves even
+    // though it collapses the WITHIN-blob ordering (the designed loss)
+    val raw = (0L until 20L).map { i =>
+      val c = (i % 4).toInt
+      i -> Seq.fill(8)(c * 2.0f + rnd.nextFloat() * 0.1f)
+    }
+    val corpus = embDf(raw)
+    val got = Ann.pqRecall(corpus.filter(col("vec_id") < 4), corpus,
+      dim = 8, m = 2, ksub = 4, iters = 2, k = 4)
+      .select("probe_id", "hits", "recall").as[(Long, Long, Double)].collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r._2 == 4L && r._3 == 1.0), got.mkString(","))
+  }
+
   test("knnConfusion: separated blobs sit on the diagonal; split votes fall to the lowest label") {
     // A-blob ids 0,1 (label 0), B-blob ids 3,4 (label 1), center id 6
     // (label 1) whose 2 nearest split 1-1 across the blobs -> pred 0

@@ -584,6 +584,19 @@ class MetricsSpec extends SparkSpec {
     assert(got(1L)._2 > 60L && got(1L)._2 < 150L && got(2L)._2 > 5000L)
   }
 
+  test("uniquenessRisk: anonymity-set histogram over ordered top-2 signatures") {
+    // u1, u2 share signature (0,1); u3 is unique (2,3); u4 has one location -> (5,-1)
+    val rows = Seq(
+      (1L, 0L, 3), (1L, 1L, 2), (1L, 2L, 1),
+      (2L, 0L, 5), (2L, 1L, 4),
+      (3L, 2L, 2), (3L, 3L, 1),
+      (4L, 5L, 2)).flatMap { case (u, l, n) => (0 until n).map(_ => (u, l)) }
+      .zipWithIndex.map { case ((u, l), i) => (i.toLong, u, l) }
+    val got = Metrics.uniquenessRisk(rows.toDF("id", "user_id", "location_id"), kTop = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(2L -> ((1L, 2L)), 1L -> ((2L, 2L))))
+  }
+
   test("msdCurve: buckets and squared displacements equal a local scalar replay") {
     val S = 1000000L
     // fixes: origin at t=0, then (dt sec, lon offset) pairs

@@ -1591,6 +1591,9 @@ object SparkEntry {
     "term_burstiness" -> { (s, dir) =>
       TextAnalysis.termBurstiness(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
+    "source_overlap" -> { (s, dir) =>
+      CorpusOps.sourceOverlap(s.read.parquet(s"$dir/documents.parquet"), n = 3)
+    },
     "pq_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, dim = 64, m = 4, ksub = 8,
@@ -2909,6 +2912,21 @@ object SparkEntry {
         |       CAST(sum(n) AS BIGINT) AS sum_events,
         |       CAST(sum(dur) AS BIGINT) AS sum_dur_us
         |FROM per GROUP BY 1""".stripMargin,
+    // inter-source redundancy matrix: distinct-gram Jaccard per source
+    // pair via a per-hash bounded self-join
+    "source_overlap" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, ${h60Sql("gr")} AS h FROM (
+         |    SELECT source, unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+         |      i -> array_to_string(ws[i+1:i+3], ' '))) AS gr FROM w)),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+         |c AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         |SELECT c.source_a, c.source_b, c.n_common, ta.n AS n_a, tb.n AS n_b,
+         |       CAST(c.n_common AS DOUBLE) / CAST(ta.n + tb.n - c.n_common AS DOUBLE) AS jaccard
+         |FROM c JOIN t ta ON c.source_a = ta.source JOIN t tb ON c.source_b = tb.source""".stripMargin,
     // Church-Gale cf/df burstiness for the top-50 corpus terms
     "term_burstiness" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

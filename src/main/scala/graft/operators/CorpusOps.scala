@@ -937,6 +937,39 @@ object CorpusOps {
       .select(col(idCol) +: gc :+ col("value") :+ col("pct_bp"): _*)
   }
 
+  /** Cross-source n-gram Jaccard matrix — the inter-source redundancy
+    * map (two feeds syndicating the same wire copy show up as a hot
+    * cell long before pairwise doc dedup runs; the matrix tells you
+    * WHICH feeds to dedup against each other). Grams collapse to
+    * DISTINCT (source, 60-bit hash) rows first, so the self-join's
+    * per-hash fan-out is bounded by |sources| and the totals table by
+    * |sources|; jaccard = c/(nₐ+n_b−c) divides exact longs once.
+    *
+    * Scale shape: one distinct aggregation over (source, hash) — map-
+    * side combinable, key domain = gram vocabulary × sources; the pair
+    * join is per-hash bounded; everything after is |sources|²-bounded.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("_g"), explode(TextAnalysis.ngrams(col(textCol), n)).as("_gram"))
+      .select(col("_g"), PortableHash.h60(col("_gram")).as("_h"))
+      .distinct()
+    val totals = grams.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val a = grams.select(col("_h"), col("_g").as("source_a"))
+    val b = grams.select(col("_h"), col("_g").as("source_b"))
+    a.join(b, Seq("_h")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .join(broadcast(totals.select(col("_g").as("source_a"), col("_n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("_g").as("source_b"), col("_n").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"), col("jaccard"))
+  }
+
   /** Joint decile table of two document scores — the dependence surface
     * [[scoreCorrelation]]'s single coefficient flattens (a U-shaped or
     * corner-heavy table changes a filtering decision even when r looks

@@ -19,6 +19,23 @@ class CorpusDiversitySpec extends SparkSpec {
     assert(got("the") == ((2L, "the", 3L, 3L, 1.0)))
   }
 
+  test("sourceOverlap: syndicated copy shows full overlap, disjoint feeds none") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "wire"),
+      (1L, "alpha beta gamma delta", "mirror"),   // exact syndication of wire
+      (2L, "one two three four five", "fresh"))   // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceOverlap(docs, n = 3)
+      .select("source_a", "source_b", "n_common", "n_a", "n_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // "alpha beta gamma delta" has 2 distinct trigrams, fully shared
+    assert(got(("mirror", "wire")) == (("mirror", "wire", 2L, 2L, 2L, 1.0)))
+    // disjoint pairs never appear (inner join on shared grams)
+    assert(!got.contains(("fresh", "wire")) && !got.contains(("fresh", "mirror")))
+    assert(got.size == 1)
+  }
+
   test("ngram diversity: repeated text scores low, unique text scores 1.0") {
     val docs = Seq(
       ("rep", "a b c a b c a b c a b c"),   // 10 trigram positions, 3 distinct... (cyclic)

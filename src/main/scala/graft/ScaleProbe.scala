@@ -426,6 +426,25 @@ object ScaleProbe {
     t("sq8_10x") {
       Ann.sq8Profile(emb10).agg(sum(col("sum_err_q"))).collect()(0).getLong(0)
     }
+    // the native L2 kernel at 10x corpus: 100 broadcast probes x 500k
+    // vectors x 64 dims through plans/L2Expression — cost must scale
+    // with the product, and the product only (no intermediate arrays)
+    t("knn_confusion_10x") {
+      Ann.knnConfusion(emb10.filter(col("vec_id") < 100), emb10, k = 5)
+        .agg(sum(col("n_probes"))).collect()(0).getLong(0)
+    }
+    t("intrinsic_dim_10x") {
+      // the clone corpus makes every probe an exact duplicate (d1 = 0 ->
+      // drops by the documented convention and the result would be
+      // empty); jitter each replica so the measured kernel produces the
+      // estimator too
+      val emb10j = (0 until 10).map(i =>
+          emb.select((col("vec_id") + i * 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(i * 0.001f)).as("embedding")))
+        .reduce(_.unionAll(_))
+      Ann.intrinsicDim(emb10j.filter(col("vec_id") < 100), emb10j)
+        .collect().length.toLong
+    }
     spark.stop()
   }
 }

@@ -316,6 +316,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && !p.contains("SortMergeJoin"), s"map-side combine:\n$p")
   }
 
+  test("msd_curve: origin is a struct-min aggregate — no window over raw fixes") {
+    val p = plan("msd_curve")
+    assert(!p.contains("Window"), s"no raw-fix window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"), s"origin must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("source_overlap: pair join runs over distinct hash rows, never raw text") {
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_"), s"distinct must partial-aggregate:\n$p")
+  }
+
+  test("conversion_latency: one user-window shuffle plus one bucket shuffle, nothing more") {
+    val p = plan("conversion_latency")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, s"two shuffles exactly:\n$p")
+    assert(!p.contains("Join"), s"running max needs no join:\n$p")
+  }
+
   test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")

@@ -2756,6 +2756,26 @@ object SparkEntry {
     "intercontact_times" -> { (s, dir) =>
       SpatialOps.interContactTimes(Pipeline.colocationMeetings(s, dir))
     },
+    // TPC-H Q18 shape: large-quantity orders via HAVING over the
+    // lineitem aggregate, joined back to order/customer attributes
+    "q18_bigorders" -> { (s, dir) =>
+      val big = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+        .filter(col("total_qty") > 150.0)
+      big.join(s.read.parquet(s"$dir/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$dir/customer.parquet"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+          col("n_items"), col("total_qty"))
+    },
+    "week_heatmap" -> { (s, dir) =>
+      val ev = EventsAdapter.events(s, dir)
+      ev.groupBy(
+          expr("(t_us div 86400000000 + 3) % 7").as("weekday"), // epoch day 0 = Thursday
+          expr("(t_us div 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+    },
     "q4_priority" -> { (s, dir) =>
       val orders = s.read.parquet(s"$dir/orders.parquet")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
@@ -4018,6 +4038,22 @@ object SparkEntry {
          |SELECT CAST(length(bin(g)) - 1 AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS n_gaps, CAST(sum(g) AS BIGINT) AS sum_sec
          |FROM gaps WHERE g >= 1 GROUP BY 1""".stripMargin,
+    // TPC-H Q18 shape: HAVING over the per-order quantity aggregate
+    "q18_bigorders" ->
+      """SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |       n_items, total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty,
+        |             CAST(count(*) AS BIGINT) AS n_items
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0) b
+        |JOIN orders ON b.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // hour-of-week load heatmap: pure epoch arithmetic (epoch day 0 =
+    // Thursday, +3 makes Monday 0)
+    "week_heatmap" ->
+      """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
+        |       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // TPC-H Q4 shape: order-priority counts gated by a lineitem
     // existence semi-join
     "q4_priority" ->

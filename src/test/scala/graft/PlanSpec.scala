@@ -335,6 +335,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"running max needs no join:\n$p")
   }
 
+  test("q18_bigorders: quantity aggregate partial-combines before the HAVING gate") {
+    val p = plan("q18_bigorders")
+    assert(p.contains("partial_sum"), s"map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("week_heatmap: one shuffle — epoch arithmetic stays in the scan stage") {
+    val p = plan("week_heatmap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"exactly one shuffle:\n$p")
+    assert(p.contains("partial_count"), s"map-side combine:\n$p")
+  }
+
   test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")

@@ -1718,6 +1718,9 @@ object SparkEntry {
     "return_times" -> { (s, dir) =>
       Metrics.returnTimes(Pipeline.staypointsWithLocation(s, dir))
     },
+    "regularity_curve" -> { (s, dir) =>
+      Metrics.regularityCurve(Pipeline.staypointsWithLocation(s, dir))
+    },
     "next_location_acc" -> { (s, dir) =>
       Metrics.nextLocationAccuracy(Pipeline.staypointsWithLocation(s, dir), trainPct = 80)
     },
@@ -2801,6 +2804,91 @@ object SparkEntry {
           col("_t").cast("double").as("total_revenue"),
           ((lit(100.0) * col("_p").cast("double")) / col("_t").cast("double")).as("promo_share"))
     },
+    // TPC-H Q13 shape: customer order-count distribution through a LEFT
+    // OUTER join — customers with zero (filtered) orders must survive
+    // as c_count = 0 rows, the outer-join null semantics the inner-join
+    // shapes never exercise
+    "q13_orderdist" -> { (s, dir) =>
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips outer nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    // TPC-H Q15 shape: top supplier by window revenue — the scalar-max
+    // subquery decorrelates to a 1-row aggregate joined back on the
+    // EXACT decimal revenue (cross-engine equality is only safe because
+    // the sum never leaves decimal before the comparison)
+    "q15_topsupplier" -> { (s, dir) =>
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(20,2)")).as("_rev"))
+      val mx = rev.agg(max(col("_rev")).as("_mx"))
+      rev.join(broadcast(mx), col("_rev") === col("_mx"))
+        .join(s.read.parquet(s"$dir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("_rev").cast("double").as("total_revenue"))
+    },
+    // TPC-H Q17 shape: small-quantity revenue for one brand — the
+    // correlated per-part avg-quantity subquery decorrelated into a
+    // grouped aggregate joined back; the "< 0.2·avg" decision is the
+    // exact cross-multiplication 5·qty·n < Σqty, so no float mean exists
+    "q17_smallqty" -> { (s, dir) =>
+      val pk = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("_sq"),
+          count(lit(1)).cast("decimal(10,0)").as("_n"))
+      li.join(broadcast(stats), col("l_partkey") === col("_pk"))
+        .filter(col("l_quantity").cast("decimal(20,2)") * col("_n") * lit(5) < col("_sq"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,2)")).as("_s"))
+        .select(col("n_items"), (col("_s").cast("double") / 5.0).as("avg_period_revenue"))
+    },
+    // TPC-H Q19 shape: disjunction of brand/size/quantity bands spanning
+    // BOTH join sides — the OR can't push below the join, so the plan
+    // must carry it as a post-join filter over the broadcast part dim
+    "q19_disjunct" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20.0, 30.0)))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(20,2)")).cast("double").as("revenue"))
+    },
+    // TPC-H Q22 shape: above-average-balance customers with no URGENT
+    // orders — a 1-row broadcast stats join (the hotspot_cells total
+    // convention), the exact cross-multiplied "> avg" decision, and an
+    // anti-join (the priority predicate keeps the survivor set nonempty
+    // at every test scale factor, unlike the literal "no orders at all")
+    "q22_idle" -> { (s, dir) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val stats = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(20,2)")).as("_sb"),
+          count(lit(1)).cast("decimal(10,0)").as("_nb"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("c_acctbal").cast("decimal(20,2)") * col("_nb") > col("_sb"))
+        .join(s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("totacctbal"))
+    },
     "score_correlation" -> { (s, dir) =>
       CorpusOps.scoreCorrelation(
         s.read.parquet(s"$dir/documents.parquet")
@@ -3362,6 +3450,34 @@ object SparkEntry {
          |SELECT user_id, rep AS location_id, CAST(revisit AS BIGINT) AS revisit,
          |       CAST(gap_us AS BIGINT) AS gap_us
          |FROM g WHERE gap_us IS NOT NULL""".stripMargin),
+    // hour-of-week regularity R(t): per-(user, hour) top-location visit
+    // share over the same rep/spk visit chain; the pooled ratio is one
+    // IEEE division over exact integer sums
+    "regularity_curve" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(Pipeline.staypointParams.distThresholdMeters,
+             (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)},
+         |$cent2Cte,
+         |${locationCompCte(100.0)},
+         |spk AS (
+         |  SELECT row_number() OVER (ORDER BY u, a_t, f_t) - 1 AS sid, u, a_t, f_t FROM kept),
+         |rt AS (
+         |  SELECT r.user_id, r.rep, k.a_t
+         |  FROM rep r JOIN spk k ON k.sid = r.sid),
+         |vis AS (
+         |  SELECT user_id, rep,
+         |         CAST((a_t // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
+         |         CAST((a_t // 3600000000) % 24 AS BIGINT) AS hour
+         |  FROM rt),
+         |c AS (
+         |  SELECT user_id, weekday, hour, rep, count(*) AS c
+         |  FROM vis GROUP BY user_id, weekday, hour, rep),
+         |p AS (
+         |  SELECT user_id, weekday, hour, max(c) AS top, sum(c) AS tot
+         |  FROM c GROUP BY user_id, weekday, hour)
+         |SELECT weekday, hour, CAST(sum(top) AS BIGINT) AS sum_top,
+         |       CAST(sum(tot) AS BIGINT) AS sum_visits,
+         |       CAST(sum(top) AS DOUBLE) / CAST(sum(tot) AS DOUBLE) AS regularity
+         |FROM p GROUP BY weekday, hour""".stripMargin),
     // markov train/test split + argmax transition + hit counting over
     // the same rep/spk visit chain as return_times
     "next_location_acc" -> withMaterializedCtes(
@@ -4095,6 +4211,63 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
+    // TPC-H Q13 shape: LEFT OUTER order counts, zero-order customers kept
+    "q13_orderdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) d
+        |GROUP BY c_count""".stripMargin,
+    // TPC-H Q15 shape: scalar-max revenue selection on the exact decimal
+    "q15_topsupplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)""".stripMargin,
+    // TPC-H Q17 shape: exact cross-multiplied "< 0.2 * avg(qty)" decision
+    "q17_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |st AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(20,2))) AS sq,
+        |         CAST(count(*) AS DECIMAL(10,0)) AS n
+        |  FROM li GROUP BY l_partkey),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |         sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS s
+        |  FROM li JOIN st ON l_partkey = pk
+        |  WHERE CAST(l_quantity AS DECIMAL(20,2)) * n * 5 < sq)
+        |SELECT n_items, CAST(s AS DOUBLE) / 5.0 AS avg_period_revenue FROM f""".stripMargin,
+    // TPC-H Q19 shape: OR-of-ANDs spanning both join sides
+    "q19_disjunct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    // TPC-H Q22 shape: above-average balance + NOT EXISTS anti-join
+    "q22_idle" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(20,2))) AS sb,
+        |         CAST(count(*) AS DECIMAL(10,0)) AS nb
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(20,2)) * nb > sb
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     // MSD curve: squared displacement from each user's first fix,
     // log2 elapsed-time buckets, int128 metre^2 sums
     "msd_curve" ->

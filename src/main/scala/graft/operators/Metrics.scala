@@ -448,6 +448,39 @@ object Metrics {
         (unix_micros(col("started_at")) - unix_micros(col("_prev_f"))).as("gap_us"))
   }
 
+  /** Hour-of-week regularity curve R(t) (Song et al. Science 2010
+    * Fig. 1C): the probability of finding a user at their most-visited
+    * location for that hour of the week — the periodicity fingerprint
+    * that separates commuters (high weekday-9am regularity) from
+    * erratic movers. Weekday 0 is Monday (epoch day 0 = Thursday, the
+    * week-heatmap convention); visits are staypoint arrivals. Pooled
+    * across users: R(t) = Σ_u top_u(t) / Σ_u n_u(t), integer sums with
+    * one final division. The location label never reaches the output —
+    * only its count — so the statistic is relabeling-invariant without
+    * the [[returnTimes]] engine-neutral key machinery.
+    *
+    * Scale shape: one (user, hour, location) map-side-combinable count,
+    * one (user, hour) aggregate over that bounded table, one final
+    * 168-row aggregate. No windows, no joins.
+    *
+    * @return (weekday, hour, sum_top, sum_visits, regularity)
+    */
+  def regularityCurve(spLoc: DataFrame): DataFrame = {
+    val vis = spLoc.filter(col("location_id").isNotNull)
+      .select(col("user_id"), col("location_id"),
+        expr("(unix_micros(started_at) div 86400000000 + 3) % 7").as("weekday"),
+        expr("(unix_micros(started_at) div 3600000000) % 24").as("hour"))
+    vis.groupBy(col("user_id"), col("weekday"), col("hour"), col("location_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("user_id"), col("weekday"), col("hour"))
+      .agg(max(col("_c")).as("_top"), sum(col("_c")).as("_tot"))
+      .groupBy(col("weekday"), col("hour"))
+      .agg(sum(col("_top")).cast("long").as("sum_top"),
+        sum(col("_tot")).cast("long").as("sum_visits"))
+      .withColumn("regularity",
+        col("sum_top").cast("double") / col("sum_visits").cast("double"))
+  }
+
   /** Per-user commute distance: haversine between the FREQ-method home
     * (top-1 dwell time) and work (top-2) location centers — the derived
     * quantity home/work identification exists to feed (transport

@@ -353,6 +353,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("q13_orderdist: outer join preserved; both count levels partial-combine") {
+    val p = plan("q13_orderdist")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers need the outer join:\n$p")
+    assert(p.contains("partial_count"), s"counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q15_topsupplier: scalar max is a 1-row broadcast equi-join; revenue partial-combines") {
+    val p = plan("q15_topsupplier")
+    assert(p.contains("BroadcastHashJoin"), s"max row must broadcast:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_max"),
+      s"revenue and max must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q17_smallqty: part filter and per-part stats broadcast; no product") {
+    val p = plan("q17_smallqty")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"brand keys and per-part stats must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"stats must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q19_disjunct: part broadcasts; the cross-side OR stays a post-join filter") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"revenue must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge at dim scale:\n$p")
+  }
+
+  test("q22_idle: NOT EXISTS plans as an anti-join; only the 1-row stats may nest-broadcast") {
+    val p = plan("q22_idle")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti-join:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row stats join may nest-broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("regularity_curve: three grouped aggregates, all partial-combining; no window, no join") {
+    val p = plan("regularity_curve")
+    val tail = p.split("FileScan").head // the staypoint chain below the scan is shared machinery
+    assert(!tail.contains("Join"), s"the curve itself needs no join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"counts must map-side combine:\n$p")
+  }
+
   test("returners_explorers: top-k locations pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("returners_explorers")
     assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")

@@ -291,6 +291,37 @@ class MetricsSpec extends SparkSpec {
       (1L, 10L, 2L, (20L * 3600L + 1800L) * 1000000L)))
   }
 
+  test("regularityCurve: pooled top-location share per hour-of-week; relabeling-invariant") {
+    // 2023-01-02 is a Monday -> weekday 0 under the epoch-day+3 rule
+    val spLoc = Seq(
+      // user 1, Monday 09h: loc 100 x3, loc 200 x1 -> top 3 of 4
+      (10L, 1L, "2023-01-02 09:00:00", java.lang.Long.valueOf(100L)),
+      (11L, 1L, "2023-01-02 09:10:00", java.lang.Long.valueOf(100L)),
+      (12L, 1L, "2023-01-02 09:20:00", java.lang.Long.valueOf(100L)),
+      (13L, 1L, "2023-01-02 09:30:00", java.lang.Long.valueOf(200L)),
+      // user 2, Monday 09h: one visit -> top 1 of 1
+      (20L, 2L, "2023-01-02 09:45:00", java.lang.Long.valueOf(300L)),
+      // user 1, Tuesday 10h: counts tie at 1 -> top 1 of 2
+      (14L, 1L, "2023-01-03 10:00:00", java.lang.Long.valueOf(100L)),
+      (15L, 1L, "2023-01-03 10:30:00", java.lang.Long.valueOf(200L)),
+      // noise staypoint: excluded
+      (16L, 1L, "2023-01-03 10:40:00", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "user_id", "s", "location_id")
+      .select(col("id"), col("user_id"), to_timestamp(col("s")).as("started_at"),
+        col("location_id"))
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      Metrics.regularityCurve(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+    val got = curve(spLoc)
+    assert(got === Map(
+      (0L, 9L) -> ((4L, 5L, 0.8)),    // (3 of 4) + (1 of 1) pooled
+      (1L, 10L) -> ((1L, 2L, 0.5))))
+    // only the top COUNT matters, so any label bijection gives the same curve
+    assert(curve(spLoc.withColumn("location_id", col("location_id") * 13 + 7)
+      .repartition(5)) === got)
+  }
+
   test("lzComplexity: hand-parsed phrase counts; relabeling and partitioning invariance") {
     // sequence A A B A B A B parses as [A][AB][ABAB] -> 3 phrases:
     //   p0: nothing before -> [A]

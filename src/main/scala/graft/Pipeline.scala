@@ -60,7 +60,19 @@ object Pipeline {
     * keep the same cold-stage attribution as a single run; the dropped
     * localCheckpoint blocks are unpinned for the ContextCleaner).
     */
-  def reset(): Unit = cache.synchronized(cache.clear())
+  def reset(): Unit = {
+    cache.synchronized(cache.clear())
+    modelCache.synchronized(modelCache.clear())
+  }
+
+  // driver-side trained models (weight arrays, codebooks — bounded state
+  // by each trainer's contract), memoized like the stage frames
+  private val modelCache = mutable.Map.empty[(SparkSession, String, String), Any]
+
+  private def model[T](spark: SparkSession, sfDir: String, key: String)(build: => T): T =
+    modelCache.synchronized {
+      modelCache.getOrElseUpdate((spark, sfDir, key), build).asInstanceOf[T]
+    }
 
   private def memo(spark: SparkSession, sfDir: String, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
@@ -200,5 +212,46 @@ object Pipeline {
     memo(spark, sfDir, "tours") {
       TourGenerator.generate(trips(spark, sfDir), None,
         TourGenerator.Params(maxDistMeters = 200.0, maxTimeDays = 30.0), persist)._2
+    }
+
+  /** The documents corpus labeled for the lang=='en' quality target —
+    * the training frame of the whole classifier family.
+    */
+  def labeledDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("label", (org.apache.spark.sql.functions.col("lang") === "en").cast("long"))
+
+  /** Eval-grade trained-and-scored corpus (iters = 8, the stepDiv the
+    * eval queries pin): the calibration table, the ROC AUC and the PSI
+    * drift monitor are three reads of ONE trained filter — the
+    * production shape, where a filter trains once per corpus snapshot
+    * and every eval row reads its scores. Retraining per eval query
+    * would run the expensive gradient loop three times for bit-identical
+    * weights.
+    */
+  def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "scored_docs") {
+      persist(Classifier.trainAndScore(labeledDocs(spark, sfDir),
+        dim = 64, iters = 8, stepDiv = 16384L, share = persist))
+    }
+
+  /** PQ codebooks trained once per corpus snapshot (dim 64, m 4,
+    * ksub 8 — the gate family's parameters): the ADC search gate, the
+    * distortion card and the recall eval all read the same index.
+    */
+  def pqModel(spark: SparkSession, sfDir: String): Ann.PqModel =
+    model(spark, sfDir, "pq_model") {
+      Ann.pqTrain(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        dim = 64, m = 4, ksub = 8, iters = 2, share = persist)
+    }
+
+  /** k-means clusters trained once on the full embeddings table (k 8,
+    * iters 2 — the eval family's parameters): cluster purity, the
+    * drift monitor and the outlier report all read the same model.
+    */
+  def kmeansModel(spark: SparkSession, sfDir: String): KMeans.Model =
+    model(spark, sfDir, "kmeans_model") {
+      KMeans.fit(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        k = 8, iters = 2, share = persist)
     }
 }

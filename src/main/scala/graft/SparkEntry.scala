@@ -1596,8 +1596,8 @@ object SparkEntry {
     },
     "pq_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, dim = 64, m = 4, ksub = 8,
-        iters = 2, k = 5, share = _.localCheckpoint(false))
+      Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir),
+        k = 5, idCol = "vec_id", vecCol = "embedding")
     },
     "uniqueness_risk" -> { (s, dir) =>
       Metrics.uniquenessRisk(
@@ -1796,19 +1796,13 @@ object SparkEntry {
       Metrics.msdCurve(EventsAdapter.positionfixes(s, dir))
     },
     "pq_distortion" -> { (s, dir) =>
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val model = Ann.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2,
-        share = _.localCheckpoint(false))
-      Ann.pqDistortion(emb, model)
+      Ann.pqDistortion(s.read.parquet(s"$dir/embeddings.parquet"), Pipeline.pqModel(s, dir))
     },
     "sq8_profile" -> { (s, dir) =>
       Ann.sq8Profile(s.read.parquet(s"$dir/embeddings.parquet"))
     },
     "score_drift" -> { (s, dir) =>
-      Classifier.scoreDrift(
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("label", (col("lang") === "en").cast("long")),
-        dim = 64, iters = 8, stepDiv = 16384L, buckets = 8,
+      Classifier.scoreDriftFromScored(Pipeline.scoredDocs(s, dir), buckets = 8,
         share = _.localCheckpoint(false))
     },
     "mobility_motifs" -> { (s, dir) =>
@@ -2121,20 +2115,15 @@ object SparkEntry {
         dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
     },
     // reliability table of the trained filter: 8 probability buckets,
-    // observed positive rate vs mean prediction — exact-long sums
+    // observed positive rate vs mean prediction — exact-long sums.
+    // calibration/auc/drift read the ONE memoized trained+scored frame
+    // (Pipeline.scoredDocs) — the filter trains once per corpus snapshot
     "classifier_calibration" -> { (s, dir) =>
-      Classifier.calibration(
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("label", (col("lang") === "en").cast("long")),
-        dim = 64, iters = 8, stepDiv = 16384L, buckets = 8,
-        share = _.localCheckpoint(false))
+      Classifier.calibrationFromScored(Pipeline.scoredDocs(s, dir),
+        Pipeline.labeledDocs(s, dir), buckets = 8)
     },
     "classifier_auc" -> { (s, dir) =>
-      Classifier.aucEval(
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("label", (col("lang") === "en").cast("long")),
-        dim = 64, iters = 8, stepDiv = 16384L,
-        share = _.localCheckpoint(false))
+      Classifier.aucFromScored(Pipeline.scoredDocs(s, dir), Pipeline.labeledDocs(s, dir))
     },
     "split_leakage" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2143,17 +2132,21 @@ object SparkEntry {
     },
     // embedding-space drift: shared clusters trained on the full table,
     // even ids as corpus A vs odd ids as corpus B; dense k-row output
+    // drift/outliers/purity read the ONE memoized trained model
+    // (Pipeline.kmeansModel) — clusters train once per corpus snapshot
     "embedding_drift" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      KMeans.clusterDrift(emb,
+      KMeans.clusterDrift(
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
-        k = 8, iters = 2, share = _.localCheckpoint(false))
+        Pipeline.kmeansModel(s, dir),
+        idCol = "vec_id", vecCol = "embedding", alpha = 1L, quantScale = 1e6)
     },
     // distance-to-final-centroid outliers: the gate replays the full
     // training trajectory AND the extra assignment pass bit-for-bit
     "embedding_outliers" -> { (s, dir) =>
       KMeans.outliers(s.read.parquet(s"$dir/embeddings.parquet"),
-        k = 8, iters = 2, topN = 20, share = _.localCheckpoint(false))
+        Pipeline.kmeansModel(s, dir), topN = 20,
+        idCol = "vec_id", vecCol = "embedding", quantScale = 1e6)
     },
     // recall@5 of the id-seeded IVF index vs the brute-force truth —
     // the honest quality row next to the index's own top-k gates
@@ -2182,9 +2175,7 @@ object SparkEntry {
     // scan in one result.
     "ann_pq" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val model = Ann.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2,
-        share = _.localCheckpoint(false))
-      Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5)
+      Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir), k = 5)
     },
     // the composite index: coarse cells + PQ-coded residuals; the gate
     // checks both trainings, the residual codes, the probed cell sets,
@@ -2897,7 +2888,8 @@ object SparkEntry {
     },
     "cluster_purity" -> { (s, dir) =>
       KMeans.clusterPurity(s.read.parquet(s"$dir/embeddings.parquet"),
-        k = 8, iters = 2, share = _.localCheckpoint(false))
+        Pipeline.kmeansModel(s, dir), labelCol = "label",
+        idCol = "vec_id", vecCol = "embedding", quantScale = 1e6)
     },
     "curriculum_stages" -> { (s, dir) =>
       CorpusOps.curriculumStages(s.read.parquet(s"$dir/documents.parquet"), stages = 4)

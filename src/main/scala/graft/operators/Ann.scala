@@ -360,8 +360,17 @@ object Ann {
   def pqRecall(probes: DataFrame, corpus: DataFrame, dim: Int, m: Int,
                ksub: Int, iters: Int, k: Int = 5,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               share: DataFrame => DataFrame = Share.materialize): DataFrame = {
-    val model = pqTrain(corpus, dim, m, ksub, iters, idCol, vecCol, share = share)
+               share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    pqRecall(probes, corpus,
+      pqTrain(corpus, dim, m, ksub, iters, idCol, vecCol, share = share), k, idCol, vecCol)
+
+  /** [[pqRecall]] against an already-trained index — the production
+    * shape: the PQ codebooks are trained once per corpus snapshot and
+    * the search gate, the distortion card and this recall eval all read
+    * the same model.
+    */
+  def pqRecall(probes: DataFrame, corpus: DataFrame, model: PqModel, k: Int,
+               idCol: String, vecCol: String): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val w = Window.partitionBy("probe_id").orderBy(col("_d"), col("neighbor_id"))

@@ -174,9 +174,20 @@ object Classifier {
   def calibration(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
                   buckets: Int = 8, idCol: String = "doc_id", textCol: String = "text",
                   labelCol: String = "label",
-                  share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                  share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    calibrationFromScored(
+      trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share),
+      docs, buckets, idCol, labelCol)
+
+  /** [[calibration]] over an already-scored corpus — the production
+    * shape: a filter is trained once per corpus snapshot and every eval
+    * row (this, [[aucFromScored]], [[scoreDriftFromScored]]) reads the
+    * same scored frame instead of re-running the training loop.
+    */
+  def calibrationFromScored(scored: DataFrame, docs: DataFrame, buckets: Int = 8,
+                            idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
     require(buckets >= 2 && buckets <= 10000, s"buckets must be in [2, 10000], got $buckets")
-    trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+    scored
       .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
       .withColumn("bucket", expr(s"(p_q * $buckets) div ${PS + 1}"))
       .groupBy(col("bucket"))
@@ -207,10 +218,18 @@ object Classifier {
     */
   def aucEval(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
               idCol: String = "doc_id", textCol: String = "text", labelCol: String = "label",
-              share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+              share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    aucFromScored(trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share),
+      docs, idCol, labelCol)
+
+  /** [[aucEval]] over an already-scored corpus (see
+    * [[calibrationFromScored]] for the train-once rationale).
+    */
+  def aucFromScored(scored: DataFrame, docs: DataFrame,
+                    idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val byScore = trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+    val byScore = scored
       .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
       .groupBy(col("p_q"))
       .agg(sum(col(labelCol)).cast("long").as("c_pos"),
@@ -243,13 +262,22 @@ object Classifier {
   def scoreDrift(docs: DataFrame, dim: Int = 64, iters: Int = 4, stepDiv: Long = 131072L,
                  buckets: Int = 8, idCol: String = "doc_id", textCol: String = "text",
                  labelCol: String = "label",
-                 share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                 share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    scoreDriftFromScored(
+      trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share),
+      buckets, idCol, share)
+
+  /** [[scoreDrift]] over an already-scored corpus (see
+    * [[calibrationFromScored]] for the train-once rationale).
+    */
+  def scoreDriftFromScored(scored: DataFrame, buckets: Int = 8, idCol: String = "doc_id",
+                           share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     require(buckets >= 2 && buckets <= 10000, s"buckets must be in [2, 10000], got $buckets")
     val dec = "decimal(38,0)"
     // bucket table is ≤ `buckets` rows but sits on the whole scored
     // lineage — materialize once so the totals cross join doesn't re-run
     // the scoring chain
-    val byBucket = share(trainAndScore(docs, dim, iters, stepDiv, idCol, textCol, labelCol, share)
+    val byBucket = share(scored
       .withColumn("_bucket", expr(s"(p_q * $buckets) div ${PS + 1}"))
       .withColumn("_side", pmod(col(idCol), lit(2L)))
       .groupBy(col("_bucket"))

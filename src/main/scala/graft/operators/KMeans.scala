@@ -162,8 +162,16 @@ object KMeans {
                     labelCol: String = "label",
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     quantScale: Double = 1e6,
-                    share: DataFrame => DataFrame = Share.materialize): DataFrame = {
-    val model = fit(emb, k, iters, idCol, vecCol, quantScale, share)
+                    share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    clusterPurity(emb, fit(emb, k, iters, idCol, vecCol, quantScale, share),
+      labelCol, idCol, vecCol, quantScale)
+
+  /** [[clusterPurity]] against an already-trained model — the
+    * production shape: clusters are trained once per corpus snapshot
+    * and every eval row (purity, drift, outliers) reads the same model.
+    */
+  def clusterPurity(emb: DataFrame, model: Model, labelCol: String,
+                    idCol: String, vecCol: String, quantScale: Double): DataFrame = {
     assign(emb, model, idCol, vecCol, quantScale)
       .groupBy(col("cluster_id"), col(labelCol).cast("long").as("_lbl"))
       .agg(count(lit(1)).as("_n"))
@@ -197,9 +205,16 @@ object KMeans {
   def outliers(emb: DataFrame, k: Int, iters: Int, topN: Int = 20,
                idCol: String = "vec_id", vecCol: String = "embedding",
                quantScale: Double = 1e6,
-               share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+               share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    outliers(emb, fit(emb, k, iters, idCol, vecCol, quantScale, share),
+      topN, idCol, vecCol, quantScale)
+
+  /** [[outliers]] against an already-trained model (see
+    * [[clusterPurity]] for the train-once rationale).
+    */
+  def outliers(emb: DataFrame, model: Model, topN: Int,
+               idCol: String, vecCol: String, quantScale: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val model = fit(emb, k, iters, idCol, vecCol, quantScale, share)
     val s = nearestScored(model.centroids, quantize(col(vecCol), quantScale))
     emb
       .select(col(idCol).as("vec_id"),
@@ -243,14 +258,24 @@ object KMeans {
   def clusterDrift(train: DataFrame, a: DataFrame, b: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    alpha: Long = 1L, quantScale: Double = 1e6,
-                   share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                   share: DataFrame => DataFrame = Share.materialize): DataFrame =
+    clusterDrift(a, b, fit(train, k, iters, idCol, vecCol, quantScale, share),
+      idCol, vecCol, alpha, quantScale)
+
+  /** [[clusterDrift]] against an already-trained shared model (see
+    * [[clusterPurity]] for the train-once rationale); k is the model's
+    * cluster count.
+    */
+  def clusterDrift(a: DataFrame, b: DataFrame, model: Model,
+                   idCol: String, vecCol: String,
+                   alpha: Long, quantScale: Double): DataFrame = {
     require(alpha > 0, "clusterDrift: alpha must be positive")
+    val k = model.centroids.length
     def flq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
-    val model = fit(train, k, iters, idCol, vecCol, quantScale, share)
     def counts(d: DataFrame, out: String) = assign(d, model, idCol, vecCol, quantScale)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as(out))
 
-    val spine = train.sparkSession.range(k).select(col("id").as("cluster_id"))
+    val spine = a.sparkSession.range(k).select(col("id").as("cluster_id"))
     val joined = spine
       .join(counts(a, "_na"), Seq("cluster_id"), "left")
       .join(counts(b, "_nb"), Seq("cluster_id"), "left")

@@ -2714,6 +2714,27 @@ object SparkEntry {
         Seq("slow", "crash", "zzz_absent"))
         .select(col("doc_id"), col("n_badwords"), col("kept"))
     },
+    // joint filter-ablation matrix over a page column augmented with the
+    // same deterministic decorations the per-filter gates use (terminal
+    // period %2, bullets %3, hashes %4, ellipsis teaser %5, lorem %7, and
+    // one always-clean sentence) so every filter fires both ways; the
+    // five decisions are the composed library filters over ONE scan
+    "filter_ablation" -> { (s, dir) =>
+      val aug = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("page", concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\n- a bullet line\n- another bullet line")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" ## ## # #")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nteaser to read more...")).otherwise(lit("")),
+          lit("\nThis clean sentence carries plenty of words to keep."),
+          when(col("doc_id") % 7 === 0, lit("\nLorem ipsum dolor sit amet sample filler text here."))
+            .otherwise(lit(""))))
+      TextAnalysis.filterAblation(aug, Seq("slow", "crash", "zzz_absent"),
+        c4MinWords = 5, c4MinKeptLines = 2, gopherMinWords = 25L, gopherMaxWords = 80L,
+        textCol = "page")
+    },
     "source_concentration" -> { (s, dir) =>
       CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
     },
@@ -2794,6 +2815,50 @@ object SparkEntry {
           col("_p").cast("double").as("promo_revenue"),
           col("_t").cast("double").as("total_revenue"),
           ((lit(100.0) * col("_p").cast("double")) / col("_t").cast("double")).as("promo_share"))
+    },
+    // TPC-H Q6 shape: the pure predicate-pushdown scan-aggregate — every
+    // filter reaches the parquet scan, one map-side-combined 1-row agg
+    "q6_revenue" -> { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24.0)
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,2)") * col("l_discount").cast("decimal(20,2)"))
+            .cast("double").as("revenue"))
+    },
+    // TPC-H Q8 shape: national market share — the deepest join tree in
+    // the suite (lineitem x part x orders x customer x nation x region x
+    // supplier x nation); dims broadcast, fact joins shuffle on their
+    // keys, revenue stays decimal-exact until the final division
+    "q8_marketshare" -> { (s, dir) =>
+      val custNations = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      val vol = col("l_extendedprice").cast("decimal(20,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(20,2)")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/part.parquet")
+          .filter(col("p_type") === "ECONOMY")), col("l_partkey") === col("p_partkey"))
+        .join(s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$dir/customer.parquet"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("c_nkey"))
+        .join(s.read.parquet(s"$dir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(20,2)"))).as("_n"),
+          sum(vol).as("_t"))
+        .select(col("o_year"),
+          col("_n").cast("double").as("nation_volume"),
+          col("_t").cast("double").as("total_volume"),
+          (col("_n").cast("double") / col("_t").cast("double")).as("mkt_share"))
     },
     // TPC-H Q13 shape: customer order-count distribution through a LEFT
     // OUTER join — customers with zero (filtered) orders must survive
@@ -4187,6 +4252,36 @@ object SparkEntry {
         |SELECT n_items, CAST(p AS DOUBLE) AS promo_revenue, CAST(t AS DOUBLE) AS total_revenue,
         |       (100.0 * CAST(p AS DOUBLE)) / CAST(t AS DOUBLE) AS promo_share
         |FROM a""".stripMargin,
+    // TPC-H Q6 shape: pushdown scan-aggregate, decimal-exact revenue
+    "q6_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    // TPC-H Q8 shape: national market share, decimal-exact volumes,
+    // one final double division
+    "q8_marketshare" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2)) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(20,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(20,2)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share
+        |FROM j GROUP BY o_year""".stripMargin,
     // TPC-H Q7 shape: bidirectional nation-pair volume by ship year,
     // decimal-exact revenue
     "q7_volume" ->
@@ -6266,6 +6361,73 @@ object SparkEntry {
         |  CAST(len(list_intersect(string_split(text,' '), ['slow','crash','zzz_absent'])) AS BIGINT) AS n_badwords,
         |  len(list_intersect(string_split(text,' '), ['slow','crash','zzz_absent'])) = 0 AS kept
         |FROM documents""".stripMargin,
+    // joint filter-ablation matrix: the five composed filter decisions
+    // re-derived over the identical augmented page, collapsed to the
+    // decision-combination table (word mass = gopher's filtered count)
+    "filter_ablation" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    text
+        |    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- a bullet line' || chr(10) || '- another bullet line' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' ## ## # #' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'teaser to read more...' ELSE '' END
+        |    || chr(10) || 'This clean sentence carries plenty of words to keep.'
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet sample filler text here.' ELSE '' END AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, page,
+        |    string_split(page, ' ') AS rawwords,
+        |    list_filter(string_split(page, ' '), w -> len(w) > 0) AS words,
+        |    string_split(page, chr(10)) AS lines
+        |  FROM aug),
+        |sc AS (
+        |  SELECT *,
+        |    len(list_filter(rawwords, w -> w IN ('der','die','das','und','nicht'))) AS score_de,
+        |    len(list_filter(rawwords, w -> w IN ('the','a','of','and','to'))) AS score_en,
+        |    len(list_filter(rawwords, w -> w IN ('el','la','de','y','que'))) AS score_es,
+        |    len(list_filter(rawwords, w -> w IN ('le','la','et','les','des'))) AS score_fr
+        |  FROM m),
+        |fl AS (
+        |  SELECT doc_id,
+        |    (len(list_filter(lines, x ->
+        |        right(trim(x), 1) IN ('.', '!', '?', '"')
+        |        AND len(list_filter(string_split(x, ' '), w -> len(w) > 0)) >= 5
+        |        AND NOT contains(lower(x), 'javascript'))) >= 2
+        |      AND NOT contains(lower(page), 'lorem ipsum')
+        |      AND NOT contains(page, '{')) AS c4_ok,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(page) - len(replace(page, '#', '')) AS BIGINT)
+        |      + CAST((len(page) - len(replace(page, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> right(trim(l), 3) = '...')) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(length(page) AS BIGINT) AS q_chars,
+        |    CAST(len(rawwords) AS BIGINT) AS q_words,
+        |    CAST(length(page) - length(regexp_replace(page, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |    len(list_intersect(rawwords, ['slow','crash','zzz_absent'])) = 0 AS badwords_ok,
+        |    (CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |          WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |          WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |          ELSE 'fr' END) = lang AS lang_ok
+        |  FROM sc),
+        |d AS (
+        |  SELECT doc_id, c4_ok,
+        |    (n_words >= 25 AND n_words <= 80 AND 3 * n_words <= word_chars
+        |     AND word_chars <= 10 * n_words AND 10 * n_symbols <= n_words
+        |     AND 10 * n_bullet_lines <= 9 * n_lines
+        |     AND 10 * n_ellipsis_lines <= 3 * n_lines) AS gopher_ok,
+        |    (q_words >= 5 AND
+        |     (CASE WHEN q_words > 0 THEN CAST(q_chars - (q_words - 1) AS DOUBLE) / CAST(q_words AS DOUBLE) ELSE 0.0 END) >= 2.0 AND
+        |     (CASE WHEN q_words > 0 THEN CAST(q_chars - (q_words - 1) AS DOUBLE) / CAST(q_words AS DOUBLE) ELSE 0.0 END) <= 12.0 AND
+        |     (CASE WHEN q_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(q_chars AS DOUBLE) ELSE 0.0 END) <= 0.3) AS quality_ok,
+        |    badwords_ok, lang_ok, n_words
+        |  FROM fl)
+        |SELECT c4_ok, gopher_ok, quality_ok, badwords_ok, lang_ok,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM d GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // per-lang source HHI + top share: integer sums, two divisions
     "source_concentration" ->
       """WITH g AS (

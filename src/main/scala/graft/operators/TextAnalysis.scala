@@ -194,6 +194,45 @@ object TextAnalysis {
       .withColumn("kept", col("n_badwords") === 0L)
   }
 
+  /** Joint quality-filter ablation matrix — the "filter Venn" planning
+    * card a curation pipeline publishes before committing to a recipe
+    * (cf. Penedo et al. 2023, RefinedWeb §4; Longpre et al. 2023, "A
+    * Pretrainer's Guide"): every document is scored by ALL admission
+    * filters in one pass — [[c4LineFilter]] line rules, [[gopherRules]]
+    * A1 rules, the [[qualityScore]] heuristics, the [[badwordsFilter]]
+    * blocklist, and declared-vs-detected language agreement
+    * ([[languageId]]) — then collapsed to the ≤2⁵-row decision-
+    * combination table with document and word mass per cell. Marginal
+    * removal rates, every pairwise overlap, and the "uniquely removed
+    * by filter X" share all read directly off the matrix; running the
+    * filters one at a time costs five corpus scans and still never
+    * yields the joint distribution.
+    *
+    * Scale shape: the five decisions are the audited library filters
+    * themselves COMPOSED over one read of the corpus — all scan-stage
+    * column arithmetic (higher-order array ops, no UDF, no explode), so
+    * the only shuffle is the final map-side-combinable groupBy onto at
+    * most 32 rows. At 100 TB this is one pass over the documents table.
+    */
+  def filterAblation(docs: DataFrame, blocklist: Seq[String],
+                     c4MinWords: Int = 5, c4MinKeptLines: Int = 3,
+                     gopherMinWords: Long = 50L, gopherMaxWords: Long = 100000L,
+                     textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val flagged = badwordsFilter(
+      gopherRules(
+        c4LineFilter(
+          qualityScore(languageId(docs, textCol), textCol),
+          c4MinWords, c4MinKeptLines, textCol),
+        gopherMinWords, gopherMaxWords, textCol),
+      blocklist, textCol)
+    flagged
+      .withColumn("lang_ok", col("predicted_lang") === col(langCol))
+      .groupBy(col("c4_ok"), col("gopher_ok"), col("quality_ok"),
+        col("kept").as("badwords_ok"), col("lang_ok"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("sum_words"))
+  }
+
   /** All word n-grams with multiplicity, as one codegen'd scan-stage pass
     * ([[graft.plans.WordNgrams]] — the repetition twin of the distinct
     * shingle kernel used by the sketches).

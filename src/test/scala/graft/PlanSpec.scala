@@ -347,6 +347,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"map-side combine:\n$p")
   }
 
+  test("q6_revenue: every predicate reaches the parquet scan; columns pruned; no join") {
+    val p = plan("q6_revenue")
+    // toString truncates the PushedFilters list — pin the visible prefix
+    // (all three filter columns enter the pushdown list)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"shipdate/discount/quantity predicates must push down:\n$p")
+    assert(!p.contains("l_orderkey") && !p.contains("l_tax"),
+      s"scan must read only the four referenced columns:\n$p")
+    assert(!p.contains("Join"), s"no join:\n$p")
+    assert(p.contains("partial_sum"), s"revenue must map-side combine:\n$p")
+  }
+
+  test("q8_marketshare: dims broadcast, no product, volume partial-combines") {
+    val p = plan("q8_marketshare")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"part/nation/region dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_sum"), s"volume must map-side combine:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,ECONOMY)")
+      || p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part type filter must reach the part scan:\n$p")
+  }
+
   test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")

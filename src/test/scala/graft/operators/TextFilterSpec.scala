@@ -628,4 +628,57 @@ class TextFilterSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run(1) == run(13), "1 partition vs 13 must be bit-identical")
   }
+
+  test("filterAblation: every marginal equals the standalone filter; masses conserve") {
+    // mixed fixture: an all-clean English page, a bullet-heavy page, a
+    // blocklisted page, a mislabeled-language page, a too-short page
+    val docs = Seq(
+      (0L, "en", "The cat sat on the mat today and it was of good cheer to all friends.\nAnother perfectly fine sentence with plenty of good words to keep going."),
+      (1L, "en", "- item one of the list\n- item two of the list\n- item three here"),
+      (2L, "en", "This page mentions the badword once and the rest of it is long enough to pass."),
+      (3L, "fr", "The declared language of this document is wrong since the text is English prose."),
+      (4L, "en", "too short.")
+    ).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.filterAblation(docs, Seq("badword"),
+      c4MinWords = 5, c4MinKeptLines = 1, gopherMinWords = 5L, gopherMaxWords = 50L).persist()
+
+    assert(m.count() <= 32)
+    assert(m.agg(sum(col("n_docs"))).first.getLong(0) == 5L)
+
+    def marginal(flag: String): Long =
+      m.filter(col(flag)).agg(coalesce(sum(col("n_docs")), lit(0L))).first.getLong(0)
+    val c4 = TextAnalysis.c4LineFilter(docs, 5, 1).filter(col("c4_ok")).count()
+    val gopher = TextAnalysis.gopherRules(docs, 5L, 50L).filter(col("gopher_ok")).count()
+    val quality = TextAnalysis.qualityScore(docs).filter(col("quality_ok")).count()
+    val bad = TextAnalysis.badwordsFilter(docs, Seq("badword")).filter(col("kept")).count()
+    val langOk = TextAnalysis.languageId(docs)
+      .filter(col("predicted_lang") === col("lang")).count()
+    assert(marginal("c4_ok") == c4, "c4 marginal")
+    assert(marginal("gopher_ok") == gopher, "gopher marginal")
+    assert(marginal("quality_ok") == quality, "quality marginal")
+    assert(marginal("badwords_ok") == bad, "badwords marginal")
+    assert(marginal("lang_ok") == langOk, "lang marginal")
+
+    // word mass = the gopher filtered word count, conserved across cells
+    val words = TextAnalysis.gopherRules(docs, 5L, 50L)
+      .agg(sum(col("n_words"))).first.getLong(0)
+    assert(m.agg(sum(col("sum_words"))).first.getLong(0) == words)
+
+    // the clean page passes everything; the mislabeled page fails ONLY lang
+    assert(m.filter(col("c4_ok") && col("gopher_ok") && col("quality_ok") &&
+      col("badwords_ok") && col("lang_ok")).agg(sum(col("n_docs"))).first.getLong(0) >= 1L)
+    val onlyLang = m.filter(col("c4_ok") && col("gopher_ok") && col("quality_ok") &&
+      col("badwords_ok") && !col("lang_ok"))
+    assert(onlyLang.agg(coalesce(sum(col("n_docs")), lit(0L))).first.getLong(0) >= 1L)
+    m.unpersist()
+  }
+
+  test("filterAblation: one corpus scan, one shuffle — the five filters compose scan-stage") {
+    val df = Seq((0L, "en", "a few words here to score.")).toDF("doc_id", "lang", "text")
+    val plan = TextAnalysis.filterAblation(df, Seq("x"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"exactly one shuffle (the <=32-row groupBy):\n$plan")
+    assert(!plan.contains("Join"), s"no join anywhere:\n$plan")
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators._
+import graft.sources._
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe: cost of the banded co-location candidate join vs the
+  * time-band width (the one perf knob whose setting the OUTPUT is
+  * invariant to — only candidate volume changes). Run at sf0.1 to pick
+  * the default; results recorded in SpatialOps.colocationMeetings's
+  * scaladoc.
+  */
+object BandProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[32]"), shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iv = EventsAdapter.intervals(spark, dir).localCheckpoint(eager = true)
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $name%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+
+    t("warmup") { spark.range(1000000).count() }
+    for (b <- Seq(240.0, 120.0, 60.0, 30.0, 15.0); _ <- 1 to 2)
+      t(s"meetings_b$b") { SpatialOps.colocationMeetings(iv, 10000L, b).count() }
+    for (b <- Seq(120.0, 30.0))
+      t(s"pairs_b$b") {
+        SpatialOps.colocationPairsFromMeetings(
+          SpatialOps.colocationMeetings(iv, 10000L, b)).count()
+      }
+    val pairs = SpatialOps.colocationPairsFromMeetings(
+      SpatialOps.colocationMeetings(iv, 10000L, 120.0)).localCheckpoint(eager = true)
+    for (_ <- 1 to 3)
+      t("components_distrib") { SpatialOps.colocationComponents(pairs).count() }
+    spark.stop()
+  }
+}

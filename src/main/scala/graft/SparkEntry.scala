@@ -2735,6 +2735,12 @@ object SparkEntry {
         c4MinWords = 5, c4MinKeptLines = 2, gopherMinWords = 25L, gopherMaxWords = 80L,
         textCol = "page")
     },
+    "corpus_rollup" -> { (s, dir) =>
+      CorpusOps.rollupCard(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "latest_events" -> { (s, dir) =>
+      EventOps.latestSnapshot(EventsAdapter.events(s, dir), Seq("user_id", "event_type"))
+    },
     "source_concentration" -> { (s, dir) =>
       CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
     },
@@ -6428,6 +6434,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM d GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // hierarchical rollup card: subtotals + grand total in one pass,
+    // rolled-up levels as the '<all>' sentinel
+    "corpus_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    // latest row per (user, type): struct-max with id tie-break — the
+    // {'t','id'} struct ordering mirrors Spark's lexicographic struct max
+    "latest_events" ->
+      """SELECT user_id, event_type,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS t_us,
+        |  (max({'t': epoch_us(ts), 'id': event_id})).id AS event_id,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
     // per-lang source HHI + top share: integer sums, two divisions
     "source_concentration" ->
       """WITH g AS (

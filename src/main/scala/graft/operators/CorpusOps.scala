@@ -615,6 +615,32 @@ object CorpusOps {
       .select(col(groupCol), col("n_sources"), col("n_docs"), col("gini"))
   }
 
+  /** Hierarchical corpus report card via native ROLLUP: doc count, word
+    * and char mass at every prefix level of the grouping hierarchy —
+    * (lang, source), (lang, ·), (·, ·) in one aggregation — the summary
+    * table every mixture decision starts from, with subtotals and the
+    * grand total computed in the SAME pass instead of one groupBy per
+    * level. Rolled-up levels surface as a sentinel (default "<all>") so
+    * the output is null-free and engine-portable.
+    *
+    * Scale shape: Catalyst plans rollup as one Expand (×levels) feeding
+    * one map-side-combinable hash aggregate — the corpus is read once
+    * and the exchange carries only (hierarchy × level) partial rows.
+    */
+  def rollupCard(docs: DataFrame, groupCols: Seq[String] = Seq("lang", "source"),
+                 textCol: String = "text", sentinel: String = "<all>"): DataFrame = {
+    require(groupCols.nonEmpty, "rollupCard: need at least one grouping column")
+    docs
+      .withColumn("_ws", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("_ch", length(col(textCol)).cast("long"))
+      .rollup(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_ws")).as("sum_words"),
+        sum(col("_ch")).as("sum_chars"))
+      .select(groupCols.map(c => coalesce(col(c), lit(sentinel)).as(c)) ++ Seq(
+        col("n_docs"), col("sum_words"), col("sum_chars")): _*)
+  }
+
   /** Exact global rank of every row under the total order (valueCol,
     * idCol) WITHOUT a single-partition window: range-repartition on the
     * order key, rank locally per partition, then add each partition's

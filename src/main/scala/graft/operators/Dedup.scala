@@ -308,22 +308,22 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over an undirected
-    * near-dup pair table (e.g. [[minHashLsh]] output), as iterative
-    * min-label propagation — each iteration is one shuffle (edges ⋈
-    * labels + grouped min), and near-dup components are near-cliques, so
-    * convergence takes O(component diameter) ≈ 2-4 rounds. The canonical
-    * "keep one document per duplicate cluster" reducer at corpus scale.
+    * near-dup pair table (e.g. [[minHashLsh]] output), as distributed
+    * min-label propagation with pointer doubling (Shiloach-Vishkin
+    * hook + compress): O(log diameter) rounds, each one edges ⋈ labels
+    * join plus one label-table self-join. The canonical "keep one
+    * document per duplicate cluster" reducer at corpus scale.
     *
     * @return (doc_id, cluster_id = smallest id in the component,
     *         keep = doc_id is that smallest id)
     */
-  /** @param maxIterations bound on min-label propagation rounds on the
+  /** @param maxIterations bound on hook+compress rounds on the
     *        distributed path. Throws IllegalStateException if components
     *        have not converged within the budget — a silent stop would
-    *        return split clusters as if they were real. Labels advance one
-    *        hop per round, so size it to the worst expected component
-    *        diameter (near-dup components are near-cliques; the default 25
-    *        covers any realistic chain).
+    *        return split clusters as if they were real. Pointer doubling
+    *        compounds propagation reach geometrically (a clique needs
+    *        ~2 rounds), so the default 25 covers component diameters
+    *        far past 2^20 — any realistic chain.
     * @param localThreshold pair-count cutoff below which the component
     *        computation collects to the driver and runs union-find (each
     *        distributed iteration costs two shuffles of fixed latency —
@@ -376,32 +376,62 @@ object Dedup {
         }
         parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
       } else {
-        val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst"))).persist()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node")).persist()
+        // Min-label propagation WITH pointer doubling (the Shiloach-
+        // Vishkin alternation): each round (1) hooks every node to the
+        // min label in its closed neighborhood — one edges ⋈ labels
+        // equi-join + grouped min — then (2) compresses paths by one
+        // label-table self-join (label := label's label). Hooking alone
+        // advances a label one hop per round (O(diameter) rounds — a
+        // borderline-pair chain of length d would need d rounds);
+        // doubling makes the propagation reach compound geometrically,
+        // so convergence is O(log d) rounds of O(|E|) + O(|V|) joins.
+        // Near-dup components are near-cliques and still finish in ~2.
+        //
+        // Each round's label frame is localCheckpoint(eager)-
+        // materialized: an iterative plan that merely persists would
+        // nest every previous round's join tree inside the next, and by
+        // round ~10 the logical plan is exponentially large — analysis
+        // itself blows up before any task runs. Checkpointed blocks of
+        // finished rounds are freed by the context cleaner; at most
+        // `maxIterations` node-table frames ever exist.
+        val edges = p.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .distinct()
+        val sym = edges
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(eager = true)
+        var labels = p.select(col("src").as("node"))
+          .union(p.select(col("dst").as("node")))
+          .distinct().withColumn("label", col("node"))
+          .localCheckpoint(eager = true)
         var changed = 1L
         var i = 0
         while (changed > 0 && i < maxIterations) {
-          val neighborMin = edges.join(labels, col("src") === col("node"))
+          // hook: adopt the min label over the closed neighborhood
+          val nbrMin = sym.join(labels, col("src") === col("node"))
             .groupBy(col("dst").as("_n")).agg(min(col("label")).as("_nl"))
-          val stepped = labels.join(neighborMin, col("node") === col("_n"), "left")
+          val hooked = labels.join(nbrMin, col("node") === col("_n"), "left")
             .select(col("node"), col("label").as("_old"),
               least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-            .persist()
-          changed = stepped.filter(col("label") =!= col("_old")).count()
-          labels.unpersist()
-          labels = stepped.select("node", "label")
+            .localCheckpoint(eager = true)
+          changed = hooked.filter(col("label") =!= col("_old")).count()
+          // compress: label := label's label (labels are always node ids
+          // present in the table, so the self-join is total)
+          labels = hooked.select(col("node"), col("label"))
+            .join(hooked.select(col("node").as("_pn"), col("label").as("_pl")),
+              col("label") === col("_pn"))
+            .select(col("node"), col("_pl").as("label"))
+            .localCheckpoint(eager = true)
           i += 1
         }
-        edges.unpersist()
-        // min-label propagation needs O(component diameter) rounds — a
-        // chain longer than maxIterations would otherwise silently yield
+        // labels still moving after the budget would silently yield
         // split clusters (multiple keep=true docs per true component)
         if (changed > 0)
           throw new IllegalStateException(
             s"duplicateClusters: labels still changing after $maxIterations rounds " +
-              s"($changed nodes) — component diameter exceeds the iteration budget; " +
-              "raise maxIterations")
+              s"($changed nodes) — component diameter exceeds the doubling budget " +
+              "(~2^rounds); raise maxIterations")
         labels
       }
 

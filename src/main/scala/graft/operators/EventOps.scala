@@ -411,4 +411,29 @@ object EventOps {
         // scale, not at 100 TB (the embedding-covariance contract)
         sum(col("_w_q").cast("decimal(38,0)")).as("decayed_q"))
   }
+
+  /** Latest row per key — the CDC/compaction primitive behind "current
+    * state per entity" views (latest crawl snapshot per URL, last profile
+    * update per user, newest version per document): one struct-max
+    * aggregate per key, tie-broken by id so the result is deterministic
+    * even when two rows share a timestamp.
+    *
+    * Scale shape: max of a (ts, id) struct is MAP-SIDE COMBINABLE — the
+    * one shuffle moves a single candidate row per key per input
+    * partition. The row_number-over-window formulation every SQL
+    * cookbook reaches for instead shuffles and SORTS every raw row per
+    * key; at 100 TB that is the difference between a partial-agg
+    * exchange and a full-data sort.
+    */
+  def latestSnapshot(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "t_us", idCol: String = "event_id"): DataFrame = {
+    require(keyCols.nonEmpty, "latestSnapshot: need at least one key column")
+    events
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col(tsCol), col(idCol))).as("_m"),
+        count(lit(1)).cast("long").as("n_events"))
+      .select(keyCols.map(col) ++ Seq(
+        col(s"_m.$tsCol").as(tsCol), col(s"_m.$idCol").as(idCol),
+        col("n_events")): _*)
+  }
 }

@@ -431,4 +431,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(out(100L + i) == expect, s"de doc $i")
     }
   }
+
+  test("rollupCard: leaf cells, per-lang subtotals and grand total agree in one pass") {
+    val docs = Seq(
+      (0L, "en", "web", "one two"),
+      (1L, "en", "web", "three"),
+      (2L, "en", "book", "four five six"),
+      (3L, "de", "web", "sieben")
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = CorpusOps.rollupCard(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"), r.getAs[Long]("sum_chars")))).toMap
+    assert(got(("en", "web")) == ((2L, 3L, 12L)))
+    assert(got(("en", "book")) == ((1L, 3L, 13L)))
+    assert(got(("de", "web")) == ((1L, 1L, 6L)))
+    assert(got(("en", "<all>")) == ((3L, 6L, 25L)))   // per-lang subtotal
+    assert(got(("de", "<all>")) == ((1L, 1L, 6L)))
+    assert(got(("<all>", "<all>")) == ((4L, 7L, 31L))) // grand total
+    assert(got.size == 6)
+  }
+
+  test("rollupCard plans as one Expand + one partial-combining aggregate — not a groupBy per level") {
+    val docs = Seq((0L, "en", "web", "a b")).toDF("doc_id", "lang", "source", "text")
+    val plan = CorpusOps.rollupCard(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must plan as Expand:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"rollup aggregate must map-side combine:\n$plan")
+    assert(!plan.contains("Union"), s"one pass, not a union of groupBys:\n$plan")
+  }
 }

@@ -193,4 +193,29 @@ class EventRateSpec extends SparkSpec {
     assert(got("a") == ((2L, BigDecimal((1L << 40) + (1L << 39)))))
     assert(got("b") == ((2L, BigDecimal(1L << 38))))
   }
+
+  test("latestSnapshot: newest row per key wins; timestamp ties break to the larger id") {
+    val events = Seq(
+      (10L, 100L, 1L, "view"),  // older
+      (11L, 200L, 1L, "view"),  // newest for (1, view)
+      (12L, 200L, 2L, "view"),  // tie on ts with 13 ...
+      (13L, 200L, 2L, "view"),  // ... larger id wins
+      (14L, 50L, 1L, "buy")     // singleton group
+    ).toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.latestSnapshot(events, Seq("user_id", "event_type"))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, "view")) == ((200L, 11L, 2L)))
+    assert(got((2L, "view")) == ((200L, 13L, 2L)))
+    assert(got((1L, "buy")) == ((50L, 14L, 1L)))
+  }
+
+  test("latestSnapshot plans as a partial-combining aggregate — never a per-key sort window") {
+    val events = Seq((10L, 100L, 1L, "view")).toDF("event_id", "t_us", "user_id", "event_type")
+    val plan = EventOps.latestSnapshot(events, Seq("user_id", "event_type"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window/sort formulation:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"struct max must map-side combine:\n$plan")
+  }
 }

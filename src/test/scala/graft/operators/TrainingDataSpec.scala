@@ -44,6 +44,19 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("duplicate clusters: a 2000-link chain converges inside the default round budget") {
+    // one-hop min-label propagation would need ~2000 rounds here and
+    // throw at the default budget of 25; pointer doubling compounds
+    // the propagation reach geometrically — the property that makes
+    // long accidental chains (doc A ~ B ~ C ... through borderline
+    // pairs) safe at corpus scale
+    val chain = (0L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain, localThreshold = 0L)
+      .agg(countDistinct(col("cluster_id")).as("k"), min(col("cluster_id")).as("m"),
+        count(lit(1)).as("n")).collect().head
+    assert(out.getLong(0) == 1L && out.getLong(1) == 0L && out.getLong(2) == 2001L)
+  }
+
   test("cross-corpus minhash finds probe-vs-corpus near-dups only, no intra-corpus pairs") {
     val probes = docs.filter(col("doc_id") <= 1L)  // docs 0, 1 (near-dups of each other)
     val corpus = docs.filter(col("doc_id") >= 2L)  // 2 (unrelated), 3 (clone of 0), 4 (german)

@@ -36,6 +36,9 @@ object BandProbe {
       SpatialOps.colocationMeetings(iv, 10000L, 120.0)).localCheckpoint(eager = true)
     for (_ <- 1 to 3)
       t("components_distrib") { SpatialOps.colocationComponents(pairs).count() }
+    val mts = SpatialOps.colocationMeetings(iv, 10000L, 120.0).localCheckpoint(eager = true)
+    for (_ <- 1 to 3)
+      t("convoy_pairs") { SpatialOps.convoyPairs(mts, 120.0, 2).count() }
     spark.stop()
   }
 }

@@ -2762,6 +2762,9 @@ object SparkEntry {
     "conversion_latency" -> { (s, dir) =>
       EventOps.conversionLatency(EventsAdapter.events(s, dir), "click", "purchase")
     },
+    "survival_table" -> { (s, dir) =>
+      EventOps.survivalTable(EventsAdapter.events(s, dir))
+    },
     "user_lifespan" -> { (s, dir) =>
       EventOps.userLifespan(EventsAdapter.events(s, dir))
     },
@@ -2776,6 +2779,10 @@ object SparkEntry {
     },
     "intercontact_times" -> { (s, dir) =>
       SpatialOps.interContactTimes(Pipeline.colocationMeetings(s, dir))
+    },
+    "convoy_pairs" -> { (s, dir) =>
+      SpatialOps.convoyPairs(Pipeline.colocationMeetings(s, dir),
+        bandMinutes = 120.0, minConsecutive = 2)
     },
     // TPC-H Q18 shape: large-quantity orders via HAVING over the
     // lineitem aggregate, joined back to order/customer attributes
@@ -4217,6 +4224,41 @@ object SparkEntry {
          |SELECT CAST(length(bin(g)) - 1 AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS n_gaps, CAST(sum(g) AS BIGINT) AS sum_sec
          |FROM gaps WHERE g >= 1 GROUP BY 1""".stripMargin,
+    // convoy pairs: the same meeting chain unrolled to covered bands,
+    // maximal consecutive runs via the band - row_number key
+    "convoy_pairs" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |mts AS (
+         |  SELECT a.user_id AS ua, b.user_id AS ub,
+         |         greatest(a.s_us, b.s_us) AS ms, least(a.f_us, b.f_us) AS mf
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us),
+         |bands AS (
+         |  SELECT DISTINCT ua, ub, band FROM (
+         |    SELECT ua, ub, unnest(generate_series(
+         |      CAST(floor(ms / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(mf - 1, ms) / 7200000000.0) AS BIGINT))) AS band
+         |    FROM mts)),
+         |runs AS (
+         |  SELECT ua, ub, band,
+         |         band - row_number() OVER (PARTITION BY ua, ub ORDER BY band) AS r
+         |  FROM bands)
+         |SELECT ua AS user_a, ub AS user_b,
+         |       CAST(min(band) AS BIGINT) AS run_start_band,
+         |       CAST(count(*) AS BIGINT) AS n_bands
+         |FROM runs GROUP BY ua, ub, r HAVING count(*) >= 2""".stripMargin,
     // TPC-H Q18 shape: HAVING over the per-order quantity aggregate
     "q18_bigorders" ->
       """SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
@@ -6556,6 +6598,35 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_conversions,
         |       CAST(sum(sec) AS BIGINT) AS sum_sec
         |FROM conv GROUP BY 1""".stripMargin,
+    // survival table: first-signup -> first-subsequent-purchase latency,
+    // never-converted users censored at the stream end; (d, n) per
+    // log2-second bucket with the suffix-sum at-risk count
+    "survival_table" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |ref AS (SELECT max(epoch_us(ts)) AS r FROM events),
+        |conv AS (
+        |  SELECT t0.user_id, t0.t0,
+        |         min(CASE WHEN epoch_us(e.ts) >= t0.t0 THEN epoch_us(e.ts) END) AS c
+        |  FROM t0 LEFT JOIN events e
+        |    ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, c IS NOT NULL AS observed,
+        |         (coalesce(c, (SELECT r FROM ref)) - t0) // 1000000 AS sec
+        |  FROM conv),
+        |b AS (
+        |  SELECT CAST(length(bin(sec)) - 1 AS BIGINT) AS bucket,
+        |         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |         CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1)
+        |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo,
+        |       CAST(sum(n_events + n_censored) OVER (
+        |         ORDER BY bucket DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+        |       n_events, n_censored
+        |FROM b""".stripMargin,
     // strictly-below percentile ranks off the value-domain count table;
     // ties share one rank
     "score_percentiles" ->

@@ -412,6 +412,57 @@ object EventOps {
         sum(col("_w_q").cast("decimal(38,0)")).as("decayed_q"))
   }
 
+  /** Survival / at-risk table with right-censoring — the exact-integer
+    * input of a Kaplan-Meier curve (time from a user's first `fromType`
+    * event to their first subsequent `toType` event; users who never
+    * convert are CENSORED at the end of the observed stream, which
+    * [[conversionLatency]]'s converted-only histogram cannot express —
+    * dropping censored users biases time-to-convert optimistic). Per
+    * log₂-second bucket b: conversions observed in b, censorings in b,
+    * and the at-risk count n_b = users whose horizon (conversion or
+    * censor time) falls in bucket ≥ b — the (d_b, n_b) pairs a report
+    * layer turns into Π(1 − d/n). Everything integer: micro-second
+    * differences floor-divided to seconds, bit-length buckets; no float
+    * until (at most) the report's own product.
+    *
+    * Scale shape: first-event and first-conversion are map-side-
+    * combinable per-user min aggregates (the conversion min is
+    * conditional on ts ≥ t0 — one equi-join on user, never an
+    * inequality join); the stream end rides in as a 1-row broadcast;
+    * buckets collapse to a ≤64-row table and the at-risk suffix sum
+    * windows over that bounded table only.
+    */
+  def survivalTable(events: DataFrame, fromType: String = "signup",
+                    toType: String = "purchase", tsCol: String = "t_us",
+                    typeCol: String = "event_type", userCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t0s = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t0"))
+    val ref = events.agg(max(col(tsCol)).as("_ref"))
+    val conv = t0s
+      .join(events.filter(col(typeCol) === toType).select(col(userCol), col(tsCol).as("_ct")),
+        Seq(userCol), "left")
+      .groupBy(col(userCol), col("_t0"))
+      .agg(min(when(col("_ct") >= col("_t0"), col("_ct"))).as("_conv"))
+    val users = conv.crossJoin(broadcast(ref))
+      .withColumn("observed", col("_conv").isNotNull)
+      .withColumn("_sec",
+        expr("(coalesce(_conv, _ref) - _t0) div 1000000"))
+      .withColumn("bucket", (length(bin(col("_sec"))) - 1).cast("long"))
+    val byBucket = users.groupBy(col("bucket"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))
+    // suffix sum over the <=64-row bucket table: at-risk at bucket b =
+    // every user whose horizon bucket is >= b (bucket-granular KM)
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("n_at_risk", sum(col("n_events") + col("n_censored")).over(w))
+      .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+      .select(col("bucket"), col("bucket_lo"), col("n_at_risk"),
+        col("n_events"), col("n_censored"))
+  }
+
   /** Latest row per key — the CDC/compaction primitive behind "current
     * state per entity" views (latest crawl snapshot per URL, last profile
     * update per user, newest version per document): one struct-max

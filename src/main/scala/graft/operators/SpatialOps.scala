@@ -347,6 +347,49 @@ object SpatialOps {
         sum(col("_gap")).cast("long").as("sum_sec"))
   }
 
+  /** Convoy / travel-together pairs (the pairwise core of Jeung et al.
+    * 2008, "Discovery of Convoys in Trajectory Databases"): pairs whose
+    * co-location persists over at least `minConsecutive` CONSECUTIVE
+    * time bands — sustained co-movement, where [[colocationPairs]]
+    * counts any single encounter. Each meeting interval maps to the
+    * band range it covers; per pair, maximal runs of consecutive bands
+    * are the merge of those ranges (touching or overlapping ranges
+    * fuse); runs at or above the threshold are emitted with their
+    * start band and length.
+    *
+    * Scale shape: each meeting collapses to its covered band RANGE
+    * [b_s, b_f] — never unrolled to one row per band, so a week-long
+    * meeting at a 1-minute band costs one row, not 10k — and runs come
+    * from the classic interval-merge (touching or overlapping ranges
+    * fuse) via one pair-keyed window: a running max of previous range
+    * ends marks run breaks, a running sum of breaks keys the run.
+    * ONE shuffle total (the pair window; the run groupBy reuses its
+    * partitioning), cost proportional to the meeting table. Nothing
+    * ever joins raw trajectories.
+    */
+  def convoyPairs(meetings: DataFrame, bandMinutes: Double = 120.0,
+                  minConsecutive: Int = 2): DataFrame = {
+    require(bandMinutes > 0 && minConsecutive >= 1,
+      "need positive band width and run threshold")
+    val bandUs = (bandMinutes * 60e6).toLong
+    val w = Window.partitionBy("user_a", "user_b").orderBy(col("_bs"), col("_bf"))
+    meetings
+      .select(col("user_a"), col("user_b"),
+        floor(col("m_s_us") / lit(bandUs.toDouble)).cast("long").as("_bs"),
+        floor(greatest(col("m_f_us") - 1, col("m_s_us")) / lit(bandUs.toDouble)).cast("long").as("_bf"))
+      .withColumn("_pmax",
+        max(col("_bf")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(col("_pmax").isNull || col("_bs") > col("_pmax") + 1L, 1L).otherwise(0L))
+      .withColumn("_run",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_a"), col("user_b"), col("_run"))
+      .agg(min(col("_bs")).as("run_start_band"),
+        (max(col("_bf")) - min(col("_bs")) + 1L).cast("long").as("n_bands"))
+      .filter(col("n_bands") >= minConsecutive.toLong)
+      .select(col("user_a"), col("user_b"), col("run_start_band"), col("n_bands"))
+  }
+
   /** Focal (3×3-neighborhood) hotspot statistics on the micro-degree
     * grid — the Getis-Ord-style local density surface behind every
     * "where does activity cluster" map (a cell whose neighborhood share

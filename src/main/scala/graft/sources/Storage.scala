@@ -24,4 +24,22 @@ object Storage {
       .saveAsTable(tableName)
 
   def readTable(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
+
+  /** Write an event-grain table hive-partitioned by UTC day (derived
+    * from the micro-second epoch column). Day partitioning is the other
+    * half of the §4 layout: time-ranged queries — the dominant access
+    * pattern on an append-only event log — prune to the touched
+    * directories at PLANNING time (PartitionFilters in the scan), and a
+    * join against a filtered date dimension prunes at RUNTIME via
+    * dynamic partition pruning. At 100 TB with ~3 years of history, a
+    * one-week query reads 7/1000 of the files instead of all of them.
+    */
+  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String = "t_us"): Unit =
+    df.withColumn("event_date",
+        org.apache.spark.sql.functions.expr(
+          s"date_add(date'1970-01-01', cast($tsCol div 86400000000 as int))"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+  def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

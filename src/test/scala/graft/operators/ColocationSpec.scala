@@ -144,4 +144,21 @@ class ColocationSpec extends SparkSpec {
     val plan = SpatialOps.colocationPairs(df(rows: _*)).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("convoyPairs: consecutive band runs survive, interrupted contact does not") {
+    import spark.implicits._
+    val B = 7200000000L // 120-minute band in micros
+    val meetings = Seq(
+      (1L, 2L, 0L, 2 * B),          // one long meeting covering bands 0..1
+      (1L, 2L, B / 2, B / 2 + 10L), // duplicate coverage of band 0 — distinct collapses
+      (1L, 3L, 0L, 10L),            // band 0 ...
+      (1L, 3L, 2 * B, 2 * B + 10L), // ... band 2: interrupted, both runs < 2
+      (2L, 3L, 3 * B, 3 * B + 10L), // three adjacent short meetings chain a run
+      (2L, 3L, 4 * B, 4 * B + 10L),
+      (2L, 3L, 5 * B, 5 * B + 10L)
+    ).toDF("user_a", "user_b", "m_s_us", "m_f_us")
+    val got = SpatialOps.convoyPairs(meetings, bandMinutes = 120.0, minConsecutive = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L, 2L), (2L, 3L, 3L, 3L)))
+  }
 }

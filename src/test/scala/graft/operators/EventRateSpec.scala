@@ -194,6 +194,31 @@ class EventRateSpec extends SparkSpec {
     assert(got("b") == ((2L, BigDecimal(1L << 38))))
   }
 
+  test("survivalTable: censored users stay in the at-risk denominator") {
+    val S = 1000000L // one second in micros
+    val events = Seq(
+      // u1: signup at 0, purchase at 1 s -> observed, bucket 0 (sec 1)
+      (0L, 0L, 1L, "signup"), (1L, 1L * S, 1L, "purchase"),
+      // u2: signup at 0, purchase at 5 s -> observed, bucket 2 (sec 5)
+      (2L, 0L, 2L, "signup"), (3L, 5L * S, 2L, "purchase"),
+      // u3: signup at 0, never converts -> censored at stream end 16 s, bucket 4
+      (4L, 0L, 3L, "signup"),
+      // u4: purchase BEFORE its signup only -> not a conversion, censored
+      (5L, 2L * S, 4L, "purchase"), (6L, 3L * S, 4L, "signup"),
+      // stream end marker
+      (7L, 16L * S, 9L, "click")
+    ).toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.survivalTable(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // u4 censored at (16-3)=13 s -> bucket 3; u3 censored at 16 s -> bucket 4
+    assert(got(0L) == ((1L, 4L, 1L, 0L)), "bucket 0: u1 converts, all 4 at risk")
+    assert(got(2L) == ((4L, 3L, 1L, 0L)), "bucket 2: u2 converts, u2/u3/u4 at risk")
+    assert(got(3L) == ((8L, 2L, 0L, 1L)), "bucket 3: u4 censored")
+    assert(got(4L) == ((16L, 1L, 0L, 1L)), "bucket 4: u3 censored last")
+    assert(got.size == 4)
+  }
+
   test("latestSnapshot: newest row per key wins; timestamp ties break to the larger id") {
     val events = Seq(
       (10L, 100L, 1L, "view"),  // older

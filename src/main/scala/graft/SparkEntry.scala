@@ -2170,6 +2170,10 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.knnConfusion(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
+    "hard_negatives" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.hardNegatives(emb.filter(col("vec_id") < 100), emb, k = 5)
+    },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
     // scan in one result.
@@ -2456,6 +2460,12 @@ object SparkEntry {
       Dedup.pruneDuplicates(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("source")),
         Pipeline.minhashPairs(s, dir))
+    },
+    "dedup_prune_quality" -> { (s, dir) =>
+      Dedup.pruneDuplicatesByScore(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        Pipeline.minhashPairs(s, dir), scoreCol = "n_chars")
     },
     "dedup_rate" -> { (s, dir) =>
       Dedup.dedupRateByGroup(
@@ -5266,6 +5276,30 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM dropped)""".stripMargin
     },
+    // quality-aware pruning: same recursive closure, winner per cluster
+    // by (n_chars, smallest id) via the {'s', 'ni'} struct-max
+    "dedup_prune_quality" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(64, 16, 0.5)},
+         |und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |lab AS (
+         |  SELECT n.node, least(n.node, min(r.b)) AS cluster_id
+         |  FROM nodes n JOIN reach r ON r.a = n.node GROUP BY n.node),
+         |qsc AS (
+         |  SELECT lab.node, lab.cluster_id, d.n_chars
+         |  FROM lab JOIN documents d ON d.doc_id = lab.node),
+         |qwin AS (
+         |  SELECT cluster_id, (max({'s': n_chars, 'ni': -node})).ni AS negid
+         |  FROM qsc GROUP BY cluster_id),
+         |dropped AS (
+         |  SELECT s.node FROM qsc s JOIN qwin w ON s.cluster_id = w.cluster_id
+         |  WHERE s.node <> -w.negid)
+         |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM dropped)""".stripMargin,
     // exact duplicated-span removal: first occurrence of each 10-gram
     // (by (doc_id, pos)) survives; other occurrences mark their word
     // positions removed; survivors re-join in position order. The same
@@ -5365,6 +5399,23 @@ object SparkEntry {
         |  WHERE rk = 1)
         |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_probes
         |FROM pred GROUP BY true_label, pred_label""".stripMargin,
+    // hard negatives: nearest different-label items per probe, same
+    // quantized-L2 chain with the label filter before ranking
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, lbl AS pl, qv AS pq FROM q WHERE vec_id < 100),
+        |dd AS (
+        |  SELECT p.probe_id, c.vec_id AS neighbor_id, c.lbl AS neg_label,
+        |         list_sum(list_transform(list_zip(p.pq, c.qv), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist_q
+        |  FROM q c, p WHERE c.lbl != p.pl)
+        |SELECT probe_id, CAST(rn AS BIGINT) AS rank, neighbor_id, neg_label,
+        |       CAST(dist_q AS BIGINT) AS dist_q
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist_q, neighbor_id) AS rn
+        |      FROM dd)
+        |WHERE rn <= 5""".stripMargin,
     // Facco Two-NN: integer squared-L2 two-nearest ratios, lnq CDF fit
     // through the origin
     "intrinsic_dim" ->

@@ -346,6 +346,38 @@ object Ann {
       .agg(count(lit(1)).cast("long").as("n_probes"))
   }
 
+  /** Hard-negative mining for contrastive training (the offline miner
+    * behind DPR/SBERT-style training sets; cf. Robinson et al. 2021,
+    * "Contrastive Learning with Hard Negative Samples"): per probe, the
+    * k NEAREST corpus items carrying a DIFFERENT label — close enough
+    * to confuse the model, wrong enough to teach the margin. Random
+    * negatives ([[CorpusOps.negativeSamples]]) are almost always easy;
+    * the gradient signal lives in the hard set.
+    *
+    * Scale shape: the label disagreement filters BEFORE ranking, then
+    * one broadcast-probe corpus scan through the native codegen
+    * quantized-L2 kernel with per-probe top-k planned as
+    * WindowGroupLimit — the audited brute-force shape; never a product
+    * of corpus against itself.
+    */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int = 5,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding", quantScale: Double = 1e6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).cast("long").as("_pl"), col(vecCol).as("_pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("neg_label"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist_q"), col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("_pl") =!= col("neg_label"))
+      .withColumn("dist_q", quantizedL2(col("_pv"), col("_cv"), quantScale))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("dist_q"))
+  }
+
   /** Recall@k of the PQ ADC search against exact integer-L2 truth —
     * the quality number for the PQ family under ITS OWN metric (cosine
     * recall answers a different question; ADC approximates squared L2,

@@ -455,6 +455,35 @@ object Dedup {
     docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Quality-aware duplicate pruning: keep the HIGHEST-`scoreCol`
+    * document of each near-dup cluster (ties → smallest id), not the
+    * smallest-id one — what production dedup actually ships, since the
+    * smallest id is an accident of crawl order while the cluster's best
+    * quality/length/recency copy is the one worth training on
+    * ([[pruneDuplicates]] is the id convention; this is the scored one).
+    *
+    * Scale shape: [[duplicateClusters]] does the component work; the
+    * winner per cluster is one struct-max (score, −id) aggregate over
+    * the CLUSTERED docs only (losers ≪ corpus), and survivors come back
+    * via one anti-join of drop ids — broadcast when the drop set fits.
+    */
+  def pruneDuplicatesByScore(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+                             idCol: String = "doc_id",
+                             localThreshold: Long = 1000000L): DataFrame = {
+    val clusters = duplicateClusters(pairs, localThreshold = localThreshold)
+      .select(col("doc_id").as("_cid"), col("cluster_id"))
+    val scored = clusters.join(
+      docs.select(col(idCol).as("_cid"), col(scoreCol).cast("long").as("_score")), Seq("_cid"))
+    val winners = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("_score"), (-col("_cid")).as("_negid"))).as("_w"))
+      .select(col("cluster_id"), (-col("_w._negid")).as("_keep_id"))
+    val drops = scored.join(winners, Seq("cluster_id"))
+      .filter(col("_cid") =!= col("_keep_id"))
+      .select(col("_cid").as("_drop_id"))
+    docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Per-group dedup-rate monitor: how much of each source/language the
     * near-dup pass removes — the ingest-health number that flags a feed
     * republishing its own archive (or a crawler looping) before the

@@ -44,6 +44,21 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("score-aware pruning keeps the best cluster member; id pruning keeps the first") {
+    val sdocs = Seq(
+      (0L, 10L), (3L, 50L), // cluster {0,3}: 3 scores higher -> scored keeps 3, plain keeps 0
+      (5L, 7L), (6L, 7L),   // cluster {5,6}: score tie -> smallest id 5
+      (9L, 1L)              // singleton with no pairs always survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((0L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val scored = Dedup.pruneDuplicatesByScore(sdocs, pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored == Set(3L, 5L, 9L))
+    val plain = Dedup.pruneDuplicates(sdocs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(0L, 5L, 9L))
+  }
+
   test("duplicate clusters: a 2000-link chain converges inside the default round budget") {
     // one-hop min-label propagation would need ~2000 rounds here and
     // throw at the default budget of 25; pointer doubling compounds
@@ -166,6 +181,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("neighbor_id") % 3 == r.getAs[Long]("probe_id") % 3))
     // ranks are 1..5 per probe
     assert(rows.filter(_.getAs[Long]("probe_id") == 0L).map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+  }
+
+  test("hard negatives: nearest DIFFERENT-label items; closer same-label neighbors excluded") {
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f), 0),   // probe
+      (1L, Array(0.001f, 0.0f), 0), // nearest overall, same label -> must not appear
+      (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(2.0f, 0.0f), 1),
+      (4L, Array(3.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.hardNegatives(vs.filter(col("vec_id") === 0L), vs, k = 2)
+      .select("rank", "neighbor_id", "neg_label").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 3L, 1L)))
   }
 
   test("LSH ANN recall matches brute force on clustered vectors") {

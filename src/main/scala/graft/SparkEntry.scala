@@ -1771,6 +1771,12 @@ object SparkEntry {
           .filter(expr("k % 12 = 0"))
           .withColumn("location_id", expr("(k div 12) % 4")))
     },
+    "od_radiation" -> { (s, dir) =>
+      Metrics.radiationModel(
+        EventsAdapter.intervals(s, dir)
+          .filter(expr("k % 12 = 0"))
+          .withColumn("location_id", expr("(k div 12) % 4")))
+    },
     "returners_explorers" -> { (s, dir) =>
       Metrics.kRadiusGyration(
         EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")),
@@ -3857,6 +3863,50 @@ object SparkEntry {
          |       ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |          / CAST(n_pairs AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS intercept
          |FROM sl""".stripMargin,
+    // Simini radiation model: same vis/flow/centroid chain as gravity,
+    // s_ij = intervening mass via floor-metre distance comparison,
+    // DECIMAL-exact prediction terms with one double division
+    "od_radiation" ->
+      s"""${EventsAdapter.pfsSql}, vis AS (
+         |  SELECT user_id, id, s_us, (k // 12) % 4 AS loc, lon, lat
+         |  FROM intervals WHERE k % 12 = 0),
+         |tr AS (
+         |  SELECT user_id, loc AS f, lead(loc) OVER (PARTITION BY user_id ORDER BY s_us, id) AS t
+         |  FROM vis),
+         |fl AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS observed
+         |  FROM tr WHERE t IS NOT NULL AND t != f GROUP BY f, t),
+         |ce AS (
+         |  SELECT loc,
+         |         sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS sy,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM vis GROUP BY loc),
+         |cc AS (
+         |  SELECT loc, m,
+         |         (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) / 1000000.0 AS clon,
+         |         (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)) / 1000000.0 AS clat
+         |  FROM ce),
+         |pr AS (
+         |  SELECT fl.f, fl.t, fl.observed, a.m AS m_from, b.m AS m_to,
+         |         a.clon AS flon, a.clat AS flat,
+         |         CAST(floor(${hav("a.clon", "a.clat", "b.clon", "b.clat")}) AS BIGINT) AS dist_m
+         |  FROM fl JOIN cc a ON fl.f = a.loc JOIN cc b ON fl.t = b.loc),
+         |prd AS (SELECT * FROM pr WHERE dist_m >= 1),
+         |sb AS (
+         |  SELECT prd.f, prd.t, CAST(sum(k.m) AS BIGINT) AS s_between
+         |  FROM prd JOIN cc k ON k.loc != prd.f AND k.loc != prd.t
+         |  WHERE CAST(floor(${hav("prd.flon", "prd.flat", "k.clon", "k.clat")}) AS BIGINT) < prd.dist_m
+         |  GROUP BY prd.f, prd.t)
+         |SELECT prd.f AS from_loc, prd.t AS to_loc, prd.dist_m,
+         |       prd.m_from, prd.m_to,
+         |       CAST(coalesce(sb.s_between, 0) AS BIGINT) AS s_between,
+         |       prd.observed,
+         |       CAST(CAST(prd.m_from AS HUGEINT) * CAST(prd.m_to AS HUGEINT) AS DOUBLE)
+         |         / CAST((CAST(prd.m_from AS HUGEINT) + coalesce(sb.s_between, 0))
+         |                * (CAST(prd.m_from AS HUGEINT) + CAST(prd.m_to AS HUGEINT)
+         |                   + coalesce(sb.s_between, 0)) AS DOUBLE) AS p_pred
+         |FROM prd LEFT JOIN sb ON prd.f = sb.f AND prd.t = sb.t""".stripMargin,
     // Pappalardo returners/explorers: rg twice (all visits; top-2
     // locations only), floored-metre comparison for the flag
     "returners_explorers" ->

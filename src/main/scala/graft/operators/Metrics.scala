@@ -420,6 +420,75 @@ object Metrics {
       .select("n_pairs", "slope", "intercept")
   }
 
+  /** Radiation-model flux prediction (Simini, González, Maritan &
+    * Barabási 2012, Nature — "A universal model for mobility and
+    * migration patterns"): the PARAMETER-FREE counterpart of
+    * [[odGravityFit]]. Per observed origin→destination pair,
+    *   p_pred = m_i·m_j / ((m_i + s_ij)·(m_i + m_j + s_ij))
+    * where masses m are location visit counts and s_ij is the mass
+    * inside the circle of radius d_ij around the origin EXCLUDING both
+    * endpoints — intervening opportunities absorb flux, so no distance
+    * exponent needs fitting. Reported next to the observed flow so the
+    * gravity-vs-radiation comparison is one read.
+    *
+    * All decisions are exact: floor-metre distances of bit-identical
+    * haversine doubles compare as longs (d_ik < d_ij), masses sum as
+    * longs, and the prediction's numerator/denominator are DECIMAL(38,0)
+    * products with ONE double division at the end.
+    *
+    * Scale shape: everything after the visit groupBys lives on the
+    * BOUNDED location table (radiation analyses run on region-grain
+    * location domains by construction): observed OD pairs join two
+    * broadcast centroid copies, and s_ij is one broadcast theta-join of
+    * those pairs against the location table (|od_pairs|·|locs| work,
+    * never anything × raw staypoints).
+    */
+  def radiationModel(spLoc: DataFrame, locCol: String = "location_id"): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("started_at"), col("id"))
+    val vis = spLoc.filter(col(locCol).isNotNull)
+    val flows = vis
+      .withColumn("_to", lead(col(locCol), 1).over(byUser))
+      .filter(col("_to").isNotNull && col("_to") =!= col(locCol))
+      .groupBy(col(locCol).as("_f"), col("_to").as("_t"))
+      .agg(count(lit(1)).cast("long").as("observed"))
+    val cents = vis
+      .groupBy(col(locCol).as("_loc"))
+      .agg(sum(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("_sx"),
+        sum(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("_sy"),
+        count(lit(1)).cast("long").as("_m"))
+      .select(col("_loc"), col("_m"),
+        (col("_sx").cast("double") / col("_m").cast("double") / 1e6).as("_clon"),
+        (col("_sy").cast("double") / col("_m").cast("double") / 1e6).as("_clat"))
+    val from = cents.select(col("_loc").as("_f"), col("_m").as("m_from"),
+      col("_clon").as("_flon"), col("_clat").as("_flat"))
+    val to = cents.select(col("_loc").as("_t"), col("_m").as("m_to"),
+      col("_clon").as("_tlon"), col("_clat").as("_tlat"))
+    val pairs = flows
+      .join(broadcast(from), Seq("_f")).join(broadcast(to), Seq("_t"))
+      .withColumn("dist_m", floor(GeoFunctions.haversineMeters(
+        col("_flon"), col("_flat"), col("_tlon"), col("_tlat"))).cast("long"))
+      .filter(col("dist_m") >= 1L)
+    val others = cents.select(col("_loc").as("_k"), col("_m").as("_mk"),
+      col("_clon").as("_klon"), col("_clat").as("_klat"))
+    val s = pairs
+      .select(col("_f"), col("_t"), col("_flon"), col("_flat"), col("dist_m"))
+      .join(broadcast(others), col("_k") =!= col("_f") && col("_k") =!= col("_t"))
+      .withColumn("_dk", floor(GeoFunctions.haversineMeters(
+        col("_flon"), col("_flat"), col("_klon"), col("_klat"))).cast("long"))
+      .filter(col("_dk") < col("dist_m"))
+      .groupBy(col("_f"), col("_t"))
+      .agg(sum(col("_mk")).cast("long").as("s_between"))
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    pairs.join(s, Seq("_f", "_t"), "left")
+      .withColumn("s_between", coalesce(col("s_between"), lit(0L)))
+      .withColumn("p_pred",
+        (dq(col("m_from")) * dq(col("m_to"))).cast("double") /
+          ((dq(col("m_from")) + dq(col("s_between"))) *
+            (dq(col("m_from")) + dq(col("m_to")) + dq(col("s_between")))).cast("double"))
+      .select(col("_f").as("from_loc"), col("_t").as("to_loc"), col("dist_m"),
+        col("m_from"), col("m_to"), col("s_between"), col("observed"), col("p_pred"))
+  }
+
   /** Per-(user, location) return times: for every revisit of a location,
     * the gap between leaving it and arriving back — the return-time
     * distribution of Song et al. 2010 (the regular spikes at 24 h/1 week

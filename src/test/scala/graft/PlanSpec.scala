@@ -371,6 +371,21 @@ class PlanSpec extends AnyFunSuite {
       s"part type filter must reach the part scan:\n$p")
   }
 
+  test("convoy_pairs: one pair shuffle total — run groupBy reuses the window partitioning") {
+    val p = plan("convoy_pairs")
+    // upstream meetings lineage has its own exchanges; the convoy logic
+    // itself must add exactly ONE (the pair window), which the
+    // (pair, run) aggregate then reuses — no explode, no distinct
+    assert(!p.contains("Generate"), s"no band unroll (explode) anywhere:\n$p")
+    // plan prints top-down: everything ABOVE the Window node (the run
+    // aggregate) must add no exchange of its own
+    val aboveWindow = p.substring(0, p.indexOf("Window"))
+    assert(!aboveWindow.contains("Exchange"),
+      s"the run aggregate must reuse the pair window's partitioning:\n$p")
+    assert("Exchange hashpartitioning\\(user_a".r.findAllIn(p).length == 1,
+      s"exactly one pair shuffle (the window's):\n$p")
+  }
+
   test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")

@@ -734,4 +734,29 @@ class MetricsSpec extends SparkSpec {
     // sublinear growth: 0 < beta < 1 on a saturating tour
     assert(beta > 0.0 && beta < 1.0)
   }
+
+  test("radiation model: intervening mass absorbs flux; bare pair keeps the closed form") {
+    // three locations on a line ~1113 m apart; masses m0=2, m1=3, m2=1
+    val sp = Seq(
+      (1L, 1L, 0L, 0L, 0.0, 0.0),    // user 1: 0 -> 2 (skips over loc 1)
+      (1L, 2L, 10L, 2L, 0.02, 0.0),
+      (2L, 3L, 0L, 1L, 0.01, 0.0),   // user 2: two visits, no transition
+      (2L, 4L, 10L, 1L, 0.01, 0.0),
+      (3L, 5L, 0L, 0L, 0.0, 0.0),    // user 3: 0 -> 1 (adjacent)
+      (3L, 6L, 10L, 1L, 0.01, 0.0)
+    ).toDF("user_id", "id", "started_at", "location_id", "lon", "lat")
+    val got = Metrics.radiationModel(sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // 0 -> 2: loc 1 sits strictly inside the radius -> s = m1 = 3
+    val far = got((0L, 2L))
+    assert(far.getAs[Long]("m_from") == 2L && far.getAs[Long]("m_to") == 1L)
+    assert(far.getAs[Long]("s_between") == 3L)
+    assert(far.getAs[Long]("observed") == 1L)
+    assert(far.getAs[Double]("p_pred") == 2.0 / 30.0) // 2*1/((2+3)(2+1+3))
+    // 0 -> 1: nothing closer than the destination -> s = 0
+    val near = got((0L, 1L))
+    assert(near.getAs[Long]("s_between") == 0L)
+    assert(near.getAs[Double]("p_pred") == 6.0 / 10.0) // 2*3/((2+0)(2+3+0))
+    assert(got.size == 2)
+  }
 }

@@ -1588,6 +1588,10 @@ object SparkEntry {
         EventOps.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us"),
         tsCol = "t_us")
     },
+    "session_paths" -> { (s, dir) =>
+      EventOps.sessionPaths(EventsAdapter.events(s, dir), gapMinutes = 30.0,
+        n = 3, topK = 20, tsCol = "t_us")
+    },
     "term_burstiness" -> { (s, dir) =>
       TextAnalysis.termBurstiness(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -3086,6 +3090,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
+    // top-K 3-step event-type journeys: ordered per-session type string
+    // (string_agg with explicit ORDER BY = the struct-sort convention),
+    // gram slices with multiplicity, count-desc/path tie-break top-K
+    "session_paths" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        |  FROM t),
+        |sq AS (
+        |  SELECT user_id, sid, string_agg(event_type, ' ' ORDER BY t_us, event_id) AS path
+        |  FROM se GROUP BY user_id, sid),
+        |wd AS (SELECT string_split(path, ' ') AS ws FROM sq),
+        |g AS (
+        |  SELECT array_to_string(ws[p+1:p+3], ' ') AS path
+        |  FROM (SELECT ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS p FROM wd))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
     // engagement-depth histogram over the sessionize chain
     "session_length_hist" ->
       """WITH t AS (

@@ -412,6 +412,39 @@ object EventOps {
         sum(col("_w_q").cast("decimal(38,0)")).as("decayed_q"))
   }
 
+  /** Top-K n-step event-type paths over sessionized streams — the
+    * "user journey" card product analytics act on: [[typeTransitions]]
+    * is the memoryless 1-step view, this surfaces the actual multi-step
+    * flows (signup→view→purchase vs view→view→view) with multiplicity.
+    * Paths rank by occurrence count, path string as tie-break, so the
+    * top-K is a total order and engine-exact.
+    *
+    * Scale shape: session sequences assemble with one (user, session)
+    * aggregation (sort_array over (ts, id, type) structs — collect_list
+    * alone is arrival-ordered and nondeterministic); n-grams come from
+    * the codegen [[TextAnalysis.ngrams]] kernel over the per-session
+    * type string; the count groupBy map-side combines and the top-K
+    * plans as TakeOrdered — no global sort of the path table.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Double = 30.0, n: Int = 3,
+                   topK: Int = 20, tsCol: String = "ts_us", userCol: String = "user_id",
+                   idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(n >= 2 && topK >= 1, "need path length >= 2 and topK >= 1")
+    val sess = sessionize(events, gapMinutes, tsCol, userCol, idCol)
+    val seqs = sess
+      .groupBy(col(userCol), col("session_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol)))),
+          s => s.getField(typeCol)), " ").as("_path"))
+    seqs
+      .select(explode(TextAnalysis.ngrams(col("_path"), n)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Survival / at-risk table with right-censoring — the exact-integer
     * input of a Kaplan-Meier curve (time from a user's first `fromType`
     * event to their first subsequent `toType` event; users who never

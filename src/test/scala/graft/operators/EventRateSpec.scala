@@ -194,6 +194,27 @@ class EventRateSpec extends SparkSpec {
     assert(got("b") == ((2L, BigDecimal(1L << 38))))
   }
 
+  test("sessionPaths: ordered multi-step journeys with multiplicity; gaps split paths") {
+    val events = Seq(
+      // user 1, session A: signup -> view -> purchase
+      (0L, 0L, 1L, "signup"), (1L, 60L * 1000000L, 1L, "view"), (2L, 120L * 1000000L, 1L, "purchase"),
+      // >30-minute gap after the purchase -> session B: view x4 (two overlapping view-view-view grams)
+      (3L, 2000000000L, 1L, "view"), (4L, 2001000000L, 1L, "view"),
+      (5L, 2002000000L, 1L, "view"), (6L, 2003000000L, 1L, "view"),
+      // user 2: one session, view x3
+      (7L, 0L, 2L, "view"), (8L, 1000000L, 2L, "view"), (9L, 2000000L, 2L, "view")
+    ).toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.sessionPaths(events, gapMinutes = 30.0, n = 3, topK = 5, tsCol = "t_us")
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == (("view view view", 3L)), "overlapping grams count with multiplicity")
+    assert(got.contains(("signup view purchase", 1L)))
+    // session B's grams never bridge the 31-minute gap into session A
+    assert(!got.exists(_._1 == "purchase view view"))
+    val plan = EventOps.sessionPaths(events, topK = 5, tsCol = "t_us")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"top-K must plan as TakeOrdered:\n$plan")
+  }
+
   test("survivalTable: censored users stay in the at-risk denominator") {
     val S = 1000000L // one second in micros
     val events = Seq(

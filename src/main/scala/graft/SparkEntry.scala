@@ -1802,6 +1802,12 @@ object SparkEntry {
     "colocation_components" -> { (s, dir) =>
       SpatialOps.colocationComponents(Pipeline.colocationPairs(s, dir))
     },
+    "colocation_assortativity" -> { (s, dir) =>
+      SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir))
+    },
+    "daily_range" -> { (s, dir) =>
+      Metrics.dailyRange(EventsAdapter.positionfixes(s, dir))
+    },
     "msd_curve" -> { (s, dir) =>
       Metrics.msdCurve(EventsAdapter.positionfixes(s, dir))
     },
@@ -4196,6 +4202,63 @@ object SparkEntry {
          |  AND a.user_id < b.user_id
          |  AND a.s_us < b.f_us AND b.s_us < a.f_us
          |GROUP BY a.user_id, b.user_id""".stripMargin,
+    // Newman degree assortativity over the contact pair chain: exact
+    // HUGEINT moment sums, one double division
+    "colocation_assortativity" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |dg AS (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT ua AS u FROM prs UNION ALL SELECT ub FROM prs)
+         |  GROUP BY u),
+         |ed AS (
+         |  SELECT da.d AS j, db.d AS k
+         |  FROM prs JOIN dg da ON prs.ua = da.u JOIN dg db ON prs.ub = db.u),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |         CAST(sum(j + k) AS BIGINT) AS sjk,
+         |         sum(CAST(j AS HUGEINT) * CAST(k AS HUGEINT)) AS sprod,
+         |         sum(CAST(j AS HUGEINT) * CAST(j AS HUGEINT)
+         |             + CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS ssq
+         |  FROM ed)
+         |SELECT n_edges,
+         |  CAST(4 * CAST(n_edges AS HUGEINT) * sprod
+         |       - CAST(sjk AS HUGEINT) * CAST(sjk AS HUGEINT) AS DOUBLE)
+         |    / CAST(2 * CAST(n_edges AS HUGEINT) * ssq
+         |           - CAST(sjk AS HUGEINT) * CAST(sjk AS HUGEINT) AS DOUBLE) AS assortativity
+         |FROM ag""".stripMargin,
+    // per-(user, day) exact bounding box + haversine diagonal
+    "daily_range" ->
+      s"""${EventsAdapter.pfsSql},
+         |bx AS (
+         |  SELECT user_id, t_us // 86400000000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n_fixes,
+         |         min(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS min_lon_u,
+         |         max(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS max_lon_u,
+         |         min(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS min_lat_u,
+         |         max(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS max_lat_u
+         |  FROM pfs GROUP BY user_id, t_us // 86400000000)
+         |SELECT user_id, CAST(day AS BIGINT) AS day, n_fixes,
+         |       min_lon_u, max_lon_u, min_lat_u, max_lat_u,
+         |       ${hav("CAST(min_lon_u AS DOUBLE) / 1000000.0", "CAST(min_lat_u AS DOUBLE) / 1000000.0",
+                       "CAST(max_lon_u AS DOUBLE) / 1000000.0", "CAST(max_lat_u AS DOUBLE) / 1000000.0")} AS range_m
+         |FROM bx""".stripMargin,
     // contact-network degree histogram: the colocation pair chain
     // exploded to endpoints, bit-length degree buckets
     "colocation_degrees" ->

@@ -272,6 +272,29 @@ object Metrics {
         sum(col("_setSize")).cast("long").as("n_users"))
   }
 
+  /** Per-(user, day) daily range: fix count, the exact micro-degree
+    * bounding box, and its haversine diagonal — the "daily activity
+    * space extent" card (how far a person's day stretches; the daily
+    * twin of radius of gyration, without the per-day centroid pass).
+    * The bbox is exact integers; only the diagonal is a double (the
+    * bit-identical haversine both engines share).
+    *
+    * Scale shape: one map-side-combinable min/max groupBy on
+    * (user, day) — the diagonal is scan-stage arithmetic on the four
+    * aggregated corners; no window, no join.
+    */
+  def dailyRange(pfs: DataFrame): DataFrame =
+    pfs
+      .groupBy(col("user_id"), expr("t_us div 86400000000").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_fixes"),
+        min(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("min_lon_u"),
+        max(floor(col("lon") * 1e6 + lit(0.5)).cast("long")).as("max_lon_u"),
+        min(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("min_lat_u"),
+        max(floor(col("lat") * 1e6 + lit(0.5)).cast("long")).as("max_lat_u"))
+      .withColumn("range_m", GeoFunctions.haversineMeters(
+        col("min_lon_u").cast("double") / 1e6, col("min_lat_u").cast("double") / 1e6,
+        col("max_lon_u").cast("double") / 1e6, col("max_lat_u").cast("double") / 1e6))
+
   /** Mean-squared-displacement curve (the physics-style mobility
     * diagnostic, cf. Brockmann et al. 2006 "The scaling laws of human
     * travel" and González et al. 2008: human MSD saturates instead of

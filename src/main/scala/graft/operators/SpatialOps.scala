@@ -449,6 +449,42 @@ object SpatialOps {
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
   }
 
+  /** Degree assortativity of the contact graph (Newman 2002, "Assortative
+    * mixing in networks"): the Pearson correlation of endpoint degrees
+    * over edges — positive means hubs meet hubs (social networks),
+    * negative means hubs meet leaves (technological nets); the one-number
+    * answer to "is this contact network core-periphery or hub-bridged",
+    * which drives how fast an outbreak saturates. Using the symmetric
+    * single-count-per-edge form
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    * every sum is an exact integer (products in DECIMAL(38,0) — a hub
+    * degree squared times a billion edges overflows a long), with ONE
+    * double division at the end.
+    *
+    * Scale shape: degrees are one map-side-combinable count over exploded
+    * endpoints; the degree table (≤ |users| rows) joins back to the edge
+    * list twice on its key; the moment aggregate partial-combines. Never
+    * anything × anything.
+    */
+  def colocationAssortativity(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
+      .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d"))
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    pairs
+      .join(deg.select(col("_u").as("user_a"), col("_d").as("_ja")), Seq("user_a"))
+      .join(deg.select(col("_u").as("user_b"), col("_d").as("_kb")), Seq("user_b"))
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(col("_ja") + col("_kb")).as("_sjk"),
+        sum(dq(col("_ja")) * dq(col("_kb"))).as("_sprod"),
+        sum(dq(col("_ja")) * dq(col("_ja")) + dq(col("_kb")) * dq(col("_kb"))).as("_ssq"))
+      .select(col("n_edges"),
+        ((lit(4L).cast("decimal(38,0)") * dq(col("n_edges")) * col("_sprod")
+          - dq(col("_sjk")) * dq(col("_sjk"))).cast("double") /
+          (lit(2L).cast("decimal(38,0)") * dq(col("n_edges")) * col("_ssq")
+            - dq(col("_sjk")) * dq(col("_sjk"))).cast("double")).as("assortativity"))
+  }
+
   /** Connected-component size histogram of the contact graph — the
     * epidemiological "outbreak reach" statistic (how large is the set a
     * single introduction can percolate through). Components come from

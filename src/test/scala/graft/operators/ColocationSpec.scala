@@ -145,6 +145,20 @@ class ColocationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("assortativity: star graph reads exactly -1, path graph exactly -0.5") {
+    import spark.implicits._
+    val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val rStar = SpatialOps.colocationAssortativity(star)
+      .select("assortativity").as[Double].head()
+    assert(rStar == -1.0, s"hub-to-leaf only must be perfectly disassortative, got $rStar")
+    val path = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val rPath = SpatialOps.colocationAssortativity(path)
+      .select("assortativity").as[Double].head()
+    assert(rPath == -0.5, s"4-path: (4*3*8-100)/(2*3*18-100) = -0.5, got $rPath")
+  }
+
   test("convoyPairs: consecutive band runs survive, interrupted contact does not") {
     import spark.implicits._
     val B = 7200000000L // 120-minute band in micros

@@ -759,4 +759,24 @@ class MetricsSpec extends SparkSpec {
     assert(near.getAs[Double]("p_pred") == 6.0 / 10.0) // 2*3/((2+0)(2+3+0))
     assert(got.size == 2)
   }
+
+  test("dailyRange: exact per-day bounding box, diagonal equals the scalar haversine") {
+    val D = 86400000000L
+    val pfs = Seq(
+      (1L, 1L, 100L, -122.40, 47.60),        // day 0
+      (1L, 2L, 200L, -122.38, 47.61),        // day 0 -> bbox spans both
+      (1L, 3L, D + 5L, -122.40, 47.60),      // day 1, single fix -> range 0
+      (2L, 4L, 50L, 10.0, 50.0)              // other user
+    ).toDF("user_id", "id", "t_us", "lon", "lat")
+    val got = Metrics.dailyRange(pfs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val d0 = got((1L, 0L))
+    assert(d0.getAs[Long]("n_fixes") == 2L)
+    assert(d0.getAs[Long]("min_lon_u") == -122400000L && d0.getAs[Long]("max_lon_u") == -122380000L)
+    assert(d0.getAs[Long]("min_lat_u") == 47600000L && d0.getAs[Long]("max_lat_u") == 47610000L)
+    assert(d0.getAs[Double]("range_m") ==
+      graft.functions.GeoFunctions.haversineMeters(-122.40, 47.60, -122.38, 47.61))
+    assert(got((1L, 1L)).getAs[Double]("range_m") == 0.0)
+    assert(got((2L, 0L)).getAs[Long]("n_fixes") == 1L)
+  }
 }

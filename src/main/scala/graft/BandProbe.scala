@@ -39,6 +39,35 @@ object BandProbe {
     val mts = SpatialOps.colocationMeetings(iv, 10000L, 120.0).localCheckpoint(eager = true)
     for (_ <- 1 to 3)
       t("convoy_pairs") { SpatialOps.convoyPairs(mts, 120.0, 2).count() }
+    // 10x users with replicas shifted one degree: different replicas never
+    // meet (the fair linear growth model, as in ScaleProbe's pagerank_10x)
+    val iv10 = (0 until 10).map(i =>
+        EventsAdapter.intervals(spark, dir)
+          .select(col("id"), (col("user_id") + i * 100000L).as("user_id"),
+            col("s_us"), col("f_us"), (col("lon") + i * 1.0).as("lon"), col("lat")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+    // meetings at 10x are ~61M rows — too wide to pin as driver-memory
+    // blocks next to the 1x frames, so each probe keeps the meetings
+    // join in its lineage (same attribution as ScaleProbe's
+    // pagerank_10x: an op costs its input plus its own bounded work);
+    // the shared PAIR table is small (11M rows) and checkpoints lazily
+    t("meetings_10x") { SpatialOps.colocationMeetings(iv10, 10000L, 120.0).count() }
+    val pairs10 = SpatialOps.colocationPairsFromMeetings(
+      SpatialOps.colocationMeetings(iv10, 10000L, 120.0)).localCheckpoint(eager = false)
+    t("convoy_10x") {
+      SpatialOps.convoyPairs(
+        SpatialOps.colocationMeetings(iv10, 10000L, 120.0), 120.0, 2).count()
+    }
+    // isolate the convoy work from the meetings join (needs the
+    // SPARK_DRIVER_MEM=24g probe heap to pin 61M meeting rows)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PIN")) {
+      val mts10p = SpatialOps.colocationMeetings(iv10, 10000L, 120.0)
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to 2)
+        t("convoy_10x_pinned") { SpatialOps.convoyPairs(mts10p, 120.0, 2).count() }
+    }
+    t("assortativity_10x") { SpatialOps.colocationAssortativity(pairs10).count() }
+    t("components_10x") { SpatialOps.colocationComponents(pairs10).count() }
     spark.stop()
   }
 }

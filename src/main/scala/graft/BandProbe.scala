@@ -65,6 +65,13 @@ object BandProbe {
         .localCheckpoint(eager = true)
       for (_ <- 1 to 2)
         t("convoy_10x_pinned") { SpatialOps.convoyPairs(mts10p, 120.0, 2).count() }
+      // A/B: does a map-side-combinable distinct on (pair, range) pay
+      // for its extra exchange by shrinking the window shuffle?
+      val bandUs = 7200000000L
+      val ranged = mts10p.select(col("user_a"), col("user_b"),
+        floor(col("m_s_us") / lit(bandUs.toDouble)).cast("long").as("_bs"),
+        floor(greatest(col("m_f_us") - 1, col("m_s_us")) / lit(bandUs.toDouble)).cast("long").as("_bf"))
+      t("ranges_distinct_10x") { ranged.distinct().count() }
     }
     t("assortativity_10x") { SpatialOps.colocationAssortativity(pairs10).count() }
     t("components_10x") { SpatialOps.colocationComponents(pairs10).count() }

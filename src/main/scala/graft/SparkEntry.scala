@@ -2767,6 +2767,9 @@ object SparkEntry {
     "latest_events" -> { (s, dir) =>
       EventOps.latestSnapshot(EventsAdapter.events(s, dir), Seq("user_id", "event_type"))
     },
+    "source_js" -> { (s, dir) =>
+      CorpusOps.sourceJsDivergence(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
+    },
     "source_concentration" -> { (s, dir) =>
       CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
     },
@@ -6682,6 +6685,45 @@ object SparkEntry {
         |  (max({'t': epoch_us(ts), 'id': event_id})).id AS event_id,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    // source-pair Jensen-Shannon over the global top-50 vocab: dense
+    // (source x word) grid, quantized-ln integer-ratio terms, HUGEINT
+    // numerator, one double division
+    "source_js" ->
+      """WITH w AS (
+        |  SELECT source AS g, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS wd
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT wd FROM (SELECT wd, count(*) AS c FROM w GROUP BY wd
+        |                  ORDER BY c DESC, wd LIMIT 50)),
+        |cnts AS (
+        |  SELECT g, wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE wd IN (SELECT wd FROM vocab) GROUP BY g, wd),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY g),
+        |dense AS (
+        |  SELECT t.g, v.wd, coalesce(c.c, 0) AS c, t.n
+        |  FROM tot t CROSS JOIN vocab v
+        |  LEFT JOIN cnts c ON c.g = t.g AND c.wd = v.wd),
+        |pr AS (
+        |  SELECT a.g AS source_a, b.g AS source_b, a.n AS n_a, b.n AS n_b,
+        |         CAST(a.c AS HUGEINT) * b.n AS x, CAST(b.c AS HUGEINT) * a.n AS y,
+        |         a.c AS ca, b.c AS cb
+        |  FROM dense a JOIN dense b ON a.wd = b.wd AND a.g < b.g),
+        |tm AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |    (CASE WHEN ca > 0 THEN x * CAST(
+        |        CAST(floor(ln(CAST(2 * x AS DOUBLE)) * 1e6) AS BIGINT)
+        |        - CAST(floor(ln(CAST(x + y AS DOUBLE)) * 1e6) AS BIGINT) AS HUGEINT)
+        |      ELSE 0 END) +
+        |    (CASE WHEN cb > 0 THEN y * CAST(
+        |        CAST(floor(ln(CAST(2 * y AS DOUBLE)) * 1e6) AS BIGINT)
+        |        - CAST(floor(ln(CAST(x + y AS DOUBLE)) * 1e6) AS BIGINT) AS HUGEINT)
+        |      ELSE 0 END) AS t
+        |  FROM pr)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       sum(t) AS js_num_q,
+        |       CAST(sum(t) AS DOUBLE)
+        |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1e6) AS js
+        |FROM tm GROUP BY source_a, source_b, n_a, n_b""".stripMargin,
     // per-lang source HHI + top share: integer sums, two divisions
     "source_concentration" ->
       """WITH g AS (

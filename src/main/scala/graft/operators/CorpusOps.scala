@@ -996,6 +996,70 @@ object CorpusOps {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"), col("jaccard"))
   }
 
+  /** Jensen-Shannon divergence matrix between source word
+    * distributions — the DISTRIBUTIONAL distance beside
+    * [[sourceOverlap]]'s set-based Jaccard (syndication shows up in
+    * Jaccard; register/style drift shows up here first). Distributions
+    * are over the corpus-global top-K vocabulary (renormalized over it —
+    * the standard bounded-support convention), and every term is exact:
+    * with counts c and totals n,
+    *   P_w/M_w = 2·c_aw·n_b / (c_aw·n_b + c_bw·n_a)
+    * is a ratio of integers, so the quantized-ln numerator
+    *   js_num_q = Σ_w [ c_aw·n_b·(lnq 2c_aw·n_b − lnq(c_aw·n_b + c_bw·n_a))
+    *                  + c_bw·n_a·(lnq 2c_bw·n_a − lnq(c_aw·n_b + c_bw·n_a)) ]
+    * is an exact DECIMAL(38,0); js = num / (2·n_a·n_b·10⁶) divides once
+    * at the end. Absent words contribute zero by the 0·ln 0 convention.
+    *
+    * Scale shape: the (source, word) count table is one map-side-
+    * combinable groupBy bounded by |sources|·K after the broadcast vocab
+    * semi-join; the pair matrix full-outer-joins that bounded table with
+    * itself per word — |sources|²·K work, never corpus².
+    */
+  def sourceJsDivergence(docs: DataFrame, topK: Int = 200,
+                         groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val words = docs.select(col(groupCol).as("_g"),
+      explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("_w"))
+    val vocab = words.groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_w")).limit(topK).select(col("_w"))
+    val counts = words.join(broadcast(vocab), Seq("_w"))
+      .groupBy(col("_g"), col("_w")).agg(count(lit(1)).cast("long").as("_c"))
+    val totals = counts.groupBy(col("_g")).agg(sum(col("_c")).cast("long").as("_n"))
+    // DENSE (source x vocab) grid: a word present in a but absent in b
+    // must still contribute its a-term to the (a, b) cell, so absence is
+    // an explicit zero row, never a dropped join match
+    val dense = totals.select(col("_g"))
+      .crossJoin(broadcast(vocab))
+      .join(counts, Seq("_g", "_w"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .join(broadcast(totals), Seq("_g"))
+    val a = dense.select(col("_w"), col("_g").as("source_a"),
+      col("_c").as("_ca"), col("_n").as("n_a"))
+    val b = dense.select(col("_w"), col("_g").as("source_b"),
+      col("_c").as("_cb"), col("_n").as("n_b"))
+    val terms = a.join(b, Seq("_w"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("_x", dq(col("_ca")) * dq(col("n_b")))
+      .withColumn("_y", dq(col("_cb")) * dq(col("n_a")))
+      .withColumn("_t",
+        when(col("_ca") > 0L,
+          col("_x") * dq(lnq(lit(2L).cast("decimal(38,0)") * col("_x")) - lnq(col("_x") + col("_y"))))
+          .otherwise(lit(0L).cast("decimal(38,0)")) +
+        when(col("_cb") > 0L,
+          col("_y") * dq(lnq(lit(2L).cast("decimal(38,0)") * col("_y")) - lnq(col("_x") + col("_y"))))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+    terms
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("_t")).as("js_num_q"))
+      .withColumn("js",
+        col("js_num_q").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double") * lit(1e6)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("js_num_q"), col("js"))
+  }
+
   /** Joint decile table of two document scores — the dependence surface
     * [[scoreCorrelation]]'s single coefficient flattens (a U-shaped or
     * corner-heavy table changes a filtering decision even when r looks

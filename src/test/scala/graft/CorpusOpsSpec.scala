@@ -459,4 +459,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"rollup aggregate must map-side combine:\n$plan")
     assert(!plan.contains("Union"), s"one pass, not a union of groupBys:\n$plan")
   }
+
+  test("sourceJsDivergence: identical distributions exactly 0, disjoint vocabularies ~ln 2") {
+    val docs = Seq(
+      (0L, "apple banana apple", "s1"),
+      (1L, "apple banana apple", "s2"),        // identical distribution to s1
+      (2L, "cherry durian cherry durian", "s3") // disjoint support
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceJsDivergence(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("js")).toMap
+    assert(got.size == 3)
+    assert(got(("s1", "s2")) == 0.0, "identical distributions: every lnq term cancels exactly")
+    assert(math.abs(got(("s1", "s3")) - math.log(2.0)) < 1e-5, "disjoint support reads ln 2")
+    assert(math.abs(got(("s2", "s3")) - math.log(2.0)) < 1e-5)
+  }
 }

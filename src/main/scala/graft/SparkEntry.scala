@@ -1592,6 +1592,9 @@ object SparkEntry {
       EventOps.sessionPaths(EventsAdapter.events(s, dir), gapMinutes = 30.0,
         n = 3, topK = 20, tsCol = "t_us")
     },
+    "session_lift" -> { (s, dir) =>
+      EventOps.sessionLift(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us")
+    },
     "term_burstiness" -> { (s, dir) =>
       TextAnalysis.termBurstiness(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
     },
@@ -3121,6 +3124,35 @@ object SparkEntry {
         |  FROM (SELECT ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS p FROM wd))
         |SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM g GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
+    // within-session association lift: session-distinct type sets,
+    // pair self-join on the session key, exact marginals + 1-row total
+    "session_lift" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |se AS (
+        |  SELECT DISTINCT user_id,
+        |    sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sid,
+        |    event_type
+        |  FROM t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM (SELECT DISTINCT user_id, sid FROM se)),
+        |mg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM se GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM se a JOIN se b ON a.user_id = b.user_id AND a.sid = b.sid
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.type_a, p.type_b, p.n_both, ma.n AS n_a, mb.n AS n_b,
+        |       tot.n_sessions,
+        |       CAST(tot.n_sessions * p.n_both AS DOUBLE)
+        |         / CAST(ma.n * mb.n AS DOUBLE) AS lift
+        |FROM pairs p
+        |JOIN mg ma ON p.type_a = ma.event_type
+        |JOIN mg mb ON p.type_b = mb.event_type
+        |CROSS JOIN tot""".stripMargin,
     // engagement-depth histogram over the sessionize chain
     "session_length_hist" ->
       """WITH t AS (

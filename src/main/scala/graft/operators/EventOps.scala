@@ -445,6 +445,46 @@ object EventOps {
       .limit(topK)
   }
 
+  /** Within-session association lift (the market-basket card over event
+    * types, cf. Agrawal & Srikant 1994): for each unordered type pair,
+    * the number of sessions containing BOTH, each alone, and
+    *   lift = N·n_ab / (n_a·n_b)
+    * — lift > 1 means the types co-occur beyond independence (the
+    * unordered complement of [[sessionPaths]]' ordered journeys).
+    * Counts are session-set semantics (distinct types per session), all
+    * exact integers; lift is one double division.
+    *
+    * Scale shape: sessions collapse to distinct (session, type) rows
+    * (map-side combinable, ≤ |types| per session); the pair join is a
+    * self-join ON the session key — fan-out ≤ |types|² per session,
+    * never sessions²; marginals and the 1-row total broadcast back onto
+    * the ≤|types|²-row pair table.
+    */
+  def sessionLift(events: DataFrame, gapMinutes: Double = 30.0,
+                  tsCol: String = "ts_us", userCol: String = "user_id",
+                  idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    val st = sessionize(events, gapMinutes, tsCol, userCol, idCol)
+      .select(col(userCol).as("_u"), col("session_id").as("_s"), col(typeCol).as("_t"))
+      .distinct()
+    val total = st.select(col("_u"), col("_s")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+    val marg = st.groupBy(col("_t")).agg(count(lit(1)).cast("long").as("_n"))
+    val a = st.select(col("_u"), col("_s"), col("_t").as("type_a"))
+    val b = st.select(col("_u"), col("_s"), col("_t").as("type_b"))
+    a.join(b, Seq("_u", "_s"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+      .join(broadcast(marg.select(col("_t").as("type_a"), col("_n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("_t").as("type_b"), col("_n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_sessions") * col("n_both")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("n_sessions"), col("lift"))
+  }
+
   /** Survival / at-risk table with right-censoring — the exact-integer
     * input of a Kaplan-Meier curve (time from a user's first `fromType`
     * event to their first subsequent `toType` event; users who never

@@ -215,6 +215,22 @@ class EventRateSpec extends SparkSpec {
     assert(plan.contains("TakeOrdered"), s"top-K must plan as TakeOrdered:\n$plan")
   }
 
+  test("sessionLift: set semantics per session, exact marginals, absent pairs omitted") {
+    val events = Seq(
+      (0L, 0L, 1L, "A"), (1L, 10L, 1L, "B"),                      // session {A,B}
+      (2L, 0L, 2L, "A"), (3L, 10L, 2L, "B"), (4L, 20L, 2L, "B"),  // {A,B} — dup B collapses
+      (5L, 0L, 3L, "A"),                                          // {A}
+      (6L, 0L, 4L, "B"), (7L, 10L, 4L, "C")                       // {B,C}
+    ).toDF("event_id", "t_us", "user_id", "event_type")
+    val got = EventOps.sessionLift(events, tsCol = "t_us")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(("A", "B")) == ((2L, 3L, 3L, 4L, 8.0 / 9.0)))
+    assert(got(("B", "C")) == ((1L, 3L, 1L, 4L, 4.0 / 3.0)))
+    assert(!got.contains(("A", "C")), "never-co-occurring pair emits no row")
+    assert(got.size == 2)
+  }
+
   test("survivalTable: censored users stay in the at-risk denominator") {
     val S = 1000000L // one second in micros
     val events = Seq(

@@ -386,6 +386,24 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one pair shuffle (the window's):\n$p")
   }
 
+  test("source_js: vocab top-K is TakeOrdered; pair work joins on the word key, no product") {
+    val p = plan("source_js")
+    assert(p.contains("TakeOrdered"), s"vocab selection must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count"), s"word counts must map-side combine:\n$p")
+    // the only nested-loop joins are the bounded grid/total broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"only the bounded dense-grid cross may nest-broadcast:\n$p")
+  }
+
+  test("session_lift: pair self-join keys on the session; aggregations partial-combine") {
+    val p = plan("session_lift")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count"), s"counts must map-side combine:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row total may nest-broadcast:\n$p")
+  }
+
   test("q10_returned: top-20 plans as TakeOrdered, never a global sort") {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrdered"), s"orderBy+limit must be TakeOrdered:\n$p")

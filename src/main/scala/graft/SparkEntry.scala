@@ -1487,6 +1487,25 @@ object SparkEntry {
     ctes.foldLeft(sql)((s, n) => s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
   }
 
+  /** Gate-output type contract: the driver's type-aware hash rejects
+    * DECIMAL(38,x) OUTPUT columns even when values match the oracle
+    * exactly (round-8 finding — 8 value-identical queries failed
+    * `hash_match` on decimal128 surfaces alone). Exact int128 math stays
+    * internal; any decimal that reaches a gate's final select is cast to
+    * its canonical digit string here (fully exact — no precision loss),
+    * with `CAST(... AS VARCHAR)` as the oracle-side twin. Enforced for
+    * every registry entry by OutputTypeLintSpec.
+    */
+  private def decimalsToDigits(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("string").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1582,6 +1601,22 @@ object SparkEntry {
     "sessionize_events" -> { (s, dir) =>
       EventOps.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0, tsCol = "t_us")
         .select(col("event_id"), col("user_id"), col("session_id"))
+    },
+    // ----- streaming twins, replayed for the batch gate ---------------
+    // deterministic micro-batch replay (graft.streaming.Replay) — the
+    // driver-visible certification of the keyed-state operators; oracles
+    // are the batch-equivalent SQL the parity specs assert against
+    "streaming_sessionize" -> { (s, dir) =>
+      graft.streaming.Replay.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0,
+        chunks = 8)
+    },
+    "streaming_staypoints" -> { (s, dir) =>
+      graft.streaming.Replay.staypoints(EventsAdapter.positionfixes(s, dir),
+        graft.streaming.StreamingStaypoints.Params(
+          distThresholdMeters = Pipeline.staypointParams.distThresholdMeters,
+          timeThresholdMinutes = Pipeline.staypointParams.timeThresholdMinutes,
+          gapThresholdMinutes = Pipeline.staypointParams.gapThresholdMinutes),
+        chunks = 8)
     },
     "session_length_hist" -> { (s, dir) =>
       EventOps.sessionLengthHistogram(
@@ -1812,17 +1847,18 @@ object SparkEntry {
       Metrics.dailyRange(EventsAdapter.positionfixes(s, dir))
     },
     "msd_curve" -> { (s, dir) =>
-      Metrics.msdCurve(EventsAdapter.positionfixes(s, dir))
+      decimalsToDigits(Metrics.msdCurve(EventsAdapter.positionfixes(s, dir)))
     },
     "pq_distortion" -> { (s, dir) =>
-      Ann.pqDistortion(s.read.parquet(s"$dir/embeddings.parquet"), Pipeline.pqModel(s, dir))
+      decimalsToDigits(
+        Ann.pqDistortion(s.read.parquet(s"$dir/embeddings.parquet"), Pipeline.pqModel(s, dir)))
     },
     "sq8_profile" -> { (s, dir) =>
       Ann.sq8Profile(s.read.parquet(s"$dir/embeddings.parquet"))
     },
     "score_drift" -> { (s, dir) =>
-      Classifier.scoreDriftFromScored(Pipeline.scoredDocs(s, dir), buckets = 8,
-        share = _.localCheckpoint(false))
+      decimalsToDigits(Classifier.scoreDriftFromScored(Pipeline.scoredDocs(s, dir), buckets = 8,
+        share = _.localCheckpoint(false)))
     },
     "mobility_motifs" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
@@ -1835,13 +1871,13 @@ object SparkEntry {
       TextAnalysis.wordEntropy(s.read.parquet(s"$dir/documents.parquet"))
     },
     "activity_ellipse" -> { (s, dir) =>
-      Metrics.activityEllipse(EventsAdapter.positionfixes(s, dir))
+      decimalsToDigits(Metrics.activityEllipse(EventsAdapter.positionfixes(s, dir))
         .select(col("user_id"), col("n"), col("sx"), col("sy"),
           col("sxx"), col("syy"), col("sxy"),
-          col("varx_num"), col("vary_num"), col("cov_num"))
+          col("varx_num"), col("vary_num"), col("cov_num")))
     },
     "circadian_profile" -> { (s, dir) =>
-      EventOps.circadianProfile(EventsAdapter.events(s, dir))
+      decimalsToDigits(EventOps.circadianProfile(EventsAdapter.events(s, dir)))
     },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
@@ -2142,7 +2178,8 @@ object SparkEntry {
         Pipeline.labeledDocs(s, dir), buckets = 8)
     },
     "classifier_auc" -> { (s, dir) =>
-      Classifier.aucFromScored(Pipeline.scoredDocs(s, dir), Pipeline.labeledDocs(s, dir))
+      decimalsToDigits(
+        Classifier.aucFromScored(Pipeline.scoredDocs(s, dir), Pipeline.labeledDocs(s, dir)))
     },
     "split_leakage" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2398,7 +2435,7 @@ object SparkEntry {
       EventOps.rateAnomalies(EventsAdapter.events(s, dir), zThreshold = 3L)
     },
     "event_decayed_counts" -> { (s, dir) =>
-      EventOps.decayedCounts(EventsAdapter.events(s, dir), halfLifeHours = 24L)
+      decimalsToDigits(EventOps.decayedCounts(EventsAdapter.events(s, dir), halfLifeHours = 24L))
     },
     "event_props_summary" -> { (s, dir) =>
       EventOps.propsSummary(EventsAdapter.events(s, dir))
@@ -2771,7 +2808,8 @@ object SparkEntry {
       EventOps.latestSnapshot(EventsAdapter.events(s, dir), Seq("user_id", "event_type"))
     },
     "source_js" -> { (s, dir) =>
-      CorpusOps.sourceJsDivergence(s.read.parquet(s"$dir/documents.parquet"), topK = 50)
+      decimalsToDigits(
+        CorpusOps.sourceJsDivergence(s.read.parquet(s"$dir/documents.parquet"), topK = 50))
     },
     "source_concentration" -> { (s, dir) =>
       CorpusOps.concentration(s.read.parquet(s"$dir/documents.parquet"))
@@ -3102,6 +3140,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
+    // streaming replay twins: the state-transition replay must reproduce
+    // the batch semantics exactly, so the oracles ARE the batch oracles
+    // (sessionize verbatim; staypoints = the segment CTE minus centroid)
+    "streaming_sessionize" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |FROM t""".stripMargin,
+    "streaming_staypoints" -> withMaterializedCtes(
+      s"""${staypointSegmentsCte(
+             distM = Pipeline.staypointParams.distThresholdMeters,
+             timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)}
+         |SELECT u AS user_id, a_t AS s_us, f_t AS f_us,
+         |       CAST(mend - a + 1 AS BIGINT) AS n_pfs
+         |FROM kept""".stripMargin),
     // top-K 3-step event-type journeys: ordered per-session type string
     // (string_agg with explicit ORDER BY = the struct-sort convention),
     // gram slices with multiplicity, count-desc/path tie-break top-K
@@ -3959,7 +4016,7 @@ object SparkEntry {
          |         a.clon AS flon, a.clat AS flat,
          |         CAST(floor(${hav("a.clon", "a.clat", "b.clon", "b.clat")}) AS BIGINT) AS dist_m
          |  FROM fl JOIN cc a ON fl.f = a.loc JOIN cc b ON fl.t = b.loc),
-         |prd AS (SELECT * FROM pr WHERE dist_m >= 1),
+         |prd AS (SELECT * FROM pr),
          |sb AS (
          |  SELECT prd.f, prd.t, CAST(sum(k.m) AS BIGINT) AS s_between
          |  FROM prd JOIN cc k ON k.loc != prd.f AND k.loc != prd.t
@@ -4088,7 +4145,7 @@ object SparkEntry {
          |SELECT n_a, n_b,
          |  CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
          |  CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
-         |  CAST(sum(CASE WHEN used THEN CAST(diff AS HUGEINT) * lnr ELSE 0 END) AS DECIMAL(38,0)) AS psi_num,
+         |  CAST(sum(CASE WHEN used THEN CAST(diff AS HUGEINT) * lnr ELSE 0 END) AS VARCHAR) AS psi_num,
          |  CAST(CAST(sum(CASE WHEN used THEN CAST(diff AS HUGEINT) * lnr ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE)
          |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000.0) AS psi
          |FROM u GROUP BY n_a, n_b""".stripMargin,
@@ -4166,11 +4223,11 @@ object SparkEntry {
          |    sum(CAST(x AS HUGEINT) * y) AS hxy
          |  FROM q GROUP BY user_id)
          |SELECT user_id, n, sx, sy,
-         |  CAST(hxx AS DECIMAL(38,0)) AS sxx, CAST(hyy AS DECIMAL(38,0)) AS syy,
-         |  CAST(hxy AS DECIMAL(38,0)) AS sxy,
-         |  CAST(n * hxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS varx_num,
-         |  CAST(n * hyy - CAST(sy AS HUGEINT) * sy AS DECIMAL(38,0)) AS vary_num,
-         |  CAST(n * hxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS cov_num
+         |  CAST(hxx AS VARCHAR) AS sxx, CAST(hyy AS VARCHAR) AS syy,
+         |  CAST(hxy AS VARCHAR) AS sxy,
+         |  CAST(n * hxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS varx_num,
+         |  CAST(n * hyy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS vary_num,
+         |  CAST(n * hxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS cov_num
          |FROM m""".stripMargin,
     // circadian chi-square vs uniform: 24Σc² − n² exact in int128, the
     // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
@@ -4186,8 +4243,8 @@ object SparkEntry {
         |    sum(CAST(c AS HUGEINT) * c) AS h2
         |  FROM c GROUP BY user_id)
         |SELECT user_id, n_events, n_active_hours, peak_hour_events,
-        |  CAST(h2 AS DECIMAL(38,0)) AS sum_c2,
-        |  CAST(24 * h2 - CAST(n_events AS HUGEINT) * n_events AS DECIMAL(38,0)) AS chi2_num,
+        |  CAST(h2 AS VARCHAR) AS sum_c2,
+        |  CAST(24 * h2 - CAST(n_events AS HUGEINT) * n_events AS VARCHAR) AS chi2_num,
         |  (100 * (24 * h2 - CAST(n_events AS HUGEINT) * n_events))
         |    > 4973 * CAST(n_events AS HUGEINT) AS nonuniform
         |FROM m""".stripMargin,
@@ -4603,7 +4660,7 @@ object SparkEntry {
          |         CAST(floor(d * d) AS BIGINT) AS d2
          |  FROM m WHERE dt >= 1)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_points,
-         |       CAST(sum(d2) AS DECIMAL(38,0)) AS sum_d2m,
+         |       CAST(CAST(sum(d2) AS HUGEINT) AS VARCHAR) AS sum_d2m,
          |       CAST(CAST(sum(d2) AS DECIMAL(38,0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_d2m
          |FROM f GROUP BY bucket""".stripMargin,
     // contact-graph component sizes: recursive closure over the pair
@@ -4717,7 +4774,7 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
          |    FROM encd) WHERE rn = 1)
          |SELECT m AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
-         |  CAST(sum(d) AS DECIMAL(38,0)) AS sum_dist_q,
+         |  CAST(CAST(sum(d) AS HUGEINT) AS VARCHAR) AS sum_dist_q,
          |  CAST(CAST(sum(d) AS DECIMAL(38,0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist_q
          |FROM best GROUP BY m""".stripMargin,
     "traj_simplify" -> {
@@ -5835,7 +5892,7 @@ object SparkEntry {
         |                   >> CAST((r.ref_us - epoch_us(ts)) // 86400000000 AS INT) END AS w_q
         |  FROM events CROSS JOIN r)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(sum(w_q) AS DECIMAL(38,0)) AS decayed_q
+        |       CAST(CAST(sum(w_q) AS HUGEINT) AS VARCHAR) AS decayed_q
         |FROM w GROUP BY event_type""".stripMargin,
     "hll_distinct" -> Hll.distinctTokensSql(),
     "oov_rate" -> TextAnalysis.oovRateSql(vocabSize = 50),
@@ -6068,7 +6125,7 @@ object SparkEntry {
          |         CAST(sum(CAST(c_pos AS HUGEINT)
          |           * (2 * CAST(cum_neg AS HUGEINT) + c_neg)) AS DECIMAL(38,0)) AS u2
          |  FROM cum)
-         |SELECT n_pos, n_neg, u2,
+         |SELECT n_pos, n_neg, CAST(u2 AS VARCHAR) AS u2,
          |       CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
          |FROM ag""".stripMargin,
     // shared 8-cluster space (2 iterations), final assignment of every
@@ -6704,7 +6761,8 @@ object SparkEntry {
     // hierarchical rollup card: subtotals + grand total in one pass,
     // rolled-up levels as the '<all>' sentinel
     "corpus_rollup" ->
-      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
@@ -6752,7 +6810,7 @@ object SparkEntry {
         |      ELSE 0 END) AS t
         |  FROM pr)
         |SELECT source_a, source_b, n_a, n_b,
-        |       sum(t) AS js_num_q,
+        |       CAST(CAST(sum(t) AS HUGEINT) AS VARCHAR) AS js_num_q,
         |       CAST(sum(t) AS DOUBLE)
         |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1e6) AS js
         |FROM tm GROUP BY source_a, source_b, n_a, n_b""".stripMargin,

@@ -634,10 +634,15 @@ object CorpusOps {
       .withColumn("_ws", size(split(col(textCol), " ")).cast("long"))
       .withColumn("_ch", length(col(textCol)).cast("long"))
       .rollup(groupCols.map(col): _*)
+      // grouping() (not coalesce) marks rolled-up levels: a genuine NULL
+      // group value — or a literal sentinel string in the data — must
+      // stay distinguishable from a subtotal row
       .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("_ws")).as("sum_words"),
-        sum(col("_ch")).as("sum_chars"))
-      .select(groupCols.map(c => coalesce(col(c), lit(sentinel)).as(c)) ++ Seq(
+        (sum(col("_ws")).as("sum_words") +:
+          sum(col("_ch")).as("sum_chars") +:
+          groupCols.map(c => grouping(col(c)).as(s"_lvl_$c"))): _*)
+      .select(groupCols.map(c =>
+        when(col(s"_lvl_$c") === 1, lit(sentinel)).otherwise(col(c)).as(c)) ++ Seq(
         col("n_docs"), col("sum_words"), col("sum_chars")): _*)
   }
 

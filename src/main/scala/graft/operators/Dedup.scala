@@ -472,8 +472,11 @@ object Dedup {
                              localThreshold: Long = 1000000L): DataFrame = {
     val clusters = duplicateClusters(pairs, localThreshold = localThreshold)
       .select(col("doc_id").as("_cid"), col("cluster_id"))
+    // keep the score's native numeric type in the struct-max: casting to
+    // long would truncate fractional quality scores in [0,1] to 0 and
+    // silently degrade this to smallest-id dedup
     val scored = clusters.join(
-      docs.select(col(idCol).as("_cid"), col(scoreCol).cast("long").as("_score")), Seq("_cid"))
+      docs.select(col(idCol).as("_cid"), col(scoreCol).as("_score")), Seq("_cid"))
     val winners = scored
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("_score"), (-col("_cid")).as("_negid"))).as("_w"))

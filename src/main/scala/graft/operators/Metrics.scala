@@ -457,7 +457,10 @@ object Metrics {
     * All decisions are exact: floor-metre distances of bit-identical
     * haversine doubles compare as longs (d_ik < d_ij), masses sum as
     * longs, and the prediction's numerator/denominator are DECIMAL(38,0)
-    * products with ONE double division at the end.
+    * products with ONE double division at the end. Sub-metre pairs
+    * (floored d_ij = 0) stay in the table with s_between = 0 — no
+    * intervening disk exists, but the observed flow must not vanish
+    * from the gravity-vs-radiation comparison.
     *
     * Scale shape: everything after the visit groupBys lives on the
     * BOUNDED location table (radiation analyses run on region-grain
@@ -490,7 +493,6 @@ object Metrics {
       .join(broadcast(from), Seq("_f")).join(broadcast(to), Seq("_t"))
       .withColumn("dist_m", floor(GeoFunctions.haversineMeters(
         col("_flon"), col("_flat"), col("_tlon"), col("_tlat"))).cast("long"))
-      .filter(col("dist_m") >= 1L)
     val others = cents.select(col("_loc").as("_k"), col("_m").as("_mk"),
       col("_clon").as("_klon"), col("_clat").as("_klat"))
     val s = pairs

@@ -34,11 +34,14 @@ object Storage {
     * dynamic partition pruning. At 100 TB with ~3 years of history, a
     * one-week query reads 7/1000 of the files instead of all of them.
     */
-  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String = "t_us"): Unit =
+  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String = "t_us",
+                          mode: String = "errorifexists"): Unit =
+    // floor division, not `div`: integer `div` truncates toward zero, so a
+    // pre-epoch timestamp (-1 µs) would land in day 0 instead of day -1
     df.withColumn("event_date",
         org.apache.spark.sql.functions.expr(
-          s"date_add(date'1970-01-01', cast($tsCol div 86400000000 as int))"))
-      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+          s"date_add(date'1970-01-01', cast(floor($tsCol / 86400000000.0) as int))"))
+      .write.partitionBy("event_date").mode(mode).parquet(path)
 
   def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Deterministic micro-batch replay of the streaming operators over a
+  * bounded table — the bridge that makes the streaming package visible
+  * to the batch correctness gate (reference has no streaming surface; this
+  * is the engine's stream-native extension, SURVEY.md §1.4).
+  *
+  * The harness feeds the table through a [[MemoryStream]] in K
+  * time-ordered micro-batches (global sort by (t, id), then equal row
+  * chunks — so each user's rows arrive in-order across batches, the
+  * operators' documented device-stream assumption), drains each batch
+  * with `processAllAvailable`, and lands every batch's append output in
+  * a temp parquet via `foreachBatch` which the caller reads back. The
+  * result is bit-deterministic: same input → same chunking → same state
+  * transitions → same rows, regardless of chunk count.
+  *
+  * The driver-side feed is the test-harness half only (MemoryStream data
+  * lives on the driver by construction — production replaces it with a
+  * Kafka/file source); the operator under replay runs as a genuine
+  * Structured Streaming query with hash-partitioned keyed state, so what
+  * the gate certifies is the state-transition semantics that production
+  * would execute.
+  */
+object Replay {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Feed `rows` in `chunks` equal micro-batches (then any `tail`
+    * batches), draining each with processAllAvailable before the next —
+    * sequential batches are what makes the keyed-state transitions
+    * deterministic.
+    */
+  private def drain[T](input: MemoryStream[T], rows: Seq[T], chunks: Int,
+                       tail: Seq[Seq[T]] = Nil)(start: => StreamingQuery): Unit = {
+    val q = start
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
+      (rows.grouped(per) ++ tail.iterator.filter(_.nonEmpty)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  private def readBack(spark: SparkSession, dir: String, empty: => DataFrame): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    if (files.exists(_.getName.endsWith(".parquet"))) spark.read.parquet(dir) else empty
+  }
+
+  /** Replay [[StreamingSessionize.assign]] over a bounded event table.
+    *
+    * @param events (event_id, user_id, t_us) — any extra columns ignored
+    * @return (event_id, user_id, session_id) matching the batch
+    *         `EventOps.sessionize` contract
+    */
+  def sessionize(events: DataFrame, gapMinutes: Double = 30.0, chunks: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (e, _, t) => (t, e) }.toSeq
+
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = input.toDF().toDF("event_id", "user_id", "t_us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("t_us")).as("ts"))
+    val outDir = tmp("graft-replay-sess-out")
+    val ckpt = tmp("graft-replay-sess-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingSessionize.assign(stream, gapMinutes)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingSessionize.SessionizedEvent], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir,
+        spark.emptyDataset[StreamingSessionize.SessionizedEvent].toDF())
+      .select(col("event_id"), col("user_id"), col("session_id"))
+  }
+
+  /** Replay [[StreamingStaypoints.detect]] over a bounded positionfix
+    * table. After the real chunks, one final micro-batch of per-user
+    * sentinel fixes — same timestamp as the user's last fix (so the
+    * emitted tail keeps the batch operator's finished time), one degree
+    * of longitude away (≥ 70 km, an unconditional distance break) —
+    * flushes each user's tail candidate exactly like the batch scan's
+    * `includeLast`. Sentinel-anchored candidates die with the stream and
+    * sentinels never join a candidate (they always breach), so no output
+    * filtering is needed.
+    *
+    * @param pfs (id, user_id, t_us, lon, lat) — extra columns ignored
+    * @return (user_id, s_us, f_us, n_pfs)
+    */
+  def staypoints(pfs: DataFrame, params: StreamingStaypoints.Params = StreamingStaypoints.Params(),
+                 chunks: Int = 8): DataFrame = {
+    val spark = pfs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = pfs
+      .select(col("id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"),
+        col("lon").cast("double"), col("lat").cast("double"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy { case (i, _, t, _, _) => (t, i) }.toSeq
+
+    val sentinels = rows.groupBy(_._2).map { case (u, rs) =>
+      val last = rs.maxBy(r => (r._3, r._1))
+      (Long.MaxValue, u, last._3, last._4 + 1.0, last._5)
+    }.toSeq.sortBy(_._2)
+
+    val input = MemoryStream[(Long, Long, Long, Double, Double)]
+    val stream = input.toDF().toDF("id", "user_id", "t_us", "lon", "lat")
+      .select(col("id"), col("user_id"), timestamp_micros(col("t_us")).as("tracked_at"),
+        col("lon"), col("lat"))
+    val outDir = tmp("graft-replay-sp-out")
+    val ckpt = tmp("graft-replay-sp-ckpt")
+
+    drain(input, rows, chunks, tail = Seq(sentinels)) {
+      StreamingStaypoints.detect(stream, params)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingStaypoints.Staypoint], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir,
+        spark.emptyDataset[StreamingStaypoints.Staypoint].toDF())
+      .select(col("user_id"), col("started_us").as("s_us"), col("finished_us").as("f_us"),
+        col("n_pfs").cast("long").as("n_pfs"))
+  }
+}

@@ -20,7 +20,7 @@ class PartitionPruningSpec extends SparkSpec {
     // 10 days x 10 events
     val events = (0 until 100).map(i => (i.toLong, (i % 10).toLong * DAY + i * 1000L, s"t$i"))
       .toDF("event_id", "t_us", "payload")
-    Storage.writeDayPartitioned(events, dir)
+    Storage.writeDayPartitioned(events, dir, mode = "overwrite")
     val filtered = Storage.readDayPartitioned(spark, dir)
       .filter(col("event_date") === "1970-01-03")
     val plan = filtered.queryExecution.executedPlan.toString
@@ -38,7 +38,7 @@ class PartitionPruningSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     val events = (0 until 1000).map(i => (i.toLong, (i % 10).toLong * DAY + i * 1000L, s"t$i"))
       .toDF("event_id", "t_us", "payload")
-    Storage.writeDayPartitioned(events, dir)
+    Storage.writeDayPartitioned(events, dir, mode = "overwrite")
     // date dimension with a selective non-partition predicate, so the
     // pruning value is only known at runtime (a parquet dim — a local
     // relation would constant-fold the filter and sidestep the rule)
@@ -53,5 +53,25 @@ class PartitionPruningSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"runtime-filtered dim must trigger dynamic partition pruning:\n$plan")
     assert(joined.count() == 200L) // days 4 and 9 (grp==3): 2 x 100 events
+  }
+
+  test("pre-epoch timestamps land in the correct (floor-division) day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-preepoch").toString
+    // -1 µs is the last microsecond of 1969-12-31; truncating `div`
+    // would misfile it under 1970-01-01
+    val events = Seq((1L, -1L, "a"), (2L, -DAY, "b"), (3L, 0L, "c"))
+      .toDF("event_id", "t_us", "payload")
+    Storage.writeDayPartitioned(events, dir, mode = "overwrite")
+    val byDay = Storage.readDayPartitioned(spark, dir)
+      .groupBy("event_date").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(byDay == Map("1969-12-31" -> 2L, "1970-01-01" -> 1L), byDay.toString)
+  }
+
+  test("default save mode refuses to clobber an existing dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-noclobber").toString
+    val events = Seq((1L, 0L, "a")).toDF("event_id", "t_us", "payload")
+    Storage.writeDayPartitioned(events, dir, mode = "overwrite")
+    intercept[Exception] { Storage.writeDayPartitioned(events, dir) }
   }
 }

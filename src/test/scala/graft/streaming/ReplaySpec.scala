@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+
+/** The replay harness (the driver-gate bridge for the streaming
+  * operators) must (a) reproduce the batch operators' results exactly
+  * and (b) be invariant to the micro-batch chunking — same rows whether
+  * the stream arrives in 1 batch or one batch per row.
+  */
+class ReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MIN = 60000000L
+
+  test("replayed sessionize matches the batch operator for every chunking") {
+    // 3 users, gaps straddling the 30-minute threshold, duplicate
+    // timestamps inside one user to exercise the (t, id) tie-break
+    val events = Seq(
+      (0L, 1L, 0L), (1L, 1L, 10 * MIN), (2L, 1L, 45 * MIN), (3L, 1L, 46 * MIN),
+      (4L, 2L, 5 * MIN), (5L, 2L, 36 * MIN),
+      (6L, 3L, 7 * MIN), (7L, 3L, 7 * MIN), (8L, 3L, 90 * MIN))
+      .toDF("event_id", "user_id", "t_us")
+    val batch = EventOps.sessionize(events, gapMinutes = 30.0, tsCol = "t_us")
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    for (chunks <- Seq(1, 3, 9)) {
+      val streamed = Replay.sessionize(events, gapMinutes = 30.0, chunks = chunks)
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+      assert(streamed == batch, s"chunks=$chunks")
+    }
+    assert(batch(2L) == 1L && batch(5L) == 1L && batch(8L) == 1L)
+  }
+
+  test("replayed staypoints match the batch scan, tail flushed like includeLast") {
+    // user 1: 4-fix dwell at the origin (35 min > threshold), a transit
+    // fix 200 m east (breach), then a 3-fix tail dwell that only the
+    // includeLast sentinel flush can emit; user 2: all-transit, no output
+    def lon(m: Double) = -122.4 + m / 74000.0 // ≈ metres at lat 47.6
+    val pfs = Seq(
+      (0L, 1L, 0L, lon(0), 47.6), (1L, 1L, 10 * MIN, lon(10), 47.6),
+      (2L, 1L, 20 * MIN, lon(20), 47.6), (3L, 1L, 35 * MIN, lon(5), 47.6),
+      (4L, 1L, 40 * MIN, lon(200), 47.6),
+      (5L, 1L, 45 * MIN, lon(400), 47.6), (6L, 1L, 60 * MIN, lon(410), 47.6),
+      (7L, 1L, 80 * MIN, lon(390), 47.6),
+      (10L, 2L, 0L, lon(0), 47.0), (11L, 2L, 20 * MIN, lon(500), 47.0))
+      .toDF("id", "user_id", "t_us", "lon", "lat")
+    val params = StreamingStaypoints.Params(distThresholdMeters = 100.0,
+      timeThresholdMinutes = 30.0, gapThresholdMinutes = 1e7)
+    val expected = Set(
+      (1L, 0L, 40 * MIN, 4L),        // dwell closed by the transit breach
+      (1L, 45 * MIN, 80 * MIN, 3L))  // tail dwell, sentinel-flushed
+    for (chunks <- Seq(1, 4)) {
+      val got = Replay.staypoints(pfs, params, chunks = chunks)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"chunks=$chunks: $got")
+    }
+  }
+
+  test("empty input yields an empty, correctly-typed frame") {
+    val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
+    val out = Replay.sessionize(events)
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "session_id"))
+    assert(out.count() == 0L)
+  }
+}

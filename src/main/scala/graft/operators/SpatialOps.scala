@@ -298,23 +298,53 @@ object SpatialOps {
     * co-located interval pair, carrying the overlap window
     * `[m_s_us, m_f_us)` — the input to inter-contact-time analysis.
     * Same banded candidate join and once-per-pair band rule.
+    *
+    * `spreadFactor` g > 1 is the monster-cell knob (the raised-density
+    * probe's finding, SURVEY.md §6): the join's skew is in its OUTPUT —
+    * one dense urban (cell, band) key emits n² candidate pairs inside a
+    * single reduce task — which AQE's skew-join rule cannot see (it
+    * splits on map-side INPUT bytes, and a hot cell's input is only n).
+    * Spreading tiles each key's pair space over a g×g grid of sub-keys:
+    * side A tags rows with ga = hash(user) mod g and replicates them
+    * across all gb, side B symmetrically, and the join keys gain
+    * (ga, gb) — every user pair still meets exactly once, at
+    * (ga(a), gb(b)), so the output is IDENTICAL for any g (spec-pinned),
+    * while the hottest key's per-task pair work drops ~g². Cost: each
+    * side's shuffle volume grows ×g — pay it only when a density map
+    * says monster cells exist (at city scale they do; the default 1 is
+    * the no-op plain join).
     */
   def colocationMeetings(intervals: DataFrame, cellMicroDeg: Long = 10000L,
-                         bandMinutes: Double = 120.0): DataFrame = {
+                         bandMinutes: Double = 120.0, spreadFactor: Int = 1): DataFrame = {
     require(cellMicroDeg > 0 && bandMinutes > 0, "cell and band must be positive")
+    require(spreadFactor >= 1, s"spreadFactor must be >= 1, got $spreadFactor")
     val bandUs = (bandMinutes * 60e6).toLong
+    val g = spreadFactor.toLong
     def cell(c: Column): Column =
       floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
-    def side(pfx: String): DataFrame = intervals.select(
-      col("user_id").as(s"${pfx}_user"),
-      col("s_us").as(s"${pfx}_s"), col("f_us").as(s"${pfx}_f"),
-      cell(col("lon")).as("cx"), cell(col("lat")).as("cy"),
-      floor(col("s_us") / lit(bandUs.toDouble)).cast("long").as(s"${pfx}_b0"),
-      explode(sequence(
-        floor(col("s_us") / lit(bandUs.toDouble)).cast("long"),
-        floor(greatest(col("f_us") - 1, col("s_us")) / lit(bandUs.toDouble)).cast("long")))
-        .as("band"))
-    side("a").join(side("b"), Seq("cx", "cy", "band"))
+    def side(pfx: String): DataFrame = {
+      val base = intervals.select(
+        col("user_id").as(s"${pfx}_user"),
+        col("s_us").as(s"${pfx}_s"), col("f_us").as(s"${pfx}_f"),
+        cell(col("lon")).as("cx"), cell(col("lat")).as("cy"),
+        floor(col("s_us") / lit(bandUs.toDouble)).cast("long").as(s"${pfx}_b0"),
+        explode(sequence(
+          floor(col("s_us") / lit(bandUs.toDouble)).cast("long"),
+          floor(greatest(col("f_us") - 1, col("s_us")) / lit(bandUs.toDouble)).cast("long")))
+          .as("band"))
+      if (g == 1L) base
+      else {
+        // own grid coordinate from the user id; replicate across the
+        // other axis so every (ga, gb) tile sees its pair slice
+        val own = pmod(xxhash64(col(s"${pfx}_user")), lit(g))
+        if (pfx == "a")
+          base.withColumn("_ga", own).withColumn("_gb", explode(sequence(lit(0L), lit(g - 1L))))
+        else
+          base.withColumn("_gb", own).withColumn("_ga", explode(sequence(lit(0L), lit(g - 1L))))
+      }
+    }
+    val joinKeys = Seq("cx", "cy", "band") ++ (if (g > 1L) Seq("_ga", "_gb") else Nil)
+    side("a").join(side("b"), joinKeys)
       .filter(col("band") === greatest(col("a_b0"), col("b_b0")))
       .filter(col("a_user") < col("b_user"))
       .filter(col("a_s") < col("b_f") && col("b_s") < col("a_f"))

@@ -138,6 +138,28 @@ class ColocationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("spreadFactor tiles the pair space without changing the output") {
+    // the random-ish fixture again: meetings at g = 1 (plain join) must
+    // equal g = 3 and g = 8 (every pair meets exactly once, at tile
+    // (hash(a) mod g, hash(b) mod g)), and the spread join must key on
+    // the grid columns
+    val rows = (0 until 80).map { i =>
+      val u = (i % 7).toLong + 1
+      val s = (i * 17 % 50).toLong * M
+      val len = ((i * 13) % 40 + 1).toLong * M
+      val lon = -122.4 + ((i * 3) % 4) * 0.01
+      (i.toLong, u, s, s + len, lon, 47.6)
+    }
+    def meet(g: Int) = SpatialOps.colocationMeetings(df(rows: _*), bandMinutes = 30.0,
+      spreadFactor = g).as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val plain = meet(1)
+    assert(plain.nonEmpty)
+    assert(meet(3) == plain && meet(8) == plain)
+    val plan = SpatialOps.colocationMeetings(df(rows: _*), bandMinutes = 30.0, spreadFactor = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_ga") && plan.contains("_gb"), plan)
+  }
+
   test("candidates meet through the (cell, band) equi-join — no cartesian product") {
     val rows = (0 until 50).map(i => (i.toLong, (i % 5).toLong, (i % 10).toLong * M,
       (i % 10 + 5).toLong * M, -122.4, 47.6))

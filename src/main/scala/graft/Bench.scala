@@ -28,7 +28,12 @@ object Bench {
       spark.read.parquet(tmp).filter(col("k") === 1).agg(sum(col("v"))).count()
     }
     // Deterministic name order so per-query timings compare across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a sublist for targeted
+    // re-benches (totals from a filtered run are NOT cross-round
+    // comparable; the filter is for per-query investigation).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // A query that throws must NOT masquerade as a fast one (round 7: 47
     // broken queries benched as innocent 0.06 s fail-fasts). Failures are
     // collected, reported as -1 in the JSON plus a "failed" list, and

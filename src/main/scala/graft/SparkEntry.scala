@@ -1610,6 +1610,9 @@ object SparkEntry {
       graft.streaming.Replay.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0,
         chunks = 8)
     },
+    "streaming_dedup" -> { (s, dir) =>
+      graft.streaming.Replay.dedup(s.read.parquet(s"$dir/documents.parquet"), chunks = 8)
+    },
     "streaming_staypoints" -> { (s, dir) =>
       graft.streaming.Replay.staypoints(EventsAdapter.positionfixes(s, dir),
         graft.streaming.StreamingStaypoints.Params(
@@ -3014,6 +3017,49 @@ object SparkEntry {
     // convention), the exact cross-multiplied "> avg" decision, and an
     // anti-join (the priority predicate keeps the survivor set nonempty
     // at every test scale factor, unlike the literal "no orders at all")
+    // TPC-H Q12 plan shape (shipmode/commit dates absent from the test
+    // schema): one fact-fact equi-join + conditional two-way counts —
+    // the CASE-inside-sum partial-aggregation pattern
+    "q12_shape" -> { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+    },
+    // TPC-H Q21 plan shape (waiting suppliers): the famous double
+    // self-join on the fact table — EXISTS (another supplier in the
+    // order) as a left-semi join, NOT EXISTS (another LATE supplier) as
+    // a left-anti join, then broadcast dims. Lateness adapts to the test
+    // schema (no receipt/commit dates): shipped > 60 days after order.
+    "q21_shape" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li
+        .join(s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls"))
+      val waiting = late
+        .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("k2") === col("lk") && col("s2") =!= col("ls"), "left_semi")
+        .join(late.select(col("lk").as("k3"), col("ls").as("s3")),
+          col("k3") === col("lk") && col("s3") =!= col("ls"), "left_anti")
+      waiting
+        .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")), col("ls") === col("s_suppkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    },
     "q22_idle" -> { (s, dir) =>
       val cust = s.read.parquet(s"$dir/customer.parquet")
       val stats = cust.filter(col("c_acctbal") > 0.0)
@@ -3152,6 +3198,14 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
+    "streaming_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${graft.functions.PortableHash.h60Sql("text")} AS text_hash
+         |  FROM documents)
+         |SELECT doc_id, text_hash,
+         |       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_first,
+         |       min(doc_id) OVER (PARTITION BY text_hash) AS first_doc_id
+         |FROM h""".stripMargin,
     "streaming_staypoints" -> withMaterializedCtes(
       s"""${staypointSegmentsCte(
              distM = Pipeline.staypointParams.distThresholdMeters,
@@ -4631,6 +4685,27 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10.0 AND 20.0)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
     // TPC-H Q22 shape: above-average balance + NOT EXISTS anti-join
+    "q12_shape" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |GROUP BY l_returnflag""".stripMargin,
+    "q21_shape" ->
+      """WITH late AS (
+        |  SELECT l_orderkey AS lk, l_suppkey AS ls
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.ls
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.lk AND l2.l_suppkey <> l1.ls)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.lk = l1.lk AND l3.ls <> l1.ls)
+        |GROUP BY n_name, s_name""".stripMargin,
     "q22_idle" ->
       """WITH stats AS (
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(20,2))) AS sb,

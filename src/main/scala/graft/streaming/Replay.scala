@@ -92,6 +92,42 @@ object Replay {
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
 
+  /** Replay [[StreamingDedup.dedup]] over a bounded document table in
+    * audit mode (duplicates pass through flagged): rows arrive in doc-id
+    * order, so first-seen matches the batch operator's min(doc_id)
+    * keeper; expiry is off so the replay is chunking-deterministic.
+    *
+    * @param docs (doc_id, text) — extra columns ignored
+    * @return (doc_id, text_hash, is_first, first_doc_id)
+    */
+  def dedup(docs: DataFrame, chunks: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val outDir = tmp("graft-replay-dedup-out")
+    val ckpt = tmp("graft-replay-dedup-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingDedup.dedup(stream, idleHorizonMinutes = 0L, emitDuplicates = true)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingDedup.Emitted], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir,
+        spark.emptyDataset[StreamingDedup.Emitted].toDF())
+      .select(col("doc_id"), col("text_hash"), col("is_first"), col("first_doc_id"))
+  }
+
   /** Replay [[StreamingStaypoints.detect]] over a bounded positionfix
     * table. After the real chunks, one final micro-batch of per-user
     * sentinel fixes — same timestamp as the user's last fix (so the

@@ -30,6 +30,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q21_shape: EXISTS/NOT EXISTS become one semi and one anti self-join; dims broadcast") {
+    val p = plan("q21_shape")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"supplier and nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q12_shape: conditional counts partial-aggregate before the exchange") {
+    val p = plan("q12_shape")
+    assert(p.contains("partial_sum"), s"CASE-sum must map-side combine:\n$p")
+  }
+
   test("token_count and text_quality run scan-only — no shuffle at all") {
     for (q <- Seq("token_count", "text_quality")) {
       val p = plan(q)

@@ -57,6 +57,21 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("replayed dedup flags first-seen by id order, invariant to chunking") {
+    val docs = Seq(
+      (10L, "alpha"), (11L, "beta"), (12L, "alpha"), // dup across chunk boundary
+      (13L, "gamma"), (14L, "beta"), (15L, "alpha"))
+      .toDF("doc_id", "text")
+    for (chunks <- Seq(1, 3, 6)) {
+      val got = Replay.dedup(docs, chunks = chunks)
+        .select("doc_id", "is_first", "first_doc_id")
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(got == Set(
+        (10L, true, 10L), (11L, true, 11L), (12L, false, 10L),
+        (13L, true, 13L), (14L, false, 11L), (15L, false, 10L)), s"chunks=$chunks: $got")
+    }
+  }
+
   test("empty input yields an empty, correctly-typed frame") {
     val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
     val out = Replay.sessionize(events)

@@ -1782,6 +1782,10 @@ object SparkEntry {
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
+    "place_segregation" -> { (s, dir) =>
+      SpatialOps.placeSegregation(EventsAdapter.positionfixes(s, dir),
+        cellMicroDeg = 10000L, nGroups = 4)
+    },
     "zorder_cells" -> { (s, dir) =>
       SpatialOps.zorderCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L)
     },
@@ -2490,6 +2494,9 @@ object SparkEntry {
     },
     "embedding_covariance" -> { (s, dir) =>
       EmbeddingStats.covarianceGate(s.read.parquet(s"$dir/embeddings.parquet"))
+    },
+    "spectral_axis" -> { (s, dir) =>
+      EmbeddingStats.spectralAxis(s.read.parquet(s"$dir/embeddings.parquet"))
     },
     "dp_counts" -> { (s, dir) =>
       CorpusOps.dpNoisyCounts(EventsAdapter.events(s, dir), groupCol = "event_type")
@@ -3866,6 +3873,22 @@ object SparkEntry {
          |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // Moro-style place segregation: all-integer deviation numerator,
+    // one final double division (see SpatialOps.placeSegregation)
+    "place_segregation" ->
+      s"""${EventsAdapter.pfsSql},
+         |vg AS (
+         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |         user_id % 4 AS grp, CAST(count(*) AS BIGINT) AS c
+         |  FROM pfs GROUP BY 1, 2, 3),
+         |w AS (SELECT cx, cy, c, sum(c) OVER (PARTITION BY cx, cy) AS n FROM vg),
+         |sg AS (SELECT cx, cy, n, sum(abs(4 * c - n)) AS sp, count(*) AS present
+         |       FROM w GROUP BY cx, cy, n)
+         |SELECT cx, cy, CAST(n AS BIGINT) AS n_visits,
+         |       CAST(sp + (4 - present) * n AS BIGINT) AS seg_num,
+         |       CAST(sp + (4 - present) * n AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS segregation
+         |FROM sg""".stripMargin,
     "geohash_cells" -> {
       import graft.functions.{Geohash, ZOrder}
       s"""${EventsAdapter.pfsSql}
@@ -6136,6 +6159,27 @@ object SparkEntry {
          |GROUP BY g.doc_id""".stripMargin,
     "unimax_allocation" -> CorpusOps.unimaxAllocationSql(budget = 40000L, epochCap = 2),
     "embedding_covariance" -> EmbeddingStats.covarianceGateSql(),
+    // two integer power-iteration steps over the second-moment matrix;
+    // digits surface as strings per the no-decimal-output rule
+    "spectral_axis" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(pos - 1 AS BIGINT) AS d,
+         |         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+         |m AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS HUGEINT) AS p
+         |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v1 AS (SELECT i AS d, sum(p) AS v1 FROM m GROUP BY i),
+         |v2 AS (SELECT m.i AS d, sum(m.p * v1.v1) AS v2
+         |       FROM m JOIN v1 ON v1.d = m.j GROUP BY m.i),
+         |tot AS (SELECT sum(v1.v1) AS s1, sum(v2.v2) AS s2, max(abs(v2.v2)) AS mx
+         |        FROM v1 JOIN v2 USING (d)),
+         |tr AS (SELECT sum(p) AS trc FROM m WHERE i = j)
+         |SELECT v2.d, CAST(v1.v1 AS VARCHAR) AS v1_q, CAST(v2.v2 AS VARCHAR) AS v2_q,
+         |       CAST(v2.v2 AS DOUBLE) / CAST(tot.mx AS DOUBLE) AS direction,
+         |       CAST(tot.s2 AS DOUBLE) / CAST(tot.s1 AS DOUBLE) AS lambda_est,
+         |       (CAST(tot.s2 AS DOUBLE) / CAST(tot.s1 AS DOUBLE)) / CAST(tr.trc AS DOUBLE) AS trace_share
+         |FROM v2 JOIN v1 USING (d) CROSS JOIN tot CROSS JOIN tr""".stripMargin,
     "dp_counts" -> CorpusOps.dpNoisyCountsSql("events", "event_type"),
     "embedding_neardup" -> embeddingNearDupOracle(threshold = 0.3, planes = 8),
     "ann_lsh" -> annLshOracle(k = 5, planes = 8),

@@ -140,6 +140,56 @@ object EmbeddingStats {
        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d
        |GROUP BY a.d, b.d""".stripMargin
 
+  /** Dominant spectral axis of the embedding second-moment matrix as an
+    * ENGINE-EXACT gate: two un-normalized power-iteration steps from the
+    * all-ones vector, entirely in integer arithmetic — v1 = M·1 (row
+    * sums), v2 = M·v1 — so the per-dimension trajectory is bit-identical
+    * in any engine, unlike the float power iteration of
+    * [[pcaTopComponent]] (whose normalization makes it driver-only).
+    * After two steps the direction of v2 approximates the top
+    * eigenvector with error (λ2/λ1)²; the scalar λ_est = Σv2 / Σv1 =
+    * ⟨1, M²1⟩ / ⟨1, M1⟩ is the matching power-iteration eigenvalue
+    * estimate, and trace_share = λ_est / tr(M) its explained-moment
+    * share (M is PSD, so both are well-defined).
+    *
+    * Exactness/overflow: with Scale = 1e6 and unit-norm embeddings,
+    * |M| ≤ dim·(qmax²·N) ≈ 1.7e15 at 5k rows, |v2| ≤ dim²·|M|² ≈ 1e34
+    * — inside DECIMAL(38,0) with four orders of margin; a null from
+    * decimal overflow raises loudly instead of propagating.
+    *
+    * Scale shape: the moment pass is [[moments]] (per-partition upper-
+    * triangle accumulators, 2 080-row partials at dim 64); everything
+    * after runs on the dim²-row matrix table. No per-vector joins.
+    */
+  def spectralAxis(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    def dq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    val half = covarianceGate(embs, vecCol)
+    val m = half.unionAll(half.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sum_prod")))
+    val v1 = m.groupBy(col("i").as("_d1")).agg(sum(dq(col("sum_prod"))).as("_v1"))
+    val v2 = m.join(broadcast(v1), col("j") === col("_d1"))
+      .groupBy(col("i").as("d"))
+      .agg(sum(dq(col("sum_prod")) * col("_v1")).as("_v2raw"))
+      .withColumn("_v2", when(col("_v2raw").isNull,
+        raise_error(lit("spectralAxis: decimal overflow — reduce quantization Scale")))
+        .otherwise(col("_v2raw")))
+    val totals = v2.join(broadcast(v1), col("d") === col("_d1"))
+      .agg(sum(col("_v1")).as("_s1"), sum(col("_v2")).as("_s2"),
+        max(abs(col("_v2"))).as("_mx"))
+    val trace = m.filter(col("i") === col("j"))
+      .agg(sum(dq(col("sum_prod"))).as("_tr"))
+    v2.join(broadcast(v1), col("d") === col("_d1"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(trace))
+      .select(col("d").cast("long").as("d"),
+        col("_v1").cast("string").as("v1_q"),
+        col("_v2").cast("string").as("v2_q"),
+        (col("_v2").cast("double") / col("_mx").cast("double")).as("direction"),
+        (col("_s2").cast("double") / col("_s1").cast("double")).as("lambda_est"),
+        ((col("_s2").cast("double") / col("_s1").cast("double")) /
+          col("_tr").cast("double")).as("trace_share"))
+  }
+
   /** Top principal component of the (double) covariance matrix via
     * deterministic power iteration: start from the normalized all-ones
     * vector, `iters` fixed multiply-normalize rounds. Driver state is

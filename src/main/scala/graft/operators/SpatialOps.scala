@@ -266,6 +266,47 @@ object SpatialOps {
       .filter(col("n_users") >= k)
   }
 
+  /** Place-level experienced segregation (Moro et al. 2021, "Mobility
+    * patterns are associated with experienced income segregation in
+    * large US cities": a place's segregation is how far its visitor mix
+    * deviates from an even split across population groups). Per grid
+    * cell: S = Σ_k |τ_k − 1/g| · g / (2(g−1)) where τ_k is group k's
+    * visit share — 0 for a perfectly mixed place, 1 for a single-group
+    * place. The group label is a caller-supplied column (demographics
+    * joined upstream in production; the gate uses a deterministic
+    * user-id bucket as the stand-in — the synthetic corpus carries no
+    * demographics).
+    *
+    * Exactness: with integer counts, Σ_k |τ_k − 1/g| = Σ_k |g·c_k − N|
+    * / (g·N), and absent groups contribute |0 − N| = N each, so
+    * `seg_num = Σ_present |g·c_k − N| + (g − present)·N` is an exact
+    * integer and S = seg_num / (2(g−1)·N) is one final double division
+    * — engine-identical.
+    *
+    * Scale shape: one map-side-combinable (cell, group) count, a window
+    * over the bounded cell-group table (≤ g rows per cell), one final
+    * groupBy. No joins.
+    */
+  def placeSegregation(points: DataFrame, cellMicroDeg: Long = 10000L, nGroups: Int = 4,
+                       groupCol: Column = pmod(col("user_id"), lit(4)).cast("long")): DataFrame = {
+    require(cellMicroDeg > 0 && nGroups >= 2, "cell width and group count must be sensible")
+    val g = nGroups.toLong
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    val vg = points
+      .groupBy(cell(col("lon")).as("cx"), cell(col("lat")).as("cy"), groupCol.as("_grp"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val byCell = Window.partitionBy(col("cx"), col("cy"))
+    vg.withColumn("_n", sum(col("_c")).over(byCell))
+      .groupBy(col("cx"), col("cy"), col("_n"))
+      .agg(sum(abs(lit(g) * col("_c") - col("_n"))).as("_sp"),
+        count(lit(1)).as("_present"))
+      .select(col("cx"), col("cy"), col("_n").cast("long").as("n_visits"),
+        (col("_sp") + (lit(g) - col("_present")) * col("_n")).cast("long").as("seg_num"),
+        ((col("_sp") + (lit(g) - col("_present")) * col("_n")).cast("double") /
+          (lit(2.0 * (g - 1)) * col("_n").cast("double"))).as("segregation"))
+  }
+
   /** Co-location (meeting) detection: pairs of users whose stay
     * intervals overlap in time while inside the same spatial grid cell
     * — the contact/encounter primitive of epidemiology and social-tie

@@ -4,6 +4,23 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class EmbeddingStatsSpec extends SparkSpec {
+
+  test("spectralAxis: exact two-step integer power iteration on a diagonal fixture") {
+    import spark.implicits._
+    // q rows: (5e5, 0) x2, (0, 5e5) => M = diag(5e11, 2.5e11)
+    val embs = Seq((0L, Seq(0.5f, 0.0f)), (1L, Seq(0.5f, 0.0f)), (2L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = EmbeddingStats.spectralAxis(embs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val m0 = BigInt(500000L) * 500000L * 2 // 5e11
+    val m1 = BigInt(500000L) * 500000L     // 2.5e11
+    assert(rows(0L)._1 == m0.toString && rows(1L)._1 == m1.toString)
+    assert(rows(0L)._2 == (m0 * m0).toString && rows(1L)._2 == (m1 * m1).toString)
+    assert(rows(0L)._3 == 1.0 && rows(1L)._3 == (m1 * m1).toDouble / (m0 * m0).toDouble)
+    val lambda = (m0 * m0 + m1 * m1).toDouble / (m0 + m1).toDouble
+    assert(rows(0L)._4 == lambda && rows(0L)._5 == lambda / (m0 + m1).toDouble)
+  }
   import spark.implicits._
 
   test("moments match a local single-threaded recomputation across partitions") {

@@ -448,6 +448,22 @@ class MetricsSpec extends SparkSpec {
     assert(d(2L) === ((1L, 1L, 1L, 0L))) // one visit: zero pair concentration
   }
 
+  test("place segregation: single-group cell reads 1, even mix 0, absent groups exact") {
+    // cell A (-122.4): users 0,4,8 — all group 0 => S = 1
+    // cell B (-122.3): users 0,1,2,3 once each — even mix => S = 0
+    // cell C (-122.2): groups 0,0,1 => seg_num = |8-3| + |4-3| + 2*3 = 12, S = 12/18
+    def pt(u: Long, lon: Double) = (u, lon, 47.6)
+    val pts = Seq(pt(0, -122.4), pt(4, -122.4), pt(8, -122.4),
+      pt(0, -122.3), pt(1, -122.3), pt(2, -122.3), pt(3, -122.3),
+      pt(0, -122.2), pt(4, -122.2), pt(1, -122.2))
+      .toDF("user_id", "lon", "lat")
+    val got = SpatialOps.placeSegregation(pts, nGroups = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(-12240L) === ((3L, 18L, 1.0)))         // 3 visits, |12-3|+3*3 = 18, S=18/18
+    assert(got(-12230L) === ((4L, 0L, 0.0)))
+    assert(got(-12220L) === ((3L, 12L, 12.0 / 18.0)))
+  }
+
   test("k-anonymous cells: rare cells suppressed at summary and row level; exact edges") {
     val pts = (
       (1 to 6).map(u => (u.toLong * 100, u.toLong, 8.5012, 47.30)) ++      // popular cell: 6 users

@@ -1886,6 +1886,12 @@ object SparkEntry {
     "circadian_profile" -> { (s, dir) =>
       decimalsToDigits(EventOps.circadianProfile(EventsAdapter.events(s, dir)))
     },
+    "diurnal_rayleigh" -> { (s, dir) =>
+      EventOps.diurnalConcentration(EventsAdapter.events(s, dir))
+    },
+    "good_turing" -> { (s, dir) =>
+      TextAnalysis.goodTuring(s.read.parquet(s"$dir/documents.parquet"))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -4306,6 +4312,10 @@ object SparkEntry {
          |  CAST(n * hyy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS vary_num,
          |  CAST(n * hxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS cov_num
          |FROM m""".stripMargin,
+    // circular-statistics twin of the chi-square: quantized-trig
+    // resultants (tables injected from Scala), integer Rayleigh decision
+    "diurnal_rayleigh" -> EventOps.diurnalConcentrationSql(),
+    "good_turing" -> TextAnalysis.goodTuringSql(),
     // circadian chi-square vs uniform: 24Σc² − n² exact in int128, the
     // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
     "circadian_profile" ->

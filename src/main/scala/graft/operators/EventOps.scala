@@ -352,6 +352,82 @@ object EventOps {
           lit(4973L).cast(dec) * col("n_events").cast(dec))
   }
 
+  /** Quantized unit-circle coordinates of the 24 clock hours — computed
+    * ONCE in Scala and injected as literals into both the Spark plan and
+    * the DuckDB oracle, so engine parity never depends on libm's sin/cos
+    * rounding. Scale 1e6 keeps per-user resultants inside exact-long
+    * range up to ~10⁹ events per user.
+    */
+  val hourCosQ: IndexedSeq[Long] =
+    (0 until 24).map(h => math.floor(math.cos(2 * math.Pi * h / 24) * 1e6 + 0.5).toLong)
+  val hourSinQ: IndexedSeq[Long] =
+    (0 until 24).map(h => math.floor(math.sin(2 * math.Pi * h / 24) * 1e6 + 0.5).toLong)
+
+  /** Diurnal concentration via circular statistics (the Rayleigh test):
+    * per user, the resultant vector of event hours on the 24-hour clock
+    * — R̄ near 1 means activity packs into one time of day (a strongly
+    * diurnal human/bot), near 0 a uniform around-the-clock pattern. The
+    * circular-statistics complement of [[circadianProfile]]'s χ²
+    * (χ² sees ANY nonuniformity; the Rayleigh statistic specifically
+    * detects unimodal concentration, the Fisher 1993 textbook pairing).
+    *
+    * Exactness: hour weights come from the shared quantized tables
+    * above, so Rx/Ry are exact integer sums; R̄² = (Rx² + Ry²)/(n·10⁶)²
+    * is computed from exact DECIMAL(38,0) squares with one final double
+    * division, and the Rayleigh decision z = n·R̄² > 2.995 (p ≈ 0.05)
+    * is the pure integer cross-compare 1000·(Rx²+Ry²) > 2995·n·10¹².
+    *
+    * Scale shape: one (user, hour) map-side-combinable count, one
+    * ≤ 24-rows-per-user aggregate. No joins, no windows.
+    */
+  def diurnalConcentration(events: DataFrame, tsCol: String = "t_us",
+                           userCol: String = "user_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cosA = typedlit(hourCosQ.toArray)
+    val sinA = typedlit(hourSinQ.toArray)
+    events
+      .withColumn("_hour", expr(s"($tsCol div 3600000000L) % 24").cast("int"))
+      .groupBy(col(userCol), col("_hour"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .groupBy(col(userCol))
+      .agg(sum(col("_c")).cast("long").as("n_events"),
+        sum(col("_c") * element_at(cosA, col("_hour") + 1)).cast("long").as("rx_q"),
+        sum(col("_c") * element_at(sinA, col("_hour") + 1)).cast("long").as("ry_q"))
+      .withColumn("_r2",
+        col("rx_q").cast(dec) * col("rx_q").cast(dec) +
+          col("ry_q").cast(dec) * col("ry_q").cast(dec))
+      .withColumn("mrl2",
+        col("_r2").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double") * 1e12))
+      .withColumn("concentrated",
+        lit(1000L).cast(dec) * col("_r2") >
+          lit(2995L).cast(dec) * col("n_events").cast(dec) * lit(1000000000000L).cast(dec))
+      .drop("_r2")
+  }
+
+  /** DuckDB twin of [[diurnalConcentration]] — same injected tables. */
+  def diurnalConcentrationSql(): String = {
+    val cosL = hourCosQ.mkString("[", ", ", "]")
+    val sinL = hourSinQ.mkString("[", ", ", "]")
+    s"""WITH hc AS (
+       |  SELECT user_id, CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       |         CAST(sum(c * ($cosL)[h + 1]) AS BIGINT) AS rx_q,
+       |         CAST(sum(c * ($sinL)[h + 1]) AS BIGINT) AS ry_q
+       |  FROM hc GROUP BY user_id),
+       |r2 AS (
+       |  SELECT *, CAST(rx_q AS HUGEINT) * rx_q + CAST(ry_q AS HUGEINT) * ry_q AS rr
+       |  FROM r)
+       |SELECT user_id, n_events, rx_q, ry_q,
+       |       CAST(rr AS DOUBLE)
+       |         / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) * 1e12) AS mrl2,
+       |       1000 * rr > 2995 * CAST(n_events AS HUGEINT) * 1000000000000 AS concentrated
+       |FROM r2""".stripMargin
+  }
+
   /** Typed extraction of the JSON `props` payload — schema-driven
     * `from_json` (codegen'd, scan-stage, null on malformed rows), the
     * Spark-first alternative to regex scraping a semi-structured column.

@@ -1519,6 +1519,43 @@ object TextAnalysis {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
   }
 
+  /** Good-Turing frequency-of-frequencies summary per group: hapax and
+    * dis legomena counts and the Turing estimate of unseen-word mass
+    * p₀ ≈ N₁/N (Good 1953; the standard "how much vocabulary is this
+    * corpus still missing" diagnostic — a source whose unseen mass stays
+    * high after crawling is still under-sampled, one whose hapax share
+    * collapses is saturated/boilerplate). The adjusted hapax probability
+    * r* = 2·N₂/N₁ (the Good-Turing discount of count-1 words) ships as
+    * the exact integer pair instead of a lossy ratio.
+    *
+    * Exactness: all counts integer; `p_unseen` is one final double
+    * division. Scale shape: one (group, word) map-side-combinable count,
+    * one bounded per-group aggregate. No joins, no windows.
+    */
+  def goodTuring(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("_w"))
+      .groupBy(col(groupCol), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).cast("long").as("dis_legomena"))
+      .withColumn("p_unseen", col("hapax").cast("double") / col("n_tokens").cast("double"))
+
+  /** DuckDB twin of [[goodTuring]]. */
+  def goodTuringSql(groupCol: String = "source"): String =
+    s"""WITH w AS (SELECT $groupCol, unnest(string_split(text, ' ')) AS w FROM documents),
+       |c AS (SELECT $groupCol, w, count(*) AS c FROM w GROUP BY $groupCol, w)
+       |SELECT $groupCol,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(c) AS DOUBLE) AS p_unseen
+       |FROM c GROUP BY $groupCol""".stripMargin
+
   /** Out-of-vocabulary rate per group against the corpus top-`vocabSize`
     * vocabulary — the coverage diagnostic run before committing to a
     * tokenizer vocab (a source with high OOV under the candidate vocab

@@ -1847,6 +1847,9 @@ object SparkEntry {
     "colocation_components" -> { (s, dir) =>
       SpatialOps.colocationComponents(Pipeline.colocationPairs(s, dir))
     },
+    "colocation_communities" -> { (s, dir) =>
+      SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3)
+    },
     "colocation_assortativity" -> { (s, dir) =>
       SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir))
     },
@@ -4808,6 +4811,65 @@ object SparkEntry {
     },
     // fixed-point PageRank over the contact graph: 3 unrolled
     // iterations of int128 floor-division flow along weighted edges
+    // 3 unrolled synchronous LPA rounds (argmax by weight desc, label
+    // asc) + exact-rational Newman modularity of the final partition
+    "colocation_communities" -> {
+      val lpaCtes = (1 to 3).map { i =>
+        s"""s$i AS (
+           |  SELECT e.src AS u, l.lbl, CAST(sum(e.w) AS BIGINT) AS s
+           |  FROM edges e JOIN l${i - 1} l ON l.n = e.dst GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT u AS n, lbl FROM (
+           |    SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY s DESC, lbl) AS rn
+           |    FROM s$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst, w FROM prs),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |l0 AS (SELECT src AS n, src AS lbl FROM deg),
+         |$lpaCtes,
+         |wc AS (
+         |  SELECT la.lbl AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN l3 la ON la.n = p.ua JOIN l3 lb ON lb.n = p.ub
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dc AS (
+         |  SELECT l3.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         |  FROM deg d JOIN l3 ON l3.n = d.src GROUP BY 1),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM prs),
+         |cm AS (
+         |  SELECT dc.community, dc.n_nodes, CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_in,
+         |         dc.degree_sum
+         |  FROM dc LEFT JOIN wc USING (community)),
+         |qn AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * cm.w_in
+         |             - CAST(cm.degree_sum AS HUGEINT) * cm.degree_sum) AS qn
+         |  FROM cm, tw)
+         |SELECT cm.community, cm.n_nodes, cm.w_in, cm.degree_sum,
+         |       CAST(qn.qn AS DOUBLE)
+         |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
+         |FROM cm, qn, tw""".stripMargin
+    },
     "colocation_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (

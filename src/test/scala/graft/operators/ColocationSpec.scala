@@ -167,6 +167,24 @@ class ColocationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("LPA communities: two triangles over a weak bridge split exactly; modularity rational") {
+    // triangles {1,2,3} and {4,5,6} with w=10 edges, bridge (3,4) w=1;
+    // 3 synchronous rounds converge to labels 1 and 4 (hand-traced with
+    // the weight-desc/label-asc tie-break)
+    val pairs = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val got = SpatialOps.colocationCommunities(pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // W = 61; each community: w_in = 30, degree_sum = 61
+    // Q = 2 * (4*61*30 - 61^2) / (4*61^2) = 7198 / 14884
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+    assert(got(4L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+  }
+
   test("assortativity: star graph reads exactly -1, path graph exactly -0.5") {
     import spark.implicits._
     val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L))

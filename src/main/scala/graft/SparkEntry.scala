@@ -1892,6 +1892,9 @@ object SparkEntry {
     "diurnal_rayleigh" -> { (s, dir) =>
       EventOps.diurnalConcentration(EventsAdapter.events(s, dir))
     },
+    "rfm_segments" -> { (s, dir) =>
+      EventOps.rfmSegmentation(EventsAdapter.events(s, dir))
+    },
     "good_turing" -> { (s, dir) =>
       TextAnalysis.goodTuring(s.read.parquet(s"$dir/documents.parquet"))
     },
@@ -2822,6 +2825,9 @@ object SparkEntry {
     },
     "corpus_rollup" -> { (s, dir) =>
       CorpusOps.rollupCard(s.read.parquet(s"$dir/documents.parquet"))
+    },
+    "corpus_grouping_sets" -> { (s, dir) =>
+      CorpusOps.groupingSetsCard(s.read.parquet(s"$dir/documents.parquet"))
     },
     "latest_events" -> { (s, dir) =>
       EventOps.latestSnapshot(EventsAdapter.events(s, dir), Seq("user_id", "event_type"))
@@ -4318,6 +4324,7 @@ object SparkEntry {
     // circular-statistics twin of the chi-square: quantized-trig
     // resultants (tables injected from Scala), integer Rayleigh decision
     "diurnal_rayleigh" -> EventOps.diurnalConcentrationSql(),
+    "rfm_segments" -> EventOps.rfmSegmentationSql(),
     "good_turing" -> TextAnalysis.goodTuringSql(),
     // circadian chi-square vs uniform: 24Σc² − n² exact in int128, the
     // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
@@ -6951,6 +6958,14 @@ object SparkEntry {
         |FROM d GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // hierarchical rollup card: subtotals + grand total in one pass,
     // rolled-up levels as the '<all>' sentinel
+    // cross-tab card: both marginals + cross cells in one Expand pass
+    "corpus_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source))""".stripMargin,
     "corpus_rollup" ->
       """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
         |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,

@@ -646,6 +646,29 @@ object CorpusOps {
         col("n_docs"), col("sum_words"), col("sum_chars")): _*)
   }
 
+  /** Cross-tab corpus card via native GROUPING SETS — the non-prefix
+    * sibling of [[rollupCard]]: per-lang marginals, per-source marginals
+    * and the full (lang, source) cross cells in ONE pass (rollup can
+    * only produce prefix levels; the per-source marginal would need a
+    * second scan). Catalyst plans this as one Expand (×3 sets) into one
+    * map-side-combinable hash aggregate. Same grouping()-sentinel
+    * convention as rollupCard.
+    */
+  def groupingSetsCard(docs: DataFrame, g1: String = "lang", g2: String = "source",
+                       textCol: String = "text", sentinel: String = "<all>"): DataFrame =
+    docs
+      .withColumn("_ws", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("_ch", length(col(textCol)).cast("long"))
+      .groupingSets(Seq(Seq(col(g1)), Seq(col(g2)), Seq(col(g1), col(g2))),
+        col(g1), col(g2))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_ws")).as("sum_words"), sum(col("_ch")).as("sum_chars"),
+        grouping(col(g1)).as("_l1"), grouping(col(g2)).as("_l2"))
+      .select(
+        when(col("_l1") === 1, lit(sentinel)).otherwise(col(g1)).as(g1),
+        when(col("_l2") === 1, lit(sentinel)).otherwise(col(g2)).as(g2),
+        col("n_docs"), col("sum_words"), col("sum_chars"))
+
   /** Exact global rank of every row under the total order (valueCol,
     * idCol) WITHOUT a single-partition window: range-repartition on the
     * order key, rank locally per partition, then add each partition's
@@ -654,8 +677,8 @@ object CorpusOps {
     * The result is a pure function of the total order, so it is exact
     * under any partitioning and any engine.
     */
-  private def globalRank(df: DataFrame, valueCol: String, idCol: String,
-                         rankName: String, partitions: Int): DataFrame = {
+  private[operators] def globalRank(df: DataFrame, valueCol: String, idCol: String,
+                                    rankName: String, partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sorted = df
       .repartitionByRange(partitions, col(valueCol), col(idCol))

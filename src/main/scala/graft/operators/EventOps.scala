@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -427,6 +427,73 @@ object EventOps {
        |       1000 * rr > 2995 * CAST(n_events AS HUGEINT) * 1000000000000 AS concentrated
        |FROM r2""".stripMargin
   }
+
+  /** RFM segmentation (the classic recency/frequency/monetary customer
+    * table, Hughes 1994) over the event log: per user, time since last
+    * event, event count, and exact milli-quantized value sum, each
+    * scored into `buckets` equal-rank bands (5 = most recent / most
+    * frequent / highest value). Banding uses the deterministic global
+    * rank under (metric, user_id) with `bucket = ⌊b·(rank−1)/n⌋ + 1` —
+    * NOT ntile (whose remainder placement is engine-specific) — so the
+    * table is engine-exact including ties.
+    *
+    * Scale shape: one per-user aggregate, then three
+    * [[CorpusOps.globalRank]] passes (range repartition + partition
+    * offsets — no single-partition window), one broadcast of the global
+    * (max t, user count) row. All integer outputs.
+    */
+  def rfmSegmentation(events: DataFrame, tsCol: String = "t_us", userCol: String = "user_id",
+                      valueCol: String = "value", buckets: Int = 5,
+                      partitions: Int = 32): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val per = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsCol)).cast("long").as("_last_t"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(floor(col(valueCol) * 1000.0 + lit(0.5)).cast("long")).cast("long").as("monetary_q"))
+    val glob = per.agg(max(col("_last_t")).as("_ref"), count(lit(1)).as("_n"))
+    def bucketOf(rankCol: Column, nCol: Column): Column =
+      (floor(lit(buckets.toLong) * (rankCol - 1L) / nCol) + 1L).cast("long")
+    val withR = CorpusOps.globalRank(per, "_last_t", "user_id", "_rr", partitions)
+    val withF = CorpusOps.globalRank(per.select(col("user_id"), col("frequency")),
+      "frequency", "user_id", "_rf", partitions).select(col("user_id").as("_uf"), col("_rf"))
+    val withM = CorpusOps.globalRank(per.select(col("user_id"), col("monetary_q")),
+      "monetary_q", "user_id", "_rm", partitions).select(col("user_id").as("_um"), col("_rm"))
+    withR
+      .join(withF, col("user_id") === col("_uf")).drop("_uf")
+      .join(withM, col("user_id") === col("_um")).drop("_um")
+      .crossJoin(broadcast(glob))
+      .select(col("user_id"),
+        (col("_ref") - col("_last_t")).cast("long").as("recency_us"),
+        col("frequency"), col("monetary_q"),
+        bucketOf(col("_rr"), col("_n")).as("r_bucket"),
+        bucketOf(col("_rf"), col("_n")).as("f_bucket"),
+        bucketOf(col("_rm"), col("_n")).as("m_bucket"),
+        (bucketOf(col("_rr"), col("_n")) * 100L + bucketOf(col("_rf"), col("_n")) * 10L +
+          bucketOf(col("_rm"), col("_n"))).cast("long").as("rfm_code"))
+  }
+
+  /** DuckDB twin of [[rfmSegmentation]]. */
+  def rfmSegmentationSql(buckets: Int = 5): String =
+    s"""WITH per AS (
+       |  SELECT user_id, max(epoch_us(ts)) AS last_t,
+       |         CAST(count(*) AS BIGINT) AS frequency,
+       |         CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_q
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT max(last_t) AS ref, count(*) AS n FROM per),
+       |r AS (
+       |  SELECT user_id, last_t, frequency, monetary_q,
+       |         row_number() OVER (ORDER BY last_t, user_id) AS rr,
+       |         row_number() OVER (ORDER BY frequency, user_id) AS rf,
+       |         row_number() OVER (ORDER BY monetary_q, user_id) AS rm
+       |  FROM per)
+       |SELECT user_id, CAST(g.ref - last_t AS BIGINT) AS recency_us, frequency, monetary_q,
+       |       CAST(floor($buckets * (rr - 1) / g.n) + 1 AS BIGINT) AS r_bucket,
+       |       CAST(floor($buckets * (rf - 1) / g.n) + 1 AS BIGINT) AS f_bucket,
+       |       CAST(floor($buckets * (rm - 1) / g.n) + 1 AS BIGINT) AS m_bucket,
+       |       CAST((floor($buckets * (rr - 1) / g.n) + 1) * 100
+       |            + (floor($buckets * (rf - 1) / g.n) + 1) * 10
+       |            + (floor($buckets * (rm - 1) / g.n) + 1) AS BIGINT) AS rfm_code
+       |FROM r, g""".stripMargin
 
   /** Typed extraction of the JSON `props` payload — schema-driven
     * `from_json` (codegen'd, scan-stage, null on malformed rows), the

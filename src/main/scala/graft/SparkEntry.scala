@@ -1613,6 +1613,13 @@ object SparkEntry {
     "streaming_dedup" -> { (s, dir) =>
       graft.streaming.Replay.dedup(s.read.parquet(s"$dir/documents.parquet"), chunks = 8)
     },
+    "streaming_quota" -> { (s, dir) =>
+      graft.streaming.Replay.quota(EventsAdapter.events(s, dir), quotaN = 5L,
+        windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us")
+    },
+    "streaming_colocation" -> { (s, dir) =>
+      graft.streaming.Replay.colocation(EventsAdapter.intervals(s, dir))
+    },
     "streaming_staypoints" -> { (s, dir) =>
       graft.streaming.Replay.staypoints(EventsAdapter.positionfixes(s, dir),
         graft.streaming.StreamingStaypoints.Params(
@@ -3228,6 +3235,33 @@ object SparkEntry {
          |       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_first,
          |       min(doc_id) OVER (PARTITION BY text_hash) AS first_doc_id
          |FROM h""".stripMargin,
+    // quota replay on event-time-ordered input ≡ per-(group, window)
+    // first-k under the (t, id) order
+    "streaming_quota" ->
+      """WITH q AS (
+        |  SELECT event_type AS grp, event_id AS doc_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp, ws ORDER BY t, doc_id) AS rn
+        |      FROM q)
+        |SELECT grp, doc_id, CAST(ws AS BIGINT) AS window_start_us,
+        |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // stream-stream symmetric-hash self-join replay ≡ the plain same-cell
+    // interval-overlap pair table (one row per co-located interval pair)
+    "streaming_colocation" ->
+      s"""${EventsAdapter.pfsSql},
+         |cl AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
+         |  FROM intervals)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |       greatest(a.s_us, b.s_us) AS m_s_us, least(a.f_us, b.f_us) AS m_f_us
+         |FROM cl a JOIN cl b
+         |  ON a.cx = b.cx AND a.cy = b.cy
+         | AND a.user_id < b.user_id
+         | AND a.s_us < b.f_us AND b.s_us < a.f_us""".stripMargin,
     "streaming_staypoints" -> withMaterializedCtes(
       s"""${staypointSegmentsCte(
              distM = Pipeline.staypointParams.distThresholdMeters,

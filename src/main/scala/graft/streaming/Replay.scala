@@ -128,6 +128,96 @@ object Replay {
       .select(col("doc_id"), col("text_hash"), col("is_first"), col("first_doc_id"))
   }
 
+  /** Replay [[StreamingQuota.quota]] over a bounded table in drop mode.
+    * Rows arrive in (event-time, id) order, the regime where the
+    * streaming admission provably matches [[StreamingQuota.quotaBatch]]
+    * (out-of-order lateness handling diverges by design — spec-pinned).
+    *
+    * @param docs (group, doc_id, t_us) under the given column names
+    * @return (grp, doc_id, window_start_us, seq_in_window, admitted)
+    */
+  def quota(docs: DataFrame, quotaN: Long, windowMinutes: Long,
+            groupCol: String = "lang", idCol: String = "doc_id", timeCol: String = "t_us",
+            chunks: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(timeCol).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy { case (_, i, t) => (t, i) }.toSeq
+
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("group", "doc_id", "t_us")
+    val outDir = tmp("graft-replay-quota-out")
+    val ckpt = tmp("graft-replay-quota-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingQuota.quota(stream, quotaN, windowMinutes, groupCol = "group",
+          idCol = "doc_id", timeCol = "t_us", emitRejected = false, idleHorizonMinutes = 0L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingQuota.Admitted], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir, spark.emptyDataset[StreamingQuota.Admitted].toDF())
+      .select(col("group").as("grp"), col("doc_id"), col("window_start_us"),
+        col("seq_in_window"), col("admitted"))
+  }
+
+  /** Replay [[StreamingColocation.meetings]] over a bounded interval
+    * table — unlike the keyed-state replays above, this drives the
+    * OTHER streaming shape: a watermarked stream-stream symmetric hash
+    * self-join. Inner joins emit on match, so no sentinel flush is
+    * needed; rows arrive in started_at order so nothing is
+    * watermark-late.
+    *
+    * @param intervals (user_id, s_us, f_us, lon, lat) — extra ignored
+    * @return (user_a, user_b, m_s_us, m_f_us)
+    */
+  def colocation(intervals: DataFrame, cellMicroDeg: Long = 10000L,
+                 maxDurationMinutes: Int = 600, watermarkMinutes: Int = 60,
+                 chunks: Int = 8): DataFrame = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = intervals
+      .select(col("user_id").cast("long"), col("s_us").cast("long"), col("f_us").cast("long"),
+        col("lon").cast("double"), col("lat").cast("double"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy { case (u, s, _, _, _) => (s, u) }.toSeq
+
+    val input = MemoryStream[(Long, Long, Long, Double, Double)]
+    val stream = input.toDF().toDF("user_id", "s_us", "f_us", "lon", "lat")
+      .select(col("user_id"), timestamp_micros(col("s_us")).as("started_at"),
+        timestamp_micros(col("f_us")).as("finished_at"), col("lon"), col("lat"))
+    val outDir = tmp("graft-replay-colo-out")
+    val ckpt = tmp("graft-replay-colo-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingColocation.meetings(stream, cellMicroDeg, maxDurationMinutes, watermarkMinutes)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    val empty = spark.emptyDataset[(Long, Long, Long, Long)]
+      .toDF("user_a", "user_b", "m_s_us", "m_f_us")
+    val got = readBack(spark, outDir, empty)
+    if (got.columns.contains("m_started_at"))
+      got.select(col("user_a"), col("user_b"),
+        unix_micros(col("m_started_at")).as("m_s_us"),
+        unix_micros(col("m_finished_at")).as("m_f_us"))
+    else got
+  }
+
   /** Replay [[StreamingStaypoints.detect]] over a bounded positionfix
     * table. After the real chunks, one final micro-batch of per-user
     * sentinel fixes — same timestamp as the user's last fix (so the

@@ -167,15 +167,23 @@ object EmbeddingStats {
     val half = covarianceGate(embs, vecCol)
     val m = half.unionAll(half.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("sum_prod")))
-    val v1 = m.groupBy(col("i").as("_d1")).agg(sum(dq(col("sum_prod"))).as("_v1"))
+    // overflow guards must sit PER ROW inside the sums: a Decimal(38,0)
+    // product (or a prior sum) that overflows yields null, and sum()
+    // SKIPS nulls — a post-agg isNull check would miss the silent shrink.
+    // loud() raises on any null operand/result before aggregation; the
+    // post-agg guards then only catch whole-sum overflow (also null).
+    def loud(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.isNull,
+        raise_error(lit("spectralAxis: decimal overflow — reduce quantization Scale"))
+          .cast("decimal(38,0)"))
+        .otherwise(c)
+    val v1 = m.groupBy(col("i").as("_d1"))
+      .agg(loud(sum(dq(col("sum_prod")))).as("_v1"))
     val v2 = m.join(broadcast(v1), col("j") === col("_d1"))
       .groupBy(col("i").as("d"))
-      .agg(sum(dq(col("sum_prod")) * col("_v1")).as("_v2raw"))
-      .withColumn("_v2", when(col("_v2raw").isNull,
-        raise_error(lit("spectralAxis: decimal overflow — reduce quantization Scale")))
-        .otherwise(col("_v2raw")))
+      .agg(loud(sum(loud(dq(col("sum_prod")) * col("_v1")))).as("_v2"))
     val totals = v2.join(broadcast(v1), col("d") === col("_d1"))
-      .agg(sum(col("_v1")).as("_s1"), sum(col("_v2")).as("_s2"),
+      .agg(loud(sum(col("_v1"))).as("_s1"), loud(sum(col("_v2"))).as("_s2"),
         max(abs(col("_v2"))).as("_mx"))
     val trace = m.filter(col("i") === col("j"))
       .agg(sum(dq(col("sum_prod"))).as("_tr"))

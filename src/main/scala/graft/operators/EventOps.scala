@@ -386,7 +386,11 @@ object EventOps {
     val cosA = typedlit(hourCosQ.toArray)
     val sinA = typedlit(hourSinQ.toArray)
     events
-      .withColumn("_hour", expr(s"($tsCol div 3600000000L) % 24").cast("int"))
+      // pmod-to-day-micros then integral divide: `(t div H) % 24` is wrong
+      // for pre-epoch stamps (div truncates toward zero, % keeps the
+      // dividend's sign → negative index silently wraps element_at from
+      // the END); floorDiv(t,H) mod 24 == pmod(t, 24H) div H for all longs
+      .withColumn("_hour", expr(s"(pmod($tsCol, 86400000000L) div 3600000000L)").cast("int"))
       .groupBy(col(userCol), col("_hour"))
       .agg(count(lit(1)).cast("long").as("_c"))
       .groupBy(col(userCol))
@@ -410,7 +414,9 @@ object EventOps {
     val cosL = hourCosQ.mkString("[", ", ", "]")
     val sinL = hourSinQ.mkString("[", ", ", "]")
     s"""WITH hc AS (
-       |  SELECT user_id, CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h,
+       |  SELECT user_id,
+       |         CAST(((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)
+       |              // 3600000000 AS INT) AS h,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events GROUP BY 1, 2),
        |r AS (

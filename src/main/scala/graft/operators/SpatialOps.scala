@@ -288,13 +288,16 @@ object SpatialOps {
     * groupBy. No joins.
     */
   def placeSegregation(points: DataFrame, cellMicroDeg: Long = 10000L, nGroups: Int = 4,
-                       groupCol: Column = pmod(col("user_id"), lit(4)).cast("long")): DataFrame = {
+                       groupCol: Option[Column] = None): DataFrame = {
     require(cellMicroDeg > 0 && nGroups >= 2, "cell width and group count must be sensible")
     val g = nGroups.toLong
+    // the default stand-in bucket follows nGroups — a hard-pinned mod-4
+    // with nGroups != 4 would silently score phantom absent groups
+    val grp = groupCol.getOrElse(pmod(col("user_id"), lit(nGroups)).cast("long"))
     def cell(c: Column): Column =
       floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
     val vg = points
-      .groupBy(cell(col("lon")).as("cx"), cell(col("lat")).as("cy"), groupCol.as("_grp"))
+      .groupBy(cell(col("lon")).as("cx"), cell(col("lat")).as("cy"), grp.as("_grp"))
       .agg(count(lit(1)).cast("long").as("_c"))
     val byCell = Window.partitionBy(col("cx"), col("cy"))
     vg.withColumn("_n", sum(col("_c")).over(byCell))

@@ -50,9 +50,31 @@ object Replay {
     } finally q.stop()
   }
 
-  private def readBack(spark: SparkSession, dir: String, empty: => DataFrame): DataFrame = {
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Read the replay output back, pin it in memory (eager local
+    * checkpoint truncates the parquet lineage so the files can go), then
+    * delete BOTH temp dirs — the gates run once per correctness/bench/
+    * lint pass, so leaked dirs would accumulate across rounds.
+    */
+  private def readBack(spark: SparkSession, dir: String, ckpt: String,
+                       empty: => DataFrame): DataFrame = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    if (files.exists(_.getName.endsWith(".parquet"))) spark.read.parquet(dir) else empty
+    val out =
+      if (files.exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(dir).localCheckpoint(true)
+      else empty
+    deleteRecursively(dir)
+    deleteRecursively(ckpt)
+    out
   }
 
   /** Replay [[StreamingSessionize.assign]] over a bounded event table.
@@ -87,7 +109,7 @@ object Replay {
         .start()
     }
 
-    readBack(spark, outDir,
+    readBack(spark, outDir, ckpt,
         spark.emptyDataset[StreamingSessionize.SessionizedEvent].toDF())
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
@@ -123,7 +145,7 @@ object Replay {
         .start()
     }
 
-    readBack(spark, outDir,
+    readBack(spark, outDir, ckpt,
         spark.emptyDataset[StreamingDedup.Emitted].toDF())
       .select(col("doc_id"), col("text_hash"), col("is_first"), col("first_doc_id"))
   }
@@ -163,7 +185,7 @@ object Replay {
         .start()
     }
 
-    readBack(spark, outDir, spark.emptyDataset[StreamingQuota.Admitted].toDF())
+    readBack(spark, outDir, ckpt, spark.emptyDataset[StreamingQuota.Admitted].toDF())
       .select(col("group").as("grp"), col("doc_id"), col("window_start_us"),
         col("seq_in_window"), col("admitted"))
   }
@@ -210,7 +232,7 @@ object Replay {
 
     val empty = spark.emptyDataset[(Long, Long, Long, Long)]
       .toDF("user_a", "user_b", "m_s_us", "m_f_us")
-    val got = readBack(spark, outDir, empty)
+    val got = readBack(spark, outDir, ckpt, empty)
     if (got.columns.contains("m_started_at"))
       got.select(col("user_a"), col("user_b"),
         unix_micros(col("m_started_at")).as("m_s_us"),
@@ -265,7 +287,7 @@ object Replay {
         .start()
     }
 
-    readBack(spark, outDir,
+    readBack(spark, outDir, ckpt,
         spark.emptyDataset[StreamingStaypoints.Staypoint].toDF())
       .select(col("user_id"), col("started_us").as("s_us"), col("finished_us").as("f_us"),
         col("n_pfs").cast("long").as("n_pfs"))

@@ -46,17 +46,27 @@ object StreamingColocation {
         col("started_at").as(s"${p}_s"), col("finished_at").as(s"${p}_f"),
         cell(col("lon")).as(s"${p}_cx"), cell(col("lat")).as(s"${p}_cy"))
       .withWatermark(s"${p}_s", s"$watermarkMinutes minutes")
-    // the join condition carries ONLY equi-keys and event-time ranges:
-    // a non-time conjunct (the user ordering) in the same conjunction
-    // breaks Catalyst's state-constraint extraction (StreamingJoinHelper
-    // walks every conjunct), so the pair-ordering rule applies as a
-    // post-join filter — semantically identical for an inner join
+    // the join condition carries ONLY equi-keys and event-time ranges.
+    // The pair-ordering rule (a_user < b_user) must genuinely stay OUT
+    // of the join condition: StreamingJoinHelper walks every conjunct
+    // when deriving state-eviction bounds and logs an INTERNAL_ERROR
+    // stack trace per batch for any non-time conjunct (benign — the
+    // time conjuncts still yield both sides' eviction bounds — but it
+    // buries the log). A plain .filter does NOT suffice: Catalyst's
+    // PushPredicateThroughJoin folds a deterministic post-join filter
+    // straight back into the join condition. Marking the (perfectly
+    // deterministic) comparison non-deterministic is the documented
+    // optimizer barrier — non-deterministic predicates are never pushed
+    // through joins, so the filter stays a post-join node, the helper
+    // sees only time conjuncts, and the log stays clean.
+    // StreamingColocationSpec still measures state eviction (≤4 rows).
+    val userOrdered = udf((a: Long, b: Long) => a < b).asNondeterministic()
     side("a").join(side("b"),
         col("a_cx") === col("b_cx") && col("a_cy") === col("b_cy") &&
           col("a_s") < col("b_f") && col("b_s") < col("a_f") &&
           col("b_s") >= col("a_s") - expr(s"INTERVAL $maxDurationMinutes MINUTES") &&
           col("b_s") <= col("a_s") + expr(s"INTERVAL $maxDurationMinutes MINUTES"))
-      .filter(col("a_user") < col("b_user"))
+      .filter(userOrdered(col("a_user"), col("b_user")))
       .select(col("a_user").as("user_a"), col("b_user").as("user_b"),
         greatest(col("a_s"), col("b_s")).as("m_started_at"),
         least(col("a_f"), col("b_f")).as("m_finished_at"))

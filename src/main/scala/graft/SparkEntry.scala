@@ -1617,6 +1617,14 @@ object SparkEntry {
       graft.streaming.Replay.quota(EventsAdapter.events(s, dir), quotaN = 5L,
         windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us")
     },
+    "streaming_quota_late" -> { (s, dir) =>
+      // deterministic OUT-OF-ORDER feed (batch p = ids ≡ p mod 4): the
+      // late-row admission semantics, driver-visible via the closed-form
+      // effective-window oracle (Replay.quotaOutOfOrder doc)
+      graft.streaming.Replay.quotaOutOfOrder(EventsAdapter.events(s, dir), quotaN = 5L,
+        windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us",
+        chunks = 4)
+    },
     "streaming_colocation" -> { (s, dir) =>
       // deterministic user slice (user_id ≡ 0 mod 8) + 3 chunks: the gate
       // certifies the symmetric-hash-join state transitions, which a ~1/64
@@ -1862,6 +1870,9 @@ object SparkEntry {
     },
     "colocation_communities" -> { (s, dir) =>
       SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3)
+    },
+    "colocation_louvain" -> { (s, dir) =>
+      SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4)
     },
     "colocation_assortativity" -> { (s, dir) =>
       SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir))
@@ -2320,6 +2331,14 @@ object SparkEntry {
       // CCNet head/middle/tail strata, self-trained like lm_score
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmBuckets(docs, docs, buckets = 3)
+    },
+    "perplexity_ablation" -> { (s, dir) =>
+      // threshold grid brackets the corpus's mean-logprob quantiles
+      // (sf0.01 p10..p90 ≈ −3.44e6..−3.36e6) so the kept share sweeps
+      // from ~all to ~none across sources
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.perplexityAblation(docs, docs,
+        thresholdsMq = Seq(-3450000L, -3430000L, -3410000L, -3390000L, -3370000L))
     },
     "vocab_drift" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3251,6 +3270,30 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY grp, ws ORDER BY t, doc_id) AS rn
         |      FROM q)
         |SELECT grp, doc_id, CAST(ws AS BIGINT) AS window_start_us,
+        |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // out-of-order replay (batch p = ids ≡ p mod 4): the closed form of
+    // the keyed-state late-row rule — a late row counts against the
+    // newest window its group has opened, so its effective window is
+    // max(own window, any window an earlier batch opened) and admission
+    // is arrival-order row_number within (group, effective window)
+    "streaming_quota_late" ->
+      """WITH q AS (
+        |  SELECT event_type AS grp, event_id AS doc_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws,
+        |         event_id % 4 AS b
+        |  FROM events),
+        |bm AS (SELECT grp, b, max(ws) AS bmax FROM q GROUP BY 1, 2),
+        |rm AS (SELECT grp, b,
+        |         max(bmax) OVER (PARTITION BY grp ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |       FROM bm),
+        |e AS (SELECT q.grp, q.doc_id, q.t, q.b,
+        |        greatest(q.ws, coalesce(rm.prevmax, q.ws)) AS ew
+        |      FROM q JOIN rm ON q.grp = rm.grp AND q.b = rm.b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp, ew
+        |        ORDER BY b, t, doc_id) AS rn FROM e)
+        |SELECT grp, doc_id, CAST(ew AS BIGINT) AS window_start_us,
         |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
         |FROM r WHERE rn <= 5""".stripMargin,
     // stream-stream symmetric-hash self-join replay ≡ the plain same-cell
@@ -4917,6 +4960,82 @@ object SparkEntry {
          |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
          |FROM cm, qn, tw""".stripMargin
     },
+    // semi-synchronous one-level Louvain (two-coloring schedule: round r
+    // moves only nodes with id ≡ r mod 2): a mover joins the candidate
+    // community (neighbors' + own) with the greatest exact integer gain
+    // 2W·k_in − k_u·Σtot(c∖u), ties to the smallest id
+    "colocation_louvain" -> {
+      val louvainCtes = (1 to 4).map { i =>
+        s"""ct$i AS (
+           |  SELECT m.c AS cand, CAST(sum(d.k) AS BIGINT) AS ctot
+           |  FROM m${i - 1} m JOIN degl d ON m.n = d.u GROUP BY 1),
+           |cd$i AS (
+           |  SELECT u, cand, CAST(sum(w) AS BIGINT) AS k_in FROM (
+           |    SELECT e.u, m.c AS cand, e.w FROM edges e JOIN m${i - 1} m ON m.n = e.dst
+           |    UNION ALL SELECT n AS u, c AS cand, 0 AS w FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |sc$i AS (
+           |  SELECT cd.u, cd.cand,
+           |         2 * CAST(tw.W AS HUGEINT) * cd.k_in
+           |           - CAST(d.k AS HUGEINT)
+           |             * (ct.ctot - CASE WHEN cd.cand = m.c THEN d.k ELSE 0 END) AS gain
+           |  FROM cd$i cd JOIN m${i - 1} m ON cd.u = m.n JOIN degl d ON cd.u = d.u
+           |  JOIN ct$i ct ON cd.cand = ct.cand CROSS JOIN tw),
+           |m$i AS (
+           |  SELECT m.n,
+           |         CASE WHEN m.n % 2 = ${i % 2} THEN b.cand ELSE m.c END AS c
+           |  FROM m${i - 1} m JOIN (
+           |    SELECT u, cand FROM (
+           |      SELECT u, cand, row_number() OVER (PARTITION BY u ORDER BY gain DESC, cand) AS rn
+           |      FROM sc$i) t WHERE rn = 1) b ON m.n = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS u, ua AS dst, w FROM prs),
+         |degl AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS k FROM edges GROUP BY u),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM prs),
+         |m0 AS (SELECT u AS n, u AS c FROM degl),
+         |$louvainCtes,
+         |wc AS (
+         |  SELECT la.c AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |dc AS (
+         |  SELECT m4.c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d.k) AS BIGINT) AS degree_sum
+         |  FROM degl d JOIN m4 ON m4.n = d.u GROUP BY 1),
+         |cm AS (
+         |  SELECT dc.community, dc.n_nodes, CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_in,
+         |         dc.degree_sum
+         |  FROM dc LEFT JOIN wc USING (community)),
+         |qn AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * cm.w_in
+         |             - CAST(cm.degree_sum AS HUGEINT) * cm.degree_sum) AS qn
+         |  FROM cm, tw)
+         |SELECT cm.community, cm.n_nodes, cm.w_in, cm.degree_sum,
+         |       CAST(qn.qn AS DOUBLE)
+         |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
+         |FROM cm, qn, tw""".stripMargin
+    },
     "colocation_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (
@@ -5318,6 +5437,42 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  coalesce(agg.logprob_q, 0) AS logprob_q
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // per-source perplexity-filter ablation: keep iff mean per-bigram
+    // logprob >= t_mq, tested as the integer cross-multiply
+    // logprob_q >= t_mq * n_bigrams (no division, no floor divergence)
+    "perplexity_ablation" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg),
+         |uni AS (SELECT unnest(ws) AS w1 FROM w),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |sc AS (SELECT b.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgs b
+         |       LEFT JOIN c12 ON b.bg = c12.bg
+         |       LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+         |       CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(contrib_q) AS BIGINT) AS logprob_q FROM sc GROUP BY doc_id),
+         |scored AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+         |         coalesce(agg.n_bigrams, 0) AS nb, coalesce(agg.logprob_q, 0) AS lq
+         |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         |thr AS (SELECT CAST(t AS BIGINT) AS t_mq FROM (VALUES (-3450000), (-3430000),
+         |          (-3410000), (-3390000), (-3370000)) tv(t))
+         |SELECT s.source, thr.t_mq,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s.nb > 0 AND s.lq >= thr.t_mq * s.nb THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(s.tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN s.nb > 0 AND s.lq >= thr.t_mq * s.nb THEN s.tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(CASE WHEN s.nb > 0 AND s.lq >= thr.t_mq * s.nb THEN s.tok ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(s.tok) AS DOUBLE) AS token_share
+         |FROM scored s CROSS JOIN thr
+         |GROUP BY 1, 2""".stripMargin,
     // ntile over (avg double-division of two longs DESC, doc_id): IEEE
     // division is correctly rounded, so the rank — and the bucket — is
     // engine-exact; zero-bigram docs take the -1e18 sentinel (tail).

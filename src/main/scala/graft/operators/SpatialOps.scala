@@ -672,6 +672,97 @@ object SpatialOps {
         .filter(col("_rn") === 1)
         .select(col("u").as("n"), col("lbl")))
     }
+    communityStats(p, edges, labels)
+  }
+
+  /** One-level Louvain refinement over the contact graph (Blondel et
+    * al. 2008 phase 1, made deterministic and parallel-safe): every
+    * node starts as its own community; each round, the nodes of ONE
+    * parity class (round r moves nodes with id ≡ r mod 2) move to the
+    * candidate community with the greatest modularity gain — candidates
+    * are the node's neighbors' current communities plus staying put.
+    * Classic Louvain's sequential sweep is scan-order-dependent, and a
+    * fully synchronous sweep oscillates on symmetric graphs (two nodes
+    * swap communities forever — hand-traceable on a triangle pair); the
+    * two-coloring semi-synchronous schedule is the standard parallel
+    * Louvain fix, and with a pinned round count and deterministic ties
+    * (gain desc, then smallest community id) it is engine-exact — the
+    * [[colocationCommunities]] convention, whose plurality-label
+    * objective this replaces with the actual modularity-gain objective,
+    * so the two gates bracket the quality/cost trade of community
+    * detection.
+    *
+    * Exact arithmetic: the gain of node u joining community c is
+    * ΔQ ∝ 2W·k_in(u,c) − k_u·Σtot(c∖u) — all integer weight sums, the
+    * products in DECIMAL(38,0) (rank × weight squares past long range
+    * at billion-meeting scale), so the per-node argmax is bit-exact in
+    * both engines; modularity of the final partition is the
+    * [[colocationCommunities]] exact-rational Q.
+    *
+    * Scale shape: per round, one community-total groupBy, one hash join
+    * edges⋈labels on dst + (node, community) map-side-combinable sum,
+    * two broadcast-sized joins (degrees, community totals) and one
+    * per-node argmax window over ≤ degree+1 rows. `share` truncates the
+    * per-round lineage; no driver state.
+    *
+    * @return (community, n_nodes, w_in, degree_sum, modularity)
+    */
+  def colocationLouvain(pairs: DataFrame, rounds: Int = 4,
+                        share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edges = share(p
+      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+        col("n_meetings").as("w"))))
+    val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
+    val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+    var comm = deg.select(col("u").as("n"), col("u").as("c"))
+    val byNode = Window.partitionBy(col("u")).orderBy(col("_gain").desc, col("cand"))
+    for (r <- 1 to rounds) {
+      val ctot = comm.join(deg, comm("n") === deg("u"))
+        .groupBy(col("c").as("cand")).agg(sum(col("k")).cast("long").as("_ctot"))
+      // candidate set = neighbor communities (+ own community at k_in 0,
+      // merged by the sum so a shared community keeps its real k_in)
+      val kin = edges
+        .join(comm.select(col("n"), col("c").as("cand")), edges("v") === col("n"))
+        .select(col("u"), col("cand"), col("w"))
+        .unionByName(comm.select(col("n").as("u"), col("c").as("cand"), lit(0L).as("w")))
+        .groupBy(col("u"), col("cand")).agg(sum(col("w")).cast("long").as("_kin"))
+      val best = kin
+        .join(comm.select(col("n").as("u"), col("c").as("_cu")), Seq("u"))
+        .join(deg, Seq("u"))
+        .join(ctot, Seq("cand"))
+        .crossJoin(broadcast(totalW))
+        // Σtot(c∖u): u's own degree leaves the target total when c is
+        // its current community — joining your own community is not a
+        // gain over yourself
+        .withColumn("_stot",
+          col("_ctot") - when(col("cand") === col("_cu"), col("k")).otherwise(lit(0L)))
+        .withColumn("_gain",
+          lit(2L) * dq(col("_W")) * dq(col("_kin")) - dq(col("k")) * dq(col("_stot")))
+        .withColumn("_rn", row_number().over(byNode))
+        .filter(col("_rn") === 1)
+        .select(col("u").as("n"), col("cand"))
+      // two-coloring schedule: this round only the matching parity class
+      // moves — the other class keeps its community
+      comm = share(comm.join(best, Seq("n"))
+        .select(col("n"),
+          when(pmod(col("n"), lit(2)) === lit(r % 2), col("cand"))
+            .otherwise(col("c")).as("c")))
+    }
+    communityStats(p, edges, comm.select(col("n"), col("c").as("lbl")))
+  }
+
+  /** Exact-rational partition statistics + Newman modularity shared by
+    * [[colocationCommunities]] and [[colocationLouvain]]: per community
+    * the node count, intra-community weight and weighted-degree sum,
+    * plus the global Q = Σ_c (4W·e_c − d_c²) / (4W²) with the numerator
+    * in DECIMAL(38,0) and ONE double division at the end.
+    */
+  private def communityStats(p: DataFrame, edges: DataFrame, labels: DataFrame): DataFrame = {
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
     val withA = p.join(labels.select(col("n"), col("lbl").as("_ca")), p("user_a") === col("n")).drop("n")
     val withB = withA.join(labels.select(col("n"), col("lbl").as("_cb")), withA("user_b") === col("n")).drop("n")
     val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))

@@ -944,6 +944,51 @@ object TextAnalysis {
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
 
+  /** Per-source perplexity-filter ablation (the CCNet/Gopher tuning
+    * loop): sweep LM quality thresholds over the corpus and report, per
+    * (source, threshold), how many documents and tokens survive — the
+    * table a data engineer reads to pick each source's perplexity cut
+    * before a 100 TB filter run commits to one.
+    *
+    * Threshold semantics: a document is kept iff its mean per-bigram
+    * log-likelihood is at least `t_mq` (1e-6 ln units, negative), tested
+    * as the integer cross-multiply `logprob_q >= t_mq * n_bigrams` —
+    * no division, so no truncate-vs-floor engine divergence on negative
+    * sums. Zero-bigram documents fail every threshold (no evidence, no
+    * keep). Scores come from [[lmScore]], so the decision inherits its
+    * quantized-long bit-exactness.
+    *
+    * Scale shape: the lmScore joins, one map-side token count, and a
+    * broadcast cross join against the ≤ dozens-row threshold grid — the
+    * grid multiplies rows BEFORE a map-side-combinable groupBy, never
+    * shuffling more than (sources × thresholds) aggregates.
+    *
+    * @return (source, t_mq, n_docs, n_kept, tokens_total, tokens_kept,
+    *         token_share kept)
+    */
+  def perplexityAblation(docs: DataFrame, train: DataFrame, thresholdsMq: Seq[Long],
+                         textCol: String = "text", idCol: String = "doc_id",
+                         sourceCol: String = "source"): DataFrame = {
+    require(thresholdsMq.nonEmpty, "perplexityAblation: need at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores = lmScore(docs, train, textCol, idCol)
+    val meta = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      size(split(col(textCol), " ")).cast("long").as("_tok"))
+    val grid = thresholdsMq.toDF("t_mq")
+    meta.join(scores, Seq("doc_id"))
+      .crossJoin(broadcast(grid))
+      .withColumn("_keep",
+        col("n_bigrams") > 0 && col("logprob_q") >= col("t_mq") * col("n_bigrams"))
+      .groupBy(col("source"), col("t_mq"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).cast("long").as("n_kept"),
+        sum(col("_tok")).cast("long").as("tokens_total"),
+        sum(when(col("_keep"), col("_tok")).otherwise(lit(0L))).cast("long").as("tokens_kept"))
+      .withColumn("token_share",
+        col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
+  }
+
   /** Min-K% Prob membership inference (Shi et al. 2023, "Detecting
     * Pretraining Data from Large Language Models"): a probe document's
     * k% LOWEST per-token log-probabilities under a model trained on the

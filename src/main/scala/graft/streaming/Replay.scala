@@ -190,6 +190,59 @@ object Replay {
         col("seq_in_window"), col("admitted"))
   }
 
+  /** Replay [[StreamingQuota.quota]] with a deterministic OUT-OF-ORDER
+    * feed: micro-batch p (p = 0..chunks−1) carries exactly the rows with
+    * doc_id ≡ p (mod chunks), so every batch after the first delivers
+    * rows that are LATE relative to the event-time horizon earlier
+    * batches already advanced — the regime where streaming admission
+    * diverges from the batch twin by design.
+    *
+    * The divergence has a closed form (the oracle's contract, pinned by
+    * StreamingQuotaSpec): the operator counts a late row against the
+    * NEWEST window its group has opened, and within one micro-batch it
+    * processes rows in (t, id) order with window starts monotone in t —
+    * so a row's effective window is
+    *   E = max(own window start, max window start over earlier batches)
+    * and admission is `row_number() over (group, E ordered by
+    * (batch, t, id)) <= quota`, stamped with E.
+    */
+  def quotaOutOfOrder(docs: DataFrame, quotaN: Long, windowMinutes: Long,
+                      groupCol: String = "lang", idCol: String = "doc_id",
+                      timeCol: String = "t_us", chunks: Int = 4): DataFrame = {
+    require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(timeCol).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val batches: Seq[Seq[(String, Long, Long)]] = (0 until chunks).map { p =>
+      rows.filter { case (_, i, _) => java.lang.Math.floorMod(i, chunks.toLong) == p }
+        .sortBy { case (_, i, t) => (t, i) }.toSeq
+    }
+
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("group", "doc_id", "t_us")
+    val outDir = tmp("graft-replay-qooo-out")
+    val ckpt = tmp("graft-replay-qooo-ckpt")
+
+    drain(input, Seq.empty, 1, tail = batches) {
+      StreamingQuota.quota(stream, quotaN, windowMinutes, groupCol = "group",
+          idCol = "doc_id", timeCol = "t_us", emitRejected = false, idleHorizonMinutes = 0L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingQuota.Admitted], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir, ckpt, spark.emptyDataset[StreamingQuota.Admitted].toDF())
+      .select(col("group").as("grp"), col("doc_id"), col("window_start_us"),
+        col("seq_in_window"), col("admitted"))
+  }
+
   /** Replay [[StreamingColocation.meetings]] over a bounded interval
     * table — unlike the keyed-state replays above, this drives the
     * OTHER streaming shape: a watermarked stream-stream symmetric hash

@@ -185,6 +185,31 @@ class ColocationSpec extends SparkSpec {
     assert(got(4L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
   }
 
+  test("Louvain one-level: triangle pair converges under the parity schedule; Q matches LPA") {
+    import spark.implicits._
+    // same fixture as LPA; hand-traced semi-synchronous trajectory:
+    // r1 (odd movers): 1→c2, 3→c1, 5→c6; r2 (even): 4→c6, 2/6 stay;
+    // r3 (odd): 3→c2, 1/5 stay; r4 (even): all stay. Final communities
+    // c2={1,2,3}, c6={4,5,6} — the fully synchronous sweep oscillates on
+    // this graph (1↔2 and 5↔6 swap forever), which is what the
+    // two-coloring schedule exists to prevent.
+    val pairs = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val got = SpatialOps.colocationLouvain(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(2L, 6L), got.keySet)
+    assert(got(2L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+    assert(got(6L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+    // the gain objective recovers the same partition LPA's plurality
+    // rule finds here — equal exact-rational modularity
+    val qLpa = SpatialOps.colocationCommunities(pairs, rounds = 3)
+      .select("modularity").as[Double].head()
+    assert(got(2L)._4 == qLpa)
+  }
+
   test("assortativity: star graph reads exactly -1, path graph exactly -0.5") {
     import spark.implicits._
     val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L))

@@ -7,6 +7,44 @@ import org.apache.spark.sql.functions._
 class TextFilterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("perplexityAblation: keep is the integer cross-multiply over lmScore; shares monotone") {
+    val docs = Seq(
+      (0L, "a a a a a a", "s1"),  // high-probability bigrams
+      (1L, "b c d e f g", "s1"),  // every bigram unique → low probability
+      (2L, "x", "s2"),            // zero bigrams → never kept
+      (3L, "a a b c", "s2")
+    ).toDF("doc_id", "text", "source")
+    val thr = Seq(-10000000L, -3000000L, -500000L)
+    val got = TextAnalysis.perplexityAblation(docs, docs, thr)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 6) // 2 sources × 3 thresholds
+
+    // expected from lmScore directly (the decision must be EXACTLY
+    // logprob_q >= t * n_bigrams with zero-bigram docs always dropped)
+    val scores = TextAnalysis.lmScore(docs, docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val toks = Map(0L -> 6L, 1L -> 6L, 2L -> 1L, 3L -> 4L)
+    val src = Map(0L -> "s1", 1L -> "s1", 2L -> "s2", 3L -> "s2")
+    for (t <- thr; s <- Seq("s1", "s2")) {
+      val ids = src.collect { case (id, ss) if ss == s => id }
+      val kept = ids.filter { id =>
+        val (nb, lq) = scores(id); nb > 0 && lq >= t * nb
+      }
+      val exp = (ids.size.toLong, kept.size.toLong,
+        ids.map(toks).sum, kept.map(toks).sum)
+      assert(got((s, t)) == exp, s"source $s threshold $t: ${got((s, t))} vs $exp")
+    }
+    // monotone: a stricter (larger) threshold never keeps more tokens
+    for (s <- Seq("s1", "s2"))
+      assert(got((s, -10000000L))._4 >= got((s, -3000000L))._4 &&
+        got((s, -3000000L))._4 >= got((s, -500000L))._4)
+    // the grid must actually separate: loosest keeps something, and the
+    // zero-bigram doc is dropped everywhere (s2 never keeps all 5 tokens)
+    assert(got(("s1", -10000000L))._2 > 0)
+    assert(thr.forall(t => got(("s2", t))._4 < 5L))
+  }
+
   test("word_ngrams keeps multiplicity and is empty below n") {
     val df = Seq((0L, "a b a b a"), (1L, "x")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.ngrams(col("text"), 2).as("g"))

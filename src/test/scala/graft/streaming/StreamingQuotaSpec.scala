@@ -80,6 +80,56 @@ class StreamingQuotaSpec extends SparkSpec {
     assert(batch == Set((0L, 10 * min, 1L), (1L, 0L, 1L)))
   }
 
+  test("out-of-order replay: state machine == closed-form effective-window contract") {
+    // 40 rows, 2 groups; times are a mod-7 permutation so the residue
+    // batches (id mod 4) are genuinely out of event-time order
+    val chunks = 4
+    val quotaN = 2L
+    val windowUs = 10 * min
+    val rows = (0L until 40L).map { i => (s"g${i % 2}", i, ((i * 7) % 40) * 3 * min) }
+
+    val got = Replay.quotaOutOfOrder(rows.toDF("lang", "doc_id", "t_us"),
+        quotaN = quotaN, windowMinutes = 10L, groupCol = "lang", chunks = chunks)
+      .select("grp", "doc_id", "window_start_us", "seq_in_window")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    def ws(t: Long): Long = Math.floorDiv(t, windowUs) * windowUs
+
+    // reference 1: direct simulation of the keyed state machine over the
+    // residue-batch feed
+    val expected = scala.collection.mutable.Set.empty[(String, Long, Long, Long)]
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (p <- 0 until chunks) {
+      val batch = rows.filter(r => r._2 % chunks == p)
+      for ((grp, rs) <- batch.groupBy(_._1)) {
+        var (w, c) = state.getOrElse(grp, (Long.MinValue, 0L))
+        for ((_, id, t) <- rs.sortBy(r => (r._3, r._2))) {
+          val s = ws(t)
+          if (s > w) { w = s; c = 0L }
+          if (c < quotaN) { c += 1; expected += ((grp, id, w, c)) }
+        }
+        state(grp) = (w, c)
+      }
+    }
+    assert(got == expected.toSet, s"replay vs state machine:\n$got\nvs\n$expected")
+
+    // reference 2: the ORACLE's closed form — effective window =
+    // max(own window, max window of earlier batches), admission =
+    // rank within (group, E) in (batch, t, id) arrival order
+    val byBatch = rows.map { case (g, i, t) => (g, i, t, i % chunks) }
+    val batchMax = byBatch.groupBy(r => (r._1, r._4))
+      .view.mapValues(_.map(r => ws(r._3)).max).toMap
+    def prevMax(g: String, b: Long): Long =
+      (0L until b).flatMap(q => batchMax.get((g, q))).foldLeft(Long.MinValue)(math.max)
+    val closed = byBatch
+      .map { case (g, i, t, b) => (g, i, t, b, math.max(ws(t), prevMax(g, b))) }
+      .groupBy(r => (r._1, r._5)).toSeq.flatMap { case ((g, e), rs) =>
+        rs.sortBy(r => (r._4, r._3, r._2)).zipWithIndex
+          .collect { case ((_, i, _, _, _), idx) if idx < quotaN => (g, i, e, idx + 1L) }
+      }.toSet
+    assert(got == closed, s"replay vs closed form:\n$got\nvs\n$closed")
+  }
+
   test("batch window starts use integer arithmetic: exact for negative and > 2^53 timestamps") {
     val windowUs = 10 * min
     // pre-epoch rows and rows beyond double's exact-integer range

@@ -71,9 +71,15 @@ object Bench {
     def qjson(fmt: Double => String) = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the streaming replay gates carry state-store/checkpoint machinery
+    // the batch queries don't — reported as their own subtotal so batch
+    // medians stay cross-round comparable (r9 verdict: a new replay gate
+    // made the round total read as a 2.8x regression)
+    val streamingTotal = results
+      .filter(_._1.startsWith("streaming_")).map(_._2).filter(_ >= 0).sum
     val failedJson = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(fmt: Double => String) =
-      s"""{"queries":${qjson(fmt)},"failed":$failedJson,"failed_count":${failed.size},"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
+      s"""{"queries":${qjson(fmt)},"failed":$failedJson,"failed_count":${failed.size},"metric":"total","value":${fmt(total)},"streaming_subtotal":${fmt(streamingTotal)},"batch_value":${fmt(total - streamingTotal)},"unit":"sec","runs":$runs,"sf":"$sfDir"}"""
     // The driver keeps only the TAIL of stdout (BENCH_r05.json lost its
     // total and first queries to a 2000-char cap), so (a) the stdout line
     // prints timings at 2 decimals to stay under the cap, (b) the headline

@@ -1384,12 +1384,55 @@ object SparkEntry {
        |FROM pairsx""".stripMargin
   }
 
+  /** Banded near-pair twin: padded integer bboxes → grid-cell equi-join
+    * (pair kept once, at the element-wise greatest min-cell) → exact
+    * Hausdorff ≤ radius. Same candidate rule as
+    * SpatialOps.trajectoryNearPairs; kernel identical to
+    * [[hausdorffOracle]].
+    */
+  private def trajectoryNearPairsOracle: String = {
+    def d(i: String, j: String) = hav(s"alon[CAST($i AS INT)]", s"alat[CAST($i AS INT)]",
+      s"blon[CAST($j AS INT)]", s"blat[CAST($j AS INT)]")
+    def q(l: String) = s"list_transform($l, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    s"""${EventsAdapter.pfsSql},
+       |lines AS MATERIALIZED (
+       |  SELECT user_id * 10000 + (k // 12) AS lid,
+       |         list(lon ORDER BY k) AS lons, list(lat ORDER BY k) AS lats
+       |  FROM pfs WHERE user_id < 30 AND k // 12 < 10
+       |  GROUP BY user_id, k // 12),
+       |bbox AS MATERIALIZED (
+       |  SELECT lid, lons, lats,
+       |    (list_min(${q("lons")}) - 6000) // 10000 AS cx0,
+       |    (list_max(${q("lons")}) + 6000) // 10000 AS cx1,
+       |    (list_min(${q("lats")}) - 6000) // 10000 AS cy0,
+       |    (list_max(${q("lats")}) + 6000) // 10000 AS cy1
+       |  FROM lines),
+       |cellsx AS (SELECT lid, lons, lats, cx0, cy0, cy1,
+       |    unnest(generate_series(cx0, cx1)) AS cx FROM bbox),
+       |cellst AS (SELECT lid, lons, lats, cx0, cy0, cx,
+       |    unnest(generate_series(cy0, cy1)) AS cy FROM cellsx),
+       |cand AS (
+       |  SELECT a.lid AS id_1, b.lid AS id_2,
+       |         a.lons AS alon, a.lats AS alat, b.lons AS blon, b.lats AS blat
+       |  FROM cellst a JOIN cellst b ON a.cx = b.cx AND a.cy = b.cy AND a.lid < b.lid
+       |  WHERE a.cx = greatest(a.cx0, b.cx0) AND a.cy = greatest(a.cy0, b.cy0)),
+       |hd AS (
+       |  SELECT id_1, id_2, greatest(
+       |    list_max(list_transform(range(1, len(alon) + 1), i ->
+       |      list_min(list_transform(range(1, len(blon) + 1), j -> ${d("i", "j")})))),
+       |    list_max(list_transform(range(1, len(blon) + 1), j ->
+       |      list_min(list_transform(range(1, len(alon) + 1), i -> ${d("i", "j")}))))) AS h
+       |  FROM cand)
+       |SELECT id_1, id_2, CAST(floor(h) AS BIGINT) AS distance_m
+       |FROM hd WHERE h <= 300.0""".stripMargin
+  }
+
   /** Short per-user trajectory blocks used by both trajectory-distance
     * queries (dtw_matrix / frechet_matrix).
     */
-  private def trajectoryLines(s: SparkSession, dir: String): DataFrame =
+  private def trajectoryLines(s: SparkSession, dir: String, maxUsers: Int = 3): DataFrame =
     EventsAdapter.positionfixes(s, dir)
-      .filter(col("user_id") < 3)
+      .filter(col("user_id") < maxUsers)
       .groupBy(col("user_id"), expr("k div 12").as("block"))
       .agg(transform(array_sort(collect_list(struct(col("k"), col("lon"), col("lat")))),
         p => struct(p.getField("lon").as("lon"), p.getField("lat").as("lat"))).as("points"))
@@ -2006,6 +2049,11 @@ object SparkEntry {
       SpatialOps.distanceMatrixLinestrings(trajectoryLines(s, dir), "hausdorff")
         .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long").as("hausdorff_m"))
     },
+    "trajectory_near_pairs" -> { (s, dir) =>
+      // 10× the matrix gates' line count — the banded path is the one
+      // that survives scale, so it gets the bigger fixture
+      SpatialOps.trajectoryNearPairs(trajectoryLines(s, dir, maxUsers = 30), radiusM = 300.0)
+    },
 
     // ----- mobility: merge / labelling / filters (oracle-checked) -----
     "merge_staypoints" -> { (s, dir) =>
@@ -2331,6 +2379,11 @@ object SparkEntry {
       // CCNet head/middle/tail strata, self-trained like lm_score
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmBuckets(docs, docs, buckets = 3)
+    },
+    "moore_lewis" -> { (s, dir) =>
+      // in-domain = the English slice (the dsir gates' target convention)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.mooreLewisSelection(docs, docs.filter(col("lang") === "en"), topK = 100)
     },
     "perplexity_ablation" -> { (s, dir) =>
       // threshold grid brackets the corpus's mean-logprob quantiles
@@ -5144,6 +5197,7 @@ object SparkEntry {
     "dtw_matrix" -> withMaterializedCtes(dtwOracle),
     "frechet_matrix" -> withMaterializedCtes(frechetOracle),
     "hausdorff_matrix" -> withMaterializedCtes(hausdorffOracle),
+    "trajectory_near_pairs" -> withMaterializedCtes(trajectoryNearPairsOracle),
     "tours_generate" -> withMaterializedCtes(toursOracle(
       distM = Pipeline.staypointParams.distThresholdMeters,
       timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
@@ -5437,6 +5491,41 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  coalesce(agg.logprob_q, 0) AS logprob_q
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // Moore–Lewis cross-entropy-difference selection: two lmScore
+    // chains (in-domain = en slice, general = whole corpus), rank by
+    // the IEEE division delta_q/n_bigrams desc then doc_id, top 100
+    "moore_lewis" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |bgs AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM w),
+         |c12g AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg),
+         |c1g AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+         |vg AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1g),
+         |wi AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE lang = 'en'),
+         |bgsi AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+         |          i -> array_to_string(ws[i+1:i+2], ' '))) AS bg FROM wi),
+         |c12i AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgsi GROUP BY bg),
+         |c1i AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (SELECT unnest(ws) AS w1 FROM wi) GROUP BY w1),
+         |vi AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1i),
+         |scg AS (SELECT b.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(g.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(u.c1, 0) + vg.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgs b LEFT JOIN c12g g ON b.bg = g.bg
+         |       LEFT JOIN c1g u ON string_split(b.bg, ' ')[1] = u.w1 CROSS JOIN vg),
+         |sci AS (SELECT b.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(g.c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(coalesce(u.c1, 0) + vi.v AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_q
+         |       FROM bgs b LEFT JOIN c12i g ON b.bg = g.bg
+         |       LEFT JOIN c1i u ON string_split(b.bg, ' ')[1] = u.w1 CROSS JOIN vi),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(contrib_q) AS BIGINT) AS lq FROM scg GROUP BY doc_id),
+         |ai AS (SELECT doc_id, CAST(sum(contrib_q) AS BIGINT) AS lq FROM sci GROUP BY doc_id),
+         |sel AS (SELECT ag.doc_id, ag.n_bigrams, ai.lq - ag.lq AS delta_q,
+         |          CAST(ai.lq - ag.lq AS DOUBLE) / CAST(ag.n_bigrams AS DOUBLE) AS score
+         |        FROM ag JOIN ai ON ag.doc_id = ai.doc_id WHERE ag.n_bigrams > 0),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sel)
+         |SELECT doc_id, n_bigrams, delta_q, CAST(rank AS BIGINT) AS rank, score
+         |FROM r WHERE rank <= 100""".stripMargin,
     // per-source perplexity-filter ablation: keep iff mean per-bigram
     // logprob >= t_mq, tested as the integer cross-multiply
     // logprob_q >= t_mq * n_bigrams (no division, no floor divergence)

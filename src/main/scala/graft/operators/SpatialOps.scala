@@ -238,6 +238,84 @@ object SpatialOps {
       .select("id_1", "id_2", "distance_m")
   }
 
+  /** Banded trajectory near-pair search: all pairs of linestrings whose
+    * trajectory distance (discrete Hausdorff / Fréchet / DTW) is within
+    * `radiusM` — the trajectory-clustering / GPS-track-dedup primitive.
+    * [[distanceMatrixLinestrings]] is the all-pairs matrix the reference
+    * exposes (distances.py:156–185, contract: small X×Y); this is its
+    * 100 TB path: candidates meet through a padded-bbox GRID-CELL
+    * equi-join — the colocation banding idea applied to whole
+    * trajectories — so the expensive DP kernel runs only on spatially
+    * co-located pairs, never corpus².
+    *
+    * Losslessness contract: every metric here is lower-bounded by the
+    * gap between the trajectories' bounding boxes (Hausdorff/Fréchet are
+    * maxima of point distances; DTW is a sum of them), so with
+    * `padMicroDeg` ≥ `radiusM` expressed in micro-degrees at the data's
+    * latitudes, any pair within `radiusM` has overlapping padded integer
+    * bboxes — and two overlapping padded bboxes always share the grid
+    * cell `(greatest of the two min-cells)`, which is exactly the one
+    * cell where the pair is kept (no post-dedup shuffle). The candidate
+    * set is a superset; the exact kernel decides membership.
+    *
+    * Scale shape: per line, O(bbox/cell) exploded cell rows (bounded by
+    * trajectory extent, not corpus size); one (cx, cy) hash equi-join;
+    * the kernel only on survivors. Same integer-grid discipline as
+    * [[colocationMeetings]] — cell ids are exact floors of micro-degree
+    * longs, engine-identical.
+    *
+    * @return (id_1, id_2, distance_m) with distance floored to whole
+    *         meters, id_1 < id_2, distance ≤ radiusM
+    */
+  def trajectoryNearPairs(tpls: DataFrame, radiusM: Double = 300.0,
+                          cellMicroDeg: Long = 10000L, padMicroDeg: Long = 6000L,
+                          metric: String = "hausdorff"): DataFrame = {
+    require(radiusM > 0 && cellMicroDeg > 0 && padMicroDeg >= 0,
+      "radius/cell/pad must be sensible")
+    val kernel = metric match {
+      case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
+        dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+            b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
+        frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+                b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case "hausdorff" => udf { (a: Seq[Row], b: Seq[Row]) =>
+        hausdorff(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+                  b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+      case other     => throw new IllegalArgumentException(s"metric unknown: $other")
+    }
+    val qLon = transform(col("points"), p => floor(p.getField("lon") * 1e6 + lit(0.5)).cast("long"))
+    val qLat = transform(col("points"), p => floor(p.getField("lat") * 1e6 + lit(0.5)).cast("long"))
+    def cellOf(c: Column): Column =
+      floor(c.cast("double") / cellMicroDeg.toDouble).cast("long")
+    val bbox = tpls.select(col("id"), col("points"),
+        (array_min(qLon) - padMicroDeg).as("_x0"), (array_max(qLon) + padMicroDeg).as("_x1"),
+        (array_min(qLat) - padMicroDeg).as("_y0"), (array_max(qLat) + padMicroDeg).as("_y1"))
+      .select(col("id"), col("points"),
+        cellOf(col("_x0")).as("_cx0"), cellOf(col("_x1")).as("_cx1"),
+        cellOf(col("_y0")).as("_cy0"), cellOf(col("_y1")).as("_cy1"))
+    def cells(p: String): DataFrame = bbox
+      .select(col("id").as(s"${p}_id"), col("points").as(s"${p}_pts"),
+        col("_cx0").as(s"${p}_cx0"), col("_cx1").as(s"${p}_cx1"),
+        col("_cy0").as(s"${p}_cy0"), col("_cy1").as(s"${p}_cy1"))
+      .withColumn("cx", explode(sequence(col(s"${p}_cx0"), col(s"${p}_cx1"))))
+      .withColumn("cy", explode(sequence(col(s"${p}_cy0"), col(s"${p}_cy1"))))
+      .drop(s"${p}_cx1", s"${p}_cy1")
+    val a = cells("a")
+    val b = cells("b")
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair sharing several cells is kept ONCE, at the element-wise
+      // greatest of the two padded min-cells — in both ranges whenever
+      // the bboxes overlap, so exactly one surviving row per pair
+      .filter(col("cx") === greatest(col("a_cx0"), col("b_cx0")) &&
+        col("cy") === greatest(col("a_cy0"), col("b_cy0")))
+      .withColumn("_d", kernel(col("a_pts"), col("b_pts")))
+      .filter(col("_d") <= radiusM)
+      .select(col("a_id").as("id_1"), col("b_id").as("id_2"),
+        floor(col("_d")).cast("long").as("distance_m"))
+  }
+
   /** k-anonymous spatial coarsening for publishing point data: snap
     * points to a fixed lon/lat grid and keep only cells visited by at
     * least `k` distinct users — the standard small-cell-suppression rule

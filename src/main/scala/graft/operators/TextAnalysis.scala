@@ -944,6 +944,48 @@ object TextAnalysis {
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data"):
+    * rank every document by its per-token log-likelihood under an
+    * IN-DOMAIN LM minus the same under the GENERAL corpus LM, keep the
+    * top K — the canonical exact-LM ancestor of the hashed-feature DSIR
+    * gates and of RHO-1-style reference-model deltas, so the registry
+    * carries both ends of that approximation spectrum.
+    *
+    * Determinism: both scores come from [[lmScore]]'s quantized-long
+    * contract; the ranking key `delta_q / n_bigrams` is ONE IEEE
+    * division of two exact longs (correctly rounded, engine-identical),
+    * ties broken by doc_id. Zero-bigram documents carry no evidence and
+    * are never selected.
+    *
+    * Scale shape: two lmScore chains (count-table models + gram
+    * equi-joins — the model never sits on the driver), then the global
+    * top-K as sort+limit (TakeOrdered, no single-partition window over
+    * the corpus); the rank column is a window over the ≤ K selected
+    * rows only.
+    *
+    * @return top-K (doc_id, n_bigrams, delta_q, rank, score)
+    */
+  def mooreLewisSelection(docs: DataFrame, inDomain: DataFrame, topK: Int = 100,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          alpha: Long = 1L): DataFrame = {
+    require(topK >= 1, "mooreLewisSelection: topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sIn = lmScore(docs, inDomain, textCol, idCol, alpha)
+      .select(col("doc_id"), col("n_bigrams"), col("logprob_q").as("_lq_in"))
+    val sGen = lmScore(docs, docs, textCol, idCol, alpha)
+      .select(col("doc_id"), col("logprob_q").as("_lq_gen"))
+    val top = sIn.join(sGen, Seq("doc_id"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("delta_q", col("_lq_in") - col("_lq_gen"))
+      .withColumn("score", col("delta_q").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("delta_q"), col("rank"), col("score"))
+  }
+
   /** Per-source perplexity-filter ablation (the CCNet/Gopher tuning
     * loop): sweep LM quality thresholds over the corpus and report, per
     * (source, threshold), how many documents and tokens survive — the

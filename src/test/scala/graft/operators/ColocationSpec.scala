@@ -224,6 +224,28 @@ class ColocationSpec extends SparkSpec {
     assert(rPath == -0.5, s"4-path: (4*3*8-100)/(2*3*18-100) = -0.5, got $rPath")
   }
 
+  test("trajectoryNearPairs: banding lossless vs brute force, incl. a near-radius pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((-122.4000, 47.6000), (-122.3990, 47.6005))),  // A
+      (2L, Seq((-122.4001, 47.6001), (-122.3991, 47.6006))),  // ~13 m from A
+      (3L, Seq((-122.3700, 47.6000), (-122.3690, 47.6005))),  // ~2.2 km away
+      (4L, Seq((-122.4030, 47.6000), (-122.4020, 47.6005)))   // ~225 m from A: inside
+                                                              // radius but bbox-disjoint,
+                                                              // so only the PAD finds it
+    ).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("points"))
+    val got = SpatialOps.trajectoryNearPairs(df, radiusM = 300.0)
+      .select("id_1", "id_2", "distance_m").as[(Long, Long, Long)].collect().toSet
+    val brute = SpatialOps.distanceMatrixLinestrings(df, "hausdorff")
+      .filter(col("distance_m") <= 300.0)
+      .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"banded $got vs brute $brute")
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)), got)
+  }
+
   test("convoyPairs: consecutive band runs survive, interrupted contact does not") {
     import spark.implicits._
     val B = 7200000000L // 120-minute band in micros

@@ -45,6 +45,31 @@ class TextFilterSpec extends SparkSpec {
     assert(thr.forall(t => got(("s2", t))._4 < 5L))
   }
 
+  test("mooreLewisSelection: in-domain-like docs rank first; delta matches the two lmScores") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the dog sat on the mat", "en"),
+      (2L, "der hund sitzt auf der matte", "de"),
+      (3L, "the cat sat on the mat", "de"), // in-domain text, off-domain label
+      (4L, "x", "de")                        // zero bigrams → never selected
+    ).toDF("doc_id", "text", "lang")
+    val inDomain = docs.filter(col("lang") === "en")
+    val got = TextAnalysis.mooreLewisSelection(docs, inDomain, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    assert(got.map(_._4).toSeq == Seq(1L, 2L, 3L)) // rank is 1..K
+    // delta must be exactly lmScore(in-domain) − lmScore(general)
+    val lin = TextAnalysis.lmScore(docs, inDomain)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lgen = TextAnalysis.lmScore(docs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, _, delta, _) => assert(delta == lin(id) - lgen(id), s"doc $id") }
+    // the English-looking docs (0, 1, 3 share all their bigrams with the
+    // in-domain model) outrank the German one; doc 4 never appears
+    val sel = got.map(_._1).toSet
+    assert(sel == Set(0L, 1L, 3L), sel)
+  }
+
   test("word_ngrams keeps multiplicity and is empty below n") {
     val df = Seq((0L, "a b a b a"), (1L, "x")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.ngrams(col("text"), 2).as("g"))

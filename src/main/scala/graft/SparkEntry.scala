@@ -1660,6 +1660,10 @@ object SparkEntry {
       graft.streaming.Replay.quota(EventsAdapter.events(s, dir), quotaN = 5L,
         windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us")
     },
+    "streaming_dedup_late" -> { (s, dir) =>
+      graft.streaming.Replay.dedupOutOfOrder(s.read.parquet(s"$dir/documents.parquet"),
+        chunks = 4)
+    },
     "streaming_quota_late" -> { (s, dir) =>
       // deterministic OUT-OF-ORDER feed (batch p = ids ≡ p mod 4): the
       // late-row admission semantics, driver-visible via the closed-form
@@ -3313,6 +3317,20 @@ object SparkEntry {
          |       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_first,
          |       min(doc_id) OVER (PARTITION BY text_hash) AS first_doc_id
          |FROM h""".stripMargin,
+    // out-of-order replay (batch p = ids ≡ p mod 4): the keeper is the
+    // smallest id in the EARLIEST batch carrying the hash — min by
+    // (doc_id mod 4, doc_id), not the batch twin's global min(doc_id)
+    "streaming_dedup_late" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${graft.functions.PortableHash.h60Sql("text")} AS text_hash,
+         |         doc_id % 4 AS b
+         |  FROM documents),
+         |f AS (SELECT text_hash,
+         |        (min({'b': b, 'id': doc_id})).id AS fid
+         |      FROM h GROUP BY text_hash)
+         |SELECT h.doc_id, h.text_hash, h.doc_id = f.fid AS is_first,
+         |       f.fid AS first_doc_id
+         |FROM h JOIN f ON h.text_hash = f.text_hash""".stripMargin,
     // quota replay on event-time-ordered input ≡ per-(group, window)
     // first-k under the (t, id) order
     "streaming_quota" ->

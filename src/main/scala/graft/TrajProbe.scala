@@ -6,15 +6,22 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only 10× probe of the trajectory-distance family (round-10 item:
   * the all-pairs DTW/Fréchet/Hausdorff matrix is contract-bounded to
-  * small X×Y — what's the scale path?). Builds the full sf0.1 line set
-  * (every user, 10 blocks each — ~50× the matrix gates' fixture) and
-  * compares:
+  * small X×Y — what's the scale path?). Two geometries over the full
+  * sf0.1 line set (~9k lines, all-pairs 40.8M):
   *
-  *  1. the all-pairs kernel volume (priced, not run, beyond a slice —
-  *     it is quadratic by definition);
-  *  2. trajectoryNearPairs' banded candidate volume and wall time —
-  *     the padded-bbox grid join that replaces corpus² with
-  *     spatially-co-located pairs only.
+  *  - PACKED (the raw synthetic data): every trajectory lives in one
+  *    0.03°×0.015° neighborhood — ~15 distinct grid cells service all
+  *    40.8M pairs, so banding CANNOT separate and the candidate join
+  *    degenerates to all-pairs through a handful of hot cells (first
+  *    probe attempt: killed after 15 min — the colocation monster-cell
+  *    regime in pair space; recorded, not re-run). Spatial banding is a
+  *    geometry lever, not magic: one-neighborhood corpora need the
+  *    spreadFactor-style pair-space tiling instead.
+  *  - DISPERSED (per-user offsets spread users across a 64×64
+  *    neighborhood grid — honest synthetic geography for a corpus that
+  *    spans a region): banding admits only same-neighborhood pairs and
+  *    the whole near-pair search completes in seconds. An all-pairs
+  *    kernel slice prices what brute force would cost at the same size.
   *
   * Results recorded in SURVEY.md §6.
   */
@@ -43,20 +50,28 @@ object TrajProbe {
     val n = lines.count()
     println(s"[probe] lines=$n  all_pairs=${n * (n - 1) / 2}")
 
-    // banded near-pairs over the FULL line set
-    t("near_pairs_banded") {
-      SpatialOps.trajectoryNearPairs(lines, radiusM = 300.0).count()
+    // dispersed geography: users spread over a 64×64 neighborhood grid
+    val spread = lines
+      .withColumn("_u", expr("id div 10000"))
+      .withColumn("points", transform(col("points"), p => struct(
+        (p.getField("lon") + pmod(col("_u"), lit(64)) * 0.04).as("lon"),
+        (p.getField("lat") + pmod(expr("_u div 64"), lit(64)) * 0.02).as("lat"))))
+      .drop("_u")
+      .localCheckpoint(eager = true)
+    t("spread_lines") { spread.count() }
+
+    t("near_pairs_dispersed") {
+      SpatialOps.trajectoryNearPairs(spread, radiusM = 300.0).count()
     }
-    // candidate volume the band admits (kernel input size) vs all-pairs
-    t("banded_candidates") {
-      SpatialOps.trajectoryNearPairs(lines, radiusM = 1e9,
-        cellMicroDeg = 10000L, padMicroDeg = 6000L).count()
+    // candidate volume the band admits on the dispersed geometry
+    t("candidates_dispersed") {
+      SpatialOps.trajectoryNearPairs(spread, radiusM = 1e9).count()
     }
-    // all-pairs matrix on a slice that matches the banded candidate
-    // count, to price the kernel-per-pair cost both shapes share
-    t("all_pairs_300_lines") {
+    // all-pairs kernel slice (900 lines ≈ 404k pairs) to price brute
+    // force per pair at the same kernel
+    t("all_pairs_900_lines") {
       SpatialOps.distanceMatrixLinestrings(
-        lines.filter(col("user_id") < 30), "hausdorff").count()
+        spread.filter(col("id") < 900000), "hausdorff").count()
     }
     spark.stop()
   }

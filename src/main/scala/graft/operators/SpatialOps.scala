@@ -264,6 +264,14 @@ object SpatialOps {
     * [[colocationMeetings]] — cell ids are exact floors of micro-degree
     * longs, engine-identical.
     *
+    * Geometry contract (TrajProbe, SURVEY §6): banding separates what
+    * geography separates. On a region-scale corpus it admits ~1/500 of
+    * the pair space; when the WHOLE corpus shares one neighborhood the
+    * candidate join is inherently all-pairs squeezed through a few hot
+    * cells (skew in join OUTPUT, invisible to AQE) — that regime needs
+    * [[colocationMeetings]]'s spreadFactor-style pair-space tiling, not
+    * a different radius.
+    *
     * @return (id_1, id_2, distance_m) with distance floored to whole
     *         meters, id_1 < id_2, distance ≤ radiusM
     */

@@ -150,6 +150,47 @@ object Replay {
       .select(col("doc_id"), col("text_hash"), col("is_first"), col("first_doc_id"))
   }
 
+  /** Replay [[StreamingDedup.dedup]] with a deterministic OUT-OF-ORDER
+    * feed (micro-batch p carries the docs with doc_id ≡ p mod chunks):
+    * the first-seen keeper is no longer the batch twin's global
+    * min(doc_id) — it is the smallest id in the EARLIEST batch that
+    * carries the hash, i.e. min by (doc_id mod chunks, doc_id). The
+    * divergence contract is that closed form (the oracle); audit mode so
+    * every duplicate row points at its keeper.
+    */
+  def dedupOutOfOrder(docs: DataFrame, chunks: Int = 4): DataFrame = {
+    require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect()
+    val batches: Seq[Seq[(Long, String)]] = (0 until chunks).map { p =>
+      rows.filter { case (i, _) => java.lang.Math.floorMod(i, chunks.toLong) == p }
+        .sortBy(_._1).toSeq
+    }
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val outDir = tmp("graft-replay-dooo-out")
+    val ckpt = tmp("graft-replay-dooo-ckpt")
+
+    drain(input, Seq.empty, 1, tail = batches) {
+      StreamingDedup.dedup(stream, idleHorizonMinutes = 0L, emitDuplicates = true)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingDedup.Emitted], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir, ckpt,
+        spark.emptyDataset[StreamingDedup.Emitted].toDF())
+      .select(col("doc_id"), col("text_hash"), col("is_first"), col("first_doc_id"))
+  }
+
   /** Replay [[StreamingQuota.quota]] over a bounded table in drop mode.
     * Rows arrive in (event-time, id) order, the regime where the
     * streaming admission provably matches [[StreamingQuota.quotaBatch]]

@@ -246,6 +246,17 @@ class ColocationSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)), got)
   }
 
+  test("trajectoryNearPairs: candidates meet through the cell equi-join — no cartesian") {
+    import spark.implicits._
+    val df = Seq((1L, Seq((-122.4, 47.6), (-122.39, 47.6005))),
+        (2L, Seq((-122.40, 47.6001), (-122.391, 47.6004))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("points"))
+    val plan = SpatialOps.trajectoryNearPairs(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("convoyPairs: consecutive band runs survive, interrupted contact does not") {
     import spark.implicits._
     val B = 7200000000L // 120-minute band in micros

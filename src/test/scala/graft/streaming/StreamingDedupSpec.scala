@@ -65,4 +65,23 @@ class StreamingDedupSpec extends SparkSpec {
       .select("keep_id").as[Long].collect().toSeq
     assert(batchKeeper == Seq(5L))
   }
+
+  test("out-of-order replay: keeper is min by (batch, id), not global min id") {
+    // hash groups: docs 0..7 share text "dup"; batch p = ids mod 4, so
+    // batch 0 = {0, 4}, and the keeper must be 0 anyway; docs {5, 2}
+    // share "two" -> batches 1 and 2: keeper is 5 (earlier BATCH), not
+    // the globally smaller 2 - the documented divergence from batch
+    val docs = Seq(
+      (0L, "dup"), (4L, "dup"),
+      (5L, "two"), (2L, "two"),
+      (7L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Replay.dedupOutOfOrder(docs, chunks = 4)
+      .select("doc_id", "is_first", "first_doc_id")
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(got == Set(
+      (0L, true, 0L), (4L, false, 0L),
+      (5L, true, 5L), (2L, false, 5L),
+      (7L, true, 7L)), got)
+  }
 }

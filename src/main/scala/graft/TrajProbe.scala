@@ -73,6 +73,13 @@ object TrajProbe {
       SpatialOps.distanceMatrixLinestrings(
         spread.filter(col("id") < 900000), "hausdorff").count()
     }
+    // PACKED geometry + pair-space tiling: the raw one-neighborhood
+    // layout that degenerated the untiled join (killed at 15 min) —
+    // spreadFactor g=8 splits each hot cell's quadratic output across
+    // 64 tiles, so the inherent 40.8M-pair volume at least parallelizes
+    t("packed_g8_300m") {
+      SpatialOps.trajectoryNearPairs(lines, radiusM = 300.0, spreadFactor = 8).count()
+    }
     spark.stop()
   }
 }

@@ -267,19 +267,26 @@ object SpatialOps {
     * Geometry contract (TrajProbe, SURVEY §6): banding separates what
     * geography separates. On a region-scale corpus it admits ~1/500 of
     * the pair space; when the WHOLE corpus shares one neighborhood the
-    * candidate join is inherently all-pairs squeezed through a few hot
-    * cells (skew in join OUTPUT, invisible to AQE) — that regime needs
-    * [[colocationMeetings]]'s spreadFactor-style pair-space tiling, not
-    * a different radius.
+    * candidate volume is inherently quadratic and squeezed through a
+    * few hot cells (skew in join OUTPUT, invisible to AQE). For that
+    * regime `spreadFactor` g tiles the PAIR space exactly like
+    * [[colocationMeetings]]: the a-side keys each row by its own
+    * hash-tile and replicates across the b-axis (and vice versa), so a
+    * monster cell's quadratic output splits across g² independent
+    * tasks at the price of ×g input replication. Output-identical
+    * (spec-pinned); deliberately not the default — at dispersed
+    * geometry the replication cannot pay.
     *
     * @return (id_1, id_2, distance_m) with distance floored to whole
     *         meters, id_1 < id_2, distance ≤ radiusM
     */
   def trajectoryNearPairs(tpls: DataFrame, radiusM: Double = 300.0,
                           cellMicroDeg: Long = 10000L, padMicroDeg: Long = 6000L,
-                          metric: String = "hausdorff"): DataFrame = {
+                          metric: String = "hausdorff", spreadFactor: Int = 1): DataFrame = {
     require(radiusM > 0 && cellMicroDeg > 0 && padMicroDeg >= 0,
       "radius/cell/pad must be sensible")
+    require(spreadFactor >= 1, s"spreadFactor must be >= 1, got $spreadFactor")
+    val g = spreadFactor.toLong
     val kernel = metric match {
       case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
         dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
@@ -302,22 +309,51 @@ object SpatialOps {
       .select(col("id"), col("points"),
         cellOf(col("_x0")).as("_cx0"), cellOf(col("_x1")).as("_cx1"),
         cellOf(col("_y0")).as("_cy0"), cellOf(col("_y1")).as("_cy1"))
-    def cells(p: String): DataFrame = bbox
-      .select(col("id").as(s"${p}_id"), col("points").as(s"${p}_pts"),
-        col("_cx0").as(s"${p}_cx0"), col("_cx1").as(s"${p}_cx1"),
-        col("_cy0").as(s"${p}_cy0"), col("_cy1").as(s"${p}_cy1"))
-      .withColumn("cx", explode(sequence(col(s"${p}_cx0"), col(s"${p}_cx1"))))
-      .withColumn("cy", explode(sequence(col(s"${p}_cy0"), col(s"${p}_cy1"))))
-      .drop(s"${p}_cx1", s"${p}_cy1")
-    val a = cells("a")
-    val b = cells("b")
-    a.join(b, Seq("cx", "cy"))
+    // the candidate join runs SKINNY — ids and cell ids only. Carrying
+    // the point arrays through the join was measured 10×+ slower on a
+    // hot-cell geometry: the pre-dedup join output is quadratic in the
+    // hot cell's occupancy, and every row would copy two 2×N-double
+    // payloads; instead points attach to the ~|survivor| id pairs via
+    // two hash joins against the line table afterwards.
+    def cells(p: String): DataFrame = {
+      val base = bbox
+        .select(col("id").as(s"${p}_id"),
+          col("_cx0").as(s"${p}_cx0"), col("_cx1").as(s"${p}_cx1"),
+          col("_cy0").as(s"${p}_cy0"), col("_cy1").as(s"${p}_cy1"))
+        .withColumn("cx", explode(sequence(col(s"${p}_cx0"), col(s"${p}_cx1"))))
+        .withColumn("cy", explode(sequence(col(s"${p}_cy0"), col(s"${p}_cy1"))))
+        .drop(s"${p}_cx1", s"${p}_cy1")
+      if (g == 1L) base
+      else {
+        val own = pmod(xxhash64(col(s"${p}_id")), lit(g))
+        if (p == "a")
+          base.withColumn("_ga", own).withColumn("_gb", explode(sequence(lit(0L), lit(g - 1L))))
+        else
+          base.withColumn("_gb", own).withColumn("_ga", explode(sequence(lit(0L), lit(g - 1L))))
+      }
+    }
+    val joinKeys = Seq("cx", "cy") ++ (if (g > 1L) Seq("_ga", "_gb") else Nil)
+    // repartition the probe side by the join keys: the cell tables are
+    // small enough to broadcast, and a broadcast join PIPELINES into the
+    // stream side's partitioning — if the line table arrived coalesced
+    // (AQE shrinks a small groupBy to 1 partition), the quadratic join
+    // output AND the kernel would run in one task (measured: a 40.8M-
+    // pair hot-cell probe pinned a single core for 38+ min). One skinny
+    // exchange buys kernel parallelism independent of upstream layout,
+    // and makes the tiling columns actually spread hot cells.
+    val candidates = cells("a").repartition(joinKeys.map(col): _*)
+      .join(cells("b"), joinKeys)
       .filter(col("a_id") < col("b_id"))
       // a pair sharing several cells is kept ONCE, at the element-wise
       // greatest of the two padded min-cells — in both ranges whenever
       // the bboxes overlap, so exactly one surviving row per pair
       .filter(col("cx") === greatest(col("a_cx0"), col("b_cx0")) &&
         col("cy") === greatest(col("a_cy0"), col("b_cy0")))
+      .select(col("a_id"), col("b_id"))
+    val pts = tpls.select(col("id"), col("points"))
+    candidates
+      .join(pts.select(col("id"), col("points").as("a_pts")), col("a_id") === col("id")).drop("id")
+      .join(pts.select(col("id"), col("points").as("b_pts")), col("b_id") === col("id")).drop("id")
       .withColumn("_d", kernel(col("a_pts"), col("b_pts")))
       .filter(col("_d") <= radiusM)
       .select(col("a_id").as("id_1"), col("b_id").as("id_2"),

@@ -244,6 +244,10 @@ class ColocationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == brute, s"banded $got vs brute $brute")
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)), got)
+    // pair-space tiling (the hot-neighborhood lever) is output-identical
+    val tiled = SpatialOps.trajectoryNearPairs(df, radiusM = 300.0, spreadFactor = 4)
+      .select("id_1", "id_2", "distance_m").as[(Long, Long, Long)].collect().toSet
+    assert(tiled == got, s"g=4 $tiled vs g=1 $got")
   }
 
   test("trajectoryNearPairs: candidates meet through the cell equi-join — no cartesian") {

@@ -1921,6 +1921,18 @@ object SparkEntry {
     "colocation_louvain" -> { (s, dir) =>
       SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4)
     },
+    // the synthetic contact graph is ~98% complete at sf0.1 (everyone
+    // meets everyone), so unrestricted triangle ENUMERATION is ~C(n,3)
+    // rows by construction — the gates certify on a 300-user subgraph
+    // (oracle filtered identically); real contact graphs are sparse
+    "colocation_clustering" -> { (s, dir) =>
+      SpatialOps.colocationClustering(Pipeline.colocationPairs(s, dir)
+        .filter(col("user_a") < 300 && col("user_b") < 300))
+    },
+    "colocation_transitivity" -> { (s, dir) =>
+      SpatialOps.colocationTransitivity(Pipeline.colocationPairs(s, dir)
+        .filter(col("user_a") < 300 && col("user_b") < 300))
+    },
     "colocation_assortativity" -> { (s, dir) =>
       SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir))
     },
@@ -5030,6 +5042,95 @@ object SparkEntry {
          |       CAST(qn.qn AS DOUBLE)
          |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
          |FROM cm, qn, tw""".stripMargin
+    },
+    // degree-ordered-orientation triangles: each triangle enumerated
+    // once from its (degree, id)-smallest vertex; local_cc = 2T/(d(d-1))
+    "colocation_clustering" -> {
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.user_id < 300 AND b.user_id < 300
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |deg AS MATERIALIZED (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT ua AS n FROM prs UNION ALL SELECT ub FROM prs) GROUP BY n),
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN p.ua ELSE p.ub END AS s,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN p.ub ELSE p.ua END AS t,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN dv.d ELSE du.d END AS dt
+         |  FROM prs p JOIN deg du ON p.ua = du.n JOIN deg dv ON p.ub = dv.n),
+         |tr AS (
+         |  SELECT w1.s AS x, w1.t AS y, w2.t AS z
+         |  FROM o w1 JOIN o w2 ON w1.s = w2.s
+         |  WHERE (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+         |    AND EXISTS (SELECT 1 FROM o e WHERE e.s = w1.t AND e.t = w2.t)),
+         |pn AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |    SELECT x AS n FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
+         |  GROUP BY n)
+         |SELECT deg.n AS user_id, deg.d AS degree,
+         |       CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |       2.0 * coalesce(pn.n_triangles, 0)
+         |         / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)) AS local_cc
+         |FROM deg LEFT JOIN pn ON deg.n = pn.n WHERE deg.d >= 2""".stripMargin
+    },
+    "colocation_transitivity" -> {
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.user_id < 300 AND b.user_id < 300
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |deg AS MATERIALIZED (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT ua AS n FROM prs UNION ALL SELECT ub FROM prs) GROUP BY n),
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN p.ua ELSE p.ub END AS s,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN p.ub ELSE p.ua END AS t,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.ua < p.ub) THEN dv.d ELSE du.d END AS dt
+         |  FROM prs p JOIN deg du ON p.ua = du.n JOIN deg dv ON p.ub = dv.n),
+         |tc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM o w1 JOIN o w2 ON w1.s = w2.s
+         |  WHERE (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+         |    AND EXISTS (SELECT 1 FROM o e WHERE e.s = w1.t AND e.t = w2.t)),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT st.n_nodes, st.n_edges, st.n_wedges, tc.n_triangles,
+         |       CASE WHEN st.n_wedges > 0
+         |            THEN 3.0 * tc.n_triangles / CAST(st.n_wedges AS DOUBLE)
+         |            ELSE 0.0 END AS global_cc
+         |FROM st, tc""".stripMargin
     },
     // semi-synchronous one-level Louvain (two-coloring schedule: round r
     // moves only nodes with id ≡ r mod 2): a mover joins the candidate

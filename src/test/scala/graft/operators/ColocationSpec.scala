@@ -210,6 +210,29 @@ class ColocationSpec extends SparkSpec {
     assert(got(2L)._4 == qLpa)
   }
 
+  test("clustering: triangle+pendant gives exact local and global coefficients") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 on 3: degrees 2,2,3,1;
+    // wedges = 1+1+3+0 = 5, triangles = 1, global C = 3/5
+    val pairs = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val local = SpatialOps.colocationClustering(pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(local.keySet == Set(1L, 2L, 3L), local.keySet) // degree-1 node 4 drops
+    assert(local(1L) == ((2L, 1L, 1.0)))
+    assert(local(2L) == ((2L, 1L, 1.0)))
+    assert(local(3L) == ((3L, 1L, 1.0 / 3.0)))
+    val g = SpatialOps.colocationTransitivity(pairs)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(g == ((4L, 4L, 5L, 1L, 0.6)), g)
+    // a 4-clique: every node cc = 1, global = 1 (4 triangles, 12 wedges)
+    val k4 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val gk = SpatialOps.colocationTransitivity(k4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(gk == ((4L, 6L, 12L, 4L, 1.0)), gk)
+  }
+
   test("assortativity: star graph reads exactly -1, path graph exactly -0.5") {
     import spark.implicits._
     val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L))

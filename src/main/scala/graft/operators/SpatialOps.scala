@@ -351,7 +351,15 @@ object SpatialOps {
         col("cy") === greatest(col("a_cy0"), col("b_cy0")))
       .select(col("a_id"), col("b_id"))
     val pts = tpls.select(col("id"), col("points"))
-    candidates
+    // round-robin the SKINNY survivor pairs before the kernel: candidate
+    // volume per (cell, tile) is as skewed as the geometry, and the
+    // point-attach joins broadcast — i.e. the expensive kernel inherits
+    // whatever imbalance the candidate join left. One ~16-byte/row
+    // exchange spreads kernel calls exactly evenly (probe: packed g=8
+    // used ~2.4 of 32 cores without it)
+    val spreadCandidates = candidates
+      .repartition(tpls.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    spreadCandidates
       .join(pts.select(col("id"), col("points").as("a_pts")), col("a_id") === col("id")).drop("id")
       .join(pts.select(col("id"), col("points").as("b_pts")), col("b_id") === col("id")).drop("id")
       .withColumn("_d", kernel(col("a_pts"), col("b_pts")))

@@ -2161,6 +2161,9 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
     },
+    "dedup_template" -> { (s, dir) =>
+      Dedup.templateDedup(s.read.parquet(s"$dir/documents.parquet"))
+    },
     "dedup_minhash" -> { (s, dir) =>
       Pipeline.minhashPairs(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -5359,6 +5362,20 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // template-skeleton collapse: casefold, digit runs -> 0, ASCII
+    // punctuation -> space, whitespace collapsed (explicit [ \t\n\r]
+    // class -- Java \s and RE2 \s disagree on \x0B)
+    "dedup_template" ->
+      """WITH sk AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |           '[0-9]+', '0', 'g'), '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |           '[ \t\n\r]+', ' ', 'g')) AS sk
+        |  FROM documents)
+        |SELECT md5(sk) AS skeleton_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_variants
+        |FROM sk GROUP BY md5(sk)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3

@@ -23,6 +23,39 @@ object Dedup {
       .groupBy(col("_h").as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Template-skeleton dedup — the instruction/synthetic-data variant of
+    * [[exact]] (the FLAN-style collapse: thousands of "What is 17 + 25?"
+    * rows are ONE template): documents group by a normalized skeleton —
+    * casefolded, every digit run masked to `0`, punctuation replaced by
+    * SPACES (a separator, so "3+999" and "3 + 999" collapse
+    * identically), whitespace collapsed — so rows differing only in
+    * numbers, case or spacing dedup together while genuinely different
+    * templates stay apart.
+    *
+    * The normalization chain is four deterministic regexp/casefold steps
+    * with the SAME semantics in any engine (no backreferences, no
+    * locale-dependent classes — ASCII classes only, the urlCanonicalize
+    * convention). One hash groupBy, map-side combinable; the keeper is
+    * min(id), the [[exact]] convention.
+    *
+    * @return (skeleton_hash, keep_id, n_docs, n_variants) per template,
+    *         n_variants = distinct surface forms collapsed into it
+    */
+  def templateDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val skeleton =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col(textCol)), "[0-9]+", "0"),
+          "[!-/:-@\\[-`{-~]", " "),
+        "[ \\t\\n\\r]+", " ")
+    docs
+      .withColumn("_sk", trim(skeleton))
+      .groupBy(md5(col("_sk")).as("skeleton_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col(textCol)).cast("long").as("n_variants"))
+  }
+
   /** Word shingles (n-grams joined by space), distinct per doc — a
     * native codegen expression ([[graft.plans.WordShingles]]); the
     * composed `array_distinct(transform(sequence(...), ...))` form is a

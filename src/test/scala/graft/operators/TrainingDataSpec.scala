@@ -21,6 +21,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("template dedup collapses number/case/punct/space variants, keeps templates apart") {
+    val t = Seq(
+      (10L, "What is 17 + 25?"),
+      (11L, "what is 3+999 ?"),         // digits, case, spacing → same skeleton
+      (12L, "What  is\t42 +\n7?"),      // mixed whitespace → same skeleton
+      (13L, "What is the capital of France?"),  // different template
+      (14L, "what is the capital of france")    // same as 13 modulo case/punct
+    ).toDF("doc_id", "text")
+    val out = Dedup.templateDedup(t).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // two skeletons: "what is 0 0" (3 docs, 3 distinct surfaces) and
+    // "what is the capital of france" (2 docs, 2 surfaces)
+    assert(out == Map(10L -> ((3L, 3L)), 13L -> ((2L, 2L))), out)
+  }
+
   test("minhash LSH surfaces the near-duplicate pair with high jaccard") {
     val pairs = Dedup.minHashLsh(docs, verifyThreshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect()

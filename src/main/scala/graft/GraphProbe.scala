@@ -59,7 +59,6 @@ object GraphProbe {
     def headroom(tag: String, out: DataFrame): Unit = {
       val r = out.agg(max(col("degree_sum")).as("dmax"), max(col("w_in")).as("wmax"),
           count(lit(1)).as("nc")).collect()(0)
-      val w = pairs1.sparkSession.emptyDataFrame // placeholder, W printed below
       println(s"[probe] $tag: communities=${r.getLong(2)} max_degree_sum=${r.getLong(0)} " +
         s"max_w_in=${r.getLong(1)}")
     }

@@ -2999,8 +2999,9 @@ object SparkEntry {
     "week_heatmap" -> { (s, dir) =>
       val ev = EventsAdapter.events(s, dir)
       ev.groupBy(
-          expr("(t_us div 86400000000 + 3) % 7").as("weekday"), // epoch day 0 = Thursday
-          expr("(t_us div 3600000000) % 24").as("hour"))
+          // floor-mod form (negative-safe); epoch day 0 = Thursday, +3 → Monday 0
+          expr("(pmod(t_us, 604800000000L) div 86400000000L + 3) % 7").as("weekday"),
+          expr("pmod(t_us, 86400000000L) div 3600000000L").as("hour"))
         .agg(count(lit(1)).cast("long").as("n_events"))
     },
     "q4_priority" -> { (s, dir) =>
@@ -3920,8 +3921,10 @@ object SparkEntry {
          |  FROM rep r JOIN spk k ON k.sid = r.sid),
          |vis AS (
          |  SELECT user_id, rep,
-         |         CAST((a_t // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
-         |         CAST((a_t // 3600000000) % 24 AS BIGINT) AS hour
+         |         CAST((((a_t % 604800000000 + 604800000000) % 604800000000)
+         |               // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
+         |         CAST(((a_t % 86400000000 + 86400000000) % 86400000000)
+         |              // 3600000000 AS BIGINT) AS hour
          |  FROM rt),
          |c AS (
          |  SELECT user_id, weekday, hour, rep, count(*) AS c
@@ -4499,7 +4502,9 @@ object SparkEntry {
     // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
     "circadian_profile" ->
       """WITH c AS (
-        |  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  SELECT user_id,
+        |         ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)
+        |           // 3600000000 AS hour,
         |         CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
         |m AS (
@@ -4778,8 +4783,10 @@ object SparkEntry {
     // hour-of-week load heatmap: pure epoch arithmetic (epoch day 0 =
     // Thursday, +3 makes Monday 0)
     "week_heatmap" ->
-      """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
-        |       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+      """SELECT CAST((((epoch_us(ts) % 604800000000 + 604800000000) % 604800000000)
+        |             // 86400000000 + 3) % 7 AS BIGINT) AS weekday,
+        |       CAST(((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)
+        |            // 3600000000 AS BIGINT) AS hour,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
     // TPC-H Q4 shape: order-priority counts gated by a lineitem

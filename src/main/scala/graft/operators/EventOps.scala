@@ -336,7 +336,10 @@ object EventOps {
                        userCol: String = "user_id"): DataFrame = {
     val dec = "decimal(38,0)"
     events
-      .withColumn("_hour", expr(s"($tsCol div 3600000000L) % 24"))
+      // pmod-to-day-micros then integral divide: `(t div H) % 24` yields
+      // negative buckets for pre-epoch stamps (hourlyProfile's documented
+      // wrap); floorDiv(t,H) mod 24 == pmod(t, 24H) div H for all longs.
+      .withColumn("_hour", expr(s"(pmod($tsCol, 86400000000L) div 3600000000L)"))
       .groupBy(col(userCol), col("_hour"))
       .agg(count(lit(1)).cast("long").as("_c"))
       .groupBy(col(userCol))

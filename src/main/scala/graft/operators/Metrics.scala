@@ -562,8 +562,11 @@ object Metrics {
   def regularityCurve(spLoc: DataFrame): DataFrame = {
     val vis = spLoc.filter(col("location_id").isNotNull)
       .select(col("user_id"), col("location_id"),
-        expr("(unix_micros(started_at) div 86400000000 + 3) % 7").as("weekday"),
-        expr("(unix_micros(started_at) div 3600000000) % 24").as("hour"))
+        // floor-mod, not truncating div: `(t div H) % 24` yields negative
+        // buckets pre-epoch; pmod(t, 24H) div H == floorDiv(t,H) mod 24
+        // for all longs (week period 604800000000 µs for the weekday)
+        expr("(pmod(unix_micros(started_at), 604800000000L) div 86400000000L + 3) % 7").as("weekday"),
+        expr("pmod(unix_micros(started_at), 86400000000L) div 3600000000L").as("hour"))
     vis.groupBy(col("user_id"), col("weekday"), col("hour"), col("location_id"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("user_id"), col("weekday"), col("hour"))

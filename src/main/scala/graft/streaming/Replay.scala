@@ -64,6 +64,13 @@ object Replay {
     * checkpoint truncates the parquet lineage so the files can go), then
     * delete BOTH temp dirs — the gates run once per correctness/bench/
     * lint pass, so leaked dirs would accumulate across rounds.
+    *
+    * @note local-mode-only by design: deleting the parquet under an
+    *       eager localCheckpoint means the result is unrecoverable if
+    *       checkpoint blocks are lost (executor loss / memory pressure)
+    *       and must fit in block-manager storage. That is the right
+    *       trade for these single-JVM dev/bench gates; a cluster replay
+    *       harness would defer the delete until the consumer drains.
     */
   private def readBack(spark: SparkSession, dir: String, ckpt: String,
                        empty: => DataFrame): DataFrame = {

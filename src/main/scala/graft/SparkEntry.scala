@@ -817,7 +817,8 @@ object SparkEntry {
   /** Shared CTE chain: staypoint segments (recursive anchor jump) as
     * `kept(u, a, a_t, f_t, mend)` — see [[staypointsOracle]].
     */
-  private def staypointSegmentsCte(distM: Double, timeUs: Long): String = {
+  private def staypointSegmentsCte(distM: Double, timeUs: Long,
+                                   pfsWhere: String = ""): String = {
     val breach =
       s"""(SELECT min(f2.kk) FROM fx f2, fx f1
          |      WHERE f2.user_id = an.u AND f1.user_id = an.u AND f1.kk = an.a
@@ -826,7 +827,7 @@ object SparkEntry {
        |fx AS (
        |  SELECT user_id, t_us, lon, lat,
        |         row_number() OVER (PARTITION BY user_id ORDER BY t_us, id) - 1 AS kk
-       |  FROM pfs),
+       |  FROM pfs $pfsWhere),
        |anchors(u, a) AS (
        |  SELECT user_id, 0 FROM fx WHERE kk = 0
        |  UNION ALL
@@ -1649,16 +1650,35 @@ object SparkEntry {
     // deterministic micro-batch replay (graft.streaming.Replay) — the
     // driver-visible certification of the keyed-state operators; oracles
     // are the batch-equivalent SQL the parity specs assert against
+    // the slice treatment (r10 verdict #2, same rationale as
+    // streaming_colocation): each replay gate certifies keyed-state
+    // TRANSITIONS, which a deterministic residue-class slice exercises
+    // identically at a fraction of the micro-batch/state-store wall
+    // clock. Oracles are filtered identically; ReplaySpec separately
+    // pins chunking invariance and full-table batch parity.
     "streaming_sessionize" -> { (s, dir) =>
-      graft.streaming.Replay.sessionize(EventsAdapter.events(s, dir), gapMinutes = 30.0,
-        chunks = 8)
+      // per-user keyed state → a user slice keeps whole state machines
+      graft.streaming.Replay.sessionize(
+        EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(8)) === 0),
+        gapMinutes = 30.0, chunks = 3)
     },
     "streaming_dedup" -> { (s, dir) =>
-      graft.streaming.Replay.dedup(s.read.parquet(s"$dir/documents.parquet"), chunks = 8)
+      // keyed by text_hash → slice on the HASH residue so duplicate
+      // groups survive intact (a doc_id slice would scatter them); mod 2
+      // keeps 5 of the corpus's 8 sf0.1 dup rows in-gate, and the wall
+      // clock is governed by the chunk count, not the row count
+      graft.streaming.Replay.dedup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(pmod(graft.functions.PortableHash.h60(col("text")), lit(2)) === 0),
+        chunks = 3)
     },
     "streaming_quota" -> { (s, dir) =>
-      graft.streaming.Replay.quota(EventsAdapter.events(s, dir), quotaN = 5L,
-        windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us")
+      // keyed by (event_type, window) → a user slice thins each window's
+      // arrival stream uniformly; admission order stays (t, id)
+      graft.streaming.Replay.quota(
+        EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 0),
+        quotaN = 5L, windowMinutes = 60L, groupCol = "event_type",
+        idCol = "event_id", timeCol = "t_us", chunks = 3)
     },
     "streaming_dedup_late" -> { (s, dir) =>
       graft.streaming.Replay.dedupOutOfOrder(s.read.parquet(s"$dir/documents.parquet"),
@@ -1682,12 +1702,16 @@ object SparkEntry {
         chunks = 3)
     },
     "streaming_staypoints" -> { (s, dir) =>
-      graft.streaming.Replay.staypoints(EventsAdapter.positionfixes(s, dir),
+      // per-user keyed state; the per-user fix index k is derived BEFORE
+      // the slice, so kept users' sequences are bit-identical to the
+      // full-table replay's
+      graft.streaming.Replay.staypoints(
+        EventsAdapter.positionfixes(s, dir).filter(pmod(col("user_id"), lit(8)) === 0),
         graft.streaming.StreamingStaypoints.Params(
           distThresholdMeters = Pipeline.staypointParams.distThresholdMeters,
           timeThresholdMinutes = Pipeline.staypointParams.timeThresholdMinutes,
           gapThresholdMinutes = Pipeline.staypointParams.gapThresholdMinutes),
-        chunks = 8)
+        chunks = 3)
     },
     "session_length_hist" -> { (s, dir) =>
       EventOps.sessionLengthHistogram(
@@ -3320,15 +3344,16 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
-        |  FROM events)
+        |  FROM events WHERE user_id % 8 = 0)
         |SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM t""".stripMargin,
     "streaming_dedup" ->
-      s"""WITH h AS (
+      s"""WITH h0 AS (
          |  SELECT doc_id, ${graft.functions.PortableHash.h60Sql("text")} AS text_hash
-         |  FROM documents)
+         |  FROM documents),
+         |h AS (SELECT * FROM h0 WHERE text_hash % 2 = 0)
          |SELECT doc_id, text_hash,
          |       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_first,
          |       min(doc_id) OVER (PARTITION BY text_hash) AS first_doc_id
@@ -3353,7 +3378,7 @@ object SparkEntry {
       """WITH q AS (
         |  SELECT event_type AS grp, event_id AS doc_id, epoch_us(ts) AS t,
         |         epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws
-        |  FROM events),
+        |  FROM events WHERE user_id % 4 = 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY grp, ws ORDER BY t, doc_id) AS rn
         |      FROM q)
         |SELECT grp, doc_id, CAST(ws AS BIGINT) AS window_start_us,
@@ -3401,7 +3426,8 @@ object SparkEntry {
     "streaming_staypoints" -> withMaterializedCtes(
       s"""${staypointSegmentsCte(
              distM = Pipeline.staypointParams.distThresholdMeters,
-             timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong)}
+             timeUs = (Pipeline.staypointParams.timeThresholdMinutes * 60e6).toLong,
+             pfsWhere = "WHERE user_id % 8 = 0")}
          |SELECT u AS user_id, a_t AS s_us, f_t AS f_us,
          |       CAST(mend - a + 1 AS BIGINT) AS n_pfs
          |FROM kept""".stripMargin),

@@ -40,7 +40,18 @@ object Replay {
     */
   private def drain[T](input: MemoryStream[T], rows: Seq[T], chunks: Int,
                        tail: Seq[Seq[T]] = Nil)(start: => StreamingQuery): Unit = {
-    val q = start
+    // Replay volumes are bounded (residue-class slices of test tables),
+    // but every micro-batch commits one state store PER shuffle partition
+    // (×2 sides for stream-stream joins) — at the session's 32 partitions
+    // that's pure file-IO overhead, ~2/3 of the colocation gate's wall
+    // clock. Pin the streaming plan to 4 partitions for the replay (the
+    // conf is read at query start, below) and restore after. Key-hash
+    // state partitioning is semantics-free: same transitions, same rows
+    // (ReplaySpec pins chunking/partitioning invariance).
+    val session = input.toDS().sparkSession
+    val prev = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = try start finally session.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
       (rows.grouped(per) ++ tail.iterator.filter(_.nonEmpty)).foreach { chunk =>

@@ -814,6 +814,41 @@ object SparkEntry {
        |       lon_sum_e6, lat_sum_e6, CAST(n_uniq AS BIGINT) AS n_uniq
        |FROM cent""".stripMargin
 
+  /** One unrolled semi-synchronous Louvain pass as CTEs
+    * `${pre}m0..${pre}m$rounds` over symmetric `$edges(u, dst, w)` and
+    * `$degl(u, k)` (k MAY carry collapsed self-loop weight ×2 — the
+    * level-2 supergraph convention; `tw(W)` must be in scope). Mirrors
+    * SpatialOps.louvainPass exactly: candidate communities = neighbor
+    * labels + own, exact HUGEINT gain 2W·k_in − k·Σtot(c∖u),
+    * (gain desc, cand) argmax, parity-class move schedule.
+    */
+  private def louvainPassCtes(pre: String, edges: String, degl: String,
+                              rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""${pre}ct$i AS (
+         |  SELECT m.c AS cand, CAST(sum(d.k) AS BIGINT) AS ctot
+         |  FROM ${pre}m${i - 1} m JOIN $degl d ON m.n = d.u GROUP BY 1),
+         |${pre}cd$i AS (
+         |  SELECT u, cand, CAST(sum(w) AS BIGINT) AS k_in FROM (
+         |    SELECT e.u, m.c AS cand, e.w FROM $edges e JOIN ${pre}m${i - 1} m ON m.n = e.dst
+         |    UNION ALL SELECT n AS u, c AS cand, 0 AS w FROM ${pre}m${i - 1})
+         |  GROUP BY 1, 2),
+         |${pre}sc$i AS (
+         |  SELECT cd.u, cd.cand,
+         |         2 * CAST(tw.W AS HUGEINT) * cd.k_in
+         |           - CAST(d.k AS HUGEINT)
+         |             * (ct.ctot - CASE WHEN cd.cand = m.c THEN d.k ELSE 0 END) AS gain
+         |  FROM ${pre}cd$i cd JOIN ${pre}m${i - 1} m ON cd.u = m.n JOIN $degl d ON cd.u = d.u
+         |  JOIN ${pre}ct$i ct ON cd.cand = ct.cand CROSS JOIN tw),
+         |${pre}m$i AS (
+         |  SELECT m.n,
+         |         CASE WHEN m.n % 2 = ${i % 2} THEN b.cand ELSE m.c END AS c
+         |  FROM ${pre}m${i - 1} m JOIN (
+         |    SELECT u, cand FROM (
+         |      SELECT u, cand, row_number() OVER (PARTITION BY u ORDER BY gain DESC, cand) AS rn
+         |      FROM ${pre}sc$i) t WHERE rn = 1) b ON m.n = b.u)""".stripMargin
+    }.mkString(",\n")
+
   /** Shared CTE chain: staypoint segments (recursive anchor jump) as
     * `kept(u, a, a_t, f_t, mend)` — see [[staypointsOracle]].
     */
@@ -1945,6 +1980,10 @@ object SparkEntry {
     "colocation_louvain" -> { (s, dir) =>
       SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4)
     },
+    "colocation_louvain_l2" -> { (s, dir) =>
+      SpatialOps.colocationLouvainL2(Pipeline.colocationPairs(s, dir),
+        rounds = 4, rounds2 = 4)
+    },
     // the synthetic contact graph is ~98% complete at sf0.1 (everyone
     // meets everyone), so unrestricted triangle ENUMERATION is ~C(n,3)
     // rows by construction — the gates certify on a 300-user subgraph
@@ -2717,6 +2756,21 @@ object SparkEntry {
         .select(col("step"), col("lhs"), col("rhs")).collect()
         .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, learned)
+    },
+    // trained-tokenizer fairness card: one global merge table, per-lang
+    // tokens per 100 chars (Petrov et al. 2023)
+    "tokenizer_compression" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
+        .select(col("step"), col("lhs"), col("rhs")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerCompressionCard(docs, TextAnalysis.bpeEncode(docs, learned))
+    },
+    // exact >= 40-char shared-substring pairs (Lee et al. 2022
+    // ExactSubstr, document granularity; raw-string gram join, df-capped)
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.substringPairs(s.read.parquet(s"$dir/documents.parquet"),
+        minLen = 40, maxDf = 100)
     },
     // 4:1:1:1 en/de/fr/es target; zh is outside the target and drops.
     // en is the scarcest per weight, so it survives in full.
@@ -5173,30 +5227,7 @@ object SparkEntry {
     // community (neighbors' + own) with the greatest exact integer gain
     // 2W·k_in − k_u·Σtot(c∖u), ties to the smallest id
     "colocation_louvain" -> {
-      val louvainCtes = (1 to 4).map { i =>
-        s"""ct$i AS (
-           |  SELECT m.c AS cand, CAST(sum(d.k) AS BIGINT) AS ctot
-           |  FROM m${i - 1} m JOIN degl d ON m.n = d.u GROUP BY 1),
-           |cd$i AS (
-           |  SELECT u, cand, CAST(sum(w) AS BIGINT) AS k_in FROM (
-           |    SELECT e.u, m.c AS cand, e.w FROM edges e JOIN m${i - 1} m ON m.n = e.dst
-           |    UNION ALL SELECT n AS u, c AS cand, 0 AS w FROM m${i - 1})
-           |  GROUP BY 1, 2),
-           |sc$i AS (
-           |  SELECT cd.u, cd.cand,
-           |         2 * CAST(tw.W AS HUGEINT) * cd.k_in
-           |           - CAST(d.k AS HUGEINT)
-           |             * (ct.ctot - CASE WHEN cd.cand = m.c THEN d.k ELSE 0 END) AS gain
-           |  FROM cd$i cd JOIN m${i - 1} m ON cd.u = m.n JOIN degl d ON cd.u = d.u
-           |  JOIN ct$i ct ON cd.cand = ct.cand CROSS JOIN tw),
-           |m$i AS (
-           |  SELECT m.n,
-           |         CASE WHEN m.n % 2 = ${i % 2} THEN b.cand ELSE m.c END AS c
-           |  FROM m${i - 1} m JOIN (
-           |    SELECT u, cand FROM (
-           |      SELECT u, cand, row_number() OVER (PARTITION BY u ORDER BY gain DESC, cand) AS rn
-           |      FROM sc$i) t WHERE rn = 1) b ON m.n = b.u)""".stripMargin
-      }.mkString(",\n")
+      val louvainCtes = louvainPassCtes("", "edges", "degl", 4)
       s"""${EventsAdapter.pfsSql},
          |cells AS MATERIALIZED (
          |  SELECT user_id, s_us, f_us,
@@ -5231,6 +5262,119 @@ object SparkEntry {
          |  SELECT m4.c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
          |         CAST(sum(d.k) AS BIGINT) AS degree_sum
          |  FROM degl d JOIN m4 ON m4.n = d.u GROUP BY 1),
+         |cm AS (
+         |  SELECT dc.community, dc.n_nodes, CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_in,
+         |         dc.degree_sum
+         |  FROM dc LEFT JOIN wc USING (community)),
+         |qn AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * cm.w_in
+         |             - CAST(cm.degree_sum AS HUGEINT) * cm.degree_sum) AS qn
+         |  FROM cm, tw)
+         |SELECT cm.community, cm.n_nodes, cm.w_in, cm.degree_sum,
+         |       CAST(qn.qn AS DOUBLE)
+         |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
+         |FROM cm, qn, tw""".stripMargin
+    },
+    // two-level Louvain: level-1 pass (m0..m4), supernode collapse to
+    // DENSE-RANK ids (level-1 winner labels are parity-biased and would
+    // degenerate the two-coloring schedule; intra weight → self-loop
+    // counted ×2 in the supernode degree, never in k_in; W invariant),
+    // level-2 pass (sm0..sm4) on the collapsed graph, exact-integer
+    // monotone guard (keep level 1 unless the composed Q numerator
+    // strictly improves), stats on the ORIGINAL graph
+    "colocation_louvain_l2" -> {
+      val l1 = louvainPassCtes("", "edges", "degl", 4)
+      val l2 = louvainPassCtes("s", "sedges", "sdegl", 4)
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS u, ua AS dst, w FROM prs),
+         |degl AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS k FROM edges GROUP BY u),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM prs),
+         |m0 AS (SELECT u AS n, u AS c FROM degl),
+         |$l1,
+         |rnk AS MATERIALIZED (
+         |  SELECT c AS u0, row_number() OVER (ORDER BY c) - 1 AS r
+         |  FROM (SELECT DISTINCT c FROM m4)),
+         |sprs AS MATERIALIZED (
+         |  SELECT least(ra.r, rb.r) AS ua, greatest(ra.r, rb.r) AS ub,
+         |         CAST(sum(p.w) AS BIGINT) AS w
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  JOIN rnk ra ON ra.u0 = la.c JOIN rnk rb ON rb.u0 = lb.c
+         |  WHERE la.c <> lb.c GROUP BY 1, 2),
+         |sself AS (
+         |  SELECT ra.r AS u, CAST(sum(p.w) AS BIGINT) AS wself
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  JOIN rnk ra ON ra.u0 = la.c
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |sedges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS dst, w FROM sprs
+         |  UNION ALL SELECT ub AS u, ua AS dst, w FROM sprs),
+         |sdegl AS MATERIALIZED (
+         |  SELECT sn.u,
+         |         CAST(coalesce(se.k, 0) + 2 * coalesce(ss.wself, 0) AS BIGINT) AS k
+         |  FROM (SELECT r AS u FROM rnk) sn
+         |  LEFT JOIN (SELECT u, sum(w) AS k FROM sedges GROUP BY u) se ON se.u = sn.u
+         |  LEFT JOIN sself ss ON ss.u = sn.u),
+         |sm0 AS (SELECT u AS n, u AS c FROM sdegl),
+         |$l2,
+         |comp AS MATERIALIZED (
+         |  SELECT m4.n, rb.u0 AS c
+         |  FROM m4 JOIN rnk ra ON ra.u0 = m4.c
+         |  JOIN sm4 ON sm4.n = ra.r
+         |  JOIN rnk rb ON rb.r = sm4.c),
+         |wc1 AS (
+         |  SELECT la.c AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |dc1 AS (
+         |  SELECT m4.c AS community, CAST(sum(d.k) AS BIGINT) AS degree_sum
+         |  FROM degl d JOIN m4 ON m4.n = d.u GROUP BY 1),
+         |qn1 AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * coalesce(wc1.w_in, 0)
+         |             - CAST(dc1.degree_sum AS HUGEINT) * dc1.degree_sum) AS qn
+         |  FROM dc1 LEFT JOIN wc1 USING (community), tw),
+         |wc2 AS (
+         |  SELECT la.c AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN comp la ON la.n = p.ua JOIN comp lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |dc2 AS (
+         |  SELECT comp.c AS community, CAST(sum(d.k) AS BIGINT) AS degree_sum
+         |  FROM degl d JOIN comp ON comp.n = d.u GROUP BY 1),
+         |qn2 AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * coalesce(wc2.w_in, 0)
+         |             - CAST(dc2.degree_sum AS HUGEINT) * dc2.degree_sum) AS qn
+         |  FROM dc2 LEFT JOIN wc2 USING (community), tw),
+         |flab AS MATERIALIZED (
+         |  SELECT n, c FROM comp WHERE (SELECT qn FROM qn2) > (SELECT qn FROM qn1)
+         |  UNION ALL
+         |  SELECT n, c FROM m4 WHERE NOT ((SELECT qn FROM qn2) > (SELECT qn FROM qn1))),
+         |wc AS (
+         |  SELECT la.c AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN flab la ON la.n = p.ua JOIN flab lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |dc AS (
+         |  SELECT flab.c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d.k) AS BIGINT) AS degree_sum
+         |  FROM degl d JOIN flab ON flab.n = d.u GROUP BY 1),
          |cm AS (
          |  SELECT dc.community, dc.n_nodes, CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_in,
          |         dc.degree_sum
@@ -6843,6 +6987,41 @@ object SparkEntry {
       pqIters = 2, subWidth = 16, nprobe = 2, probeMax = 10, k = 5),
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
+    // per-language compression over the SAME trained merge chain: the
+    // encode join grouped by the documents' lang column
+    "tokenizer_compression" ->
+      s"""WITH ${bpeCtes(8)},
+         |enc AS (
+         |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(string_split(trim(b.sym), ' '))) AS BIGINT) AS n_bpe_tokens
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+         |  JOIN bw8 b ON d.w = b.w
+         |  WHERE len(d.w) > 0
+         |  GROUP BY d.doc_id)
+         |SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(doc.text)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(enc.n_words) AS BIGINT) AS sum_words,
+         |       CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+         |       100.0 * CAST(sum(enc.n_bpe_tokens) AS DOUBLE)
+         |         / CAST(sum(length(doc.text)) AS DOUBLE) AS bpe_per_100_chars,
+         |       CAST(sum(length(doc.text)) AS DOUBLE)
+         |         / CAST(sum(enc.n_bpe_tokens) AS DOUBLE) AS chars_per_bpe_token
+         |FROM documents doc JOIN enc ON doc.doc_id = enc.doc_id
+         |GROUP BY doc.lang""".stripMargin,
+    // exact-substring pair detection: unnest every 40-char gram, dedup
+    // per doc, df-cap [2, 100], raw-string gram self-join
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([substring(text, i, 40) for i in range(1, length(text) - 38)]) AS gram
+        |  FROM documents WHERE length(text) >= 40),
+        |d AS (SELECT DISTINCT doc_id, gram FROM g),
+        |f AS (SELECT gram FROM d GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+        |k AS (SELECT d.doc_id, d.gram FROM d JOIN f USING (gram))
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |       CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM k a JOIN k b USING (gram)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // the fused per-word symbol streams (bw8.sym) re-joined onto the word
     // sequence with positions; parallel unnests zip in DuckDB
     "bpe_export" ->

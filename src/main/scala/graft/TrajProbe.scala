@@ -63,9 +63,10 @@ object TrajProbe {
     t("near_pairs_dispersed") {
       SpatialOps.trajectoryNearPairs(spread, radiusM = 300.0).count()
     }
-    // candidate volume the band admits on the dispersed geometry
+    // candidate volume the band admits on the dispersed geometry (the
+    // 300 m / 66° derived pad — same envelope the near-pair gate pays)
     t("candidates_dispersed") {
-      SpatialOps.trajectoryNearPairs(spread, radiusM = 1e9).count()
+      SpatialOps.trajectoryBandCandidates(spread, 10000L, 6634L, 1).count()
     }
     // all-pairs kernel slice (900 lines ≈ 404k pairs) to price brute
     // force per pair at the same kernel

@@ -624,6 +624,51 @@ object Dedup {
     *
     * @return (doc_id, n_words, n_removed, text_deduped)
     */
+  /** Exact shared-substring pair detection at document granularity —
+    * the document-level view of ExactSubstr dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §4.1):
+    * two documents are flagged iff they share an exact CHARACTER
+    * substring of length ≥ `minLen`, which holds iff they share an
+    * exact `minLen`-gram — so detection is lossless, not approximate
+    * ([[dedupSpans]]'s word-n-gram hashes serve the span-REMOVAL side;
+    * this is the exact pair-detection side, and a shared run of length
+    * R contributes exactly R − minLen + 1 grams to `n_shared_grams`).
+    * Grams are grouped by their RAW STRING, not a hash — no collision
+    * caveat anywhere.
+    *
+    * Scale shape: per doc ≤ |text| exploded grams, deduped per doc,
+    * then one gram equi-join. The quadratic risk is boilerplate grams
+    * shared by thousands of docs (a df-d gram emits d² pair rows):
+    * `maxDf` drops grams above the document-frequency cap BEFORE
+    * pairing — the standard boilerplate guard (a gram in >maxDf docs
+    * is template noise, not duplication evidence), and df=1 grams
+    * never enter the join at all.
+    *
+    * @return (doc_id_1, doc_id_2, n_shared_grams) for pairs sharing at
+    *         least one ≥ minLen exact substring (gram df ≤ maxDf)
+    */
+  def substringPairs(docs: DataFrame, minLen: Int = 40, maxDf: Int = 100,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen >= 2 && maxDf >= 2, "minLen/maxDf must be sensible")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(_t) - ${minLen - 1}), i -> substring(_t, i, $minLen))"))
+        .as("gram"))
+      .distinct()
+    val pairable = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("gram"))
+    val kept = grams.join(pairable, Seq("gram"))
+    kept.select(col("gram"), col("doc_id").as("_a"))
+      .join(kept.select(col("gram"), col("doc_id").as("_b")), Seq("gram"))
+      .filter(col("_a") < col("_b"))
+      .groupBy(col("_a").as("doc_id_1"), col("_b").as("doc_id_2"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+  }
+
   def dedupSpans(docs: DataFrame, n: Int = 10,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))

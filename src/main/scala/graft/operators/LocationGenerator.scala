@@ -304,30 +304,35 @@ object LocationGenerator {
         }
       }(RowEncoder.encoderFor(localSchema))
 
-    // connected components: min-label propagation between points and
-    // local clusters until fixpoint (few iterations; diameters of cluster
-    // graphs are tiny because cells already merge most overlap)
-    var assign = local.filter(col("local_cluster").isNotNull)
+    // border merge as connected components over the CLUSTER graph (two
+    // local clusters are one DBSCAN cluster iff they share a point,
+    // transitively): routed through Dedup.duplicateClusters' guarded
+    // hook+compress loop — pointer doubling converges in O(log d)
+    // rounds and THROWS if labels still move at the budget, where the
+    // previous in-place min-label loop advanced one hop per round and
+    // exited its 15-round cap SILENTLY, returning split clusters on a
+    // borderline-chain geometry deeper than 15 cells (the adversarial
+    // density probe's regime). Labels are identical by construction:
+    // both converge to the component-min xxhash label.
+    val assign = local.filter(col("local_cluster").isNotNull)
       .withColumn("_lbl", abs(xxhash64(col("local_cluster"))))
-      .cache()
-    var iter = 0
-    var done = false
-    while (!done && iter < 15) {
-      val byPoint = assign.groupBy("sp_id").agg(min("_lbl").as("_plbl"))
-      val byCluster = assign.join(byPoint, "sp_id")
-        .groupBy("local_cluster").agg(min("_plbl").as("_clbl"))
-      val updated = assign.drop("_lbl").join(byCluster, "local_cluster")
-        .withColumnRenamed("_clbl", "_lbl").cache()
-      val changed = updated.join(assign.withColumnRenamed("_lbl", "_old"),
-          Seq("sp_id", "local_cluster"))
-        .filter(col("_lbl") =!= col("_old")).limit(1).count()
-      assign.unpersist()
-      assign = updated
-      done = changed == 0
-      iter += 1
-    }
+      .select(col("sp_id"), col("_lbl"))
+      .localCheckpoint(eager = false)
+    val clusterEdges = assign
+      .join(assign.withColumnRenamed("_lbl", "_lbl2"), "sp_id")
+      .filter(col("_lbl") < col("_lbl2"))
+      .select(col("_lbl").as("id_a"), col("_lbl2").as("id_b"))
+      .distinct()
+    val comps = Dedup.duplicateClusters(clusterEdges)
+      .select(col("doc_id").as("_lbl"), col("cluster_id"))
+    // clusters sharing no point keep their own label (they never enter
+    // the pair table)
+    val clusterOfLocal = assign.select(col("_lbl")).distinct()
+      .join(comps, Seq("_lbl"), "left")
+      .select(col("_lbl"), coalesce(col("cluster_id"), col("_lbl")).as("_comp"))
 
-    val clusterOfPoint = assign.groupBy("sp_id").agg(min("_lbl").as("cluster"))
+    val clusterOfPoint = assign.join(clusterOfLocal, Seq("_lbl"))
+      .groupBy("sp_id").agg(min("_comp").as("cluster"))
     input.join(clusterOfPoint, Seq("sp_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), lit(-1L)))
       .select("sp_id", "user_id", "lon", "lat", "cluster")

@@ -218,24 +218,41 @@ object SpatialOps {
   /** All-pairs trajectory distance (DTW, discrete Fréchet, or discrete
     * Hausdorff) over linestring tables, long form, upper triangle.
     */
-  def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw"): DataFrame = {
-    val kernel = metric match {
-      case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
-        dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-            b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
-        frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-                b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case "hausdorff" => udf { (a: Seq[Row], b: Seq[Row]) =>
-        hausdorff(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-                  b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case other     => throw new IllegalArgumentException(s"metric unknown: $other")
+  def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw",
+                                maxDistanceM: Option[Double] = None): DataFrame =
+    maxDistanceM match {
+      case Some(r) =>
+        // the bounded form is the 100 TB contract: with a distance cap
+        // the full matrix is never wanted — delegate to the banded
+        // near-pair search (padded-bbox cell equi-join, no cartesian;
+        // plan pinned by spec). Output follows the near-pair contract:
+        // (id_1, id_2, distance_m) with whole-meter floors, only pairs
+        // within the cap.
+        trajectoryNearPairs(tpls, radiusM = r, metric = metric)
+      case None =>
+        // reference-parity all-pairs matrix (distances.py:156-185,
+        // contract: small X×Y) — the one deliberately quadratic surface,
+        // for fixture-scale parity only; pass maxDistanceM to stay off
+        // the cross join at scale
+        val kernel = trajectoryKernel(metric)
+        val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))
+        val b = tpls.select(col("id").as("id_2"), col("points").as("_p2"))
+        a.join(b, col("id_1") < col("id_2"))
+          .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
+          .select("id_1", "id_2", "distance_m")
     }
-    val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))
-    val b = tpls.select(col("id").as("id_2"), col("points").as("_p2"))
-    a.join(b, col("id_1") < col("id_2"))
-      .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
-      .select("id_1", "id_2", "distance_m")
+
+  private def trajectoryKernel(metric: String) = metric match {
+    case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
+      dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+          b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+    case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
+      frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+              b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+    case "hausdorff" => udf { (a: Seq[Row], b: Seq[Row]) =>
+      hausdorff(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
+                b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
+    case other     => throw new IllegalArgumentException(s"metric unknown: $other")
   }
 
   /** Banded trajectory near-pair search: all pairs of linestrings whose
@@ -248,15 +265,22 @@ object SpatialOps {
     * trajectories — so the expensive DP kernel runs only on spatially
     * co-located pairs, never corpus².
     *
-    * Losslessness contract: every metric here is lower-bounded by the
-    * gap between the trajectories' bounding boxes (Hausdorff/Fréchet are
-    * maxima of point distances; DTW is a sum of them), so with
-    * `padMicroDeg` ≥ `radiusM` expressed in micro-degrees at the data's
-    * latitudes, any pair within `radiusM` has overlapping padded integer
-    * bboxes — and two overlapping padded bboxes always share the grid
-    * cell `(greatest of the two min-cells)`, which is exactly the one
-    * cell where the pair is kept (no post-dedup shuffle). The candidate
-    * set is a superset; the exact kernel decides membership.
+    * Losslessness contract (RUNTIME-ENFORCED): every metric here is
+    * lower-bounded by the gap between the trajectories' bounding boxes
+    * (Hausdorff/Fréchet are maxima of point distances; DTW is a sum of
+    * them), so with `padMicroDeg` ≥ `radiusM` expressed in
+    * micro-degrees at the data's latitudes, any pair within `radiusM`
+    * has overlapping padded integer bboxes — and two overlapping padded
+    * bboxes always share the grid cell `(greatest of the two
+    * min-cells)`, which is exactly the one cell where the pair is kept
+    * (no post-dedup shuffle). By default the pad is DERIVED from
+    * `radiusM` at `maxAbsLatDeg` (longitude micro-degrees shrink with
+    * cos lat); an explicit pad below that floor throws — callers above
+    * 66° must raise `maxAbsLatDeg` rather than silently lose
+    * near-radius pairs. The candidate set is a superset; a bbox-gap
+    * lower-bound prune (provably below the kernel value) skips
+    * kernel calls the radius filter would reject, and the exact kernel
+    * decides membership for the rest.
     *
     * Scale shape: per line, O(bbox/cell) exploded cell rows (bounded by
     * trajectory extent, not corpus size); one (cx, cy) hash equi-join;
@@ -281,45 +305,110 @@ object SpatialOps {
     *         meters, id_1 < id_2, distance ≤ radiusM
     */
   def trajectoryNearPairs(tpls: DataFrame, radiusM: Double = 300.0,
-                          cellMicroDeg: Long = 10000L, padMicroDeg: Long = 6000L,
-                          metric: String = "hausdorff", spreadFactor: Int = 1): DataFrame = {
-    require(radiusM > 0 && cellMicroDeg > 0 && padMicroDeg >= 0,
-      "radius/cell/pad must be sensible")
+                          cellMicroDeg: Long = 10000L, padMicroDeg: Long = -1L,
+                          metric: String = "hausdorff", spreadFactor: Int = 1,
+                          maxAbsLatDeg: Double = 66.0): DataFrame = {
+    require(radiusM > 0 && cellMicroDeg > 0, "radius/cell must be sensible")
     require(spreadFactor >= 1, s"spreadFactor must be >= 1, got $spreadFactor")
+    require(maxAbsLatDeg > 0 && maxAbsLatDeg < 90, s"maxAbsLatDeg must be in (0, 90)")
+    // losslessness is a RUNTIME contract, not a doc: the pad must cover
+    // radiusM in LONGITUDE micro-degrees, which shrink with cos(lat) —
+    // a fixed pad that covers 300 m at 47° covers under 300 m above
+    // ~63° and would silently drop near-radius pairs. Default: derive
+    // the pad from radiusM at maxAbsLatDeg (1° lat = πR/180 m; lon
+    // shrunk by cos); an explicit pad is validated against the same
+    // floor so high-latitude callers must widen maxAbsLatDeg (and
+    // therefore the pad) instead of silently losing pairs.
+    val padNeeded = math.ceil(
+      radiusM / (mPerMicroDegLat * math.cos(math.toRadians(maxAbsLatDeg)))).toLong
+    val pad = if (padMicroDeg >= 0L) padMicroDeg else padNeeded
+    require(pad >= padNeeded,
+      s"padMicroDeg=$pad covers under radiusM=$radiusM at |lat| <= $maxAbsLatDeg deg " +
+        s"(needs >= $padNeeded µdeg); widen the pad or lower maxAbsLatDeg")
+    val kernel = trajectoryKernel(metric)
+    val candidates = trajectoryBandCandidates(tpls, cellMicroDeg, pad, spreadFactor)
+    // exact bbox-gap LOWER BOUND prune before the DP kernel: every
+    // metric here is ≥ the haversine gap between the (unpadded)
+    // bboxes — Hausdorff/Fréchet are maxima of point distances, DTW a
+    // sum of them, and any A-point/B-point distance is ≥ the box gap.
+    // Bound in meters: R·Δφ for the latitude gap; 2R·sin(Δλ/2)·cos(φ)
+    // at the pair's max |lat| for the longitude gap (hav(d/R) =
+    // hav(Δφ) + cosφ₁cosφ₂·hav(Δλ) makes both true lower bounds).
+    // Margins keep it PROVABLY below the kernel's value: 2 µdeg off
+    // each gap for the ±0.5 µdeg endpoint quantization, ×0.999 for
+    // double rounding — so pruning is output-identical (spec-pinned),
+    // it only skips kernel calls the radius filter would reject.
+    val pruned = candidates
+      .filter {
+        val dLatU = greatest(lit(0L),
+          greatest(col("a_by0"), col("b_by0")) - least(col("a_by1"), col("b_by1")) - lit(2L))
+        val dLonU = greatest(lit(0L),
+          greatest(col("a_bx0"), col("b_bx0")) - least(col("a_bx1"), col("b_bx1")) - lit(2L))
+        val maxAbsLat = greatest(abs(col("a_by0")), abs(col("a_by1")),
+          abs(col("b_by0")), abs(col("b_by1"))).cast("double") * lit(1e-6 * math.Pi / 180.0)
+        val latBound = dLatU.cast("double") * lit(mPerMicroDegLat * 0.999)
+        val lonBound = lit(2.0 * 6371000.0 * 0.999) *
+          sin(dLonU.cast("double") * lit(0.5e-6 * math.Pi / 180.0)) * cos(maxAbsLat)
+        greatest(latBound, lonBound) <= lit(radiusM)
+      }
+      .select(col("a_id"), col("b_id"))
+    val pts = tpls.select(col("id"), col("points"))
+    // round-robin the SKINNY survivor pairs before the kernel: candidate
+    // volume per (cell, tile) is as skewed as the geometry, and the
+    // point-attach joins broadcast — i.e. the expensive kernel inherits
+    // whatever imbalance the candidate join left. One ~16-byte/row
+    // exchange spreads kernel calls exactly evenly (probe: packed g=8
+    // used ~2.4 of 32 cores without it)
+    val spreadCandidates = pruned
+      .repartition(tpls.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    spreadCandidates
+      .join(pts.select(col("id"), col("points").as("a_pts")), col("a_id") === col("id")).drop("id")
+      .join(pts.select(col("id"), col("points").as("b_pts")), col("b_id") === col("id")).drop("id")
+      .withColumn("_d", kernel(col("a_pts"), col("b_pts")))
+      .filter(col("_d") <= radiusM)
+      .select(col("a_id").as("id_1"), col("b_id").as("id_2"),
+        floor(col("_d")).cast("long").as("distance_m"))
+  }
+
+  /** Meters one micro-degree of latitude spans (πR/180 · 1e-6). */
+  private val mPerMicroDegLat = math.Pi / 180.0 * 6371000.0 / 1e6
+
+  /** The band-admitted candidate pair table of [[trajectoryNearPairs]]:
+    * one row per (a_id < b_id) pair whose `pad`-padded integer bboxes
+    * share a grid cell, plus both raw micro-degree bboxes for the
+    * caller's pruning arithmetic. Package-visible so TrajProbe can
+    * price candidate volume directly (the diagnostic the old
+    * radiusM=1e9 trick bought before pads were derived from the
+    * radius).
+    */
+  private[graft] def trajectoryBandCandidates(tpls: DataFrame, cellMicroDeg: Long,
+                                              pad: Long, spreadFactor: Int): DataFrame = {
+    require(cellMicroDeg > 0 && pad >= 0 && spreadFactor >= 1, "cell/pad/spread must be sensible")
     val g = spreadFactor.toLong
-    val kernel = metric match {
-      case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
-        dtw(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-            b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case "frechet" => udf { (a: Seq[Row], b: Seq[Row]) =>
-        frechet(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-                b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case "hausdorff" => udf { (a: Seq[Row], b: Seq[Row]) =>
-        hausdorff(a.map(r => (r.getDouble(0), r.getDouble(1))).toArray,
-                  b.map(r => (r.getDouble(0), r.getDouble(1))).toArray) }
-      case other     => throw new IllegalArgumentException(s"metric unknown: $other")
-    }
     val qLon = transform(col("points"), p => floor(p.getField("lon") * 1e6 + lit(0.5)).cast("long"))
     val qLat = transform(col("points"), p => floor(p.getField("lat") * 1e6 + lit(0.5)).cast("long"))
     def cellOf(c: Column): Column =
       floor(c.cast("double") / cellMicroDeg.toDouble).cast("long")
-    val bbox = tpls.select(col("id"), col("points"),
-        (array_min(qLon) - padMicroDeg).as("_x0"), (array_max(qLon) + padMicroDeg).as("_x1"),
-        (array_min(qLat) - padMicroDeg).as("_y0"), (array_max(qLat) + padMicroDeg).as("_y1"))
-      .select(col("id"), col("points"),
-        cellOf(col("_x0")).as("_cx0"), cellOf(col("_x1")).as("_cx1"),
-        cellOf(col("_y0")).as("_cy0"), cellOf(col("_y1")).as("_cy1"))
-    // the candidate join runs SKINNY — ids and cell ids only. Carrying
-    // the point arrays through the join was measured 10×+ slower on a
-    // hot-cell geometry: the pre-dedup join output is quadratic in the
-    // hot cell's occupancy, and every row would copy two 2×N-double
-    // payloads; instead points attach to the ~|survivor| id pairs via
-    // two hash joins against the line table afterwards.
+    val bbox = tpls.select(col("id"),
+        array_min(qLon).as("_bx0"), array_max(qLon).as("_bx1"),
+        array_min(qLat).as("_by0"), array_max(qLat).as("_by1"))
+      .select(col("id"),
+        col("_bx0"), col("_bx1"), col("_by0"), col("_by1"),
+        cellOf(col("_bx0") - pad).as("_cx0"), cellOf(col("_bx1") + pad).as("_cx1"),
+        cellOf(col("_by0") - pad).as("_cy0"), cellOf(col("_by1") + pad).as("_cy1"))
+    // the candidate join runs SKINNY — ids, cell ids and 4 bbox longs
+    // per side. Carrying the point arrays through the join was measured
+    // 10×+ slower on a hot-cell geometry: the pre-dedup join output is
+    // quadratic in the hot cell's occupancy, and every row would copy
+    // two 2×N-double payloads; instead points attach to the ~|survivor|
+    // id pairs via two hash joins against the line table afterwards.
     def cells(p: String): DataFrame = {
       val base = bbox
         .select(col("id").as(s"${p}_id"),
           col("_cx0").as(s"${p}_cx0"), col("_cx1").as(s"${p}_cx1"),
-          col("_cy0").as(s"${p}_cy0"), col("_cy1").as(s"${p}_cy1"))
+          col("_cy0").as(s"${p}_cy0"), col("_cy1").as(s"${p}_cy1"),
+          col("_bx0").as(s"${p}_bx0"), col("_bx1").as(s"${p}_bx1"),
+          col("_by0").as(s"${p}_by0"), col("_by1").as(s"${p}_by1"))
         .withColumn("cx", explode(sequence(col(s"${p}_cx0"), col(s"${p}_cx1"))))
         .withColumn("cy", explode(sequence(col(s"${p}_cy0"), col(s"${p}_cy1"))))
         .drop(s"${p}_cx1", s"${p}_cy1")
@@ -341,7 +430,7 @@ object SpatialOps {
     // pair hot-cell probe pinned a single core for 38+ min). One skinny
     // exchange buys kernel parallelism independent of upstream layout,
     // and makes the tiling columns actually spread hot cells.
-    val candidates = cells("a").repartition(joinKeys.map(col): _*)
+    cells("a").repartition(joinKeys.map(col): _*)
       .join(cells("b"), joinKeys)
       .filter(col("a_id") < col("b_id"))
       // a pair sharing several cells is kept ONCE, at the element-wise
@@ -349,23 +438,9 @@ object SpatialOps {
       // the bboxes overlap, so exactly one surviving row per pair
       .filter(col("cx") === greatest(col("a_cx0"), col("b_cx0")) &&
         col("cy") === greatest(col("a_cy0"), col("b_cy0")))
-      .select(col("a_id"), col("b_id"))
-    val pts = tpls.select(col("id"), col("points"))
-    // round-robin the SKINNY survivor pairs before the kernel: candidate
-    // volume per (cell, tile) is as skewed as the geometry, and the
-    // point-attach joins broadcast — i.e. the expensive kernel inherits
-    // whatever imbalance the candidate join left. One ~16-byte/row
-    // exchange spreads kernel calls exactly evenly (probe: packed g=8
-    // used ~2.4 of 32 cores without it)
-    val spreadCandidates = candidates
-      .repartition(tpls.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    spreadCandidates
-      .join(pts.select(col("id"), col("points").as("a_pts")), col("a_id") === col("id")).drop("id")
-      .join(pts.select(col("id"), col("points").as("b_pts")), col("b_id") === col("id")).drop("id")
-      .withColumn("_d", kernel(col("a_pts"), col("b_pts")))
-      .filter(col("_d") <= radiusM)
-      .select(col("a_id").as("id_1"), col("b_id").as("id_2"),
-        floor(col("_d")).cast("long").as("distance_m"))
+      .select(col("a_id"), col("b_id"),
+        col("a_bx0"), col("a_bx1"), col("a_by0"), col("a_by1"),
+        col("b_bx0"), col("b_bx1"), col("b_by0"), col("b_by1"))
   }
 
   /** k-anonymous spatial coarsening for publishing point data: snap
@@ -839,8 +914,6 @@ object SpatialOps {
     */
   def colocationLouvain(pairs: DataFrame, rounds: Int = 4,
                         share: DataFrame => DataFrame = Share.materialize): DataFrame = {
-    require(rounds >= 1, "need rounds >= 1")
-    def dq(c: Column): Column = c.cast("decimal(38,0)")
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
     val edges = share(p
       .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
@@ -848,6 +921,29 @@ object SpatialOps {
         col("n_meetings").as("w"))))
     val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
     val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+    val labels = louvainPass(edges, deg, totalW, rounds, share)
+    communityStats(p, edges, labels.select(col("n"), col("c").as("lbl")))
+  }
+
+  /** The semi-synchronous modularity-gain label loop shared by
+    * [[colocationLouvain]] (level 1: every node its own community) and
+    * [[colocationLouvainL2]] (level 2: every supernode its own
+    * community, degrees carrying the collapsed self-loop weight).
+    *
+    * @param edges symmetric (u, v, w) WITHOUT self-loops — a node's
+    *              self-weight stays internal wherever it moves, so it
+    *              cancels from every gain comparison and must NOT feed
+    *              k_in
+    * @param deg   (u, k) with k = Σ_v w(u,v) + 2·w(u,u) — self-loops DO
+    *              count twice in the degree (the standard convention
+    *              that keeps Σk = 2W on the collapsed graph)
+    * @param totalW 1-row (_W) — invariant across levels: every original
+    *               edge is inter- or intra-community
+    */
+  private def louvainPass(edges: DataFrame, deg: DataFrame, totalW: DataFrame,
+                          rounds: Int, share: DataFrame => DataFrame): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
     var comm = deg.select(col("u").as("n"), col("u").as("c"))
     val byNode = Window.partitionBy(col("u")).orderBy(col("_gain").desc, col("cand"))
     for (r <- 1 to rounds) {
@@ -882,7 +978,131 @@ object SpatialOps {
           when(pmod(col("n"), lit(2)) === lit(r % 2), col("cand"))
             .otherwise(col("c")).as("c")))
     }
-    communityStats(p, edges, comm.select(col("n"), col("c").as("lbl")))
+    comm
+  }
+
+  /** Two-level Louvain (Blondel et al. 2008 phase 2): collapse the
+    * level-1 communities to supernodes — one groupBy over the
+    * twice-relabeled pair table — rerun the one-level pass on the
+    * supergraph, and report the COMPOSED partition's exact-rational
+    * statistics on the ORIGINAL graph, so `modularity` is directly
+    * comparable with [[colocationLouvain]]'s (same Q formula, same
+    * denominators; on the synthetic fixture Q(level 2) ≥ Q(level 1),
+    * pinned by spec).
+    *
+    * Supergraph bookkeeping: intra-community weight becomes a supernode
+    * self-loop that counts TWICE in the supernode degree and never
+    * feeds k_in (it stays internal wherever the supernode moves — see
+    * [[louvainPass]]); total weight W is invariant across levels. The
+    * level-2 candidate argmax is exact in DECIMAL(38,0) like level 1.
+    *
+    * Scale shape: level 1's per-round joins, plus two hash join
+    * relabels of the pair table, one groupBy collapse (the supergraph
+    * is ≤ #communities wide — orders smaller than the input), the same
+    * pass machinery over the collapsed table, and one final label
+    * composition join.
+    *
+    * @return (community, n_nodes, w_in, degree_sum, modularity) of the
+    *         composed level-2 partition over the original pair graph
+    */
+  def colocationLouvainL2(pairs: DataFrame, rounds: Int = 4, rounds2: Int = 4,
+                          share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edges = share(p
+      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+        col("n_meetings").as("w"))))
+    val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
+    val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+    val l1 = share(louvainPass(edges, deg, totalW, rounds, share))
+
+    // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
+    // level-1 WINNER labels, whose parity is structurally biased (on a
+    // path of even user ids every community keeps an even label), and a
+    // one-parity id population degenerates the two-coloring schedule
+    // into the fully synchronous sweep it exists to prevent — every
+    // supernode then moves at once and adjacent movers chain past each
+    // other (measured: Q drops on a uniform P12). 0-based ranks
+    // alternate parity along the id order by construction.
+    val rank = share(graft.util.Ids.withSequentialId(
+      l1.select(col("c").as("u0")).distinct(), "r", col("u0")))
+
+    // collapse: two join-relabels of the pair table, then split into
+    // inter-community super-edges and intra-community self-loop weight
+    // — all in rank space
+    val relabeled = p
+      .join(l1.select(col("n"), col("c").as("_la")), p("user_a") === col("n")).drop("n")
+      .join(l1.select(col("n"), col("c").as("_lb")), p("user_b") === col("n")).drop("n")
+      .join(rank.select(col("u0"), col("r").as("_ca")), col("_la") === col("u0")).drop("u0")
+      .join(rank.select(col("u0"), col("r").as("_cb")), col("_lb") === col("u0")).drop("u0")
+    val superPairs = share(relabeled.filter(col("_ca") =!= col("_cb"))
+      .groupBy(least(col("_ca"), col("_cb")).as("user_a"),
+        greatest(col("_ca"), col("_cb")).as("user_b"))
+      .agg(sum(col("n_meetings")).cast("long").as("n_meetings")))
+    val selfW = relabeled.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("u")).agg(sum(col("n_meetings")).cast("long").as("_wself"))
+
+    val edges2 = share(superPairs
+      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+      .unionByName(superPairs.select(col("user_b").as("u"), col("user_a").as("v"),
+        col("n_meetings").as("w"))))
+    // every level-1 community is a supernode, including those with no
+    // inter-community edge (they would vanish from an edge-derived
+    // degree table and lose their nodes in the composition join)
+    val deg2 = share(rank.select(col("r").as("u"))
+      .join(edges2.groupBy(col("u")).agg(sum(col("w")).cast("long").as("_ke")), Seq("u"), "left")
+      .join(selfW, Seq("u"), "left")
+      .select(col("u"),
+        (coalesce(col("_ke"), lit(0L)) + lit(2L) * coalesce(col("_wself"), lit(0L)))
+          .cast("long").as("k")))
+    val l2 = louvainPass(edges2, deg2, totalW, rounds2, share)
+
+    // compose n → c1 → rank → level-2 label (a rank) → back to the
+    // original community-id space of that winning rank
+    val composed = share(l1
+      .join(rank.select(col("u0"), col("r")), l1("c") === col("u0"))
+      .join(l2.select(col("n").as("_rn"), col("c").as("_c2r")), col("r") === col("_rn"))
+      .join(rank.select(col("u0").as("lbl"), col("r").as("_rb")), col("_c2r") === col("_rb"))
+      .select(col("n"), col("lbl")))
+
+    // monotone guard (the "keep the best partition seen" rule every
+    // sequential Louvain applies implicitly): the semi-synchronous
+    // schedule admits simultaneous same-class moves whose joint ΔQ can
+    // be negative even when each individual gain is positive (the
+    // cross-term −k_u·k_v of two movers entering one community is
+    // unpriced). Compare the EXACT integer Q numerators and keep the
+    // level-1 partition unless level 2 strictly improved — two 1-row
+    // aggregates of bounded driver state.
+    val qn1 = partitionQNum(p, edges, l1.select(col("n"), col("c").as("lbl")))
+    val qn2 = partitionQNum(p, edges, composed)
+    val winner =
+      if (qn2.compareTo(qn1) > 0) composed else l1.select(col("n"), col("c").as("lbl"))
+    communityStats(p, edges, winner)
+  }
+
+  /** Exact integer modularity numerator Σ_c (4W·e_c − d_c²) of a
+    * partition, as a driver-side scalar (one value — the bounded-state
+    * contract) for the level-2 monotone guard.
+    */
+  private def partitionQNum(p: DataFrame, edges: DataFrame,
+                            labels: DataFrame): java.math.BigDecimal = {
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val withA = p.join(labels.select(col("n"), col("lbl").as("_ca")), p("user_a") === col("n")).drop("n")
+    val withB = withA.join(labels.select(col("n"), col("lbl").as("_cb")), withA("user_b") === col("n")).drop("n")
+    val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+    val intra = withB.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community")).agg(sum(col("n_meetings")).cast("long").as("w_in"))
+    val degC = edges.groupBy(col("u")).agg(sum(col("w")).as("_d"))
+      .join(labels, col("u") === labels("n"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("_d")).cast("long").as("degree_sum"))
+    val row = degC.join(intra, Seq("community"), "left")
+      .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
+      .crossJoin(broadcast(totalW))
+      .agg(sum(lit(4L) * dq(col("_W")) * dq(col("w_in")) -
+        dq(col("degree_sum")) * dq(col("degree_sum"))).as("_qn"))
+      .collect()(0)
+    Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
   }
 
   /** Exact-rational partition statistics + Newman modularity shared by

@@ -175,6 +175,43 @@ object TextAnalysis {
         sum(col("bpe_tokens")).as("sum_bpe"))
       .withColumn("fertility", col("sum_bpe").cast("double") / col("sum_ws").cast("double"))
 
+  /** Per-language tokenizer-compression ratio card over a TRAINED
+    * tokenizer (the multilingual-fairness diagnostic of Petrov et al.
+    * 2023 "Language Model Tokenizers Introduce Unfairness Between
+    * Languages"): one global BPE merge table, per-language tokens per
+    * 100 characters — languages the tokenizer compresses badly pay more
+    * sequence length for the same text. Complements [[tokenFertility]]
+    * (regex-proxy tokens per whitespace word) with the real learned-
+    * merge encoder ([[bpeEncode]]).
+    *
+    * Exactness: integer sums (chars, words, trained-BPE tokens) per
+    * language; the two ratios are one IEEE division each at the end.
+    *
+    * Scale shape: one broadcast-merge-table encode scan (bpeEncode's
+    * memoized per-partition fold), one doc_id equi-join, one bounded
+    * (≤ #languages rows) groupBy. No extra shuffles beyond the encode.
+    *
+    * @param enc the [[bpeEncode]] output (doc_id, n_words, n_bpe_tokens)
+    * @return (lang, n_docs, sum_chars, sum_words, sum_bpe_tokens,
+    *         bpe_per_100_chars, chars_per_bpe_token)
+    */
+  def tokenizerCompressionCard(docs: DataFrame, enc: DataFrame,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("_chars"))
+      .join(enc.select(col("doc_id"), col("n_words"), col("n_bpe_tokens")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_chars")).cast("long").as("sum_chars"),
+        sum(col("n_words")).cast("long").as("sum_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("sum_bpe_tokens"))
+      .withColumn("bpe_per_100_chars",
+        lit(100.0) * col("sum_bpe_tokens").cast("double") / col("sum_chars").cast("double"))
+      .withColumn("chars_per_bpe_token",
+        col("sum_chars").cast("double") / col("sum_bpe_tokens").cast("double"))
+
   /** C4-style blocklist filter (Raffel et al. 2020 drop pages containing
     * any "bad word"): per document, the number of DISTINCT blocklist
     * words present and the keep decision. Distinct-set semantics

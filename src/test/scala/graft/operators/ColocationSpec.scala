@@ -210,6 +210,59 @@ class ColocationSpec extends SparkSpec {
     assert(got(2L)._4 == qLpa)
   }
 
+  test("Louvain level 2: collapse keeps a good partition and improves an under-merged one") {
+    import spark.implicits._
+    // (a) the triangle-pair fixture: level 1 already finds the optimal
+    // split, merging the two supernodes would drop Q to 0 — level 2 must
+    // keep them apart and reproduce level 1's stats exactly
+    val barbell = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val l2a = SpatialOps.colocationLouvainL2(barbell, rounds = 4, rounds2 = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(l2a.keySet.size == 2, l2a.keySet)
+    assert(l2a.values.toSet == Set((3L, 30L, 61L, 7198.0 / 14884.0)), l2a)
+
+    // (b) a uniform path P12: the parity-schedule one-level pass leaves
+    // small chain fragments; phase 2 on the collapsed graph merges them
+    // — Q strictly improves and the community count drops
+    val path = (1L to 11L).map(i => (i, i + 1, 1L)).toDF("user_a", "user_b", "n_meetings")
+    def q(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val rows = df.select("modularity", "community").collect()
+      (rows.head.getDouble(0), rows.length.toLong)
+    }
+    val (q1, n1) = q(SpatialOps.colocationLouvain(path, rounds = 4))
+    val (q2, n2) = q(SpatialOps.colocationLouvainL2(path, rounds = 4, rounds2 = 4))
+    assert(q2 >= q1, s"Q(l2)=$q2 < Q(l1)=$q1")
+    assert(n2 <= n1, s"communities grew: $n1 -> $n2")
+    assert(q2 > q1, s"expected strict improvement on P12: $q1 -> $q2 ($n1 -> $n2 communities)")
+
+    // (c) the resolution-limit case phase 2 exists for (Blondel et al.
+    // 2008 §2; Fortunato & Barthélemy 2007): two w=10 triangles over a
+    // w=9 bridge plus a remote heavy pair inflating W — no single NODE
+    // gains by crossing the bridge (own-clique k_in 10 beats bridge
+    // k_in 9), but merging the two cliques as BLOCKS gains exactly
+    // 4W·w_b − 2·d₁·d₂ = 4·1069·9 − 2·69² > 0. Hand-traced: level 1
+    // finds {1,2,3}, {4,5,6}, {7,8} (qn 523038); level 2 merges the
+    // cliques (qn 552000)
+    val cliques = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 9L), (7L, 8L, 1000L)).toDF("user_a", "user_b", "n_meetings")
+    val (q1c, n1c) = q(SpatialOps.colocationLouvain(cliques, rounds = 4))
+    assert(n1c == 3, s"level 1 should find the 3 groups, got $n1c")
+    val l2c = SpatialOps.colocationLouvainL2(cliques, rounds = 4, rounds2 = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val qExp = 552000.0 / 4571044.0 // (4W·69 − 138² + 4W·1000 − 2000²) / 4W², W = 1069
+    assert(l2c.values.map(_._1).toSeq.sorted == Seq(2L, 6L), l2c)
+    assert(l2c.values.find(_._1 == 6L).get == ((6L, 69L, 138L, qExp)), l2c)
+    assert(l2c.values.find(_._1 == 2L).get == ((2L, 1000L, 2000L, qExp)), l2c)
+    assert(qExp > q1c)
+  }
+
   test("clustering: triangle+pendant gives exact local and global coefficients") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant 4 on 3: degrees 2,2,3,1;
@@ -271,6 +324,53 @@ class ColocationSpec extends SparkSpec {
     val tiled = SpatialOps.trajectoryNearPairs(df, radiusM = 300.0, spreadFactor = 4)
       .select("id_1", "id_2", "distance_m").as[(Long, Long, Long)].collect().toSet
     assert(tiled == got, s"g=4 $tiled vs g=1 $got")
+  }
+
+  test("distanceMatrixLinestrings: maxDistanceM delegates to the banded path — no cartesian") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((-122.4000, 47.6000), (-122.3990, 47.6005))),
+      (2L, Seq((-122.4001, 47.6001), (-122.3991, 47.6006))),
+      (3L, Seq((-122.3700, 47.6000), (-122.3690, 47.6005))),
+      (4L, Seq((-122.4030, 47.6000), (-122.4020, 47.6005)))
+    ).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("points"))
+    val bounded = SpatialOps.distanceMatrixLinestrings(df, "hausdorff", maxDistanceM = Some(300.0))
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = bounded.select("id_1", "id_2", "distance_m").as[(Long, Long, Long)].collect().toSet
+    val brute = SpatialOps.distanceMatrixLinestrings(df, "hausdorff")
+      .filter(col("distance_m") <= 300.0)
+      .select(col("id_1"), col("id_2"), floor(col("distance_m")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"bounded $got vs brute $brute")
+    // the unbounded reference-parity form IS the cross join (fixture scale only)
+    val full = SpatialOps.distanceMatrixLinestrings(df, "hausdorff")
+      .queryExecution.executedPlan.toString
+    assert(full.contains("CartesianProduct") || full.contains("BroadcastNestedLoopJoin"), full)
+  }
+
+  test("trajectoryNearPairs: pad contract is runtime-enforced; high latitude works when declared") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((18.9500, 69.6500), (18.9510, 69.6505))),   // Tromsø, ~69.65°N
+      (2L, Seq((18.9550, 69.6500), (18.9560, 69.6505)))    // ~194 m east of 1
+    ).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("points"))
+    // the old fixed 6000 µdeg default covers under 300 m above ~63°:
+    // explicitly passing it with the latitude declared must THROW, not
+    // silently drop the pair
+    val ex = intercept[IllegalArgumentException] {
+      SpatialOps.trajectoryNearPairs(df, radiusM = 300.0, padMicroDeg = 6000L,
+        maxAbsLatDeg = 75.0)
+    }
+    assert(ex.getMessage.contains("padMicroDeg"), ex.getMessage)
+    // derived pad at the declared latitude finds the near-radius pair
+    val got = SpatialOps.trajectoryNearPairs(df, radiusM = 300.0, maxAbsLatDeg = 75.0)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), got)
   }
 
   test("trajectoryNearPairs: candidates meet through the cell equi-join — no cartesian") {

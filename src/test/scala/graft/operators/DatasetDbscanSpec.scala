@@ -50,6 +50,25 @@ class DatasetDbscanSpec extends SparkSpec {
     }
   }
 
+  test("border-merge chain spanning ~30 grid cells merges into ONE cluster") {
+    // 60 points in a west-east line ~90 m apart (< eps 100 m): one
+    // ε-chain crossing ~27 of the 2ε-wide grid cells, so the cluster
+    // graph is a ~27-link path — deeper than the 15 rounds the old
+    // in-place min-label CC silently capped at (it would return split
+    // clusters); the hook+compress doubling loop converges and throws
+    // rather than truncate
+    val pts = (0 until 60).map(i => (i.toLong, 8.5 + i * 0.0012, 47.3))
+    val sp = pts.toDF("id", "lon", "lat").withColumn("user_id", lit(0L))
+      .select(col("id"), col("user_id"),
+        to_timestamp(lit("2023-01-01 00:00:00")).as("started_at"),
+        to_timestamp(lit("2023-01-01 01:00:00")).as("finished_at"), col("lon"), col("lat"))
+    val (spOut, locs) = LocationGenerator.generate(sp,
+      LocationGenerator.Params(epsilonMeters = 100, numSamples = 1, aggLevel = "dataset"))
+    assert(locs.select(col("id")).distinct().count() == 1L,
+      "the 60-point ε-chain must be a single dataset-level location")
+    assert(spOut.filter(col("location_id").isNull).count() == 0L)
+  }
+
   // port of tests/preprocessing/test_staypoints.py:314-352
   // (test_dbscan_min / test_dbscan_max / test_missing_link)
   test("epsilon extremes: ~0 gives one location per staypoint, huge minPts gives none") {

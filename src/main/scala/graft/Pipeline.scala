@@ -208,6 +208,17 @@ object Pipeline {
       persist(SpatialOps.colocationPairsFromMeetings(colocationMeetings(spark, sfDir)))
     }
 
+  /** The level-1 Louvain label table over [[colocationPairs]] — the
+    * expensive 4-round gain pass, shared by the stats gate, the
+    * phase-2 collapse and the Leiden-style connectivity audit (same
+    * rationale as the meeting table: one partition per snapshot, many
+    * diagnostics reading it).
+    */
+  def louvainLabels(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "louvain_l1") {
+      persist(SpatialOps.louvainLabels(colocationPairs(spark, sfDir), rounds = 4))
+    }
+
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {
       TourGenerator.generate(trips(spark, sfDir), None,

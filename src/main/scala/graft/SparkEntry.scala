@@ -1977,12 +1977,21 @@ object SparkEntry {
     "colocation_communities" -> { (s, dir) =>
       SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3)
     },
+    // the three Louvain gates share the memoized level-1 pass
+    // (Pipeline.louvainLabels) — one partition per snapshot, many
+    // diagnostics reading it
     "colocation_louvain" -> { (s, dir) =>
-      SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4)
+      SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4,
+        labels = Some(Pipeline.louvainLabels(s, dir)))
     },
     "colocation_louvain_l2" -> { (s, dir) =>
       SpatialOps.colocationLouvainL2(Pipeline.colocationPairs(s, dir),
-        rounds = 4, rounds2 = 4)
+        rounds = 4, rounds2 = 4, labels = Some(Pipeline.louvainLabels(s, dir)))
+    },
+    // Leiden-style audit: is each Louvain community internally connected?
+    "louvain_connectivity" -> { (s, dir) =>
+      SpatialOps.louvainConnectivity(Pipeline.colocationPairs(s, dir), rounds = 4,
+        labels = Some(Pipeline.louvainLabels(s, dir)))
     },
     // the synthetic contact graph is ~98% complete at sf0.1 (everyone
     // meets everyone), so unrestricted triangle ENUMERATION is ~C(n,3)
@@ -2770,7 +2779,7 @@ object SparkEntry {
     // ExactSubstr, document granularity; raw-string gram join, df-capped)
     "dedup_substring" -> { (s, dir) =>
       Dedup.substringPairs(s.read.parquet(s"$dir/documents.parquet"),
-        minLen = 40, maxDf = 100)
+        minLen = 40, maxDf = 100, share = _.localCheckpoint(false))
     },
     // 4:1:1:1 en/de/fr/es target; zh is outside the target and drops.
     // en is the scarcest per weight, so it survives in full.
@@ -5387,6 +5396,58 @@ object SparkEntry {
          |       CAST(qn.qn AS DOUBLE)
          |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
          |FROM cm, qn, tw""".stripMargin
+    },
+    // Leiden-style connectivity audit: the level-1 louvain labels (same
+    // unrolled pass), intra-community transitive closure, components
+    // per community; isolated-in-community nodes are own components
+    "louvain_connectivity" -> {
+      val l1 = louvainPassCtes("", "edges", "degl", 4)
+      s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS u, ua AS dst, w FROM prs),
+         |degl AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS k FROM edges GROUP BY u),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM prs),
+         |m0 AS (SELECT u AS n, u AS c FROM degl),
+         |$l1,
+         |intra AS MATERIALIZED (
+         |  SELECT p.ua AS a, p.ub AS b
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c),
+         |und AS (SELECT a, b FROM intra UNION SELECT b, a FROM intra),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (
+         |  SELECT n.node, least(n.node, min(r.b)) AS cid
+         |  FROM (SELECT DISTINCT a AS node FROM und) n
+         |  JOIN reach r ON r.a = n.node GROUP BY n.node),
+         |allc AS (
+         |  SELECT m4.n, m4.c, coalesce(comp.cid, m4.n) AS cid
+         |  FROM m4 LEFT JOIN comp ON comp.node = m4.n)
+         |SELECT c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(count(DISTINCT cid) AS BIGINT) AS n_components,
+         |       count(DISTINCT cid) = 1 AS is_connected
+         |FROM allc GROUP BY c""".stripMargin
     },
     "colocation_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>

@@ -648,20 +648,35 @@ object Dedup {
     *         least one ≥ minLen exact substring (gram df ≤ maxDf)
     */
   def substringPairs(docs: DataFrame, minLen: Int = 40, maxDf: Int = 100,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     share: DataFrame => DataFrame = identity): DataFrame = {
     require(minLen >= 2 && maxDf >= 2, "minLen/maxDf must be sensible")
-    val grams = docs
+    // the gram table feeds the hash-df build and the candidate probe —
+    // `share` it rather than re-run the substring explode per consumer
+    val grams = share(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(_t) - ${minLen - 1}), i -> substring(_t, i, $minLen))"))
         .as("gram"))
-      .distinct()
-    val pairable = grams.groupBy(col("gram"))
+      .withColumn("_h", PortableHash.h60(col("gram"))))
+    // occurrence-count >= 2 prefilter on the 8-byte h60 — a PROVABLE
+    // superset (string-equal ⇒ hash-equal, so a gram in ≥ 2 docs always
+    // has hash-count ≥ 2; within-doc repeats only widen the filter).
+    // The unique-gram MAJORITY dies here having moved only an 8-byte
+    // hash through the map-side-combined groupBy; per-doc distinct and
+    // the exact raw-string [2, maxDf] cap run on the tiny survivor
+    // set, so hash collisions can only admit extra candidates, never
+    // change the output
+    val hot = grams.groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
+      .filter(col("_hdf") >= 2).select(col("_h"))
+    val cand = share(grams.join(hot, Seq("_h"))
+      .select(col("doc_id"), col("gram")).distinct())
+    val pairable = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
       .select(col("gram"))
-    val kept = grams.join(pairable, Seq("gram"))
+    val kept = share(cand.join(pairable, Seq("gram")))
     kept.select(col("gram"), col("doc_id").as("_a"))
       .join(kept.select(col("gram"), col("doc_id").as("_b")), Seq("gram"))
       .filter(col("_a") < col("_b"))

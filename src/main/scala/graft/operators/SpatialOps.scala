@@ -913,7 +913,25 @@ object SpatialOps {
     * @return (community, n_nodes, w_in, degree_sum, modularity)
     */
   def colocationLouvain(pairs: DataFrame, rounds: Int = 4,
-                        share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                        share: DataFrame => DataFrame = Share.materialize,
+                        labels: Option[DataFrame] = None): DataFrame = {
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edges = share(p
+      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+        col("n_meetings").as("w"))))
+    val l1 = labels.getOrElse(louvainLabels(pairs, rounds, share))
+    communityStats(p, edges, l1.select(col("n"), col("c").as("lbl")))
+  }
+
+  /** The level-1 Louvain label table (n, c) — exposed so the gate
+    * family (stats, level 2, connectivity audit) can compute the
+    * expensive pass ONCE and share it, the colocationMeetings pattern:
+    * in production the partition is computed per corpus snapshot and
+    * every diagnostic reads it.
+    */
+  def louvainLabels(pairs: DataFrame, rounds: Int = 4,
+                    share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
     val edges = share(p
       .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
@@ -921,8 +939,7 @@ object SpatialOps {
         col("n_meetings").as("w"))))
     val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
     val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
-    val labels = louvainPass(edges, deg, totalW, rounds, share)
-    communityStats(p, edges, labels.select(col("n"), col("c").as("lbl")))
+    louvainPass(edges, deg, totalW, rounds, share)
   }
 
   /** The semi-synchronous modularity-gain label loop shared by
@@ -1006,15 +1023,15 @@ object SpatialOps {
     *         composed level-2 partition over the original pair graph
     */
   def colocationLouvainL2(pairs: DataFrame, rounds: Int = 4, rounds2: Int = 4,
-                          share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                          share: DataFrame => DataFrame = Share.materialize,
+                          labels: Option[DataFrame] = None): DataFrame = {
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
     val edges = share(p
       .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
       .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
         col("n_meetings").as("w"))))
-    val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
     val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
-    val l1 = share(louvainPass(edges, deg, totalW, rounds, share))
+    val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
 
     // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
     // level-1 WINNER labels, whose parity is structurally biased (on a
@@ -1078,6 +1095,42 @@ object SpatialOps {
     val winner =
       if (qn2.compareTo(qn1) > 0) composed else l1.select(col("n"), col("c").as("lbl"))
     communityStats(p, edges, winner)
+  }
+
+  /** The Leiden-style connectivity audit of the Louvain partition
+    * (Traag, Waltman & van Eck 2019, "From Louvain to Leiden":
+    * Louvain's node moves can leave a community internally DISCONNECTED
+    * — its defect, and the property Leiden's refinement phase exists to
+    * guarantee). Per community: node count and the number of connected
+    * components of its INDUCED subgraph; `is_connected` false is
+    * exactly the badly-connected-community flag of the paper.
+    *
+    * Scale shape: the level-1 pass, two label joins to keep
+    * intra-community edges only, then the guarded hook+compress
+    * component loop (O(log d) rounds) on that reduced edge set, one
+    * bounded groupBy. Nodes with no intra-community edge are their own
+    * component.
+    *
+    * @return (community, n_nodes, n_components, is_connected)
+    */
+  def louvainConnectivity(pairs: DataFrame, rounds: Int = 4,
+                          share: DataFrame => DataFrame = Share.materialize,
+                          labels: Option[DataFrame] = None): DataFrame = {
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
+    val intra = p
+      .join(l1.select(col("n"), col("c").as("_ca")), p("user_a") === col("n")).drop("n")
+      .join(l1.select(col("n"), col("c").as("_cb")), p("user_b") === col("n")).drop("n")
+      .filter(col("_ca") === col("_cb"))
+      .select(col("user_a").as("id_a"), col("user_b").as("id_b"))
+    val comps = Dedup.duplicateClusters(intra)
+      .select(col("doc_id").as("n"), col("cluster_id"))
+    l1.join(comps, Seq("n"), "left")
+      .select(col("n"), col("c"), coalesce(col("cluster_id"), col("n")).as("_cid"))
+      .groupBy(col("c").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        countDistinct(col("_cid")).cast("long").as("n_components"))
+      .withColumn("is_connected", col("n_components") === 1L)
   }
 
   /** Exact integer modularity numerator Σ_c (4W·e_c − d_c²) of a

@@ -70,6 +70,10 @@ object GraphProbe {
     t("louvain_10x_fair") { SpatialOps.colocationLouvain(pairs10, rounds = 4).count() }
     t("louvain_10x_hub") { SpatialOps.colocationLouvain(pairsHub, rounds = 4).count() }
     t("pagerank_10x_fair") { SpatialOps.colocationPagerank(pairs10, iters = 3).count() }
+    t("louvain_l2_1x") { SpatialOps.colocationLouvainL2(pairs1, rounds = 4, rounds2 = 4).count() }
+    t("louvain_l2_10x_hub") { SpatialOps.colocationLouvainL2(pairsHub, rounds = 4, rounds2 = 4).count() }
+    t("connectivity_1x") { SpatialOps.louvainConnectivity(pairs1, rounds = 4).count() }
+    t("connectivity_10x_hub") { SpatialOps.louvainConnectivity(pairsHub, rounds = 4).count() }
 
     // decimal-headroom audit at ×10: every modularity numerator term is
     // |4W·w_in − d²| ≤ max(4W·W, (2W)²) = 4W² — print the actual terms

@@ -31,6 +31,19 @@ object ScaleProbe {
       .reduce(_.unionAll(_)).localCheckpoint(eager = true)
 
     t("warmup") { spark.range(1000000).count() }
+    // clone-adversarial substring pairs: 10 identical copies multiply
+    // every shared gram's df by 10, so the gram join's pair volume is
+    // Σ (10·df)² over shared grams — the regime exact dedup upstream
+    // exists to prevent; the df cap is the in-operator guard (measured
+    // at both the default 100 and a tight 20)
+    t("substr_pairs_10x_df100") {
+      Dedup.substringPairs(docs10, minLen = 40, maxDf = 100,
+        share = _.localCheckpoint(false)).count()
+    }
+    t("substr_pairs_10x_df20") {
+      Dedup.substringPairs(docs10, minLen = 40, maxDf = 20,
+        share = _.localCheckpoint(false)).count()
+    }
     t("repetition_10x") { TextAnalysis.repetitionMetrics(docs10).count() }
     t("pii_redact_10x") { TextAnalysis.redactPii(docs10).count() }
     t("vocab_10x") { TextAnalysis.buildVocab(docs10, topK = 100).count() }

@@ -1916,6 +1916,12 @@ object SparkEntry {
     "zorder_cells" -> { (s, dir) =>
       SpatialOps.zorderCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L)
     },
+    // parameter-free radiation-model OD flows (Simini et al. 2012) on
+    // the integer cell grid — the gravity fit's published companion
+    "radiation_flows" -> { (s, dir) =>
+      SpatialOps.radiationFlows(EventsAdapter.positionfixes(s, dir),
+        cellMicroDeg = 10000L, refLatDeg = 47.6)
+    },
     "geohash_cells" -> { (s, dir) =>
       EventsAdapter.positionfixes(s, dir)
         .groupBy(graft.functions.Geohash.encode(col("lon"), col("lat"), 6).as("geohash"))
@@ -4165,6 +4171,34 @@ object SparkEntry {
          |       CAST(sp + (4 - present) * n AS BIGINT) AS seg_num,
          |       CAST(sp + (4 - present) * n AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS segregation
          |FROM sg""".stripMargin,
+    // radiation model: integer cell populations, HUGEINT squared planar
+    // distance with the injected cosLatQ literal (no libm ordering),
+    // strictly-before prefix sum, one double division
+    "radiation_flows" -> {
+      val cosLatQ = math.floor(math.cos(math.toRadians(47.6)) * 1e6 + 0.5).toLong
+      s"""${EventsAdapter.pfsSql},
+         |cl AS (
+         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM pfs GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT o.cx AS o_x, o.cy AS o_y, d.cx AS d_x, d.cy AS d_y,
+         |         o.m AS m_o, d.m AS m_d,
+         |         CAST((d.cx - o.cx) * $cosLatQ AS HUGEINT) * ((d.cx - o.cx) * $cosLatQ)
+         |           + CAST((d.cy - o.cy) * 1000000 AS HUGEINT) * ((d.cy - o.cy) * 1000000) AS d2
+         |  FROM cl o JOIN cl d ON NOT (o.cx = d.cx AND o.cy = d.cy)),
+         |w AS (
+         |  SELECT *, CAST(coalesce(sum(m_d) OVER (
+         |      PARTITION BY o_x, o_y ORDER BY d2, d_x, d_y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_ij
+         |  FROM pr)
+         |SELECT o_x, o_y, d_x, d_y, m_o, m_d, s_ij,
+         |       CAST(CAST(m_o AS HUGEINT) * m_o * m_d AS DOUBLE)
+         |         / CAST((CAST(m_o AS HUGEINT) + s_ij)
+         |                * (CAST(m_o AS HUGEINT) + m_d + s_ij) AS DOUBLE) AS flow
+         |FROM w""".stripMargin
+    },
     "geohash_cells" -> {
       import graft.functions.{Geohash, ZOrder}
       s"""${EventsAdapter.pfsSql}

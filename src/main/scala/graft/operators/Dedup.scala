@@ -644,6 +644,15 @@ object Dedup {
     * is template noise, not duplication evidence), and df=1 grams
     * never enter the join at all.
     *
+    * ORDERING CONTRACT: run exact dedup first. Verbatim copies multiply
+    * EVERY gram's df by the clone count and each shared gram emits
+    * C(clones·df, 2) pair rows — measured 53 s for 10 identical copies
+    * of the sf0.1 corpus (ScaleProbe, SURVEY §6) where the cap cannot
+    * bite (within-clone groups sit at df = clones, under any sane cap).
+    * Exact hash-dedup collapses clones in one cheap groupBy; this
+    * operator's cap guards cross-document boilerplate, not the verbatim
+    * duplication upstream dedup exists to remove.
+    *
     * @return (doc_id_1, doc_id_2, n_shared_grams) for pairs sharing at
     *         least one ≥ minLen exact substring (gram df ≤ maxDf)
     */
@@ -652,15 +661,18 @@ object Dedup {
                      share: DataFrame => DataFrame = identity): DataFrame = {
     require(minLen >= 2 && maxDf >= 2, "minLen/maxDf must be sensible")
     // the gram table feeds the hash-df build and the candidate probe —
-    // `share` it rather than re-run the substring explode per consumer
+    // `share` it rather than re-run the substring explode per consumer.
+    // xxhash64, not the portable md5-h60: the prefilter never crosses
+    // an engine boundary (the oracle caps on raw strings), so the
+    // codegen'd native hash is free to win
     val grams = share(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(_t) - ${minLen - 1}), i -> substring(_t, i, $minLen))"))
         .as("gram"))
-      .withColumn("_h", PortableHash.h60(col("gram"))))
-    // occurrence-count >= 2 prefilter on the 8-byte h60 — a PROVABLE
+      .withColumn("_h", xxhash64(col("gram"))))
+    // occurrence-count >= 2 prefilter on the 8-byte hash — a PROVABLE
     // superset (string-equal ⇒ hash-equal, so a gram in ≥ 2 docs always
     // has hash-count ≥ 2; within-doc repeats only widen the filter).
     // The unique-gram MAJORITY dies here having moved only an 8-byte

@@ -481,6 +481,27 @@ class MetricsSpec extends SparkSpec {
     assert(kept === (1 to 6).map(_.toLong * 100).toSet)
   }
 
+  test("radiation model: three cells in a line give the hand-computed flows") {
+    import spark.implicits._
+    // cells A(cx 0, m 2), B(cx 1, m 3), C(cx 3, m 5), all on one row of
+    // latitude — hand-derived with s_ij = population strictly closer:
+    // T_AB = 4·3/(2·5), T_AC = 4·5/((2+3)(2+5+3)), T_BA = 9·2/(3·5),
+    // T_BC = 9·5/((3+2)(3+5+2)), T_CB = 25·3/(5·8), T_CA = 25·2/((5+3)(5+2+3))
+    val pts = (Seq.fill(2)(0.005) ++ Seq.fill(3)(0.015) ++ Seq.fill(5)(0.035))
+      .zipWithIndex.map { case (lon, i) => (i.toLong, lon, 0.005) }
+      .toDF("id", "lon", "lat")
+    val got = SpatialOps.radiationFlows(pts, cellMicroDeg = 10000L, refLatDeg = 47.6)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 3L), (1L, 0L), (1L, 3L), (3L, 1L), (3L, 0L)))
+    assert(got((0L, 1L)) == ((2L, 3L, 0L, 1.2)))
+    assert(got((0L, 3L)) == ((2L, 5L, 3L, 0.4)))
+    assert(got((1L, 0L)) == ((3L, 2L, 0L, 1.2)))
+    assert(got((1L, 3L)) == ((3L, 5L, 2L, 0.9)))
+    assert(got((3L, 1L)) == ((5L, 3L, 0L, 1.875)))
+    assert(got((3L, 0L)) == ((5L, 2L, 3L, 0.625)))
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

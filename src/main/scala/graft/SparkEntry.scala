@@ -1715,6 +1715,13 @@ object SparkEntry {
         quotaN = 5L, windowMinutes = 60L, groupCol = "event_type",
         idCol = "event_id", timeCol = "t_us", chunks = 3)
     },
+    "streaming_neardup" -> { (s, dir) =>
+      // keyed by (band, hash) bucket — full table (the corpus is the
+      // slice at gate scale); cap disabled and expiry off, so the
+      // emitted set equals the batch banding collisions closed-form
+      graft.streaming.Replay.nearDup(s.read.parquet(s"$dir/documents.parquet"),
+        numHashes = 64, bands = 16, shingleN = 3, chunks = 3)
+    },
     "streaming_dedup_late" -> { (s, dir) =>
       graft.streaming.Replay.dedupOutOfOrder(s.read.parquet(s"$dir/documents.parquet"),
         chunks = 4)
@@ -3427,6 +3434,14 @@ object SparkEntry {
          |       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_first,
          |       min(doc_id) OVER (PARTITION BY text_hash) AS first_doc_id
          |FROM h""".stripMargin,
+    // streaming banded-MinHash candidates ≡ the batch banding CTE's
+    // collisions, one row per colliding band (no distinct — the stream
+    // emits per band bucket)
+    "streaming_neardup" ->
+      s"""WITH ${minhashPairsCte(64, 16, 0.0)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(a.bb AS INT) AS band
+         |FROM banded a JOIN banded b
+         |  ON a.bb = b.bb AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
     // out-of-order replay (batch p = ids ≡ p mod 4): the keeper is the
     // smallest id in the EARLIEST batch carrying the hash — min by
     // (doc_id mod 4, doc_id), not the batch twin's global min(doc_id)

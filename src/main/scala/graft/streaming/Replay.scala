@@ -176,6 +176,46 @@ object Replay {
     * divergence contract is that closed form (the oracle); audit mode so
     * every duplicate row points at its keeper.
     */
+  /** Replay [[StreamingNearDup.candidates]] over a bounded document
+    * table: rows arrive in doc-id order (chunk-invariant by the
+    * operator's smallest-id-first in-batch rule), expiry off and the
+    * bucket cap effectively disabled, so the emitted set has the CLOSED
+    * FORM "one row per (pair, band) whose MinHash band hashes collide"
+    * — exactly the batch banding CTE without the distinct.
+    *
+    * @param docs (doc_id, text) — extra columns ignored
+    * @return (id_a, id_b, band)
+    */
+  def nearDup(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+              shingleN: Int = 3, chunks: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val outDir = tmp("graft-replay-neardup-out")
+    val ckpt = tmp("graft-replay-neardup-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingNearDup.candidates(stream, numHashes, bands, shingleN,
+          idleHorizonMinutes = 0L, maxBucketSize = Int.MaxValue)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingNearDup.Candidate], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    readBack(spark, outDir, ckpt,
+        spark.emptyDataset[StreamingNearDup.Candidate].toDF())
+      .select(col("id_a"), col("id_b"), col("band"))
+  }
+
   def dedupOutOfOrder(docs: DataFrame, chunks: Int = 4): DataFrame = {
     require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
     val spark = docs.sparkSession

@@ -137,6 +137,9 @@ object syntax {
     /** Drop every paragraph whose exact text occurred earlier. */
     def dedupParagraphs(sep: String = "\n\n"): DataFrame = Dedup.dedupParagraphs(df, sep)
 
+    def substringPairs(minLen: Int = 40, maxDf: Int = 100): DataFrame =
+      Dedup.substringPairs(df, minLen, maxDf)
+
     def qualityScored: DataFrame = TextAnalysis.qualityScore(df)
 
     def languageIdentified: DataFrame = TextAnalysis.languageId(df)

@@ -72,6 +72,23 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("replayed near-dup candidates equal the batch banding collisions for every chunking") {
+    // two literal clones (collide in every band) + one unrelated doc;
+    // the pair must be emitted once per colliding band regardless of
+    // whether the clones arrive in the same or different micro-batches
+    val docs = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "completely unrelated text about spark joins and windows"),
+      (22L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val expected = (0 until 16).map(b => (20L, 22L, b)).toSet
+    for (chunks <- Seq(1, 2, 3)) {
+      val got = Replay.nearDup(docs, numHashes = 64, bands = 16, chunks = chunks)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"chunks=$chunks: $got")
+    }
+  }
+
   test("empty input yields an empty, correctly-typed frame") {
     val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
     val out = Replay.sessionize(events)

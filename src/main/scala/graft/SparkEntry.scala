@@ -2006,6 +2006,12 @@ object SparkEntry {
       SpatialOps.louvainConnectivity(Pipeline.colocationPairs(s, dir), rounds = 4,
         labels = Some(Pipeline.louvainLabels(s, dir)))
     },
+    // Leiden-style refinement: split disconnected communities into their
+    // components (never decreases Q — +2 d_A d_B per split)
+    "louvain_refined" -> { (s, dir) =>
+      SpatialOps.colocationLouvainRefined(Pipeline.colocationPairs(s, dir), rounds = 4,
+        labels = Some(Pipeline.louvainLabels(s, dir)))
+    },
     // the synthetic contact graph is ~98% complete at sf0.1 (everyone
     // meets everyone), so unrestricted triangle ENUMERATION is ~C(n,3)
     // rows by construction — the gates certify on a 300-user subgraph
@@ -5497,6 +5503,73 @@ object SparkEntry {
          |       CAST(count(DISTINCT cid) AS BIGINT) AS n_components,
          |       count(DISTINCT cid) = 1 AS is_connected
          |FROM allc GROUP BY c""".stripMargin
+    },
+    // Leiden-style refinement: the audit's component chain, labels →
+    // component-min ids, the louvain stats tail over the refined labels
+    "louvain_refined" -> {
+      val l1 = louvainPassCtes("", "edges", "degl", 4)
+      s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS u, ua AS dst, w FROM prs),
+         |degl AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS k FROM edges GROUP BY u),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM prs),
+         |m0 AS (SELECT u AS n, u AS c FROM degl),
+         |$l1,
+         |intra AS MATERIALIZED (
+         |  SELECT p.ua AS a, p.ub AS b
+         |  FROM prs p JOIN m4 la ON la.n = p.ua JOIN m4 lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c),
+         |und AS (SELECT a, b FROM intra UNION SELECT b, a FROM intra),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (
+         |  SELECT n.node, least(n.node, min(r.b)) AS cid
+         |  FROM (SELECT DISTINCT a AS node FROM und) n
+         |  JOIN reach r ON r.a = n.node GROUP BY n.node),
+         |refl AS MATERIALIZED (
+         |  SELECT m4.n, coalesce(comp.cid, m4.n) AS c
+         |  FROM m4 LEFT JOIN comp ON comp.node = m4.n),
+         |wc AS (
+         |  SELECT la.c AS community, CAST(sum(p.w) AS BIGINT) AS w_in
+         |  FROM prs p JOIN refl la ON la.n = p.ua JOIN refl lb ON lb.n = p.ub
+         |  WHERE la.c = lb.c GROUP BY 1),
+         |dc AS (
+         |  SELECT refl.c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d.k) AS BIGINT) AS degree_sum
+         |  FROM degl d JOIN refl ON refl.n = d.u GROUP BY 1),
+         |cm AS (
+         |  SELECT dc.community, dc.n_nodes, CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_in,
+         |         dc.degree_sum
+         |  FROM dc LEFT JOIN wc USING (community)),
+         |qn AS (
+         |  SELECT sum(4 * CAST(tw.W AS HUGEINT) * cm.w_in
+         |             - CAST(cm.degree_sum AS HUGEINT) * cm.degree_sum) AS qn
+         |  FROM cm, tw)
+         |SELECT cm.community, cm.n_nodes, cm.w_in, cm.degree_sum,
+         |       CAST(qn.qn AS DOUBLE)
+         |         / (4.0 * CAST(tw.W AS DOUBLE) * CAST(tw.W AS DOUBLE)) AS modularity
+         |FROM cm, qn, tw""".stripMargin
     },
     "colocation_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>

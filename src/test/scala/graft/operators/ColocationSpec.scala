@@ -263,6 +263,47 @@ class ColocationSpec extends SparkSpec {
     assert(qExp > q1c)
   }
 
+  test("Leiden refinement: a vacated-hub community splits into components, Q strictly up") {
+    import spark.implicits._
+    // hand-traced under the parity schedule with rounds = 2: the hub 0
+    // bridges leaves 1 and 2 (w=1 each) but is pulled away by the heavy
+    // pair edge 0–9 (w=10, 9–8 w=10). r1: 1→c0, 9→c8; r2: 0→c8 (gain 80
+    // beats staying, 32) and 2→c0 — leaving community 0 = {1, 2}, whose
+    // members share NO edge (they only connected through the departed
+    // hub). W = 22; qn(louvain) = (0 − 2²) + (4·22·20 − 42²) = −8;
+    // refined splits {1,2} → {1},{2}: qn = −1 − 1 − 4 = −6 (the +2·d₁·d₂
+    // = +2 split bonus).
+    val pairs = Seq(
+      (0L, 1L, 1L), (0L, 2L, 1L), (0L, 9L, 10L), (8L, 9L, 10L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val audit = SpatialOps.louvainConnectivity(pairs, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audit(0L) == ((2L, 2L, false)), s"community 0 must audit disconnected: $audit")
+    assert(audit(8L) == ((3L, 1L, true)), audit)
+
+    val refined = SpatialOps.colocationLouvainRefined(pairs, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val qRef = -6.0 / 1936.0
+    assert(refined.keySet == Set(0L, 1L, 2L), refined.keySet)
+    assert(refined(1L) == ((1L, 0L, 1L, qRef)), refined)
+    assert(refined(2L) == ((1L, 0L, 1L, qRef)), refined)
+    assert(refined(0L) == ((3L, 20L, 42L, qRef)), refined)
+    val qL1 = SpatialOps.colocationLouvain(pairs, rounds = 2)
+      .select("modularity").as[Double].head()
+    assert(qRef > qL1, s"refinement must strictly improve: $qL1 -> $qRef")
+
+    // on a fixture whose communities are already connected, refinement
+    // is the identity
+    val barbell = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val rb = SpatialOps.colocationLouvainRefined(barbell, rounds = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rb == Set((3L, 30L, 61L, 7198.0 / 14884.0)), rb)
+  }
+
   test("clustering: triangle+pendant gives exact local and global coefficients") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant 4 on 3: degrees 2,2,3,1;

@@ -1,31 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness contract (round-11 postmortem — CORRECTNESS_r11.json came
+  * back `{}` because the round's Verify never finished and the driver had
+  * nothing to compare):
+  *   - `oracle_sql.json` is written FIRST, before any query runs, so a
+  *     timeout mid-run still leaves the driver a comparable partial
+  *     artifact instead of an empty one.
+  *   - `failed_queries.json` is initialized up front and rewritten after
+  *     every failure, never only at exit.
+  *   - Gates run CONCURRENTLY on a fixed thread pool (most of the 277 are
+  *     scheduling-latency-bound, not compute-bound, so wall clock is the
+  *     sum of latencies when run sequentially); the shared pipeline memos
+  *     are pre-materialized once per family so parallel gates read
+  *     checkpointed blocks instead of racing to compute the same chain.
+  *   - Default core count is the machine's (was a hardcoded 4), capped at
+  *     32 to match the bench config.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter for local dev
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS",
+      math.max(2, math.min(8, cpus.toInt / 4)).toString).toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Failures must be a visible red row in the artifact, not a silent
-    // shrink of the denominator (round 7: 47 broken queries simply absent
-    // from CORRECTNESS_r07.json) — collected into failed_queries.json.
-    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,14 +50,78 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .filter(e => only.forall(_.contains(e._1)))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    Files.writeString(Paths.get(s"$outDir/failed_queries.json"),
-      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    def writeJson(path: String, entries: Iterable[(String, String)]): Unit =
+      Files.writeString(Paths.get(path),
+        entries.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+    // The oracle SQL first: a partial run must still be comparable.
+    writeJson(s"$outDir/oracle_sql.json",
+      SparkEntry.oracleSql.filter(e => only.forall(_.contains(e._1))))
+
+    // Failures must be a visible red row in the artifact, not a silent
+    // shrink of the denominator (round 7: 47 broken queries simply absent
+    // from CORRECTNESS_r07.json) — collected into failed_queries.json,
+    // rewritten after every failure.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordFailure(name: String, e: Throwable): Unit = failed.synchronized {
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+      writeJson(s"$outDir/failed_queries.json", failed)
+    }
+    writeJson(s"$outDir/failed_queries.json", failed)
+
+    val pool = Executors.newFixedThreadPool(threads)
+    def await(tasks: Seq[() => Unit]): Unit =
+      tasks.map(t => pool.submit(new Runnable { def run(): Unit = t() })).foreach(_.get())
+
+    // Pre-materialize the shared memo families in parallel (one action per
+    // family, families independent of each other) so the parallel gate
+    // phase reads checkpointed blocks instead of N gates racing to compute
+    // the same scan/window chain. Warm failures are ignored here — a truly
+    // broken chain resurfaces as that family's red gate rows below.
+    // Skipped under a dev filter (`only`): warming 8 families to check one
+    // query would invert the point.
+    if (only.isEmpty) {
+      val warm: Seq[(String, () => Unit)] = Seq(
+        "mobility" -> (() => {
+          Pipeline.tours(spark, sfDir).queryExecution.toRdd.count()
+          Pipeline.triplegsOverlap(spark, sfDir).queryExecution.toRdd.count()
+        }),
+        "locations" -> (() => Pipeline.staypointsWithLocation(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "louvain" -> (() => Pipeline.louvainLabels(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "minhash" -> (() => Pipeline.minhashPairs(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "classifier" -> (() => Pipeline.scoredDocs(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "pq" -> (() => { Pipeline.pqModel(spark, sfDir); () }),
+        "kmeans" -> (() => { Pipeline.kmeansModel(spark, sfDir); () }),
+      )
+      await(warm.map { case (fam, f) => () =>
+        val w0 = System.nanoTime()
+        try { f(); println(f"[verify] warm $fam ${(System.nanoTime() - w0) / 1e9}%.1fs") }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] warm $fam failed (gates will re-report): ${e.getMessage}")
+        }
+      })
+    }
+
+    val gates = SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
+    await(gates.map { case (name, fn) => () =>
+      val q0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"[verify] $name ${(System.nanoTime() - q0) / 1e9}%.1fs")
+      } catch { case e: Throwable => recordFailure(name, e) }
+    })
+    pool.shutdown()
+    pool.awaitTermination(1, TimeUnit.MINUTES)
+
     if (failed.nonEmpty)
       println(s"[verify] ${failed.size} QUERIES FAILED — see $outDir/failed_queries.json")
+    println(f"[verify] done: ${gates.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+      s" (cpus=$cpus, threads=$threads)")
     spark.stop()
   }
 }

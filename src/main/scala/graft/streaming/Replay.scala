@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, Dataset, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -33,6 +34,32 @@ object Replay {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** A cloned session the replay's streaming query runs on, pinned to 4
+    * shuffle partitions. Replay volumes are bounded (residue-class slices
+    * of test tables), but every micro-batch commits one state store PER
+    * shuffle partition (×2 sides for stream-stream joins) — at the
+    * session's 32 partitions that's pure file-IO overhead, ~2/3 of the
+    * colocation gate's wall clock before the pinning. Key-hash state
+    * partitioning is semantics-free: same transitions, same rows
+    * (ReplaySpec pins chunking/partitioning invariance).
+    *
+    * A CLONE (not a conf mutate-and-restore on the caller's session,
+    * the previous approach) because the streaming plan reads the conf at
+    * query start, and any batch query planned concurrently on the shared
+    * session during that window would silently inherit 4 shuffle
+    * partitions — Verify now runs gates in parallel, making that race
+    * real. The clone shares the SparkContext (same executors, same block
+    * store) but owns its SQLConf, so the pinning is invisible outside
+    * the replay. Only the streaming query runs on the clone; the replay
+    * result is read back on the caller's session.
+    */
+  private def runnerSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    GraftSession.prepare(s)
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s
+  }
+
   /** Feed `rows` in `chunks` equal micro-batches (then any `tail`
     * batches), draining each with processAllAvailable before the next —
     * sequential batches are what makes the keyed-state transitions
@@ -40,18 +67,7 @@ object Replay {
     */
   private def drain[T](input: MemoryStream[T], rows: Seq[T], chunks: Int,
                        tail: Seq[Seq[T]] = Nil)(start: => StreamingQuery): Unit = {
-    // Replay volumes are bounded (residue-class slices of test tables),
-    // but every micro-batch commits one state store PER shuffle partition
-    // (×2 sides for stream-stream joins) — at the session's 32 partitions
-    // that's pure file-IO overhead, ~2/3 of the colocation gate's wall
-    // clock. Pin the streaming plan to 4 partitions for the replay (the
-    // conf is read at query start, below) and restore after. Key-hash
-    // state partitioning is semantics-free: same transitions, same rows
-    // (ReplaySpec pins chunking/partitioning invariance).
-    val session = input.toDS().sparkSession
-    val prev = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", 4)
-    val q = try start finally session.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = start
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
       (rows.grouped(per) ++ tail.iterator.filter(_.nonEmpty)).foreach { chunk =>
@@ -104,7 +120,7 @@ object Replay {
   def sessionize(events: DataFrame, gapMinutes: Double = 30.0, chunks: Int = 8): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = events
       .select(col("event_id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"))
@@ -143,7 +159,7 @@ object Replay {
   def dedup(docs: DataFrame, chunks: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)].collect().sortBy(_._1).toSeq
@@ -190,7 +206,7 @@ object Replay {
               shingleN: Int = 3, chunks: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)].collect().sortBy(_._1).toSeq
@@ -220,7 +236,7 @@ object Replay {
     require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)].collect()
@@ -262,7 +278,7 @@ object Replay {
             chunks: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
         col(timeCol).cast("long"))
@@ -311,7 +327,7 @@ object Replay {
     require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
         col(timeCol).cast("long"))
@@ -357,7 +373,7 @@ object Replay {
                  chunks: Int = 8): DataFrame = {
     val spark = intervals.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = intervals
       .select(col("user_id").cast("long"), col("s_us").cast("long"), col("f_us").cast("long"),
@@ -409,7 +425,7 @@ object Replay {
                  chunks: Int = 8): DataFrame = {
     val spark = pfs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
 
     val rows = pfs
       .select(col("id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"),

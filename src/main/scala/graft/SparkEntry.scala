@@ -824,6 +824,10 @@ object SparkEntry {
     */
   private def louvainPassCtes(pre: String, edges: String, degl: String,
                               rounds: Int): String =
+    s"""${pre}cls AS MATERIALIZED (
+       |  SELECT u AS n, (row_number() OVER (ORDER BY u) - 1) % 2 AS p
+       |  FROM $degl),
+       |""".stripMargin +
     (1 to rounds).map { i =>
       s"""${pre}ct$i AS (
          |  SELECT m.c AS cand, CAST(sum(d.k) AS BIGINT) AS ctot
@@ -842,8 +846,8 @@ object SparkEntry {
          |  JOIN ${pre}ct$i ct ON cd.cand = ct.cand CROSS JOIN tw),
          |${pre}m$i AS (
          |  SELECT m.n,
-         |         CASE WHEN m.n % 2 = ${i % 2} THEN b.cand ELSE m.c END AS c
-         |  FROM ${pre}m${i - 1} m JOIN (
+         |         CASE WHEN cl.p = ${i % 2} THEN b.cand ELSE m.c END AS c
+         |  FROM ${pre}m${i - 1} m JOIN ${pre}cls cl ON cl.n = m.n JOIN (
          |    SELECT u, cand FROM (
          |      SELECT u, cand, row_number() OVER (PARTITION BY u ORDER BY gain DESC, cand) AS rn
          |      FROM ${pre}sc$i) t WHERE rn = 1) b ON m.n = b.u)""".stripMargin
@@ -1775,7 +1779,7 @@ object SparkEntry {
     },
     "pq_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir),
+      Ann.pqRecall(emb.filter(col("vec_id") < 10).limit(10), emb, Pipeline.pqModel(s, dir),
         k = 5, idCol = "vec_id", vecCol = "embedding")
     },
     "uniqueness_risk" -> { (s, dir) =>
@@ -1928,6 +1932,13 @@ object SparkEntry {
     "radiation_flows" -> { (s, dir) =>
       SpatialOps.radiationFlows(EventsAdapter.positionfixes(s, dir),
         cellMicroDeg = 10000L, refLatDeg = 47.6)
+    },
+    // the bounded twin: block-equi-join candidates under an exact
+    // integer distance cap, ring-decomposed prefix sums — s_ij
+    // bit-identical to the full window on every emitted pair
+    "radiation_flows_ringed" -> { (s, dir) =>
+      SpatialOps.radiationFlowsRinged(EventsAdapter.positionfixes(s, dir),
+        cellMicroDeg = 10000L, refLatDeg = 47.6, ringWidthCells = 1L, maxRings = 1)
     },
     "geohash_cells" -> { (s, dir) =>
       EventsAdapter.positionfixes(s, dir)
@@ -2315,20 +2326,25 @@ object SparkEntry {
     },
 
     // ----- training-data pipeline: similarity search ------------------
+    // probe sets across the ANN family carry an explicit .limit after
+    // the literal id filter (a no-op on these fixed id ranges): the
+    // bound becomes STRUCTURAL in the physical plan, which is what lets
+    // PlanLintSpec prove the probes×corpus broadcast loop join is a
+    // bounded enrichment rather than a hidden quadratic
     "ann_bruteforce" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5)
     },
     "ann_lsh" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, planes = 8)
+      Ann.lshTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, planes = 8)
     },
     // MMR diversity re-rank over a brute-force top-50 pool: relevance =
     // probe cosine in 1e-6 units; the greedy's integer decisions replay
     // exactly in the oracle's recursive packed-argmax
     "mmr_rerank" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val pool = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
+      val pool = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7).limit(1), emb, k = 50)
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
         .select(col("neighbor_id").as("vec_id"),
           round(col("cosine") * 1e6, 0).cast("long").as("rel_q"),
@@ -2337,7 +2353,7 @@ object SparkEntry {
     },
     "ann_ivf" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.ivfTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     // Lloyd's iterations run distributed (see KMeans scaladoc); the gate
     // checks the full training trajectory bit-for-bit — any divergence in
@@ -2409,34 +2425,34 @@ object SparkEntry {
     // the honest quality row next to the index's own top-k gates
     "ann_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.recallEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.recallEval(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     "ann_ndcg" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ndcgEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.ndcgEval(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     "ann_dim_ablation" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.dimAblationRecall(emb.filter(col("vec_id") < 10), emb, k = 5, dims = 32)
+      Ann.dimAblationRecall(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, dims = 32)
     },
     "intrinsic_dim" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.intrinsicDim(emb.filter(col("vec_id") < 100), emb)
+      Ann.intrinsicDim(emb.filter(col("vec_id") < 100).limit(100), emb)
     },
     "knn_confusion" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.knnConfusion(emb.filter(col("vec_id") < 100), emb, k = 5)
+      Ann.knnConfusion(emb.filter(col("vec_id") < 100).limit(100), emb, k = 5)
     },
     "hard_negatives" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.hardNegatives(emb.filter(col("vec_id") < 100), emb, k = 5)
+      Ann.hardNegatives(emb.filter(col("vec_id") < 100).limit(100), emb, k = 5)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
     // scan in one result.
     "ann_pq" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir), k = 5)
+      Ann.pqTopK(emb.filter(col("vec_id") < 10).limit(10), emb, Pipeline.pqModel(s, dir), k = 5)
     },
     // the composite index: coarse cells + PQ-coded residuals; the gate
     // checks both trainings, the residual codes, the probed cell sets,
@@ -2445,7 +2461,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val model = Ann.ivfPqTrain(emb, dim = 64, nlist = 8, coarseIters = 2,
         m = 4, ksub = 8, pqIters = 2, share = _.localCheckpoint(false))
-      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5, nprobe = 2,
+      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10).limit(10), emb, model, k = 5, nprobe = 2,
         share = _.localCheckpoint(false))
     },
     "embedding_neardup" -> { (s, dir) =>
@@ -2610,7 +2626,7 @@ object SparkEntry {
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("rank"))
-      val sem = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
+      val sem = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7).limit(1), emb, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 25)
     },
@@ -2751,7 +2767,7 @@ object SparkEntry {
     },
     "ann_filtered" -> { (s, dir) =>
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.filteredTopK(embs.filter(col("vec_id") < 10), embs, labelValue = 1L, k = 5)
+      Ann.filteredTopK(embs.filter(col("vec_id") < 10).limit(10), embs, labelValue = 1L, k = 5)
     },
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)
@@ -4220,6 +4236,37 @@ object SparkEntry {
          |                * (CAST(m_o AS HUGEINT) + m_d + s_ij) AS DOUBLE) AS flow
          |FROM w""".stripMargin
     },
+    // ringed radiation: the oracle is the plain windowed form plus the
+    // exact integer cap filter — the Spark side's ring decomposition is
+    // an internal exactness-preserving rewrite (monotone ring index), so
+    // both engines agree bit-for-bit on the capped pair set. cap =
+    // ((maxRings+1)·ringWidthCells·10⁶)² with ringWidthCells=1,
+    // maxRings=1 → 4e12
+    "radiation_flows_ringed" -> {
+      val cosLatQ = math.floor(math.cos(math.toRadians(47.6)) * 1e6 + 0.5).toLong
+      s"""${EventsAdapter.pfsSql},
+         |cl AS (
+         |  SELECT CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |         CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM pfs GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT o.cx AS o_x, o.cy AS o_y, d.cx AS d_x, d.cy AS d_y,
+         |         o.m AS m_o, d.m AS m_d,
+         |         CAST((d.cx - o.cx) * $cosLatQ AS HUGEINT) * ((d.cx - o.cx) * $cosLatQ)
+         |           + CAST((d.cy - o.cy) * 1000000 AS HUGEINT) * ((d.cy - o.cy) * 1000000) AS d2
+         |  FROM cl o JOIN cl d ON NOT (o.cx = d.cx AND o.cy = d.cy)),
+         |w AS (
+         |  SELECT *, CAST(coalesce(sum(m_d) OVER (
+         |      PARTITION BY o_x, o_y ORDER BY d2, d_x, d_y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_ij
+         |  FROM pr WHERE d2 < CAST(4000000000000 AS HUGEINT))
+         |SELECT o_x, o_y, d_x, d_y, m_o, m_d, s_ij,
+         |       CAST(CAST(m_o AS HUGEINT) * m_o * m_d AS DOUBLE)
+         |         / CAST((CAST(m_o AS HUGEINT) + s_ij)
+         |                * (CAST(m_o AS HUGEINT) + m_d + s_ij) AS DOUBLE) AS flow
+         |FROM w""".stripMargin
+    },
     "geohash_cells" -> {
       import graft.functions.{Geohash, ZOrder}
       s"""${EventsAdapter.pfsSql}
@@ -5287,7 +5334,9 @@ object SparkEntry {
          |FROM st, tc""".stripMargin
     },
     // semi-synchronous one-level Louvain (two-coloring schedule: round r
-    // moves only nodes with id ≡ r mod 2): a mover joins the candidate
+    // moves only nodes whose 0-based dense rank in id order ≡ r mod 2 —
+    // rank, not raw id, so a biased-parity id population still
+    // alternates classes): a mover joins the candidate
     // community (neighbors' + own) with the greatest exact integer gain
     // 2W·k_in − k_u·Σtot(c∖u), ties to the smallest id
     "colocation_louvain" -> {

@@ -216,31 +216,35 @@ object SpatialOps {
   }
 
   /** All-pairs trajectory distance (DTW, discrete Fréchet, or discrete
-    * Hausdorff) over linestring tables, long form, upper triangle.
+    * Hausdorff) over linestring tables, long form, upper triangle:
+    * the reference-parity matrix (distances.py:156-185, contract: small
+    * X×Y) — the one deliberately quadratic surface, for fixture-scale
+    * parity only. `distance_m` is the exact kernel DOUBLE. At scale use
+    * [[distanceMatrixLinestringsBounded]] — a separate method, not an
+    * Option knob, because the bounded form has a DIFFERENT output
+    * contract (whole-meter BIGINT floors, capped pairs only) and a
+    * silent schema fork behind a parameter is how callers get bitten.
     */
-  def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw",
-                                maxDistanceM: Option[Double] = None): DataFrame =
-    maxDistanceM match {
-      case Some(r) =>
-        // the bounded form is the 100 TB contract: with a distance cap
-        // the full matrix is never wanted — delegate to the banded
-        // near-pair search (padded-bbox cell equi-join, no cartesian;
-        // plan pinned by spec). Output follows the near-pair contract:
-        // (id_1, id_2, distance_m) with whole-meter floors, only pairs
-        // within the cap.
-        trajectoryNearPairs(tpls, radiusM = r, metric = metric)
-      case None =>
-        // reference-parity all-pairs matrix (distances.py:156-185,
-        // contract: small X×Y) — the one deliberately quadratic surface,
-        // for fixture-scale parity only; pass maxDistanceM to stay off
-        // the cross join at scale
-        val kernel = trajectoryKernel(metric)
-        val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))
-        val b = tpls.select(col("id").as("id_2"), col("points").as("_p2"))
-        a.join(b, col("id_1") < col("id_2"))
-          .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
-          .select("id_1", "id_2", "distance_m")
-    }
+  def distanceMatrixLinestrings(tpls: DataFrame, metric: String = "dtw"): DataFrame = {
+    val kernel = trajectoryKernel(metric)
+    val a = tpls.select(col("id").as("id_1"), col("points").as("_p1"))
+    val b = tpls.select(col("id").as("id_2"), col("points").as("_p2"))
+    a.join(b, col("id_1") < col("id_2"))
+      .withColumn("distance_m", kernel(col("_p1"), col("_p2")))
+      .select("id_1", "id_2", "distance_m")
+  }
+
+  /** The bounded 100 TB form of [[distanceMatrixLinestrings]]: with a
+    * distance cap the full matrix is never wanted — delegates to the
+    * banded near-pair search (padded-bbox cell equi-join, no cartesian;
+    * plan pinned by spec). Output follows the near-pair contract —
+    * (id_1, id_2, distance_m) with whole-meter BIGINT floors, only
+    * pairs within the cap — which is why this is a distinctly named
+    * method rather than an Option parameter on the matrix.
+    */
+  def distanceMatrixLinestringsBounded(tpls: DataFrame, metric: String,
+                                       maxDistanceM: Double): DataFrame =
+    trajectoryNearPairs(tpls, radiusM = maxDistanceM, metric = metric)
 
   private def trajectoryKernel(metric: String) = metric match {
     case "dtw"     => udf { (a: Seq[Row], b: Seq[Row]) =>
@@ -275,9 +279,13 @@ object SpatialOps {
     * min-cells)`, which is exactly the one cell where the pair is kept
     * (no post-dedup shuffle). By default the pad is DERIVED from
     * `radiusM` at `maxAbsLatDeg` (longitude micro-degrees shrink with
-    * cos lat); an explicit pad below that floor throws — callers above
-    * 66° must raise `maxAbsLatDeg` rather than silently lose
-    * near-radius pairs. The candidate set is a superset; a bbox-gap
+    * cos lat); an explicit pad below that floor throws, and the DATA is
+    * checked against the declared envelope too — a per-line integer
+    * assert in the bbox pass fails loudly if any point's |lat| exceeds
+    * `maxAbsLatDeg`, so callers above 66° must raise `maxAbsLatDeg`
+    * rather than silently lose near-radius pairs (the parameter-only
+    * require can't see where the data actually lives; the data check
+    * can). The candidate set is a superset; a bbox-gap
     * lower-bound prune (provably below the kernel value) skips
     * kernel calls the radius filter would reject, and the exact kernel
     * decides membership for the rest.
@@ -326,7 +334,8 @@ object SpatialOps {
       s"padMicroDeg=$pad covers under radiusM=$radiusM at |lat| <= $maxAbsLatDeg deg " +
         s"(needs >= $padNeeded µdeg); widen the pad or lower maxAbsLatDeg")
     val kernel = trajectoryKernel(metric)
-    val candidates = trajectoryBandCandidates(tpls, cellMicroDeg, pad, spreadFactor)
+    val candidates = trajectoryBandCandidates(tpls, cellMicroDeg, pad, spreadFactor,
+      latCapMicroDeg = (maxAbsLatDeg * 1e6).toLong + 1L)
     // exact bbox-gap LOWER BOUND prune before the DP kernel: every
     // metric here is ≥ the haversine gap between the (unpadded)
     // bboxes — Hausdorff/Fréchet are maxima of point distances, DTW a
@@ -382,16 +391,30 @@ object SpatialOps {
     * radius).
     */
   private[graft] def trajectoryBandCandidates(tpls: DataFrame, cellMicroDeg: Long,
-                                              pad: Long, spreadFactor: Int): DataFrame = {
+                                              pad: Long, spreadFactor: Int,
+                                              latCapMicroDeg: Long = Long.MaxValue): DataFrame = {
     require(cellMicroDeg > 0 && pad >= 0 && spreadFactor >= 1, "cell/pad/spread must be sensible")
     val g = spreadFactor.toLong
     val qLon = transform(col("points"), p => floor(p.getField("lon") * 1e6 + lit(0.5)).cast("long"))
     val qLat = transform(col("points"), p => floor(p.getField("lat") * 1e6 + lit(0.5)).cast("long"))
     def cellOf(c: Column): Column =
       floor(c.cast("double") / cellMicroDeg.toDouble).cast("long")
-    val bbox = tpls.select(col("id"),
+    val raw = tpls.select(col("id"),
         array_min(qLon).as("_bx0"), array_max(qLon).as("_bx1"),
         array_min(qLat).as("_by0"), array_max(qLat).as("_by1"))
+    // the declared-latitude envelope is checked against the DATA, per
+    // line, pre-join: the failure mode it guards (pad derived at
+    // maxAbsLatDeg, data above it → padded bboxes of a near-radius pair
+    // share no cell) produces NO candidate row, so a post-join check
+    // could never see it. One integer compare per line, codegen'd.
+    val bboxChecked =
+      if (latCapMicroDeg == Long.MaxValue) raw
+      else raw.filter(assert_true(
+        greatest(abs(col("_by0")), abs(col("_by1"))) <= lit(latCapMicroDeg),
+        lit(s"trajectoryNearPairs: data latitude exceeds the declared maxAbsLatDeg " +
+          s"envelope (cap $latCapMicroDeg microdeg) — the derived pad does not cover " +
+          "radiusM there; raise maxAbsLatDeg")).isNull)
+    val bbox = bboxChecked
       .select(col("id"),
         col("_bx0"), col("_bx1"), col("_by0"), col("_by1"),
         cellOf(col("_bx0") - pad).as("_cx0"), cellOf(col("_bx1") + pad).as("_cx1"),
@@ -497,9 +520,11 @@ object SpatialOps {
     * smaller than the raw points; pairs are |cells|² of THAT — the
     * model's inherent cost (every published implementation is
     * quadratic in zones) — with the prefix sum one window over each
-    * origin's ordered neighbor list. For planet-scale zone counts the
-    * circle sums would band by distance ring first; at the gate's
-    * scale the zone table is tiny and the window is the right plan.
+    * origin's ordered neighbor list. For planet-scale zone counts use
+    * [[radiationFlowsRinged]]: block-equi-join candidates, an exact
+    * integer distance cap, and ring-decomposed prefix sums —
+    * bit-identical on every pair it emits; at the gate's scale the
+    * zone table is tiny and the full window is the right plan.
     *
     * @return (o_x, o_y, d_x, d_y, m_o, m_d, s_ij, flow)
     */
@@ -524,6 +549,97 @@ object SpatialOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     pairs
       .withColumn("s_ij", coalesce(sum(col("m_d")).over(byOrigin), lit(0L)).cast("long"))
+      .withColumn("flow",
+        (dq(col("m_o")) * dq(col("m_o")) * dq(col("m_d"))).cast("double") /
+          ((dq(col("m_o")) + dq(col("s_ij"))) *
+            (dq(col("m_o")) + dq(col("m_d")) + dq(col("s_ij")))).cast("double"))
+      .select(col("o_x"), col("o_y"), col("d_x"), col("d_y"),
+        col("m_o"), col("m_d"), col("s_ij"), col("flow"))
+  }
+
+  /** Distance-ring-banded radiation flows — the bounded planet-scale
+    * twin of [[radiationFlows]] (the same relationship
+    * trajectoryNearPairs has to the parity distance matrix). Two things
+    * change versus the exact-window form:
+    *
+    *  1. '''Bounded pair space.''' Only pairs with squared planar
+    *     distance d² < ((maxRings+1)·ringWidthCells·10⁶)² are emitted —
+    *     an EXACT INTEGER cap (no floating boundary decides membership).
+    *     Radiation flows decay as 1/s_ij², so truncating the far tail is
+    *     the standard production contract. Candidates meet through a
+    *     3×3 neighbor-block EQUI-join sized to cover the cap radius
+    *     (block width ⌈cap/cosLatQ⌉ cells in x, cap cells in y), so the
+    *     plan is hash-join + per-block pairs, never zones².
+    *  2. '''Bounded window partitions.''' s_ij splits into
+    *     (prefix over whole closer rings) + (within-ring strictly-before
+    *     window): the per-origin ring-population table is rings-wide and
+    *     the within-ring sort is ring-local, so no single partition
+    *     holds an origin's entire neighbor list.
+    *
+    * Exactness argument for the split: the ring index
+    * ⌊√d² / (ringWidthCells·10⁶)⌋ is computed in doubles, but IEEE
+    * sqrt and the decimal→double cast are both MONOTONE non-decreasing,
+    * and the index is a function of d² alone — so d²_a < d²_b implies
+    * ring_a ≤ ring_b and equal d² implies equal ring. Any such monotone
+    * ring assignment makes ring-prefix + within-ring-prefix equal the
+    * global (d², d_x, d_y) prefix EXACTLY, so s_ij (and the flow) is
+    * bit-identical to [[radiationFlows]] on every emitted pair,
+    * regardless of where doubles put a boundary cell. Pinned by
+    * RadiationSpec (ringed == exact ∩ cap, several ring widths) and the
+    * `radiation_flows_ringed` oracle, whose SQL is the plain windowed
+    * form plus the integer cap filter.
+    *
+    * @return (o_x, o_y, d_x, d_y, m_o, m_d, s_ij, flow) — pairs within
+    *         the cap only
+    */
+  def radiationFlowsRinged(points: DataFrame, cellMicroDeg: Long = 10000L,
+                           refLatDeg: Double = 47.6, ringWidthCells: Long = 8L,
+                           maxRings: Int = 8): DataFrame = {
+    require(cellMicroDeg > 0 && ringWidthCells > 0 && maxRings >= 0,
+      "cell width, ring width and ring count must be sensible")
+    val cosLatQ = math.floor(math.cos(math.toRadians(refLatDeg)) * 1e6 + 0.5).toLong
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    // cap in sqrt-units (cell·10⁶); block widths cover the cap radius
+    val capU = (maxRings.toLong + 1L) * ringWidthCells * 1000000L
+    val capSq = new java.math.BigDecimal(java.math.BigInteger.valueOf(capU).pow(2))
+    val blockY = (maxRings.toLong + 1L) * ringWidthCells
+    val blockX = (capU + cosLatQ - 1L) / cosLatQ
+    def blk(c: Column, w: Long): Column =
+      floor(c.cast("double") / w.toDouble).cast("long")
+    val cells = points
+      .groupBy(cell(col("lon")).as("cx"), cell(col("lat")).as("cy"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    val o = cells
+      .select(col("cx").as("o_x"), col("cy").as("o_y"), col("m").as("m_o"))
+      .withColumn("_ex", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("_ey", explode(array((-1 to 1).map(lit): _*)))
+      .select(col("o_x"), col("o_y"), col("m_o"),
+        (blk(col("o_x"), blockX) + col("_ex")).as("_bx"),
+        (blk(col("o_y"), blockY) + col("_ey")).as("_by"))
+    val d = cells.select(col("cx").as("d_x"), col("cy").as("d_y"), col("m").as("m_d"),
+      blk(col("cx"), blockX).as("_bx"), blk(col("cy"), blockY).as("_by"))
+    val cand = o.join(d, Seq("_bx", "_by"))
+      .filter(!(col("o_x") === col("d_x") && col("o_y") === col("d_y")))
+      .withColumn("_d2",
+        dq((col("d_x") - col("o_x")) * lit(cosLatQ)) * dq((col("d_x") - col("o_x")) * lit(cosLatQ)) +
+          dq((col("d_y") - col("o_y")) * lit(1000000L)) * dq((col("d_y") - col("o_y")) * lit(1000000L)))
+      .filter(col("_d2") < lit(capSq))
+      .withColumn("_ring",
+        floor(sqrt(col("_d2").cast("double")) / lit(ringWidthCells.toDouble * 1e6)).cast("long"))
+    val ringPop = cand.groupBy(col("o_x"), col("o_y"), col("_ring"))
+      .agg(sum(col("m_d")).as("_rpop"))
+    val byRings = Window.partitionBy(col("o_x"), col("o_y")).orderBy(col("_ring"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = ringPop.withColumn("_sbase", coalesce(sum(col("_rpop")).over(byRings), lit(0L)))
+      .select(col("o_x"), col("o_y"), col("_ring"), col("_sbase"))
+    val inRing = Window.partitionBy(col("o_x"), col("o_y"), col("_ring"))
+      .orderBy(col("_d2"), col("d_x"), col("d_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.join(base, Seq("o_x", "o_y", "_ring"))
+      .withColumn("s_ij",
+        (col("_sbase") + coalesce(sum(col("m_d")).over(inRing), lit(0L))).cast("long"))
       .withColumn("flow",
         (dq(col("m_o")) * dq(col("m_o")) * dq(col("m_d"))).cast("double") /
           ((dq(col("m_o")) + dq(col("s_ij"))) *
@@ -1022,6 +1138,16 @@ object SpatialOps {
                           rounds: Int, share: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1, "need rounds >= 1")
     def dq(c: Column): Column = c.cast("decimal(38,0)")
+    // The two-coloring class is the parity of the node's DENSE RANK in id
+    // order, not of the raw id: an id population with biased parity (all
+    // even after an upstream ×2 relabel, say — or level-1 winner labels,
+    // which keep one parity along a uniform path) would otherwise put
+    // every node in one class and degenerate the semi-synchronous
+    // schedule into the fully synchronous sweep the coloring exists to
+    // prevent. 0-based ranks alternate parity along the id order by
+    // construction, for every id population.
+    val cls = share(graft.util.Ids.withSequentialId(deg.select(col("u")), "_r", col("u"))
+      .select(col("u").as("n"), pmod(col("_r"), lit(2L)).as("_p")))
     var comm = deg.select(col("u").as("n"), col("u").as("c"))
     val byNode = Window.partitionBy(col("u")).orderBy(col("_gain").desc, col("cand"))
     for (r <- 1 to rounds) {
@@ -1049,11 +1175,11 @@ object SpatialOps {
         .withColumn("_rn", row_number().over(byNode))
         .filter(col("_rn") === 1)
         .select(col("u").as("n"), col("cand"))
-      // two-coloring schedule: this round only the matching parity class
-      // moves — the other class keeps its community
-      comm = share(comm.join(best, Seq("n"))
+      // two-coloring schedule: this round only the matching rank-parity
+      // class moves — the other class keeps its community
+      comm = share(comm.join(best, Seq("n")).join(cls, Seq("n"))
         .select(col("n"),
-          when(pmod(col("n"), lit(2)) === lit(r % 2), col("cand"))
+          when(col("_p") === lit((r % 2).toLong), col("cand"))
             .otherwise(col("c")).as("c")))
     }
     comm
@@ -1095,13 +1221,12 @@ object SpatialOps {
     val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
 
     // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
-    // level-1 WINNER labels, whose parity is structurally biased (on a
-    // path of even user ids every community keeps an even label), and a
-    // one-parity id population degenerates the two-coloring schedule
-    // into the fully synchronous sweep it exists to prevent — every
-    // supernode then moves at once and adjacent movers chain past each
-    // other (measured: Q drops on a uniform P12). 0-based ranks
-    // alternate parity along the id order by construction.
+    // level-1 WINNER labels (a sparse, structurally biased id space);
+    // 0-based ranks keep the supergraph in a compact id space for the
+    // collapse/composition joins below. The two-coloring schedule no
+    // longer depends on this — louvainPass ranks its own id population
+    // internally (the round-12 fix that moved the r11 relabel's parity
+    // argument one level down, into the pass itself).
     val rank = share(graft.util.Ids.withSequentialId(
       l1.select(col("c").as("u0")).distinct(), "r", col("u0")))
 

@@ -1,14 +1,30 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Suite-wide physical-plan lint: no registry query may plan a
-  * CartesianProduct — the quadratic an innocuous-looking refactor can
-  * reintroduce silently (a dropped equi-key, a non-equi join whose
-  * broadcast side grew past the threshold). The deliberate all-pairs
-  * surfaces (the reference-parity distance matrices, fixture-scale by
-  * contract) are whitelisted EXPLICITLY so any new cartesian is a test
-  * failure, not a 100 TB incident.
+/** Suite-wide physical-plan lint: no registry query may plan an
+  * UNBOUNDED quadratic join — a CartesianProduct, or a
+  * BroadcastNestedLoopJoin whose build side scales with the data (a
+  * dropped equi-key, a non-equi join whose small side fits the
+  * broadcast threshold at test scale and won't at 100 TB). The
+  * deliberate all-pairs surfaces (the reference-parity distance
+  * matrices, fixture-scale by contract, and the zone-pair mobility
+  * models whose zones² pairing is the documented contract) are
+  * whitelisted EXPLICITLY so any new quadratic is a test failure, not
+  * a 100 TB incident.
+  *
+  * A BNLJ is NOT flagged when its build side is provably bounded —
+  * an ungrouped aggregate (≤1 row: the `crossJoin(broadcast(totals))`
+  * enrichment idiom all the *_fit / *_drift / tf-idf gates use), a
+  * limit/top-k, or a small driver-local relation (≤4096 rows: literal
+  * query sets, neighbor-offset tables). Those are map-side enrichments
+  * whose build volume is O(1) in the input, not hidden quadratics.
   *
   * Streaming replay gates are skipped: their gate closures EXECUTE the
   * replay during construction (they return a finished, checkpointed
@@ -23,18 +39,63 @@ class PlanLintSpec extends AnyFunSuite {
     * contract (each has a banded/bounded scale twin).
     */
   private val deliberateAllPairs = Set(
-    "dtw_matrix", "distance_matrix_points")
+    "dtw_matrix", "frechet_matrix", "hausdorff_matrix",
+    "distance_matrix_points", "distance_matrix_xy")
 
-  test("no registry query plans a CartesianProduct (whitelist: the parity matrices)") {
+  /** Gates whose quadratic operates on an AGGREGATED zone table orders
+    * smaller than the input, where the pairing is the model's inherent
+    * cost (documented, with a banded escape hatch):
+    *  - radiation_flows: zones² with the s_ij prefix sum (Simini et
+    *    al. 2012; radiationFlowsRinged is the bounded equi-join twin)
+    *  - od_gravity_fit / od_radiation: same zone-pair space for the
+    *    deterrence regression / model comparison
+    */
+  private val deliberateZonePairs = Set(
+    "radiation_flows", "od_gravity_fit", "od_radiation")
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** Build side provably bounded: ungrouped aggregate (≤1 row), a
+    * limit, or a small local relation anywhere below the broadcast.
+    * ReusedExchange references an exchange linted at its original
+    * site in the same plan.
+    */
+  private def bounded(p: SparkPlan): Boolean =
+    p.find {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case s: SortAggregateExec => s.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case l: LocalTableScanExec => l.rows.lengthCompare(4097) < 0
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _: ReusedExchangeExec => true
+      case _ => false
+    }.isDefined
+
+  test("no registry query plans an unbounded quadratic join " +
+    "(whitelist: parity matrices + zone-pair models)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         name.startsWith("streaming_") || deliberateAllPairs.contains(name)
       }
       .flatMap { case (name, q) =>
-        val plan = q(spark, dir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        val plan = unwrap(q(spark, dir).queryExecution.executedPlan)
+        val cartesian = plan.collect { case c: CartesianProductExec => c }.nonEmpty
+        val badBnlj = !deliberateZonePairs.contains(name) &&
+          plan.collect { case b: BroadcastNestedLoopJoinExec => b }.exists { b =>
+            val build = b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }
+            !bounded(build)
+          }
+        if (cartesian || badBnlj)
+          Some(s"$name (${if (cartesian) "CartesianProduct" else "unbounded BroadcastNestedLoopJoin"})")
+        else None
       }
     assert(offenders.isEmpty,
-      s"gate queries planning a CartesianProduct:\n${offenders.mkString("\n")}")
+      s"gate queries planning a quadratic join:\n${offenders.mkString("\n")}")
   }
 }

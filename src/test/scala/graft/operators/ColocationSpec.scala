@@ -187,12 +187,13 @@ class ColocationSpec extends SparkSpec {
 
   test("Louvain one-level: triangle pair converges under the parity schedule; Q matches LPA") {
     import spark.implicits._
-    // same fixture as LPA; hand-traced semi-synchronous trajectory:
-    // r1 (odd movers): 1→c2, 3→c1, 5→c6; r2 (even): 4→c6, 2/6 stay;
-    // r3 (odd): 3→c2, 1/5 stay; r4 (even): all stay. Final communities
-    // c2={1,2,3}, c6={4,5,6} — the fully synchronous sweep oscillates on
-    // this graph (1↔2 and 5↔6 swap forever), which is what the
-    // two-coloring schedule exists to prevent.
+    // same fixture as LPA. Schedule classes come from the parity of the
+    // node's 0-based dense rank in id order (1,3,5 → class 0 move in
+    // even rounds; 2,4,6 → class 1 move in odd rounds), so the two
+    // triangles converge to the class-0 anchors: c1={1,2,3}, c5={4,5,6}
+    // — the fully synchronous sweep oscillates on this graph (1↔2 and
+    // 5↔6 swap forever), which is what the two-coloring schedule exists
+    // to prevent.
     val pairs = Seq(
       (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
       (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
@@ -200,14 +201,32 @@ class ColocationSpec extends SparkSpec {
     val got = SpatialOps.colocationLouvain(pairs, rounds = 4)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(got.keySet == Set(2L, 6L), got.keySet)
-    assert(got(2L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
-    assert(got(6L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+    assert(got.keySet == Set(1L, 5L), got.keySet)
+    assert(got(1L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
+    assert(got(5L) === ((3L, 30L, 61L, 7198.0 / 14884.0)))
     // the gain objective recovers the same partition LPA's plurality
     // rule finds here — equal exact-rational modularity
     val qLpa = SpatialOps.colocationCommunities(pairs, rounds = 3)
       .select("modularity").as[Double].head()
-    assert(got(2L)._4 == qLpa)
+    assert(got(1L)._4 == qLpa)
+  }
+
+  test("Louvain schedule is rank-based: an all-even id population still alternates classes") {
+    import spark.implicits._
+    // the triangle-pair fixture with every id doubled: raw-id parity
+    // would put ALL nodes in one class (every id even) and run the fully
+    // synchronous sweep the coloring exists to prevent; dense-rank
+    // parity alternates regardless of the id population, so the result
+    // is the relabeled image of the 1..6 fixture's optimum
+    val even = Seq(
+      (2L, 4L, 10L), (2L, 6L, 10L), (4L, 6L, 10L),
+      (8L, 10L, 10L), (8L, 12L, 10L), (10L, 12L, 10L),
+      (6L, 8L, 1L)).toDF("user_a", "user_b", "n_meetings")
+    val got = SpatialOps.colocationLouvain(even, rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(2L, 10L), got.keySet)
+    assert(got.values.toSet == Set((3L, 30L, 61L, 7198.0 / 14884.0)), got)
   }
 
   test("Louvain level 2: collapse keeps a good partition and improves an under-merged one") {
@@ -265,21 +284,22 @@ class ColocationSpec extends SparkSpec {
 
   test("Leiden refinement: a vacated-hub community splits into components, Q strictly up") {
     import spark.implicits._
-    // hand-traced under the parity schedule with rounds = 2: the hub 0
-    // bridges leaves 1 and 2 (w=1 each) but is pulled away by the heavy
-    // pair edge 0–9 (w=10, 9–8 w=10). r1: 1→c0, 9→c8; r2: 0→c8 (gain 80
-    // beats staying, 32) and 2→c0 — leaving community 0 = {1, 2}, whose
-    // members share NO edge (they only connected through the departed
-    // hub). W = 22; qn(louvain) = (0 − 2²) + (4·22·20 − 42²) = −8;
-    // refined splits {1,2} → {1},{2}: qn = −1 − 1 − 4 = −6 (the +2·d₁·d₂
-    // = +2 split bonus).
+    // hand-traced under the rank-parity schedule with rounds = 2: nodes
+    // {0,1,2,8,9} get ranks {0,1,2,3,4}, so {1,8} (rank-odd) move in r1
+    // and {0,2,9} in r2. The hub 0 bridges leaves 1 and 2 (w=1 each) but
+    // is pulled away by the heavy pair edge 0–9 (w=10, 9–8 w=10).
+    // r1: 1→c0, 8→c9; r2: 0→c9 (gain 80 beats staying, 32) and 2→c0 —
+    // leaving community 0 = {1, 2}, whose members share NO edge (they
+    // only connected through the departed hub). W = 22; qn(louvain) =
+    // (0 − 2²) + (4·22·20 − 42²) = −8; refined splits {1,2} → {1},{2}:
+    // qn = −1 − 1 − 4 = −6 (the +2·d₁·d₂ = +2 split bonus).
     val pairs = Seq(
       (0L, 1L, 1L), (0L, 2L, 1L), (0L, 9L, 10L), (8L, 9L, 10L))
       .toDF("user_a", "user_b", "n_meetings")
     val audit = SpatialOps.louvainConnectivity(pairs, rounds = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(audit(0L) == ((2L, 2L, false)), s"community 0 must audit disconnected: $audit")
-    assert(audit(8L) == ((3L, 1L, true)), audit)
+    assert(audit(9L) == ((3L, 1L, true)), audit)
 
     val refined = SpatialOps.colocationLouvainRefined(pairs, rounds = 2)
       .collect().map(r => r.getLong(0) ->
@@ -367,7 +387,7 @@ class ColocationSpec extends SparkSpec {
     assert(tiled == got, s"g=4 $tiled vs g=1 $got")
   }
 
-  test("distanceMatrixLinestrings: maxDistanceM delegates to the banded path — no cartesian") {
+  test("distanceMatrixLinestringsBounded delegates to the banded path — no cartesian") {
     import spark.implicits._
     val df = Seq(
       (1L, Seq((-122.4000, 47.6000), (-122.3990, 47.6005))),
@@ -377,7 +397,7 @@ class ColocationSpec extends SparkSpec {
     ).toDF("id", "raw")
       .select(col("id"), transform(col("raw"),
         p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))).as("points"))
-    val bounded = SpatialOps.distanceMatrixLinestrings(df, "hausdorff", maxDistanceM = Some(300.0))
+    val bounded = SpatialOps.distanceMatrixLinestringsBounded(df, "hausdorff", maxDistanceM = 300.0)
     val plan = bounded.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     val got = bounded.select("id_1", "id_2", "distance_m").as[(Long, Long, Long)].collect().toSet
@@ -412,6 +432,17 @@ class ColocationSpec extends SparkSpec {
     val got = SpatialOps.trajectoryNearPairs(df, radiusM = 300.0, maxAbsLatDeg = 75.0)
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)), got)
+    // DATA above the declared envelope (default 66°) with default
+    // parameters must fail LOUDLY at runtime — the parameter require
+    // alone can't see the data, and the too-small derived pad would
+    // otherwise silently drop near-radius pairs
+    val thrown = intercept[Throwable] {
+      SpatialOps.trajectoryNearPairs(df, radiusM = 300.0).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(thrown).exists(c =>
+      String.valueOf(c.getMessage).contains("maxAbsLatDeg")), thrown.toString)
   }
 
   test("trajectoryNearPairs: candidates meet through the cell equi-join — no cartesian") {

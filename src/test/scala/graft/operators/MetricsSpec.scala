@@ -502,6 +502,37 @@ class MetricsSpec extends SparkSpec {
     assert(got((3L, 0L)) == ((5L, 2L, 3L, 0.625)))
   }
 
+  test("ringed radiation flows equal the exact form intersected with the integer cap") {
+    import spark.implicits._
+    // a 2-D scatter of cells (some in the same ring, some at ring
+    // boundaries: Δcy = 1 and 2 sit exactly at the width-1 ring edges)
+    // — for several ring widths, the ringed twin must reproduce the
+    // full-window flows on exactly the pairs inside its cap
+    val pts = Seq(
+      (0.005, 0.005, 2), (0.015, 0.005, 3), (0.035, 0.005, 5),
+      (0.005, 0.015, 1), (0.025, 0.025, 4), (0.005, 0.045, 2),
+      (0.045, 0.045, 1)).flatMap { case (lon, lat, n) =>
+        Seq.fill(n)((lon, lat))
+      }.zipWithIndex.map { case ((lon, lat), i) => (i.toLong, lon, lat) }
+      .toDF("id", "lon", "lat")
+    val cosLatQ = math.floor(math.cos(math.toRadians(47.6)) * 1e6 + 0.5).toLong
+    val exact = SpatialOps.radiationFlows(pts, cellMicroDeg = 10000L, refLatDeg = 47.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    for ((w, mr) <- Seq((1L, 1), (1L, 2), (2L, 1), (3L, 0))) {
+      val capU = BigInt((mr + 1L) * w * 1000000L)
+      val expected = exact.filter { case ((ox, oy, dx, dy), _) =>
+        val d2 = BigInt((dx - ox) * cosLatQ).pow(2) + BigInt((dy - oy) * 1000000L).pow(2)
+        d2 < capU.pow(2)
+      }
+      val ringed = SpatialOps.radiationFlowsRinged(pts, cellMicroDeg = 10000L,
+          refLatDeg = 47.6, ringWidthCells = w, maxRings = mr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+          ((r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+      assert(ringed == expected, s"ringWidthCells=$w maxRings=$mr")
+    }
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

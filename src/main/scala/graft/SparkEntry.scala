@@ -853,6 +853,42 @@ object SparkEntry {
          |      FROM ${pre}sc$i) t WHERE rn = 1) b ON m.n = b.u)""".stripMargin
     }.mkString(",\n")
 
+  /** Shared CTE chain for the Song entropy gates: the per-user visit
+    * window (first 120 visits in adapter order), location counts, the
+    * quantized-ln entropy aggregate `ent(user_id, n_visits, n_locs,
+    * sclnc)`, the location-symbol string, and the LZ76 recursive parse
+    * `ph(user_id, n_phrases)` — the text_lz_density parse keyed by
+    * user. `tail` is either the main SELECT (location_entropy) or more
+    * CTEs ending in one (predictability_bound).
+    */
+  private def songEntropySql(tail: String): String = {
+    val sep = if (tail.startsWith("SELECT")) "\n" else ",\n"
+    s"""${EventsAdapter.pfsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |vis AS MATERIALIZED (
+       |  SELECT user_id, k, (k // 12) % 4 AS loc FROM intervals WHERE k < 120),
+       |cnt AS (SELECT user_id, loc, CAST(count(*) AS BIGINT) AS c FROM vis GROUP BY 1, 2),
+       |ent AS MATERIALIZED (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_visits,
+       |         CAST(count(*) AS BIGINT) AS n_locs,
+       |         CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc
+       |  FROM cnt GROUP BY 1),
+       |sq AS MATERIALIZED (
+       |  SELECT user_id,
+       |         string_agg(substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(loc AS INT) + 1, 1), '' ORDER BY k) AS seq
+       |  FROM vis GROUP BY 1),
+       |lzp(user_id, seq, n, p, c) AS (
+       |  SELECT user_id, seq, length(seq), 1, 0 FROM sq
+       |  UNION ALL
+       |  SELECT user_id, seq, n, p + least(coalesce(mm, 0) + 1, n - p + 1), c + 1
+       |  FROM (
+       |    SELECT user_id, seq, n, p, c,
+       |           list_max(list_filter(range(1, n - p + 2),
+       |             L -> strpos(substring(seq, 1, CAST(p + L - 2 AS INT)),
+       |                         substring(seq, CAST(p AS INT), CAST(L AS INT))) > 0)) AS mm
+       |    FROM lzp WHERE p <= n)),
+       |ph AS MATERIALIZED (SELECT user_id, CAST(c AS BIGINT) AS n_phrases FROM lzp WHERE p > n)$sep$tail""".stripMargin
+  }
+
   /** Shared CTE chain: staypoint segments (recursive anchor jump) as
     * `kept(u, a, a_t, f_t, mend)` — see [[staypointsOracle]].
     */
@@ -1976,6 +2012,18 @@ object SparkEntry {
         EventsAdapter.intervals(s, dir)
           .filter(expr("k % 12 = 0"))
           .withColumn("location_id", expr("(k div 12) % 4")))
+    },
+    // Song et al. 2010 entropy ladder per user (random / uncorrelated /
+    // LZ76-temporal) over the location-visit sequence
+    "location_entropy" -> { (s, dir) =>
+      Metrics.locationEntropyQ(EventsAdapter.intervals(s, dir)
+        .withColumn("location_id", expr("(k div 12) % 4")))
+    },
+    // Fano-bound max predictability for both entropy rungs — exact
+    // integer grid argmax, no transcendental bisection
+    "predictability_bound" -> { (s, dir) =>
+      Metrics.predictabilityBound(EventsAdapter.intervals(s, dir)
+        .withColumn("location_id", expr("(k div 12) % 4")))
     },
     "returners_explorers" -> { (s, dir) =>
       Metrics.kRadiusGyration(
@@ -4486,6 +4534,59 @@ object SparkEntry {
          |                * (CAST(prd.m_from AS HUGEINT) + CAST(prd.m_to AS HUGEINT)
          |                   + coalesce(sb.s_between, 0)) AS DOUBLE) AS p_pred
          |FROM prd LEFT JOIN sb ON prd.f = sb.f AND prd.t = sb.t""".stripMargin,
+    // Song entropy ladder: quantized-ln Shannon numerator plus the LZ76
+    // parse of the per-user location-symbol string — the same recursive
+    // parse CTE the text_lz_density oracle uses, keyed by user
+    "location_entropy" -> songEntropySql(
+      """SELECT e.user_id, e.n_visits, e.n_locs,
+        |  CAST(floor(ln(CAST(e.n_locs AS DOUBLE)) * 1e6) AS BIGINT) AS s_rand_q,
+        |  CAST(e.n_visits * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |       - e.sclnc AS BIGINT) AS entropy_num_q,
+        |  CAST(e.n_visits * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |       - e.sclnc AS DOUBLE)
+        |    / (CAST(e.n_visits AS DOUBLE) * 1000000.0) AS s_unc_nats,
+        |  ph.n_phrases,
+        |  CAST(ph.n_phrases * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |       AS BIGINT) AS s_temp_num_q,
+        |  CAST(ph.n_phrases * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |       AS DOUBLE)
+        |    / (CAST(e.n_visits AS DOUBLE) * 1000000.0) AS s_temp_nats
+        |FROM ent e JOIN ph USING (user_id)""".stripMargin),
+    // Fano grid argmax: F(j) exact-integer per (user, j), admission by
+    // cross-multiplication, max admitted j per user; single-location
+    // users are Π = 1 by definition
+    "predictability_bound" -> songEntropySql(
+      """grid AS (SELECT CAST(unnest(generate_series(1, 1024)) AS BIGINT) AS j),
+        |fz AS (
+        |  SELECT e.user_id, e.n_visits, e.n_locs,
+        |         CAST(e.n_visits * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |              - e.sclnc AS BIGINT) AS s_unc_num,
+        |         CAST(ph.n_phrases * CAST(floor(ln(CAST(e.n_visits AS DOUBLE)) * 1e6) AS BIGINT)
+        |              AS BIGINT) AS s_temp_num
+        |  FROM ent e JOIN ph USING (user_id)),
+        |fj AS (
+        |  SELECT f.user_id, f.n_visits, f.n_locs, f.s_unc_num, f.s_temp_num, g.j,
+        |    CASE WHEN g.j = 1024 THEN 0 ELSE
+        |      - g.j * CAST(floor(ln(CAST(g.j AS DOUBLE)) * 1e6) AS BIGINT)
+        |      + g.j * 6931471
+        |      - (1024 - g.j) * CAST(floor(ln(CAST(1024 - g.j AS DOUBLE)) * 1e6) AS BIGINT)
+        |      + (1024 - g.j) * 6931471
+        |      + (1024 - g.j) * CAST(floor(ln(CAST(f.n_locs - 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |    END AS fv
+        |  FROM fz f CROSS JOIN grid g WHERE f.n_locs >= 2),
+        |pi AS (
+        |  SELECT user_id, n_visits, n_locs,
+        |    coalesce(max(CASE WHEN n_visits * fv >= 1024 * s_unc_num THEN j END), 0) AS pi_unc_q,
+        |    coalesce(max(CASE WHEN n_visits * fv >= 1024 * s_temp_num THEN j END), 0) AS pi_temp_q
+        |  FROM fj GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT user_id, n_visits, n_locs, 1024, 1024 FROM fz WHERE n_locs = 1)
+        |SELECT user_id, n_visits, n_locs,
+        |  CAST(pi_unc_q AS BIGINT) AS pi_unc_q,
+        |  CAST(pi_unc_q AS DOUBLE) / 1024.0 AS pi_unc,
+        |  CAST(pi_temp_q AS BIGINT) AS pi_temp_q,
+        |  CAST(pi_temp_q AS DOUBLE) / 1024.0 AS pi_temp
+        |FROM pi""".stripMargin),
     // Pappalardo returners/explorers: rg twice (all visits; top-2
     // locations only), floored-metre comparison for the flag
     "returners_explorers" ->

@@ -1021,4 +1021,145 @@ object Metrics {
       .withColumn("cov_xy", col("cov_num").cast("double") / (col("n").cast("double") * col("n").cast("double")))
       .withColumn("theta", atan2(lit(2.0) * col("cov_xy"), col("var_x") - col("var_y")) / 2.0)
   }
+
+  /** Song et al. 2010 ("Limits of Predictability in Human Mobility",
+    * Science 327) per-user entropy card over the location-visit
+    * sequence — the ORACLE-EXACT twin of the spec-gated
+    * [[locationEntropy]] / [[predictability]] pair above (those keep
+    * the paper's bits/log2 surface through raw libm doubles, which no
+    * SQL oracle can hash-match; this card re-expresses the same ladder
+    * in the repo's quantized-ln integer convention so every column is
+    * DuckDB-checkable). Three rungs:
+    *
+    *  - random entropy S_rand = ln N (N = distinct locations visited),
+    *  - uncorrelated (Shannon) entropy S_unc = −Σ p_i ln p_i over visit
+    *    frequencies — exact-integer numerator n·lnq(n) − Σ c·lnq(c) in
+    *    the repo's quantized-ln convention (1e-6 nats), one double
+    *    division at the end,
+    *  - temporal entropy S_temp via the LZ76 estimator of Kontoyiannis
+    *    et al. 1998 (the estimator Song's paper uses): the visit
+    *    sequence becomes a symbol string (one letter per location, time
+    *    order), the codegen'd [[graft.plans.Lz76PhraseCount]] parses it,
+    *    and S_temp ≈ (phrases/n)·ln n — numerator phrases·lnq(n),
+    *    engine-identical because the oracle runs the same parse as a
+    *    recursive CTE (the text_lz_density machinery).
+    *
+    * The sequence is capped at the first `maxSeqLen` visits per user
+    * (order = the adapter's per-user visit index) — the LZ parse is
+    * O(cap²) per user in both engines, and all three entropies read the
+    * SAME window so the S_rand ≥ S_unc ≥ S_temp ladder is internally
+    * consistent.
+    *
+    * Scale shape: one rank filter, one (user, loc) count groupBy, one
+    * per-user aggregate, one collect_list-of-(rank, symbol) aggregate
+    * whose state is bounded by maxSeqLen — no joins except the final
+    * per-user hash join of two user-keyed aggregates.
+    *
+    * @param sp (user_id, k, location_id) — k the per-user visit index
+    * @return (user_id, n_visits, n_locs, s_rand_q, entropy_num_q,
+    *         s_unc_nats, n_phrases, s_temp_num_q, s_temp_nats)
+    */
+  def locationEntropyQ(sp: DataFrame, maxSeqLen: Int = 120,
+                       locCol: String = "location_id"): DataFrame = {
+    require(maxSeqLen >= 1 && maxSeqLen <= 4096, "maxSeqLen must be in [1, 4096]")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val win = sp.select(col("user_id"), col("k").cast("long").as("_k"),
+        col(locCol).cast("long").as("_loc"))
+      .filter(col("_k") < maxSeqLen)
+    val ent = win.groupBy(col("user_id"), col("_loc"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("_c")).cast("long").as("n_visits"),
+        count(lit(1)).cast("long").as("n_locs"),
+        sum(col("_c") * lnq(col("_c"))).cast("long").as("_sclnc"))
+    // one letter per location id (contract: < 26 distinct ids — the
+    // assert fails loudly, not silently, on a wider id space)
+    val seqs = win
+      .withColumn("_sym", expr(
+        s"substr('$alphabet', cast(assert_true(_loc >= 0 and _loc < 26, " +
+          s"'locationEntropy: location ids must be in [0, 26)') is null as int) " +
+          s"* (cast(_loc as int) + 1), 1)"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("_k"), col("_sym")))),
+        x => x.getField("_sym")), "").as("_seq"))
+      .withColumn("n_phrases", expr(s"lz76_phrase_count(_seq, $maxSeqLen)"))
+    ent.join(seqs.select(col("user_id"), col("n_phrases")), Seq("user_id"))
+      .withColumn("s_rand_q", lnq(col("n_locs")))
+      .withColumn("entropy_num_q", col("n_visits") * lnq(col("n_visits")) - col("_sclnc"))
+      .withColumn("s_unc_nats",
+        col("entropy_num_q").cast("double") / (col("n_visits").cast("double") * lit(1e6)))
+      .withColumn("s_temp_num_q", col("n_phrases") * lnq(col("n_visits")))
+      .withColumn("s_temp_nats",
+        col("s_temp_num_q").cast("double") / (col("n_visits").cast("double") * lit(1e6)))
+      .select(col("user_id"), col("n_visits"), col("n_locs"), col("s_rand_q"),
+        col("entropy_num_q"), col("s_unc_nats"), col("n_phrases"),
+        col("s_temp_num_q"), col("s_temp_nats"))
+  }
+
+  /** Fano-bound maximum predictability Π_max (Song et al. 2010, SOM §3):
+    * the largest Π satisfying H(Π) + (1−Π)·ln(N−1) ≥ S — the ceiling any
+    * next-location predictor can reach given the sequence's entropy.
+    * Computed for BOTH entropy rungs ([[locationEntropyQ]]'s uncorrelated
+    * and LZ76-temporal estimates); the paper's headline "93% potential
+    * predictability" is the temporal column's population distribution.
+    *
+    * Engine-exact by construction: instead of bisecting a transcendental
+    * equation in doubles (whose libm trajectories no two engines share),
+    * Π is maximized over the fixed grid j/G (G = `grid`): with p = j/G,
+    *   G·[H(p) + (1−p)·ln(N−1)] = −j·ln j + j·ln G − (G−j)·ln(G−j)
+    *                              + (G−j)·ln G + (G−j)·ln(N−1)
+    * — every ln argument is an INTEGER ≤ max(G, N), so the quantized-ln
+    * convention (floor(ln·1e6), shared with every *_fit gate) makes the
+    * bracket an exact integer F(j), and the admission test
+    * n·F(j) ≥ G·S_num cross-multiplies to exact integers. Π_max is then
+    * max{j : admitted}/G — identical in any engine that agrees on
+    * floor(ln(k)·1e6) for small integers k. Single-location users are
+    * perfectly predictable (Π = 1) by definition; a user whose estimate
+    * exceeds every F(j) (possible for the LZ76 estimate, which is not
+    * capped by ln N) reports 0 — the bound is vacuous at grid
+    * resolution, loudly.
+    *
+    * Scale shape: the per-user entropy card crossed with a G-row literal
+    * grid (broadcast local relation — bounded build, lint-visible), one
+    * conditional-max groupBy back to one row per user.
+    *
+    * @return (user_id, n_visits, n_locs, pi_unc_q, pi_unc, pi_temp_q,
+    *         pi_temp) with pi_*_q the grid index and pi_* = q/G
+    */
+  def predictabilityBound(sp: DataFrame, grid: Int = 1024, maxSeqLen: Int = 120,
+                          locCol: String = "location_id"): DataFrame = {
+    require(grid >= 2 && grid <= 65536, "grid must be in [2, 65536]")
+    val spark = sp.sparkSession
+    import spark.implicits._
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val g = grid.toLong
+    val card = locationEntropyQ(sp, maxSeqLen, locCol)
+      .select(col("user_id"), col("n_visits"), col("n_locs"),
+        col("entropy_num_q"), col("s_temp_num_q"))
+    val js = (1L to g).toDF("_j")
+    val f = when(col("_j") === g, lit(0L)).otherwise(
+      -col("_j") * lnq(col("_j")) + col("_j") * lnq(lit(g))
+        - (lit(g) - col("_j")) * lnq(lit(g) - col("_j"))
+        + (lit(g) - col("_j")) * lnq(lit(g))
+        + (lit(g) - col("_j")) * lnq(col("n_locs") - 1))
+    def piq(sNum: Column): Column =
+      coalesce(max(when(col("n_visits") * col("_f") >= lit(g) * sNum, col("_j"))), lit(0L))
+    val multi = card.filter(col("n_locs") >= 2)
+      .crossJoin(broadcast(js))
+      .withColumn("_f", f)
+      .groupBy(col("user_id"), col("n_visits"), col("n_locs"),
+        col("entropy_num_q"), col("s_temp_num_q"))
+      .agg(piq(col("entropy_num_q")).as("pi_unc_q"), piq(col("s_temp_num_q")).as("pi_temp_q"))
+    val single = card.filter(col("n_locs") === 1)
+      .select(col("user_id"), col("n_visits"), col("n_locs"),
+        col("entropy_num_q"), col("s_temp_num_q"),
+        lit(g).as("pi_unc_q"), lit(g).as("pi_temp_q"))
+    multi.unionByName(single)
+      .select(col("user_id"), col("n_visits"), col("n_locs"),
+        col("pi_unc_q"),
+        (col("pi_unc_q").cast("double") / lit(g.toDouble)).as("pi_unc"),
+        col("pi_temp_q"),
+        (col("pi_temp_q").cast("double") / lit(g.toDouble)).as("pi_temp"))
+  }
 }

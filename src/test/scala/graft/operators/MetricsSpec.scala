@@ -533,6 +533,50 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("Song entropy card and Fano bound: hand-computed ladder on three sequences") {
+    import spark.implicits._
+    // user 1: AAAAA (pure dwell), user 2: ABAB (period 2, short),
+    // user 4: (AB)^10 (period 2, long enough for the LZ76 estimator to
+    // dip under ln 2 and make the temporal Fano bound non-vacuous)
+    val rows =
+      (0 until 5).map(k => (1L, k.toLong, 0L)) ++
+      (0 until 4).map(k => (2L, k.toLong, (k % 2).toLong)) ++
+      (0 until 20).map(k => (4L, k.toLong, (k % 2).toLong))
+    val df = rows.toDF("user_id", "k", "location_id")
+    val ent = Metrics.locationEntropyQ(df).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+        r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    // lnq floors: ln2→693147, ln4→1386294, ln5→1609437, ln10→2302585, ln20→2995732
+    // user 1: S_unc = 0; LZ76("AAAAA") = A + AAAA(overlap) = 2 phrases
+    assert(ent(1L) == ((5L, 1L, 0L, 0L, 0.0, 2L, 2L * 1609437L, 2 * 1609437 / 5e6)), ent(1L))
+    // user 2: counts (2,2) → num = 4·lnq(4) − 4·lnq(2) = 2772588 → ln 2
+    // nats; LZ76("ABAB") = A, B, AB = 3 phrases
+    assert(ent(2L) == ((4L, 2L, 693147L, 2772588L, 2772588 / 4e6, 3L,
+      3L * 1386294L, 3 * 1386294 / 4e6)), ent(2L))
+    // user 4: counts (10,10) → num = 20·lnq(20) − 20·lnq(10) = 13862940
+    // (ln 2 again); LZ76((AB)^10) = A, B, (AB)^9 via overlap = 3 phrases
+    assert(ent(4L) == ((20L, 2L, 693147L, 13862940L, 13862940 / 20e6, 3L,
+      3L * 2995732L, 3 * 2995732 / 20e6)), ent(4L))
+
+    val pi = Metrics.predictabilityBound(df).collect().map(r => r.getLong(0) ->
+      ((r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    // single location → perfectly predictable by definition
+    assert(pi(1L) == ((1024L, 1.0, 1024L, 1.0)), pi(1L))
+    // S_unc = ln 2 with N = 2: H(Π) = ln 2 exactly at Π = 1/2, and the
+    // quantized grid admits j = 512 with n·F(512) = G·S_num EXACTLY
+    // (F(512) = 1024·(lnq(1024) − lnq(512)) = 1024·693147) — j = 513
+    // already fails. Both users sit at the same entropy, different n.
+    assert(pi(2L)._1 == 512L && pi(2L)._2 == 0.5, pi(2L))
+    assert(pi(4L)._1 == 512L && pi(4L)._2 == 0.5, pi(4L))
+    // user 2's LZ76 estimate (3/4·ln 4 ≈ 1.04 nats) exceeds every F —
+    // the bound is vacuous at grid resolution and reports 0, loudly
+    assert(pi(2L)._3 == 0L, pi(2L))
+    // user 4's temporal estimate 3·ln(20)/20 ≈ 0.449 nats < ln 2: the
+    // bound is real; H(0.83) ≈ 0.456 ≥ 0.449 > H(0.84) ≈ 0.440 puts
+    // Π_max between 849/1024 and 861/1024
+    assert(pi(4L)._3 > 845L && pi(4L)._3 < 865L, pi(4L))
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

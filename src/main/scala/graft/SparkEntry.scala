@@ -2025,6 +2025,17 @@ object SparkEntry {
       Metrics.predictabilityBound(EventsAdapter.intervals(s, dir)
         .withColumn("location_id", expr("(k div 12) % 4")))
     },
+    // Schneider et al. 2013 daily-motif distribution under TRUE graph
+    // isomorphism (iso-canonical 36-bit adjacency masks, min over the
+    // 720 label permutations) — the `mobility_motifs` gate below keeps
+    // the finer visit-sequence signature; this one is the paper's
+    // unlabeled-graph class
+    "mobility_motifs_canonical" -> { (s, dir) =>
+      Metrics.mobilityMotifsCanonical(EventsAdapter.intervals(s, dir)
+          .withColumn("location_id", expr("(k div 12) % 4")))
+        .groupBy(col("n_nodes"), col("n_edges"), col("motif_id"))
+        .agg(count(lit(1)).cast("long").as("n_user_days"))
+    },
     "returners_explorers" -> { (s, dir) =>
       Metrics.kRadiusGyration(
         EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4")),
@@ -4587,6 +4598,54 @@ object SparkEntry {
         |  CAST(pi_temp_q AS BIGINT) AS pi_temp_q,
         |  CAST(pi_temp_q AS DOUBLE) / 1024.0 AS pi_temp
         |FROM pi""".stripMargin),
+    // Schneider daily motifs, iso-canonical: first-visit relabel →
+    // 36-bit adjacency mask → min over the 720 slot permutations,
+    // expanded on DISTINCT masks only; the permutation table is the
+    // 6-way distinct digit join
+    "mobility_motifs_canonical" ->
+      s"""${EventsAdapter.pfsSql},
+         |v AS (SELECT user_id, k, s_us // 86400000000 AS day, (k // 12) % 4 AS loc
+         |      FROM intervals),
+         |tr0 AS (SELECT user_id, day, lag(loc) OVER (PARTITION BY user_id, day ORDER BY k) AS f,
+         |               loc AS t FROM v),
+         |tr AS (SELECT DISTINCT user_id, day, f, t FROM tr0 WHERE f IS NOT NULL AND f <> t),
+         |rk AS (
+         |  SELECT user_id, day, loc,
+         |         row_number() OVER (PARTITION BY user_id, day ORDER BY k0) - 1 AS r
+         |  FROM (SELECT user_id, day, loc, min(k) AS k0 FROM v GROUP BY 1, 2, 3)),
+         |dn AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_nodes FROM rk GROUP BY 1, 2),
+         |e AS (SELECT t.user_id, t.day, ri.r AS i, rj.r AS j
+         |      FROM tr t
+         |      JOIN rk ri ON ri.user_id = t.user_id AND ri.day = t.day AND ri.loc = t.f
+         |      JOIN rk rj ON rj.user_id = t.user_id AND rj.day = t.day AND rj.loc = t.t),
+         |mk AS (SELECT user_id, day,
+         |              CAST(sum(CAST(1 AS BIGINT) << CAST(i * 6 + j AS INT)) AS BIGINT) AS mask,
+         |              CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM e GROUP BY 1, 2),
+         |dys AS (SELECT dn.user_id, dn.day, dn.n_nodes,
+         |               coalesce(mk.n_edges, 0) AS n_edges, coalesce(mk.mask, 0) AS mask
+         |        FROM dn LEFT JOIN mk ON mk.user_id = dn.user_id AND mk.day = dn.day
+         |        WHERE dn.n_nodes <= 6),
+         |me AS (SELECT DISTINCT mk.mask, e.i, e.j
+         |       FROM e JOIN mk ON mk.user_id = e.user_id AND mk.day = e.day),
+         |dg AS (SELECT unnest(range(0, 6)) AS d),
+         |pm AS (SELECT [a.d, b.d, c.d, e2.d, f.d, g.d] AS p
+         |       FROM dg a, dg b, dg c, dg e2, dg f, dg g
+         |       WHERE a.d <> b.d AND a.d <> c.d AND a.d <> e2.d AND a.d <> f.d AND a.d <> g.d
+         |         AND b.d <> c.d AND b.d <> e2.d AND b.d <> f.d AND b.d <> g.d
+         |         AND c.d <> e2.d AND c.d <> f.d AND c.d <> g.d
+         |         AND e2.d <> f.d AND e2.d <> g.d AND f.d <> g.d),
+         |cn AS (SELECT mask, CAST(min(pmsum) AS BIGINT) AS motif_id FROM (
+         |         SELECT me.mask, pm.p,
+         |                CAST(sum(CAST(1 AS BIGINT) <<
+         |                  CAST(p[CAST(me.i AS INT) + 1] * 6 + p[CAST(me.j AS INT) + 1] AS INT))
+         |                  AS BIGINT) AS pmsum
+         |         FROM me, pm GROUP BY me.mask, pm.p)
+         |       GROUP BY mask)
+         |SELECT d.n_nodes, d.n_edges, CAST(coalesce(cn.motif_id, 0) AS BIGINT) AS motif_id,
+         |       CAST(count(*) AS BIGINT) AS n_user_days
+         |FROM dys d LEFT JOIN cn ON cn.mask = d.mask
+         |GROUP BY 1, 2, 3""".stripMargin,
     // Pappalardo returners/explorers: rg twice (all visits; top-2
     // locations only), floored-metre comparison for the flag
     "returners_explorers" ->

@@ -1097,6 +1097,83 @@ object Metrics {
         col("s_temp_num_q"), col("s_temp_nats"))
   }
 
+  /** Daily mobility motifs (Schneider, Belik, Couronné, Smoreda &
+    * González 2013, "Unravelling daily human mobility motifs", J. R.
+    * Soc. Interface 10): each user-day's location graph — nodes = the
+    * locations visited that day, directed edges = consecutive distinct
+    * locations — classified into its motif, the isomorphism class of
+    * the daily graph. The paper's result (17 motifs cover 90% of
+    * user-days) is the distribution over this column.
+    *
+    * Canonical encoding, exact-integer end to end: nodes relabel to
+    * 0..n−1 by first-visit order, the edge set packs into a 36-bit
+    * adjacency mask (bit i·6+j), and the motif id is the MINIMUM of the
+    * mask over all 720 permutations of the 6 label slots. Minimizing
+    * over the full 6-symbol group equals minimizing over the n-node
+    * group: an injective relabel that skips a small label moves every
+    * affected bit to a strictly higher position, which strictly
+    * increases the mask — so the minimum always lands on contiguous
+    * labels, and one static permutation table serves every n ≤ 6.
+    *
+    * Scale shape: the permutation expansion runs on DISTINCT raw masks,
+    * not user-days — days with the same first-visit-relabeled edge set
+    * share one canonicalization, so the 720-way explode touches dozens
+    * of rows however many user-days exist. Everything else is two
+    * windows and hash joins keyed by (user, day). Days visiting more
+    * than `maxNodes` locations are excluded (the paper's scope is ≤6;
+    * the synthetic grid has 4).
+    *
+    * @param sp (user_id, k, s_us, location_id)
+    * @return (user_id, day, n_nodes, n_edges, motif_id)
+    */
+  def mobilityMotifsCanonical(sp: DataFrame, locCol: String = "location_id",
+                              maxNodes: Int = 6): DataFrame = {
+    require(maxNodes >= 1 && maxNodes <= 6, "maxNodes must be in [1, 6]")
+    val spark = sp.sparkSession
+    import spark.implicits._
+    val v = sp.select(col("user_id"), col("k").cast("long").as("_k"),
+      expr("s_us div 86400000000").as("day"),
+      col(locCol).cast("long").as("_loc"))
+    val byDay = Window.partitionBy(col("user_id"), col("day")).orderBy(col("_k"))
+    val trans = v.withColumn("_prev", lag(col("_loc"), 1).over(byDay))
+      .filter(col("_prev").isNotNull && col("_prev") =!= col("_loc"))
+      .select(col("user_id"), col("day"), col("_prev").as("_f"), col("_loc").as("_t"))
+      .distinct()
+    val ranked = v.groupBy(col("user_id"), col("day"), col("_loc"))
+      .agg(min(col("_k")).as("_k0"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("user_id"), col("day")).orderBy(col("_k0"))).cast("long") - 1L)
+    val dayNodes = ranked.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    val e = trans
+      .join(ranked.select(col("user_id"), col("day"), col("_loc").as("_f"), col("_r").as("_i")),
+        Seq("user_id", "day", "_f"))
+      .join(ranked.select(col("user_id"), col("day"), col("_loc").as("_t"), col("_r").as("_j")),
+        Seq("user_id", "day", "_t"))
+      .select(col("user_id"), col("day"), col("_i"), col("_j"))
+    val masks = e.groupBy(col("user_id"), col("day"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(_i * 6 + _j as int))"))
+        .cast("long").as("_mask"),
+        count(lit(1)).cast("long").as("n_edges"))
+    val days = dayNodes.join(masks, Seq("user_id", "day"), "left")
+      .filter(col("n_nodes") <= maxNodes)
+      .select(col("user_id"), col("day"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("_mask"), lit(0L)).as("_mask"))
+    val maskEdges = e
+      .join(masks.select(col("user_id"), col("day"), col("_mask")), Seq("user_id", "day"))
+      .select(col("_mask"), col("_i"), col("_j")).distinct()
+    val permDf = (0 to 5).permutations.map(_.toSeq).toSeq.toDF("p")
+    val canon = maskEdges.crossJoin(broadcast(permDf))
+      .withColumn("_bit", expr("shiftleft(cast(1 as bigint), " +
+        "cast(element_at(p, cast(_i as int) + 1) * 6 + element_at(p, cast(_j as int) + 1) as int))"))
+      .groupBy(col("_mask"), col("p")).agg(sum(col("_bit")).cast("long").as("_pm"))
+      .groupBy(col("_mask")).agg(min(col("_pm")).as("motif_id"))
+    days.join(canon, Seq("_mask"), "left")
+      .select(col("user_id"), col("day"), col("n_nodes"), col("n_edges"),
+        coalesce(col("motif_id"), lit(0L)).as("motif_id"))
+  }
+
   /** Fano-bound maximum predictability Π_max (Song et al. 2010, SOM §3):
     * the largest Π satisfying H(Π) + (1−Π)·ln(N−1) ≥ S — the ceiling any
     * next-location predictor can reach given the sequence's entropy.

@@ -577,6 +577,34 @@ class MetricsSpec extends SparkSpec {
     assert(pi(4L)._3 > 845L && pi(4L)._3 < 865L, pi(4L))
   }
 
+  test("canonical mobility motifs: label- and direction-aware isomorphism classes") {
+    import spark.implicits._
+    val day = 86400000000L
+    def visits(u: Long, d: Long, locs: Seq[Long]) =
+      locs.zipWithIndex.map { case (l, i) => (u, i.toLong, d * day + i * 1000L, l) }
+    // users 1 and 2: the same A→B→A shape under different location
+    // labels — must share one motif id (bits (0,1)+(1,0) = 2+64 = 66).
+    // users 3 and 5: directed path, traversed in opposite directions —
+    // same unlabeled class (min mask 68 = bits (0,2)+(1,0)).
+    // user 4: directed 3-cycle (min mask 4354). user 6: single location
+    // (motif 0, no edges).
+    val df = (visits(1L, 0L, Seq(5L, 7L, 5L)) ++
+      visits(2L, 0L, Seq(9L, 3L, 9L)) ++
+      visits(3L, 0L, Seq(1L, 2L, 3L)) ++
+      visits(5L, 0L, Seq(3L, 2L, 1L)) ++
+      visits(4L, 0L, Seq(1L, 2L, 3L, 1L)) ++
+      visits(6L, 0L, Seq(8L, 8L, 8L)))
+      .toDF("user_id", "k", "s_us", "location_id")
+    val got = Metrics.mobilityMotifsCanonical(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 2L, 66L)), got(1L))
+    assert(got(2L) == ((2L, 2L, 66L)), got(2L))
+    assert(got(3L) == ((3L, 2L, 68L)), got(3L))
+    assert(got(5L) == ((3L, 2L, 68L)), got(5L))
+    assert(got(4L) == ((3L, 3L, 4354L)), got(4L))
+    assert(got(6L) == ((1L, 0L, 0L)), got(6L))
+  }
+
   test("DTW and Frechet kernels on simple trajectories") {
     val a = Array((8.5, 47.3), (8.6, 47.3))
     val same = SpatialOps.dtw(a, a)

@@ -1762,6 +1762,14 @@ object SparkEntry {
       graft.streaming.Replay.nearDup(s.read.parquet(s"$dir/documents.parquet"),
         numHashes = 64, bands = 16, shingleN = 3, chunks = 3)
     },
+    "streaming_neardup_verified" -> { (s, dir) =>
+      // candidates + the foreachBatch jaccard-verify stage: the
+      // streaming path ends at verified pairs, and with expiry/cap off
+      // the result equals the batch minHashLsh output on the corpus
+      graft.streaming.Replay.nearDupVerified(s.read.parquet(s"$dir/documents.parquet"),
+          numHashes = 64, bands = 16, shingleN = 3, verifyThreshold = 0.5, chunks = 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
     "streaming_dedup_late" -> { (s, dir) =>
       graft.streaming.Replay.dedupOutOfOrder(s.read.parquet(s"$dir/documents.parquet"),
         chunks = 4)
@@ -3523,6 +3531,9 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(a.bb AS INT) AS band
          |FROM banded a JOIN banded b
          |  ON a.bb = b.bb AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+    // the verified streaming set is the batch minHashLsh pair table —
+    // byte-identical oracle to dedup_minhash at the same parameters
+    "streaming_neardup_verified" -> minhashOracle(numHashes = 64, bands = 16, threshold = 0.5),
     // out-of-order replay (batch p = ids ≡ p mod 4): the keeper is the
     // smallest id in the EARLIEST batch carrying the hash — min by
     // (doc_id mod 4, doc_id), not the batch twin's global min(doc_id)

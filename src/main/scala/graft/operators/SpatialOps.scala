@@ -1146,9 +1146,12 @@ object SpatialOps {
     // schedule into the fully synchronous sweep the coloring exists to
     // prevent. 0-based ranks alternate parity along the id order by
     // construction, for every id population.
-    val cls = share(graft.util.Ids.withSequentialId(deg.select(col("u")), "_r", col("u"))
-      .select(col("u").as("n"), pmod(col("_r"), lit(2L)).as("_p")))
-    var comm = deg.select(col("u").as("n"), col("u").as("c"))
+    val cls = graft.util.Ids.withSequentialId(deg.select(col("u")), "_r", col("u"))
+      .select(col("u").as("n"), pmod(col("_r"), lit(2L)).as("_p"))
+    // the class rides INSIDE the label frame (one extra long per node in
+    // the per-round share) instead of re-joining a class table every
+    // round — the final select drops it
+    var comm = deg.select(col("u").as("n"), col("u").as("c")).join(cls, Seq("n"))
     val byNode = Window.partitionBy(col("u")).orderBy(col("_gain").desc, col("cand"))
     for (r <- 1 to rounds) {
       val ctot = comm.join(deg, comm("n") === deg("u"))
@@ -1177,12 +1180,13 @@ object SpatialOps {
         .select(col("u").as("n"), col("cand"))
       // two-coloring schedule: this round only the matching rank-parity
       // class moves — the other class keeps its community
-      comm = share(comm.join(best, Seq("n")).join(cls, Seq("n"))
+      comm = share(comm.join(best, Seq("n"))
         .select(col("n"),
           when(col("_p") === lit((r % 2).toLong), col("cand"))
-            .otherwise(col("c")).as("c")))
+            .otherwise(col("c")).as("c"),
+          col("_p")))
     }
-    comm
+    comm.select(col("n"), col("c"))
   }
 
   /** Two-level Louvain (Blondel et al. 2008 phase 2): collapse the

@@ -53,6 +53,20 @@ class PlanLintSpec extends AnyFunSuite {
   private val deliberateZonePairs = Set(
     "radiation_flows", "od_gravity_fit", "od_radiation")
 
+  /** Gates whose BNLJ build side is a FIXED literal-id probe set
+    * (vec_id < 10/100, or the ivf centroid seeds at vec_id < nlist) —
+    * bounded by contract but invisible to the plan. A structural
+    * `.limit` would make the bound plan-visible, but costs a measured
+    * ~0.5 s GlobalLimit exchange per gate (LimitProbe, r12), so these
+    * are whitelisted by name; the probes×corpus loop join is the
+    * documented brute-force/assignment baseline, O(probes·corpus) with
+    * probes O(1) in the input.
+    */
+  private val boundedProbes = Set(
+    "ann_bruteforce", "ann_dim_ablation", "ann_filtered", "ann_ivf",
+    "ann_ndcg", "ann_pq", "ann_recall", "hard_negatives", "hybrid_rrf",
+    "intrinsic_dim", "knn_confusion", "pq_recall")
+
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
     case other => other
@@ -84,6 +98,7 @@ class PlanLintSpec extends AnyFunSuite {
         val plan = unwrap(q(spark, dir).queryExecution.executedPlan)
         val cartesian = plan.collect { case c: CartesianProductExec => c }.nonEmpty
         val badBnlj = !deliberateZonePairs.contains(name) &&
+          !boundedProbes.contains(name) &&
           plan.collect { case b: BroadcastNestedLoopJoinExec => b }.exists { b =>
             val build = b.buildSide match {
               case BuildLeft => b.left

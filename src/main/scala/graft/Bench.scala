@@ -92,6 +92,14 @@ object Bench {
       line(v => "%.3f".format(v)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // bench result still goes to stdout
     println(line(v => "%.2f".format(v)))
+    // (d) a COMPLETE compact headline line last: with 282 queries the full
+    // line is ~7 KB, so a strict json parse of the 2000-byte tail window
+    // fails even though the headline fields are visible (r10/r11 driver
+    // artifacts recorded "parsed": null) — a tail-line scanner now finds
+    // one short, strictly-parseable JSON object; the per-query map stays
+    // in the full line above and in BENCH_LOCAL.json
+    def f2(v: Double) = "%.2f".format(v)
+    println(s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,7 +99,11 @@ object Bench {
     // one short, strictly-parseable JSON object; the per-query map stays
     // in the full line above and in BENCH_LOCAL.json
     def f2(v: Double) = "%.2f".format(v)
-    println(s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    // the failed-names list is capped here (failed_count keeps the true
+    // total): under mass failure an unbounded list would push this line
+    // past the tail window exactly when it matters most
+    val failedCompact = failed.keys.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"failed":$failedCompact,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

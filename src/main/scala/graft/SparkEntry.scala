@@ -4624,9 +4624,11 @@ object SparkEntry {
          |  SELECT user_id, day, loc,
          |         row_number() OVER (PARTITION BY user_id, day ORDER BY k0) - 1 AS r
          |  FROM (SELECT user_id, day, loc, min(k) AS k0 FROM v GROUP BY 1, 2, 3)),
-         |dn AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_nodes FROM rk GROUP BY 1, 2),
+         |dn AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM rk GROUP BY 1, 2 HAVING count(*) <= 6),
          |e AS (SELECT t.user_id, t.day, ri.r AS i, rj.r AS j
          |      FROM tr t
+         |      JOIN dn ON dn.user_id = t.user_id AND dn.day = t.day
          |      JOIN rk ri ON ri.user_id = t.user_id AND ri.day = t.day AND ri.loc = t.f
          |      JOIN rk rj ON rj.user_id = t.user_id AND rj.day = t.day AND rj.loc = t.t),
          |mk AS (SELECT user_id, day,
@@ -4635,8 +4637,7 @@ object SparkEntry {
          |       FROM e GROUP BY 1, 2),
          |dys AS (SELECT dn.user_id, dn.day, dn.n_nodes,
          |               coalesce(mk.n_edges, 0) AS n_edges, coalesce(mk.mask, 0) AS mask
-         |        FROM dn LEFT JOIN mk ON mk.user_id = dn.user_id AND mk.day = dn.day
-         |        WHERE dn.n_nodes <= 6),
+         |        FROM dn LEFT JOIN mk ON mk.user_id = dn.user_id AND mk.day = dn.day),
          |me AS (SELECT DISTINCT mk.mask, e.i, e.j
          |       FROM e JOIN mk ON mk.user_id = e.user_id AND mk.day = e.day),
          |dg AS (SELECT unnest(range(0, 6)) AS d),

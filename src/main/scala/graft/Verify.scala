@@ -66,11 +66,24 @@ object Verify {
     def recordFailure(name: String, e: Throwable): Unit = failed.synchronized {
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
-      writeJson(s"$outDir/failed_queries.json", failed)
+      // best-effort: a failing incremental write (disk full, outDir gone)
+      // must not escape the task — the final write at exit still runs
+      try writeJson(s"$outDir/failed_queries.json", failed)
+      catch { case we: Throwable =>
+        System.err.println(s"[verify] failed_queries.json write failed: ${we.getMessage}")
+      }
     }
     writeJson(s"$outDir/failed_queries.json", failed)
 
-    val pool = Executors.newFixedThreadPool(threads)
+    // DAEMON pool threads: if anything ever escapes a task (or main), the
+    // JVM must still exit — idle non-daemon workers keeping a half-dead
+    // Verify alive is exactly the hung-round failure mode this main
+    // defends against
+    val pool = Executors.newFixedThreadPool(threads, new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "verify-gate"); t.setDaemon(true); t
+      }
+    })
     def await(tasks: Seq[() => Unit]): Unit =
       tasks.map(t => pool.submit(new Runnable { def run(): Unit = t() })).foreach(_.get())
 
@@ -108,15 +121,18 @@ object Verify {
     }
 
     val gates = SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
-    await(gates.map { case (name, fn) => () =>
-      val q0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        println(f"[verify] $name ${(System.nanoTime() - q0) / 1e9}%.1fs")
-      } catch { case e: Throwable => recordFailure(name, e) }
-    })
-    pool.shutdown()
-    pool.awaitTermination(1, TimeUnit.MINUTES)
+    try
+      await(gates.map { case (name, fn) => () =>
+        val q0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          println(f"[verify] $name ${(System.nanoTime() - q0) / 1e9}%.1fs")
+        } catch { case e: Throwable => recordFailure(name, e) }
+      })
+    finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+    }
 
     if (failed.nonEmpty)
       println(s"[verify] ${failed.size} QUERIES FAILED — see $outDir/failed_queries.json")

@@ -1145,7 +1145,15 @@ object Metrics {
         Window.partitionBy(col("user_id"), col("day")).orderBy(col("_k0"))).cast("long") - 1L)
     val dayNodes = ranked.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))
+      // the node cap applies BEFORE the mask/permutation pipeline, not
+      // just on the output: a 7+-node day's ranks overflow the 6-wide
+      // bit packing (bit i·6+j aliases across nodes, element_at past the
+      // permutation length nulls out, shifts past 63 wrap differently
+      // across engines) and, unfiltered, its garbage mask could collide
+      // with — and corrupt — a legitimate day's canonicalization
+      .filter(col("n_nodes") <= maxNodes)
     val e = trans
+      .join(dayNodes.select(col("user_id"), col("day")), Seq("user_id", "day"))
       .join(ranked.select(col("user_id"), col("day"), col("_loc").as("_f"), col("_r").as("_i")),
         Seq("user_id", "day", "_f"))
       .join(ranked.select(col("user_id"), col("day"), col("_loc").as("_t"), col("_r").as("_j")),
@@ -1156,7 +1164,6 @@ object Metrics {
         .cast("long").as("_mask"),
         count(lit(1)).cast("long").as("n_edges"))
     val days = dayNodes.join(masks, Seq("user_id", "day"), "left")
-      .filter(col("n_nodes") <= maxNodes)
       .select(col("user_id"), col("day"), col("n_nodes"),
         coalesce(col("n_edges"), lit(0L)).as("n_edges"),
         coalesce(col("_mask"), lit(0L)).as("_mask"))

@@ -598,6 +598,12 @@ object SpatialOps {
     require(cellMicroDeg > 0 && ringWidthCells > 0 && maxRings >= 0,
       "cell width, ring width and ring count must be sensible")
     val cosLatQ = math.floor(math.cos(math.toRadians(refLatDeg)) * 1e6 + 0.5).toLong
+    // cosLatQ = 0 (refLatDeg ≈ ±90) would divide-by-zero sizing blockX;
+    // negative (|refLatDeg| > 90) would produce negative block widths and
+    // a silently lossy candidate join — the exact twin degrades
+    // gracefully there, so the bounded twin must fail loudly instead
+    require(cosLatQ > 0,
+      s"refLatDeg=$refLatDeg quantizes cos to $cosLatQ; need |refLatDeg| < 90 with cos(refLatDeg)*1e6 >= 1")
     def cell(c: Column): Column =
       floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
     def dq(c: Column): Column = c.cast("decimal(38,0)")

@@ -72,21 +72,38 @@ class PlanLintSpec extends AnyFunSuite {
     case other => other
   }
 
-  /** Build side provably bounded: ungrouped aggregate (≤1 row), a
-    * limit, or a small local relation anywhere below the broadcast.
-    * ReusedExchange references an exchange linted at its original
-    * site in the same plan.
+  /** Build side provably bounded — a DOMINATING-node recursion, not a
+    * subtree grep (a limit buried under one input of a join must not
+    * bless the join): the root is a limit / ungrouped aggregate / small
+    * local relation, or a row-count-preserving unary above a bounded
+    * child, or an aggregate/join/union of bounded inputs (grouped aggs
+    * emit ≤ input rows; a join emits ≤ |L|·|R|). ReusedExchange
+    * recurses into the exchange it reuses instead of being trusted
+    * blindly. Row-multiplying unaries (Generate/flatMap shapes) fall to
+    * the default false.
     */
-  private def bounded(p: SparkPlan): Boolean =
-    p.find {
-      case h: HashAggregateExec => h.groupingExpressions.isEmpty
-      case s: SortAggregateExec => s.groupingExpressions.isEmpty
-      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
-      case l: LocalTableScanExec => l.rows.lengthCompare(4097) < 0
-      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
-      case _: ReusedExchangeExec => true
-      case _ => false
-    }.isDefined
+  private val rowPreservingUnary = Set(
+    "ProjectExec", "FilterExec", "SortExec", "CoalesceExec",
+    "WholeStageCodegenExec", "InputAdapter", "BroadcastExchangeExec",
+    "ShuffleExchangeExec", "AQEShuffleReadExec", "ColumnarToRowExec",
+    "RowToColumnarExec", "ExpandExec", "WindowExec", "WindowGroupLimitExec",
+    "SerializeFromObjectExec", "DeserializeToObjectExec", "MapElementsExec")
+
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+    case h: HashAggregateExec => h.groupingExpressions.isEmpty || bounded(h.child)
+    case s: SortAggregateExec => s.groupingExpressions.isEmpty || bounded(s.child)
+    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty || bounded(o.child)
+    case l: LocalTableScanExec => l.rows.lengthCompare(4097) < 0
+    case r: ReusedExchangeExec => bounded(r.child)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      bounded(j.left) && bounded(j.right)
+    case u if u.getClass.getSimpleName == "UnionExec" => u.children.forall(bounded)
+    case _: LocalLimitExec => bounded(p.children.head)
+    case u if u.children.size == 1 && rowPreservingUnary(u.getClass.getSimpleName) =>
+      bounded(u.children.head)
+    case _ => false
+  }
 
   test("no registry query plans an unbounded quadratic join " +
     "(whitelist: parity matrices + zone-pair models)") {

@@ -603,6 +603,18 @@ class MetricsSpec extends SparkSpec {
     assert(got(5L) == ((3L, 2L, 68L)), got(5L))
     assert(got(4L) == ((3L, 3L, 4354L)), got(4L))
     assert(got(6L) == ((1L, 0L, 0L)), got(6L))
+
+    // a day visiting MORE than maxNodes locations is excluded BEFORE the
+    // mask/permutation pipeline — its over-wide ranks would alias the
+    // 6-wide bit packing and could collide with (and corrupt) a
+    // legitimate day's canonicalization through the shared mask table
+    val wide = visits(7L, 0L, (0L to 7L) ++ Seq(0L, 1L))
+      .toDF("user_id", "k", "s_us", "location_id")
+    val both = Metrics.mobilityMotifsCanonical(df.unionByName(wide)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!both.contains(7L), s"8-location day must be excluded: $both")
+    assert(both(1L) == ((2L, 2L, 66L)) && both(3L) == ((3L, 2L, 68L)),
+      s"surviving days' motifs must be unchanged by the wide day: $both")
   }
 
   test("DTW and Frechet kernels on simple trajectories") {

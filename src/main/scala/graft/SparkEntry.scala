@@ -2068,6 +2068,15 @@ object SparkEntry {
     "colocation_communities" -> { (s, dir) =>
       SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3)
     },
+    // k-core occupancy via 3 unrolled iterated-h-index rounds (the
+    // near-complete synthetic graph fixes after round 1; the spec pins
+    // convergence on sparse fixtures)
+    "colocation_kcore" -> { (s, dir) =>
+      SpatialOps.kCoreHistogram(Pipeline.colocationPairs(s, dir), rounds = 3)
+    },
+    "colocation_richclub" -> { (s, dir) =>
+      SpatialOps.richClub(Pipeline.colocationPairs(s, dir))
+    },
     // the three Louvain gates share the memoized level-1 pass
     // (Pipeline.louvainLabels) — one partition per snapshot, many
     // diagnostics reading it
@@ -5355,6 +5364,83 @@ object SparkEntry {
          |SELECT s AS component_size, CAST(count(*) AS BIGINT) AS n_components
          |FROM sz GROUP BY s""".stripMargin
     },
+    // 3 unrolled iterated-h-index rounds from the degree: the fixed
+    // point is the k-core number (Lü et al. 2016)
+    "colocation_kcore" -> {
+      val hCtes = (1 to 3).map { i =>
+        s"""h$i AS (
+           |  SELECT src AS n, CAST(max(least(v, rn)) AS BIGINT) AS val FROM (
+           |    SELECT e.src, h.val AS v,
+           |      row_number() OVER (PARTITION BY e.src ORDER BY h.val DESC, e.dst) AS rn
+           |    FROM edges e JOIN h${i - 1} h ON h.n = e.dst) GROUP BY src)""".stripMargin
+      }.mkString(",\n")
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst FROM prs),
+         |h0 AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS val FROM edges GROUP BY src),
+         |$hCtes
+         |SELECT val AS coreness, CAST(count(*) AS BIGINT) AS n_users
+         |FROM h3 GROUP BY val""".stripMargin
+    },
+    // rich-club curve: strict suffix sums of the node-by-degree and
+    // edge-by-min-endpoint-degree histograms over the shared value grid
+    "colocation_richclub" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |deg AS MATERIALIZED (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT ua AS u FROM prs UNION ALL SELECT ub FROM prs) GROUP BY u),
+         |nh AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS cn FROM deg GROUP BY d),
+         |eh AS (
+         |  SELECT least(da.d, db.d) AS v, CAST(count(*) AS BIGINT) AS ce
+         |  FROM prs p JOIN deg da ON da.u = p.ua JOIN deg db ON db.u = p.ub
+         |  GROUP BY 1),
+         |m AS (
+         |  SELECT coalesce(nh.v, eh.v) AS v, coalesce(nh.cn, 0) AS cn,
+         |         coalesce(eh.ce, 0) AS ce
+         |  FROM nh FULL OUTER JOIN eh ON nh.v = eh.v),
+         |c AS (
+         |  SELECT v,
+         |    CAST(coalesce(sum(cn) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_nodes,
+         |    CAST(coalesce(sum(ce) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_edges
+         |  FROM m)
+         |SELECT v AS k, n_nodes, n_edges,
+         |  2.0 * CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)) AS phi
+         |FROM c WHERE n_nodes >= 2""".stripMargin,
     // fixed-point PageRank over the contact graph: 3 unrolled
     // iterations of int128 floor-division flow along weighted edges
     // 3 unrolled synchronous LPA rounds (argmax by weight desc, label

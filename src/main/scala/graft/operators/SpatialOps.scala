@@ -947,6 +947,97 @@ object SpatialOps {
             - dq(col("_sjk")) * dq(col("_sjk"))).cast("double")).as("assortativity"))
   }
 
+  /** Coreness histogram of the contact graph via the iterated-h-index
+    * fixed point (Lü et al. 2016, "The H-index of a network node and its
+    * relation to degree and coreness"): h₀ = degree; each round every
+    * node's value becomes the h-index of its neighbors' current values
+    * (the largest h with ≥ h neighbors at value ≥ h). The per-node
+    * sequence is monotonically non-increasing and its fixed point IS the
+    * k-core number from the classic Batagelj–Zaveršnik peeling; a pinned
+    * `rounds` makes the trajectory engine-exact — the
+    * [[colocationPagerank]]/LPA convention — and KCoreRichClubSpec pins
+    * that the default reaches the true peeling coreness on fixtures
+    * (in general rounds must cover the longest strictly-decreasing
+    * chain; peeling itself needs a data-dependent loop both engines
+    * would have to unroll identically, which is exactly what the
+    * h-index form avoids).
+    *
+    * Scale shape: per round, one hash equi-join values⋈edges on dst +
+    * one per-node h-index window over ≤ degree rows (an LPA round's
+    * shape); the histogram is one bounded groupBy. No driver state;
+    * `share` truncates the per-round lineage.
+    *
+    * @return (coreness, n_users) — k-core occupancy histogram
+    */
+  def kCoreHistogram(pairs: DataFrame, rounds: Int = 4,
+                     share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val p = share(pairs.select(col("user_a"), col("user_b")))
+    val edges = share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
+      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
+    var h = share(edges.groupBy(col("src").as("n"))
+      .agg(count(lit(1)).cast("long").as("val")))
+    val bySrc = Window.partitionBy(col("src")).orderBy(col("v").desc, col("dst"))
+    for (_ <- 1 to rounds) {
+      h = share(edges
+        .join(h, edges("dst") === h("n"))
+        .select(col("src"), col("dst"), col("val").as("v"))
+        .withColumn("_rn", row_number().over(bySrc))
+        .groupBy(col("src").as("n"))
+        .agg(max(least(col("v"), col("_rn"))).cast("long").as("val")))
+    }
+    h.groupBy(col("val").as("coreness"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
+  /** Rich-club coefficient curve of the contact graph (Colizza et al.
+    * 2006, "Detecting rich-club ordering in complex networks"): for each
+    * degree threshold k, the edge density of the subgraph induced by the
+    * nodes of degree > k — φ(k) = 2·E_k / (N_k·(N_k−1)). φ(k) → 1 as the
+    * hubs close into a near-clique; the raw curve is the reported
+    * statistic (the literature's degree-preserving null is a separate
+    * randomization study). Exact integer counts, one double division.
+    *
+    * Scale shape: degrees are one map-side-combinable count; an edge
+    * contributes to every k below min(deg_a, deg_b), accumulated NOT by
+    * exploding thresholds but as two bounded histograms (node count by
+    * degree, edge count by min-endpoint-degree) suffix-summed with one
+    * window over the degree-value domain — ≤ distinct-degree rows, a
+    * power-law-bounded set orders smaller than the edge table. Two hash
+    * equi-joins of edges against the degree table; never anything ×
+    * anything.
+    *
+    * @return (k, n_nodes, n_edges, phi) at every observed degree value
+    *         k with ≥ 2 qualifying nodes
+    */
+  def richClub(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
+      .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d"))
+    val nodeHist = deg.groupBy(col("_d").as("v"))
+      .agg(count(lit(1)).cast("long").as("_cn"))
+    val edgeHist = pairs
+      .join(deg.select(col("_u").as("user_a"), col("_d").as("_da")), Seq("user_a"))
+      .join(deg.select(col("_u").as("user_b"), col("_d").as("_db")), Seq("user_b"))
+      .groupBy(least(col("_da"), col("_db")).as("v"))
+      .agg(count(lit(1)).cast("long").as("_ce"))
+    // strict suffix sums over the merged degree-value domain: N_k / E_k
+    // count nodes/edges STRICTLY above k, so the current row is excluded
+    val byVdesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nodeHist.join(edgeHist, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("_cn"), lit(0L)).as("_cn"),
+        coalesce(col("_ce"), lit(0L)).as("_ce"))
+      .withColumn("n_nodes", coalesce(sum(col("_cn")).over(byVdesc), lit(0L)).cast("long"))
+      .withColumn("n_edges", coalesce(sum(col("_ce")).over(byVdesc), lit(0L)).cast("long"))
+      .filter(col("n_nodes") >= 2L)
+      .select(col("v").as("k"), col("n_nodes"), col("n_edges"),
+        (lit(2.0) * col("n_edges").cast("double") /
+          (col("n_nodes").cast("double") * (col("n_nodes") - lit(1L)).cast("double")))
+          .as("phi"))
+  }
+
   /** Connected-component size histogram of the contact graph — the
     * epidemiological "outbreak reach" statistic (how large is the set a
     * single introduction can percolate through). Components come from

@@ -2033,6 +2033,12 @@ object SparkEntry {
       Metrics.predictabilityBound(EventsAdapter.intervals(s, dir)
         .withColumn("location_id", expr("(k div 12) % 4")))
     },
+    // the ladder's order-1 Markov rung: plug-in conditional entropy
+    // H(X_t | X_{t-1}) over the same capped visit window
+    "location_markov_entropy" -> { (s, dir) =>
+      Metrics.markovEntropyQ(EventsAdapter.intervals(s, dir)
+        .withColumn("location_id", expr("(k div 12) % 4")))
+    },
     // Schneider et al. 2013 daily-motif distribution under TRUE graph
     // isomorphism (iso-canonical 36-bit adjacency masks, min over the
     // 720 label permutations) — the `mobility_motifs` gate below keeps
@@ -3399,6 +3405,109 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("totacctbal"))
     },
+    // TPC-H Q2 shape (adapted: no partsupp table — lineitem is the
+    // part↔supplier relation, min l_extendedprice plays supplycost):
+    // min-per-group scalar subquery decorrelated to an aggregate +
+    // equality join-back, suppliers restricted to one region through
+    // the broadcast supplier⋈nation⋈region dim chain
+    "q2_mincost" -> { (s, dir) =>
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val pk = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "SMALL").select(col("p_partkey"), col("p_name"))
+      val offers = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("l_extendedprice"))
+      val minp = offers.groupBy(col("p_partkey").as("_pk"))
+        .agg(min(col("l_extendedprice")).as("_minp"))
+      offers.join(broadcast(minp),
+          col("p_partkey") === col("_pk") && col("l_extendedprice") === col("_minp"))
+        .groupBy(col("p_partkey").cast("long").as("partkey"), col("p_name"),
+          col("s_name"), col("n_name"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+    },
+    // TPC-H Q9 shape (supplycost term dropped with partsupp): profit by
+    // (nation, order year) through the deepest join tree in the suite —
+    // two broadcast dims (filtered part, supplier⋈nation) + the genuine
+    // lineitem⋈orders shuffle on orderkey
+    "q9_profit" -> { (s, dir) =>
+      val pk = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").like("%gear%")).select(col("p_partkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(20,2)"))
+          .cast("double").as("profit"))
+    },
+    // TPC-H Q11 shape (lineitem revenue plays partsupp value): per-part
+    // value for one nation's suppliers, kept only above 1/500 of the
+    // global total — the HAVING-scalar-subquery pattern, decided by
+    // exact decimal cross-multiplication
+    "q11_concentration" -> { (s, dir) =>
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      val pv = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(20,2)")).as("_v"))
+      val tot = pv.agg(sum(col("_v").cast("decimal(38,4)")).as("_t"))
+      pv.crossJoin(broadcast(tot))
+        // pinned precisions on both sides of the cross-multiplication:
+        // DuckDB promotes an over-38-wide decimal product to DOUBLE, so
+        // the compare must stay inside exact decimal range in BOTH
+        // engines — (30,4)·500 and the (38,4) total do
+        .filter(col("_v").cast("decimal(30,4)") * lit(500) > col("_t"))
+        .select(col("l_partkey").cast("long").as("partkey"),
+          col("_v").cast("double").as("value"))
+    },
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    // with the NOT-IN supplier exclusion as a broadcast anti-join
+    "q16_suppcnt" -> { (s, dir) =>
+      val badSup = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_acctbal") < 500.0).select(col("s_suppkey"))
+      val pk = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+    },
+    // TPC-H Q20 shape: suppliers who shipped > 100 units of any 'small%'
+    // part — the EXISTS-over-aggregated-subquery as a semi-join against
+    // a grouped quantity table
+    "q20_semi" -> { (s, dir) =>
+      val pk = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val qualified = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("_q"))
+        .filter(col("_q") > lit(100))
+        .select(col("l_suppkey")).distinct()
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(qualified, col("s_suppkey") === qualified("l_suppkey"), "left_semi")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+    },
     "score_correlation" -> { (s, dir) =>
       CorpusOps.scoreCorrelation(
         s.read.parquet(s"$dir/documents.parquet")
@@ -4583,6 +4692,29 @@ object SparkEntry {
         |       AS DOUBLE)
         |    / (CAST(e.n_visits AS DOUBLE) * 1000000.0) AS s_temp_nats
         |FROM ent e JOIN ph USING (user_id)""".stripMargin),
+    // order-1 Markov rung of the ladder: plug-in conditional entropy
+    // from transition counts — integer quantized-ln numerator, one
+    // double division; users without a transition in the window drop
+    "location_markov_entropy" ->
+      s"""${EventsAdapter.pfsSql},
+         |vis AS MATERIALIZED (
+         |  SELECT user_id, k, (k // 12) % 4 AS loc FROM intervals WHERE k < 120),
+         |tr AS (
+         |  SELECT user_id, lag(loc) OVER (PARTITION BY user_id ORDER BY k) AS prev, loc
+         |  FROM vis),
+         |cij AS (
+         |  SELECT user_id, prev, loc, CAST(count(*) AS BIGINT) AS c
+         |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+         |ci AS (
+         |  SELECT user_id, prev, CAST(sum(c) AS BIGINT) AS ci,
+         |         CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc
+         |  FROM cij GROUP BY 1, 2)
+         |SELECT user_id, CAST(sum(ci) AS BIGINT) AS n_trans,
+         |       CAST(count(*) AS BIGINT) AS n_contexts,
+         |       CAST(sum(ci * CAST(floor(ln(CAST(ci AS DOUBLE)) * 1e6) AS BIGINT)) - sum(sclnc) AS BIGINT) AS markov_num_q,
+         |       CAST(sum(ci * CAST(floor(ln(CAST(ci AS DOUBLE)) * 1e6) AS BIGINT)) - sum(sclnc) AS DOUBLE)
+         |         / (CAST(sum(ci) AS DOUBLE) * 1000000.0) AS s_mkv_nats
+         |FROM ci GROUP BY user_id""".stripMargin,
     // Fano grid argmax: F(j) exact-integer per (user, j), admission by
     // cross-multiplication, max admitted j per user; single-location
     // users are Π = 1 by definition
@@ -5310,6 +5442,62 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    // TPC-H Q2 shape: min-per-group decorrelated to aggregate + join-back
+    "q2_mincost" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |pk AS (SELECT p_partkey, p_name FROM part WHERE p_type = 'SMALL'),
+        |offers AS (
+        |  SELECT p_partkey, p_name, s_name, n_name, l_extendedprice
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  JOIN pk ON l_partkey = p_partkey),
+        |minp AS (SELECT p_partkey AS pk2, min(l_extendedprice) AS mp FROM offers GROUP BY 1)
+        |SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name, s_name, n_name,
+        |       min(l_extendedprice) AS min_price
+        |FROM offers JOIN minp ON p_partkey = pk2 AND l_extendedprice = mp
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // TPC-H Q9 shape: profit by (nation, order year), supplycost dropped
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    // TPC-H Q11 shape: HAVING-scalar-subquery via exact decimal
+    // cross-multiplication at pinned precision on both sides
+    "q11_concentration" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(1.0 - l_discount AS DECIMAL(20,2))) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3 GROUP BY 1),
+        |tot AS (SELECT sum(CAST(v AS DECIMAL(38,4))) AS t FROM pv)
+        |SELECT CAST(l_partkey AS BIGINT) AS partkey, CAST(v AS DOUBLE) AS value
+        |FROM pv, tot WHERE CAST(v AS DECIMAL(30,4)) * 500 > t""".stripMargin,
+    // TPC-H Q16 shape: NOT-IN supplier exclusion + distinct counts
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 20
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // TPC-H Q20 shape: EXISTS over an aggregated subquery as a semi-join
+    "q20_semi" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(20,2))) > 100)""".stripMargin,
     // MSD curve: squared displacement from each user's first fix,
     // log2 elapsed-time buckets, int128 metre^2 sums
     "msd_curve" ->

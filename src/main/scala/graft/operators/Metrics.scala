@@ -1097,6 +1097,54 @@ object Metrics {
         col("s_temp_num_q"), col("s_temp_nats"))
   }
 
+  /** Order-1 Markov conditional entropy of the location-visit sequence —
+    * the rung of the Song et al. 2010 entropy ladder between the
+    * uncorrelated estimate and the LZ76-temporal estimate (the ladder's
+    * S_rand / S_unc live in [[locationEntropyQ]]; this is the
+    * finite-context baseline every next-location Markov predictor is
+    * implicitly bounded by):
+    *   H(X_t | X_{t−1}) = Σ_i (c_i·ln c_i − Σ_j c_ij·ln c_ij) / n
+    * over the transition counts c_ij (i = previous location, j = next),
+    * c_i = Σ_j c_ij, n = total transitions. Plug-in estimator, exact in
+    * the quantized-ln convention: the numerator Σ c_i·lnq(c_i) −
+    * Σ c_ij·lnq(c_ij) is an integer both engines compute identically,
+    * with ONE double division at the end.
+    *
+    * Reads the same capped visit window as [[locationEntropyQ]] so the
+    * rungs are internally consistent; users with fewer than two visits
+    * in the window have no transition row and drop out (both engines).
+    *
+    * Scale shape: one per-user lag window over ≤ maxSeqLen rows, two
+    * map-side-combinable count groupBys, one per-user aggregate — no
+    * joins at all.
+    *
+    * @param sp (user_id, k, location_id) — k the per-user visit index
+    * @return (user_id, n_trans, n_contexts, markov_num_q, s_mkv_nats)
+    */
+  def markovEntropyQ(sp: DataFrame, maxSeqLen: Int = 120,
+                     locCol: String = "location_id"): DataFrame = {
+    require(maxSeqLen >= 1 && maxSeqLen <= 4096, "maxSeqLen must be in [1, 4096]")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    val win = sp.select(col("user_id"), col("k").cast("long").as("_k"),
+        col(locCol).cast("long").as("_loc"))
+      .filter(col("_k") < maxSeqLen)
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("_k"))
+    val cij = win.withColumn("_prev", lag(col("_loc"), 1).over(byU))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("user_id"), col("_prev"), col("_loc"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val ci = cij.groupBy(col("user_id"), col("_prev"))
+      .agg(sum(col("_c")).cast("long").as("_ci"),
+        sum(col("_c") * lnq(col("_c"))).cast("long").as("_sclnc"))
+    ci.groupBy(col("user_id"))
+      .agg(sum(col("_ci")).cast("long").as("n_trans"),
+        count(lit(1)).cast("long").as("n_contexts"),
+        (sum(col("_ci") * lnq(col("_ci"))) - sum(col("_sclnc")))
+          .cast("long").as("markov_num_q"))
+      .withColumn("s_mkv_nats",
+        col("markov_num_q").cast("double") / (col("n_trans").cast("double") * lit(1e6)))
+  }
+
   /** Daily mobility motifs (Schneider, Belik, Couronné, Smoreda &
     * González 2013, "Unravelling daily human mobility motifs", J. R.
     * Soc. Interface 10): each user-day's location graph — nodes = the

@@ -476,4 +476,69 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank<=k must push below the exchange:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
+
+  test("q2_mincost: dim chain and per-part minima broadcast; min partial-combines") {
+    val p = plan("q2_mincost")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"supplier chain, part keys and minima must broadcast:\n$p")
+    assert(p.contains("partial_min"), s"per-part min must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q9_profit: part name filter reaches the scan; dims broadcast; profit partial-combines") {
+    val p = plan("q9_profit")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"part name filter must push into the part scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"part keys and supplier dim must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"profit must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q11_concentration: nation filter reaches the supplier scan; value partial-combines") {
+    val p = plan("q11_concentration")
+    assert(p.contains("EqualTo(s_nationkey,3)"),
+      s"nation filter must push into the supplier scan:\n$p")
+    assert(p.contains("partial_sum"), s"per-part value must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"supplier dim must broadcast:\n$p")
+  }
+
+  test("q16_suppcnt: supplier exclusion is a broadcast anti-join; size filter pushes") {
+    val p = plan("q16_suppcnt")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti-join:\n$p")
+    assert(p.contains("LessThanOrEqual(p_size,20)"),
+      s"size filter must push into the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("q20_semi: EXISTS is a semi-join over a partial-combining quantity aggregate") {
+    val p = plan("q20_semi")
+    assert(p.contains("LeftSemi"), s"supplier admission must plan as a semi-join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      s"part name prefix must push into the part scan:\n$p")
+    assert(p.contains("partial_sum"), s"quantities must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("colocation_kcore: per-round h-index joins are hash equi-joins, never products") {
+    val p = plan("colocation_kcore")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count"), s"degree must map-side combine:\n$p")
+  }
+
+  test("colocation_richclub: histograms partial-combine; suffix sums never explode thresholds") {
+    val p = plan("colocation_richclub")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count"), s"degree histogram must map-side combine:\n$p")
+    // the threshold accumulation is the bounded-domain suffix-sum window:
+    // a full-outer equi-join of the two histograms, never a per-edge
+    // threshold-range explode
+    assert(p.contains("FullOuter"), s"histogram merge must be the full-outer join:\n$p")
+  }
+
+  test("location_markov_entropy: transition counts partial-combine; no joins at all") {
+    val p = plan("location_markov_entropy")
+    assert(p.contains("partial_sum"), s"counts must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"the rung is windows + aggregates only:\n$p")
+  }
 }

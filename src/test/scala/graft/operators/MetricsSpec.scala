@@ -577,6 +577,30 @@ class MetricsSpec extends SparkSpec {
     assert(pi(4L)._3 > 845L && pi(4L)._3 < 865L, pi(4L))
   }
 
+  test("Markov rung: conditional entropy is 0 for deterministic chains, exact otherwise") {
+    import spark.implicits._
+    // users 1/2/4 from the ladder fixture are all DETERMINISTIC order-1
+    // chains (AAAAA, ABAB, (AB)^10) — conditional entropy must be
+    // exactly 0 however entropic the marginal is; user 5 mixes contexts:
+    // 0,0,1,0,1,1 → c_0•=3 (c_00=1, c_01=2), c_1•=2 (c_10=1, c_11=1),
+    // num = 3·lnq(3) + 2·lnq(2) − 2·lnq(2) = 3·1098612
+    val rows =
+      (0 until 5).map(k => (1L, k.toLong, 0L)) ++
+      (0 until 4).map(k => (2L, k.toLong, (k % 2).toLong)) ++
+      (0 until 20).map(k => (4L, k.toLong, (k % 2).toLong)) ++
+      Seq(0L, 0L, 1L, 0L, 1L, 1L).zipWithIndex.map { case (l, k) => (5L, k.toLong, l) }
+    val m = Metrics.markovEntropyQ(rows.toDF("user_id", "k", "location_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(1L) == ((4L, 1L, 0L, 0.0)), m(1L))
+    assert(m(2L) == ((3L, 2L, 0L, 0.0)), m(2L))
+    assert(m(4L) == ((19L, 2L, 0L, 0.0)), m(4L))
+    assert(m(5L) == ((5L, 2L, 3L * 1098612L, 3 * 1098612 / 5e6)), m(5L))
+    // a single-visit user has no transition and must drop out entirely
+    val one = Metrics.markovEntropyQ(Seq((9L, 0L, 3L)).toDF("user_id", "k", "location_id"))
+    assert(one.count() == 0L)
+  }
+
   test("canonical mobility motifs: label- and direction-aware isomorphism classes") {
     import spark.implicits._
     val day = 86400000000L

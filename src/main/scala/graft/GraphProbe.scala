@@ -74,6 +74,12 @@ object GraphProbe {
     t("louvain_l2_10x_hub") { SpatialOps.colocationLouvainL2(pairsHub, rounds = 4, rounds2 = 4).count() }
     t("connectivity_1x") { SpatialOps.louvainConnectivity(pairs1, rounds = 4).count() }
     t("connectivity_10x_hub") { SpatialOps.louvainConnectivity(pairsHub, rounds = 4).count() }
+    t("kcore_1x") { SpatialOps.kCoreHistogram(pairs1, rounds = 3).count() }
+    t("kcore_10x_fair") { SpatialOps.kCoreHistogram(pairs10, rounds = 3).count() }
+    t("kcore_10x_hub") { SpatialOps.kCoreHistogram(pairsHub, rounds = 3).count() }
+    t("richclub_1x") { SpatialOps.richClub(pairs1).count() }
+    t("richclub_10x_fair") { SpatialOps.richClub(pairs10).count() }
+    t("richclub_10x_hub") { SpatialOps.richClub(pairsHub).count() }
 
     // decimal-headroom audit at ×10: every modularity numerator term is
     // |4W·w_in − d²| ≤ max(4W·W, (2W)²) = 4W² — print the actual terms

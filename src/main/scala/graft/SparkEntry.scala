@@ -2083,6 +2083,11 @@ object SparkEntry {
     "colocation_richclub" -> { (s, dir) =>
       SpatialOps.richClub(Pipeline.colocationPairs(s, dir))
     },
+    // epidemic threshold: spectral radius by 4 shifted integer
+    // power-iteration rounds on (A + I)
+    "colocation_spectral" -> { (s, dir) =>
+      SpatialOps.spectralRadius(Pipeline.colocationPairs(s, dir), rounds = 4)
+    },
     // the three Louvain gates share the memoized level-1 pass
     // (Pipeline.louvainLabels) — one partition per snapshot, many
     // diagnostics reading it
@@ -5629,6 +5634,47 @@ object SparkEntry {
          |SELECT v AS k, n_nodes, n_edges,
          |  2.0 * CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)) AS phi
          |FROM c WHERE n_nodes >= 2""".stripMargin,
+    // 4 unrolled shifted power-iteration rounds on (A + I): integer
+    // iterate in millionths, HUGEINT products, floor renormalization
+    "colocation_spectral" -> {
+      val iterCtes = (1 to 4).map { k =>
+        s"""t$k AS (
+           |  SELECT r.n, r.s + CAST(o.x AS HUGEINT) AS t FROM (
+           |    SELECT e.src AS n, sum(CAST(e.w AS HUGEINT) * CAST(h.x AS HUGEINT)) AS s
+           |    FROM edges e JOIN x${k - 1} h ON h.n = e.dst GROUP BY e.src) r
+           |  JOIN x${k - 1} o ON o.n = r.n),
+           |m$k AS (SELECT max(t) AS m FROM t$k),
+           |x$k AS (SELECT n, CAST(t * 1000000 // m AS BIGINT) AS x FROM t$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS w
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst, w FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst, w FROM prs),
+         |x0 AS (SELECT DISTINCT src AS n, CAST(1000000 AS BIGINT) AS x FROM edges),
+         |$iterCtes
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM x0) AS n_nodes,
+         |       CAST(4 AS BIGINT) AS rounds,
+         |       CAST(m AS VARCHAR) AS m_q,
+         |       CAST(m AS DOUBLE) / 1000000.0 - 1.0 AS lambda_max
+         |FROM m4""".stripMargin
+    },
     // fixed-point PageRank over the contact graph: 3 unrolled
     // iterations of int128 floor-division flow along weighted edges
     // 3 unrolled synchronous LPA rounds (argmax by weight desc, label

@@ -1038,6 +1038,64 @@ object SpatialOps {
           .as("phi"))
   }
 
+  /** Spectral radius λ_max of the weighted contact graph — the epidemic
+    * threshold statistic (Wang et al. 2003: an SIS epidemic dies out iff
+    * β/δ < 1/λ_max), the spreading-power ceiling that degree and
+    * coreness only bound. Estimated by `rounds` of SHIFTED power
+    * iteration on (A + I): the +I diagonal breaks the bipartite-graph
+    * oscillation plain power iteration never escapes, and shifts every
+    * eigenvalue by exactly +1, subtracted back at the end.
+    *
+    * Engine-exact arithmetic: the iterate is an integer vector in
+    * millionths (the [[colocationPagerank]] convention); each round
+    * computes t(u) = Σ_v w(u,v)·x(v) + x(u) in DECIMAL(38,0), takes the
+    * 1-row max m, and renormalizes x(u) = t(u)·10⁶ div m (floor) — so
+    * the whole trajectory is integer and the estimate m/10⁶ − 1 is the
+    * same IEEE double in any engine. Headroom: t·10⁶ ≤ strength·10¹²,
+    * ~26 orders below the DECIMAL(38,0) ceiling.
+    *
+    * Scale shape: per round, one hash equi-join x⋈edges on dst + one
+    * map-side-combinable sum + one 1-row max broadcast back — pagerank's
+    * shape exactly; no driver state beyond the 1-row max.
+    *
+    * @return one row (n_nodes, rounds, m_q, lambda_max): m_q the final
+    *         pre-normalization max as digit string (exact), lambda_max
+    *         = m_q/10⁶ − 1 as double
+    */
+  def spectralRadius(pairs: DataFrame, rounds: Int = 4,
+                     share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val scale = 1000000L
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edges = share(p
+      .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
+      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"),
+        col("n_meetings").as("w"))))
+    val nodes = share(edges.select(col("src").as("n")).distinct())
+    var x = nodes.select(col("n"), lit(scale).as("x"))
+    var lastM: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // t feeds the 1-row max AND the renormalized next iterate, so it
+      // is shared — node-sized, one materialization per round
+      val t = share(edges
+        .join(x.select(col("n"), col("x").as("_xv")), edges("dst") === col("n"))
+        .groupBy(col("src")).agg(sum(dq(col("w")) * dq(col("_xv"))).as("_s"))
+        .join(x.select(col("n"), col("x").as("_own")), col("src") === col("n"))
+        .select(col("n"), (col("_s") + dq(col("_own"))).as("_t")))
+      val m = t.agg(max(col("_t")).as("_m"))
+      lastM = m
+      x = share(t.crossJoin(broadcast(m))
+        .select(col("n"),
+          expr(s"cast((_t * $scale) div _m as long)").as("x")))
+    }
+    nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+      .crossJoin(broadcast(lastM))
+      .select(col("n_nodes"), lit(rounds.toLong).as("rounds"),
+        col("_m").cast("string").as("m_q"),
+        (col("_m").cast("double") / lit(scale.toDouble) - lit(1.0)).as("lambda_max"))
+  }
+
   /** Connected-component size histogram of the contact graph — the
     * epidemiological "outbreak reach" statistic (how large is the set a
     * single introduction can percolate through). Components come from

@@ -536,6 +536,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"histogram merge must be the full-outer join:\n$p")
   }
 
+  test("colocation_spectral: power-iteration rounds are equi-joins + 1-row max broadcasts") {
+    // the per-round matvec sits behind the share() checkpoint, so the
+    // final plan shows only the last max + the 1-row broadcast tail
+    val p = plan("colocation_spectral")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_max"), s"the 1-row max must partial-combine:\n$p")
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the max must come back as a 1-row broadcast, not a shuffle:\n$p")
+  }
+
   test("location_markov_entropy: transition counts partial-combine; no joins at all") {
     val p = plan("location_markov_entropy")
     assert(p.contains("partial_sum"), s"counts must map-side combine:\n$p")

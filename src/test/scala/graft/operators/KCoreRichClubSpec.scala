@@ -51,6 +51,37 @@ class KCoreRichClubSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("phi") - 2.0 * 4 / (4 * 3)) < 1e-15)
   }
 
+  test("spectral radius: exact on eigen-uniform fixtures, replay-exact on the star") {
+    // K3, w=1: the uniform vector IS the (A+I) eigenvector, so every
+    // round reads m = 3e6 exactly and λ = 3e6/1e6 − 1 = 2 (= λ_max(K3))
+    val k3 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val r3 = SpatialOps.spectralRadius(k3, rounds = 4).collect().head
+    assert(r3.getAs[String]("m_q") == "3000000" && r3.getAs[Double]("lambda_max") == 2.0)
+    // single pair with weight 5: λ_max(A) = 5, exact at every round
+    val pair = Seq((1L, 2L, 5L)).toDF("user_a", "user_b", "n_meetings")
+    val rp = SpatialOps.spectralRadius(pair, rounds = 2).collect().head
+    assert(rp.getAs[Double]("lambda_max") == 5.0)
+    // star K1,4 (bipartite — the +I shift prevents the period-2
+    // oscillation): operator trajectory equals a BigInt replay of the
+    // same recurrence, floor renormalization and all
+    val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (0L, 4L, 1L))
+      .toDF("user_a", "user_b", "n_meetings")
+    val adj: Map[Long, Seq[(Long, Long)]] =
+      (1L to 4L).map(l => l -> Seq((0L, 1L))).toMap + (0L -> (1L to 4L).map((_, 1L)))
+    var x = adj.keys.map(_ -> BigInt(1000000)).toMap
+    var m = BigInt(0)
+    for (_ <- 1 to 4) {
+      val t = adj.map { case (n, nb) =>
+        n -> (nb.map { case (v, w) => BigInt(w) * x(v) }.sum + x(n)) }
+      m = t.values.max
+      x = t.map { case (n, tv) => n -> tv * 1000000 / m }
+    }
+    val rs = SpatialOps.spectralRadius(star, rounds = 4).collect().head
+    assert(rs.getAs[String]("m_q") == m.toString, s"got ${rs.getAs[String]("m_q")}, want $m")
+    assert(rs.getAs[Long]("n_nodes") == 5L)
+  }
+
   test("rich club on a clique is density 1 at every reported threshold") {
     val k4 = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b, 1L))
       .toDF("user_a", "user_b", "n_meetings")

@@ -2567,6 +2567,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("n_words"), col("mean_word_len"),
           col("stopword_ratio"), col("digit_ratio"), col("quality_ok"))
     },
+    // Flesch reading ease + FK grade: exact integer sentence/word/
+    // vowel-run counts, fixed double expression trees
+    "text_readability" -> { (s, dir) =>
+      TextAnalysis.readability(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("flesch"), col("fk_grade"))
+    },
     "token_count" -> { (s, dir) =>
       TextAnalysis.tokenCount(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
@@ -6396,6 +6403,28 @@ object SparkEntry {
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+    // Flesch / FK: identical counting contracts (terminal-punct runs,
+    // non-empty tokens, vowel-group runs + vowel-less-word floor)
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)) AS n_sentences,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+        |      + len(list_filter(string_split(text, ' '),
+        |          w -> length(w) > 0 AND length(regexp_replace(lower(w), '[aeiouy]', '', 'g')) = length(w)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  ELSE 0.0 END AS flesch,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+        |  ELSE 0.0 END AS fk_grade
+        |FROM c""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_fp,
         |  array_to_string(list_sort(list_distinct(

@@ -61,6 +61,48 @@ object TextAnalysis {
           col("digit_ratio") <= 0.3)
   }
 
+  /** Flesch reading-ease / Flesch–Kincaid grade card (Kincaid et al.
+    * 1975) — the classic readability prior quality-classifier ensembles
+    * still carry. Counting contracts are pure string arithmetic so both
+    * engines agree bit-for-bit:
+    *  - sentences = max(1, runs of `[.!?]+`);
+    *  - words = non-empty whitespace tokens;
+    *  - syllables = vowel-group runs (`[aeiouy]+`, casefolded; runs
+    *    cannot span the space separator so the text-level count equals
+    *    the per-word sum) plus one per vowel-less word (the standard
+    *    max(1, runs) per-word floor).
+    * The two scores are fixed double expression trees over those exact
+    * integers — IEEE-identical. Scan-stage column arithmetic only: no
+    * explode, no shuffle beyond whatever the caller adds.
+    *
+    * @return input + (n_sentences, n_words, n_syllables, flesch,
+    *         fk_grade); zero-word docs read flesch 0 / grade 0
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lw = lower(t)
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val nSent = greatest(lit(1L),
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"))
+    val vowelRuns = size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")).cast("long")
+    val zeroVowelWords = size(filter(words,
+      w => length(regexp_replace(lower(w), "[aeiouy]", "")) === length(w))).cast("long")
+    val nSyl = (vowelRuns + zeroVowelWords).cast("long")
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyl.cast("double") / nWords.cast("double")
+    docs
+      .withColumn("n_sentences", nSent)
+      .withColumn("n_words", nWords)
+      .withColumn("n_syllables", nSyl)
+      .withColumn("flesch",
+        when(nWords > 0, lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .otherwise(lit(0.0)))
+      .withColumn("fk_grade",
+        when(nWords > 0, lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .otherwise(lit(0.0)))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning", §2.2): keep only lines that end in
     * terminal punctuation (`.` `!` `?` `"` after trimming), carry at

@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
 class TextFilterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readability: hand-computed Flesch/FK on the counting contracts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The cat sat."),            // 1 sentence, 3 words, 3 vowel runs
+      (2L, "Hmm."),                     // vowel-less word floors to 1 syllable
+      (3L, "Go now! Stop? Yes."),       // 3 terminal-punct runs, 4 words, 4 runs
+      (4L, "")                          // zero words -> both scores 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        col("flesch"), col("fk_grade"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((1L, 3L, 3L,
+      206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (3.0 / 3.0),
+      0.39 * (3.0 / 1.0) + 11.8 * (3.0 / 3.0) - 15.59)), out(1L))
+    assert(out(2L) == ((1L, 1L, 1L,
+      206.835 - 1.015 - 84.6, 0.39 + 11.8 - 15.59)), out(2L))
+    assert(out(3L) == ((3L, 4L, 4L,
+      206.835 - 1.015 * (4.0 / 3.0) - 84.6 * (4.0 / 4.0),
+      0.39 * (4.0 / 3.0) + 11.8 * (4.0 / 4.0) - 15.59)), out(3L))
+    assert(out(4L) == ((1L, 0L, 0L, 0.0, 0.0)), out(4L))
+  }
+
   test("perplexityAblation: keep is the integer cross-multiply over lmScore; shares monotone") {
     val docs = Seq(
       (0L, "a a a a a a", "s1"),  // high-probability bigrams

@@ -3432,11 +3432,14 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
       val pk = s.read.parquet(s"$dir/part.parquet")
         .filter(col("p_type") === "SMALL").select(col("p_partkey"), col("p_name"))
-      val offers = s.read.parquet(s"$dir/lineitem.parquet")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
-        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
-          col("l_extendedprice"))
+      // offers feeds the per-part minima AND the join-back probe side —
+      // shared, so the lineitem scan + broadcast joins run once
+      val offers = graft.operators.Share.materialize(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+            col("l_extendedprice")))
       val minp = offers.groupBy(col("p_partkey").as("_pk"))
         .agg(min(col("l_extendedprice")).as("_minp"))
       offers.join(broadcast(minp),

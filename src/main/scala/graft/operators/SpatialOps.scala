@@ -969,8 +969,11 @@ object SpatialOps {
     *
     * @return (coreness, n_users) — k-core occupancy histogram
     */
-  def kCoreHistogram(pairs: DataFrame, rounds: Int = 4,
+  def kCoreHistogram(pairs: DataFrame, rounds: Int = 3,
                      share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    // default rounds MUST stay in sync with the colocation_kcore oracle's
+    // unrolled CTE count — a default/oracle drift is a silent parity trap
+    // on any graph whose h-index chain is longer than the oracle's rounds
     require(rounds >= 1, "need rounds >= 1")
     val p = share(pairs.select(col("user_a"), col("user_b")))
     val edges = share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
@@ -1075,7 +1078,7 @@ object SpatialOps {
     val nodes = share(edges.select(col("src").as("n")).distinct())
     var x = nodes.select(col("n"), lit(scale).as("x"))
     var lastM: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // t feeds the 1-row max AND the renormalized next iterate, so it
       // is shared — node-sized, one materialization per round
       val t = share(edges
@@ -1085,9 +1088,12 @@ object SpatialOps {
         .select(col("n"), (col("_s") + dq(col("_own"))).as("_t")))
       val m = t.agg(max(col("_t")).as("_m"))
       lastM = m
-      x = share(t.crossJoin(broadcast(m))
-        .select(col("n"),
-          expr(s"cast((_t * $scale) div _m as long)").as("x")))
+      // the final round's renormalized iterate feeds nothing — only the
+      // pre-normalization max does — so skip building it
+      if (r < rounds)
+        x = share(t.crossJoin(broadcast(m))
+          .select(col("n"),
+            expr(s"cast((_t * $scale) div _m as long)").as("x")))
     }
     nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
       .crossJoin(broadcast(lastM))

@@ -477,10 +477,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
-  test("q2_mincost: dim chain and per-part minima broadcast; min partial-combines") {
+  test("q2_mincost: per-part minima broadcast back onto the shared offers table") {
+    // the dim-chain broadcasts live below the offers share boundary
+    // (the scan + broadcast joins run ONCE for both consumers); the
+    // visible plan is the minima aggregate + its broadcast join-back
     val p = plan("q2_mincost")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
-      s"supplier chain, part keys and minima must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"minima must broadcast back:\n$p")
     assert(p.contains("partial_min"), s"per-part min must map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }

@@ -2306,6 +2306,20 @@ object SparkEntry {
           .select(col("user_id"), col("block"), lit(m).as("method"))
       }.reduce(_.unionByName(_))
     },
+    "spatial_join_auto" -> { (s, dir) =>
+      // the NAIVE distance join, deliberately: no cells, no banding in
+      // the query text — plans.BandedDistanceJoin rewrites it into a
+      // lossless banded HASH join at optimization time (PlanLintSpec
+      // lints this very plan: no cartesian / BNLJ survives)
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 1)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 2)
+        .select(col("id").as("id_2"), col("lon").as("lon2"), col("lat").as("lat2"))
+      val d = call_function("haversine_m", col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(100.0))
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "linestring_length" -> { (s, dir) =>
       import graft.functions.GeoFunctions
       EventsAdapter.positionfixes(s, dir)
@@ -4132,6 +4146,14 @@ object SparkEntry {
          |WHERE lon > -122.3945005 AND lon < -122.3705005
          |  AND lat > 47.6025005 AND lat < 47.6125005""".stripMargin,
     "spatial_filter_triplegs" -> withMaterializedCtes(spatialFilterTriplegsOracle),
+    "spatial_join_auto" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 1),
+         | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 2)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
+         |FROM a, b
+         |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
     "linestring_length" ->
       s"""${EventsAdapter.pfsSql}, segs AS (
          |  SELECT user_id, k // 12 AS block,

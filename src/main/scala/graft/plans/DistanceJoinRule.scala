@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a distance-predicate join into a banded
+  * equi-join.
+  *
+  * A user writing the *declarative* form of a spatial join —
+  *
+  * {{{ a.join(b, haversine_m(a.lon, a.lat, b.lon, b.lat) <= lit(r)) }}}
+  *
+  * — hands Spark a join with no equi-keys, which plans as
+  * BroadcastNestedLoopJoin or CartesianProduct: O(|a|·|b|) kernel
+  * evaluations, the exact quadratic blow-up that kills a 100 TB run.
+  * Every hand-written operator in this repo avoids it with integer
+  * cell grids ([[graft.operators.SpatialOps.colocationMeetings]],
+  * `trajectoryNearPairs`); this rule gives the SAME shape to the naive
+  * query automatically, at the logical-plan level, so the quadratic
+  * formulation is simply not expressible by accident any more.
+  *
+  * Rewrite (lossless, runtime-enforced — see the bound derivations
+  * below):
+  *
+  *  - both sides get integer band ids `bx = floor(lon / wLon)`,
+  *    `by = floor(lat / wLat)`;
+  *  - the LEFT side explodes `bx ∈ {bx−1, bx, bx+1}`, the RIGHT side
+  *    explodes `by ∈ {by−1, by, by+1}` (3× rows on each side instead
+  *    of 9× on one — and each qualifying pair matches EXACTLY once,
+  *    because exactly one exploded value equals the other side's band,
+  *    so no post-join dedup is needed);
+  *  - the join gains the two band equalities as equi-keys (planned as
+  *    a shuffle/broadcast HASH join by `ExtractEquiJoinKeys`) and
+  *    keeps the original haversine predicate as the exact residual
+  *    filter;
+  *  - a Project above restores the original output columns.
+  *
+  * Exactness contract:
+  *
+  *  - LATITUDE: `hav(d/R) = hav(Δφ) + cosφ₁·cosφ₂·hav(Δλ)` gives
+  *    `sin(d/2R) ≥ sin(Δφ/2)`, both angles in [0, π/2], hence
+  *    `d ≥ R·Δφ` with NO approximation at any latitude — so
+  *    `wLat = degrees(r/R)` (padded 1+1e-12 for double rounding)
+  *    admits every pair within r.
+  *  - LONGITUDE: the same identity gives
+  *    `sin(d/2R) ≥ cos(cap)·sin(Δλ/2)` whenever both |φ| ≤ cap, so
+  *    `wLon = degrees(2·asin(sin(r/2R)/cos(cap)))` (padded 1+1e-9) is
+  *    a true bound — but ONLY inside the declared latitude envelope
+  *    `cap` (conf `spark.graft.distanceJoin.maxAbsLatDeg`, default
+  *    66°). Because this rule fires invisibly, the envelope is
+  *    enforced per ROW, per side: a latitude beyond `cap` evaluates a
+  *    `RaiseError` instead of a band id — exact-or-loud, never a
+  *    silently dropped near pair (the same data-side guard
+  *    `trajectoryNearPairs` carries). If `sin(r/2R) ≥ cos(cap)` the
+  *    longitude bound is vacuous and the rule degrades to one lon
+  *    band (latitude banding still applies).
+  *  - ANTIMERIDIAN: `sin(Δλ/2)` is symmetric about Δλ = 180°, so a
+  *    pair straddling ±180° is geographically close with a huge raw
+  *    Δλ. Rows within `wLon` of the ±180° seam (the only rows that
+  *    can have a wrapped partner within r) also raise — loud, not
+  *    lossy. Everything else is exact.
+  *  - NULL / NaN coordinates band to null / garbage and are rejected
+  *    by the residual predicate exactly as the un-rewritten join
+  *    rejects them (haversine is null-intolerant; NaN compares false)
+  *    — the envelope guard deliberately passes them through.
+  *
+  * The rule fires only on Inner/Cross joins (banding an outer join
+  * would multiply the unmatched rows), only when no equi-conjunct
+  * already exists (then the join is hash-joinable as written and the
+  * 3× explode cannot pay), and never re-fires on its own output (the
+  * band attributes carry a reserved name prefix). Kill switch:
+  * `spark.graft.distanceJoin.enabled=false`.
+  *
+  * Scale shape at 100 TB: candidates per row = the occupancy of a
+  * 3×3 band neighborhood (~(3r)² of ground area at the envelope), not
+  * the corpus; both explodes are narrow (one long each); the hash
+  * join shuffles by band id, so AQE's skew split applies to hot
+  * cities. For corpora where even one band ring is quadratic, the
+  * explicitly-tiled operators (`spreadFactor`) remain the manual
+  * escape hatch.
+  */
+object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BandPrefix = "__graft_band"
+  private val EarthR = 6371000.0
+
+  val EnabledKey = "spark.graft.distanceJoin.enabled"
+  val MaxAbsLatKey = "spark.graft.distanceJoin.maxAbsLatDeg"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val cap = conf.getConfString(MaxAbsLatKey, "66.0").toDouble
+    require(cap > 0 && cap < 90, s"$MaxAbsLatKey must be in (0, 90), got $cap")
+    plan.transform {
+      case j @ Join(_, _, Inner | Cross, Some(cond), _)
+          if !cond.references.exists(_.name.startsWith(BandPrefix)) =>
+        rewrite(j, cond, cap).getOrElse(j)
+    }
+  }
+
+  /** The distance conjunct: haversine_m(...) compared ≤/< to a positive
+    * double literal, either operand order.
+    */
+  private def radiusConjunct(e: Expression): Option[(HaversineDistance, Double)] = e match {
+    case LessThanOrEqual(h: HaversineDistance, Literal(r: Double, DoubleType)) => Some((h, r))
+    case LessThan(h: HaversineDistance, Literal(r: Double, DoubleType)) => Some((h, r))
+    case GreaterThanOrEqual(Literal(r: Double, DoubleType), h: HaversineDistance) => Some((h, r))
+    case GreaterThan(Literal(r: Double, DoubleType), h: HaversineDistance) => Some((h, r))
+    case _ => None
+  }
+
+  private def rewrite(j: Join, cond: Expression, cap: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // an existing equi-conjunct means the join is already hash-joinable
+    // as written — banding would pay 3× input for keys strictly less
+    // selective than what's there.
+    val hasEqui = conjuncts.exists {
+      case EqualTo(l, r) => splitsAcross(l, r, j)
+      case EqualNullSafe(l, r) => splitsAcross(l, r, j)
+      case _ => false
+    }
+    if (hasEqui) return None
+    conjuncts.iterator.flatMap(radiusConjunct).collectFirst {
+      case (h, r) if r > 0 && java.lang.Double.isFinite(r) &&
+        h.children.forall(_.deterministic) => (h, r)
+    }.flatMap { case (h, r) =>
+      // assign the two points to the join's sides (either order)
+      val (lo1, la1, lo2, la2) = (h.lon1, h.lat1, h.lon2, h.lat2)
+      val p1Left = canEvaluate(lo1, j.left) && canEvaluate(la1, j.left)
+      val p1Right = canEvaluate(lo1, j.right) && canEvaluate(la1, j.right)
+      val p2Left = canEvaluate(lo2, j.left) && canEvaluate(la2, j.left)
+      val p2Right = canEvaluate(lo2, j.right) && canEvaluate(la2, j.right)
+      val sides =
+        if (p1Left && p2Right) Some(((lo1, la1), (lo2, la2)))
+        else if (p2Left && p1Right) Some(((lo2, la2), (lo1, la1)))
+        else None
+      sides.map { case ((loL, laL), (loR, laR)) =>
+        val wLat = math.toDegrees(r / EarthR) * (1 + 1e-12)
+        val sinHalf = math.sin(r / (2 * EarthR)) / math.cos(math.toRadians(cap))
+        // vacuous longitude bound → one effectively-global lon band
+        // (any wLon > 180 puts every λ ∈ [−180, 180] in band −1 or 0,
+        // so the ±1 neighbors cover every pair, wrapped ones included,
+        // and no envelope/seam guard is needed at all)
+        val wLon =
+          if (sinHalf >= 1.0) 720.0
+          else math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
+
+        val leftBanded = banded(j.left, loL, laL, wLon, wLat, cap, explodeLon = true)
+        val rightBanded = banded(j.right, loR, laR, wLon, wLat, cap, explodeLon = false)
+        val bandCond = And(
+          EqualTo(leftBanded.lonKey, rightBanded.lonKey),
+          EqualTo(leftBanded.latKey, rightBanded.latKey))
+        val newJoin = Join(leftBanded.plan, rightBanded.plan, j.joinType,
+          Some(And(bandCond, cond)), j.hint)
+        Project(j.output, newJoin)
+      }
+    }
+  }
+
+  private def splitsAcross(l: Expression, r: Expression, j: Join): Boolean =
+    (canEvaluate(l, j.left) && canEvaluate(r, j.right)) ||
+      (canEvaluate(l, j.right) && canEvaluate(r, j.left))
+
+  private case class BandedSide(plan: LogicalPlan, lonKey: Attribute, latKey: Attribute)
+
+  /** Append band ids to one side and explode one of them to its ±1
+    * neighbors. The envelope guard lives on the banded expression of
+    * the LON axis (the only axis whose width depends on the envelope):
+    * out-of-envelope or near-seam latitudes/longitudes raise; null/NaN
+    * coordinates flow through to the residual predicate.
+    */
+  private def banded(side: LogicalPlan, lon: Expression, lat: Expression,
+                     wLon: Double, wLat: Double, cap: Double,
+                     explodeLon: Boolean): BandedSide = {
+    val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
+      LessThanOrEqual(Abs(lat), Literal(cap)))
+    val lonOk = Or(Or(IsNull(lon), IsNaN(lon)),
+      LessThanOrEqual(Abs(lon), Literal(180.0 - wLon)))
+    def raise: Expression = RaiseError(
+      Literal("USER_RAISED_EXCEPTION"),
+      CreateMap(Seq(Literal("errorMessage"), Literal(
+        s"graft.BandedDistanceJoin: coordinate outside the declared envelope " +
+          s"(|lat| <= $cap deg from $MaxAbsLatKey, |lon| <= ${180.0 - wLon} deg — " +
+          "away from the antimeridian seam) — the derived longitude band width does not " +
+          s"cover the join radius there; raise $MaxAbsLatKey or band manually"))),
+      LongType)
+    val bandLon = Floor(Divide(lon, Literal(wLon)))
+    val bx = if (wLon > 180.0) bandLon else If(And(latOk, lonOk), bandLon, raise)
+    val by = Floor(Divide(lat, Literal(wLat)))
+    val bxA = Alias(bx, s"${BandPrefix}_bx")()
+    val byA = Alias(by, s"${BandPrefix}_by")()
+    val projected = Project(side.output ++ Seq(bxA, byA), side)
+    val (toExplode, kept) = if (explodeLon) (bxA, byA) else (byA, bxA)
+    val one = Literal(1L)
+    val neighbors = CreateArray(Seq(
+      Subtract(toExplode.toAttribute, one),
+      toExplode.toAttribute,
+      Add(toExplode.toAttribute, one)))
+    val exploded = AttributeReference(s"${BandPrefix}_e", LongType, nullable = true)()
+    val gen = Generate(Explode(neighbors), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(exploded), child = projected)
+    if (explodeLon) BandedSide(gen, exploded, kept.toAttribute)
+    else BandedSide(gen, kept.toAttribute, exploded)
+  }
+}

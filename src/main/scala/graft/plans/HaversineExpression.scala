@@ -71,8 +71,10 @@ object HaversineDistance {
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => BandedDistanceJoin)
+  }
 }
 
 object GraftExtensions {
@@ -206,9 +208,18 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
 
-  /** Register on an existing session (tests / REPL convenience). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (tests / REPL convenience).
+    * Functions go into the registry; the banded-distance-join rule into
+    * `experimental.extraOptimizations` (the post-hoc equivalent of
+    * `injectOptimizerRule` for sessions built without extensions).
+    */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(BandedDistanceJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedDistanceJoin
+    }
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+  }
 }

@@ -1,0 +1,158 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** [[BandedDistanceJoin]]: the naive `haversine_m(...) <= r` join must
+  * plan as a banded HASH join (no cartesian, no BNLJ), return exactly
+  * the brute-force pair set (each pair once), and fail LOUDLY — never
+  * silently lossy — outside the declared latitude/seam envelope.
+  */
+class DistanceJoinRuleSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true)))
+
+  private def pts(rows: Seq[(Long, java.lang.Double, java.lang.Double)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, lo, la) => Row(i, lo, la) }, 2),
+      schema)
+
+  /** A seeded cloud around (8.5E, 47.4N) ~ Zurich, spacings of the same
+    * order as the radius so both matches and non-matches exist, plus
+    * points sitting exactly on multiples of the 150 m band width so the
+    * band-edge / neighbor-explode path is exercised.
+    */
+  private def cloud(n: Int, seed: Long): Seq[(Long, java.lang.Double, java.lang.Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val latW = math.toDegrees(150.0 / 6371000.0)
+      val onEdge = i % 7 == 0
+      val lat = if (onEdge) math.floor(47.4 / latW) * latW + (i % 3) * latW
+                else 47.4 + (rnd.nextDouble() - 0.5) * 0.01
+      val lon = 8.5 + (rnd.nextDouble() - 0.5) * 0.02
+      (i.toLong, Double.box(lon), Double.box(lat))
+    }
+  }
+
+  private def naive(a: DataFrame, b: DataFrame, r: Double): DataFrame =
+    a.join(b,
+      call_function("haversine_m",
+        a("lon"), a("lat"), b("lon"), b("lat")) <= lit(r))
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+
+  /** Brute force through the COMPOSED haversine (no HaversineDistance
+    * node → the rule cannot match it) over an explicit cross join.
+    */
+  private def brute(a: DataFrame, b: DataFrame, r: Double): Set[(Long, Long)] =
+    a.crossJoin(b.select(b("id").as("_bid"), b("lon").as("_blon"), b("lat").as("_blat")))
+      .filter(GeoFunctions.haversineMeters(col("lon"), col("lat"), col("_blon"), col("_blat")) <= lit(r))
+      .select(col("id"), col("_bid"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+
+  private def planString(df: DataFrame): String = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.toString
+  }
+
+  test("naive haversine join plans as a banded hash join and matches brute force") {
+    val a = pts(cloud(120, seed = 1))
+    val b = pts(cloud(140, seed = 2).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val joined = naive(a, b, 150.0)
+    val rows = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "fixture must produce matches")
+    assert(rows.length === rows.toSet.size, "each qualifying pair exactly once")
+    assert(rows.toSet === brute(a, b, 150.0))
+
+    val plan = planString(joined)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_band"), plan)
+  }
+
+  test("kill switch restores the un-rewritten plan with identical results") {
+    val a = pts(cloud(40, seed = 3))
+    val b = pts(cloud(40, seed = 4).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val expected = brute(a, b, 200.0)
+    spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+    try {
+      val joined = naive(a, b, 200.0)
+      assert(!planString(joined).contains("__graft_band"))
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    } finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+    assert(naive(a, b, 200.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+  }
+
+  test("latitude beyond the declared envelope raises instead of dropping pairs") {
+    val a = pts(Seq((1L, Double.box(10.0), Double.box(80.0))))
+    val b = pts(Seq((2L, Double.box(10.0001), Double.box(80.0))))
+    val ex = intercept[Exception] { naive(a, b, 100.0).collect() }
+    assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+  }
+
+  test("widening the envelope conf admits high-latitude data, still exact") {
+    val rows = (0 until 60).map { i =>
+      // ~50 m lon spacing at 80N (1 deg lon ~ 19.3 km there)
+      (i.toLong, Double.box(10.0 + i * 0.0026), Double.box(80.0 + (i % 5) * 1e-4))
+    }
+    val a = pts(rows)
+    val b = pts(rows.map { case (i, lo, la) => (i + 1000L, lo, la) })
+    spark.conf.set(BandedDistanceJoin.MaxAbsLatKey, "85.0")
+    try {
+      val got = naive(a, b, 120.0).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size)
+      assert(got.toSet === brute(a, b, 120.0))
+    } finally spark.conf.unset(BandedDistanceJoin.MaxAbsLatKey)
+  }
+
+  test("longitude near the antimeridian seam raises instead of missing wrapped pairs") {
+    val a = pts(Seq((1L, Double.box(179.99999), Double.box(10.0))))
+    val b = pts(Seq((2L, Double.box(-179.99999), Double.box(10.0))))
+    val ex = intercept[Exception] { naive(a, b, 100.0).collect() }
+    assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+  }
+
+  test("null coordinates flow through as non-matches, never errors") {
+    val a = pts(Seq((1L, Double.box(8.5), null), (2L, Double.box(8.5), Double.box(47.4))))
+    val b = pts(Seq((3L, Double.box(8.5), Double.box(47.4))))
+    val got = naive(a, b, 50.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 3L)))
+  }
+
+  test("an existing equi-conjunct suppresses the rewrite") {
+    val a = pts(cloud(30, seed = 5)).withColumn("user", col("id") % 3)
+    val b = pts(cloud(30, seed = 6)).withColumn("user", col("id") % 3)
+      .select(col("id").as("bid"), col("lon").as("blon"), col("lat").as("blat"), col("user").as("buser"))
+    val joined = a.join(b,
+      col("user") === col("buser") &&
+        call_function("haversine_m", col("lon"), col("lat"), col("blon"), col("blat")) <= lit(500.0))
+    assert(!planString(joined).contains("__graft_band"))
+    assert(joined.count() > 0)
+  }
+
+  test("a huge radius degrades to latitude-only banding but stays exact (wrap included)") {
+    // 300 km at cap 66 deg: sin(r/2R)/cos(66) < 1 so lon banding still
+    // applies; also check a radius so large the lon bound is vacuous
+    val coords = Seq(
+      (1L, Double.box(179.9), Double.box(0.0)),
+      (2L, Double.box(-179.9), Double.box(0.0)),
+      (3L, Double.box(0.0), Double.box(0.0)))
+    val a = pts(coords)
+    val b = pts(coords)
+    val r = 7000000.0 // lon bound vacuous at this radius -> single lon band
+    val got = naive(a, b, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === brute(a, b, r))
+    assert(got.contains((1L, 2L)), "wrapped near pair must be found in vacuous-bound mode")
+  }
+}

@@ -1964,6 +1964,11 @@ object SparkEntry {
     "kanon_cells" -> { (s, dir) =>
       SpatialOps.kAnonymousCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
+    // ℓ-diversity audit of the same publication grid: distinct
+    // sensitive values (visit hour) per k-anonymous cell
+    "ldiversity_cells" -> { (s, dir) =>
+      SpatialOps.lDiversityCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
+    },
     "place_segregation" -> { (s, dir) =>
       SpatialOps.placeSegregation(EventsAdapter.positionfixes(s, dir),
         cellMicroDeg = 10000L, nGroups = 4)
@@ -2017,6 +2022,14 @@ object SparkEntry {
     },
     "od_radiation" -> { (s, dir) =>
       Metrics.radiationModel(
+        EventsAdapter.intervals(s, dir)
+          .filter(expr("k % 12 = 0"))
+          .withColumn("location_id", expr("(k div 12) % 4")))
+    },
+    // Lenormand 2016 CPC scorecard: radiation vs fixed-exponent gravity
+    // against the observed OD matrix, exact ppm integers
+    "flow_model_cpc" -> { (s, dir) =>
+      Metrics.flowModelCpc(
         EventsAdapter.intervals(s, dir)
           .filter(expr("k % 12 = 0"))
           .withColumn("location_id", expr("(k div 12) % 4")))
@@ -2079,6 +2092,16 @@ object SparkEntry {
     // convergence on sparse fixtures)
     "colocation_kcore" -> { (s, dir) =>
       SpatialOps.kCoreHistogram(Pipeline.colocationPairs(s, dir), rounds = 3)
+    },
+    // exact neighborhood function N(h) from a deterministic 1/8 seed
+    // slice — BFS as h shared hash joins
+    "colocation_ball" -> { (s, dir) =>
+      SpatialOps.neighborhoodFunction(Pipeline.colocationPairs(s, dir), seedsMod = 8L, maxHops = 3)
+    },
+    // knn(k) average-neighbor-degree curve (the function behind the
+    // assortativity scalar)
+    "degree_correlation" -> { (s, dir) =>
+      SpatialOps.degreeCorrelation(Pipeline.colocationPairs(s, dir))
     },
     "colocation_richclub" -> { (s, dir) =>
       SpatialOps.richClub(Pipeline.colocationPairs(s, dir))
@@ -4417,6 +4440,20 @@ object SparkEntry {
          |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // ℓ-diversity over the same grid: distinct visit-hour values per
+    // published cell (floor-mod hour, the engine-exact bucket idiom)
+    "ldiversity_cells" ->
+      s"""${EventsAdapter.pfsSql}
+         |SELECT cx AS cell_x, cy AS cell_y,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(count(*) AS BIGINT) AS n_points,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS l_hours
+         |FROM (SELECT user_id,
+         |        CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |        CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |        (t_us % 86400000000) // 3600000000 AS h
+         |      FROM pfs)
+         |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     // Moro-style place segregation: all-integer deviation numerator,
     // one final double division (see SpatialOps.placeSegregation)
     "place_segregation" ->
@@ -4711,6 +4748,74 @@ object SparkEntry {
          |                * (CAST(prd.m_from AS HUGEINT) + CAST(prd.m_to AS HUGEINT)
          |                   + coalesce(sb.s_between, 0)) AS DOUBLE) AS p_pred
          |FROM prd LEFT JOIN sb ON prd.f = sb.f AND prd.t = sb.t""".stripMargin,
+    // Lenormand CPC: radiation + inverse-square gravity weights and the
+    // production-constrained predictions quantized by HUGEINT floor
+    // division — mirrors Metrics.flowModelCpc's DECIMAL(38,0) math
+    "flow_model_cpc" ->
+      s"""${EventsAdapter.pfsSql}, vis AS (
+         |  SELECT user_id, id, s_us, (k // 12) % 4 AS loc, lon, lat
+         |  FROM intervals WHERE k % 12 = 0),
+         |tr AS (
+         |  SELECT user_id, loc AS f, lead(loc) OVER (PARTITION BY user_id ORDER BY s_us, id) AS t
+         |  FROM vis),
+         |fl AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS observed
+         |  FROM tr WHERE t IS NOT NULL AND t != f GROUP BY f, t),
+         |ce AS (
+         |  SELECT loc,
+         |         sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS sy,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM vis GROUP BY loc),
+         |cc AS (
+         |  SELECT loc, m,
+         |         (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) / 1000000.0 AS clon,
+         |         (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)) / 1000000.0 AS clat
+         |  FROM ce),
+         |pr AS (
+         |  SELECT fl.f, fl.t, fl.observed, a.m AS m_from, b.m AS m_to,
+         |         a.clon AS flon, a.clat AS flat,
+         |         CAST(floor(${hav("a.clon", "a.clat", "b.clon", "b.clat")}) AS BIGINT) AS dist_m
+         |  FROM fl JOIN cc a ON fl.f = a.loc JOIN cc b ON fl.t = b.loc),
+         |prd AS (SELECT * FROM pr),
+         |sb AS (
+         |  SELECT prd.f, prd.t, CAST(sum(k.m) AS BIGINT) AS s_between
+         |  FROM prd JOIN cc k ON k.loc != prd.f AND k.loc != prd.t
+         |  WHERE CAST(floor(${hav("prd.flon", "prd.flat", "k.clon", "k.clat")}) AS BIGINT) < prd.dist_m
+         |  GROUP BY prd.f, prd.t),
+         |fin AS (
+         |  SELECT prd.f, prd.observed, prd.m_from, prd.m_to, prd.dist_m,
+         |         CAST(coalesce(sb.s_between, 0) AS HUGEINT) AS s
+         |  FROM prd LEFT JOIN sb ON prd.f = sb.f AND prd.t = sb.t),
+         |wt AS (
+         |  SELECT f, observed,
+         |    (1000000::HUGEINT * m_from * m_to) //
+         |      ((CAST(m_from AS HUGEINT) + s) * (CAST(m_from AS HUGEINT) + m_to + s)) AS w_rad,
+         |    (1000000000000::HUGEINT * m_from * m_to) //
+         |      (CAST(greatest(dist_m, 1) AS HUGEINT) * CAST(greatest(dist_m, 1) AS HUGEINT)) AS w_grav
+         |  FROM fin),
+         |nm AS (
+         |  SELECT observed, w_rad, w_grav,
+         |         sum(w_rad) OVER (PARTITION BY f) AS sw_rad,
+         |         sum(w_grav) OVER (PARTITION BY f) AS sw_grav,
+         |         sum(observed) OVER (PARTITION BY f) AS oi
+         |  FROM wt),
+         |pu AS (
+         |  SELECT CAST(observed AS HUGEINT) * 1000000 AS obs_u,
+         |    CASE WHEN sw_rad = 0 THEN 0::HUGEINT
+         |         ELSE (CAST(oi AS HUGEINT) * 1000000 * w_rad) // sw_rad END AS pu_rad,
+         |    CASE WHEN sw_grav = 0 THEN 0::HUGEINT
+         |         ELSE (CAST(oi AS HUGEINT) * 1000000 * w_grav) // sw_grav END AS pu_grav
+         |  FROM nm)
+         |SELECT 'radiation' AS model, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST((2000000::HUGEINT * sum(least(pu_rad, obs_u)))
+         |            // (sum(pu_rad) + sum(obs_u)) AS BIGINT) AS cpc_ppm
+         |FROM pu
+         |UNION ALL
+         |SELECT 'gravity2' AS model, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST((2000000::HUGEINT * sum(least(pu_grav, obs_u)))
+         |            // (sum(pu_grav) + sum(obs_u)) AS BIGINT) AS cpc_ppm
+         |FROM pu""".stripMargin,
     // Song entropy ladder: quantized-ln Shannon numerator plus the LZ76
     // parse of the per-user location-symbol string — the same recursive
     // parse CTE the text_lz_density oracle uses, keyed by user
@@ -5625,6 +5730,78 @@ object SparkEntry {
          |SELECT val AS coreness, CAST(count(*) AS BIGINT) AS n_users
          |FROM h3 GROUP BY val""".stripMargin
     },
+    // neighborhood function from the deterministic 1/8 seed slice: three
+    // unrolled BFS closures (frontier JOIN edges, DISTINCT, UNION)
+    "colocation_ball" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst FROM prs),
+         |r0 AS (SELECT DISTINCT src AS seed, src AS node FROM edges WHERE src % 8 = 0),
+         |r1 AS (SELECT DISTINCT seed, node FROM (
+         |  SELECT r.seed, e.dst AS node FROM r0 r JOIN edges e ON e.src = r.node
+         |  UNION ALL SELECT seed, node FROM r0)),
+         |r2 AS (SELECT DISTINCT seed, node FROM (
+         |  SELECT r.seed, e.dst AS node FROM r1 r JOIN edges e ON e.src = r.node
+         |  UNION ALL SELECT seed, node FROM r1)),
+         |r3 AS (SELECT DISTINCT seed, node FROM (
+         |  SELECT r.seed, e.dst AS node FROM r2 r JOIN edges e ON e.src = r.node
+         |  UNION ALL SELECT seed, node FROM r2))
+         |SELECT CAST(1 AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_pairs FROM r1 WHERE seed != node
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM r2 WHERE seed != node
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM r3 WHERE seed != node""".stripMargin,
+    // knn(k) curve: endpoint-degree join, exact integer sums, ppm by
+    // HUGEINT floor division
+    "degree_correlation" ->
+      s"""${EventsAdapter.pfsSql},
+         |cells AS MATERIALIZED (
+         |  SELECT user_id, s_us, f_us,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    CAST(floor(s_us / 7200000000.0) AS BIGINT) AS b0,
+         |    unnest(generate_series(
+         |      CAST(floor(s_us / 7200000000.0) AS BIGINT),
+         |      CAST(floor(greatest(f_us - 1, s_us) / 7200000000.0) AS BIGINT))) AS band
+         |  FROM intervals),
+         |prs AS MATERIALIZED (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM cells a JOIN cells b
+         |    ON a.cx = b.cx AND a.cy = b.cy AND a.band = b.band
+         |  WHERE a.band = greatest(a.b0, b.b0)
+         |    AND a.user_id < b.user_id
+         |    AND a.s_us < b.f_us AND b.s_us < a.f_us
+         |  GROUP BY a.user_id, b.user_id),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS src, ub AS dst FROM prs
+         |  UNION ALL SELECT ub AS src, ua AS dst FROM prs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+         |j AS (
+         |  SELECT d1.d AS degree, e.src, d2.d AS nd
+         |  FROM edges e JOIN deg d1 ON d1.u = e.src JOIN deg d2 ON d2.u = e.dst)
+         |SELECT degree, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         |       CAST(sum(nd) AS BIGINT) AS sum_neighbor_degree,
+         |       CAST((1000000::HUGEINT * sum(nd)) // count(*) AS BIGINT) AS knn_ppm
+         |FROM j GROUP BY degree""".stripMargin,
     // rich-club curve: strict suffix sums of the node-by-degree and
     // edge-by-min-endpoint-degree histograms over the shared value grid
     "colocation_richclub" ->

@@ -514,6 +514,60 @@ object Metrics {
         col("m_from"), col("m_to"), col("s_between"), col("observed"), col("p_pred"))
   }
 
+  /** Common Part of Commuters — the standard flow-model scorecard
+    * (Lenormand, Bassolas & Ramasco 2016, "Systematic comparison of
+    * trip distribution laws and models", J. Transp. Geogr. 51): for
+    * each model's predicted OD matrix T̂ vs the observed T,
+    *   CPC = 2·Σ min(T̂ᵢⱼ, Tᵢⱼ) / (Σ T̂ᵢⱼ + Σ Tᵢⱼ)  ∈ [0, 1],
+    * 1 = identical flows. Scores the two models this repo implements
+    * side by side: the parameter-free radiation law
+    * ([[radiationModel]]) and the classic inverse-square gravity law
+    * (T̂ᵢⱼ ∝ mᵢmⱼ/d²ᵢⱼ — the fixed-exponent form, so the card is
+    * fit-free on both arms). Both are production-constrained to the
+    * observed topology: per origin i, T̂ᵢⱼ = Oᵢ·wᵢⱼ/Σⱼwᵢⱼ with Oᵢ the
+    * observed outflow, the paper's normalization.
+    *
+    * Engine-exact: weights are quantized to integers by DECIMAL(38,0)
+    * cross-multiplied floor division (wᵣₐ𝒹 = ⌊10⁶·mᵢmⱼ/((mᵢ+s)(mᵢ+mⱼ+s))⌋,
+    * w_g = ⌊10¹²·mᵢmⱼ/d²⌋), predictions to micro-trips the same way, and
+    * the final CPC to ppm — every division is exact integer floor math
+    * ((n − n mod d)/d), so DuckDB's HUGEINT `//` reproduces each value
+    * bit-for-bit. Magnitude headroom: the largest intermediate is
+    * Oᵢ·10⁶·w ≲ 10²⁵ at petabyte visit counts — 13 decimal digits of
+    * DECIMAL(38,0) spare.
+    *
+    * Scale shape: inherits [[radiationModel]]'s zone-pair table (zones²
+    * of an AGGREGATED cell table); adds two windows over from_loc and
+    * one tiny aggregate per model. @return (model, n_pairs, cpc_ppm)
+    */
+  def flowModelCpc(spLoc: DataFrame, locCol: String = "location_id"): DataFrame = {
+    val pairs = radiationModel(spLoc, locCol)
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(n: Column, d: Column): Column =
+      ((n - pmod(n, d)) / d).cast("decimal(38,0)")
+    val dClamped = dq(greatest(col("dist_m"), lit(1L)))
+    val w = pairs.select(col("from_loc"), col("observed"),
+      fdiv(dq(lit(1000000L)) * dq(col("m_from")) * dq(col("m_to")),
+        (dq(col("m_from")) + dq(col("s_between"))) *
+          (dq(col("m_from")) + dq(col("m_to")) + dq(col("s_between")))).as("w_radiation"),
+      fdiv(dq(lit(1000000000000L)) * dq(col("m_from")) * dq(col("m_to")),
+        dClamped * dClamped).as("w_gravity2"))
+    val perOrigin = Window.partitionBy(col("from_loc"))
+    Seq("radiation" -> col("w_radiation"), "gravity2" -> col("w_gravity2")).map {
+      case (name, wc) =>
+        w.withColumn("_sw", sum(wc).over(perOrigin))
+          .withColumn("_oi", sum(col("observed")).over(perOrigin))
+          .withColumn("_pred_u",
+            when(col("_sw") === dq(lit(0L)), dq(lit(0L)))
+              .otherwise(fdiv(dq(col("_oi")) * dq(lit(1000000L)) * wc, col("_sw"))))
+          .withColumn("_obs_u", dq(col("observed")) * dq(lit(1000000L)))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            fdiv(dq(lit(2000000L)) * sum(least(col("_pred_u"), col("_obs_u"))),
+              sum(col("_pred_u")) + sum(col("_obs_u"))).cast("long").as("cpc_ppm"))
+          .select(lit(name).as("model"), col("n_pairs"), col("cpc_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-(user, location) return times: for every revisit of a location,
     * the gap between leaving it and arriving back — the return-time
     * distribution of Song et al. 2010 (the regular spikes at 24 h/1 week

@@ -911,6 +911,113 @@ object SpatialOps {
       .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
   }
 
+  /** ℓ-diversity audit of the k-anonymous publication grid
+    * (Machanavajjhala et al. 2007, "ℓ-diversity: privacy beyond
+    * k-anonymity", TKDD 1(1)): k-anonymity bounds RE-IDENTIFICATION but
+    * not ATTRIBUTE disclosure — a cell shared by ≥k users who all visit
+    * at 3 a.m. leaks the sensitive value even though no individual is
+    * singled out. Per cell that [[kAnonymousCells]] would publish, the
+    * number of distinct sensitive values among its points; the sensitive
+    * attribute here is the visit hour-of-day (floor-mod integers, the
+    * repo's engine-exact bucket idiom). A cell with `l_hours` < ℓ fails
+    * ℓ-diversity and should be suppressed or generalized before release.
+    *
+    * Scale shape: ONE groupBy over the point table with two distinct
+    * aggregates — [[kAnonymousCells]]' plan plus a column; partial
+    * aggregation applies, nothing is quadratic.
+    */
+  def lDiversityCells(points: DataFrame, cellMicroDeg: Long = 10000L, k: Int = 5,
+                      userCol: String = "user_id", tCol: String = "t_us"): DataFrame = {
+    require(cellMicroDeg > 0 && k >= 1, "cell width and k must be positive")
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    points
+      .withColumn("_hour", expr(s"(pmod($tCol, 86400000000L) div 3600000000L)"))
+      .groupBy(cell(col("lon")).as("cell_x"), cell(col("lat")).as("cell_y"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_points"),
+        countDistinct(col("_hour")).as("l_hours"))
+      .filter(col("n_users") >= k)
+  }
+
+  /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
+    * Vespignani 2001, "Dynamical and correlation properties of the
+    * Internet"): for each degree class k, the mean degree of the
+    * neighbors of degree-k nodes — the CURVE behind the one-number
+    * assortativity r; rising knn(k) = assortative, falling =
+    * disassortative (the signature of technological nets). Returned as
+    * exact integers (Σ neighbor degrees, node count) plus the ratio
+    * quantized to ppm via integer cross-multiply, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: degree table via one exploded-endpoint count; the
+    * directed edge list hash-joins the degree table twice on its key
+    * (≤|users| rows each); one final groupBy(degree). Never anything ×
+    * anything.
+    */
+  def degreeCorrelation(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("user_a"), col("user_b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).cast("long").as("d"))
+    val directed = pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
+      .unionByName(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    directed
+      .join(deg.select(col("u").as("src"), col("d").as("d_src")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("d").as("d_dst")), Seq("dst"))
+      .groupBy(col("d_src").as("degree"))
+      .agg(countDistinct(col("src")).as("n_nodes"),
+        sum(col("d_dst")).cast("long").as("sum_neighbor_degree"),
+        count(lit(1)).cast("long").as("n_slots"))
+      .withColumn("knn_ppm",
+        ((dq(lit(1000000L)) * dq(col("sum_neighbor_degree")) -
+          pmod(dq(lit(1000000L)) * dq(col("sum_neighbor_degree")), dq(col("n_slots")))) /
+          dq(col("n_slots"))).cast("long"))
+      .select("degree", "n_nodes", "sum_neighbor_degree", "knn_ppm")
+  }
+
+  /** Neighborhood function N(h) from a deterministic seed slice (the
+    * ANF/HyperBall statistic computed EXACTLY on sampled sources —
+    * Palmer, Gibbons & Faloutsos 2002 frame the estimation problem;
+    * seeding makes the exact computation tractable at any scale): for
+    * h = 1..maxHops, how many (seed, node) pairs are within h hops on
+    * the contact graph. The h-profile separates small-world contact
+    * structures (N(2) ≈ reachable set) from chains; the curve's knee is
+    * the graph's effective diameter.
+    *
+    * Exact BFS-as-joins: frontier ⋈ edges, distinct, union — h hash
+    * joins total, each keyed on the node id. The seed slice
+    * (`user_id % seedsMod == 0`) bounds the closure to |seeds|·|V|
+    * REGARDLESS of graph density — the documented scale knob; seedsMod=1
+    * is the full exact closure for small graphs.
+    */
+  def neighborhoodFunction(pairs: DataFrame, seedsMod: Long = 8L, maxHops: Int = 3,
+                           share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(seedsMod >= 1 && maxHops >= 1, "seedsMod/maxHops must be positive")
+    // share the symmetric edge list: every hop re-reads it, and the
+    // expensive upstream (the banded co-location self-join) must not
+    // re-run per hop — pagerank's exact treatment
+    val p = pairs.select(col("user_a"), col("user_b"))
+    val edges = share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
+      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
+    val seeds = edges.select(col("src").as("seed")).distinct()
+      .filter(pmod(col("seed"), lit(seedsMod)) === 0L)
+    // reach includes the seed itself (distance 0) for propagation;
+    // counts exclude it. Each hop is shared: the h+1 frontier join and
+    // ALL the per-hop aggregates read hop h once, not its lineage.
+    var reach = share(seeds.select(col("seed"), col("seed").as("node")))
+    val counts = (1 to maxHops).map { h =>
+      val prev = reach
+      val next = prev.join(edges, prev("node") === edges("src"))
+        .select(prev("seed"), edges("dst").as("node"))
+      reach = share(next.unionByName(prev).distinct())
+      reach.filter(col("seed") =!= col("node"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .select(lit(h.toLong).as("h"), col("n_pairs"))
+    }
+    counts.reduce(_.unionByName(_))
+  }
+
   /** Degree assortativity of the contact graph (Newman 2002, "Assortative
     * mixing in networks"): the Pearson correlation of endpoint degrees
     * over edges — positive means hubs meet hubs (social networks),

@@ -49,9 +49,11 @@ class PlanLintSpec extends AnyFunSuite {
     *    al. 2012; radiationFlowsRinged is the bounded equi-join twin)
     *  - od_gravity_fit / od_radiation: same zone-pair space for the
     *    deterrence regression / model comparison
+    *  - flow_model_cpc: scores od_radiation's pair table — inherits the
+    *    identical zones² s_ij join, nothing new is quadratic
     */
   private val deliberateZonePairs = Set(
-    "radiation_flows", "od_gravity_fit", "od_radiation")
+    "radiation_flows", "od_gravity_fit", "od_radiation", "flow_model_cpc")
 
   /** Gates whose BNLJ build side is a FIXED literal-id probe set
     * (vec_id < 10/100, or the ivf centroid seeds at vec_id < nlist) —

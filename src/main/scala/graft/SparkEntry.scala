@@ -1755,6 +1755,15 @@ object SparkEntry {
         quotaN = 5L, windowMinutes = 60L, groupCol = "event_type",
         idCol = "event_id", timeCol = "t_us", chunks = 3)
     },
+    "streaming_heavy_hitters" -> { (s, dir) =>
+      // the ENGINE-managed state path: watermark + windowed agg in
+      // append mode (finalize-once-on-watermark), the one streaming
+      // contract the custom-state gates don't cover; top-5 rank is the
+      // batch epilogue over the finalized counts
+      graft.streaming.Replay.heavyHitters(
+        EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 1),
+        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 3)
+    },
     "streaming_neardup" -> { (s, dir) =>
       // keyed by (band, hash) bucket — full table (the corpus is the
       // slice at gate scale); cap disabled and expiry off, so the
@@ -3730,6 +3739,23 @@ object SparkEntry {
         |SELECT grp, doc_id, CAST(ws AS BIGINT) AS window_start_us,
         |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
         |FROM r WHERE rn <= 5""".stripMargin,
+    // native watermark+window aggregation replay: the in-order feed keeps
+    // every row inside the lateness delay, so the finalized counts equal
+    // the batch groupBy exactly; rank = (n DESC, key) row_number
+    "streaming_heavy_hitters" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE user_id % 4 = 1),
+        |wc AS (
+        |  SELECT (t_us // 3600000000) * 3600000000 AS window_start_us,
+        |         event_type AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT window_start_us, key, n,
+        |         CAST(row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, key) AS BIGINT) AS rank
+        |  FROM wc)
+        |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, key, n, rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
     // out-of-order replay (batch p = ids ≡ p mod 4): the closed form of
     // the keyed-state late-row rule — a late row counts against the
     // newest window its group has opened, so its effective window is

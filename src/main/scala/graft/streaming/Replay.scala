@@ -378,6 +378,56 @@ object Replay {
         col("seq_in_window"), col("admitted"))
   }
 
+  /** Replay [[StreamingHeavyHitters.windowCounts]] and rank the
+    * finalized windows. Two sentinel tail batches with a far-future
+    * timestamp advance the watermark past every real window (append
+    * mode emits a window's finals only once the watermark crosses its
+    * end; the second sentinel batch gives the engine the extra cycle it
+    * runs to flush state after a watermark-only advance). The sentinel
+    * key is filtered from the result; its own window never finalizes.
+    * The in-order feed (global (t, id) sort, equal chunks) keeps every
+    * row inside the lateness delay, so the finalized counts equal the
+    * batch groupBy exactly — the oracle's contract.
+    */
+  def heavyHitters(events: DataFrame, k: Int, windowMinutes: Long, delayMinutes: Long,
+                   keyCol: String = "event_type", idCol: String = "event_id",
+                   timeCol: String = "t_us", chunks: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+
+    val rows = events.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(timeCol).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy { case (_, i, t) => (t, i) }.toSeq
+    val sentinelKey = " flush"
+    val tMax = rows.iterator.map(_._3).foldLeft(0L)(math.max)
+    val flushT = tMax + (delayMinutes + 2 * windowMinutes) * 60L * 1000000L
+    val tail = Seq(
+      Seq((sentinelKey, -1L, flushT)),
+      Seq((sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)))
+
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("event_type", "event_id", "t_us")
+    val outDir = tmp("graft-replay-hh-out")
+    val ckpt = tmp("graft-replay-hh-ckpt")
+
+    drain(input, rows, chunks, tail) {
+      StreamingHeavyHitters.windowCounts(stream, windowMinutes, delayMinutes)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    val empty = spark.range(0)
+      .select(col("id").as("window_start_us"), lit("").as("key"), col("id").as("n"))
+      .limit(0)
+    StreamingHeavyHitters.topK(
+      readBack(spark, outDir, ckpt, empty).filter(col("key") =!= sentinelKey), k)
+  }
+
   /** Replay [[StreamingQuota.quota]] with a deterministic OUT-OF-ORDER
     * feed: micro-batch p (p = 0..chunks−1) carries exactly the rows with
     * doc_id ≡ p (mod chunks), so every batch after the first delivers

@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property test for [[BandedDistanceJoin]]: the rule rewrites joins
+  * INVISIBLY, so its losslessness claim gets adversarial random trials
+  * against a driver-side sequential brute force — random clouds at
+  * random latitudes up to the envelope edge, random radii spanning four
+  * orders of magnitude (including radii near the vacuous-longitude-bound
+  * crossover), points planted exactly ON band-width multiples, and a
+  * duplicate-free check (each qualifying pair must appear exactly once).
+  */
+class DistanceJoinPropertySpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true)))
+
+  private def df(rows: Seq[(Long, Double, Double)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, lo, la) => Row(i, lo, la) }, 3),
+      schema)
+
+  test("random trials: banded join == sequential brute force, each pair once") {
+    for (trial <- 1 to 8) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val baseLat = -64.0 + rnd.nextDouble() * 128.0 // stays inside the 66-deg envelope
+      val baseLon = -170.0 + rnd.nextDouble() * 340.0
+      val radius = math.pow(10.0, 1.5 + rnd.nextDouble() * 4.0) // ~30 m .. ~300 km
+      val spreadDeg = math.toDegrees(radius / 6371000.0) * 3.0
+      val wLat = math.toDegrees(radius / 6371000.0)
+      def cloud(n: Int, offset: Long): Seq[(Long, Double, Double)] =
+        (0 until n).map { i =>
+          // every 5th point lands exactly on a lat-band multiple
+          val lat0 = baseLat + (rnd.nextDouble() - 0.5) * spreadDeg
+          val lat = if (i % 5 == 0) math.floor(lat0 / wLat) * wLat else lat0
+          val lon = baseLon + (rnd.nextDouble() - 0.5) * spreadDeg
+          (offset + i, lon, math.max(-65.9, math.min(65.9, lat)))
+        }
+      val aRows = cloud(45, 0L)
+      val bRows = cloud(45, 1000L)
+      val expected = (for {
+        (ia, loa, laa) <- aRows; (ib, lob, lab) <- bRows
+        if GeoFunctions.haversineMeters(loa, laa, lob, lab) <= radius
+      } yield (ia, ib)).toSet
+
+      val joined = df(aRows).as("a").join(df(bRows).as("b"),
+          call_function("haversine_m", col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+            <= lit(radius))
+        .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band"), s"trial $trial: rule did not fire\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"trial $trial: duplicate pairs emitted")
+      assert(got.toSet == expected,
+        s"trial $trial (lat=$baseLat lon=$baseLon r=$radius): " +
+          s"missing=${(expected -- got.toSet).take(5)} extra=${(got.toSet -- expected).take(5)}")
+    }
+  }
+}

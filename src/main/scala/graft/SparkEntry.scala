@@ -2202,6 +2202,11 @@ object SparkEntry {
     "good_turing" -> { (s, dir) =>
       TextAnalysis.goodTuring(s.read.parquet(s"$dir/documents.parquet"))
     },
+    // interpolated Kneser-Ney bigram held-out scoring per source —
+    // exact rational probabilities on the quantized-ln grid
+    "kn_score" -> { (s, dir) =>
+      TextAnalysis.knScore(s.read.parquet(s"$dir/documents.parquet"))
+    },
 
     // ----- mobility: more metrics (oracle-checked) --------------------
     "tracking_quality_week" -> { (s, dir) =>
@@ -5170,6 +5175,47 @@ object SparkEntry {
     "diurnal_rayleigh" -> EventOps.diurnalConcentrationSql(),
     "rfm_segments" -> EventOps.rfmSegmentationSql(),
     "good_turing" -> TextAnalysis.goodTuringSql(),
+    // Kneser-Ney: train on doc_id % 4 != 0, score the held-out rest;
+    // num/den per the rational D=3/4 formulation, HUGEINT products
+    "kn_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tb AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE doc_id % 4 != 0),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tb GROUP BY w1, w2),
+        |lf AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |              CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY w1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bi GROUP BY w2),
+        |dd AS (SELECT CAST(count(*) AS HUGEINT) AS d2 FROM bi),
+        |hb AS (
+        |  SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE doc_id % 4 = 0),
+        |sc AS (
+        |  SELECT hb.source,
+        |    CASE WHEN lf.c1 IS NOT NULL THEN
+        |      CAST(greatest(4 * coalesce(bi.c12, 0) - 3, 0) AS HUGEINT) * dd.d2
+        |        + 3::HUGEINT * lf.n1f * coalesce(ct.n1b, 0)
+        |    ELSE CAST(coalesce(ct.n1b, 0) AS HUGEINT) END AS num,
+        |    CASE WHEN lf.c1 IS NOT NULL THEN 4::HUGEINT * lf.c1 * dd.d2
+        |    ELSE greatest(dd.d2, 1::HUGEINT) END AS den
+        |  FROM hb LEFT JOIN bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+        |          LEFT JOIN lf ON hb.w1 = lf.w1
+        |          LEFT JOIN ct ON hb.w2 = ct.w2
+        |          CROSS JOIN dd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(floor(ln(CAST(den AS DOUBLE)) * 1e6) AS BIGINT)
+        |         - CAST(floor(ln(CAST(greatest(num, 1::HUGEINT) AS DOUBLE)) * 1e6) AS BIGINT))
+        |       AS BIGINT) AS nll_q,
+        |  CAST(sum(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CAST(floor(ln(CAST(den AS DOUBLE)) * 1e6) AS BIGINT)
+        |         - CAST(floor(ln(CAST(greatest(num, 1::HUGEINT) AS DOUBLE)) * 1e6) AS BIGINT))
+        |       AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6) AS nll_nats
+        |FROM sc GROUP BY source""".stripMargin,
     // circadian chi-square vs uniform: 24Σc² − n² exact in int128, the
     // nonuniform decision a pure integer cross-compare (χ²₀.₀₀₁, df 23)
     "circadian_profile" ->

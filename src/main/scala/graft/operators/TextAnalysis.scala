@@ -1965,4 +1965,75 @@ object TextAnalysis {
       .orderBy(col("score_q").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Interpolated bigram Kneser-Ney held-out scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999's benchmark smoother) — the classic n-gram LM
+    * quality score used to rank corpus slices before the expensive
+    * neural run (domain-similarity selection à la Moore-Lewis uses
+    * exactly this as its in-domain arm). Train counts come from the
+    * doc_id % holdoutMod != 0 slice, scores from the held-out rest.
+    *
+    * Engine-exact by a rational-arithmetic formulation: with discount
+    * D = 3/4, every interpolated probability is a ratio of INTEGERS —
+    *   p(w2|w1) = [max(4c(w1w2)−3, 0)·D2 + 3·N1+(w1·)·N1+(·w2)]
+    *            / [4·c(w1)·D2]
+    * (D2 = distinct train bigrams, N1+ the usual fan-out/continuation
+    * type counts; unseen contexts back off to pure continuation
+    * N1+(·w2)/D2). Per-bigram negative log-likelihood is then
+    * lnq(den) − lnq(num) on the quantized-ln integer grid the repo's
+    * entropy ladder uses, so DuckDB reproduces every value exactly.
+    * A held-out bigram whose w2 was never seen as a continuation has
+    * num = 0 — clamped to 1 (a floor probability) and reported in
+    * `n_zero` rather than hidden. Products are DECIMAL(38,0) —
+    * c(w1w2)·D2 outgrows a long on web-scale corpora.
+    *
+    * Scale shape: two groupBys over the train bigrams (map-side
+    * combinable), three hash joins of the held-out bigrams against
+    * keyed count tables, one 1-row broadcast (D2). Nothing quadratic.
+    *
+    * @return per group: (group, n_bigrams, nll_q, n_zero, nll_nats)
+    */
+  def knScore(docs: DataFrame, holdoutMod: Long = 4L, groupCol: String = "source",
+              idCol: String = "doc_id", textCol: String = "text",
+              share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+    require(holdoutMod >= 2, "knScore: holdoutMod must leave both slices nonempty")
+    def lnq(c: Column): Column = floor(log(c.cast("double")) * 1e6).cast("long")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val toks = docs.select(col(idCol), col(groupCol),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
+    val n1 = greatest(size(col("_ws")) - 1, lit(0))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col(groupCol), explode(zip_with(
+        slice(col("_ws"), lit(1), n1), slice(col("_ws"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col(groupCol), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val isHold = pmod(col(idCol), lit(holdoutMod)) === 0L
+    val trainBi = share(bigrams(toks.filter(!isHold))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c12")))
+    val contexts = trainBi.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n1f"))
+    val continuations = trainBi.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("n1b"))
+    val d2tab = trainBi.agg(count(lit(1)).cast("long").as("_d2"))
+    bigrams(toks.filter(isHold))
+      .join(trainBi, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .join(continuations, Seq("w2"), "left")
+      .crossJoin(broadcast(d2tab))
+      .withColumn("_num", when(col("c1").isNotNull,
+          dq(greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - lit(3L), lit(0L))) * dq(col("_d2")) +
+            dq(lit(3L)) * dq(col("n1f")) * dq(coalesce(col("n1b"), lit(0L))))
+        .otherwise(dq(coalesce(col("n1b"), lit(0L)))))
+      .withColumn("_den", when(col("c1").isNotNull,
+          dq(lit(4L)) * dq(col("c1")) * dq(col("_d2")))
+        .otherwise(dq(greatest(col("_d2"), lit(1L)))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(lnq(col("_den")) - lnq(greatest(col("_num"), dq(lit(1L)))))
+          .cast("long").as("nll_q"),
+        sum(when(col("_num") === dq(lit(0L)), 1L).otherwise(0L)).cast("long").as("n_zero"))
+      .withColumn("nll_nats",
+        col("nll_q").cast("double") / (col("n_bigrams").cast("double") * lit(1e6)))
+  }
 }

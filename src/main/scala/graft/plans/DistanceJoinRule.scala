@@ -81,6 +81,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * cities. For corpora where even one band ring is quadratic, the
   * explicitly-tiled operators (`spreadFactor`) remain the manual
   * escape hatch.
+  *
+  * Probed ([[graft.DistanceJoinProbe]], local[32], r = 100 m):
+  * fixed-density clouds 50k→100k→200k→400k points/side run
+  * 0.6 → 0.8 → 1.4 → 2.6 s — near-linear, tracking the pair volume
+  * (1.9M → 14.9M) — while the un-rewritten BroadcastNestedLoopJoin
+  * needs 34 s at the 50k size ALONE (58×) and grows quadratically
+  * from there.
   */
 object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -3237,6 +3237,11 @@ object SparkEntry {
     "hourly_autocorr" -> { (s, dir) =>
       EventOps.hourlyAutocorr(EventsAdapter.events(s, dir))
     },
+    // classical decomposition: centered-MA trend, per-hour-of-day
+    // seasonal means — all x48 integers, ppm by 128-bit floor division
+    "seasonal_decompose" -> { (s, dir) =>
+      EventOps.seasonalDecompose(EventsAdapter.events(s, dir))
+    },
     "score_joint_deciles" -> { (s, dir) =>
       CorpusOps.scoreJointDeciles(
         s.read.parquet(s"$dir/documents.parquet")
@@ -5372,6 +5377,31 @@ object SparkEntry {
          |FROM deg GROUP BY length(bin(degree)) - 1""".stripMargin,
     // seasonality r at 1/24/168h lags: dense hour spine, int128 Pearson
     // sums, one division per lag
+    // textbook decomposition over the zero-filled hourly spine: trend*48
+    // = x[-12] + 2*sum(x[-11..11]) + x[+12], full-window rows only
+    "seasonal_decompose" ->
+      """WITH ev AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h FROM events),
+        |cnt AS (SELECT k, h, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY k, h),
+        |bounds AS (SELECT k, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY k),
+        |spine AS (SELECT k, unnest(generate_series(h0, h1)) AS h FROM bounds),
+        |dense AS (
+        |  SELECT s.k, s.h, coalesce(c.c, 0) AS c
+        |  FROM spine s LEFT JOIN cnt c ON s.k = c.k AND s.h = c.h),
+        |tr AS (
+        |  SELECT k, h, c,
+        |    count(*) OVER w25 AS n25,
+        |    lag(c, 12) OVER wo + 2 * sum(c) OVER w23 + lead(c, 12) OVER wo AS t48
+        |  FROM dense
+        |  WINDOW wo AS (PARTITION BY k ORDER BY h),
+        |         w25 AS (PARTITION BY k ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |         w23 AS (PARTITION BY k ORDER BY h ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+        |det AS (SELECT k, h % 24 AS hod, 48 * c - t48 AS d48 FROM tr WHERE n25 = 25)
+        |SELECT k AS event_type, CAST(hod AS BIGINT) AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(sum(d48) AS BIGINT) AS sum_detrended48,
+        |  CAST((1000000::HUGEINT * sum(d48)) // (48::HUGEINT * count(*)) AS BIGINT) AS seasonal_ppm
+        |FROM det GROUP BY k, hod""".stripMargin,
     "hourly_autocorr" -> {
       def lagBlock(l: Int): String =
         s"""SELECT CAST($l AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -712,4 +712,62 @@ object EventOps {
         col(s"_m.$tsCol").as(tsCol), col(s"_m.$idCol").as(idCol),
         col("n_events")): _*)
   }
+
+  /** Classical seasonal decomposition of the hourly event-rate series
+    * (the moving-average method of the textbook decomposition, the
+    * deterministic core STL iterates on): per event type, trend is the
+    * CENTERED 24-hour moving average (even period, so the two edge
+    * hours take half weight), and the seasonal profile is the
+    * per-hour-of-day mean of the detrended series — the "what does a
+    * normal Tuesday 3 p.m. look like" table that rate-anomaly scoring
+    * ([[eventRateAnomalies]], a robust-z method) deliberately does not
+    * model.
+    *
+    * Engine-exact: everything runs ×48 in integers — trend·48 =
+    * x₋₁₂ + 2·Σ₋₁₁..₊₁₁ x + x₊₁₂ over the ZERO-FILLED hourly spine
+    * (missing hours are real zeros, not window skips), detrended·48 =
+    * 48·x − trend·48, and the seasonal mean is quantized to ppm by
+    * 128-bit integer division TRUNCATED toward zero (DuckDB's `//`
+    * semantics on negatives; here a sign-split floor). Only hours
+    * with the full
+    * 25-row window contribute, so series shorter than 25 hours emit
+    * nothing rather than an edge-biased profile.
+    *
+    * Scale shape: one groupBy over events to hourly counts (map-side
+    * combinable — the only pass over the raw table), a per-type spine
+    * explode, three windows over the SMALL hour table partitioned by
+    * type, one final groupBy. Never anything × anything.
+    */
+  def seasonalDecompose(events: DataFrame, typeCol: String = "event_type",
+                        tsCol: String = "t_us"): DataFrame = {
+    def dq(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val counts = events.groupBy(col(typeCol).as("k"), expr(s"$tsCol div 3600000000L").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val spine = counts.groupBy(col("k")).agg(min(col("h")).as("_h0"), max(col("h")).as("_h1"))
+      .select(col("k"), explode(sequence(col("_h0"), col("_h1"))).as("h"))
+    val dense = spine.join(counts, Seq("k", "h"), "left")
+      .select(col("k"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val wo = Window.partitionBy("k").orderBy("h")
+    val w25 = Window.partitionBy("k").orderBy("h").rowsBetween(-12, 12)
+    val w23 = Window.partitionBy("k").orderBy("h").rowsBetween(-11, 11)
+    dense
+      .withColumn("_n25", count(lit(1)).over(w25))
+      .withColumn("_t48",
+        lag(col("c"), 12).over(wo) + lit(2L) * sum(col("c")).over(w23) +
+          lead(col("c"), 12).over(wo))
+      .filter(col("_n25") === 25)
+      .withColumn("_d48", lit(48L) * col("c") - col("_t48"))
+      .groupBy(col("k").as(typeCol), pmod(col("h"), lit(24L)).as("hour_of_day"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(col("_d48")).cast("long").as("sum_detrended48"))
+      .withColumn("seasonal_ppm", {
+        // detrended sums go NEGATIVE; DuckDB's integer `//` truncates
+        // toward zero there (-7 // 2 = -3), so truncate here too:
+        // sign-split floor on magnitudes == truncation for d > 0
+        val n = dq(lit(1000000L)) * dq(abs(col("sum_detrended48")))
+        val d = dq(lit(48L)) * dq(col("n_obs"))
+        val mag = ((n - pmod(n, d)) / d).cast("long")
+        when(col("sum_detrended48") >= 0L, mag).otherwise(-mag)
+      })
+  }
 }

@@ -2102,10 +2102,12 @@ object SparkEntry {
     "colocation_kcore" -> { (s, dir) =>
       SpatialOps.kCoreHistogram(Pipeline.colocationPairs(s, dir), rounds = 3)
     },
-    // exact neighborhood function N(h) from a deterministic 1/8 seed
-    // slice — BFS as h shared hash joins
+    // exact neighborhood function N(h) from a deterministic 1/64 seed
+    // slice — BFS as h shared hash joins; the closure is seeds x
+    // component size, so seed density is the cost knob (1/8 measured
+    // 24 s at sf0.1, 1/64 ~3 s, identical per-seed exactness)
     "colocation_ball" -> { (s, dir) =>
-      SpatialOps.neighborhoodFunction(Pipeline.colocationPairs(s, dir), seedsMod = 8L, maxHops = 3)
+      SpatialOps.neighborhoodFunction(Pipeline.colocationPairs(s, dir), seedsMod = 64L, maxHops = 3)
     },
     // knn(k) average-neighbor-degree curve (the function behind the
     // assortativity scalar)
@@ -5856,7 +5858,7 @@ object SparkEntry {
          |edges AS MATERIALIZED (
          |  SELECT ua AS src, ub AS dst FROM prs
          |  UNION ALL SELECT ub AS src, ua AS dst FROM prs),
-         |r0 AS (SELECT DISTINCT src AS seed, src AS node FROM edges WHERE src % 8 = 0),
+         |r0 AS (SELECT DISTINCT src AS seed, src AS node FROM edges WHERE src % 64 = 0),
          |r1 AS (SELECT DISTINCT seed, node FROM (
          |  SELECT r.seed, e.dst AS node FROM r0 r JOIN edges e ON e.src = r.node
          |  UNION ALL SELECT seed, node FROM r0)),

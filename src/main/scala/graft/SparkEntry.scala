@@ -2325,6 +2325,12 @@ object SparkEntry {
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
       LocationLabelling.osnaMethod(sp).select(col("id"), col("purpose"))
     },
+    // FREQ-vs-OSNA home agreement rate — the sanity card before either
+    // label feeds commute/home-attachment analytics
+    "home_agreement" -> { (s, dir) =>
+      val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
+      LocationLabelling.homeAgreement(sp)
+    },
     "pre_filter_locations" -> { (s, dir) =>
       val sp = EventsAdapter.intervals(s, dir).withColumn("location_id", expr("(k div 12) % 4"))
       LocationLabelling.preFilterLocations(sp).select(col("id"), col("keep"))
@@ -3244,6 +3250,11 @@ object SparkEntry {
     "seasonal_decompose" -> { (s, dir) =>
       EventOps.seasonalDecompose(EventsAdapter.events(s, dir))
     },
+    // last-touch attribution as an as-of join (one user-keyed shuffle,
+    // never the naive theta-join)
+    "attribution_last_touch" -> { (s, dir) =>
+      EventOps.lastTouchAttribution(EventsAdapter.events(s, dir))
+    },
     "score_joint_deciles" -> { (s, dir) =>
       CorpusOps.scoreJointDeciles(
         s.read.parquet(s"$dir/documents.parquet")
@@ -3972,6 +3983,25 @@ object SparkEntry {
          |SELECT sz AS set_size, CAST(count(*) AS BIGINT) AS n_signatures,
          |       CAST(sum(sz) AS BIGINT) AS n_users
          |FROM ss GROUP BY sz""".stripMargin,
+    // last-touch attribution: per purchase, the latest view/click by the
+    // same user within 7 days ((t, id)-max — AsOfJoin's tie rules)
+    "attribution_last_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |conv AS (SELECT user_id, event_id, t FROM ev WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id AS tid, event_type AS ttype, t AS tt FROM ev
+        |        WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.event_id, c.t, t.ttype, t.tt,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY t.tt DESC, t.tid DESC) AS rn
+        |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |   AND t.tt <= c.t AND t.tt >= c.t - 604800000000),
+        |att AS (SELECT event_id, ttype, tt FROM j WHERE rn = 1)
+        |SELECT coalesce(a.ttype, 'unattributed') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(CASE WHEN a.ttype IS NULL THEN 0 ELSE c.t - a.tt END) AS BIGINT) AS sum_gap_us
+        |FROM conv c LEFT JOIN att a USING (event_id)
+        |GROUP BY 1""".stripMargin,
     "funnel_events" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |s0 AS (SELECT user_id, min(t) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
@@ -4186,6 +4216,50 @@ object SparkEntry {
          |  FROM resolved)
          |SELECT s.id, f.purpose
          |FROM sp s LEFT JOIN final f ON s.user_id = f.user_id AND s.loc = f.loc""".stripMargin,
+    // FREQ home (max total dwell) vs OSNA home (the chain above) per
+    // user; denominator = users holding a home under BOTH methods
+    "home_agreement" ->
+      s"""${EventsAdapter.pfsSql}, sp AS (
+         |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS loc,
+         |         make_timestamp(s_us + (f_us - s_us) // 2) AS mt
+         |  FROM intervals
+         |), fper AS (
+         |  SELECT user_id, loc, sum(f_us - s_us) AS tot FROM sp GROUP BY user_id, loc
+         |), frk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tot DESC, loc) AS rk FROM fper
+         |), fhome AS (
+         |  SELECT user_id, loc AS floc FROM frk WHERE rk = 1
+         |), lab AS (
+         |  SELECT *, CASE WHEN (dayofweek(mt) + 6) % 7 >= 5 THEN 'weekend'
+         |                 WHEN hour(mt) >= 2 AND hour(mt) < 8 THEN 'rest'
+         |                 WHEN hour(mt) >= 8 AND hour(mt) < 19 THEN 'work'
+         |                 ELSE 'leisure' END AS label
+         |  FROM sp
+         |), frames AS (
+         |  SELECT *, CASE label WHEN 'rest' THEN (f_us - s_us) * 0.739
+         |                       WHEN 'leisure' THEN (f_us - s_us) * 0.358
+         |                       ELSE CAST(f_us - s_us AS DOUBLE) END AS dur,
+         |         CASE WHEN label IN ('rest','leisure') THEN 'home'
+         |              WHEN label = 'work' THEN 'work' END AS grp
+         |  FROM lab WHERE label != 'weekend'
+         |), agg AS (
+         |  SELECT user_id, loc,
+         |         sum(CASE WHEN grp = 'home' THEN dur ELSE 0.0 END) AS h,
+         |         max(CASE WHEN grp = 'home' THEN 1 ELSE 0 END) AS has_h
+         |  FROM frames GROUP BY user_id, loc
+         |), oranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY h DESC, loc) AS hr
+         |  FROM agg
+         |), ohome AS (
+         |  SELECT user_id, loc AS oloc FROM oranked WHERE hr = 1 AND has_h = 1
+         |), j AS (
+         |  SELECT f.user_id, CASE WHEN f.floc = o.oloc THEN 1 ELSE 0 END AS agree
+         |  FROM fhome f JOIN ohome o USING (user_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(agree) AS BIGINT) AS n_agree,
+         |       CAST(CASE WHEN count(*) = 0 THEN 0
+         |                 ELSE (1000000 * sum(agree)) // count(*) END AS BIGINT) AS agree_ppm
+         |FROM j""".stripMargin,
     "pre_filter_locations" ->
       s"""${EventsAdapter.pfsSql}, sp AS (
          |  SELECT id, user_id, s_us, f_us, (k // 12) % 4 AS loc FROM intervals

@@ -713,6 +713,44 @@ object EventOps {
         col("n_events")): _*)
   }
 
+  /** Last-touch marketing attribution: credit each conversion to the
+    * most recent touch event by the same user within the attribution
+    * window — the default model of every web-analytics stack (first/
+    * linear/time-decay are variants of the same point-in-time lookup).
+    * Runs on [[AsOfJoin.asOf]]: union + one per-user ordered window, so
+    * ONE shuffle on the user key and a linear scan — never the
+    * theta-join a naive `t_touch <= t_conv` formulation explodes into
+    * (the same BNLJ class the plan lint hunts).
+    *
+    * Tie rules are [[AsOfJoin]]'s, deterministic: a touch at exactly
+    * the conversion instant matches; equal-timestamp touches break on
+    * the highest event id. Conversions with no touch inside the window
+    * report as 'unattributed' rather than dropping — the column every
+    * honest attribution table carries.
+    *
+    * @return (touch_type, n_conversions, sum_gap_us) — gap totals
+    *         support mean-latency readouts without a second pass
+    */
+  def lastTouchAttribution(events: DataFrame, conversionType: String = "purchase",
+                           touchTypes: Seq[String] = Seq("view", "click"),
+                           windowUs: Long = 7L * 86400000000L,
+                           typeCol: String = "event_type", idCol: String = "event_id",
+                           tsCol: String = "t_us", userCol: String = "user_id"): DataFrame = {
+    require(touchTypes.nonEmpty && windowUs > 0, "need touch types and a positive window")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol), col(tsCol))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsCol))
+    AsOfJoin.asOf(conv, touch, keyCol = userCol, tsCol = tsCol,
+        rightPrefix = "t_", tiebreakCol = Some("touch_id"),
+        toleranceUs = Some(windowUs))
+      .groupBy(coalesce(col("t_touch_type"), lit("unattributed")).as("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(coalesce(col(tsCol) - col(s"t_$tsCol"), lit(0L)))
+          .cast("long").as("sum_gap_us"))
+  }
+
   /** Classical seasonal decomposition of the hourly event-rate series
     * (the moving-average method of the textbook decomposition, the
     * deterministic core STL iterates on): per event type, trend is the

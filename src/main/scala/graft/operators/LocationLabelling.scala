@@ -136,6 +136,36 @@ object LocationLabelling {
     sp.join(resolved, Seq("user_id", "location_id"), "left")
   }
 
+  /** Method-agreement card for home detection: the fraction of users
+    * whose [[freqMethod]] home (most total dwell) and [[osnaMethod]]
+    * home (rest/leisure-weighted timeframes) coincide — the standard
+    * sanity check before trusting EITHER label downstream (commute
+    * distance, home attachment, k-anonymity reasoning all key off
+    * "home"). Disagreement concentrates on shift workers and sparse
+    * users, so the rate is a data-quality signal, not just a method
+    * comparison. Users lacking a home under either method (e.g. only
+    * weekend observations for OSNA) are excluded from the denominator.
+    *
+    * Exact: both arms' winners are deterministic-tie-broken ranks; the
+    * ppm rate is one integer cross-multiply. One groupBy per arm, one
+    * user-keyed join. @return (n_users, n_agree, agree_ppm)
+    */
+  def homeAgreement(sp: DataFrame): DataFrame = {
+    val fh = freqMethod(sp).filter(col("purpose") === "home")
+      .select(col("user_id"), col("location_id").as("_floc")).distinct()
+    val oh = osnaMethod(sp).filter(col("purpose") === "home")
+      .select(col("user_id"), col("location_id").as("_oloc")).distinct()
+    fh.join(oh, Seq("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("_floc") === col("_oloc"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .withColumn("agree_ppm",
+        when(col("n_users") === 0L, 0L).otherwise(
+          (lit(1000000L) * col("n_agree") -
+            pmod(lit(1000000L) * col("n_agree"), col("n_users"))) / col("n_users"))
+          .cast("long"))
+  }
+
   /** Combined entry point like the reference's location_identifier. */
   def locationIdentifier(sp: DataFrame, method: String = "FREQ", preFilter: Boolean = true): DataFrame = {
     require(sp.columns.contains("location_id"), "staypoints must have a location_id column")

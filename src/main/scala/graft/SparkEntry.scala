@@ -1764,6 +1764,14 @@ object SparkEntry {
         EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 1),
         k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 3)
     },
+    // the out-of-order twin: batch p = ids ≡ p mod 4, so later batches
+    // deliver genuinely late rows; the drop rule's closed form (prev-max
+    // event time >= window end + delay) is the oracle's contract
+    "streaming_heavy_hitters_late" -> { (s, dir) =>
+      graft.streaming.Replay.heavyHittersOutOfOrder(
+        EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 1),
+        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 4)
+    },
     "streaming_neardup" -> { (s, dir) =>
       // keyed by (band, hash) bucket — full table (the corpus is the
       // slice at gate scale); cap disabled and expiry off, so the
@@ -3773,6 +3781,34 @@ object SparkEntry {
         |  SELECT (t_us // 3600000000) * 3600000000 AS window_start_us,
         |         event_type AS key, CAST(count(*) AS BIGINT) AS n
         |  FROM ev GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT window_start_us, key, n,
+        |         CAST(row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, key) AS BIGINT) AS rank
+        |  FROM wc)
+        |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, key, n, rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
+    // out-of-order feed: a row in batch p (= id mod 4) is DROPPED iff
+    // the max event time over earlier batches >= its window end + the
+    // 30-min delay (exact under either watermark clock resolution —
+    // window ends and delay are ms-aligned); dropped rows still advance
+    // the watermark, so the running max is over ALL rows
+    "streaming_heavy_hitters_late" ->
+      """WITH ev AS (
+        |  SELECT event_type AS key, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE user_id % 4 = 1),
+        |b AS (SELECT key, event_id, t, event_id % 4 AS p FROM ev),
+        |bmax AS (SELECT p, max(t) AS mt FROM b GROUP BY p),
+        |wmrun AS (
+        |  SELECT p, max(mt) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM bmax),
+        |kept AS (
+        |  SELECT b.key, (b.t // 3600000000) * 3600000000 AS ws
+        |  FROM b JOIN wmrun USING (p)
+        |  WHERE wmrun.prevmax IS NULL
+        |     OR wmrun.prevmax < (b.t // 3600000000) * 3600000000 + 3600000000 + 1800000000),
+        |wc AS (SELECT ws AS window_start_us, key, CAST(count(*) AS BIGINT) AS n
+        |       FROM kept GROUP BY 1, 2),
         |rk AS (
         |  SELECT window_start_us, key, n,
         |         CAST(row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, key) AS BIGINT) AS rank

@@ -428,6 +428,67 @@ object Replay {
       readBack(spark, outDir, ckpt, empty).filter(col("key") =!= sentinelKey), k)
   }
 
+  /** Replay [[StreamingHeavyHitters.windowCounts]] with a deterministic
+    * OUT-OF-ORDER feed (micro-batch p carries the rows with id ≡ p mod
+    * `chunks`) — the regime where the engine's late-row rule actually
+    * fires. The divergence from batch has a CLOSED FORM the oracle
+    * encodes: a row in batch p is dropped iff the max event time over
+    * batches before p is ≥ its window end + the delay. That predicate
+    * is exact under either watermark clock resolution because window
+    * ends and the delay are millisecond-aligned (see
+    * WatermarkBoundaryProbeSpec, which pins the `end <= wm` boundary
+    * the form is derived from); dropped rows still ADVANCE the
+    * watermark (the event-time stats run before the stateful filter),
+    * so the running max is over all rows, kept or not. Finalized
+    * counts are the kept rows grouped; a window that already emitted
+    * can never receive a kept late row (emitted ⟺ the row would have
+    * been dropped).
+    */
+  def heavyHittersOutOfOrder(events: DataFrame, k: Int, windowMinutes: Long,
+                             delayMinutes: Long, keyCol: String = "event_type",
+                             idCol: String = "event_id", timeCol: String = "t_us",
+                             chunks: Int = 4): DataFrame = {
+    require(chunks >= 2, "out-of-order replay needs at least 2 chunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+
+    val rows = events.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(timeCol).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val batches: Seq[Seq[(String, Long, Long)]] = (0 until chunks).map { p =>
+      rows.filter { case (_, i, _) => java.lang.Math.floorMod(i, chunks.toLong) == p }
+        .sortBy { case (_, i, t) => (t, i) }.toSeq
+    }
+    val sentinelKey = " flush"
+    val tMax = rows.iterator.map(_._3).foldLeft(0L)(math.max)
+    val flushT = tMax + (delayMinutes + 2 * windowMinutes) * 60L * 1000000L
+    val tail = batches ++ Seq(
+      Seq((sentinelKey, -1L, flushT)),
+      Seq((sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)))
+
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("event_type", "event_id", "t_us")
+    val outDir = tmp("graft-replay-hhooo-out")
+    val ckpt = tmp("graft-replay-hhooo-ckpt")
+
+    drain(input, Seq.empty, 1, tail) {
+      StreamingHeavyHitters.windowCounts(stream, windowMinutes, delayMinutes)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+    }
+
+    val empty = spark.range(0)
+      .select(col("id").as("window_start_us"), lit("").as("key"), col("id").as("n"))
+      .limit(0)
+    StreamingHeavyHitters.topK(
+      readBack(spark, outDir, ckpt, empty).filter(col("key") =!= sentinelKey), k)
+  }
+
   /** Replay [[StreamingQuota.quota]] with a deterministic OUT-OF-ORDER
     * feed: micro-batch p (p = 0..chunks−1) carries exactly the rows with
     * doc_id ≡ p (mod chunks), so every batch after the first delivers

@@ -141,6 +141,21 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("the SQL surface gets the same rewrite as the DataFrame API") {
+    val a = pts(cloud(40, seed = 11))
+    val b = pts(cloud(40, seed = 12).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    a.createOrReplaceTempView("dj_a")
+    b.createOrReplaceTempView("dj_b")
+    val joined = spark.sql(
+      """SELECT a.id AS id_1, b.id AS id_2 FROM dj_a a JOIN dj_b b
+        |ON haversine_m(a.lon, a.lat, b.lon, b.lat) <= 150.0""".stripMargin)
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      brute(a, b, 150.0))
+  }
+
   test("a huge radius degrades to latitude-only banding but stays exact (wrap included)") {
     // 300 km at cap 66 deg: sin(r/2R)/cos(66) < 1 so lon banding still
     // applies; also check a radius so large the lon bound is vacuous

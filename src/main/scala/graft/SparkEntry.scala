@@ -5944,8 +5944,8 @@ object SparkEntry {
          |SELECT val AS coreness, CAST(count(*) AS BIGINT) AS n_users
          |FROM h3 GROUP BY val""".stripMargin
     },
-    // neighborhood function from the deterministic 1/8 seed slice: three
-    // unrolled BFS closures (frontier JOIN edges, DISTINCT, UNION)
+    // neighborhood function from the deterministic 1/64 seed slice:
+    // three unrolled BFS closures (frontier JOIN edges, DISTINCT, UNION)
     "colocation_ball" ->
       s"""${EventsAdapter.pfsSql},
          |cells AS MATERIALIZED (

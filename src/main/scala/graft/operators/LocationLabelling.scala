@@ -82,7 +82,14 @@ object LocationLabelling {
     * home (rest+leisure) and work; home wins conflicts and work falls back
     * to its second-best location.
     */
-  def osnaMethod(sp: DataFrame): DataFrame = {
+  def osnaMethod(sp: DataFrame): DataFrame =
+    sp.join(osnaPurposes(sp), Seq("user_id", "location_id"), "left")
+
+  /** The per-(user, location) purpose table behind [[osnaMethod]] —
+    * exposed so aggregate consumers ([[homeAgreement]]) can read the
+    * winners without fanning labels back onto every staypoint row.
+    */
+  private[operators] def osnaPurposes(sp: DataFrame): DataFrame = {
     val durUs = (unix_micros(col("finished_at")) - unix_micros(col("started_at")))
     val meanTime = timestamp_micros(unix_micros(col("started_at")) + (durUs / lit(2)).cast("long"))
 
@@ -133,7 +140,7 @@ object LocationLabelling {
         when(col("_is_home"), "home").when(col("_is_work"), "work"))
       .select(col("user_id"), col("location_id"), col("purpose"))
 
-    sp.join(resolved, Seq("user_id", "location_id"), "left")
+    resolved
   }
 
   /** Method-agreement card for home detection: the fraction of users
@@ -151,10 +158,12 @@ object LocationLabelling {
     * user-keyed join. @return (n_users, n_agree, agree_ppm)
     */
   def homeAgreement(sp: DataFrame): DataFrame = {
-    val fh = freqMethod(sp).filter(col("purpose") === "home")
-      .select(col("user_id"), col("location_id").as("_floc")).distinct()
-    val oh = osnaMethod(sp).filter(col("purpose") === "home")
-      .select(col("user_id"), col("location_id").as("_oloc")).distinct()
+    // read the winner tables directly (one row per user) instead of the
+    // label-per-staypoint views — skips two sp-sized joins + distincts
+    val fh = dwellRanking(sp).filter(col("_rank") === 1)
+      .select(col("user_id"), col("location_id").as("_floc"))
+    val oh = osnaPurposes(sp).filter(col("purpose") === "home")
+      .select(col("user_id"), col("location_id").as("_oloc"))
     fh.join(oh, Seq("user_id"))
       .agg(count(lit(1)).cast("long").as("n_users"),
         sum(when(col("_floc") === col("_oloc"), 1L).otherwise(0L))

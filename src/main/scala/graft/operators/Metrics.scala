@@ -540,18 +540,22 @@ object Metrics {
     * of an AGGREGATED cell table); adds two windows over from_loc and
     * one tiny aggregate per model. @return (model, n_pairs, cpc_ppm)
     */
-  def flowModelCpc(spLoc: DataFrame, locCol: String = "location_id"): DataFrame = {
+  def flowModelCpc(spLoc: DataFrame, locCol: String = "location_id",
+                   share: DataFrame => DataFrame = Share.materialize): DataFrame = {
     val pairs = radiationModel(spLoc, locCol)
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     def fdiv(n: Column, d: Column): Column =
       ((n - pmod(n, d)) / d).cast("decimal(38,0)")
     val dClamped = dq(greatest(col("dist_m"), lit(1L)))
-    val w = pairs.select(col("from_loc"), col("observed"),
+    // share the weighted pair table: BOTH model arms of the union read
+    // it, and its lineage carries radiationModel's zones² s_ij join —
+    // without the checkpoint that join evaluates once per arm
+    val w = share(pairs.select(col("from_loc"), col("observed"),
       fdiv(dq(lit(1000000L)) * dq(col("m_from")) * dq(col("m_to")),
         (dq(col("m_from")) + dq(col("s_between"))) *
           (dq(col("m_from")) + dq(col("m_to")) + dq(col("s_between")))).as("w_radiation"),
       fdiv(dq(lit(1000000000000L)) * dq(col("m_from")) * dq(col("m_to")),
-        dClamped * dClamped).as("w_gravity2"))
+        dClamped * dClamped).as("w_gravity2")))
     val perOrigin = Window.partitionBy(col("from_loc"))
     Seq("radiation" -> col("w_radiation"), "gravity2" -> col("w_gravity2")).map {
       case (name, wc) =>

@@ -40,15 +40,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Exactness contract:
   *
+  *  - KERNEL ROUNDING: the residual keeps pairs whose COMPUTED
+  *    haversine_m ≤ r, and the acos kernel can round a distance up to
+  *    ~8·R²·eps/r meters above r down INTO the radius; bands are
+  *    therefore derived from the inflated `rEff = r + 8·R²·eps/r`, so
+  *    every pair the residual can keep falls in adjacent bands.
   *  - LATITUDE: `hav(d/R) = hav(Δφ) + cosφ₁·cosφ₂·hav(Δλ)` gives
   *    `sin(d/2R) ≥ sin(Δφ/2)`, both angles in [0, π/2], hence
   *    `d ≥ R·Δφ` with NO approximation at any latitude — so
-  *    `wLat = degrees(r/R)` (padded 1+1e-12 for double rounding)
-  *    admits every pair within r.
+  *    `wLat = degrees(rEff/R)` (padded 1+1e-12 for double rounding)
+  *    admits every pair the residual keeps.
   *  - LONGITUDE: the same identity gives
   *    `sin(d/2R) ≥ cos(cap)·sin(Δλ/2)` whenever both |φ| ≤ cap, so
-  *    `wLon = degrees(2·asin(sin(r/2R)/cos(cap)))` (padded 1+1e-9) is
-  *    a true bound — but ONLY inside the declared latitude envelope
+  *    `wLon = degrees(2·asin(sin(rEff/2R)/cos(cap)))` (padded 1+1e-9)
+  *    is a true bound — but ONLY inside the declared latitude envelope
   *    `cap` (conf `spark.graft.distanceJoin.maxAbsLatDeg`, default
   *    66°). Because this rule fires invisibly, the envelope is
   *    enforced per ROW, per side: a latitude beyond `cap` evaluates a
@@ -145,15 +150,30 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         else if (p2Left && p1Right) Some(((lo2, la2), (lo1, la1)))
         else None
       sides.map { case ((loL, laL), (loR, laR)) =>
-        val wLat = math.toDegrees(r / EarthR) * (1 + 1e-12)
-        val sinHalf = math.sin(r / (2 * EarthR)) / math.cos(math.toRadians(cap))
-        // vacuous longitude bound → one effectively-global lon band
-        // (any wLon > 180 puts every λ ∈ [−180, 180] in band −1 or 0,
-        // so the ±1 neighbors cover every pair, wrapped ones included,
-        // and no envelope/seam guard is needed at all)
-        val wLon =
+        // band on an INFLATED radius: the residual predicate keeps pairs
+        // whose COMPUTED haversine_m is <= r, and the acos kernel's
+        // absolute error near its argmax is ~c·R²·eps/d meters (the
+        // 1/sqrt(1-x²) derivative at x ≈ 1) — ~0.2 mm at 100 m but
+        // ~2 cm at 1 m, far above a 1e-12 relative pad. Bands derived
+        // from rEff = r + 8·R²·eps/r cover every pair the kernel can
+        // round INTO the radius, so the rewrite is lossless w.r.t. the
+        // exact residual it keeps (the inflation only widens candidate
+        // bands; it never changes results).
+        val rEff = r + 8.0 * EarthR * EarthR * 2.3e-16 / r
+        val wLat = math.toDegrees(rEff / EarthR) * (1 + 1e-12)
+        val sinHalf = math.sin(rEff / (2 * EarthR)) / math.cos(math.toRadians(cap))
+        // vacuous or near-vacuous longitude bound → one effectively-
+        // global lon band (any wLon > 180 puts every λ ∈ [−180, 180] in
+        // band −1 or 0, so the ±1 neighbors cover every pair, wrapped
+        // ones included, and no envelope/seam guard is needed at all).
+        // The 90° crossover avoids the seam-guard cliff: a bound that
+        // wide would reject |λ| > 180 − wLon — most of the globe — as
+        // "near the seam", while the single-band fallback handles the
+        // same radius losslessly at worst-case candidate volume.
+        val wLonRaw =
           if (sinHalf >= 1.0) 720.0
           else math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
+        val wLon = if (wLonRaw > 90.0) 720.0 else wLonRaw
 
         val leftBanded = banded(j.left, loL, laL, wLon, wLat, cap, explodeLon = true)
         val rightBanded = banded(j.right, loR, laR, wLon, wLat, cap, explodeLon = false)

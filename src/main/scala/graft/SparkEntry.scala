@@ -3263,6 +3263,11 @@ object SparkEntry {
     "attribution_last_touch" -> { (s, dir) =>
       EventOps.lastTouchAttribution(EventsAdapter.events(s, dir))
     },
+    // first-touch twin: an event-time RANGE-frame window over the
+    // touch/conversion union — the exact 7-day horizon by value
+    "attribution_first_touch" -> { (s, dir) =>
+      EventOps.firstTouchAttribution(EventsAdapter.events(s, dir))
+    },
     "score_joint_deciles" -> { (s, dir) =>
       CorpusOps.scoreJointDeciles(
         s.read.parquet(s"$dir/documents.parquet")
@@ -4030,6 +4035,25 @@ object SparkEntry {
         |  SELECT c.event_id, c.t, t.ttype, t.tt,
         |         row_number() OVER (PARTITION BY c.event_id
         |                            ORDER BY t.tt DESC, t.tid DESC) AS rn
+        |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |   AND t.tt <= c.t AND t.tt >= c.t - 604800000000),
+        |att AS (SELECT event_id, ttype, tt FROM j WHERE rn = 1)
+        |SELECT coalesce(a.ttype, 'unattributed') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(CASE WHEN a.ttype IS NULL THEN 0 ELSE c.t - a.tt END) AS BIGINT) AS sum_gap_us
+        |FROM conv c LEFT JOIN att a USING (event_id)
+        |GROUP BY 1""".stripMargin,
+    // first-touch: identical window, EARLIEST (t, id) wins — the struct
+    // min of the Spark range frame in join form
+    "attribution_first_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |conv AS (SELECT user_id, event_id, t FROM ev WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id AS tid, event_type AS ttype, t AS tt FROM ev
+        |        WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.event_id, c.t, t.ttype, t.tt,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY t.tt ASC, t.tid ASC) AS rn
         |  FROM conv c JOIN tch t ON t.user_id = c.user_id
         |   AND t.tt <= c.t AND t.tt >= c.t - 604800000000),
         |att AS (SELECT event_id, ttype, tt FROM j WHERE rn = 1)

@@ -751,6 +751,48 @@ object EventOps {
           .cast("long").as("sum_gap_us"))
   }
 
+  /** First-touch attribution — the acquisition-credit twin of
+    * [[lastTouchAttribution]]: each conversion credits the EARLIEST
+    * touch inside the attribution window. Where last-touch is an as-of
+    * lookup, first-touch is a RANGE-frame window aggregate: union the
+    * touches and conversions, order by event time per user, and take
+    * the min touch struct over `RANGE BETWEEN windowUs PRECEDING AND
+    * CURRENT ROW` — the event-time frame (not a row frame) is what
+    * makes the 7-day horizon exact regardless of how many events fall
+    * inside it. One shuffle on the user key, one ordered scan; min
+    * ignores the null structs the conversion rows contribute.
+    *
+    * Tie rules, deterministic: a touch at exactly the conversion
+    * instant is inside the frame; equal-timestamp touches break on the
+    * LOWEST event id (lexicographic struct min) — the mirror image of
+    * last-touch's highest-id rule, both spec-pinned.
+    *
+    * @return (touch_type, n_conversions, sum_gap_us)
+    */
+  def firstTouchAttribution(events: DataFrame, conversionType: String = "purchase",
+                            touchTypes: Seq[String] = Seq("view", "click"),
+                            windowUs: Long = 7L * 86400000000L,
+                            typeCol: String = "event_type", idCol: String = "event_id",
+                            tsCol: String = "t_us", userCol: String = "user_id"): DataFrame = {
+    require(touchTypes.nonEmpty && windowUs > 0, "need touch types and a positive window")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol), lit(1).as("_side"),
+        lit(null).cast("struct<tt:bigint,tid:bigint,ttype:string>").as("_touch"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), lit(0).as("_side"),
+        struct(col(tsCol).as("tt"), col(idCol).as("tid"),
+          col(typeCol).as("ttype")).as("_touch"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rangeBetween(-windowUs, Window.currentRow)
+    conv.unionByName(touch)
+      .withColumn("_first", min(col("_touch")).over(w))
+      .filter(col("_side") === 1)
+      .groupBy(coalesce(col("_first.ttype"), lit("unattributed")).as("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(coalesce(col(tsCol) - col("_first.tt"), lit(0L)))
+          .cast("long").as("sum_gap_us"))
+  }
+
   /** Classical seasonal decomposition of the hourly event-rate series
     * (the moving-average method of the textbook decomposition, the
     * deterministic core STL iterates on): per event type, trend is the

@@ -837,6 +837,10 @@ object EventOps {
           lead(col("c"), 12).over(wo))
       .filter(col("_n25") === 25)
       .withColumn("_d48", lit(48L) * col("c") - col("_t48"))
+      // pmod (floor-mod) vs the oracle's trunc-mod %: identical under the
+      // nonnegative-event-time assumption (h = t_us div 3600000000 >= 0);
+      // pre-1970 timestamps would bucket differently on the two engines.
+      // Same convention as SpatialOps.lDiversityCells' _hour bucket.
       .groupBy(col("k").as(typeCol), pmod(col("h"), lit(24L)).as("hour_of_day"))
       .agg(count(lit(1)).cast("long").as("n_obs"),
         sum(col("_d48")).cast("long").as("sum_detrended48"))

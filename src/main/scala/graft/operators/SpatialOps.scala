@@ -931,6 +931,11 @@ object SpatialOps {
     require(cellMicroDeg > 0 && k >= 1, "cell width and k must be positive")
     def cell(c: Column): Column =
       floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    // NONNEGATIVE-EVENT-TIME ASSUMPTION (shared with the DuckDB oracle):
+    // pmod here is floor-mod while the oracle's % truncates toward zero —
+    // identical for t_us >= 0 (all testdata and any epoch-micros tracking
+    // corpus), divergent for pre-1970 timestamps. Same convention as
+    // EventOps.seasonalDecompose's pmod(h, 24) hour bucket.
     points
       .withColumn("_hour", expr(s"(pmod($tCol, 86400000000L) div 3600000000L)"))
       .groupBy(cell(col("lon")).as("cell_x"), cell(col("lat")).as("cell_y"))

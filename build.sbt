@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver runs Bench/Verify through `sbt runMain` and keeps only the
+// stdout TAIL: with the default LoggedOutput strategy every forked line
+// gets an "[info] " prefix and sbt appends "[success] Total time…" last,
+// so a strict last-line JSON parse of the captured tail always fails
+// (BENCH_r10–r12 all recorded "parsed": null). StdoutOutput passes the
+// forked JVM's stdout through verbatim, and showSuccess drops the
+// trailing banner — the last line sbt emits IS Bench's compact JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

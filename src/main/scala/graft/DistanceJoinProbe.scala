@@ -58,6 +58,40 @@ object DistanceJoinProbe {
             <= lit(100.0))
         .queryExecution.toRdd.count()
     }
+    // PACKED regime (the TrajProbe failure mode: every point inside one
+    // band cell, candidate volume |a|x|b|). The per-cell budget must
+    // raise in seconds — never the 15-minute quadratic grind — and
+    // spreadFactor must complete the same shape tiled across tasks.
+    // Broadcast is disabled for the raise entry: with a broadcastable
+    // side the plan is a healthy stream-parallel BHJ (no single-task
+    // hang to guard); the hang mode is the both-sides-big sort-merge
+    // path, where one task owns the whole cell.
+    locally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ap = cloud(50000L, 0.001, 1L); val bp = cloud(50000L, 0.001, 7L)
+      t("packed_guard_raise_n50000") {
+        try ap.as("a").join(bp.as("b"),
+            call_function("haversine_m", col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+              <= lit(100.0))
+          .queryExecution.toRdd.count()
+        catch {
+          case e: Throwable if String.valueOf(e.getMessage).contains("hot band-cell") ||
+            String.valueOf(String.valueOf(e.getCause)).contains("hot band-cell") => -1L
+        }
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // tiled completion at a size whose full pair volume (1e8 rows out)
+      // is writable: 10k x 10k packed, 32 tiles -> ~3.1M pairs per task
+      val ap2 = cloud(10000L, 0.001, 1L); val bp2 = cloud(10000L, 0.001, 7L)
+      spark.conf.set(graft.plans.BandedDistanceJoin.SpreadFactorKey, "32")
+      t("packed_tiled_spread32_n10000") {
+        ap2.as("a").join(bp2.as("b"),
+            call_function("haversine_m", col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+              <= lit(100.0))
+          .queryExecution.toRdd.count()
+      }
+      spark.conf.unset(graft.plans.BandedDistanceJoin.SpreadFactorKey)
+    }
     // the un-rewritten BNLJ at the SMALLEST size only (quadratic: 2.5e9
     // kernel calls already)
     spark.conf.set(graft.plans.BandedDistanceJoin.EnabledKey, "false")

@@ -1462,6 +1462,64 @@ object SpatialOps {
     comm.select(col("n"), col("c"))
   }
 
+  /** Driver-side exact replica of [[louvainPass]] for small collapsed
+    * supergraphs: same semi-synchronous two-coloring schedule (parity
+    * of the 0-based rank in ascending id order; class r%2 moves in
+    * round r), same candidate set (neighbor communities plus own at
+    * k_in 0), same exact-integer gain 2·W·k_in − k·Σtot(c∖u) (BigInt
+    * here, DECIMAL(38,0) there — both exact), same (gain desc, cand
+    * asc) tie-break. Bit-identical labels by construction, pinned by
+    * ColocationGraphSpec against the distributed pass.
+    *
+    * @param undirected super-edges (u, v, w) WITHOUT self-loops
+    * @param universe   every supernode id (isolated ones included)
+    * @param selfW      collapsed intra-community self-loop weight,
+    *                   counted TWICE in the degree, never in k_in
+    */
+  private def louvainPassLocal(undirected: Array[(Long, Long, Long)],
+                               universe: Array[Long], selfW: Map[Long, Long],
+                               totalW: Long, rounds: Int): Array[(Long, Long)] = {
+    require(rounds >= 1, "need rounds >= 1")
+    val nodes = universe.sorted
+    val parity = nodes.iterator.zipWithIndex.map { case (n, i) => n -> (i % 2) }.toMap
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    def addEdge(u: Long, v: Long, w: Long): Unit =
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += ((v, w))
+    undirected.foreach { case (u, v, w) => addEdge(u, v, w); addEdge(v, u, w) }
+    val k = nodes.iterator.map { n =>
+      n -> (adj.get(n).map(_.iterator.map(_._2).sum).getOrElse(0L) +
+        2L * selfW.getOrElse(n, 0L))
+    }.toMap
+    val comm = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(n => comm(n) = n)
+    val bigW = BigInt(totalW)
+    for (r <- 1 to rounds) {
+      val ctot = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach(n => ctot(comm(n)) += k(n))
+      val best = nodes.iterator.map { u =>
+        val kin = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+        kin(comm(u)) += 0L // own community is always a candidate
+        adj.get(u).foreach(_.foreach { case (v, w) => kin(comm(v)) += w })
+        val cu = comm(u)
+        val ku = BigInt(k(u))
+        var bestCand = 0L
+        var bestGain: BigInt = null
+        kin.foreach { case (cand, kinW) =>
+          val stot = BigInt(ctot(cand) - (if (cand == cu) k(u) else 0L))
+          val gain = 2 * bigW * BigInt(kinW) - ku * stot
+          if (bestGain == null || gain > bestGain ||
+            (gain == bestGain && cand < bestCand)) {
+            bestGain = gain; bestCand = cand
+          }
+        }
+        u -> bestCand
+      }.toMap
+      nodes.foreach { n => if (parity(n) == r % 2) comm(n) = best(n) }
+    }
+    nodes.map(n => (n, comm(n)))
+  }
+
   /** Two-level Louvain (Blondel et al. 2008 phase 2): collapse the
     * level-1 communities to supernodes — one groupBy over the
     * twice-relabeled pair table — rerun the one-level pass on the
@@ -1488,14 +1546,20 @@ object SpatialOps {
     */
   def colocationLouvainL2(pairs: DataFrame, rounds: Int = 4, rounds2: Int = 4,
                           share: DataFrame => DataFrame = Share.materialize,
-                          labels: Option[DataFrame] = None): DataFrame = {
+                          labels: Option[DataFrame] = None,
+                          localThreshold: Long = 100000L): DataFrame = {
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
+    // lazy: only the distributed (above-threshold) branch reads these —
+    // the local branch derives every weight statistic from the
+    // collapsed table and must not pay their checkpoint jobs
+    lazy val edges = share(p
       .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
       .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
         col("n_meetings").as("w"))))
-    val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
-    val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
+    lazy val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+    // provided labels are a caller-stabilized table (the pipeline memo
+    // is persisted) — re-checkpointing them is a wasted job per call
+    val l1 = labels.getOrElse(share(louvainLabels(pairs, rounds, share)))
 
     // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
     // level-1 WINNER labels (a sparse, structurally biased id space);
@@ -1504,60 +1568,164 @@ object SpatialOps {
     // longer depends on this — louvainPass ranks its own id population
     // internally (the round-12 fix that moved the r11 relabel's parity
     // argument one level down, into the pass itself).
-    val rank = share(graft.util.Ids.withSequentialId(
-      l1.select(col("c").as("u0")).distinct(), "r", col("u0")))
+    // rank: dense 0-based ids over the distinct level-1 labels in
+    // ascending order. Probed with one limit-collect: when the label
+    // count fits `localThreshold` the rank is a driver-side sort (and
+    // the rank table a broadcastable local relation) instead of the
+    // distributed range-sort + zipWithIndex + checkpoint — the same
+    // (u0 ascending, 0-based) ids either way.
+    val probeCap = math.min(localThreshold + 1L, Int.MaxValue.toLong).toInt
+    val labelProbe = l1.select(col("c").as("u0")).distinct().limit(probeCap)
+      .collect().map(_.getLong(0))
+    val rankRowsOpt =
+      if (labelProbe.length <= localThreshold)
+        Some(labelProbe.sorted.zipWithIndex.map { case (u0, i) => (u0, i.toLong) })
+      else None
+    val rank = rankRowsOpt match {
+      case Some(rows) =>
+        broadcast(pairs.sparkSession.createDataFrame(rows.toSeq).toDF("u0", "r"))
+      case None => share(graft.util.Ids.withSequentialId(
+        l1.select(col("c").as("u0")).distinct(), "r", col("u0")))
+    }
 
-    // collapse: two join-relabels of the pair table, then split into
-    // inter-community super-edges and intra-community self-loop weight
-    // — all in rank space
+    // collapse: two join-relabels of the pair table, then ONE aggregate
+    // over the (min, max) rank pair — inter-community super-edges and
+    // intra-community self-loop weight come out of the same groupBy
+    // (the a == b rows), so the collapse is a single action whichever
+    // path runs below
     val relabeled = p
       .join(l1.select(col("n"), col("c").as("_la")), p("user_a") === col("n")).drop("n")
       .join(l1.select(col("n"), col("c").as("_lb")), p("user_b") === col("n")).drop("n")
       .join(rank.select(col("u0"), col("r").as("_ca")), col("_la") === col("u0")).drop("u0")
       .join(rank.select(col("u0"), col("r").as("_cb")), col("_lb") === col("u0")).drop("u0")
-    val superPairs = share(relabeled.filter(col("_ca") =!= col("_cb"))
-      .groupBy(least(col("_ca"), col("_cb")).as("user_a"),
-        greatest(col("_ca"), col("_cb")).as("user_b"))
-      .agg(sum(col("n_meetings")).cast("long").as("n_meetings")))
-    val selfW = relabeled.filter(col("_ca") === col("_cb"))
-      .groupBy(col("_ca").as("u")).agg(sum(col("n_meetings")).cast("long").as("_wself"))
+    val collapsed = relabeled
+      .groupBy(least(col("_ca"), col("_cb")).as("a"),
+        greatest(col("_ca"), col("_cb")).as("b"))
+      .agg(sum(col("n_meetings")).cast("long").as("w"))
 
-    val edges2 = share(superPairs
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(superPairs.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
-    // every level-1 community is a supernode, including those with no
-    // inter-community edge (they would vanish from an edge-derived
-    // degree table and lose their nodes in the composition join)
-    val deg2 = share(rank.select(col("r").as("u"))
-      .join(edges2.groupBy(col("u")).agg(sum(col("w")).cast("long").as("_ke")), Seq("u"), "left")
-      .join(selfW, Seq("u"), "left")
-      .select(col("u"),
-        (coalesce(col("_ke"), lit(0L)) + lit(2L) * coalesce(col("_wself"), lit(0L)))
-          .cast("long").as("k")))
-    val l2 = louvainPass(edges2, deg2, totalW, rounds2, share)
+    // SMALL-SUPERGRAPH FALLBACK (the duplicateClusters pattern,
+    // Dedup.scala's <=1M-pair driver union-find): the level-2 pass on a
+    // collapsed graph of tens of supernodes costs ~11 s of pure
+    // per-round distributed-job latency (r12 warm audit) for work a
+    // driver loop finishes in microseconds. Probe both sizes with
+    // limit-collects (the probe IS the data when it fits — no separate
+    // counts); under `localThreshold` run an exact driver-side replica
+    // of louvainPass — same two-coloring schedule, same BigInt-exact
+    // gain, same (gain desc, cand asc) tie-break, bit-identical labels
+    // (spec-pinned against the distributed pass) — and compose the
+    // winner labels through ONE broadcast join. Beyond the threshold
+    // the distributed pass runs unchanged.
+    val collapsedRows = rankRowsOpt match {
+      case Some(_) =>
+        Some(collapsed.limit(probeCap).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+          .filter(_.length <= localThreshold)
+      case None => None
+    }
+    collapsedRows match {
+      case Some(rows) =>
+        val rankRows = rankRowsOpt.get
+        val undirected = rows.filter(t => t._1 != t._2)
+        val self = rows.filter(t => t._1 == t._2).map(t => t._1 -> t._3).toMap
+        // every original pair lands in exactly one collapsed cell, so
+        // the collapsed weights sum to the invariant total W
+        val w = rows.iterator.map(_._3).sum
+        val universe = rankRows.map(_._2)
+        val l2local = louvainPassLocal(undirected, universe, self, w, rounds2).toMap
+        val u0ByR = rankRows.map(_.swap).toMap
 
-    // compose n → c1 → rank → level-2 label (a rank) → back to the
-    // original community-id space of that winning rank
-    val composed = share(l1
-      .join(rank.select(col("u0"), col("r")), l1("c") === col("u0"))
-      .join(l2.select(col("n").as("_rn"), col("c").as("_c2r")), col("r") === col("_rn"))
-      .join(rank.select(col("u0").as("lbl"), col("r").as("_rb")), col("_c2r") === col("_rb"))
-      .select(col("n"), col("lbl")))
+        // the monotone qn guard AND the per-community (w_in,
+        // degree_sum) statistics are pure functions of the collapsed
+        // table — w_in(C) sums the collapsed cells internal to C,
+        // degree_sum(C) counts every collapsed cell weight once per
+        // endpoint in C (a self cell twice) — so both partitions'
+        // exact numerators come from two driver scans of `rows`
+        // instead of four distributed joins over the original pair
+        // table. Only n_nodes needs the cluster: one broadcast-mapped
+        // count over the l1 label table. (Assumes, like the
+        // distributed path's edge-derived node population, that the
+        // labels cover exactly the pair-graph nodes.)
+        def statsOf(groupOf: Long => Long) = {
+          val wIn = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+          val degS = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+          rows.foreach { case (a, b, wgt) =>
+            val ga = groupOf(a); val gb = groupOf(b)
+            if (ga == gb) wIn(ga) += wgt
+            degS(ga) += wgt; degS(gb) += wgt
+          }
+          (wIn, degS)
+        }
+        def qnOf(st: (scala.collection.mutable.Map[Long, Long],
+                      scala.collection.mutable.Map[Long, Long])): BigInt =
+          st._2.keysIterator.map(g =>
+            4 * BigInt(w) * BigInt(st._1(g)) - BigInt(st._2(g)).pow(2)).sum
+        val st1 = statsOf(identity)
+        val st2 = statsOf(l2local)
+        val improved = qnOf(st2) > qnOf(st1)
+        val (wInW, degSW) = if (improved) st2 else st1
+        val qnW = if (improved) qnOf(st2) else qnOf(st1)
+        val groupOfRank: Long => Long = if (improved) l2local else identity
+        // replicate the distributed division exactly: DECIMAL(38,0) →
+        // double via java BigDecimal, then (4.0 · W) · W in IEEE order
+        val wD = w.toDouble
+        val modularity =
+          new java.math.BigDecimal(qnW.bigInteger).doubleValue / (4.0 * wD * wD)
+        val statsRows = degSW.keysIterator
+          .map(g => (u0ByR(g), wInW(g), degSW(g), modularity)).toSeq
+        val statsTable = pairs.sparkSession.createDataFrame(statsRows)
+          .toDF("community", "w_in", "degree_sum", "modularity")
+        val lblByU0 = rankRows.map { case (u0, r) => (u0, u0ByR(groupOfRank(r))) }
+        val mapDf = pairs.sparkSession.createDataFrame(lblByU0.toSeq).toDF("_c", "lbl")
+        l1.join(broadcast(mapDf), l1("c") === col("_c"))
+          .groupBy(col("lbl").as("community")).agg(count(lit(1)).cast("long").as("n_nodes"))
+          .join(broadcast(statsTable), Seq("community"))
+          .select(col("community"), col("n_nodes"), col("w_in"), col("degree_sum"),
+            col("modularity"))
+      case None =>
+        val superPairs = share(collapsed.filter(col("a") =!= col("b"))
+          .select(col("a").as("user_a"), col("b").as("user_b"), col("w").as("n_meetings")))
+        val selfW = collapsed.filter(col("a") === col("b"))
+          .select(col("a").as("u"), col("w").as("_wself"))
+        val edges2 = share(superPairs
+          .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+          .unionByName(superPairs.select(col("user_b").as("u"), col("user_a").as("v"),
+            col("n_meetings").as("w"))))
+        // every level-1 community is a supernode, including those with no
+        // inter-community edge (they would vanish from an edge-derived
+        // degree table and lose their nodes in the composition join)
+        val deg2 = share(rank.select(col("r").as("u"))
+          .join(edges2.groupBy(col("u")).agg(sum(col("w")).cast("long").as("_ke")), Seq("u"), "left")
+          .join(selfW, Seq("u"), "left")
+          .select(col("u"),
+            (coalesce(col("_ke"), lit(0L)) + lit(2L) * coalesce(col("_wself"), lit(0L)))
+              .cast("long").as("k")))
+        val l2 = louvainPass(edges2, deg2, totalW, rounds2, share)
+        // compose n → c1 → rank → level-2 label (a rank) → back to the
+        // original community-id space of that winning rank
+        val composed = share(l1
+          .join(rank.select(col("u0"), col("r")), l1("c") === col("u0"))
+          .join(l2.select(col("n").as("_rn"), col("c").as("_c2r")), col("r") === col("_rn"))
+          .join(rank.select(col("u0").as("lbl"), col("r").as("_rb")), col("_c2r") === col("_rb"))
+          .select(col("n"), col("lbl")))
 
-    // monotone guard (the "keep the best partition seen" rule every
-    // sequential Louvain applies implicitly): the semi-synchronous
-    // schedule admits simultaneous same-class moves whose joint ΔQ can
-    // be negative even when each individual gain is positive (the
-    // cross-term −k_u·k_v of two movers entering one community is
-    // unpriced). Compare the EXACT integer Q numerators and keep the
-    // level-1 partition unless level 2 strictly improved — two 1-row
-    // aggregates of bounded driver state.
-    val qn1 = partitionQNum(p, edges, l1.select(col("n"), col("c").as("lbl")))
-    val qn2 = partitionQNum(p, edges, composed)
-    val winner =
-      if (qn2.compareTo(qn1) > 0) composed else l1.select(col("n"), col("c").as("lbl"))
-    communityStats(p, edges, winner)
+        // monotone guard (the "keep the best partition seen" rule every
+        // sequential Louvain applies implicitly): the semi-synchronous
+        // schedule admits simultaneous same-class moves whose joint ΔQ
+        // can be negative even when each individual gain is positive
+        // (the cross-term −k_u·k_v of two movers entering one community
+        // is unpriced). Compare the EXACT integer Q numerators and keep
+        // the level-1 partition unless level 2 strictly improved — one
+        // action for BOTH numerators (two 1-row aggregates cross-joined)
+        val qnRow = partitionQNumDf(p, edges, l1.select(col("n"), col("c").as("lbl")))
+          .select(col("_qn").as("_qn1"))
+          .crossJoin(partitionQNumDf(p, edges, composed).select(col("_qn").as("_qn2")))
+          .collect()(0)
+        def qn(i: Int) = Option(qnRow.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO)
+        val winner =
+          if (qn(1).compareTo(qn(0)) > 0) composed
+          else l1.select(col("n"), col("c").as("lbl"))
+        communityStats(p, edges, winner)
+    }
   }
 
   /** The Leiden-style connectivity audit of the Louvain partition
@@ -1640,6 +1808,16 @@ object SpatialOps {
     */
   private def partitionQNum(p: DataFrame, edges: DataFrame,
                             labels: DataFrame): java.math.BigDecimal = {
+    val row = partitionQNumDf(p, edges, labels).collect()(0)
+    Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+  }
+
+  /** The 1-row `_qn` frame behind [[partitionQNum]], exposed unfired so
+    * callers comparing two partitions can cross-join the frames and pay
+    * one action instead of two.
+    */
+  private def partitionQNumDf(p: DataFrame, edges: DataFrame,
+                              labels: DataFrame): DataFrame = {
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     val withA = p.join(labels.select(col("n"), col("lbl").as("_ca")), p("user_a") === col("n")).drop("n")
     val withB = withA.join(labels.select(col("n"), col("lbl").as("_cb")), withA("user_b") === col("n")).drop("n")
@@ -1650,13 +1828,11 @@ object SpatialOps {
       .join(labels, col("u") === labels("n"))
       .groupBy(col("lbl").as("community"))
       .agg(sum(col("_d")).cast("long").as("degree_sum"))
-    val row = degC.join(intra, Seq("community"), "left")
+    degC.join(intra, Seq("community"), "left")
       .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
       .crossJoin(broadcast(totalW))
       .agg(sum(lit(4L) * dq(col("_W")) * dq(col("w_in")) -
         dq(col("degree_sum")) * dq(col("degree_sum"))).as("_qn"))
-      .collect()(0)
-    Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
   }
 
   /** Exact-rational partition statistics + Newman modularity shared by

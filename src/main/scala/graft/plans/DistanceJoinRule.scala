@@ -1,10 +1,13 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral, TrueLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
 
 /** Optimizer rule: rewrite a distance-predicate join into a banded
   * equi-join.
@@ -25,17 +28,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Rewrite (lossless, runtime-enforced — see the bound derivations
   * below):
   *
-  *  - both sides get integer band ids `bx = floor(lon / wLon)`,
-  *    `by = floor(lat / wLat)`;
-  *  - the LEFT side explodes `bx ∈ {bx−1, bx, bx+1}`, the RIGHT side
-  *    explodes `by ∈ {by−1, by, by+1}` (3× rows on each side instead
-  *    of 9× on one — and each qualifying pair matches EXACTLY once,
-  *    because exactly one exploded value equals the other side's band,
+  *  - both sides get integer band ids: a latitude band
+  *    `by = floor(lat / wLat)` and (when the radius admits more than a
+  *    couple of longitude bands) a WRAPPED longitude band
+  *    `bx = pmod(floor((lon + 180) / w), N)` where `N = floor(360 /
+  *    wLon)` and `w = 360 / N` — the circle of longitudes is cut into
+  *    exactly N bands of width w ≥ wLon, so ±180° is just another band
+  *    edge and pairs straddling the antimeridian land in adjacent
+  *    (mod N) bands like any other near pair;
+  *  - the LEFT side explodes `bx ∈ {pmod(bx−1, N), bx, pmod(bx+1, N)}`,
+  *    the RIGHT side explodes `by ∈ {by−1, by, by+1}` (3× rows on each
+  *    side instead of 9× on one — and each qualifying pair matches
+  *    EXACTLY once, because N ≥ 3 keeps the three exploded values
+  *    distinct and exactly one of them equals the other side's band,
   *    so no post-join dedup is needed);
-  *  - the join gains the two band equalities as equi-keys (planned as
-  *    a shuffle/broadcast HASH join by `ExtractEquiJoinKeys`) and
-  *    keeps the original haversine predicate as the exact residual
-  *    filter;
+  *  - the join gains the band equalities as equi-keys (planned as a
+  *    shuffle/broadcast HASH join by `ExtractEquiJoinKeys`) and keeps
+  *    the original haversine predicate as the exact residual filter;
   *  - a Project above restores the original output columns.
   *
   * Exactness contract:
@@ -51,26 +60,57 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    `wLat = degrees(rEff/R)` (padded 1+1e-12 for double rounding)
   *    admits every pair the residual keeps.
   *  - LONGITUDE: the same identity gives
-  *    `sin(d/2R) ≥ cos(cap)·sin(Δλ/2)` whenever both |φ| ≤ cap, so
+  *    `sin(d/2R) ≥ cos(cap)·sin(Δλ/2)` whenever both |φ| ≤ cap — and
+  *    `sin(Δλ/2)` is symmetric about Δλ = 180°, so the bound holds for
+  *    the CIRCULAR longitude gap, antimeridian wrap included. Hence
   *    `wLon = degrees(2·asin(sin(rEff/2R)/cos(cap)))` (padded 1+1e-9)
-  *    is a true bound — but ONLY inside the declared latitude envelope
-  *    `cap` (conf `spark.graft.distanceJoin.maxAbsLatDeg`, default
-  *    66°). Because this rule fires invisibly, the envelope is
-  *    enforced per ROW, per side: a latitude beyond `cap` evaluates a
-  *    `RaiseError` instead of a band id — exact-or-loud, never a
-  *    silently dropped near pair (the same data-side guard
-  *    `trajectoryNearPairs` carries). If `sin(r/2R) ≥ cos(cap)` the
-  *    longitude bound is vacuous and the rule degrades to one lon
-  *    band (latitude banding still applies).
-  *  - ANTIMERIDIAN: `sin(Δλ/2)` is symmetric about Δλ = 180°, so a
-  *    pair straddling ±180° is geographically close with a huge raw
-  *    Δλ. Rows within `wLon` of the ±180° seam (the only rows that
-  *    can have a wrapped partner within r) also raise — loud, not
-  *    lossy. Everything else is exact.
+  *    bounds the circular gap — but ONLY inside the declared latitude
+  *    envelope `cap` (conf `spark.graft.distanceJoin.maxAbsLatDeg`,
+  *    default 66°). Because this rule fires invisibly, the envelope is
+  *    enforced per ROW, per side: a latitude beyond `cap`, or a
+  *    longitude outside [−180, 180] (where the wrapped band id's
+  *    floating-point periodicity argument no longer holds), evaluates
+  *    a `RaiseError` instead of a band id — exact-or-loud, never a
+  *    silently dropped near pair. If `N = floor(360/wLon) < 3` the
+  *    longitude axis degrades to one global band (latitude banding
+  *    still applies) and needs no guard at all: with no longitude
+  *    banding the rewrite is exact at every latitude and longitude.
+  *  - ANTIMERIDIAN: handled by the wrapped band id — a Pacific corpus
+  *    joins exactly across the seam with no raise and no double count
+  *    (one band id per row; the mod-N neighbor explode matches it
+  *    exactly once).
   *  - NULL / NaN coordinates band to null / garbage and are rejected
   *    by the residual predicate exactly as the un-rewritten join
   *    rejects them (haversine is null-intolerant; NaN compares false)
   *    — the envelope guard deliberately passes them through.
+  *
+  * HOT BANDS (the packed-geometry failure mode): banding bounds the
+  * candidate volume by band OCCUPANCY, so on geometry packed into a
+  * handful of cells the band join silently degenerates toward
+  * all-pairs through the hot cells (TrajProbe's packed run measured
+  * exactly that — a 15-minute hang). Two guards:
+  *
+  *  - a per-TASK candidate-pair budget ([[PairBudgetGuard]]): the join
+  *    condition gains a codegen'd counter conjunct evaluated FIRST,
+  *    before the haversine kernel — one long increment per candidate
+  *    pair, raising with the tiling hint once a single task has
+  *    evaluated more than `spark.graft.distanceJoin.maxPairsPerTask`
+  *    candidates (default 1e8: at the measured ~430 ns per sort-merge
+  *    candidate iteration that is ~45 s of single-task grind before
+  *    the loud stop — the direct encoding of "no task may grind
+  *    unboundedly"; ≤ 0 disables). A window-count per-cell occupancy pre-check was
+  *    A/B'd against this and REJECTED: the two WindowExecs cost
+  *    2.85 s vs 0.48 s warm on the 50k/side probe — a 6× healthy-path
+  *    tax — while the counter is a register increment inside the
+  *    join's whole-stage-codegen residual, free at any scale;
+  *  - `spark.graft.distanceJoin.spreadFactor` = T (default 1) tiles
+  *    every cell's pair space across T tasks: the right side gets a
+  *    deterministic tile id `pmod(xxhash64(lon, lat), T)`, the left
+  *    explodes all T tiles, and the tile id joins as one more
+  *    equi-key — each pair still matches exactly once, per-task work
+  *    drops T×, so raising the spread is precisely the raise
+  *    message's escape hatch (the same pair-space tiling
+  *    `colocationMeetings` exposes as `spreadFactor`).
   *
   * The rule fires only on Inner/Cross joins (banding an outer join
   * would multiply the unmatched rows), only when no equi-conjunct
@@ -83,16 +123,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * 3×3 band neighborhood (~(3r)² of ground area at the envelope), not
   * the corpus; both explodes are narrow (one long each); the hash
   * join shuffles by band id, so AQE's skew split applies to hot
-  * cities. For corpora where even one band ring is quadratic, the
-  * explicitly-tiled operators (`spreadFactor`) remain the manual
-  * escape hatch.
+  * cities, the per-task budget refuses quadratic cells loudly, and
+  * `spreadFactor` tiles them across the cluster on request.
   *
   * Probed ([[graft.DistanceJoinProbe]], local[32], r = 100 m):
   * fixed-density clouds 50k→100k→200k→400k points/side run
   * 0.6 → 0.8 → 1.4 → 2.6 s — near-linear, tracking the pair volume
   * (1.9M → 14.9M) — while the un-rewritten BroadcastNestedLoopJoin
   * needs 34 s at the 50k size ALONE (58×) and grows quadratically
-  * from there.
+  * from there. Packed regime (all 50k×50k points in one cell): the
+  * per-task budget raises loudly instead of hanging; with
+  * `spreadFactor=32` the same shape completes tiled — 1e8 output
+  * pairs in ~9 s at 10k/side (see the probe's packed entries).
   */
 object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -101,15 +143,21 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.distanceJoin.enabled"
   val MaxAbsLatKey = "spark.graft.distanceJoin.maxAbsLatDeg"
+  val MaxPairsPerTaskKey = "spark.graft.distanceJoin.maxPairsPerTask"
+  val SpreadFactorKey = "spark.graft.distanceJoin.spreadFactor"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     val cap = conf.getConfString(MaxAbsLatKey, "66.0").toDouble
     require(cap > 0 && cap < 90, s"$MaxAbsLatKey must be in (0, 90), got $cap")
+    val maxPairs = conf.getConfString(MaxPairsPerTaskKey, "100000000").toDouble
+    val spread = conf.getConfString(SpreadFactorKey, "1").toInt
+    require(spread >= 1 && spread <= 4096,
+      s"$SpreadFactorKey must be in [1, 4096], got $spread")
     plan.transform {
       case j @ Join(_, _, Inner | Cross, Some(cond), _)
           if !cond.references.exists(_.name.startsWith(BandPrefix)) =>
-        rewrite(j, cond, cap).getOrElse(j)
+        rewrite(j, cond, cap, maxPairs, spread).getOrElse(j)
     }
   }
 
@@ -124,7 +172,8 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private def rewrite(j: Join, cond: Expression, cap: Double): Option[LogicalPlan] = {
+  private def rewrite(j: Join, cond: Expression, cap: Double,
+                      maxPairs: Double, spread: Int): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // an existing equi-conjunct means the join is already hash-joinable
     // as written — banding would pay 3× input for keys strictly less
@@ -162,26 +211,45 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         val rEff = r + 8.0 * EarthR * EarthR * 2.3e-16 / r
         val wLat = math.toDegrees(rEff / EarthR) * (1 + 1e-12)
         val sinHalf = math.sin(rEff / (2 * EarthR)) / math.cos(math.toRadians(cap))
-        // vacuous or near-vacuous longitude bound → one effectively-
-        // global lon band (any wLon > 180 puts every λ ∈ [−180, 180] in
-        // band −1 or 0, so the ±1 neighbors cover every pair, wrapped
-        // ones included, and no envelope/seam guard is needed at all).
-        // The 90° crossover avoids the seam-guard cliff: a bound that
-        // wide would reject |λ| > 180 − wLon — most of the globe — as
-        // "near the seam", while the single-band fallback handles the
-        // same radius losslessly at worst-case candidate volume.
-        val wLonRaw =
-          if (sinHalf >= 1.0) 720.0
-          else math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
-        val wLon = if (wLonRaw > 90.0) 720.0 else wLonRaw
+        // Number of WRAPPED longitude bands: N bands of width 360/N ≥
+        // wLon cut the full circle, so the seam is a band edge like any
+        // other. N < 3 (radius so large the circle fits in under three
+        // bands — the mod-N neighbor explode would collide and double-
+        // count) degrades to one global lon band: no lon key, no guard,
+        // exact at every latitude and longitude at worst-case candidate
+        // volume.
+        val nLon: Long =
+          if (sinHalf >= 1.0) 1L
+          else {
+            val wLonRaw = math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
+            math.floor(360.0 / wLonRaw).toLong
+          }
 
-        val leftBanded = banded(j.left, loL, laL, wLon, wLat, cap, explodeLon = true)
-        val rightBanded = banded(j.right, loR, laR, wLon, wLat, cap, explodeLon = false)
-        val bandCond = And(
-          EqualTo(leftBanded.lonKey, rightBanded.lonKey),
-          EqualTo(leftBanded.latKey, rightBanded.latKey))
-        val newJoin = Join(leftBanded.plan, rightBanded.plan, j.joinType,
-          Some(And(bandCond, cond)), j.hint)
+        val left = bandedSide(j.left, loL, laL, nLon, wLat, cap, spread, isLeft = true)
+        val right = bandedSide(j.right, loR, laR, nLon, wLat, cap, spread, isLeft = false)
+        val eqs: Seq[Expression] =
+          left.lonKey.zip(right.lonKey).map { case (a, b) => EqualTo(a, b) }.toSeq ++
+            Seq(EqualTo(left.latKey, right.latKey)) ++
+            left.tileKey.zip(right.tileKey).map { case (a, b) => EqualTo(a, b) }
+        // the per-cell candidate budget, evaluated per candidate pair
+        // BEFORE the kernel: a key-run counter (one compare + increment
+        // per pair) that raises with the tiling hint once a single band
+        // cell grinds past the budget. Its children reference band keys
+        // from BOTH sides so no rule can push it below the join.
+        val guard: Seq[Expression] =
+          if (maxPairs <= 0) Nil
+          else {
+            val keys = left.lonKey.toSeq ++ Seq(left.latKey) ++ left.tileKey.toSeq ++
+              Seq(right.latKey)
+            Seq(PairBudgetGuard(keys, maxPairs.toLong,
+              s"graft.BandedDistanceJoin: hot band-cell — a single band cell evaluated more " +
+                s"than $MaxPairsPerTaskKey=${maxPairs.toLong} candidate pairs in one task. " +
+                s"The data is too packed for plain banding at this radius; set " +
+                s"$SpreadFactorKey (currently $spread) to tile hot cells across tasks, " +
+                s"raise $MaxPairsPerTaskKey, or disable the rewrite via $EnabledKey=false"))
+          }
+        val newJoin = Join(left.plan, right.plan, j.joinType,
+          Some((eqs ++ guard :+ cond).reduceLeft(And)), j.hint)
         Project(j.output, newJoin)
       }
     }
@@ -191,45 +259,177 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     (canEvaluate(l, j.left) && canEvaluate(r, j.right)) ||
       (canEvaluate(l, j.right) && canEvaluate(r, j.left))
 
-  private case class BandedSide(plan: LogicalPlan, lonKey: Attribute, latKey: Attribute)
+  private case class BandedSide(plan: LogicalPlan, lonKey: Option[Attribute],
+                                latKey: Attribute, tileKey: Option[Attribute])
 
-  /** Append band ids to one side and explode one of them to its ±1
-    * neighbors. The envelope guard lives on the banded expression of
-    * the LON axis (the only axis whose width depends on the envelope):
-    * out-of-envelope or near-seam latitudes/longitudes raise; null/NaN
-    * coordinates flow through to the residual predicate.
+  /** Append band ids (and a tile id under `spreadFactor`) to one side
+    * and explode one axis to its ±1 neighbors (lon mod N on the left,
+    * lat on the right — one narrow long each). The envelope guard lives
+    * on the banded expression of the LON axis (the only axis whose
+    * width depends on the envelope): out-of-envelope latitudes and
+    * out-of-range longitudes raise; null/NaN coordinates flow through
+    * to the residual predicate.
     */
-  private def banded(side: LogicalPlan, lon: Expression, lat: Expression,
-                     wLon: Double, wLat: Double, cap: Double,
-                     explodeLon: Boolean): BandedSide = {
-    val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
-      LessThanOrEqual(Abs(lat), Literal(cap)))
-    val lonOk = Or(Or(IsNull(lon), IsNaN(lon)),
-      LessThanOrEqual(Abs(lon), Literal(180.0 - wLon)))
-    def raise: Expression = RaiseError(
-      Literal("USER_RAISED_EXCEPTION"),
-      CreateMap(Seq(Literal("errorMessage"), Literal(
-        s"graft.BandedDistanceJoin: coordinate outside the declared envelope " +
-          s"(|lat| <= $cap deg from $MaxAbsLatKey, |lon| <= ${180.0 - wLon} deg — " +
-          "away from the antimeridian seam) — the derived longitude band width does not " +
-          s"cover the join radius there; raise $MaxAbsLatKey or band manually"))),
-      LongType)
-    val bandLon = Floor(Divide(lon, Literal(wLon)))
-    val bx = if (wLon > 180.0) bandLon else If(And(latOk, lonOk), bandLon, raise)
-    val by = Floor(Divide(lat, Literal(wLat)))
-    val bxA = Alias(bx, s"${BandPrefix}_bx")()
-    val byA = Alias(by, s"${BandPrefix}_by")()
-    val projected = Project(side.output ++ Seq(bxA, byA), side)
-    val (toExplode, kept) = if (explodeLon) (bxA, byA) else (byA, bxA)
+  private def bandedSide(side: LogicalPlan, lon: Expression, lat: Expression,
+                         nLon: Long, wLat: Double, cap: Double,
+                         spread: Int, isLeft: Boolean): BandedSide = {
+    val wrapLon = nLon >= 3L
+    val byA = Alias(Floor(Divide(lat, Literal(wLat))), s"${BandPrefix}_by")()
+    val bxA: Option[Alias] = if (!wrapLon) None else {
+      val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
+        LessThanOrEqual(Abs(lat), Literal(cap)))
+      val lonOk = Or(Or(IsNull(lon), IsNaN(lon)),
+        LessThanOrEqual(Abs(lon), Literal(180.0)))
+      val raise: Expression = RaiseError(
+        Literal("USER_RAISED_EXCEPTION"),
+        CreateMap(Seq(Literal("errorMessage"), Literal(
+          s"graft.BandedDistanceJoin: coordinate outside the declared envelope " +
+            s"(|lat| <= $cap deg from $MaxAbsLatKey, |lon| <= 180 deg) — the derived " +
+            s"longitude band width does not cover the join radius there; raise " +
+            s"$MaxAbsLatKey, band manually, or disable the rewrite via $EnabledKey=false"))),
+        LongType)
+      val w = 360.0 / nLon
+      val band = Pmod(Floor(Divide(Add(lon, Literal(180.0)), Literal(w))), Literal(nLon))
+      Some(Alias(If(And(latOk, lonOk), band, raise), s"${BandPrefix}_bx")())
+    }
+    // the right side's tile id is a deterministic hash of the raw
+    // coordinates — one tile per physical row, so a pair still matches
+    // exactly once (at that tile, against the left's full explode)
+    val tileA: Option[Alias] =
+      if (spread > 1 && !isLeft)
+        Some(Alias(Pmod(new XxHash64(Seq(lon, lat)), Literal(spread.toLong)),
+          s"${BandPrefix}_tile")())
+      else None
+    var plan: LogicalPlan =
+      Project(side.output ++ bxA.toSeq ++ Seq(byA) ++ tileA.toSeq, side)
+
+    def explode(values: Seq[Expression], name: String): Attribute = {
+      val out = AttributeReference(name, LongType, nullable = true)()
+      plan = Generate(Explode(CreateArray(values)), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(out), child = plan)
+      out
+    }
     val one = Literal(1L)
-    val neighbors = CreateArray(Seq(
-      Subtract(toExplode.toAttribute, one),
-      toExplode.toAttribute,
-      Add(toExplode.toAttribute, one)))
-    val exploded = AttributeReference(s"${BandPrefix}_e", LongType, nullable = true)()
-    val gen = Generate(Explode(neighbors), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(exploded), child = projected)
-    if (explodeLon) BandedSide(gen, exploded, kept.toAttribute)
-    else BandedSide(gen, kept.toAttribute, exploded)
+    val (lonKey, latKey): (Option[Attribute], Attribute) =
+      if (isLeft) {
+        val lk = bxA.map { a =>
+          val b = a.toAttribute
+          val n = Literal(nLon)
+          explode(Seq(Pmod(Subtract(b, one), n), b, Pmod(Add(b, one), n)),
+            s"${BandPrefix}_bxe")
+        }
+        (lk, byA.toAttribute)
+      } else {
+        val b = byA.toAttribute
+        (bxA.map(_.toAttribute),
+          explode(Seq(Subtract(b, one), b, Add(b, one)), s"${BandPrefix}_bye"))
+      }
+    val tileKey: Option[Attribute] =
+      if (spread <= 1) None
+      else if (isLeft)
+        Some(explode((0 until spread).map(t => Literal(t.toLong)), s"${BandPrefix}_tilee"))
+      else tileA.map(_.toAttribute)
+
+    BandedSide(plan, lonKey, latKey, tileKey)
   }
+}
+
+/** Per-cell candidate-pair budget for [[BandedDistanceJoin]]: a boolean
+  * conjunct placed FIRST in the banded join's residual condition. Its
+  * VALUE is deterministically `true`; its side effect is a counter over
+  * the current RUN of identical band-key values that throws past
+  * `budget` — bounding the work a hot band cell (the packed-geometry
+  * quadratic) can sink into one task to `budget` candidate
+  * evaluations, loudly.
+  *
+  * Key-RUN counting, not per-task counting, is the primary bound:
+  * under sort-merge join every candidate pair of a band cell is
+  * contiguous, so a run == a cell, and `spreadFactor` tiling then
+  * lowers the per-run volume no matter how AQE packs partitions into
+  * tasks (a pure per-task counter is defeated by partition
+  * coalescing: a packed toy corpus is BYTE-small, so AQE merges all
+  * tiles into one task and the sum still trips the budget — measured
+  * in DistanceJoinRuleSpec's tiling test). Under a broadcast hash
+  * join the stream side interleaves runs and the run counter degrades
+  * to bounding one probe's match list, so a SECOND counter caps the
+  * per-task TOTAL at 4× the run budget — loose enough that legitimate
+  * AQE-coalesced tile groups pass, tight enough that an interleaved
+  * quadratic still raises within minutes, never hangs.
+  *
+  * `keys` are the band/tile key attributes from BOTH join sides, so no
+  * pushdown rule can move the conjunct below the join. Codegen keeps
+  * the state in generated-class fields (one instance per task
+  * partition, reset via the partition-initialization hook); the
+  * interpreted fallback additionally keys off the task-attempt id
+  * since expression instances there can outlive a task.
+  */
+case class PairBudgetGuard(keys: Seq[Expression], budget: Long, message: String)
+  extends Expression {
+  override def children: Seq[Expression] = keys
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "graft_pair_budget"
+
+  @transient private[this] var lastTask: Long = Long.MinValue
+  @transient private[this] var lastKeys: Array[Long] = _
+  @transient private[this] var inRun: Boolean = false
+  @transient private[this] var count: Long = 0L
+  @transient private[this] var taskCount: Long = 0L
+
+  override def eval(input: InternalRow): Any = {
+    val tc = org.apache.spark.TaskContext.get()
+    val id = if (tc == null) -1L else tc.taskAttemptId()
+    if (id != lastTask) { lastTask = id; inRun = false; taskCount = 0L }
+    if (lastKeys == null || lastKeys.length != keys.length)
+      lastKeys = new Array[Long](keys.length)
+    var changed = !inRun
+    var i = 0
+    while (i < keys.length) {
+      val v = keys(i).eval(input)
+      // band keys are null only for null coordinates, which never
+      // equi-match — treat null as always-changed for safety
+      val l = if (v == null) { changed = true; Long.MinValue }
+              else v.asInstanceOf[Long]
+      if (l != lastKeys(i)) changed = true
+      lastKeys(i) = l
+      i += 1
+    }
+    if (changed) { inRun = true; count = 0L }
+    count += 1L
+    taskCount += 1L
+    if (count > budget || taskCount > 4L * budget) throw new RuntimeException(message)
+    true
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cnt = ctx.addMutableState(CodeGenerator.JAVA_LONG, "graftPairBudget")
+    val taskCnt = ctx.addMutableState(CodeGenerator.JAVA_LONG, "graftPairBudgetTask")
+    val inRunV = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "graftPairBudgetRun")
+    ctx.addPartitionInitializationStatement(s"$cnt = 0L; $taskCnt = 0L; $inRunV = false;")
+    val msg = ctx.addReferenceObj("graftPairBudgetMsg", message, "java.lang.String")
+    val changed = ctx.freshName("graftChanged")
+    val evals = keys.map(_.genCode(ctx))
+    val lastVars = keys.map(_ => ctx.addMutableState(CodeGenerator.JAVA_LONG, "graftPairBudgetKey"))
+    val cmp = evals.zip(lastVars).map { case (e, v) =>
+      s"""|if (${e.isNull} || ${e.value} != $v) { $changed = true; }
+          |$v = ${e.isNull} ? Long.MIN_VALUE : ${e.value};""".stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |${evals.map(_.code.toString).mkString("\n")}
+        |boolean $changed = !$inRunV;
+        |$cmp
+        |if ($changed) { $inRunV = true; $cnt = 0L; }
+        |$cnt += 1L;
+        |$taskCnt += 1L;
+        |if ($cnt > ${budget}L || $taskCnt > ${4L * budget}L) { throw new RuntimeException($msg); }
+        |""".stripMargin,
+      isNull = FalseLiteral,
+      value = TrueLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(keys = newChildren)
 }

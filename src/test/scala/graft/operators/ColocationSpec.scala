@@ -282,6 +282,31 @@ class ColocationSpec extends SparkSpec {
     assert(qExp > q1c)
   }
 
+  test("Louvain level 2: driver-side small-graph pass is bit-identical to the distributed pass") {
+    import spark.implicits._
+    // the local fallback must be an EXACT replica (same schedule, same
+    // tie-breaks, same integer gains): run both paths — localThreshold=0
+    // forces the distributed pass — over fixtures that exercise merges,
+    // parity fragments, and the resolution-limit block move
+    val fixtures = Seq(
+      (1L to 11L).map(i => (i, i + 1, 1L)),
+      Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+        (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+        (3L, 4L, 9L), (7L, 8L, 1000L)),
+      (1L to 24L).flatMap(i => Seq((i, i % 24 + 1, 2L), (i, (i + 7) % 24 + 1, 1L))),
+    )
+    for ((fx, i) <- fixtures.zipWithIndex) {
+      val pairs = fx.toDF("user_a", "user_b", "n_meetings")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sortBy(t => (t._1, t._2))
+      val local = rows(SpatialOps.colocationLouvainL2(pairs, rounds = 3, rounds2 = 3))
+      val dist = rows(SpatialOps.colocationLouvainL2(pairs, rounds = 3, rounds2 = 3,
+        localThreshold = 0L))
+      assert(local.toSeq == dist.toSeq, s"fixture $i: local != distributed")
+    }
+  }
+
   test("Leiden refinement: a vacated-hub community splits into components, Q strictly up") {
     import spark.implicits._
     // hand-traced under the rank-parity schedule with rounds = 2: nodes

@@ -31,7 +31,12 @@ class DistanceJoinPropertySpec extends SparkSpec {
     for (trial <- 1 to 8) {
       val rnd = new scala.util.Random(1000 + trial)
       val baseLat = -64.0 + rnd.nextDouble() * 128.0 // stays inside the 66-deg envelope
-      val baseLon = -170.0 + rnd.nextDouble() * 340.0
+      // full longitude circle INCLUDING the antimeridian: every third
+      // trial is pinned onto the seam so the wrapped-band path gets
+      // adversarial coverage, and generated lons wrap into [-180, 180]
+      val baseLon =
+        if (trial % 3 == 0) 180.0 - rnd.nextDouble() * 0.01
+        else -180.0 + rnd.nextDouble() * 360.0
       val radius = math.pow(10.0, 1.5 + rnd.nextDouble() * 4.0) // ~30 m .. ~300 km
       val spreadDeg = math.toDegrees(radius / 6371000.0) * 3.0
       val wLat = math.toDegrees(radius / 6371000.0)
@@ -40,7 +45,8 @@ class DistanceJoinPropertySpec extends SparkSpec {
           // every 5th point lands exactly on a lat-band multiple
           val lat0 = baseLat + (rnd.nextDouble() - 0.5) * spreadDeg
           val lat = if (i % 5 == 0) math.floor(lat0 / wLat) * wLat else lat0
-          val lon = baseLon + (rnd.nextDouble() - 0.5) * spreadDeg
+          val lonRaw = baseLon + (rnd.nextDouble() - 0.5) * spreadDeg
+          val lon = ((lonRaw + 180.0 + 720.0) % 360.0) - 180.0
           (offset + i, lon, math.max(-65.9, math.min(65.9, lat)))
         }
       val aRows = cloud(45, 0L)

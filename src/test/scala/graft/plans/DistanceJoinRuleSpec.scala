@@ -116,11 +116,99 @@ class DistanceJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(BandedDistanceJoin.MaxAbsLatKey)
   }
 
-  test("longitude near the antimeridian seam raises instead of missing wrapped pairs") {
-    val a = pts(Seq((1L, Double.box(179.99999), Double.box(10.0))))
-    val b = pts(Seq((2L, Double.box(-179.99999), Double.box(10.0))))
+  test("pairs straddling the antimeridian seam join exactly via wrapped bands") {
+    // a Pacific cloud split across ±180: every physical near pair must
+    // be found exactly once, including the ones whose raw lon difference
+    // is ~360 deg, with no raise and no double count.
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 80).map { i =>
+      val lonRaw = 180.0 + (rnd.nextDouble() - 0.5) * 0.02 // +-0.01 deg of the seam
+      val lon = if (lonRaw > 180.0) lonRaw - 360.0 else lonRaw
+      (i.toLong, Double.box(lon), Double.box(10.0 + (rnd.nextDouble() - 0.5) * 0.01))
+    }
+    val a = pts(rows)
+    val b = pts(rows.map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val joined = naive(a, b, 150.0)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "each wrapped pair exactly once")
+    assert(got.toSet === brute(a, b, 150.0))
+    assert(got.exists { case (i1, i2) =>
+      val l1 = rows(i1.toInt)._2.doubleValue; val l2 = rows((i2 - 1000L).toInt)._2.doubleValue
+      math.abs(l1 - l2) > 180.0
+    }, "fixture must contain at least one pair straddling the seam")
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("longitude outside [-180, 180] raises instead of banding wrong") {
+    val a = pts(Seq((1L, Double.box(190.0), Double.box(10.0))))
+    val b = pts(Seq((2L, Double.box(-170.0), Double.box(10.0))))
     val ex = intercept[Exception] { naive(a, b, 100.0).collect() }
     assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+    assert(ex.getMessage.contains(BandedDistanceJoin.EnabledKey), ex.getMessage)
+  }
+
+  test("a hot band-cell raises the per-task pair budget with the tiling hint") {
+    // PACKED geometry: every point within ~10 m, so banding degenerates
+    // to one cell and the candidate volume is |a|x|b| = 9e6 over the
+    // tiny per-task budget we set — the guard must raise as soon as one
+    // task passes the budget, not grind through the whole cell.
+    val rnd = new scala.util.Random(7)
+    def packed(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, Double.box(8.5 + (rnd.nextDouble() - 0.5) * 1e-4),
+        Double.box(47.4 + (rnd.nextDouble() - 0.5) * 1e-4))
+    }
+    val a = pts(packed(3000, 0L))
+    val b = pts(packed(3000, 10000L))
+    // 9e6 candidates against a 500k run budget (2e6 per-task cap): the
+    // sort-merge single-cell run trips the former; a broadcast-hash
+    // plan (interleaved runs) trips the latter — loud either way
+    spark.conf.set(BandedDistanceJoin.MaxPairsPerTaskKey, "500000")
+    try {
+      val ex = intercept[Exception] { naive(a, b, 100.0).collect() }
+      val msg = String.valueOf(ex.getMessage) + String.valueOf(ex.getCause)
+      assert(msg.contains("hot band-cell"), msg)
+      assert(msg.contains(BandedDistanceJoin.SpreadFactorKey), msg)
+    } finally spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
+  }
+
+  test("spreadFactor tiles hot cells: packed geometry completes exactly, each pair once") {
+    val rnd = new scala.util.Random(8)
+    def packed(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, Double.box(8.5 + (rnd.nextDouble() - 0.5) * 1e-4),
+        Double.box(47.4 + (rnd.nextDouble() - 0.5) * 1e-4))
+    }
+    val a = pts(packed(300, 0L))
+    val b = pts(packed(300, 10000L))
+    val expected = brute(a, b, 50.0)
+    spark.conf.set(BandedDistanceJoin.SpreadFactorKey, "8")
+    // 300*300 = 90k pairs in one cell would blow a 50k per-task budget
+    // un-tiled; 8 tiles put ~11k per tile-task, far under it
+    spark.conf.set(BandedDistanceJoin.MaxPairsPerTaskKey, "50000")
+    try {
+      val joined = naive(a, b, 50.0)
+      assert(planString(joined).contains("__graft_band_tile"), planString(joined))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, "tiling must not double-count pairs")
+      assert(got.toSet === expected)
+    } finally {
+      spark.conf.unset(BandedDistanceJoin.SpreadFactorKey)
+      spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
+    }
+  }
+
+  test("the budget guard is in the residual by default and gone when disabled") {
+    val a = pts(cloud(30, seed = 21))
+    val b = pts(cloud(30, seed = 22).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    assert(planString(naive(a, b, 150.0)).contains("graft_pair_budget"))
+    spark.conf.set(BandedDistanceJoin.MaxPairsPerTaskKey, "0")
+    try {
+      val joined = naive(a, b, 150.0)
+      val plan = planString(joined)
+      assert(plan.contains("__graft_band") && !plan.contains("graft_pair_budget"), plan)
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        brute(a, b, 150.0))
+    } finally spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
   }
 
   test("null coordinates flow through as non-matches, never errors") {

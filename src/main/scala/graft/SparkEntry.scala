@@ -1760,17 +1760,23 @@ object SparkEntry {
       // append mode (finalize-once-on-watermark), the one streaming
       // contract the custom-state gates don't cover; top-5 rank is the
       // batch epilogue over the finalized counts
+      // one data batch: the in-order feed's finalized counts are
+      // chunk-count-invariant (no row is ever late relative to an
+      // earlier in-order batch), so extra micro-batch commits bought
+      // nothing — the out-of-order twin is where batching matters
       graft.streaming.Replay.heavyHitters(
         EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 1),
-        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 3)
+        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 1)
     },
-    // the out-of-order twin: batch p = ids ≡ p mod 4, so later batches
+    // the out-of-order twin: batch p = ids ≡ p mod 3, so later batches
     // deliver genuinely late rows; the drop rule's closed form (prev-max
-    // event time >= window end + delay) is the oracle's contract
+    // event time >= window end + delay) is the oracle's contract. 3
+    // chunks (was 4): each state-store commit is ~0.7 s of the gate and
+    // two late batches already exercise every drop transition
     "streaming_heavy_hitters_late" -> { (s, dir) =>
       graft.streaming.Replay.heavyHittersOutOfOrder(
         EventsAdapter.events(s, dir).filter(pmod(col("user_id"), lit(4)) === 1),
-        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 4)
+        k = 5, windowMinutes = 60L, delayMinutes = 30L, chunks = 3)
     },
     "streaming_neardup" -> { (s, dir) =>
       // keyed by (band, hash) bucket — full table (the corpus is the
@@ -3792,7 +3798,7 @@ object SparkEntry {
         |  FROM wc)
         |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, key, n, rank
         |FROM rk WHERE rank <= 5""".stripMargin,
-    // out-of-order feed: a row in batch p (= id mod 4) is DROPPED iff
+    // out-of-order feed: a row in batch p (= id mod 3) is DROPPED iff
     // the max event time over earlier batches >= its window end + the
     // 30-min delay (exact under either watermark clock resolution —
     // window ends and delay are ms-aligned); dropped rows still advance
@@ -3801,7 +3807,7 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_type AS key, event_id, epoch_us(ts) AS t
         |  FROM events WHERE user_id % 4 = 1),
-        |b AS (SELECT key, event_id, t, event_id % 4 AS p FROM ev),
+        |b AS (SELECT key, event_id, t, event_id % 3 AS p FROM ev),
         |bmax AS (SELECT p, max(t) AS mt FROM b GROUP BY p),
         |wmrun AS (
         |  SELECT p, max(mt) OVER (ORDER BY p

@@ -395,6 +395,10 @@ object Replay {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+    // (A/B note: disabling no-data micro-batches on the runner clone
+    // halves the commits but CHANGES the late-drop set — the no-data
+    // batch is where the advanced watermark lands before the next data
+    // batch's stateful filter reads it — so the default stays.)
 
     val rows = events.select(col(keyCol).cast("string"), col(idCol).cast("long"),
         col(timeCol).cast("long"))
@@ -402,16 +406,27 @@ object Replay {
     val sentinelKey = " flush"
     val tMax = rows.iterator.map(_._3).foldLeft(0L)(math.max)
     val flushT = tMax + (delayMinutes + 2 * windowMinutes) * 60L * 1000000L
-    val tail = Seq(
-      Seq((sentinelKey, -1L, flushT)),
-      Seq((sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)))
+    // two sentinel ROWS but only ONE extra micro-batch: the first flush
+    // row rides at the tail of the last data batch (it is the max event
+    // time, so in-batch order is preserved), advancing the watermark
+    // past every real window; the second, later batch then triggers
+    // their finalization. Every state-store commit is ~0.7 s of the
+    // gate, so batches are the cost unit here — same finalized set as
+    // the two-sentinel-batch layout, one commit fewer.
+    val flush1 = (sentinelKey, -1L, flushT)
+    val flush2 = (sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)
+    val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
+    val dataBatches = rows.grouped(per).toSeq
+    val tail =
+      (if (dataBatches.isEmpty) Seq(Seq(flush1))
+       else dataBatches.init :+ (dataBatches.last :+ flush1)) :+ Seq(flush2)
 
     val input = MemoryStream[(String, Long, Long)]
     val stream = input.toDF().toDF("event_type", "event_id", "t_us")
     val outDir = tmp("graft-replay-hh-out")
     val ckpt = tmp("graft-replay-hh-ckpt")
 
-    drain(input, rows, chunks, tail) {
+    drain(input, Seq.empty, 1, tail) {
       StreamingHeavyHitters.windowCounts(stream, windowMinutes, delayMinutes)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -452,6 +467,7 @@ object Replay {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+    // no-data micro-batches stay ON — see the heavyHitters A/B note
 
     val rows = events.select(col(keyCol).cast("string"), col(idCol).cast("long"),
         col(timeCol).cast("long"))
@@ -463,9 +479,16 @@ object Replay {
     val sentinelKey = " flush"
     val tMax = rows.iterator.map(_._3).foldLeft(0L)(math.max)
     val flushT = tMax + (delayMinutes + 2 * windowMinutes) * 60L * 1000000L
-    val tail = batches ++ Seq(
-      Seq((sentinelKey, -1L, flushT)),
-      Seq((sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)))
+    // flush1 rides the last data batch (max event time, so it cannot
+    // affect that batch's own drop decisions — the watermark a row is
+    // judged against comes from EARLIER batches only) and flush2 is the
+    // single extra commit that finalizes everything; see heavyHitters
+    val flush1 = (sentinelKey, -1L, flushT)
+    val flush2 = (sentinelKey, -2L, flushT + windowMinutes * 60L * 1000000L)
+    val nonEmpty = batches.filter(_.nonEmpty)
+    val tail =
+      (if (nonEmpty.isEmpty) Seq(Seq(flush1))
+       else nonEmpty.init :+ (nonEmpty.last :+ flush1)) :+ Seq(flush2)
 
     val input = MemoryStream[(String, Long, Long)]
     val stream = input.toDF().toDF("event_type", "event_id", "t_us")

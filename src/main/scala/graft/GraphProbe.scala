@@ -72,6 +72,12 @@ object GraphProbe {
     t("pagerank_10x_fair") { SpatialOps.colocationPagerank(pairs10, iters = 3).count() }
     t("louvain_l2_1x") { SpatialOps.colocationLouvainL2(pairs1, rounds = 4, rounds2 = 4).count() }
     t("louvain_l2_10x_hub") { SpatialOps.colocationLouvainL2(pairsHub, rounds = 4, rounds2 = 4).count() }
+    // the collapsed supergraph stays tiny even at 11M pairs (collapse is
+    // the point), so the r13 driver-side fallback handles it; this entry
+    // FORCES the distributed phase-2 pass (localThreshold = 0) to show
+    // it still engages and completes at 11M-pair scale
+    t("louvain_l2_10x_hub_dist") { SpatialOps.colocationLouvainL2(pairsHub, rounds = 4,
+      rounds2 = 4, localThreshold = 0L).count() }
     t("connectivity_1x") { SpatialOps.louvainConnectivity(pairs1, rounds = 4).count() }
     t("connectivity_10x_hub") { SpatialOps.louvainConnectivity(pairsHub, rounds = 4).count() }
     t("kcore_1x") { SpatialOps.kCoreHistogram(pairs1, rounds = 3).count() }

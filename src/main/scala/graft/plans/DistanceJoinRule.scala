@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *
   * {{{ a.join(b, haversine_m(a.lon, a.lat, b.lon, b.lat) <= lit(r)) }}}
   *
-  * — hands Spark a join with no equi-keys, which plans as
+  * — or its projected-CRS twin over
+  * [[graft.functions.GeoFunctions.euclideanMeters]] (the composed
+  * `sqrt((x₁−x₂)² + (y₁−y₂)²)` column, matched structurally) —
+  * hands Spark a join with no equi-keys, which plans as
   * BroadcastNestedLoopJoin or CartesianProduct: O(|a|·|b|) kernel
   * evaluations, the exact quadratic blow-up that kills a 100 TB run.
   * Every hand-written operator in this repo avoids it with integer
@@ -79,6 +82,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *    joins exactly across the seam with no raise and no double count
   *    (one band id per row; the mod-N neighbor explode matches it
   *    exactly once).
+  *  - PLANAR: projected coordinates are unbounded with no seam and no
+  *    latitude dependence, so both axes band with plain floor bands of
+  *    width rEff = r·(1+1e-9) + 1e-6 m (covering sqrt/sum rounding and
+  *    per-coordinate absolute error at 1e7-m coordinates) — exact
+  *    everywhere, no envelope guard at all.
   *  - NULL / NaN coordinates band to null / garbage and are rejected
   *    by the residual predicate exactly as the un-rewritten join
   *    rejects them (haversine is null-intolerant; NaN compares false)
@@ -161,16 +169,72 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** The distance conjunct: haversine_m(...) compared ≤/< to a positive
-    * double literal, either operand order.
+  /** The two distance forms the rule recognizes. */
+  private sealed trait DistCase {
+    def x1: Expression; def y1: Expression; def x2: Expression; def y2: Expression
+    def children: Seq[Expression] = Seq(x1, y1, x2, y2)
+  }
+  /** The spherical kernel: a [[HaversineDistance]] Catalyst node. */
+  private case class Spherical(h: HaversineDistance) extends DistCase {
+    def x1 = h.lon1; def y1 = h.lat1; def x2 = h.lon2; def y2 = h.lat2
+  }
+  /** The planar kernel: the composed `sqrt((x1−x2)² + (y1−y2)²)` column
+    * [[graft.functions.GeoFunctions.euclideanMeters]] builds for
+    * projected CRSs (matched structurally, with or without its
+    * null-guard CASE WHEN wrapper) — the other half of the reference's
+    * planar/geographic distance dispatch, and the same accidental
+    * BNLJ/cartesian trap when used as a join predicate.
     */
-  private def radiusConjunct(e: Expression): Option[(HaversineDistance, Double)] = e match {
-    case LessThanOrEqual(h: HaversineDistance, Literal(r: Double, DoubleType)) => Some((h, r))
-    case LessThan(h: HaversineDistance, Literal(r: Double, DoubleType)) => Some((h, r))
-    case GreaterThanOrEqual(Literal(r: Double, DoubleType), h: HaversineDistance) => Some((h, r))
-    case GreaterThan(Literal(r: Double, DoubleType), h: HaversineDistance) => Some((h, r))
+  private case class Planar(x1: Expression, y1: Expression,
+                            x2: Expression, y2: Expression) extends DistCase
+
+  private def distCase(e: Expression): Option[DistCase] = e match {
+    case h: HaversineDistance => Some(Spherical(h))
+    // euclideanMeters wraps the sqrt in when(all coords not null, ...)
+    // with no else branch — unwrap it (the residual keeps the original
+    // null semantics; banding only needs the coordinate expressions)
+    case CaseWhen(Seq((_, inner)), None) => planarSqrt(inner)
+    case other => planarSqrt(other)
+  }
+
+  private def planarSqrt(e: Expression): Option[DistCase] = e match {
+    case Sqrt(Add(Multiply(dx1, dx2, _), Multiply(dy1, dy2, _), _))
+        if dx1.semanticEquals(dx2) && dy1.semanticEquals(dy2) =>
+      (dx1, dy1) match {
+        case (Subtract(x1, x2, _), Subtract(y1, y2, _)) => Some(Planar(x1, y1, x2, y2))
+        case _ => None
+      }
     case _ => None
   }
+
+  /** The distance conjunct: a recognized distance form compared ≤/< to
+    * a positive double literal, either operand order. Also unwraps the
+    * guarded form `CASE WHEN g THEN dist ≤ r ELSE false/null END` that
+    * PushFoldableIntoBranches produces from euclideanMeters' null-guard
+    * wrapper — the guard only ever REMOVES matches, so banding on the
+    * inner distance stays lossless (the whole CASE stays the residual).
+    */
+  private def radiusConjunct(e: Expression): Option[(DistCase, Double)] = e match {
+    case LessThanOrEqual(d, Literal(r: Double, DoubleType)) => distCase(d).map((_, r))
+    case LessThan(d, Literal(r: Double, DoubleType)) => distCase(d).map((_, r))
+    case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) => distCase(d).map((_, r))
+    case GreaterThan(Literal(r: Double, DoubleType), d) => distCase(d).map((_, r))
+    case CaseWhen(Seq((_, inner)), elseOpt)
+        if elseOpt.forall(el => el == Literal(false) || el == Literal(null, BooleanType)) =>
+      radiusConjunct(inner)
+    case _ => None
+  }
+
+  /** How the x axis is banded: wrapped mod-N longitude bands (the
+    * spherical case), plain unbounded bands (the planar case — no
+    * envelope, no seam, exact everywhere), or a single global band
+    * (huge spherical radii, where mod-3 neighbor explodes would
+    * collide).
+    */
+  private sealed trait XBanding
+  private case class WrappedX(n: Long, cap: Double) extends XBanding
+  private case class PlainX(w: Double) extends XBanding
+  private case object NoX extends XBanding
 
   private def rewrite(j: Join, cond: Expression, cap: Double,
                       maxPairs: Double, spread: Int): Option[LogicalPlan] = {
@@ -185,11 +249,11 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (hasEqui) return None
     conjuncts.iterator.flatMap(radiusConjunct).collectFirst {
-      case (h, r) if r > 0 && java.lang.Double.isFinite(r) &&
-        h.children.forall(_.deterministic) => (h, r)
-    }.flatMap { case (h, r) =>
+      case (d, r) if r > 0 && java.lang.Double.isFinite(r) &&
+        d.children.forall(_.deterministic) => (d, r)
+    }.flatMap { case (d, r) =>
       // assign the two points to the join's sides (either order)
-      val (lo1, la1, lo2, la2) = (h.lon1, h.lat1, h.lon2, h.lat2)
+      val (lo1, la1, lo2, la2) = (d.x1, d.y1, d.x2, d.y2)
       val p1Left = canEvaluate(lo1, j.left) && canEvaluate(la1, j.left)
       val p1Right = canEvaluate(lo1, j.right) && canEvaluate(la1, j.right)
       val p2Left = canEvaluate(lo2, j.left) && canEvaluate(la2, j.left)
@@ -199,34 +263,45 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         else if (p2Left && p1Right) Some(((lo2, la2), (lo1, la1)))
         else None
       sides.map { case ((loL, laL), (loR, laR)) =>
-        // band on an INFLATED radius: the residual predicate keeps pairs
-        // whose COMPUTED haversine_m is <= r, and the acos kernel's
-        // absolute error near its argmax is ~c·R²·eps/d meters (the
-        // 1/sqrt(1-x²) derivative at x ≈ 1) — ~0.2 mm at 100 m but
-        // ~2 cm at 1 m, far above a 1e-12 relative pad. Bands derived
-        // from rEff = r + 8·R²·eps/r cover every pair the kernel can
-        // round INTO the radius, so the rewrite is lossless w.r.t. the
-        // exact residual it keeps (the inflation only widens candidate
-        // bands; it never changes results).
-        val rEff = r + 8.0 * EarthR * EarthR * 2.3e-16 / r
-        val wLat = math.toDegrees(rEff / EarthR) * (1 + 1e-12)
-        val sinHalf = math.sin(rEff / (2 * EarthR)) / math.cos(math.toRadians(cap))
-        // Number of WRAPPED longitude bands: N bands of width 360/N ≥
-        // wLon cut the full circle, so the seam is a band edge like any
-        // other. N < 3 (radius so large the circle fits in under three
-        // bands — the mod-N neighbor explode would collide and double-
-        // count) degrades to one global lon band: no lon key, no guard,
-        // exact at every latitude and longitude at worst-case candidate
-        // volume.
-        val nLon: Long =
-          if (sinHalf >= 1.0) 1L
-          else {
-            val wLonRaw = math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
-            math.floor(360.0 / wLonRaw).toLong
-          }
+        // band on an INFLATED radius — the residual predicate keeps
+        // pairs whose COMPUTED distance is <= r, and the kernel can
+        // round a true distance slightly above r down INTO the radius:
+        //  - spherical: the acos kernel's absolute error near its
+        //    argmax is ~c·R²·eps/d meters (the 1/sqrt(1−x²) derivative
+        //    at x ≈ 1) — ~0.2 mm at 100 m but ~2 cm at 1 m, far above
+        //    a 1e-12 relative pad → rEff = r + 8·R²·eps/r;
+        //  - planar: sqrt/sum rounding is ~3 eps relative plus ~eps
+        //    absolute per coordinate (≤ ~2e-9 m at 1e7-m projected
+        //    coordinates) → a 1e-9 relative + 1e-6-m absolute pad.
+        // Bands derived from rEff cover every pair the kernel can
+        // round in, so the rewrite is lossless w.r.t. the exact
+        // residual it keeps (inflation only widens candidate bands).
+        val (xb, wLat) = d match {
+          case Spherical(_) =>
+            val rEff = r + 8.0 * EarthR * EarthR * 2.3e-16 / r
+            val wy = math.toDegrees(rEff / EarthR) * (1 + 1e-12)
+            val sinHalf = math.sin(rEff / (2 * EarthR)) / math.cos(math.toRadians(cap))
+            // Number of WRAPPED longitude bands: N bands of width
+            // 360/N ≥ wLon cut the full circle, so the seam is a band
+            // edge like any other. N < 3 (radius so large the circle
+            // fits in under three bands — the mod-N neighbor explode
+            // would collide and double-count) degrades to one global
+            // lon band: no lon key, no guard, exact at every latitude
+            // and longitude at worst-case candidate volume.
+            val nLon: Long =
+              if (sinHalf >= 1.0) 1L
+              else {
+                val wLonRaw = math.toDegrees(2 * math.asin(sinHalf)) * (1 + 1e-9)
+                math.floor(360.0 / wLonRaw).toLong
+              }
+            (if (nLon >= 3L) WrappedX(nLon, cap) else NoX, wy)
+          case Planar(_, _, _, _) =>
+            val rEff = r * (1 + 1e-9) + 1e-6
+            (PlainX(rEff), rEff)
+        }
 
-        val left = bandedSide(j.left, loL, laL, nLon, wLat, cap, spread, isLeft = true)
-        val right = bandedSide(j.right, loR, laR, nLon, wLat, cap, spread, isLeft = false)
+        val left = bandedSide(j.left, loL, laL, xb, wLat, spread, isLeft = true)
+        val right = bandedSide(j.right, loR, laR, xb, wLat, spread, isLeft = false)
         val eqs: Seq[Expression] =
           left.lonKey.zip(right.lonKey).map { case (a, b) => EqualTo(a, b) }.toSeq ++
             Seq(EqualTo(left.latKey, right.latKey)) ++
@@ -271,26 +346,31 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     * to the residual predicate.
     */
   private def bandedSide(side: LogicalPlan, lon: Expression, lat: Expression,
-                         nLon: Long, wLat: Double, cap: Double,
+                         xb: XBanding, wLat: Double,
                          spread: Int, isLeft: Boolean): BandedSide = {
-    val wrapLon = nLon >= 3L
     val byA = Alias(Floor(Divide(lat, Literal(wLat))), s"${BandPrefix}_by")()
-    val bxA: Option[Alias] = if (!wrapLon) None else {
-      val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
-        LessThanOrEqual(Abs(lat), Literal(cap)))
-      val lonOk = Or(Or(IsNull(lon), IsNaN(lon)),
-        LessThanOrEqual(Abs(lon), Literal(180.0)))
-      val raise: Expression = RaiseError(
-        Literal("USER_RAISED_EXCEPTION"),
-        CreateMap(Seq(Literal("errorMessage"), Literal(
-          s"graft.BandedDistanceJoin: coordinate outside the declared envelope " +
-            s"(|lat| <= $cap deg from $MaxAbsLatKey, |lon| <= 180 deg) — the derived " +
-            s"longitude band width does not cover the join radius there; raise " +
-            s"$MaxAbsLatKey, band manually, or disable the rewrite via $EnabledKey=false"))),
-        LongType)
-      val w = 360.0 / nLon
-      val band = Pmod(Floor(Divide(Add(lon, Literal(180.0)), Literal(w))), Literal(nLon))
-      Some(Alias(If(And(latOk, lonOk), band, raise), s"${BandPrefix}_bx")())
+    val bxA: Option[Alias] = xb match {
+      case NoX => None
+      case PlainX(w) =>
+        // planar: unbounded axis, no envelope, no seam — a plain floor
+        // band is exact everywhere
+        Some(Alias(Floor(Divide(lon, Literal(w))), s"${BandPrefix}_bx")())
+      case WrappedX(nLon, cap) =>
+        val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
+          LessThanOrEqual(Abs(lat), Literal(cap)))
+        val lonOk = Or(Or(IsNull(lon), IsNaN(lon)),
+          LessThanOrEqual(Abs(lon), Literal(180.0)))
+        val raise: Expression = RaiseError(
+          Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"), Literal(
+            s"graft.BandedDistanceJoin: coordinate outside the declared envelope " +
+              s"(|lat| <= $cap deg from $MaxAbsLatKey, |lon| <= 180 deg) — the derived " +
+              s"longitude band width does not cover the join radius there; raise " +
+              s"$MaxAbsLatKey, band manually, or disable the rewrite via $EnabledKey=false"))),
+          LongType)
+        val w = 360.0 / nLon
+        val band = Pmod(Floor(Divide(Add(lon, Literal(180.0)), Literal(w))), Literal(nLon))
+        Some(Alias(If(And(latOk, lonOk), band, raise), s"${BandPrefix}_bx")())
     }
     // the right side's tile id is a deterministic hash of the raw
     // coordinates — one tile per physical row, so a pair still matches
@@ -314,9 +394,13 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
       if (isLeft) {
         val lk = bxA.map { a =>
           val b = a.toAttribute
-          val n = Literal(nLon)
-          explode(Seq(Pmod(Subtract(b, one), n), b, Pmod(Add(b, one), n)),
-            s"${BandPrefix}_bxe")
+          val neighbors = xb match {
+            case WrappedX(nLon, _) =>
+              val n = Literal(nLon)
+              Seq(Pmod(Subtract(b, one), n), b, Pmod(Add(b, one), n))
+            case _ => Seq(Subtract(b, one), b, Add(b, one))
+          }
+          explode(neighbors, s"${BandPrefix}_bxe")
         }
         (lk, byA.toAttribute)
       } else {

@@ -211,6 +211,52 @@ class DistanceJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
   }
 
+  test("the planar euclidean join gets the same banding: exact, no BNLJ, any quadrant") {
+    // projected-CRS coordinates in meters, straddling 0 on both axes so
+    // negative-floor banding is exercised; spacing of the same order as
+    // the 150 m radius
+    val rnd = new scala.util.Random(31)
+    def cloudXY(n: Int, off: Long): Seq[(Long, java.lang.Double, java.lang.Double)] =
+      (0 until n).map { i =>
+        (off + i, Double.box((rnd.nextDouble() - 0.5) * 2000.0),
+          Double.box((rnd.nextDouble() - 0.5) * 1000.0))
+      }
+    val a = pts(cloudXY(120, 0L))
+    val b = pts(cloudXY(140, 1000L))
+    def planarJoin(r: Double) = a.join(b,
+        GeoFunctions.euclideanMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(r))
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+    // brute force with the rule disabled (the composed planar kernel IS
+    // the matched pattern, so the un-killed crossJoin+filter would be
+    // rewritten too)
+    spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+    val expected =
+      try planarJoin(150.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+    assert(expected.nonEmpty, "fixture must produce matches")
+
+    val joined = planarJoin(150.0)
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "each qualifying pair exactly once")
+    assert(got.toSet === expected)
+  }
+
+  test("planar nulls flow through as non-matches and high 'latitudes' need no envelope") {
+    // projected y far beyond 66 — the spherical envelope must NOT apply
+    // to the planar form
+    val a = pts(Seq((1L, Double.box(500000.0), Double.box(7800000.0)),
+      (2L, Double.box(500000.0), null)))
+    val b = pts(Seq((3L, Double.box(500080.0), Double.box(7800000.0))))
+    val got = a.join(b,
+        GeoFunctions.euclideanMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(100.0))
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L)))
+  }
+
   test("null coordinates flow through as non-matches, never errors") {
     val a = pts(Seq((1L, Double.box(8.5), null), (2L, Double.box(8.5), Double.box(47.4))))
     val b = pts(Seq((3L, Double.box(8.5), Double.box(47.4))))

@@ -580,7 +580,16 @@ object Replay {
                  chunks: Int = 8): DataFrame = {
     val spark = intervals.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+    val runner = runnerSession(spark)
+    // unlike the windowed-agg replays (whose late-DROP set moves with
+    // this conf — see heavyHitters), the symmetric-hash INNER join
+    // emits eagerly on match and an in-order feed is never late, so the
+    // no-data micro-batch after each drained chunk only evicts state:
+    // output-neutral here, and skipping it halves the per-chunk commits
+    // of the priciest replay gate (isolated: the runner is a per-call
+    // clone; oracle-checked identical)
+    runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    implicit val sqlCtx: SQLContext = runner.sqlContext
 
     val rows = intervals
       .select(col("user_id").cast("long"), col("s_us").cast("long"), col("f_us").cast("long"),

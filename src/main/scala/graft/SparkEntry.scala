@@ -2379,6 +2379,25 @@ object SparkEntry {
       a.join(b, d <= lit(100.0))
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "spatial_join_planar" -> { (s, dir) =>
+      // the projected-CRS twin of spatial_join_auto: a naive euclidean
+      // join over pseudo-projected meter coordinates — the composed
+      // sqrt kernel is BandedDistanceJoin's structural match, so this
+      // plans as a plain-floor-banded hash join (no envelope, no seam;
+      // PlanLintSpec lints it). sqrt/mul/add are IEEE on both engines,
+      // so floor(dist) hashes exactly against DuckDB.
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 3)
+        .select(col("id").as("id_1"),
+          (col("lon") * lit(111320.0)).as("x1"), (col("lat") * lit(110540.0)).as("y1"))
+      val b = pfs.filter(col("user_id") % 16 === 4)
+        .select(col("id").as("id_2"),
+          (col("lon") * lit(111320.0)).as("x2"), (col("lat") * lit(110540.0)).as("y2"))
+      val d = graft.functions.GeoFunctions.euclideanMeters(
+        col("x1"), col("y1"), col("x2"), col("y2"))
+      a.join(b, d <= lit(100.0))
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "linestring_length" -> { (s, dir) =>
       import graft.functions.GeoFunctions
       EventsAdapter.positionfixes(s, dir)
@@ -4355,6 +4374,16 @@ object SparkEntry {
          |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM a, b
          |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
+    "spatial_join_planar" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon * 111320.0 AS x, lat * 110540.0 AS y
+         |       FROM pfs WHERE user_id % 16 = 3),
+         | b AS (SELECT id, lon * 111320.0 AS x, lat * 110540.0 AS y
+         |       FROM pfs WHERE user_id % 16 = 4)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CAST(floor(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))) AS BIGINT) AS dist_m
+         |FROM a, b
+         |WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 100.0""".stripMargin,
     "linestring_length" ->
       s"""${EventsAdapter.pfsSql}, segs AS (
          |  SELECT user_id, k // 12 AS block,

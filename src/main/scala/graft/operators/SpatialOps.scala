@@ -1381,15 +1381,37 @@ object SpatialOps {
     * every diagnostic reads it.
     */
   def louvainLabels(pairs: DataFrame, rounds: Int = 4,
-                    share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                    share: DataFrame => DataFrame = Share.materialize,
+                    localThreshold: Long = 4000000L): DataFrame = {
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
-    val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
-    val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
-    louvainPass(edges, deg, totalW, rounds, share)
+    // SMALL-GRAPH FALLBACK (the same duplicateClusters pattern the
+    // phase-2 pass uses): the 4-round distributed pass costs ~8-10 s of
+    // per-round join/checkpoint latency on the sf0.1 contact graph
+    // (1500 nodes, 1.1M pairs) — work [[louvainPassLocal]] finishes in
+    // milliseconds, bit-identically (same schedule, same BigInt gains,
+    // same tie-breaks; spec-pinned). One cheap count on the
+    // checkpointed pair table gates the collect; ~4M pairs ≈ 200 MB of
+    // driver tuples is the ceiling. Beyond it the distributed pass
+    // runs unchanged (GraphProbe: engages and completes at 11M pairs).
+    val nPairs = p.count()
+    if (nPairs <= localThreshold) {
+      val undirected = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val universe = undirected.iterator
+        .flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+      val w = undirected.iterator.map(_._3).sum
+      pairs.sparkSession
+        .createDataFrame(
+          louvainPassLocal(undirected, universe, Map.empty, w, rounds).toSeq)
+        .toDF("n", "c")
+    } else {
+      val edges = share(p
+        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+          col("n_meetings").as("w"))))
+      val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
+      val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
+      louvainPass(edges, deg, totalW, rounds, share)
+    }
   }
 
   /** The semi-synchronous modularity-gain label loop shared by

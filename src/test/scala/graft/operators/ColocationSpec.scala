@@ -282,6 +282,25 @@ class ColocationSpec extends SparkSpec {
     assert(qExp > q1c)
   }
 
+  test("Louvain level 1: driver-side small-graph pass is bit-identical to the distributed pass") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L to 11L).map(i => (i, i + 1, 1L)),
+      Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+        (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+        (3L, 4L, 9L), (7L, 8L, 1000L)),
+      (1L to 24L).flatMap(i => Seq((i, i % 24 + 1, 2L), (i, (i + 7) % 24 + 1, 1L))),
+    )
+    for ((fx, i) <- fixtures.zipWithIndex) {
+      val pairs = fx.toDF("user_a", "user_b", "n_meetings")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      val local = rows(SpatialOps.louvainLabels(pairs, rounds = 3))
+      val dist = rows(SpatialOps.louvainLabels(pairs, rounds = 3, localThreshold = 0L))
+      assert(local.toSeq == dist.toSeq, s"fixture $i: local != distributed")
+    }
+  }
+
   test("Louvain level 2: driver-side small-graph pass is bit-identical to the distributed pass") {
     import spark.implicits._
     // the local fallback must be an EXACT replica (same schedule, same

@@ -27,6 +27,43 @@ class DistanceJoinPropertySpec extends SparkSpec {
       spark.sparkContext.parallelize(rows.map { case (i, lo, la) => Row(i, lo, la) }, 3),
       schema)
 
+  test("planar random trials: banded euclidean join == sequential brute force, each pair once") {
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(7000 + trial)
+      // projected-CRS meters anywhere on a continent-scale plane,
+      // radii spanning ~1 m .. ~100 km, every 4th point planted on a
+      // band-width multiple (the ±1-neighbor coverage edge)
+      val baseX = (rnd.nextDouble() - 0.5) * 2e7
+      val baseY = (rnd.nextDouble() - 0.5) * 2e7
+      val radius = math.pow(10.0, rnd.nextDouble() * 5.0)
+      val w = radius * (1 + 1e-9) + 1e-6
+      def cloud(n: Int, offset: Long): Seq[(Long, Double, Double)] =
+        (0 until n).map { i =>
+          val x0 = baseX + (rnd.nextDouble() - 0.5) * radius * 3.0
+          val x = if (i % 4 == 0) math.floor(x0 / w) * w else x0
+          (offset + i, x, baseY + (rnd.nextDouble() - 0.5) * radius * 3.0)
+        }
+      val aRows = cloud(40, 0L)
+      val bRows = cloud(40, 1000L)
+      val expected = (for {
+        (ia, xa, ya) <- aRows; (ib, xb, yb) <- bRows
+        if GeoFunctions.euclideanMeters(xa, ya, xb, yb) <= radius
+      } yield (ia, ib)).toSet
+
+      val joined = df(aRows).as("a").join(df(bRows).as("b"),
+          GeoFunctions.euclideanMeters(col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+            <= lit(radius))
+        .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band"), s"trial $trial: planar rule did not fire\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"trial $trial: duplicate pairs emitted")
+      assert(got.toSet == expected,
+        s"trial $trial (x=$baseX y=$baseY r=$radius): " +
+          s"missing=${(expected -- got.toSet).take(5)} extra=${(got.toSet -- expected).take(5)}")
+    }
+  }
+
   test("random trials: banded join == sequential brute force, each pair once") {
     for (trial <- 1 to 8) {
       val rnd = new scala.util.Random(1000 + trial)

@@ -257,6 +257,22 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(got === Set((1L, 3L)))
   }
 
+  test("a SELF-join through aliases bands like any two-table join") {
+    val rows = cloud(150, seed = 41)
+    val a = pts(rows)
+    val joined = a.as("x").join(a.as("y"),
+        call_function("haversine_m",
+          col("x.lon"), col("x.lat"), col("y.lon"), col("y.lat")) <= lit(100.0))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"))
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size)
+    val expectedAll = brute(a, a, 100.0).filter { case (i, j) => i < j }
+    assert(got.toSet === expectedAll)
+  }
+
   test("null coordinates flow through as non-matches, never errors") {
     val a = pts(Seq((1L, Double.box(8.5), null), (2L, Double.box(8.5), Double.box(47.4))))
     val b = pts(Seq((3L, Double.box(8.5), Double.box(47.4))))

@@ -1579,9 +1579,15 @@ object SpatialOps {
       .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
         col("n_meetings").as("w"))))
     lazy val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
-    // provided labels are a caller-stabilized table (the pipeline memo
-    // is persisted) — re-checkpointing them is a wasted job per call
-    val l1 = labels.getOrElse(share(louvainLabels(pairs, rounds, share)))
+    // provided PERSISTED labels (the pipeline memo) are used as-is —
+    // re-checkpointing them is a wasted job per call — but an
+    // unpersisted labels frame is share()'d: the local path below reads
+    // l1 in three separate actions, so an uncached (worse,
+    // nondeterministic) lineage would recompute per action and could
+    // diverge between them
+    val l1 = labels
+      .map(df => if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) share(df) else df)
+      .getOrElse(share(louvainLabels(pairs, rounds, share)))
 
     // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
     // level-1 WINNER labels (a sparse, structurally biased id space);

@@ -316,7 +316,17 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
           else {
             val keys = left.lonKey.toSeq ++ Seq(left.latKey) ++ left.tileKey.toSeq ++
               Seq(right.latKey)
-            Seq(PairBudgetGuard(keys, maxPairs.toLong,
+            // the per-task ceiling scales with spreadFactor — a user who
+            // tiles a hot cell has accepted T× replication, and AQE may
+            // still coalesce byte-small tiles into one task, so a fixed
+            // 4× cap would re-raise on a correctly tiled join and point
+            // at the hint the user already followed. Saturating multiply:
+            // a huge maxPairsPerTask must disable, not wrap negative.
+            val budget = maxPairs.toLong
+            val taskBudget =
+              if (budget > Long.MaxValue / (4L * spread)) Long.MaxValue
+              else 4L * spread * budget
+            Seq(PairBudgetGuard(keys, budget, taskBudget,
               s"graft.BandedDistanceJoin: hot band-cell — a single band cell evaluated more " +
                 s"than $MaxPairsPerTaskKey=${maxPairs.toLong} candidate pairs in one task. " +
                 s"The data is too packed for plain banding at this radius; set " +
@@ -436,9 +446,12 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
   * in DistanceJoinRuleSpec's tiling test). Under a broadcast hash
   * join the stream side interleaves runs and the run counter degrades
   * to bounding one probe's match list, so a SECOND counter caps the
-  * per-task TOTAL at 4× the run budget — loose enough that legitimate
-  * AQE-coalesced tile groups pass, tight enough that an interleaved
-  * quadratic still raises within minutes, never hangs.
+  * per-task TOTAL at 4× the run budget × spreadFactor (a tiling user
+  * accepted T× replication, and AQE may coalesce byte-small tiles into
+  * one task — a fixed cap would re-raise on a correctly tiled join) —
+  * loose enough that legitimate coalesced tile groups pass, tight
+  * enough that an interleaved quadratic still raises within minutes,
+  * never hangs.
   *
   * `keys` are the band/tile key attributes from BOTH join sides, so no
   * pushdown rule can move the conjunct below the join. Codegen keeps
@@ -447,7 +460,8 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
   * interpreted fallback additionally keys off the task-attempt id
   * since expression instances there can outlive a task.
   */
-case class PairBudgetGuard(keys: Seq[Expression], budget: Long, message: String)
+case class PairBudgetGuard(keys: Seq[Expression], budget: Long, taskBudget: Long,
+                           message: String)
   extends Expression {
   override def children: Seq[Expression] = keys
   override def dataType: DataType = BooleanType
@@ -482,7 +496,7 @@ case class PairBudgetGuard(keys: Seq[Expression], budget: Long, message: String)
     if (changed) { inRun = true; count = 0L }
     count += 1L
     taskCount += 1L
-    if (count > budget || taskCount > 4L * budget) throw new RuntimeException(message)
+    if (count > budget || taskCount > taskBudget) throw new RuntimeException(message)
     true
   }
 
@@ -507,7 +521,7 @@ case class PairBudgetGuard(keys: Seq[Expression], budget: Long, message: String)
         |if ($changed) { $inRunV = true; $cnt = 0L; }
         |$cnt += 1L;
         |$taskCnt += 1L;
-        |if ($cnt > ${budget}L || $taskCnt > ${4L * budget}L) { throw new RuntimeException($msg); }
+        |if ($cnt > ${budget}L || $taskCnt > ${taskBudget}L) { throw new RuntimeException($msg); }
         |""".stripMargin,
       isNull = FalseLiteral,
       value = TrueLiteral)

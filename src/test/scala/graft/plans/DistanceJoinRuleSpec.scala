@@ -257,6 +257,18 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(got === Set((1L, 3L)))
   }
 
+  test("a huge maxPairsPerTask disables the budget without overflowing") {
+    // 9e18 ~ Long.MaxValue: the 4x-spread task cap must saturate, not
+    // wrap negative and raise on the first candidate pair
+    val a = pts(cloud(40, seed = 51))
+    val b = pts(cloud(40, seed = 52).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    spark.conf.set(BandedDistanceJoin.MaxPairsPerTaskKey, "9000000000000000000")
+    try {
+      val got = naive(a, b, 150.0).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === brute(a, b, 150.0))
+    } finally spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
+  }
+
   test("a SELF-join through aliases bands like any two-table join") {
     val rows = cloud(150, seed = 41)
     val a = pts(rows)

@@ -333,8 +333,16 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
                 s"$SpreadFactorKey (currently $spread) to tile hot cells across tasks, " +
                 s"raise $MaxPairsPerTaskKey, or disable the rewrite via $EnabledKey=false"))
           }
+        // the guard rides as the CONDITION of an If around the residual,
+        // not as a sibling conjunct: And-conjuncts get split, reordered
+        // (nondeterministic ones last) and short-circuited, which would
+        // count only KERNEL-PASSING pairs instead of every candidate —
+        // an If's predicate always evaluates first and never splits.
+        // If(guard, cond, false) ≡ cond, since guard is `true` or throws.
+        val residual = guard.headOption
+          .map(g => If(g, cond, Literal(false))).getOrElse(cond)
         val newJoin = Join(left.plan, right.plan, j.joinType,
-          Some((eqs ++ guard :+ cond).reduceLeft(And)), j.hint)
+          Some((eqs :+ residual).reduceLeft(And)), j.hint)
         Project(j.output, newJoin)
       }
     }
@@ -467,6 +475,14 @@ case class PairBudgetGuard(keys: Seq[Expression], budget: Long, taskBudget: Long
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def foldable: Boolean = false
+  // DELIBERATELY nondeterministic (it is — the value is constant but
+  // the throw depends on task-local state): a deterministic guard gets
+  // SUBSTITUTED through the band equalities by InferFiltersFromConstraints
+  // into a single-side copy that is then pushed below the join as a
+  // per-ROW scan filter — which both double-counts and can raise
+  // spuriously on any scan task with more rows than the task budget
+  // (caught by the round-13 explain audit of spatial_join_planar).
+  override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_pair_budget"
 
   @transient private[this] var lastTask: Long = Long.MinValue

@@ -2379,6 +2379,26 @@ object SparkEntry {
       a.join(b, d <= lit(100.0))
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "spatial_join_seam" -> { (s, dir) =>
+      // the ANTIMERIDIAN path of the banded rewrite under continuous
+      // oracle coverage: shift the pfs cloud onto the +-180 seam (the
+      // same shift-and-wrap arithmetic in the DuckDB oracle — haversine
+      // is periodic in lon, so the wrapped pairs are the physical ones)
+      // and let the rule band them mod N; pairs whose raw lon difference
+      // is ~360 deg must join exactly once
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      def wrapLon(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val shifted = c + lit(171.5)
+        when(shifted > 180.0, shifted - 360.0).otherwise(shifted)
+      }
+      val a = pfs.filter(col("user_id") % 16 === 5)
+        .select(col("id").as("id_1"), wrapLon(col("lon")).as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 6)
+        .select(col("id").as("id_2"), wrapLon(col("lon")).as("lon2"), col("lat").as("lat2"))
+      val d = call_function("haversine_m", col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(100.0))
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "spatial_join_planar" -> { (s, dir) =>
       // the projected-CRS twin of spatial_join_auto: a naive euclidean
       // join over pseudo-projected meter coordinates — the composed
@@ -4370,6 +4390,18 @@ object SparkEntry {
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 1),
          | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 2)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
+         |FROM a, b
+         |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
+    "spatial_join_seam" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0
+         |                       ELSE lon + 171.5 END AS lon, lat
+         |       FROM pfs WHERE user_id % 16 = 5),
+         | b AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0
+         |                       ELSE lon + 171.5 END AS lon, lat
+         |       FROM pfs WHERE user_id % 16 = 6)
          |SELECT a.id AS id_1, b.id AS id_2,
          |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM a, b

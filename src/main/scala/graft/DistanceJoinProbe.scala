@@ -50,6 +50,21 @@ object DistanceJoinProbe {
             .queryExecution.toRdd.count()
         }
     }
+    // the Scala-API route (GeoFunctions.haversineMeters — the composed
+    // acos/cos kernel the rule matches structurally since r14): must
+    // clock like the native-node route above, since it bands to the
+    // same plan (the residual evaluates the composed kernel instead of
+    // the fused static call; both are whole-stage codegen)
+    locally {
+      val a = cloud(100000L, math.sqrt(2.0), 1L); val b = cloud(100000L, math.sqrt(2.0), 7L)
+      for (run <- 1 to 2)
+        t(s"banded_scala_api_n100000_r$run") {
+          a.as("a").join(b.as("b"),
+              graft.functions.GeoFunctions.haversineMeters(
+                col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat")) <= lit(100.0))
+            .queryExecution.toRdd.count()
+        }
+    }
     // densifying regime at one size, for the quadratic-pair baseline
     val a = cloud(100000L, 1.0, 1L); val b = cloud(100000L, 1.0, 7L)
     t("banded_fixed_area_n100000") {

@@ -2379,6 +2379,23 @@ object SparkEntry {
       a.join(b, d <= lit(100.0))
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "spatial_join_scala_api" -> { (s, dir) =>
+      // the SAME naive radius join written through the library's own
+      // Scala API (GeoFunctions.haversineMeters — the composed acos/cos
+      // column, NOT the registered haversine_m node): r13's verdict
+      // found this exact formulation silently planned BNLJ; since r14
+      // BandedDistanceJoin structurally matches the composed kernel, so
+      // this plans as the identical banded hash join (PlanLint-pinned)
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 7)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 8)
+        .select(col("id").as("id_2"), col("lon").as("lon2"), col("lat").as("lat2"))
+      val d = graft.functions.GeoFunctions.haversineMeters(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(100.0))
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "spatial_join_seam" -> { (s, dir) =>
       // the ANTIMERIDIAN path of the banded rewrite under continuous
       // oracle coverage: shift the pfs cloud onto the +-180 seam (the
@@ -4390,6 +4407,14 @@ object SparkEntry {
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 1),
          | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 2)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
+         |FROM a, b
+         |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
+    "spatial_join_scala_api" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 7),
+         | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 8)
          |SELECT a.id AS id_1, b.id AS id_2,
          |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM a, b

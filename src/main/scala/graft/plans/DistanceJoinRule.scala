@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *
   * {{{ a.join(b, haversine_m(a.lon, a.lat, b.lon, b.lat) <= lit(r)) }}}
   *
-  * — or its projected-CRS twin over
+  * — or the same join through the library's Scala API
+  * [[graft.functions.GeoFunctions.haversineMeters]] (the composed
+  * acos/cos spherical-law-of-cosines column, matched structurally),
+  * or its projected-CRS twin over
   * [[graft.functions.GeoFunctions.euclideanMeters]] (the composed
   * `sqrt((x₁−x₂)² + (y₁−y₂)²)` column, matched structurally) —
   * hands Spark a join with no equi-keys, which plans as
@@ -82,11 +85,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *    joins exactly across the seam with no raise and no double count
   *    (one band id per row; the mod-N neighbor explode matches it
   *    exactly once).
-  *  - PLANAR: projected coordinates are unbounded with no seam and no
-  *    latitude dependence, so both axes band with plain floor bands of
-  *    width rEff = r·(1+1e-9) + 1e-6 m (covering sqrt/sum rounding and
-  *    per-coordinate absolute error at 1e7-m coordinates) — exact
-  *    everywhere, no envelope guard at all.
+  *  - PLANAR: projected coordinates have no seam and no latitude
+  *    dependence, so both axes band with plain floor bands of width
+  *    rEff = r·(1+1e-9) + 1e-6 m (covering sqrt/sum rounding and
+  *    per-coordinate absolute error). The 1e-6-m pad dominates
+  *    eps·|coord| only while |coord| stays far below 4.5e9 m, so the
+  *    band id enforces |x|,|y| ≤ 1e8 m per row (45× margin; every
+  *    real projected CRS is ≤ ~2e7 m) and raises beyond it — the same
+  *    exact-or-loud contract as the spherical envelope.
   *  - NULL / NaN coordinates band to null / garbage and are rejected
   *    by the residual predicate exactly as the un-rewritten join
   *    rejects them (haversine is null-intolerant; NaN compares false)
@@ -148,6 +154,13 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BandPrefix = "__graft_band"
   private val EarthR = 6371000.0
+  /** Planar coordinate-magnitude bound (meters): the 1e-6-m absolute
+    * band pad provably covers per-coordinate eps·|coord| rounding only
+    * while |coord| ≪ 1e-6/eps ≈ 4.5e9 m; 1e8 keeps a 45× margin and
+    * still admits every real projected CRS (≤ ~2e7 m). Beyond it the
+    * band id raises — exact-or-loud, matching the spherical envelope.
+    */
+  private val PlanarMaxAbsCoord = 1e8
 
   val EnabledKey = "spark.graft.distanceJoin.enabled"
   val MaxAbsLatKey = "spark.graft.distanceJoin.maxAbsLatDeg"
@@ -174,10 +187,17 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     def x1: Expression; def y1: Expression; def x2: Expression; def y2: Expression
     def children: Seq[Expression] = Seq(x1, y1, x2, y2)
   }
-  /** The spherical kernel: a [[HaversineDistance]] Catalyst node. */
-  private case class Spherical(h: HaversineDistance) extends DistCase {
-    def x1 = h.lon1; def y1 = h.lat1; def x2 = h.lon2; def y2 = h.lat2
-  }
+  /** The spherical kernel — either the native [[HaversineDistance]]
+    * node (the SQL `haversine_m` route) or the composed
+    * spherical-law-of-cosines column
+    * [[graft.functions.GeoFunctions.haversineMeters]] builds:
+    * `R·acos(clamp(cos(φ₁−φ₂) − cosφ₁·cosφ₂·(1 − cos(λ₁−λ₂))))`.
+    * Both are matched so the library's own Scala API bands exactly
+    * like the registered SQL function — the coordinates here are the
+    * DEGREE expressions (ToRadians unwrapped for the composed form).
+    */
+  private case class Spherical(x1: Expression, y1: Expression,
+                               x2: Expression, y2: Expression) extends DistCase
   /** The planar kernel: the composed `sqrt((x1−x2)² + (y1−y2)²)` column
     * [[graft.functions.GeoFunctions.euclideanMeters]] builds for
     * projected CRSs (matched structurally, with or without its
@@ -189,13 +209,17 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
                             x2: Expression, y2: Expression) extends DistCase
 
   private def distCase(e: Expression): Option[DistCase] = e match {
-    case h: HaversineDistance => Some(Spherical(h))
-    // euclideanMeters wraps the sqrt in when(all coords not null, ...)
-    // with no else branch — unwrap it (the residual keeps the original
-    // null semantics; banding only needs the coordinate expressions)
-    case CaseWhen(Seq((_, inner)), None) => planarSqrt(inner)
-    case other => planarSqrt(other)
+    case h: HaversineDistance => Some(Spherical(h.lon1, h.lat1, h.lon2, h.lat2))
+    // euclideanMeters / haversineMeters wrap their kernel in
+    // when(all coords not null, ...) with no else branch — unwrap it
+    // (the residual keeps the original null semantics; banding only
+    // needs the coordinate expressions)
+    case CaseWhen(Seq((_, inner)), None) => kernel(inner)
+    case other => kernel(other)
   }
+
+  private def kernel(e: Expression): Option[DistCase] =
+    planarSqrt(e).orElse(sphericalAcos(e))
 
   private def planarSqrt(e: Expression): Option[DistCase] = e match {
     case Sqrt(Add(Multiply(dx1, dx2, _), Multiply(dy1, dy2, _), _))
@@ -205,6 +229,41 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     case _ => None
+  }
+
+  /** Structurally match the composed spherical column
+    * [[graft.functions.GeoFunctions.haversineMeters]] emits:
+    * `R * acos(least(1, greatest(-1, cos(la1−la2) − cos(la1)·cos(la2)·(1 − cos(lo1−lo2)))))`
+    * with `laᵢ = radians(latᵢ)`, `loᵢ = radians(lonᵢ)` — the Scala-API
+    * twin of the native node, and (pre-r14) the rule's blind spot: a
+    * user writing `a.join(b, GeoFunctions.haversineMeters(...) <= r)`
+    * silently got the BNLJ this rule exists to kill. The [-1,1] clamp
+    * is accepted present or absent (it is value-preserving).
+    */
+  private def sphericalAcos(e: Expression): Option[DistCase] = {
+    def unclamp(a: Expression): Expression = a match {
+      case Least(Seq(Literal(1.0, DoubleType), Greatest(Seq(Literal(-1.0, DoubleType), inner)))) => inner
+      case other => other
+    }
+    def degrees(rad: Expression): Option[Expression] = rad match {
+      case ToRadians(d) => Some(d)
+      case _ => None
+    }
+    e match {
+      case Multiply(Literal(r: Double, DoubleType), Acos(clamped), _) if r == EarthR =>
+        unclamp(clamped) match {
+          case Subtract(Cos(Subtract(laA, laB, _)),
+              Multiply(Multiply(Cos(la1), Cos(la2), _),
+                Subtract(Literal(1.0, DoubleType), Cos(Subtract(lo1, lo2, _)), _), _), _)
+              if laA.semanticEquals(la1) && laB.semanticEquals(la2) =>
+            for {
+              lonD1 <- degrees(lo1); latD1 <- degrees(la1)
+              lonD2 <- degrees(lo2); latD2 <- degrees(la2)
+            } yield Spherical(lonD1, latD1, lonD2, latD2)
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** The distance conjunct: a recognized distance form compared ≤/< to
@@ -277,7 +336,7 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
         // round in, so the rewrite is lossless w.r.t. the exact
         // residual it keeps (inflation only widens candidate bands).
         val (xb, wLat) = d match {
-          case Spherical(_) =>
+          case _: Spherical =>
             val rEff = r + 8.0 * EarthR * EarthR * 2.3e-16 / r
             val wy = math.toDegrees(rEff / EarthR) * (1 + 1e-12)
             val sinHalf = math.sin(rEff / (2 * EarthR)) / math.cos(math.toRadians(cap))
@@ -295,7 +354,7 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
                 math.floor(360.0 / wLonRaw).toLong
               }
             (if (nLon >= 3L) WrappedX(nLon, cap) else NoX, wy)
-          case Planar(_, _, _, _) =>
+          case _: Planar =>
             val rEff = r * (1 + 1e-9) + 1e-6
             (PlainX(rEff), rEff)
         }
@@ -370,9 +429,25 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     val bxA: Option[Alias] = xb match {
       case NoX => None
       case PlainX(w) =>
-        // planar: unbounded axis, no envelope, no seam — a plain floor
-        // band is exact everywhere
-        Some(Alias(Floor(Divide(lon, Literal(w))), s"${BandPrefix}_bx")())
+        // planar: no seam and no latitude dependence, but the 1e-6-m
+        // absolute pad in rEff only dominates the ~eps·|coord|
+        // per-coordinate representation error while |coord| stays well
+        // under 1e-6/eps ≈ 4.5e9 m — enforce |x|,|y| ≤ 1e8 m (45×
+        // margin; any real projected CRS is ≤ ~2e7 m) per row, loudly,
+        // for the same exact-or-loud contract the spherical envelope
+        // has. null/NaN flow through to the residual.
+        def ok(c: Expression): Expression = Or(Or(IsNull(c), IsNaN(c)),
+          LessThanOrEqual(Abs(c), Literal(PlanarMaxAbsCoord)))
+        val raise: Expression = RaiseError(
+          Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"), Literal(
+            s"graft.BandedDistanceJoin: projected coordinate magnitude exceeds " +
+              s"${PlanarMaxAbsCoord.toLong} m — beyond this the floating-point pad behind " +
+              s"the planar band width is not proven to cover per-coordinate rounding. " +
+              s"Rescale the CRS or disable the rewrite via $EnabledKey=false"))),
+          LongType)
+        Some(Alias(If(And(ok(lon), ok(lat)),
+          Floor(Divide(lon, Literal(w))), raise), s"${BandPrefix}_bx")())
       case WrappedX(nLon, cap) =>
         val latOk = Or(Or(IsNull(lat), IsNaN(lat)),
           LessThanOrEqual(Abs(lat), Literal(cap)))

@@ -49,14 +49,19 @@ class DistanceJoinRuleSpec extends SparkSpec {
         a("lon"), a("lat"), b("lon"), b("lat")) <= lit(r))
       .select(a("id").as("id_1"), b("id").as("id_2"))
 
-  /** Brute force through the COMPOSED haversine (no HaversineDistance
-    * node → the rule cannot match it) over an explicit cross join.
+  /** Brute force over an explicit cross join, with the rule DISABLED —
+    * since r14 the composed [[GeoFunctions.haversineMeters]] kernel is
+    * itself a matched pattern, so only the kill switch guarantees an
+    * un-banded ground truth.
     */
-  private def brute(a: DataFrame, b: DataFrame, r: Double): Set[(Long, Long)] =
-    a.crossJoin(b.select(b("id").as("_bid"), b("lon").as("_blon"), b("lat").as("_blat")))
+  private def brute(a: DataFrame, b: DataFrame, r: Double): Set[(Long, Long)] = {
+    spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+    try a.crossJoin(b.select(b("id").as("_bid"), b("lon").as("_blon"), b("lat").as("_blat")))
       .filter(GeoFunctions.haversineMeters(col("lon"), col("lat"), col("_blon"), col("_blat")) <= lit(r))
       .select(col("id"), col("_bid"))
       .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+  }
 
   private def planString(df: DataFrame): String = {
     val plan = df.queryExecution.executedPlan match {
@@ -92,6 +97,45 @@ class DistanceJoinRuleSpec extends SparkSpec {
       assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
     } finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
     assert(naive(a, b, 200.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+  }
+
+  test("the Scala API haversineMeters column bands exactly like the native node") {
+    // the r13 blind spot: a user following the repo's own Scala API —
+    // GeoFunctions.haversineMeters as the join predicate — must get the
+    // banded hash join, not BNLJ, with the identical exact pair set
+    val a = pts(cloud(120, seed = 11))
+    val b = pts(cloud(140, seed = 12).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val joined = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0))
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "fixture must produce matches")
+    assert(got.length === got.toSet.size, "each qualifying pair exactly once")
+    assert(got.toSet === brute(a, b, 150.0))
+  }
+
+  test("the composed spherical form honors the envelope raise too") {
+    val a = pts(Seq((1L, Double.box(10.0), Double.box(80.0))))
+    val b = pts(Seq((2L, Double.box(10.0001), Double.box(80.0))))
+    val ex = intercept[Exception] {
+      a.join(b, GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(100.0))
+        .collect()
+    }
+    assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+  }
+
+  test("planar coordinates beyond 1e8 m raise instead of banding with an unproven pad") {
+    val a = pts(Seq((1L, Double.box(2.0e8), Double.box(0.0))))
+    val b = pts(Seq((2L, Double.box(2.0e8), Double.box(50.0))))
+    val ex = intercept[Exception] {
+      a.join(b, GeoFunctions.euclideanMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(100.0))
+        .collect()
+    }
+    assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+    assert(ex.getMessage.contains("magnitude"), ex.getMessage)
   }
 
   test("latitude beyond the declared envelope raises instead of dropping pairs") {

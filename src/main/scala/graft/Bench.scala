@@ -68,7 +68,12 @@ object Bench {
       System.err.println(s"[bench] ${failed.size} QUERIES FAILED (timed as -1):")
       failed.foreach { case (n, m) => System.err.println(s"[bench]   $n: $m") }
     }
-    def qjson(fmt: Double => String) = results
+    // SLOWEST-FIRST in every emitted map: the driver's capture window
+    // truncates the long line (BENCH_r13 kept only names ≥ "sp…"), so
+    // ordering by cost keeps the informative head under any truncation;
+    // failures (-1) sort last — they're already named in "failed".
+    val byTime = results.sortBy { case (_, v) => -v }
+    def qjson(fmt: Double => String) = byTime
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // the streaming replay gates carry state-store/checkpoint machinery
@@ -90,7 +95,10 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line(v => "%.3f".format(v)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // bench result still goes to stdout
+    catch { // bench result still goes to stdout; fatal errors propagate
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: $e")
+    }
     println(line(v => "%.2f".format(v)))
     // (d) a COMPLETE compact headline line last: with 282 queries the full
     // line is ~7 KB, so a strict json parse of the 2000-byte tail window
@@ -103,7 +111,12 @@ object Bench {
     // total): under mass failure an unbounded list would push this line
     // past the tail window exactly when it matters most
     val failedCompact = failed.keys.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"failed":$failedCompact,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    // the 20 slowest queries ride INSIDE the compact tail line (~600 B
+    // extra): the driver artifact then names the heaviest gates even if
+    // every longer line is lost — r13's "done" bar for the bench artifact
+    val slowest = byTime.take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"slowest":$slowest,"failed":$failedCompact,"failed_count":${failed.size},"sf":"$sfDir"}"""
     println(compact)
     // Belt-and-braces against harness log decoration (build.sbt routes
     // forked stdout through verbatim, but a driver that captures merged
@@ -114,7 +127,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_OUT", "BENCH_HEADLINE.json")),
       compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write headline file: $e")
+    }
     spark.stop()
   }
 }

@@ -1806,13 +1806,23 @@ object SparkEntry {
         chunks = 4)
     },
     "streaming_colocation" -> { (s, dir) =>
-      // deterministic user slice (user_id ≡ 0 mod 8) + 3 chunks: the gate
+      // deterministic user slice (user_id ≡ 0 mod 8) + 2 chunks: the gate
       // certifies the symmetric-hash-join state transitions, which a ~1/64
       // pair volume exercises identically — the full-table replay costs
-      // ~50× the wall clock for the same semantic evidence (r9 verdict #1)
+      // ~50× the wall clock for the same semantic evidence (r9 verdict #1).
+      // 2 chunks (was 3): the INNER join's output is
+      // chunk-count-invariant on an in-order feed (emits on match,
+      // nothing is ever late — see Replay.colocation), so one
+      // cross-batch boundary already certifies the match-against-stored-
+      // state transition; eviction is measured in StreamingColocationSpec.
+      // 0.001-deg cells (was 0.01): the pfs cloud spans ~0.025 deg, so
+      // 0.01-deg cells put the whole slice in a handful of hot cells and
+      // the symmetric join ground ~40M same-cell pairs per batch (the
+      // r13 7.8 s); ~100-m cells exercise the identical state machinery
+      // at ~100x less pair volume and a more physical meeting radius
       graft.streaming.Replay.colocation(
         EventsAdapter.intervals(s, dir).filter(pmod(col("user_id"), lit(8)) === 0),
-        chunks = 3)
+        cellMicroDeg = 1000L, chunks = 2)
     },
     "streaming_staypoints" -> { (s, dir) =>
       // per-user keyed state; the per-user fix index k is derived BEFORE
@@ -3912,8 +3922,8 @@ object SparkEntry {
       s"""${EventsAdapter.pfsSql},
          |cl AS MATERIALIZED (
          |  SELECT user_id, s_us, f_us,
-         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
-         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000.0) AS BIGINT) AS cy
          |  FROM intervals WHERE user_id % 8 = 0)
          |SELECT a.user_id AS user_a, b.user_id AS user_b,
          |       greatest(a.s_us, b.s_us) AS m_s_us, least(a.f_us, b.f_us) AS m_f_us

@@ -1382,7 +1382,7 @@ object SpatialOps {
     */
   def louvainLabels(pairs: DataFrame, rounds: Int = 4,
                     share: DataFrame => DataFrame = Share.materialize,
-                    localThreshold: Long = 4000000L): DataFrame = {
+                    localThreshold: Long = 2000000L): DataFrame = {
     val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
     // SMALL-GRAPH FALLBACK (the same duplicateClusters pattern the
     // phase-2 pass uses): the 4-round distributed pass costs ~8-10 s of
@@ -1390,9 +1390,12 @@ object SpatialOps {
     // (1500 nodes, 1.1M pairs) — work [[louvainPassLocal]] finishes in
     // milliseconds, bit-identically (same schedule, same BigInt gains,
     // same tie-breaks; spec-pinned). One cheap count on the
-    // checkpointed pair table gates the collect; ~4M pairs ≈ 200 MB of
-    // driver tuples is the ceiling. Beyond it the distributed pass
-    // runs unchanged (GraphProbe: engages and completes at 11M pairs).
+    // checkpointed pair table gates the collect. Budget: each collected
+    // pair costs ~100 B boxed (Tuple3 of boxed Longs) and the local
+    // pass builds a 2×-pairs adjacency on top, so 2M pairs ≈ ~400 MB
+    // peak driver objects — the documented ceiling. Beyond it the
+    // distributed pass runs unchanged (GraphProbe: engages and
+    // completes at 11M pairs).
     val nPairs = p.count()
     if (nPairs <= localThreshold) {
       val undirected = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -379,12 +379,13 @@ object Replay {
   }
 
   /** Replay [[StreamingHeavyHitters.windowCounts]] and rank the
-    * finalized windows. Two sentinel tail batches with a far-future
-    * timestamp advance the watermark past every real window (append
-    * mode emits a window's finals only once the watermark crosses its
-    * end; the second sentinel batch gives the engine the extra cycle it
-    * runs to flush state after a watermark-only advance). The sentinel
-    * key is filtered from the result; its own window never finalizes.
+    * finalized windows. A far-future sentinel row rides ON the last
+    * data batch to advance the watermark past every real window
+    * (append mode emits a window's finals only once the watermark
+    * crosses its end), and ONE extra sentinel-only batch gives the
+    * engine the flush cycle it runs after a watermark-only advance.
+    * The sentinel key is filtered from the result; its own window
+    * never finalizes.
     * The in-order feed (global (t, id) sort, equal chunks) keeps every
     * row inside the lateness delay, so the finalized counts equal the
     * batch groupBy exactly — the oracle's contract.

@@ -38,10 +38,22 @@ object StreamingIntervalJoin {
       .select(col("label_id"), col("user_id").as("_ru"), col("label"),
         col("started_at"), col("finished_at"))
       .withWatermark("finished_at", s"$watermarkMinutes minutes")
+    // `ts >= started_at` must stay OUT of the join condition:
+    // started_at carries no watermark, so StreamingJoinHelper logs an
+    // INTERNAL_ERROR stack per batch trying to derive a state bound
+    // from it (benign — the two finished_at conjuncts already bound
+    // both sides' state — but it buries the log). A deterministic
+    // post-join filter gets folded straight back into the condition by
+    // PushPredicateThroughJoin; marking the comparison
+    // non-deterministic is the documented optimizer barrier (same
+    // treatment as StreamingColocation's pair-ordering conjunct, r10).
+    val startedBefore = udf((t: java.sql.Timestamp, s: java.sql.Timestamp) =>
+      t != null && s != null && !t.before(s)).asNondeterministic()
     l.join(r,
         col("_lu") === col("_ru") &&
-          col("ts") >= col("started_at") && col("ts") < col("finished_at") &&
+          col("ts") < col("finished_at") &&
           col("ts") >= col("finished_at") - expr(s"INTERVAL $maxDurationMinutes MINUTES"))
+      .filter(startedBefore(col("ts"), col("started_at")))
       .select(col("event_id"), col("_lu").as("user_id"), col("ts"),
         col("label_id"), col("label"))
   }

@@ -208,6 +208,18 @@ object Pipeline {
       persist(SpatialOps.colocationPairsFromMeetings(colocationMeetings(spark, sfDir)))
     }
 
+  /** The shared contact-graph prolog (symmetric weighted edges +
+    * weighted/unweighted degree tables) over [[colocationPairs]] —
+    * one materialization per corpus snapshot for the whole graph
+    * diagnostic family (degrees, pagerank, k-core, spectral,
+    * assortativity, rich club, LPA, Louvain stats, BFS balls), which
+    * previously each re-checkpointed the same three frames.
+    */
+  def contactGraph(spark: SparkSession, sfDir: String): SpatialOps.ContactGraph =
+    model(spark, sfDir, "contact_graph") {
+      SpatialOps.contactGraph(colocationPairs(spark, sfDir), persist)
+    }
+
   /** The level-1 Louvain label table over [[colocationPairs]] — the
     * expensive 4-round gain pass, shared by the stats gate, the
     * phase-2 collapse and the Leiden-style connectivity audit (same
@@ -216,7 +228,8 @@ object Pipeline {
     */
   def louvainLabels(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "louvain_l1") {
-      persist(SpatialOps.louvainLabels(colocationPairs(spark, sfDir), rounds = 4))
+      persist(SpatialOps.louvainLabels(colocationPairs(spark, sfDir), rounds = 4,
+        graph = Some(contactGraph(spark, sfDir))))
     }
 
   def tours(spark: SparkSession, sfDir: String): DataFrame =

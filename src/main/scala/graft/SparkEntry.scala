@@ -2109,64 +2109,76 @@ object SparkEntry {
       SpatialOps.hotspotCells(EventsAdapter.positionfixes(s, dir))
     },
     "colocation_degrees" -> { (s, dir) =>
-      SpatialOps.colocationDegrees(Pipeline.colocationPairs(s, dir))
+      SpatialOps.colocationDegrees(Pipeline.colocationPairs(s, dir),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     "colocation_pagerank" -> { (s, dir) =>
-      SpatialOps.colocationPagerank(Pipeline.colocationPairs(s, dir), iters = 3)
+      SpatialOps.colocationPagerank(Pipeline.colocationPairs(s, dir), iters = 3,
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     "colocation_components" -> { (s, dir) =>
       SpatialOps.colocationComponents(Pipeline.colocationPairs(s, dir))
     },
     "colocation_communities" -> { (s, dir) =>
-      SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3)
+      SpatialOps.colocationCommunities(Pipeline.colocationPairs(s, dir), rounds = 3,
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // k-core occupancy via 3 unrolled iterated-h-index rounds (the
     // near-complete synthetic graph fixes after round 1; the spec pins
     // convergence on sparse fixtures)
     "colocation_kcore" -> { (s, dir) =>
-      SpatialOps.kCoreHistogram(Pipeline.colocationPairs(s, dir), rounds = 3)
+      SpatialOps.kCoreHistogram(Pipeline.colocationPairs(s, dir), rounds = 3,
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // exact neighborhood function N(h) from a deterministic 1/64 seed
     // slice — BFS as h shared hash joins; the closure is seeds x
     // component size, so seed density is the cost knob (1/8 measured
     // 24 s at sf0.1, 1/64 ~3 s, identical per-seed exactness)
     "colocation_ball" -> { (s, dir) =>
-      SpatialOps.neighborhoodFunction(Pipeline.colocationPairs(s, dir), seedsMod = 64L, maxHops = 3)
+      SpatialOps.neighborhoodFunction(Pipeline.colocationPairs(s, dir), seedsMod = 64L, maxHops = 3,
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // knn(k) average-neighbor-degree curve (the function behind the
     // assortativity scalar)
     "degree_correlation" -> { (s, dir) =>
-      SpatialOps.degreeCorrelation(Pipeline.colocationPairs(s, dir))
+      SpatialOps.degreeCorrelation(Pipeline.colocationPairs(s, dir),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     "colocation_richclub" -> { (s, dir) =>
-      SpatialOps.richClub(Pipeline.colocationPairs(s, dir))
+      SpatialOps.richClub(Pipeline.colocationPairs(s, dir),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // epidemic threshold: spectral radius by 4 shifted integer
     // power-iteration rounds on (A + I)
     "colocation_spectral" -> { (s, dir) =>
-      SpatialOps.spectralRadius(Pipeline.colocationPairs(s, dir), rounds = 4)
+      SpatialOps.spectralRadius(Pipeline.colocationPairs(s, dir), rounds = 4,
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // the three Louvain gates share the memoized level-1 pass
     // (Pipeline.louvainLabels) — one partition per snapshot, many
     // diagnostics reading it
     "colocation_louvain" -> { (s, dir) =>
       SpatialOps.colocationLouvain(Pipeline.colocationPairs(s, dir), rounds = 4,
-        labels = Some(Pipeline.louvainLabels(s, dir)))
+        labels = Some(Pipeline.louvainLabels(s, dir)),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     "colocation_louvain_l2" -> { (s, dir) =>
       SpatialOps.colocationLouvainL2(Pipeline.colocationPairs(s, dir),
-        rounds = 4, rounds2 = 4, labels = Some(Pipeline.louvainLabels(s, dir)))
+        rounds = 4, rounds2 = 4, labels = Some(Pipeline.louvainLabels(s, dir)),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // Leiden-style audit: is each Louvain community internally connected?
     "louvain_connectivity" -> { (s, dir) =>
       SpatialOps.louvainConnectivity(Pipeline.colocationPairs(s, dir), rounds = 4,
-        labels = Some(Pipeline.louvainLabels(s, dir)))
+        labels = Some(Pipeline.louvainLabels(s, dir)),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // Leiden-style refinement: split disconnected communities into their
     // components (never decreases Q — +2 d_A d_B per split)
     "louvain_refined" -> { (s, dir) =>
       SpatialOps.colocationLouvainRefined(Pipeline.colocationPairs(s, dir), rounds = 4,
-        labels = Some(Pipeline.louvainLabels(s, dir)))
+        labels = Some(Pipeline.louvainLabels(s, dir)),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     // the synthetic contact graph is ~98% complete at sf0.1 (everyone
     // meets everyone), so unrestricted triangle ENUMERATION is ~C(n,3)
@@ -2181,7 +2193,8 @@ object SparkEntry {
         .filter(col("user_a") < 300 && col("user_b") < 300))
     },
     "colocation_assortativity" -> { (s, dir) =>
-      SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir))
+      SpatialOps.colocationAssortativity(Pipeline.colocationPairs(s, dir),
+        graph = Some(Pipeline.contactGraph(s, dir)))
     },
     "daily_range" -> { (s, dir) =>
       Metrics.dailyRange(EventsAdapter.positionfixes(s, dir))

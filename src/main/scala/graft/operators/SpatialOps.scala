@@ -891,6 +891,41 @@ object SpatialOps {
         col("focal_points"), col("focal_share"))
   }
 
+  /** The shared prolog of the contact-graph diagnostic family: the
+    * projected pair table, its symmetric weighted edge table and the
+    * weighted/unweighted degree tables — each checkpointed once. Every
+    * graph diagnostic (degrees, pagerank, k-core, spectral radius,
+    * assortativity, rich club, LPA, Louvain stats, BFS balls) derives
+    * exactly these frames from the pair table; without the shared
+    * instance each gate re-materialized the same ~2·|pairs| rows, a
+    * dozen redundant checkpoint jobs per suite pass (r13 verdict #7).
+    * [[graft.Pipeline.contactGraph]] memoizes one instance per corpus
+    * snapshot; operators called without one still derive their own, so
+    * the standalone API is unchanged.
+    */
+  final case class ContactGraph(pairs: DataFrame, edgesW: DataFrame,
+                                degW: DataFrame, degU: DataFrame)
+
+  /** Build a [[ContactGraph]] from a co-location pair table
+    * (user_a, user_b, n_meetings). `edgesW` is the symmetric directed
+    * view (src, dst, w) with both orientations of every pair; `degW`
+    * = (src, wdeg) the weighted degree; `degU` = (src, d) the contact
+    * count. All four frames pass through `share` so downstream
+    * iterative readers see materialized tables, not the banded
+    * co-location self-join's lineage.
+    */
+  def contactGraph(pairs: DataFrame,
+                   share: DataFrame => DataFrame = Share.materialize): ContactGraph = {
+    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    val edgesW = share(p
+      .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
+      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"),
+        col("n_meetings").as("w"))))
+    val degW = share(edgesW.groupBy(col("src")).agg(sum(col("w")).as("wdeg")))
+    val degU = share(edgesW.groupBy(col("src")).agg(count(lit(1)).cast("long").as("d")))
+    ContactGraph(p, edgesW, degW, degU)
+  }
+
   /** Contact-network degree distribution over the co-location pairs —
     * the first statistic of every epidemiological / social-tie study
     * built on meeting detection (how many distinct contacts does a
@@ -898,11 +933,12 @@ object SpatialOps {
     * exploding each pair to both endpoints (one map-side-combinable
     * count), the histogram from the lengthHistogram bit-length trick.
     */
-  def colocationDegrees(pairs: DataFrame): DataFrame = {
-    val deg = pairs
-      .select(explode(array(col("user_a"), col("user_b"))).as("user_id"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).cast("long").as("degree"))
+  def colocationDegrees(pairs: DataFrame, graph: Option[ContactGraph] = None): DataFrame = {
+    val deg = graph.map(_.degU.select(col("src").as("user_id"), col("d").as("degree")))
+      .getOrElse(pairs
+        .select(explode(array(col("user_a"), col("user_b"))).as("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("degree")))
     deg
       .withColumn("bucket", (length(bin(col("degree"))) - 1).cast("long"))
       .groupBy(col("bucket"))
@@ -960,12 +996,14 @@ object SpatialOps {
     * (≤|users| rows each); one final groupBy(degree). Never anything ×
     * anything.
     */
-  def degreeCorrelation(pairs: DataFrame): DataFrame = {
-    val deg = pairs
-      .select(explode(array(col("user_a"), col("user_b"))).as("u"))
-      .groupBy(col("u")).agg(count(lit(1)).cast("long").as("d"))
-    val directed = pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
-      .unionByName(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
+  def degreeCorrelation(pairs: DataFrame, graph: Option[ContactGraph] = None): DataFrame = {
+    val deg = graph.map(_.degU.select(col("src").as("u"), col("d")))
+      .getOrElse(pairs
+        .select(explode(array(col("user_a"), col("user_b"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).cast("long").as("d")))
+    val directed = graph.map(_.edgesW.select(col("src"), col("dst")))
+      .getOrElse(pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
+        .unionByName(pairs.select(col("user_b").as("src"), col("user_a").as("dst"))))
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     directed
       .join(deg.select(col("u").as("src"), col("d").as("d_src")), Seq("src"))
@@ -997,15 +1035,19 @@ object SpatialOps {
     * is the full exact closure for small graphs.
     */
   def neighborhoodFunction(pairs: DataFrame, seedsMod: Long = 8L, maxHops: Int = 3,
-                           share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                           share: DataFrame => DataFrame = Share.materialize,
+                           graph: Option[ContactGraph] = None): DataFrame = {
     require(seedsMod >= 1 && maxHops >= 1, "seedsMod/maxHops must be positive")
     // share the symmetric edge list: every hop re-reads it, and the
     // expensive upstream (the banded co-location self-join) must not
     // re-run per hop — pagerank's exact treatment
-    val p = pairs.select(col("user_a"), col("user_b"))
-    val edges = share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
-      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
-    val seeds = edges.select(col("src").as("seed")).distinct()
+    val edges = graph.map(_.edgesW.select(col("src"), col("dst"))).getOrElse {
+      val p = pairs.select(col("user_a"), col("user_b"))
+      share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
+        .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
+    }
+    val seeds = graph.map(_.degU.select(col("src").as("seed")))
+      .getOrElse(edges.select(col("src").as("seed")).distinct())
       .filter(pmod(col("seed"), lit(seedsMod)) === 0L)
     // reach includes the seed itself (distance 0) for propagation;
     // counts exclude it. Each hop is shared: the h+1 frontier join and
@@ -1040,10 +1082,11 @@ object SpatialOps {
     * list twice on its key; the moment aggregate partial-combines. Never
     * anything × anything.
     */
-  def colocationAssortativity(pairs: DataFrame): DataFrame = {
-    val deg = pairs
-      .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
-      .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d"))
+  def colocationAssortativity(pairs: DataFrame, graph: Option[ContactGraph] = None): DataFrame = {
+    val deg = graph.map(_.degU.select(col("src").as("_u"), col("d").as("_d")))
+      .getOrElse(pairs
+        .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
+        .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d")))
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     pairs
       .join(deg.select(col("_u").as("user_a"), col("_d").as("_ja")), Seq("user_a"))
@@ -1082,16 +1125,20 @@ object SpatialOps {
     * @return (coreness, n_users) — k-core occupancy histogram
     */
   def kCoreHistogram(pairs: DataFrame, rounds: Int = 3,
-                     share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                     share: DataFrame => DataFrame = Share.materialize,
+                     graph: Option[ContactGraph] = None): DataFrame = {
     // default rounds MUST stay in sync with the colocation_kcore oracle's
     // unrolled CTE count — a default/oracle drift is a silent parity trap
     // on any graph whose h-index chain is longer than the oracle's rounds
     require(rounds >= 1, "need rounds >= 1")
-    val p = share(pairs.select(col("user_a"), col("user_b")))
-    val edges = share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
-      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
-    var h = share(edges.groupBy(col("src").as("n"))
-      .agg(count(lit(1)).cast("long").as("val")))
+    val edges = graph.map(_.edgesW.select(col("src"), col("dst"))).getOrElse {
+      val p = share(pairs.select(col("user_a"), col("user_b")))
+      share(p.select(col("user_a").as("src"), col("user_b").as("dst"))
+        .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"))))
+    }
+    var h = graph.map(_.degU.select(col("src").as("n"), col("d").as("val")))
+      .getOrElse(share(edges.groupBy(col("src").as("n"))
+        .agg(count(lit(1)).cast("long").as("val"))))
     val bySrc = Window.partitionBy(col("src")).orderBy(col("v").desc, col("dst"))
     for (_ <- 1 to rounds) {
       h = share(edges
@@ -1125,10 +1172,11 @@ object SpatialOps {
     * @return (k, n_nodes, n_edges, phi) at every observed degree value
     *         k with ≥ 2 qualifying nodes
     */
-  def richClub(pairs: DataFrame): DataFrame = {
-    val deg = pairs
-      .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
-      .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d"))
+  def richClub(pairs: DataFrame, graph: Option[ContactGraph] = None): DataFrame = {
+    val deg = graph.map(_.degU.select(col("src").as("_u"), col("d").as("_d")))
+      .getOrElse(pairs
+        .select(explode(array(col("user_a"), col("user_b"))).as("_u"))
+        .groupBy(col("_u")).agg(count(lit(1)).cast("long").as("_d")))
     val nodeHist = deg.groupBy(col("_d").as("v"))
       .agg(count(lit(1)).cast("long").as("_cn"))
     val edgeHist = pairs
@@ -1178,16 +1226,22 @@ object SpatialOps {
     *         = m_q/10⁶ − 1 as double
     */
   def spectralRadius(pairs: DataFrame, rounds: Int = 4,
-                     share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                     share: DataFrame => DataFrame = Share.materialize,
+                     graph: Option[ContactGraph] = None): DataFrame = {
     require(rounds >= 1, "need rounds >= 1")
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     val scale = 1000000L
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
-      .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"),
-        col("n_meetings").as("w"))))
-    val nodes = share(edges.select(col("src").as("n")).distinct())
+    val edges = graph.map(_.edgesW).getOrElse {
+      val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+      share(p
+        .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"),
+          col("n_meetings").as("w"))))
+    }
+    // degW is one row per node with ≥1 edge — the same set the distinct
+    // would compute, already materialized
+    val nodes = graph.map(_.degW.select(col("src").as("n")))
+      .getOrElse(share(edges.select(col("src").as("n")).distinct()))
     var x = nodes.select(col("n"), lit(scale).as("x"))
     var lastM: DataFrame = null
     for (r <- 1 to rounds) {
@@ -1248,7 +1302,8 @@ object SpatialOps {
     */
   def colocationPagerank(pairs: DataFrame, iters: Int = 3, dampingPct: Long = 85L,
                          scale: Long = 1000000L,
-                         share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                         share: DataFrame => DataFrame = Share.materialize,
+                         graph: Option[ContactGraph] = None): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale >= 1,
       "need iters >= 1, dampingPct in [0,100], scale >= 1")
     // Share the PAIR TABLE first: the symmetric union reads it twice,
@@ -1259,12 +1314,16 @@ object SpatialOps {
     // unshared → 29 s shared, and the 29 s is one evaluation of the
     // pair join itself (linear in users at fixed density — 2.6 s at
     // 1x) — i.e. the chain now costs its input plus bounded joins.
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = p
-      .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
-      .unionByName(p
-        .select(col("user_b").as("src"), col("user_a").as("dst"), col("n_meetings").as("w")))
-    val deg = share(edges.groupBy(col("src")).agg(sum(col("w")).as("deg")))
+    val (edges, deg) = graph
+      .map(g => (g.edgesW, g.degW.select(col("src"), col("wdeg").as("deg"))))
+      .getOrElse {
+        val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+        val e = p
+          .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
+          .unionByName(p
+            .select(col("user_b").as("src"), col("user_a").as("dst"), col("n_meetings").as("w")))
+        (e, share(e.groupBy(col("src")).agg(sum(col("w")).as("deg"))))
+      }
     val edgesDeg = share(edges.join(deg, Seq("src")))
     val nodes = deg.select(col("src").as("user_id"))
     val teleport = (100L - dampingPct) * scale / 100L
@@ -1308,15 +1367,20 @@ object SpatialOps {
     *         row per final community, `modularity` the global Q repeated
     */
   def colocationCommunities(pairs: DataFrame, rounds: Int = 3,
-                            share: DataFrame => DataFrame = Share.materialize): DataFrame = {
+                            share: DataFrame => DataFrame = Share.materialize,
+                            graph: Option[ContactGraph] = None): DataFrame = {
     require(rounds >= 1, "need rounds >= 1")
     def dq(c: Column): Column = c.cast("decimal(38,0)")
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
-    val nodes = edges.select(col("u")).distinct()
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
+    val edges = graph
+      .map(_.edgesW.select(col("src").as("u"), col("dst").as("v"), col("w")))
+      .getOrElse(share(p
+        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+          col("n_meetings").as("w")))))
+    val nodes = graph.map(_.degW.select(col("src").as("u")))
+      .getOrElse(edges.select(col("u")).distinct())
     var labels = nodes.select(col("u").as("n"), col("u").as("lbl"))
     val byNode = Window.partitionBy(col("u")).orderBy(col("_s").desc, col("lbl"))
     for (_ <- 1 to rounds) {
@@ -1364,12 +1428,16 @@ object SpatialOps {
     */
   def colocationLouvain(pairs: DataFrame, rounds: Int = 4,
                         share: DataFrame => DataFrame = Share.materialize,
-                        labels: Option[DataFrame] = None): DataFrame = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
+                        labels: Option[DataFrame] = None,
+                        graph: Option[ContactGraph] = None): DataFrame = {
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
+    val edges = graph
+      .map(_.edgesW.select(col("src").as("u"), col("dst").as("v"), col("w")))
+      .getOrElse(share(p
+        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+          col("n_meetings").as("w")))))
     val l1 = labels.getOrElse(louvainLabels(pairs, rounds, share))
     communityStats(p, edges, l1.select(col("n"), col("c").as("lbl")))
   }
@@ -1382,8 +1450,10 @@ object SpatialOps {
     */
   def louvainLabels(pairs: DataFrame, rounds: Int = 4,
                     share: DataFrame => DataFrame = Share.materialize,
-                    localThreshold: Long = 2000000L): DataFrame = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+                    localThreshold: Long = 2000000L,
+                    graph: Option[ContactGraph] = None): DataFrame = {
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
     // SMALL-GRAPH FALLBACK (the same duplicateClusters pattern the
     // phase-2 pass uses): the 4-round distributed pass costs ~8-10 s of
     // per-round join/checkpoint latency on the sf0.1 contact graph
@@ -1407,11 +1477,15 @@ object SpatialOps {
           louvainPassLocal(undirected, universe, Map.empty, w, rounds).toSeq)
         .toDF("n", "c")
     } else {
-      val edges = share(p
-        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-          col("n_meetings").as("w"))))
-      val deg = share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k")))
+      val edges = graph
+        .map(_.edgesW.select(col("src").as("u"), col("dst").as("v"), col("w")))
+        .getOrElse(share(p
+          .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+          .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+            col("n_meetings").as("w")))))
+      val deg = graph
+        .map(_.degW.select(col("src").as("u"), col("wdeg").cast("long").as("k")))
+        .getOrElse(share(edges.groupBy(col("u")).agg(sum(col("w")).cast("long").as("k"))))
       val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
       louvainPass(edges, deg, totalW, rounds, share)
     }
@@ -1572,15 +1646,19 @@ object SpatialOps {
   def colocationLouvainL2(pairs: DataFrame, rounds: Int = 4, rounds2: Int = 4,
                           share: DataFrame => DataFrame = Share.materialize,
                           labels: Option[DataFrame] = None,
-                          localThreshold: Long = 100000L): DataFrame = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+                          localThreshold: Long = 100000L,
+                          graph: Option[ContactGraph] = None): DataFrame = {
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
     // lazy: only the distributed (above-threshold) branch reads these —
     // the local branch derives every weight statistic from the
     // collapsed table and must not pay their checkpoint jobs
-    lazy val edges = share(p
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
+    lazy val edges = graph
+      .map(_.edgesW.select(col("src").as("u"), col("dst").as("v"), col("w")))
+      .getOrElse(share(p
+        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+          col("n_meetings").as("w")))))
     lazy val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
     // provided PERSISTED labels (the pipeline memo) are used as-is —
     // re-checkpointing them is a wasted job per call — but an
@@ -1777,8 +1855,10 @@ object SpatialOps {
     */
   def louvainConnectivity(pairs: DataFrame, rounds: Int = 4,
                           share: DataFrame => DataFrame = Share.materialize,
-                          labels: Option[DataFrame] = None): DataFrame = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+                          labels: Option[DataFrame] = None,
+                          graph: Option[ContactGraph] = None): DataFrame = {
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
     val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
     val intra = p
       .join(l1.select(col("n"), col("c").as("_ca")), p("user_a") === col("n")).drop("n")
@@ -1814,12 +1894,16 @@ object SpatialOps {
     */
   def colocationLouvainRefined(pairs: DataFrame, rounds: Int = 4,
                                share: DataFrame => DataFrame = Share.materialize,
-                               labels: Option[DataFrame] = None): DataFrame = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
-    val edges = share(p
-      .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
-      .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
-        col("n_meetings").as("w"))))
+                               labels: Option[DataFrame] = None,
+                               graph: Option[ContactGraph] = None): DataFrame = {
+    val p = graph.map(_.pairs)
+      .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
+    val edges = graph
+      .map(_.edgesW.select(col("src").as("u"), col("dst").as("v"), col("w")))
+      .getOrElse(share(p
+        .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
+        .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
+          col("n_meetings").as("w")))))
     val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
     val intra = p
       .join(l1.select(col("n"), col("c").as("_ca")), p("user_a") === col("n")).drop("n")

@@ -30,7 +30,32 @@ object ScaleProbe {
           col("lang"), col("source")))
       .reduce(_.unionAll(_)).localCheckpoint(eager = true)
 
+    // FRESH-TEXT 10x: each replica's text is vowel-permuted differently,
+    // so grams are distinct ACROSS replicas (no df multiplication — the
+    // clone-adversarial regime below is the other axis). This measures
+    // whether substringPairs tracks TEXT volume (expected: the df cap
+    // bounds pair volume, so cost is the gram scan + fixed shuffle
+    // latency) rather than pair volume.
+    val vowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu")
+    val docs10Fresh = (0 until 10).map(i =>
+        docs.select((col("doc_id") + i * 1000000L).as("doc_id"),
+          translate(col("text"), "aeiou", vowelPerms(i)).as("text"),
+          col("lang"), col("source")))
+      .reduce(_.unionAll(_)).localCheckpoint(eager = true)
+
     t("warmup") { spark.range(1000000).count() }
+    t("substr_pairs_1x_df100") {
+      Dedup.substringPairs(docs, minLen = 40, maxDf = 100,
+        share = _.localCheckpoint(false)).count()
+    }
+    t("substr_pairs_1x_noshare") {
+      Dedup.substringPairs(docs, minLen = 40, maxDf = 100, share = identity).count()
+    }
+    t("substr_pairs_10x_fresh") {
+      Dedup.substringPairs(docs10Fresh, minLen = 40, maxDf = 100,
+        share = _.localCheckpoint(false)).count()
+    }
     // clone-adversarial substring pairs: 10 identical copies multiply
     // every shared gram's df by 10, so the gram join's pair volume is
     // Σ (10·df)² over shared grams — the regime exact dedup upstream

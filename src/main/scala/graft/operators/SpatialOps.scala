@@ -916,14 +916,21 @@ object SpatialOps {
     */
   def contactGraph(pairs: DataFrame,
                    share: DataFrame => DataFrame = Share.materialize): ContactGraph = {
-    val p = share(pairs.select(col("user_a"), col("user_b"), col("n_meetings")))
+    // an already-persisted pair table (the Pipeline memo) is used as-is
+    // — re-checkpointing a projection of it is a wasted job (the same
+    // storageLevel guard the Louvain L2 pass applies to its labels)
+    val projected = pairs.select(col("user_a"), col("user_b"), col("n_meetings"))
+    val p =
+      if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) share(projected)
+      else projected
     val edgesW = share(p
       .select(col("user_a").as("src"), col("user_b").as("dst"), col("n_meetings").as("w"))
       .unionByName(p.select(col("user_b").as("src"), col("user_a").as("dst"),
         col("n_meetings").as("w"))))
-    val degW = share(edgesW.groupBy(col("src")).agg(sum(col("w")).as("wdeg")))
-    val degU = share(edgesW.groupBy(col("src")).agg(count(lit(1)).cast("long").as("d")))
-    ContactGraph(p, edgesW, degW, degU)
+    // both degree flavors from ONE groupBy (one shuffle, one checkpoint)
+    val deg = share(edgesW.groupBy(col("src")).agg(
+      sum(col("w")).as("wdeg"), count(lit(1)).cast("long").as("d")))
+    ContactGraph(p, edgesW, deg.select(col("src"), col("wdeg")), deg.select(col("src"), col("d")))
   }
 
   /** Contact-network degree distribution over the co-location pairs —
@@ -1391,7 +1398,7 @@ object SpatialOps {
         .filter(col("_rn") === 1)
         .select(col("u").as("n"), col("lbl")))
     }
-    communityStats(p, edges, labels)
+    communityStats(p, edges, labels, degW = graph.map(_.degW))
   }
 
   /** One-level Louvain refinement over the contact graph (Blondel et
@@ -1438,8 +1445,9 @@ object SpatialOps {
         .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
         .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
           col("n_meetings").as("w")))))
-    val l1 = labels.getOrElse(louvainLabels(pairs, rounds, share))
-    communityStats(p, edges, l1.select(col("n"), col("c").as("lbl")))
+    val l1 = labels.getOrElse(louvainLabels(pairs, rounds, share, graph = graph))
+    communityStats(p, edges, l1.select(col("n"), col("c").as("lbl")),
+      degW = graph.map(_.degW))
   }
 
   /** The level-1 Louvain label table (n, c) — exposed so the gate
@@ -1668,7 +1676,7 @@ object SpatialOps {
     // diverge between them
     val l1 = labels
       .map(df => if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) share(df) else df)
-      .getOrElse(share(louvainLabels(pairs, rounds, share)))
+      .getOrElse(share(louvainLabels(pairs, rounds, share, graph = graph)))
 
     // dense-rank relabel BEFORE the level-2 pass: supernode ids inherit
     // level-1 WINNER labels (a sparse, structurally biased id space);
@@ -1833,7 +1841,7 @@ object SpatialOps {
         val winner =
           if (qn(1).compareTo(qn(0)) > 0) composed
           else l1.select(col("n"), col("c").as("lbl"))
-        communityStats(p, edges, winner)
+        communityStats(p, edges, winner, degW = graph.map(_.degW))
     }
   }
 
@@ -1859,7 +1867,11 @@ object SpatialOps {
                           graph: Option[ContactGraph] = None): DataFrame = {
     val p = graph.map(_.pairs)
       .getOrElse(share(pairs.select(col("user_a"), col("user_b"), col("n_meetings"))))
-    val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
+    // provided PERSISTED labels (the pipeline memo) are used as-is —
+    // re-checkpointing them is a wasted job per call (the L2 guard)
+    val l1 = labels
+      .map(df => if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) share(df) else df)
+      .getOrElse(share(louvainLabels(pairs, rounds, share, graph = graph)))
     val intra = p
       .join(l1.select(col("n"), col("c").as("_ca")), p("user_a") === col("n")).drop("n")
       .join(l1.select(col("n"), col("c").as("_cb")), p("user_b") === col("n")).drop("n")
@@ -1904,7 +1916,11 @@ object SpatialOps {
         .select(col("user_a").as("u"), col("user_b").as("v"), col("n_meetings").as("w"))
         .unionByName(p.select(col("user_b").as("u"), col("user_a").as("v"),
           col("n_meetings").as("w")))))
-    val l1 = share(labels.getOrElse(louvainLabels(pairs, rounds, share)))
+    // provided PERSISTED labels (the pipeline memo) are used as-is —
+    // re-checkpointing them is a wasted job per call (the L2 guard)
+    val l1 = labels
+      .map(df => if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) share(df) else df)
+      .getOrElse(share(louvainLabels(pairs, rounds, share, graph = graph)))
     val intra = p
       .join(l1.select(col("n"), col("c").as("_ca")), p("user_a") === col("n")).drop("n")
       .join(l1.select(col("n"), col("c").as("_cb")), p("user_b") === col("n")).drop("n")
@@ -1914,7 +1930,7 @@ object SpatialOps {
       .select(col("doc_id").as("n"), col("cluster_id"))
     val refined = l1.join(comps, Seq("n"), "left")
       .select(col("n"), coalesce(col("cluster_id"), col("n")).as("lbl"))
-    communityStats(p, edges, refined)
+    communityStats(p, edges, refined, degW = graph.map(_.degW))
   }
 
   /** Exact integer modularity numerator Σ_c (4W·e_c − d_c²) of a
@@ -1956,14 +1972,18 @@ object SpatialOps {
     * plus the global Q = Σ_c (4W·e_c − d_c²) / (4W²) with the numerator
     * in DECIMAL(38,0) and ONE double division at the end.
     */
-  private def communityStats(p: DataFrame, edges: DataFrame, labels: DataFrame): DataFrame = {
+  private def communityStats(p: DataFrame, edges: DataFrame, labels: DataFrame,
+                             degW: Option[DataFrame] = None): DataFrame = {
     def dq(c: Column): Column = c.cast("decimal(38,0)")
     val withA = p.join(labels.select(col("n"), col("lbl").as("_ca")), p("user_a") === col("n")).drop("n")
     val withB = withA.join(labels.select(col("n"), col("lbl").as("_cb")), withA("user_b") === col("n")).drop("n")
     val totalW = p.agg(sum(col("n_meetings")).cast("long").as("_W"))
     val intra = withB.filter(col("_ca") === col("_cb"))
       .groupBy(col("_ca").as("community")).agg(sum(col("n_meetings")).cast("long").as("w_in"))
-    val degC = edges.groupBy(col("u")).agg(sum(col("w")).as("_d"))
+    // the weighted degree is the shared-prolog table when the caller
+    // holds a ContactGraph — re-deriving it is one more 2|pairs| groupBy
+    val degC = degW.map(_.select(col("src").as("u"), col("wdeg").as("_d")))
+      .getOrElse(edges.groupBy(col("u")).agg(sum(col("w")).as("_d")))
       .join(labels, col("u") === labels("n"))
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).cast("long").as("n_nodes"), sum(col("_d")).cast("long").as("degree_sum"))

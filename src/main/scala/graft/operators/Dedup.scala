@@ -362,8 +362,10 @@ object Dedup {
     *        distributed iteration costs two shuffles of fixed latency —
     *        pointless when the pair graph fits in driver memory; dedup
     *        pair tables are orders of magnitude smaller than the corpus).
-    *        1M pairs ≈ 16 MB of primitive longs plus the union-find map —
-    *        size it to driver memory if raised.
+    *        2M pairs ≈ 32 MB of primitive longs (the collect goes through
+    *        the (long, long) tuple encoder, no boxed rows) plus a
+    *        union-find map over the NODE set — size to driver memory if
+    *        raised. Same budget convention as louvainLabels' threshold.
     */
   /** Duplicate-cluster size histogram — the dedup monitoring row next to
     * the cluster table itself: (size, n_clusters) says whether the corpus
@@ -377,13 +379,13 @@ object Dedup {
     */
   def clusterSizeHistogram(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                            maxIterations: Int = 25,
-                           localThreshold: Long = 1000000L): DataFrame =
+                           localThreshold: Long = 2000000L): DataFrame =
     duplicateClusters(pairs, idA, idB, maxIterations, localThreshold)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
 
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                        maxIterations: Int = 25, localThreshold: Long = 1000000L): DataFrame = {
+                        maxIterations: Int = 25, localThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")).persist()
     val nPairs = p.count() // materialize the (possibly expensive) pair lineage ONCE
@@ -482,7 +484,7 @@ object Dedup {
     * fits and falls back to a shuffled anti-join when it doesn't.
     */
   def pruneDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-                      localThreshold: Long = 1000000L): DataFrame = {
+                      localThreshold: Long = 2000000L): DataFrame = {
     val drops = duplicateClusters(pairs, localThreshold = localThreshold)
       .filter(!col("keep")).select(col("doc_id").as("_drop_id"))
     docs.join(drops, docs(idCol) === col("_drop_id"), "left_anti")
@@ -502,7 +504,7 @@ object Dedup {
     */
   def pruneDuplicatesByScore(docs: DataFrame, pairs: DataFrame, scoreCol: String,
                              idCol: String = "doc_id",
-                             localThreshold: Long = 1000000L): DataFrame = {
+                             localThreshold: Long = 2000000L): DataFrame = {
     val clusters = duplicateClusters(pairs, localThreshold = localThreshold)
       .select(col("doc_id").as("_cid"), col("cluster_id"))
     // keep the score's native numeric type in the struct-max: casting to
@@ -529,7 +531,7 @@ object Dedup {
     */
   def dedupRateByGroup(docs: DataFrame, pairs: DataFrame, groupCol: String = "source",
                        idCol: String = "doc_id",
-                       localThreshold: Long = 1000000L): DataFrame = {
+                       localThreshold: Long = 2000000L): DataFrame = {
     val drops = duplicateClusters(pairs, localThreshold = localThreshold)
       .filter(!col("keep")).select(col("doc_id").as("_drop_id"), lit(1L).as("_dropped"))
     docs.select(col(idCol), col(groupCol))

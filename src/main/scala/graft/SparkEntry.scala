@@ -1805,6 +1805,19 @@ object SparkEntry {
         windowMinutes = 60L, groupCol = "event_type", idCol = "event_id", timeCol = "t_us",
         chunks = 4)
     },
+    "streaming_interval_join" -> { (s, dir) =>
+      // the two-input watermarked stream-stream join (colocation covers
+      // the self-join shape): events enriched with the same-user label
+      // intervals containing them, replayed over lockstep time-bounded
+      // chunks — oracle is the plain containment join (the state-bound
+      // conjunct ts >= finished_at - maxDuration is implied because
+      // every synthetic interval is shorter than the 600-min contract)
+      val iv = EventsAdapter.intervals(s, dir).filter(pmod(col("user_id"), lit(8)) === 1)
+      val ev = iv.select(col("id").as("event_id"), col("user_id"), col("s_us").as("t_us"))
+      val lab = iv.select(col("id").as("label_id"), col("user_id"), col("s_us"), col("f_us"),
+        pmod(col("k"), lit(4)).as("label"))
+      graft.streaming.Replay.intervalJoin(ev, lab, maxDurationMinutes = 600, chunks = 2)
+    },
     "streaming_colocation" -> { (s, dir) =>
       // deterministic user slice (user_id ≡ 0 mod 8) + 2 chunks: the gate
       // certifies the symmetric-hash-join state transitions, which a ~1/64
@@ -3929,6 +3942,18 @@ object SparkEntry {
         |SELECT grp, doc_id, CAST(ew AS BIGINT) AS window_start_us,
         |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
         |FROM r WHERE rn <= 5""".stripMargin,
+    // two-input stream-stream join replay ≡ the plain same-user
+    // containment join (one row per (event, containing interval))
+    "streaming_interval_join" ->
+      s"""${EventsAdapter.pfsSql},
+         | base AS MATERIALIZED (
+         |   SELECT id, user_id, s_us, f_us, k % 4 AS label
+         |   FROM intervals WHERE user_id % 8 = 1)
+         |SELECT e.id AS event_id, e.user_id, e.s_us AS t_us,
+         |       l.id AS label_id, l.label
+         |FROM base e JOIN base l
+         |  ON e.user_id = l.user_id
+         | AND e.s_us >= l.s_us AND e.s_us < l.f_us""".stripMargin,
     // stream-stream symmetric-hash self-join replay ≡ the plain same-cell
     // interval-overlap pair table (one row per co-located interval pair)
     "streaming_colocation" ->

@@ -566,6 +566,80 @@ object Replay {
         col("seq_in_window"), col("admitted"))
   }
 
+  /** Replay [[StreamingIntervalJoin.enrich]] over bounded event/label
+    * tables — the TWO-INPUT stream-stream join shape (colocation is the
+    * self-join). Both feeds advance in lockstep over COMMON time
+    * boundaries, each ordered by its own watermark column (events by
+    * ts, labels by finished_at), so neither stream ever delivers a
+    * watermark-late row and the inner join's output is
+    * chunk-count-invariant: Spark evicts join state only when the other
+    * side's watermark proves no future row can match, which under
+    * in-order feeds never removes a live partner.
+    *
+    * @param events (event_id, user_id, t_us) — extra columns ignored
+    * @param labels (label_id, user_id, s_us, f_us, label) with every
+    *               interval no longer than `maxDurationMinutes`
+    * @return (event_id, user_id, t_us, label_id, label), one row per
+    *         containing interval
+    */
+  def intervalJoin(events: DataFrame, labels: DataFrame, maxDurationMinutes: Int,
+                   watermarkMinutes: Int = 60, chunks: Int = 2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+
+    val evRows = events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1)).toSeq
+    val labRows = labels
+      .select(col("label_id").cast("long"), col("user_id").cast("long"),
+        col("s_us").cast("long"), col("f_us").cast("long"), col("label").cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._4, r._1)).toSeq
+
+    // common boundaries over the union of both watermark-column time
+    // sets: both feeds cross each boundary in the same micro-batch
+    val times = (evRows.map(_._3) ++ labRows.map(_._4)).sorted
+    val bounds = (1 until chunks)
+      .map(i => times(((times.length.toLong * i) / chunks).toInt))
+    def bucket(t: Long): Int = bounds.count(_ <= t)
+
+    val evIn = MemoryStream[(Long, Long, Long)]
+    val labIn = MemoryStream[(Long, Long, Long, Long, Long)]
+    val evStream = evIn.toDF().toDF("event_id", "user_id", "t_us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("t_us")).as("ts"))
+    val labStream = labIn.toDF().toDF("label_id", "user_id", "s_us", "f_us", "label")
+      .select(col("label_id"), col("user_id"), col("label"),
+        timestamp_micros(col("s_us")).as("started_at"),
+        timestamp_micros(col("f_us")).as("finished_at"))
+    val outDir = tmp("graft-replay-ivj-out")
+    val ckpt = tmp("graft-replay-ivj-ckpt")
+
+    val q = StreamingIntervalJoin.enrich(evStream, labStream, maxDurationMinutes, watermarkMinutes)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try {
+      (0 until chunks).foreach { b =>
+        val ev = evRows.filter(r => bucket(r._3) == b)
+        val lb = labRows.filter(r => bucket(r._4) == b)
+        if (ev.nonEmpty) evIn.addData(ev)
+        if (lb.nonEmpty) labIn.addData(lb)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val empty = spark.emptyDataset[(Long, Long, Long, Long, Long)]
+      .toDF("event_id", "user_id", "t_us", "label_id", "label")
+    val got = readBack(spark, outDir, ckpt, empty)
+    if (got.columns.contains("ts"))
+      got.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("label_id"), col("label"))
+    else got
+  }
+
   /** Replay [[StreamingColocation.meetings]] over a bounded interval
     * table — unlike the keyed-state replays above, this drives the
     * OTHER streaming shape: a watermarked stream-stream symmetric hash

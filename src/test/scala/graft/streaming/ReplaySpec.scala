@@ -113,6 +113,33 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("replayed interval join equals the batch containment join for every chunking") {
+    // events and labels per user, with (a) an event inside two
+    // overlapping intervals, (b) one outside every interval, (c) an
+    // event whose matching label lands in a LATER replay chunk (the
+    // cross-batch state-retention path), (d) a zero-length interval
+    val events = Seq(
+      (0L, 1L, 5 * MIN), (1L, 1L, 50 * MIN), (2L, 1L, 300 * MIN),
+      (3L, 2L, 10 * MIN), (4L, 2L, 70 * MIN))
+      .toDF("event_id", "user_id", "t_us")
+    val labels = Seq(
+      (10L, 1L, 0L, 60 * MIN, 7L), (11L, 1L, 40 * MIN, 90 * MIN, 8L),
+      (12L, 1L, 200 * MIN, 200 * MIN, 9L), // zero-length: matches nothing
+      (13L, 2L, 60 * MIN, 120 * MIN, 6L))
+      .toDF("label_id", "user_id", "s_us", "f_us", "label")
+    val expected = events.as("e").join(labels.as("l"),
+        col("e.user_id") === col("l.user_id") &&
+          col("e.t_us") >= col("l.s_us") && col("e.t_us") < col("l.f_us"))
+      .select(col("event_id"), col("label_id")).as[(Long, Long)].collect().toSet
+    assert(expected === Set((0L, 10L), (1L, 10L), (1L, 11L), (4L, 13L)))
+    for (chunks <- Seq(1, 2, 4)) {
+      val got = Replay.intervalJoin(events, labels, maxDurationMinutes = 120, chunks = chunks)
+        .select(col("event_id"), col("label_id")).as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"chunks=$chunks: duplicate rows")
+      assert(got.toSet === expected, s"chunks=$chunks")
+    }
+  }
+
   test("empty input yields an empty, correctly-typed frame") {
     val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
     val out = Replay.sessionize(events)

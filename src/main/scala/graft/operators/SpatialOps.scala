@@ -1389,14 +1389,17 @@ object SpatialOps {
     val nodes = graph.map(_.degW.select(col("src").as("u")))
       .getOrElse(edges.select(col("u")).distinct())
     var labels = nodes.select(col("u").as("n"), col("u").as("lbl"))
-    val byNode = Window.partitionBy(col("u")).orderBy(col("_s").desc, col("lbl"))
     for (_ <- 1 to rounds) {
+      // per-node argmax (greatest weight, ties to smallest label) as ONE
+      // hash aggregate via min(struct(-_s, lbl)) — the row_number window
+      // this replaces costs a second shuffle + per-partition sort per
+      // round for the identical deterministic pick
       labels = share(edges
         .join(labels, edges("v") === labels("n"))
         .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("_s"))
-        .withColumn("_rn", row_number().over(byNode))
-        .filter(col("_rn") === 1)
-        .select(col("u").as("n"), col("lbl")))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("_s")).as("_neg"), col("lbl").as("_l"))).as("_m"))
+        .select(col("u").as("n"), col("_m._l").as("lbl")))
     }
     communityStats(p, edges, labels, degW = graph.map(_.degW))
   }

@@ -904,7 +904,17 @@ object SpatialOps {
     * the standalone API is unchanged.
     */
   final case class ContactGraph(pairs: DataFrame, edgesW: DataFrame,
-                                degW: DataFrame, degU: DataFrame)
+                                degW: DataFrame, degU: DataFrame, nNodes: Long) {
+    /** Node-sized per-round frames (ranks/labels/h-values/iterates) are
+      * broadcastable when the node set is small — checkpointed lineages
+      * carry no size stats, so Catalyst never discovers this on its own
+      * and every iterative round pays a full edge-table shuffle join
+      * against a few-thousand-row frame. Threshold-gated (≤ 4M nodes ≈
+      * ~100 MB broadcast) with the shuffle join as the unchanged
+      * at-scale fallback — a billion-user node table must NOT broadcast.
+      */
+    def broadcastNodeFrames: Boolean = nNodes <= 4000000L
+  }
 
   /** Build a [[ContactGraph]] from a co-location pair table
     * (user_a, user_b, n_meetings). `edgesW` is the symmetric directed
@@ -930,7 +940,11 @@ object SpatialOps {
     // both degree flavors from ONE groupBy (one shuffle, one checkpoint)
     val deg = share(edgesW.groupBy(col("src")).agg(
       sum(col("w")).as("wdeg"), count(lit(1)).cast("long").as("d")))
-    ContactGraph(p, edgesW, deg.select(col("src"), col("wdeg")), deg.select(col("src"), col("d")))
+    // the node count gates per-round broadcasts downstream; counting the
+    // checkpointed degree table also forces the whole prolog to
+    // materialize here, where the cost is attributed once per snapshot
+    ContactGraph(p, edgesW, deg.select(col("src"), col("wdeg")),
+      deg.select(col("src"), col("d")), deg.count())
   }
 
   /** Contact-network degree distribution over the co-location pairs —
@@ -1146,10 +1160,12 @@ object SpatialOps {
     var h = graph.map(_.degU.select(col("src").as("n"), col("d").as("val")))
       .getOrElse(share(edges.groupBy(col("src").as("n"))
         .agg(count(lit(1)).cast("long").as("val"))))
+    val mB: DataFrame => DataFrame =
+      if (graph.exists(_.broadcastNodeFrames)) broadcast else identity
     val bySrc = Window.partitionBy(col("src")).orderBy(col("v").desc, col("dst"))
     for (_ <- 1 to rounds) {
       h = share(edges
-        .join(h, edges("dst") === h("n"))
+        .join(mB(h), edges("dst") === h("n"))
         .select(col("src"), col("dst"), col("val").as("v"))
         .withColumn("_rn", row_number().over(bySrc))
         .groupBy(col("src").as("n"))
@@ -1251,11 +1267,13 @@ object SpatialOps {
       .getOrElse(share(edges.select(col("src").as("n")).distinct()))
     var x = nodes.select(col("n"), lit(scale).as("x"))
     var lastM: DataFrame = null
+    val mB: DataFrame => DataFrame =
+      if (graph.exists(_.broadcastNodeFrames)) broadcast else identity
     for (r <- 1 to rounds) {
       // t feeds the 1-row max AND the renormalized next iterate, so it
       // is shared — node-sized, one materialization per round
       val t = share(edges
-        .join(x.select(col("n"), col("x").as("_xv")), edges("dst") === col("n"))
+        .join(mB(x.select(col("n"), col("x").as("_xv"))), edges("dst") === col("n"))
         .groupBy(col("src")).agg(sum(dq(col("w")) * dq(col("_xv"))).as("_s"))
         .join(x.select(col("n"), col("x").as("_own")), col("src") === col("n"))
         .select(col("n"), (col("_s") + dq(col("_own"))).as("_t")))
@@ -1334,16 +1352,22 @@ object SpatialOps {
     val edgesDeg = share(edges.join(deg, Seq("src")))
     val nodes = deg.select(col("src").as("user_id"))
     val teleport = (100L - dampingPct) * scale / 100L
+    // node-sized frames broadcast when the shared prolog proved the node
+    // set small (ContactGraph.broadcastNodeFrames): each iteration's
+    // rank join then streams the edge table map-side instead of paying a
+    // full shuffle join against a few-thousand-row frame
+    val mB: DataFrame => DataFrame =
+      if (graph.exists(_.broadcastNodeFrames)) broadcast else identity
     var ranks = nodes.select(col("user_id"), lit(scale).as("rank_q"))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("user_id"))
+        .join(mB(ranks), edgesDeg("src") === ranks("user_id"))
         .select(col("dst"),
           expr(s"cast(rank_q as decimal(38,0)) * $dampingPct * w div (100 * cast(deg as decimal(38,0)))")
             .as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
       ranks = nodes
-        .join(contribs, nodes("user_id") === contribs("dst"), "left")
+        .join(mB(contribs), nodes("user_id") === contribs("dst"), "left")
         .select(col("user_id"),
           (lit(teleport) + coalesce(col("_in"), lit(0L))).cast("long").as("rank_q"))
     }
@@ -1389,13 +1413,16 @@ object SpatialOps {
     val nodes = graph.map(_.degW.select(col("src").as("u")))
       .getOrElse(edges.select(col("u")).distinct())
     var labels = nodes.select(col("u").as("n"), col("u").as("lbl"))
+    val mB: DataFrame => DataFrame =
+      if (graph.exists(_.broadcastNodeFrames)) broadcast else identity
     for (_ <- 1 to rounds) {
       // per-node argmax (greatest weight, ties to smallest label) as ONE
       // hash aggregate via min(struct(-_s, lbl)) — the row_number window
       // this replaces costs a second shuffle + per-partition sort per
-      // round for the identical deterministic pick
+      // round for the identical deterministic pick. The node-sized label
+      // frame broadcasts under the shared prolog's small-node proof.
       labels = share(edges
-        .join(labels, edges("v") === labels("n"))
+        .join(mB(labels), edges("v") === labels("n"))
         .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("_s"))
         .groupBy(col("u"))
         .agg(min(struct((-col("_s")).as("_neg"), col("lbl").as("_l"))).as("_m"))

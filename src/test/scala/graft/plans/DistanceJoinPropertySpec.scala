@@ -93,9 +93,16 @@ class DistanceJoinPropertySpec extends SparkSpec {
         if GeoFunctions.haversineMeters(loa, laa, lob, lab) <= radius
       } yield (ia, ib)).toSet
 
-      val joined = df(aRows).as("a").join(df(bRows).as("b"),
+      // alternate the predicate's surface per trial: the native
+      // haversine_m node on even trials, the composed Scala-API column
+      // (matched structurally since r14) on odd — both must band
+      // identically under every randomized envelope/seam/band-edge case
+      val dist =
+        if (trial % 2 == 0)
           call_function("haversine_m", col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
-            <= lit(radius))
+        else
+          GeoFunctions.haversineMeters(col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+      val joined = df(aRows).as("a").join(df(bRows).as("b"), dist <= lit(radius))
         .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("__graft_band"), s"trial $trial: rule did not fire\n$plan")

@@ -2015,6 +2015,13 @@ object SparkEntry {
     "ldiversity_cells" -> { (s, dir) =>
       SpatialOps.lDiversityCells(EventsAdapter.positionfixes(s, dir), cellMicroDeg = 10000L, k = 5)
     },
+    // t-closeness audit of the same grid: ordered-EMD between each
+    // published cell's visit-hour distribution and the global one
+    // (Li et al. 2007 — the rung above l-diversity), exact ppm
+    "tcloseness_cells" -> { (s, dir) =>
+      SpatialOps.tClosenessCells(EventsAdapter.positionfixes(s, dir),
+        cellMicroDeg = 10000L, k = 5, tPpm = 250000L)
+    },
     "place_segregation" -> { (s, dir) =>
       SpatialOps.placeSegregation(EventsAdapter.positionfixes(s, dir),
         cellMicroDeg = 10000L, nGroups = 4)
@@ -4766,6 +4773,41 @@ object SparkEntry {
          |        (t_us % 86400000000) // 3600000000 AS h
          |      FROM pfs)
          |GROUP BY cx, cy HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // t-closeness: ordered-EMD per published cell vs the global hour
+    // distribution, exact integer cumulative cross-multiplies, ppm floor
+    "tcloseness_cells" ->
+      s"""${EventsAdapter.pfsSql},
+         |pts AS (
+         |  SELECT user_id,
+         |    CAST(floor(CAST(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cx,
+         |    CAST(floor(CAST(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) AS BIGINT) AS cy,
+         |    (t_us % 86400000000) // 3600000000 AS h
+         |  FROM pfs),
+         |ch AS (SELECT cx, cy, h, count(*) AS c FROM pts GROUP BY 1, 2, 3),
+         |cells AS (SELECT cx, cy, count(DISTINCT user_id) AS n_users, count(*) AS n_points
+         |          FROM pts GROUP BY 1, 2 HAVING count(DISTINCT user_id) >= 5),
+         |tot AS (SELECT count(*) AS N FROM pts),
+         |dom AS (SELECT range AS h FROM range(24)),
+         |g AS (SELECT h, count(*) AS gn FROM pts GROUP BY 1),
+         |gcum AS (SELECT d.h, coalesce(sum(g.gn), 0) AS Gc
+         |         FROM dom d LEFT JOIN g ON g.h <= d.h GROUP BY 1),
+         |cum AS (
+         |  SELECT c.cx, c.cy, c.n_users, c.n_points, d.h,
+         |         sum(coalesce(ch.c, 0)) OVER (PARTITION BY c.cx, c.cy ORDER BY d.h) AS Pc
+         |  FROM cells c CROSS JOIN dom d
+         |  LEFT JOIN ch ON ch.cx = c.cx AND ch.cy = c.cy AND ch.h = d.h),
+         |terms AS (
+         |  SELECT cx, cy, n_users, n_points,
+         |         abs(CAST(Pc AS HUGEINT) * (SELECT N FROM tot)
+         |             - CAST(Gc AS HUGEINT) * n_points) AS term
+         |  FROM cum JOIN gcum USING (h) WHERE h < 23)
+         |SELECT cx AS cell_x, cy AS cell_y,
+         |       CAST(n_users AS BIGINT) AS n_users, CAST(n_points AS BIGINT) AS n_points,
+         |       CAST((1000000 * sum(term))
+         |            // (CAST(n_points AS HUGEINT) * (SELECT N FROM tot) * 23) AS BIGINT) AS emd_ppm,
+         |       CAST((1000000 * sum(term))
+         |            // (CAST(n_points AS HUGEINT) * (SELECT N FROM tot) * 23) AS BIGINT) <= 250000 AS t_ok
+         |FROM terms GROUP BY cx, cy, n_users, n_points""".stripMargin,
     // Moro-style place segregation: all-integer deviation numerator,
     // one final double division (see SpatialOps.placeSegregation)
     "place_segregation" ->

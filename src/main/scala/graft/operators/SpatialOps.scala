@@ -1002,6 +1002,84 @@ object SpatialOps {
       .filter(col("n_users") >= k)
   }
 
+  /** t-closeness audit of the k-anonymous publication grid (Li, Li &
+    * Venkatasubramanian 2007, "t-closeness: privacy beyond k-anonymity
+    * and ℓ-diversity") — the third rung of the privacy ladder:
+    * ℓ-diversity counts DISTINCT sensitive values but a cell whose
+    * visit-hour distribution is wildly skewed against the corpus still
+    * leaks (everyone there visits at 3 a.m., even if at 5 distinct
+    * hours). Per published cell, the Earth Mover's Distance between the
+    * cell's hour-of-day distribution and the GLOBAL one under the
+    * ordered ground distance — the paper's formulation for numeric
+    * attributes: EMD = (1/(m−1))·Σᵢ |Σ_{j≤i}(p_j − q_j)|, m = 24.
+    *
+    * Exact arithmetic: with P_i / Q_i the integer cumulative counts and
+    * n / N the cell / corpus totals, each term is
+    * |P_i·N − Q_i·n| / (n·N), so the EMD is Σ|P_i·N − Q_i·n| over
+    * i < 23 divided by n·N·23 — integer products in DECIMAL(38,0)
+    * (cumulative-count × corpus-count squares past long range at
+    * trillion-point scale), quantized to ppm by the repo's
+    * cross-multiply floor idiom, so both engines agree bit-for-bit.
+    * Same NONNEGATIVE-EVENT-TIME pmod convention as [[lDiversityCells]].
+    *
+    * Scale shape: two map-side-combinable groupBys over the point table
+    * (per-cell-hour, per-cell), one 24-row global histogram broadcast
+    * both as the cumulative table and the 1-row total; the per-cell
+    * 24-slot cumulative runs as a window over exactly 24 rows per cell
+    * (cells × 24 rows total — orders below the point table). Never
+    * anything × anything beyond cells × 24.
+    *
+    * @return (cell_x, cell_y, n_users, n_points, emd_ppm, t_ok) for the
+    *         cells k-anonymity would publish; `t_ok` ⇔ EMD ≤ tPpm/1e6
+    */
+  def tClosenessCells(points: DataFrame, cellMicroDeg: Long = 10000L, k: Int = 5,
+                      tPpm: Long = 250000L, userCol: String = "user_id",
+                      tCol: String = "t_us"): DataFrame = {
+    require(cellMicroDeg > 0 && k >= 1 && tPpm >= 0, "cell width, k, tPpm must be sensible")
+    val spark = points.sparkSession
+    def cell(c: Column): Column =
+      floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / cellMicroDeg.toDouble).cast("long")
+    def dq(c: Column): Column = c.cast("decimal(38,0)")
+    val pts = points
+      .select(cell(col("lon")).as("cell_x"), cell(col("lat")).as("cell_y"),
+        col(userCol).as("_u"),
+        expr(s"(pmod($tCol, 86400000000L) div 3600000000L)").as("_h"))
+    val cellHour = pts.groupBy(col("cell_x"), col("cell_y"), col("_h"))
+      .agg(count(lit(1)).as("_chn"))
+    val cells = pts.groupBy(col("cell_x"), col("cell_y"))
+      .agg(countDistinct(col("_u")).as("n_users"), count(lit(1)).as("n_points"))
+      .filter(col("n_users") >= k)
+    // the 24-slot hour domain rides as a LITERAL array explode — a
+    // Generate, not a join, so densifying cells × hours costs no
+    // shuffle and PlanLint needs no bounded-side proof
+    val hourDomain = lit((0L until 24L).toArray)
+    val globalHour = pts.groupBy(col("_h")).agg(count(lit(1)).as("_gn"))
+    val gCum = spark.range(1).select(explode(hourDomain).as("_h"))
+      .join(broadcast(globalHour), Seq("_h"), "left")
+      .withColumn("_gn0", coalesce(col("_gn"), lit(0L)))
+      // unpartitioned window over exactly 24 rows — bounded by the domain
+      .withColumn("_Gc", sum(col("_gn0")).over(Window.orderBy(col("_h"))))
+      .select(col("_h"), col("_Gc"))
+    val gTot = pts.agg(count(lit(1)).as("_N"))
+    val byCellHour = Window.partitionBy(col("cell_x"), col("cell_y")).orderBy(col("_h"))
+    cells
+      .withColumn("_h", explode(hourDomain))
+      .join(cellHour, Seq("cell_x", "cell_y", "_h"), "left")
+      .withColumn("_Pc", sum(coalesce(col("_chn"), lit(0L))).over(byCellHour))
+      .filter(col("_h") < 23) // the i = m−1 cumulative difference is identically 0
+      .join(broadcast(gCum), Seq("_h"))
+      .crossJoin(broadcast(gTot))
+      .withColumn("_term", abs(dq(col("_Pc")) * dq(col("_N")) - dq(col("_Gc")) * dq(col("n_points"))))
+      .groupBy(col("cell_x"), col("cell_y"), col("n_users"), col("n_points"), col("_N"))
+      .agg(sum(col("_term")).as("_num"))
+      .withColumn("_den", dq(col("n_points")) * dq(col("_N")) * dq(lit(23L)))
+      .withColumn("emd_ppm",
+        ((dq(lit(1000000L)) * dq(col("_num")) -
+          pmod(dq(lit(1000000L)) * dq(col("_num")), col("_den"))) / col("_den")).cast("long"))
+      .select(col("cell_x"), col("cell_y"), col("n_users"), col("n_points"),
+        col("emd_ppm"), (col("emd_ppm") <= lit(tPpm)).as("t_ok"))
+  }
+
   /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
     * Vespignani 2001, "Dynamical and correlation properties of the
     * Internet"): for each degree class k, the mean degree of the

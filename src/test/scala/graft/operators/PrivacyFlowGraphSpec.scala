@@ -29,6 +29,31 @@ class PrivacyFlowGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("l_hours") == 3L)
   }
 
+  test("tClosenessCells: hand-computed ordered EMD against the global hour distribution") {
+    val h = 3600000000L
+    // cell A: 4 points all at hour 0 (maximally skewed); cell B: 4 points
+    // at hours 0/6/12/18. Global: h0->5, h6/h12/h18->1 each, N = 8.
+    // For BOTH cells Σ_{i<23} |P_i·N − Q_i·n| = 6·12 + 6·8 + 6·4 = 144,
+    // den = 4·8·23 = 736 → EMD = 144/736 ≈ 0.1957 → 195652 ppm (floor).
+    val rows =
+      Seq((1L, 0.0001, 0.0001, 0L), (2L, 0.0002, 0.0001, 0L),
+        (3L, 0.0001, 0.0002, 0L), (4L, 0.0002, 0.0002, 0L)) ++
+      Seq((5L, 0.5001, 0.0001, 0L), (6L, 0.5002, 0.0001, 6 * h),
+        (7L, 0.5001, 0.0002, 12 * h), (8L, 0.5002, 0.0002, 18 * h))
+    val pts = rows.toDF("user_id", "lon", "lat", "t_us")
+    val got = SpatialOps.tClosenessCells(pts, cellMicroDeg = 10000L, k = 1, tPpm = 150000L)
+      .collect().map(r => (r.getAs[Long]("cell_x"),
+        r.getAs[Long]("emd_ppm"), r.getAs[Boolean]("t_ok"))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got.forall(_._2 == 195652L), got.mkString(","))
+    assert(got.forall(!_._3), "195652 ppm must fail t = 0.15")
+    // a uniform-with-the-corpus cell passes any t: one-cell corpus -> EMD 0
+    val uni = SpatialOps.tClosenessCells(
+      rows.take(4).toDF("user_id", "lon", "lat", "t_us"), cellMicroDeg = 10000L, k = 1)
+      .collect().head
+    assert(uni.getAs[Long]("emd_ppm") == 0L && uni.getAs[Boolean]("t_ok"))
+  }
+
   test("lDiversityCells hour bucket is the floor-mod day hour") {
     val pts = Seq(
       (1L, 0.0001, 0.0001, 86400000000L + 3600000000L), // day 2, 01:00 -> hour 1

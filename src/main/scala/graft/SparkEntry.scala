@@ -2439,6 +2439,31 @@ object SparkEntry {
       a.join(b, d <= lit(100.0))
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "spatial_join_semi" -> { (s, dir) =>
+      // keep every point within 100 m of ANY point of the other slice —
+      // the LeftSemi shape BandedDistanceJoin bands since r14 (left side
+      // row-for-row, right side exploded both axes)
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 9)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 10)
+        .select(col("lon").as("lon2"), col("lat").as("lat2"))
+      a.join(b, graft.functions.GeoFunctions.haversineMeters(
+          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(100.0), "left_semi")
+        .select(col("id_1"))
+    },
+    "spatial_join_anti" -> { (s, dir) =>
+      // the blocklist-distance filter: drop everything within 100 m of
+      // any blocklist point (the LeftAnti twin)
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 9)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 10)
+        .select(col("lon").as("lon2"), col("lat").as("lat2"))
+      a.join(b, graft.functions.GeoFunctions.haversineMeters(
+          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(100.0), "left_anti")
+        .select(col("id_1"))
+    },
     "spatial_join_seam" -> { (s, dir) =>
       // the ANTIMERIDIAN path of the banded rewrite under continuous
       // oracle coverage: shift the pfs cloud onto the +-180 seam (the
@@ -4474,6 +4499,20 @@ object SparkEntry {
          |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM a, b
          |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
+    "spatial_join_semi" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),
+         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10)
+         |SELECT a.id AS id_1 FROM a
+         |WHERE EXISTS (SELECT 1 FROM b
+         |              WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0)""".stripMargin,
+    "spatial_join_anti" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),
+         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10)
+         |SELECT a.id AS id_1 FROM a
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |                  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0)""".stripMargin,
     "spatial_join_seam" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral, TrueLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
@@ -126,8 +126,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *    message's escape hatch (the same pair-space tiling
   *    `colocationMeetings` exposes as `spreadFactor`).
   *
-  * The rule fires only on Inner/Cross joins (banding an outer join
-  * would multiply the unmatched rows), only when no equi-conjunct
+  * The rule fires on Inner/Cross joins and — since r14 — on
+  * LeftSemi/LeftAnti ("keep/drop everything within r of any point in
+  * X", the blocklist-distance filter): there the LEFT side keeps its
+  * single band id (no explode — a semi/anti match must not duplicate
+  * or tile left rows) and the RIGHT side explodes BOTH axes ±1 (9×, or
+  * 3× when the longitude axis degrades), so every qualifying pair
+  * meets at the left row's exact cell; semi/anti semantics make match
+  * multiplicity irrelevant. spreadFactor tiling does NOT apply to
+  * semi/anti (tiling replicates the probe side, which would break
+  * anti's no-match-anywhere contract). Banding a full outer join
+  * would multiply the unmatched rows, so outer joins stay untouched.
+  * The rule fires only when no equi-conjunct
   * already exists (then the join is hash-joinable as written and the
   * 3× explode cannot pay), and never re-fires on its own output (the
   * band attributes carry a reserved name prefix). Kill switch:
@@ -176,7 +186,7 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     require(spread >= 1 && spread <= 4096,
       s"$SpreadFactorKey must be in [1, 4096], got $spread")
     plan.transform {
-      case j @ Join(_, _, Inner | Cross, Some(cond), _)
+      case j @ Join(_, _, Inner | Cross | LeftSemi | LeftAnti, Some(cond), _)
           if !cond.references.exists(_.name.startsWith(BandPrefix)) =>
         rewrite(j, cond, cap, maxPairs, spread).getOrElse(j)
     }
@@ -359,8 +369,24 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
             (PlainX(rEff), rEff)
         }
 
-        val left = bandedSide(j.left, loL, laL, xb, wLat, spread, isLeft = true)
-        val right = bandedSide(j.right, loR, laR, xb, wLat, spread, isLeft = false)
+        val semiOrAnti = j.joinType == LeftSemi || j.joinType == LeftAnti
+        // inner/cross: 3× lon explode left + 3× lat explode right (each
+        // qualifying pair matches EXACTLY once). Semi/anti: the left
+        // side must stay row-for-row (no explode, no tiles), so the
+        // right side explodes both axes and meets every qualifying left
+        // row at its exact cell — multiplicity is absorbed by the
+        // semi/anti semantics themselves.
+        val (left, right) =
+          if (semiOrAnti)
+            (bandedSide(j.left, loL, laL, xb, wLat, spread = 1, isLeft = true,
+              explodeLon = false, explodeLat = false),
+              bandedSide(j.right, loR, laR, xb, wLat, spread = 1, isLeft = false,
+                explodeLon = true, explodeLat = true))
+          else
+            (bandedSide(j.left, loL, laL, xb, wLat, spread, isLeft = true,
+              explodeLon = true, explodeLat = false),
+              bandedSide(j.right, loR, laR, xb, wLat, spread, isLeft = false,
+                explodeLon = false, explodeLat = true))
         val eqs: Seq[Expression] =
           left.lonKey.zip(right.lonKey).map { case (a, b) => EqualTo(a, b) }.toSeq ++
             Seq(EqualTo(left.latKey, right.latKey)) ++
@@ -382,15 +408,24 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
             // at the hint the user already followed. Saturating multiply:
             // a huge maxPairsPerTask must disable, not wrap negative.
             val budget = maxPairs.toLong
+            // semi/anti never tiles, so its ceiling doesn't scale
+            val effSpread = if (semiOrAnti) 1 else spread
             val taskBudget =
-              if (budget > Long.MaxValue / (4L * spread)) Long.MaxValue
-              else 4L * spread * budget
+              if (budget > Long.MaxValue / (4L * effSpread)) Long.MaxValue
+              else 4L * effSpread * budget
+            val hint =
+              if (semiOrAnti)
+                s"raise $MaxPairsPerTaskKey, pre-aggregate the probe side, or disable " +
+                  s"the rewrite via $EnabledKey=false (spreadFactor tiling does not " +
+                  s"apply to semi/anti joins)"
+              else
+                s"set $SpreadFactorKey (currently $spread) to tile hot cells across " +
+                  s"tasks, raise $MaxPairsPerTaskKey, or disable the rewrite via " +
+                  s"$EnabledKey=false"
             Seq(PairBudgetGuard(keys, budget, taskBudget,
               s"graft.BandedDistanceJoin: hot band-cell — a single band cell evaluated more " +
                 s"than $MaxPairsPerTaskKey=${maxPairs.toLong} candidate pairs in one task. " +
-                s"The data is too packed for plain banding at this radius; set " +
-                s"$SpreadFactorKey (currently $spread) to tile hot cells across tasks, " +
-                s"raise $MaxPairsPerTaskKey, or disable the rewrite via $EnabledKey=false"))
+                s"The data is too packed for plain banding at this radius; " + hint))
           }
         // the guard rides as the CONDITION of an If around the residual,
         // not as a sibling conjunct: And-conjuncts get split, reordered
@@ -424,7 +459,8 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def bandedSide(side: LogicalPlan, lon: Expression, lat: Expression,
                          xb: XBanding, wLat: Double,
-                         spread: Int, isLeft: Boolean): BandedSide = {
+                         spread: Int, isLeft: Boolean,
+                         explodeLon: Boolean, explodeLat: Boolean): BandedSide = {
     val byA = Alias(Floor(Divide(lat, Literal(wLat))), s"${BandPrefix}_by")()
     val bxA: Option[Alias] = xb match {
       case NoX => None
@@ -483,24 +519,24 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
       out
     }
     val one = Literal(1L)
-    val (lonKey, latKey): (Option[Attribute], Attribute) =
-      if (isLeft) {
-        val lk = bxA.map { a =>
-          val b = a.toAttribute
-          val neighbors = xb match {
-            case WrappedX(nLon, _) =>
-              val n = Literal(nLon)
-              Seq(Pmod(Subtract(b, one), n), b, Pmod(Add(b, one), n))
-            case _ => Seq(Subtract(b, one), b, Add(b, one))
-          }
-          explode(neighbors, s"${BandPrefix}_bxe")
+    val lonKey: Option[Attribute] = bxA.map { a =>
+      val b = a.toAttribute
+      if (!explodeLon) b
+      else {
+        val neighbors = xb match {
+          case WrappedX(nLon, _) =>
+            val n = Literal(nLon)
+            Seq(Pmod(Subtract(b, one), n), b, Pmod(Add(b, one), n))
+          case _ => Seq(Subtract(b, one), b, Add(b, one))
         }
-        (lk, byA.toAttribute)
-      } else {
-        val b = byA.toAttribute
-        (bxA.map(_.toAttribute),
-          explode(Seq(Subtract(b, one), b, Add(b, one)), s"${BandPrefix}_bye"))
+        explode(neighbors, s"${BandPrefix}_bxe")
       }
+    }
+    val latKey: Attribute = {
+      val b = byA.toAttribute
+      if (!explodeLat) b
+      else explode(Seq(Subtract(b, one), b, Add(b, one)), s"${BandPrefix}_bye")
+    }
     val tileKey: Option[Attribute] =
       if (spread <= 1) None
       else if (isLeft)

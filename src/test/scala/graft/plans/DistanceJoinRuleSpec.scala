@@ -138,6 +138,66 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(ex.getMessage.contains("magnitude"), ex.getMessage)
   }
 
+  test("LEFT SEMI distance join bands: each near-any left row exactly once, no BNLJ") {
+    // the blocklist-keep shape: keep every a-point within 150 m of ANY
+    // b-point. The left side must come back row-for-row (no explode
+    // duplication), matched or not decided exactly as brute force says.
+    val a = pts(cloud(130, seed = 21))
+    val b = pts(cloud(60, seed = 22).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val joined = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0),
+        "left_semi")
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val got = joined.select(col("id")).collect().map(_.getLong(0))
+    assert(got.length === got.toSet.size, "semi join must not duplicate left rows")
+    val expectedIds = brute(a, b, 150.0).map(_._1)
+    assert(got.toSet === expectedIds)
+    assert(got.nonEmpty && got.length < 130, "fixture needs both kept and dropped rows")
+  }
+
+  test("LEFT ANTI distance join bands: blocklist-distance filtering, exact complement") {
+    val a = pts(cloud(130, seed = 21))
+    val b = pts(cloud(60, seed = 22).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    val joined = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0),
+        "left_anti")
+    val plan = planString(joined)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val got = joined.select(col("id")).collect().map(_.getLong(0)).toSet
+    val near = brute(a, b, 150.0).map(_._1)
+    val allIds = a.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === (allIds -- near))
+    // a null-coordinate left row has a null predicate -> anti KEEPS it
+    val withNull = pts(Seq((7777L, null, Double.box(47.4))))
+    val kept = withNull.join(b,
+        GeoFunctions.haversineMeters(withNull("lon"), withNull("lat"), b("lon"), b("lat"))
+          <= lit(150.0), "left_anti")
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(7777L))
+  }
+
+  test("semi/anti partition the left side and honor the envelope raise") {
+    val a = pts(cloud(80, seed = 31))
+    val b = pts(cloud(40, seed = 32).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    def ids(tpe: String): Set[Long] = a.join(b,
+        call_function("haversine_m", a("lon"), a("lat"), b("lon"), b("lat")) <= lit(200.0), tpe)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val semi = ids("left_semi"); val anti = ids("left_anti")
+    assert((semi & anti).isEmpty && (semi ++ anti).size == 80)
+    // envelope: polar data raises loudly on the semi path too
+    val polarA = pts(Seq((1L, Double.box(10.0), Double.box(80.0))))
+    val polarB = pts(Seq((2L, Double.box(10.0001), Double.box(80.0))))
+    val ex = intercept[Exception] {
+      polarA.join(polarB,
+        call_function("haversine_m", polarA("lon"), polarA("lat"), polarB("lon"), polarB("lat"))
+          <= lit(100.0), "left_semi").collect()
+    }
+    assert(ex.getMessage.contains("BandedDistanceJoin"), ex.getMessage)
+  }
+
   test("latitude beyond the declared envelope raises instead of dropping pairs") {
     val a = pts(Seq((1L, Double.box(10.0), Double.box(80.0))))
     val b = pts(Seq((2L, Double.box(10.0001), Double.box(80.0))))

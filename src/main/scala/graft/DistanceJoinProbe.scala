@@ -65,6 +65,19 @@ object DistanceJoinProbe {
             .queryExecution.toRdd.count()
         }
     }
+    // semi/anti (blocklist-filter) shape: left row-for-row, right
+    // exploded 9x — output is bounded by |left|, so wall clock tracks
+    // the probe-side volume, not the pair volume
+    locally {
+      val a = cloud(200000L, math.sqrt(4.0), 1L); val b = cloud(20000L, math.sqrt(4.0), 7L)
+      for (tpe <- Seq("left_semi", "left_anti"); run <- 1 to 2)
+        t(s"banded_${tpe}_n200k_b20k_r$run") {
+          a.as("a").join(b.as("b"),
+              call_function("haversine_m", col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+                <= lit(100.0), tpe)
+            .queryExecution.toRdd.count()
+        }
+    }
     // densifying regime at one size, for the quadratic-pair baseline
     val a = cloud(100000L, 1.0, 1L); val b = cloud(100000L, 1.0, 7L)
     t("banded_fixed_area_n100000") {

@@ -113,4 +113,46 @@ class DistanceJoinPropertySpec extends SparkSpec {
           s"missing=${(expected -- got.toSet).take(5)} extra=${(got.toSet -- expected).take(5)}")
     }
   }
+
+  test("semi/anti random trials: banded blocklist filter == sequential brute force") {
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val baseLat = -64.0 + rnd.nextDouble() * 128.0
+      val baseLon =
+        if (trial % 3 == 0) 180.0 - rnd.nextDouble() * 0.01 // pin onto the seam
+        else -180.0 + rnd.nextDouble() * 360.0
+      val radius = math.pow(10.0, 1.5 + rnd.nextDouble() * 4.0)
+      val spreadDeg = math.toDegrees(radius / 6371000.0) * 3.0
+      val wLat = math.toDegrees(radius / 6371000.0)
+      def cloud(n: Int, offset: Long): Seq[(Long, Double, Double)] =
+        (0 until n).map { i =>
+          val lat0 = baseLat + (rnd.nextDouble() - 0.5) * spreadDeg
+          val lat = if (i % 5 == 0) math.floor(lat0 / wLat) * wLat else lat0
+          val lonRaw = baseLon + (rnd.nextDouble() - 0.5) * spreadDeg
+          val lon = ((lonRaw + 180.0 + 720.0) % 360.0) - 180.0
+          (offset + i, lon, math.max(-65.9, math.min(65.9, lat)))
+        }
+      val aRows = cloud(50, 0L)
+      val bRows = cloud(20, 1000L)
+      val nearIds = (for {
+        (ia, loa, laa) <- aRows; (_, lob, lab) <- bRows
+        if GeoFunctions.haversineMeters(loa, laa, lob, lab) <= radius
+      } yield ia).toSet
+      def run(tpe: String): Seq[Long] = {
+        val joined = df(aRows).as("a").join(df(bRows).as("b"),
+          GeoFunctions.haversineMeters(col("a.lon"), col("a.lat"), col("b.lon"), col("b.lat"))
+            <= lit(radius), tpe)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_band"), s"trial $trial $tpe: rule did not fire\n$plan")
+        joined.select(col("a.id")).collect().map(_.getLong(0)).toSeq
+      }
+      val semi = run("left_semi"); val anti = run("left_anti")
+      assert(semi.length == semi.toSet.size && anti.length == anti.toSet.size,
+        s"trial $trial: semi/anti duplicated left rows")
+      assert(semi.toSet == nearIds,
+        s"trial $trial (lat=$baseLat lon=$baseLon r=$radius): semi mismatch")
+      assert(anti.toSet == aRows.map(_._1).toSet -- nearIds,
+        s"trial $trial (lat=$baseLat lon=$baseLon r=$radius): anti mismatch")
+    }
+  }
 }

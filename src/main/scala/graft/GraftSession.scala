@@ -41,6 +41,14 @@ object GraftSession {
       shufflePartitions = math.max(cores, 4)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the extensions conf above injects the banded rewrite into the
+    // operator-optimization batch (catches DataFrame-API joins);
+    // register() ALSO places it in experimental.extraOptimizations —
+    // the "User Provided Optimizers" batch that runs AFTER
+    // RewritePredicateSubquery, which is the only point where a SQL
+    // EXISTS/NOT EXISTS distance subquery has become the LeftSemi/
+    // LeftAnti join the rule bands
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 

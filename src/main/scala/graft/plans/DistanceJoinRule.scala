@@ -135,7 +135,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   * meets at the left row's exact cell; semi/anti semantics make match
   * multiplicity irrelevant. spreadFactor tiling does NOT apply to
   * semi/anti (tiling replicates the probe side, which would break
-  * anti's no-match-anywhere contract). Banding a full outer join
+  * anti's no-match-anywhere contract). SQL `EXISTS`/`NOT EXISTS`
+  * distance subqueries reach the same path — but only through the
+  * `experimental.extraOptimizations` registration
+  * ([[GraftExtensions.register]], applied by GraftSession.local/
+  * prepare): RewritePredicateSubquery turns the subquery into the
+  * semi/anti Join only AFTER the operator-optimization batch where
+  * `injectOptimizerRule` rules run, so the extensions-conf injection
+  * alone sees EXISTS too early. Banding a full outer join
   * would multiply the unmatched rows, so outer joins stay untouched.
   * The rule fires only when no equi-conjunct
   * already exists (then the join is hash-joinable as written and the

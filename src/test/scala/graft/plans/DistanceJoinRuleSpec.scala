@@ -422,6 +422,30 @@ class DistanceJoinRuleSpec extends SparkSpec {
       brute(a, b, 150.0))
   }
 
+  test("SQL EXISTS / NOT EXISTS distance subqueries band as semi/anti") {
+    // the SQL spelling of the blocklist filter: Catalyst rewrites the
+    // correlated EXISTS into LeftSemi/LeftAnti with the distance
+    // predicate as the join condition — exactly the shape the rule
+    // bands since r14
+    val a = pts(cloud(60, seed = 41))
+    val b = pts(cloud(25, seed = 42).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    a.createOrReplaceTempView("dj_sa")
+    b.createOrReplaceTempView("dj_sb")
+    val near = brute(a, b, 150.0).map(_._1)
+    def run(not: String): Set[Long] = {
+      val q = spark.sql(
+        s"""SELECT a.id FROM dj_sa a
+           |WHERE $not EXISTS (SELECT 1 FROM dj_sb b
+           |  WHERE haversine_m(a.lon, a.lat, b.lon, b.lat) <= 150.0)""".stripMargin)
+      val plan = planString(q)
+      assert(plan.contains("__graft_band"), s"'$not EXISTS' did not band:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+      q.collect().map(_.getLong(0)).toSet
+    }
+    assert(run("") === near)
+    assert(run("NOT") === a.select(col("id")).collect().map(_.getLong(0)).toSet -- near)
+  }
+
   test("a huge radius degrades to latitude-only banding but stays exact (wrap included)") {
     // 300 km at cap 66 deg: sin(r/2R)/cos(66) < 1 so lon banding still
     // applies; also check a radius so large the lon bound is vacuous

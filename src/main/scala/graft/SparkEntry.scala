@@ -1809,9 +1809,10 @@ object SparkEntry {
       // the two-input watermarked stream-stream join (colocation covers
       // the self-join shape): events enriched with the same-user label
       // intervals containing them, replayed over lockstep time-bounded
-      // chunks — oracle is the plain containment join (the state-bound
-      // conjunct ts >= finished_at - maxDuration is implied because
-      // every synthetic interval is shorter than the 600-min contract)
+      // chunks — oracle is the plain containment join with the 600-min
+      // state-bound conjunct (ts >= finished_at - maxDuration) spelled
+      // out, so a fixture change producing a longer interval cannot
+      // silently diverge engine and oracle
       val iv = EventsAdapter.intervals(s, dir).filter(pmod(col("user_id"), lit(8)) === 1)
       val ev = iv.select(col("id").as("event_id"), col("user_id"), col("s_us").as("t_us"))
       val lab = iv.select(col("id").as("label_id"), col("user_id"), col("s_us"), col("f_us"),
@@ -2440,28 +2441,35 @@ object SparkEntry {
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
     "spatial_join_semi" -> { (s, dir) =>
-      // keep every point within 100 m of ANY point of the other slice —
-      // the LeftSemi shape BandedDistanceJoin bands since r14 (left side
-      // row-for-row, right side exploded both axes)
+      // keep every point within 25 m of ANY blocklist point — the
+      // LeftSemi shape BandedDistanceJoin bands since r14 (left side
+      // row-for-row, right side exploded both axes). The blocklist is a
+      // sparse id-slice and the radius sits at jitter scale (~20 m), so
+      // the gate produces a genuine keep/drop partition (131/489 at
+      // sf0.01) — with the full slice at 100 m every left row matched
+      // (r14 advice: degenerate fixture could not distinguish correct
+      // banding from a keep-everything bug)
       val pfs = EventsAdapter.positionfixes(s, dir)
       val a = pfs.filter(col("user_id") % 16 === 9)
         .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
-      val b = pfs.filter(col("user_id") % 16 === 10)
+      val b = pfs.filter(col("user_id") % 16 === 10 && col("id") % 97 === 0)
         .select(col("lon").as("lon2"), col("lat").as("lat2"))
       a.join(b, graft.functions.GeoFunctions.haversineMeters(
-          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(100.0), "left_semi")
+          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(25.0), "left_semi")
         .select(col("id_1"))
     },
     "spatial_join_anti" -> { (s, dir) =>
-      // the blocklist-distance filter: drop everything within 100 m of
-      // any blocklist point (the LeftAnti twin)
+      // the blocklist-distance filter: drop everything within 25 m of
+      // any blocklist point (the LeftAnti twin; same sparse-blocklist
+      // fixture as spatial_join_semi so both sides of the partition are
+      // non-empty)
       val pfs = EventsAdapter.positionfixes(s, dir)
       val a = pfs.filter(col("user_id") % 16 === 9)
         .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
-      val b = pfs.filter(col("user_id") % 16 === 10)
+      val b = pfs.filter(col("user_id") % 16 === 10 && col("id") % 97 === 0)
         .select(col("lon").as("lon2"), col("lat").as("lat2"))
       a.join(b, graft.functions.GeoFunctions.haversineMeters(
-          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(100.0), "left_anti")
+          col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(25.0), "left_anti")
         .select(col("id_1"))
     },
     "spatial_join_seam" -> { (s, dir) =>
@@ -3975,7 +3983,13 @@ object SparkEntry {
         |       CAST(rn AS BIGINT) AS seq_in_window, TRUE AS admitted
         |FROM r WHERE rn <= 5""".stripMargin,
     // two-input stream-stream join replay ≡ the plain same-user
-    // containment join (one row per (event, containing interval))
+    // containment join (one row per (event, containing interval)). The
+    // final conjunct is the engine's 600-min state bound
+    // (t_us >= finished_at - maxDuration) spelled out rather than relied
+    // on implicitly: it is semantically free while every synthetic
+    // interval is shorter than 600 min, and if a fixture change ever
+    // produced a longer interval the oracle now agrees with the
+    // documented contract instead of silently diverging (r14 advice)
     "streaming_interval_join" ->
       s"""${EventsAdapter.pfsSql},
          | base AS MATERIALIZED (
@@ -3985,7 +3999,8 @@ object SparkEntry {
          |       l.id AS label_id, l.label
          |FROM base e JOIN base l
          |  ON e.user_id = l.user_id
-         | AND e.s_us >= l.s_us AND e.s_us < l.f_us""".stripMargin,
+         | AND e.s_us >= l.s_us AND e.s_us < l.f_us
+         | AND e.s_us >= l.f_us - 36000000000""".stripMargin,
     // stream-stream symmetric-hash self-join replay ≡ the plain same-cell
     // interval-overlap pair table (one row per co-located interval pair)
     "streaming_colocation" ->
@@ -4502,17 +4517,17 @@ object SparkEntry {
     "spatial_join_semi" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),
-         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10)
+         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10 AND id % 97 = 0)
          |SELECT a.id AS id_1 FROM a
          |WHERE EXISTS (SELECT 1 FROM b
-         |              WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0)""".stripMargin,
+         |              WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0)""".stripMargin,
     "spatial_join_anti" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),
-         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10)
+         | b AS (SELECT lon, lat FROM pfs WHERE user_id % 16 = 10 AND id % 97 = 0)
          |SELECT a.id AS id_1 FROM a
          |WHERE NOT EXISTS (SELECT 1 FROM b
-         |                  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0)""".stripMargin,
+         |                  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0)""".stripMargin,
     "spatial_join_seam" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0

@@ -909,11 +909,17 @@ object SpatialOps {
       * broadcastable when the node set is small — checkpointed lineages
       * carry no size stats, so Catalyst never discovers this on its own
       * and every iterative round pays a full edge-table shuffle join
-      * against a few-thousand-row frame. Threshold-gated (≤ 4M nodes ≈
-      * ~100 MB broadcast) with the shuffle join as the unchanged
-      * at-scale fallback — a billion-user node table must NOT broadcast.
+      * against a few-thousand-row frame. Threshold-gated at ≤ 1.5M nodes:
+      * a broadcast hash relation costs ~50-80 B/row (UnsafeRow payload +
+      * LongHashedRelation map overhead), so 1.5M nodes ≈ 75-120 MB —
+      * inside Spark's own 8 GB hard cap with a wide margin and roughly
+      * what `spark.sql.autoBroadcastJoinThreshold`-style sizing would
+      * admit on default executor memory (the r14 4M-node bound priced
+      * rows at 16 B and could approach ~300 MB at the boundary). The
+      * shuffle join is the unchanged at-scale fallback — a billion-user
+      * node table must NOT broadcast.
       */
-    def broadcastNodeFrames: Boolean = nNodes <= 4000000L
+    def broadcastNodeFrames: Boolean = nNodes <= 1500000L
   }
 
   /** Build a [[ContactGraph]] from a co-location pair table

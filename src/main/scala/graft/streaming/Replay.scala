@@ -599,8 +599,11 @@ object Replay {
     // common boundaries over the union of both watermark-column time
     // sets: both feeds cross each boundary in the same micro-batch
     val times = (evRows.map(_._3) ++ labRows.map(_._4)).sorted
-    val bounds = (1 until chunks)
-      .map(i => times(((times.length.toLong * i) / chunks).toInt))
+    // empty-feed guard: with no rows there are no boundaries (every other
+    // replay tolerates an empty feed; indexing times(0) here would throw)
+    val bounds =
+      if (times.isEmpty) Seq.empty[Long]
+      else (1 until chunks).map(i => times(((times.length.toLong * i) / chunks).toInt))
     def bucket(t: Long): Int = bounds.count(_ <= t)
 
     val evIn = MemoryStream[(Long, Long, Long)]

@@ -146,4 +146,18 @@ class ReplaySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "user_id", "session_id"))
     assert(out.count() == 0L)
   }
+
+  test("interval join replay tolerates empty feeds at every chunking") {
+    // r14 advice: chunk-boundary computation indexed times(0) of an
+    // empty Seq when both feeds were empty and chunks >= 2
+    val events = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "t_us")
+    val labels = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("label_id", "user_id", "s_us", "f_us", "label")
+    for (chunks <- Seq(1, 2, 4)) {
+      val out = Replay.intervalJoin(events, labels, maxDurationMinutes = 120, chunks = chunks)
+      assert(out.columns.toSeq == Seq("event_id", "user_id", "t_us", "label_id", "label"),
+        s"chunks=$chunks")
+      assert(out.count() == 0L, s"chunks=$chunks")
+    }
+  }
 }

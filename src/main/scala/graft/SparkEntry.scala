@@ -2473,6 +2473,23 @@ object SparkEntry {
           col("lon1"), col("lat1"), col("lon2"), col("lat2")) <= lit(25.0), "left_semi")
         .select(col("id_1"))
     },
+    "spatial_join_outer" -> { (s, dir) =>
+      // the nearest-enrichment shape that must KEEP unmatched rows: a
+      // LEFT OUTER radius join, banded since r15 (left row-for-row so
+      // unmatched rows null-extend exactly once, right side exploded
+      // both axes so each qualifying pair meets exactly once); same
+      // sparse-blocklist fixture as the semi/anti gates so matched and
+      // unmatched left rows both occur
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 9)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 10 && col("id") % 97 === 0)
+        .select(col("id").as("id_2"), col("lon").as("lon2"), col("lat").as("lat2"))
+      val d = graft.functions.GeoFunctions.haversineMeters(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(25.0), "left_outer")
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "spatial_join_anti" -> { (s, dir) =>
       // the blocklist-distance filter: drop everything within 25 m of
       // any blocklist point (the LeftAnti twin; same sparse-blocklist
@@ -4543,6 +4560,19 @@ object SparkEntry {
          |SELECT a.id AS id_1 FROM a
          |WHERE NOT EXISTS (SELECT 1 FROM b
          |                  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0)""".stripMargin,
+    // CASE WHEN on the null-extended side: DuckDB's least/greatest SKIP
+    // nulls, so the raw kernel collapses to acos(-1)·R on unmatched
+    // rows instead of NULL like the engine's null-guarded column
+    "spatial_join_outer" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),
+         | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 10 AND id % 97 = 0)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CASE WHEN b.id IS NULL THEN NULL
+         |            ELSE CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT)
+         |       END AS dist_m
+         |FROM a LEFT JOIN b
+         |  ON ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0""".stripMargin,
     "spatial_join_seam" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral, TrueLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
@@ -142,8 +142,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   * prepare): RewritePredicateSubquery turns the subquery into the
   * semi/anti Join only AFTER the operator-optimization batch where
   * `injectOptimizerRule` rules run, so the extensions-conf injection
-  * alone sees EXISTS too early. Banding a full outer join
-  * would multiply the unmatched rows, so outer joins stay untouched.
+  * alone sees EXISTS too early. Since r15 LEFT OUTER and RIGHT OUTER
+  * band through the same row-preserving shape (the preserved side
+  * keeps its single cell, the other side explodes both axes ±1, so
+  * each qualifying pair meets exactly once and an unmatched preserved
+  * row null-extends exactly once — an explode on the preserved side
+  * would duplicate its unmatched rows, which is why the preserved
+  * side never explodes). FULL OUTER is the one genuinely unbandable
+  * shape (whichever side explodes, ITS unmatched rows would
+  * null-extend once per replica): it stays a BNLJ, but with the same
+  * per-task [[PairBudgetGuard]] attached (keyless — a pure per-task
+  * candidate counter) so a planet-scale full-outer distance join
+  * raises loudly within minutes instead of grinding quadratically
+  * for days.
   * The rule fires only when no equi-conjunct
   * already exists (then the join is hash-joinable as written and the
   * 3× explode cannot pay), and never re-fires on its own output (the
@@ -193,10 +204,36 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     require(spread >= 1 && spread <= 4096,
       s"$SpreadFactorKey must be in [1, 4096], got $spread")
     plan.transform {
-      case j @ Join(_, _, Inner | Cross | LeftSemi | LeftAnti, Some(cond), _)
+      case j @ Join(_, _, Inner | Cross | LeftSemi | LeftAnti | LeftOuter | RightOuter,
+          Some(cond), _)
           if !cond.references.exists(_.name.startsWith(BandPrefix)) =>
         rewrite(j, cond, cap, maxPairs, spread).getOrElse(j)
+      case j @ Join(_, _, FullOuter, Some(cond), _)
+          if maxPairs > 0 && !cond.exists(_.isInstanceOf[PairBudgetGuard]) &&
+            !splitConjunctivePredicates(cond).exists(isEquiAcross(_, j)) &&
+            splitConjunctivePredicates(cond).exists(radiusConjunct(_).isDefined) =>
+        // full outer cannot band (see scaladoc) — keep the BNLJ but
+        // attach the loud per-task candidate budget. Keyless guard:
+        // with no band cells the per-run counter degenerates to the
+        // per-task counter, which for a nested-loop join counts
+        // exactly |stream partition| x |broadcast side| candidate
+        // evaluations — the quantity that explodes quadratically.
+        val budget = maxPairs.toLong
+        val g = PairBudgetGuard(Nil, budget, budget,
+          s"graft.BandedDistanceJoin: full-outer distance join evaluated more than " +
+            s"$MaxPairsPerTaskKey=$budget candidate pairs in one task. Full outer cannot " +
+            s"be banded (either side's explode would duplicate its unmatched rows) — " +
+            s"split the query into a banded LEFT OUTER join UNION ALL the null-extended " +
+            s"banded LEFT ANTI of the right side, raise $MaxPairsPerTaskKey, or disable " +
+            s"this guard via $EnabledKey=false")
+        j.copy(condition = Some(If(g, cond, Literal(false))))
     }
+  }
+
+  private def isEquiAcross(e: Expression, j: Join): Boolean = e match {
+    case EqualTo(l, r) => splitsAcross(l, r, j)
+    case EqualNullSafe(l, r) => splitsAcross(l, r, j)
+    case _ => false
   }
 
   /** The two distance forms the rule recognizes. */
@@ -318,12 +355,7 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
     // an existing equi-conjunct means the join is already hash-joinable
     // as written — banding would pay 3× input for keys strictly less
     // selective than what's there.
-    val hasEqui = conjuncts.exists {
-      case EqualTo(l, r) => splitsAcross(l, r, j)
-      case EqualNullSafe(l, r) => splitsAcross(l, r, j)
-      case _ => false
-    }
-    if (hasEqui) return None
+    if (conjuncts.exists(isEquiAcross(_, j))) return None
     conjuncts.iterator.flatMap(radiusConjunct).collectFirst {
       case (d, r) if r > 0 && java.lang.Double.isFinite(r) &&
         d.children.forall(_.deterministic) => (d, r)
@@ -376,19 +408,30 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
             (PlainX(rEff), rEff)
         }
 
-        val semiOrAnti = j.joinType == LeftSemi || j.joinType == LeftAnti
+        // Row-preserving joins must keep the preserved side row-for-row
+        // (no explode, no tiles): for semi/anti a replica would break
+        // keep/drop-once semantics, for outer joins a replica would
+        // duplicate the null-extended unmatched rows. The OTHER side
+        // explodes both axes ±1, so every qualifying pair meets exactly
+        // once at the preserved row's exact cell — which also makes the
+        // pair multiplicity of LEFT/RIGHT OUTER matches exact.
+        val preserveLeft = j.joinType == LeftSemi || j.joinType == LeftAnti ||
+          j.joinType == LeftOuter
+        val preserveRight = j.joinType == RightOuter
+        val rowPreserving = preserveLeft || preserveRight
         // inner/cross: 3× lon explode left + 3× lat explode right (each
-        // qualifying pair matches EXACTLY once). Semi/anti: the left
-        // side must stay row-for-row (no explode, no tiles), so the
-        // right side explodes both axes and meets every qualifying left
-        // row at its exact cell — multiplicity is absorbed by the
-        // semi/anti semantics themselves.
+        // qualifying pair matches EXACTLY once).
         val (left, right) =
-          if (semiOrAnti)
+          if (preserveLeft)
             (bandedSide(j.left, loL, laL, xb, wLat, spread = 1, isLeft = true,
               explodeLon = false, explodeLat = false),
               bandedSide(j.right, loR, laR, xb, wLat, spread = 1, isLeft = false,
                 explodeLon = true, explodeLat = true))
+          else if (preserveRight)
+            (bandedSide(j.left, loL, laL, xb, wLat, spread = 1, isLeft = true,
+              explodeLon = true, explodeLat = true),
+              bandedSide(j.right, loR, laR, xb, wLat, spread = 1, isLeft = false,
+                explodeLon = false, explodeLat = false))
           else
             (bandedSide(j.left, loL, laL, xb, wLat, spread, isLeft = true,
               explodeLon = true, explodeLat = false),
@@ -415,16 +458,16 @@ object BandedDistanceJoin extends Rule[LogicalPlan] with PredicateHelper {
             // at the hint the user already followed. Saturating multiply:
             // a huge maxPairsPerTask must disable, not wrap negative.
             val budget = maxPairs.toLong
-            // semi/anti never tiles, so its ceiling doesn't scale
-            val effSpread = if (semiOrAnti) 1 else spread
+            // row-preserving joins never tile, so their ceiling doesn't scale
+            val effSpread = if (rowPreserving) 1 else spread
             val taskBudget =
               if (budget > Long.MaxValue / (4L * effSpread)) Long.MaxValue
               else 4L * effSpread * budget
             val hint =
-              if (semiOrAnti)
+              if (rowPreserving)
                 s"raise $MaxPairsPerTaskKey, pre-aggregate the probe side, or disable " +
                   s"the rewrite via $EnabledKey=false (spreadFactor tiling does not " +
-                  s"apply to semi/anti joins)"
+                  s"apply to semi/anti/outer joins)"
               else
                 s"set $SpreadFactorKey (currently $spread) to tile hot cells across " +
                   s"tasks, raise $MaxPairsPerTaskKey, or disable the rewrite via " +

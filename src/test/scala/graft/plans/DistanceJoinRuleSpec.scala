@@ -446,6 +446,88 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(run("NOT") === a.select(col("id")).collect().map(_.getLong(0)).toSet -- near)
   }
 
+  test("LEFT OUTER distance join bands: matched pairs exact, unmatched null-extend once") {
+    val a = pts(cloud(100, seed = 61))
+    val b = pts(cloud(45, seed = 62).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    def q: DataFrame = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0),
+        "left_outer")
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+    val plan = planString(q)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    def rows(df: DataFrame): Seq[(Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    val got = rows(q)
+    val want = locally {
+      spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+      try rows(q) finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+    }
+    assert(got === want)
+    assert(got.exists(_._2 == -1L) && got.exists(_._2 != -1L),
+      "fixture needs both matched and unmatched left rows")
+    assert(got.length === got.size && got.map(_._1).distinct.size < got.length,
+      "fixture needs a left row with several matches (multiplicity check)")
+  }
+
+  test("RIGHT OUTER distance join bands through the mirrored shape") {
+    val a = pts(cloud(45, seed = 63))
+    val b = pts(cloud(100, seed = 64).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    def q: DataFrame = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0),
+        "right_outer")
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+    val plan = planString(q)
+    assert(plan.contains("__graft_band"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    def rows(df: DataFrame): Seq[(Long, Long)] = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq.sorted
+    val got = rows(q)
+    val want = locally {
+      spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+      try rows(q) finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+    }
+    assert(got === want)
+    assert(got.exists(_._1 == -1L) && got.exists(_._1 != -1L),
+      "fixture needs both matched and unmatched right rows")
+  }
+
+  test("FULL OUTER distance join stays BNLJ but carries the per-task pair budget") {
+    // the negative pin (r14 verdict #5): full outer is the documented
+    // unbandable shape — the plan must STILL be a BNLJ, but with the
+    // keyless PairBudgetGuard attached so the gap is loud at scale
+    // rather than a silent quadratic hang
+    val a = pts(cloud(60, seed = 65))
+    val b = pts(cloud(40, seed = 66).map { case (i, lo, la) => (i + 1000L, lo, la) })
+    def q: DataFrame = a.join(b,
+        GeoFunctions.haversineMeters(a("lon"), a("lat"), b("lon"), b("lat")) <= lit(150.0),
+        "full_outer")
+      .select(a("id").as("id_1"), b("id").as("id_2"))
+    val plan = planString(q)
+    assert(!plan.contains("__graft_band"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_pair_budget"), plan)
+    def rows(df: DataFrame): Seq[(Long, Long)] = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    val got = rows(q)
+    val want = locally {
+      spark.conf.set(BandedDistanceJoin.EnabledKey, "false")
+      try rows(q) finally spark.conf.unset(BandedDistanceJoin.EnabledKey)
+    }
+    assert(got === want)
+    assert(got.exists(_._1 == -1L) && got.exists(_._2 == -1L),
+      "fixture needs unmatched rows on both sides")
+    // the guard raises loudly past the budget, naming the split recipe
+    spark.conf.set(BandedDistanceJoin.MaxPairsPerTaskKey, "100")
+    try {
+      val ex = intercept[Exception] { q.collect() }
+      val msg = String.valueOf(ex.getMessage) + String.valueOf(ex.getCause)
+      assert(msg.contains("full-outer"), msg)
+      assert(msg.contains("UNION ALL"), msg)
+    } finally spark.conf.unset(BandedDistanceJoin.MaxPairsPerTaskKey)
+  }
+
   test("a huge radius degrades to latitude-only banding but stays exact (wrap included)") {
     // 300 km at cap 66 deg: sin(r/2R)/cos(66) < 1 so lon banding still
     // applies; also check a radius so large the lon bound is vacuous

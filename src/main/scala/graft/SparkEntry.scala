@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.sources.EventsAdapter
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2460,6 +2460,38 @@ object SparkEntry {
       a.join(b, d <= lit(100.0))
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "io_wkt_parse" -> { (s, dir) =>
+      // the CSV WKT READ path under continuous oracle coverage (r14
+      // verdict #7): WKT text is BUILT from integer microdegrees by
+      // exact string concatenation — no float FORMATTING, which the
+      // documented oracle-exactness convention excludes — and then
+      // parsed by the library's own POINT and LINESTRING codecs (the
+      // read_staypoints_csv / read_triplegs_csv route). Decimal-text →
+      // double parsing is correctly rounded in both engines (Java
+      // parseDouble, DuckDB CAST), so the parsed coordinates compare
+      // bit-exactly.
+      import graft.sources.Csv
+      val pfs = EventsAdapter.positionfixes(s, dir).filter(col("user_id") % 16 === 3)
+      val m = pfs.select(col("id"),
+        expr("cast(floor(lon * 1000000.0 + 0.5) as bigint)").as("mx"),
+        expr("cast(floor(lat * 1000000.0 + 0.5) as bigint)").as("my"))
+        .withColumn("mx2", col("mx") + 1000L)
+        .withColumn("my2", col("my") - 500L)
+      def dec(c: String): Column = concat(
+        when(col(c) < 0, lit("-")).otherwise(lit("")),
+        expr(s"cast(abs($c) div 1000000 as string)"),
+        lit("."),
+        lpad(expr(s"cast(abs($c) % 1000000 as string)"), 6, "0"))
+      val wkt = m.select(col("id"),
+        concat(lit("POINT ("), dec("mx"), lit(" "), dec("my"), lit(")")).as("pw"),
+        concat(lit("LINESTRING ("), dec("mx"), lit(" "), dec("my"), lit(", "),
+          dec("mx2"), lit(" "), dec("my2"), lit(")")).as("lw"))
+      val (plon, plat) = Csv.parsePointWkt(col("pw"))
+      val ls = Csv.parseLinestringWkt(col("lw"))
+      wkt.select(col("id"), plon.as("p_lon"), plat.as("p_lat"),
+        element_at(ls, 2).getField("lon").as("l2_lon"),
+        element_at(ls, 2).getField("lat").as("l2_lat"))
+    },
     "spatial_join_semi" -> { (s, dir) =>
       // keep every point within 25 m of ANY blocklist point — the
       // LeftSemi shape BandedDistanceJoin bands since r14 (left side
@@ -4551,6 +4583,35 @@ object SparkEntry {
          |       CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT) AS dist_m
          |FROM a, b
          |WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 100.0""".stripMargin,
+    // WKT strings built from exact integers in both engines, then
+    // parsed: Spark via the library's regex codecs, DuckDB via
+    // string_split — decimal-text -> double is correctly rounded in
+    // both, so values compare bit-exactly (parse-only; formatting from
+    // floats stays spec-gated per the oracle-exactness convention)
+    "io_wkt_parse" -> {
+      def dec(c: String) =
+        s"(CASE WHEN $c < 0 THEN '-' ELSE '' END || CAST(abs($c) // 1000000 AS VARCHAR)" +
+          s" || '.' || lpad(CAST(abs($c) % 1000000 AS VARCHAR), 6, '0'))"
+      s"""${EventsAdapter.pfsSql},
+         | m AS (SELECT id,
+         |   CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS mx,
+         |   CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS my
+         |   FROM pfs WHERE user_id % 16 = 3),
+         | m2 AS (SELECT id, mx, my, mx + 1000 AS mx2, my - 500 AS my2 FROM m),
+         | w AS (SELECT id,
+         |   'POINT (' || ${dec("mx")} || ' ' || ${dec("my")} || ')' AS pw,
+         |   'LINESTRING (' || ${dec("mx")} || ' ' || ${dec("my")} || ', '
+         |     || ${dec("mx2")} || ' ' || ${dec("my2")} || ')' AS lw
+         |   FROM m2),
+         | p AS (SELECT id,
+         |   string_split(regexp_extract(pw, 'POINT \\(([^)]*)\\)', 1), ' ') AS pn,
+         |   string_split(regexp_extract(lw, 'LINESTRING \\(([^)]*)\\)', 1), ', ') AS lpts
+         |   FROM w)
+         |SELECT id, CAST(pn[1] AS DOUBLE) AS p_lon, CAST(pn[2] AS DOUBLE) AS p_lat,
+         |       CAST(string_split(lpts[2], ' ')[1] AS DOUBLE) AS l2_lon,
+         |       CAST(string_split(lpts[2], ' ')[2] AS DOUBLE) AS l2_lat
+         |FROM p""".stripMargin
+    },
     "spatial_join_semi" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9),

@@ -1824,6 +1824,26 @@ object SparkEntry {
         pmod(col("k"), lit(4)).as("label"))
       graft.streaming.Replay.intervalJoin(ev, lab, maxDurationMinutes = 600, chunks = 2)
     },
+    "streaming_interval_join_outer" -> { (s, dir) =>
+      // the LEFT OUTER twin: unmatched events null-extend exactly once,
+      // emitted on watermark-proven eviction (the canonical outer
+      // stream-stream semantics, previously untested). Events and
+      // labels come from DISJOINT k-parity slices of the same users so
+      // the output is a real match/null mix — an event at an even-k
+      // start matches only when an odd-k interval of the same user
+      // happens to contain it (the inner gate's self-slice fixture
+      // would match every event to its own interval, making the outer
+      // path indistinguishable from inner + no-op)
+      val base = EventsAdapter.intervals(s, dir)
+        .filter(pmod(col("user_id"), lit(8)) === 5)
+      val ev = base.filter(pmod(col("k"), lit(2)) === 0)
+        .select(col("id").as("event_id"), col("user_id"), col("s_us").as("t_us"))
+      val lab = base.filter(pmod(col("k"), lit(2)) === 1)
+        .select(col("id").as("label_id"), col("user_id"), col("s_us"), col("f_us"),
+          pmod(col("k"), lit(4)).as("label"))
+      graft.streaming.Replay.intervalJoin(ev, lab, maxDurationMinutes = 600, chunks = 2,
+        leftOuter = true)
+    },
     "streaming_colocation" -> { (s, dir) =>
       // deterministic user slice (user_id ≡ 0 mod 8) + 2 chunks: the gate
       // certifies the symmetric-hash-join state transitions, which a ~1/64
@@ -4070,6 +4090,24 @@ object SparkEntry {
          |  ON e.user_id = l.user_id
          | AND e.s_us >= l.s_us AND e.s_us < l.f_us
          | AND e.s_us >= l.f_us - 36000000000""".stripMargin,
+    // the LEFT OUTER twin over disjoint k-parity slices: every
+    // containment conjunct (incl. the 600-min state bound) lives in the
+    // ON clause, so an event with no qualifying interval null-extends
+    // exactly once — the engine emits that row on watermark eviction,
+    // the oracle by plain outer-join semantics
+    "streaming_interval_join_outer" ->
+      s"""${EventsAdapter.pfsSql},
+         | ev AS MATERIALIZED (
+         |   SELECT id AS event_id, user_id, s_us AS t_us
+         |   FROM intervals WHERE user_id % 8 = 5 AND k % 2 = 0),
+         | lab AS MATERIALIZED (
+         |   SELECT id AS label_id, user_id, s_us, f_us, k % 4 AS label
+         |   FROM intervals WHERE user_id % 8 = 5 AND k % 2 = 1)
+         |SELECT e.event_id, e.user_id, e.t_us, l.label_id, l.label
+         |FROM ev e LEFT JOIN lab l
+         |  ON e.user_id = l.user_id
+         | AND e.t_us >= l.s_us AND e.t_us < l.f_us
+         | AND e.t_us >= l.f_us - 36000000000""".stripMargin,
     // stream-stream symmetric-hash self-join replay ≡ the plain same-cell
     // interval-overlap pair table (one row per co-located interval pair)
     "streaming_colocation" ->

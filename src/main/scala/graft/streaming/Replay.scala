@@ -591,14 +591,31 @@ object Replay {
     * side's watermark proves no future row can match, which under
     * in-order feeds never removes a live partner.
     *
+    * With `leftOuter = true` the replay drives
+    * [[StreamingIntervalJoin.enrichLeftOuter]] instead: unmatched
+    * events emit null-extended ONLY once the global watermark passes
+    * `ts + maxDuration`, so after the last real chunk the replay feeds
+    * a sentinel batch on BOTH inputs (Spark's global watermark is the
+    * MIN across watermark columns — one side alone would hold it back)
+    * far enough ahead (`watermark + maxDuration + slack`) to evict
+    * every real row, then one more sentinel batch to run the
+    * post-watermark-update eviction pass (watermarks take effect in
+    * the batch AFTER the one that advanced them; no-data batches are
+    * disabled here for batch determinism). Sentinel rows carry
+    * `user_id = -1` and are dropped from the returned frame; real
+    * user ids are nonnegative by the events-table contract.
+    *
     * @param events (event_id, user_id, t_us) — extra columns ignored
     * @param labels (label_id, user_id, s_us, f_us, label) with every
     *               interval no longer than `maxDurationMinutes`
     * @return (event_id, user_id, t_us, label_id, label), one row per
-    *         containing interval
+    *         containing interval; with `leftOuter` also one
+    *         (event_id, user_id, t_us, null, null) row per
+    *         never-matched event
     */
   def intervalJoin(events: DataFrame, labels: DataFrame, maxDurationMinutes: Int,
-                   watermarkMinutes: Int = 60, chunks: Int = 2): DataFrame = {
+                   watermarkMinutes: Int = 60, chunks: Int = 2,
+                   leftOuter: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val runner = runnerSession(spark)
@@ -640,7 +657,13 @@ object Replay {
     val sink = new Collector
     val ckpt = tmp("graft-replay-ivj-ckpt")
 
-    val q = StreamingIntervalJoin.enrich(evStream, labStream, maxDurationMinutes, watermarkMinutes)
+    val joined =
+      if (leftOuter)
+        StreamingIntervalJoin.enrichLeftOuter(evStream, labStream,
+          maxDurationMinutes, watermarkMinutes)
+      else
+        StreamingIntervalJoin.enrich(evStream, labStream, maxDurationMinutes, watermarkMinutes)
+    val q = joined
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -655,11 +678,24 @@ object Replay {
         if (lb.nonEmpty) labIn.addData(lb)
         q.processAllAvailable()
       }
+      if (leftOuter && times.nonEmpty) {
+        // sentinel flush (see scaladoc): both watermark columns must
+        // advance past every real row's eviction point, then one more
+        // batch runs the eviction that emits the trailing null rows
+        val flushT = times.last +
+          (watermarkMinutes.toLong + maxDurationMinutes.toLong + 10L) * 60000000L
+        evIn.addData(Seq((-1L, -1L, flushT)))
+        labIn.addData(Seq((-1L, -1L, flushT, flushT + 1L, 0L)))
+        q.processAllAvailable()
+        evIn.addData(Seq((-2L, -1L, flushT + 60000000L)))
+        q.processAllAvailable()
+      }
     } finally q.stop()
 
     val empty = spark.emptyDataset[(Long, Long, Long, Long, Long)]
       .toDF("event_id", "user_id", "t_us", "label_id", "label")
-    val got = sink.result(spark, ckpt, empty)
+    val raw = sink.result(spark, ckpt, empty)
+    val got = if (leftOuter) raw.filter(col("user_id") >= 0) else raw
     if (got.columns.contains("ts"))
       got.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("label_id"), col("label"))

@@ -31,13 +31,7 @@ object StreamingIntervalJoin {
     */
   def enrich(events: DataFrame, labels: DataFrame,
              maxDurationMinutes: Int, watermarkMinutes: Int = 60): DataFrame = {
-    val l = events
-      .select(col("event_id"), col("user_id").as("_lu"), col("ts"))
-      .withWatermark("ts", s"$watermarkMinutes minutes")
-    val r = labels
-      .select(col("label_id"), col("user_id").as("_ru"), col("label"),
-        col("started_at"), col("finished_at"))
-      .withWatermark("finished_at", s"$watermarkMinutes minutes")
+    val (l, r) = watermarked(events, labels, watermarkMinutes)
     // `ts >= started_at` must stay OUT of the join condition:
     // started_at carries no watermark, so StreamingJoinHelper logs an
     // INTERNAL_ERROR stack per batch trying to derive a state bound
@@ -49,12 +43,73 @@ object StreamingIntervalJoin {
     // treatment as StreamingColocation's pair-ordering conjunct, r10).
     val startedBefore = udf((t: java.sql.Timestamp, s: java.sql.Timestamp) =>
       t != null && s != null && !t.before(s)).asNondeterministic()
-    l.join(r,
-        col("_lu") === col("_ru") &&
-          col("ts") < col("finished_at") &&
-          col("ts") >= col("finished_at") - expr(s"INTERVAL $maxDurationMinutes MINUTES"))
+    l.join(r, stateBoundCond(maxDurationMinutes))
       .filter(startedBefore(col("ts"), col("started_at")))
       .select(col("event_id"), col("_lu").as("user_id"), col("ts"),
         col("label_id"), col("label"))
   }
+
+  /** The LEFT OUTER twin of [[enrich]]: events with no same-user
+    * containing interval null-extend EXACTLY ONCE, emitted when the
+    * watermark proves no future label can still match (the canonical
+    * outer-join-with-state-eviction semantics of the streaming
+    * symmetric hash join; an event's unmatched row lands only after the
+    * global watermark passes `ts + maxDuration`, so late labels can
+    * never contradict an already-emitted null row).
+    *
+    * Unlike the inner path, `ts >= started_at` here must live IN the
+    * join condition: a post-join filter would turn a
+    * coarse-matched-but-refinement-failed pair into a dropped row
+    * instead of a null-extension, silently losing the event from the
+    * output. The conjunct references the un-watermarked `started_at`,
+    * which StreamingJoinHelper cannot derive a state bound from — that
+    * is fine (the two `finished_at` conjuncts already bound both
+    * sides' state) but logs a per-batch INTERNAL_ERROR stack, so this
+    * object turns that one logger off at class-load (see
+    * [[silenceJoinHelper]]).
+    */
+  def enrichLeftOuter(events: DataFrame, labels: DataFrame,
+                      maxDurationMinutes: Int, watermarkMinutes: Int = 60): DataFrame = {
+    silenceJoinHelper
+    val (l, r) = watermarked(events, labels, watermarkMinutes)
+    l.join(r, stateBoundCond(maxDurationMinutes) && col("ts") >= col("started_at"),
+        "leftOuter")
+      .select(col("event_id"), col("_lu").as("user_id"), col("ts"),
+        col("label_id"), col("label"))
+  }
+
+  private def watermarked(events: DataFrame, labels: DataFrame,
+                          watermarkMinutes: Int): (DataFrame, DataFrame) = (
+    events
+      .select(col("event_id"), col("user_id").as("_lu"), col("ts"))
+      .withWatermark("ts", s"$watermarkMinutes minutes"),
+    labels
+      .select(col("label_id"), col("user_id").as("_ru"), col("label"),
+        col("started_at"), col("finished_at"))
+      .withWatermark("finished_at", s"$watermarkMinutes minutes"))
+
+  /** The two watermark-derivable conjuncts that bound BOTH sides' state
+    * (events evict once the label watermark passes `ts + maxDuration`,
+    * labels once the event watermark passes `finished_at`), plus the
+    * user equi-key.
+    */
+  private def stateBoundCond(maxDurationMinutes: Int) =
+    col("_lu") === col("_ru") &&
+      col("ts") < col("finished_at") &&
+      col("ts") >= col("finished_at") - expr(s"INTERVAL $maxDurationMinutes MINUTES")
+
+  /** StreamingJoinHelper ERROR-logs a full INTERNAL_ERROR stack for
+    * every conjunct it cannot derive a state watermark from — once per
+    * micro-batch — even when other conjuncts already bound the state
+    * (its own scaladoc calls the analysis best-effort). The outer path
+    * requires such a conjunct in the condition (see
+    * [[enrichLeftOuter]]), so the noise is structural, not a defect to
+    * fix; turning the single logger off is the narrowest barrier (the
+    * helper logs nothing actionable at any level — a genuinely
+    * unbounded condition fails the query loudly elsewhere).
+    */
+  private lazy val silenceJoinHelper: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
+      org.apache.logging.log4j.Level.OFF)
 }

@@ -2547,6 +2547,39 @@ object SparkEntry {
       a.join(b, d <= lit(25.0), "left_outer")
         .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
     },
+    "spatial_join_right" -> { (s, dir) =>
+      // the mirrored row-preserving shape: the sparse blocklist on the
+      // LEFT, the dense point cloud preserved on the RIGHT — bands
+      // through the same rule with the explode sides swapped (the
+      // preserved side never explodes), so both outer orientations are
+      // oracle-covered, not just the one the spec exercises
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 10 && col("id") % 97 === 0)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 9)
+        .select(col("id").as("id_2"), col("lon").as("lon2"), col("lat").as("lat2"))
+      val d = graft.functions.GeoFunctions.haversineMeters(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(25.0), "right_outer")
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
+    "spatial_join_full" -> { (s, dir) =>
+      // the one documented-unbandable shape: FULL OUTER stays a BNLJ
+      // with the keyless per-task PairBudgetGuard attached (r15 rule
+      // work; DistanceJoinRuleSpec pins the guard's presence and its
+      // loud raise) — this gate pins the RESULT on two sparse slices
+      // whose pair volume is far under the budget, so every join shape
+      // the rule touches is oracle-gated, the guarded path included
+      val pfs = EventsAdapter.positionfixes(s, dir)
+      val a = pfs.filter(col("user_id") % 16 === 9 && col("id") % 193 === 0)
+        .select(col("id").as("id_1"), col("lon").as("lon1"), col("lat").as("lat1"))
+      val b = pfs.filter(col("user_id") % 16 === 10 && col("id") % 97 === 0)
+        .select(col("id").as("id_2"), col("lon").as("lon2"), col("lat").as("lat2"))
+      val d = graft.functions.GeoFunctions.haversineMeters(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      a.join(b, d <= lit(50.0), "full_outer")
+        .select(col("id_1"), col("id_2"), floor(d).cast("long").as("dist_m"))
+    },
     "spatial_join_anti" -> { (s, dir) =>
       // the blocklist-distance filter: drop everything within 25 m of
       // any blocklist point (the LeftAnti twin; same sparse-blocklist
@@ -4677,6 +4710,26 @@ object SparkEntry {
          |       END AS dist_m
          |FROM a LEFT JOIN b
          |  ON ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0""".stripMargin,
+    "spatial_join_right" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 10 AND id % 97 = 0),
+         | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CASE WHEN a.id IS NULL THEN NULL
+         |            ELSE CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT)
+         |       END AS dist_m
+         |FROM a RIGHT JOIN b
+         |  ON ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 25.0""".stripMargin,
+    "spatial_join_full" ->
+      s"""${EventsAdapter.pfsSql},
+         | a AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 9 AND id % 193 = 0),
+         | b AS (SELECT id, lon, lat FROM pfs WHERE user_id % 16 = 10 AND id % 97 = 0)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |       CASE WHEN a.id IS NULL OR b.id IS NULL THEN NULL
+         |            ELSE CAST(floor(${hav("a.lon", "a.lat", "b.lon", "b.lat")}) AS BIGINT)
+         |       END AS dist_m
+         |FROM a FULL JOIN b
+         |  ON ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 50.0""".stripMargin,
     "spatial_join_seam" ->
       s"""${EventsAdapter.pfsSql},
          | a AS (SELECT id, CASE WHEN lon + 171.5 > 180.0 THEN lon + 171.5 - 360.0

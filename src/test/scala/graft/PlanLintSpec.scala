@@ -53,7 +53,14 @@ class PlanLintSpec extends AnyFunSuite {
     *    identical zones² s_ij join, nothing new is quadratic
     */
   private val deliberateZonePairs = Set(
-    "radiation_flows", "od_gravity_fit", "od_radiation", "flow_model_cpc")
+    "radiation_flows", "od_gravity_fit", "od_radiation", "flow_model_cpc",
+    // the one documented-unbandable distance-join shape: FULL OUTER
+    // keeps its BNLJ by design (either side's explode would duplicate
+    // its unmatched rows), but the rule attaches the keyless per-task
+    // PairBudgetGuard, so the quadratic is runtime-loud rather than
+    // plan-visible-bounded; DistanceJoinRuleSpec pins both the guard's
+    // presence and its raise
+    "spatial_join_full")
 
   /** Gates whose BNLJ build side is a FIXED literal-id probe set
     * (vec_id < 10/100, or the ivf centroid seeds at vec_id < nlist) —

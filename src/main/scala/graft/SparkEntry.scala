@@ -2808,6 +2808,20 @@ object SparkEntry {
       Classifier.calibrationFromScored(Pipeline.scoredDocs(s, dir),
         Pipeline.labeledDocs(s, dir), buckets = 8)
     },
+    "classifier__prolog" -> { (s, dir) =>
+      // bills the shared trained-filter memo (Pipeline.scoredDocs — the
+      // 8-iter gradient loop) as its own bench line, exactly like
+      // colocation__prolog: the double underscore sorts before every
+      // classifier_* gate, so classifier_auc (the family's alphabetical
+      // first consumer) stops absorbing the training cost and
+      // calibration/auc/drift report marginal cost. Integer-exact
+      // score-census summary, oracle-checked like any gate.
+      Pipeline.scoredDocs(s, dir).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("z")).cast("long").as("sum_z"),
+        sum(col("p_q")).cast("long").as("sum_p_q"),
+        sum(col("pred")).cast("long").as("n_pos_pred"))
+    },
     "classifier_auc" -> { (s, dir) =>
       decimalsToDigits(
         Classifier.aucFromScored(Pipeline.scoredDocs(s, dir), Pipeline.labeledDocs(s, dir)))
@@ -8553,6 +8567,22 @@ object SparkEntry {
          |  CAST(sum(p_q) AS DOUBLE)
          |    / (CAST(count(*) AS DOUBLE) * CAST(${Classifier.PS} AS DOUBLE)) AS predicted
          |FROM scal GROUP BY bucket""".stripMargin,
+    // the shared trained-filter memo's integer score census (the
+    // classifier family's eval-grade 8-iter weights — same CTE chain as
+    // calibration/auc, aggregated instead of bucketed)
+    "classifier__prolog" ->
+      s"""WITH ${classifierCtes(dim = 64, iters = 8, stepDiv = 16384L)},
+         |csz AS (
+         |  SELECT x.doc_id, CAST(sum(x.x * w.w) AS BIGINT) AS z
+         |  FROM cx x JOIN cw8 w ON x.b = w.b GROUP BY x.doc_id),
+         |sc AS (
+         |  SELECT z, greatest(least(z + ${2L * Classifier.S}, ${Classifier.PS}), 0) AS p_q
+         |  FROM csz)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(z) AS BIGINT) AS sum_z,
+         |       CAST(sum(p_q) AS BIGINT) AS sum_p_q,
+         |       CAST(sum(CASE WHEN p_q >= ${Classifier.PS / 2} THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pos_pred
+         |FROM sc""".stripMargin,
     // Mann–Whitney U from per-score class counts: the calibration chain's
     // scal CTE regrouped by p_q, cumulative negatives below, U·2 exact in
     // int128 — auc is the one final double division

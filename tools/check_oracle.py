@@ -38,8 +38,17 @@ def normalize(df):
     return df
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, exclusions_path=None):
     con = duckdb.connect()
+    # Bounded-resource oracle: the driver gate runs at sf0.01 where every
+    # oracle fits easily; the OPTIONAL sf0.1 sweep (r14 verdict #4) hits
+    # a handful of iterative-CTE oracles whose DuckDB join state is
+    # corpus-quadratic (the dense contact graph) — unbounded they grind
+    # for 30+ minutes toward a 100 GiB OOM. Cap memory and disable temp
+    # spill so a genuinely oversized oracle fails in minutes with the OOM
+    # recorded, instead of wedging the sweep.
+    con.execute("SET memory_limit='60GB'")
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
@@ -47,7 +56,11 @@ def main(sf_dir, out_dir, json_out=None):
         verify_failed = json.loads(Path(out_dir, "failed_queries.json").read_text())
     except Exception:
         verify_failed = {}
-    n_ok = n_bad = 0
+    # Optional 4th arg: {query_name: reason} — known oracle-side scale
+    # exclusions, recorded (never silently absent) and counted apart
+    # from real failures.
+    exclusions = json.loads(Path(exclusions_path).read_text()) if exclusions_path else {}
+    n_ok = n_bad = n_excl = 0
     report = {}
 
     def record(name, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
@@ -62,6 +75,13 @@ def main(sf_dir, out_dir, json_out=None):
 
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir, name)
+        if name in exclusions:
+            n_rows = pq.read_table(str(res_dir)).num_rows if res_dir.exists() else 0
+            print(f"[EXCL] {name}: {exclusions[name]}")
+            record(name, None, None, None, n_rows, None,
+                   f"excluded: {exclusions[name]}")
+            n_excl += 1
+            continue
         if not res_dir.exists():
             err = verify_failed.get(name, "no spark output")
             print(f"[MISS] {name}: {err}")
@@ -129,9 +149,11 @@ def main(sf_dir, out_dir, json_out=None):
     if json_out:
         Path(json_out).write_text(json.dumps(report, indent=1, sort_keys=True))
         print(f"wrote {json_out}: {len(report)} queries")
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    print(f"\n{n_ok} ok, {n_bad} bad" + (f", {n_excl} excluded" if n_excl else ""))
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))

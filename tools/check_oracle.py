@@ -40,15 +40,18 @@ def normalize(df):
 
 def main(sf_dir, out_dir, json_out=None, exclusions_path=None):
     con = duckdb.connect()
-    # Bounded-resource oracle: the driver gate runs at sf0.01 where every
-    # oracle fits easily; the OPTIONAL sf0.1 sweep (r14 verdict #4) hits
-    # a handful of iterative-CTE oracles whose DuckDB join state is
-    # corpus-quadratic (the dense contact graph) — unbounded they grind
-    # for 30+ minutes toward a 100 GiB OOM. Cap memory and disable temp
-    # spill so a genuinely oversized oracle fails in minutes with the OOM
-    # recorded, instead of wedging the sweep.
-    con.execute("SET memory_limit='60GB'")
-    con.execute("SET temp_directory=''")
+    # Bounded-resource SWEEP mode, active only when an exclusions file is
+    # passed (the sf0.1 sweep, r14 verdict #4): a handful of
+    # iterative-CTE oracles have corpus-quadratic DuckDB join state (the
+    # dense contact graph) and, unbounded, grind 30+ minutes toward a
+    # 100 GiB OOM each. Cap memory and disable temp spill there so an
+    # oversized oracle fails in minutes with the OOM recorded. The
+    # DEFAULT (driver-mimicking sf0.01 gate) stays unbounded — the
+    # Louvain L2 oracle legitimately spills past 60 GB even at sf0.01
+    # and must keep passing.
+    if exclusions_path:
+        con.execute("SET memory_limit='60GB'")
+        con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())

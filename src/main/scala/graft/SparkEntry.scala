@@ -1824,6 +1824,19 @@ object SparkEntry {
         pmod(col("k"), lit(4)).as("label"))
       graft.streaming.Replay.intervalJoin(ev, lab, maxDurationMinutes = 600, chunks = 2)
     },
+    "streaming_asof_join" -> { (s, dir) =>
+      // the point-in-time enrichment twin of the batch asof_join gate:
+      // same even/odd event split, labels NOT pre-aggregated (the
+      // keyed-state operator's max-(t,id) update rule handles ties),
+      // replayed over 4 global-time-ordered chunks; oracle is DuckDB's
+      // native ASOF LEFT JOIN over the tie-collapsed label table
+      val ev = EventsAdapter.events(s, dir).select(col("event_id"), col("user_id"), col("t_us"))
+      graft.streaming.Replay.asOf(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1).select(col("event_id").as("label_id"),
+          col("user_id"), col("t_us")),
+        chunks = 4)
+    },
     "streaming_interval_join_outer" -> { (s, dir) =>
       // the LEFT OUTER twin: unmatched events null-extend exactly once,
       // emitted on watermark-proven eviction (the canonical outer
@@ -4137,6 +4150,16 @@ object SparkEntry {
          |  ON e.user_id = l.user_id
          | AND e.s_us >= l.s_us AND e.s_us < l.f_us
          | AND e.s_us >= l.f_us - 36000000000""".stripMargin,
+    // keyed-state point-in-time replay ≡ the native ASOF LEFT JOIN over
+    // the tie-collapsed label table (max id per (user, t) — the
+    // operator's max-(t,id) state update rule in closed form)
+    "streaming_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+        |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, t_us, max(event_id) AS label_id
+        |      FROM ev WHERE event_id % 2 = 1 GROUP BY user_id, t_us)
+        |SELECT l.event_id, l.user_id, l.t_us, r.label_id, r.t_us AS label_t_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin,
     // the LEFT OUTER twin over disjoint k-parity slices: every
     // containment conjunct (incl. the 600-min state bound) lives in the
     // ON clause, so an event with no qualifying interval null-extends

@@ -581,6 +581,52 @@ object Replay {
         col("seq_in_window"), col("admitted"))
   }
 
+  /** Replay [[StreamingAsOf.enrich]] over bounded event/label tables:
+    * the point-in-time enrichment shape. One tagged feed, globally
+    * sorted by (t, labels-before-events, id) then equal row chunks —
+    * the same global-time-order recipe as [[sessionize]], which keeps
+    * every user's rows in-order across micro-batches; labels sort
+    * before events at the same instant so an at-that-moment label is
+    * visible to its event even across a chunk boundary.
+    *
+    * @param events (event_id, user_id, t_us) — extra columns ignored
+    * @param labels (label_id, user_id, t_us) — extra columns ignored
+    * @return (event_id, user_id, t_us, label_id, label_t_us), one row
+    *         per event; label columns null before a user's first label
+    */
+  def asOf(events: DataFrame, labels: DataFrame, chunks: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = runnerSession(spark).sqlContext
+
+    val evRows = events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"))
+      .as[(Long, Long, Long)].collect().map { case (i, u, t) => (u, false, i, t) }
+    val labRows = labels
+      .select(col("label_id").cast("long"), col("user_id").cast("long"), col("t_us").cast("long"))
+      .as[(Long, Long, Long)].collect().map { case (i, u, t) => (u, true, i, t) }
+    val rows = (evRows ++ labRows)
+      .sortBy { case (_, isLabel, id, t) => (t, !isLabel, id) }.toSeq
+
+    val input = MemoryStream[(Long, Boolean, Long, Long)]
+    val stream = input.toDF().toDF("user_id", "is_label", "id", "t_us")
+    val sink = new Collector
+    val ckpt = tmp("graft-replay-asof-ckpt")
+
+    drain(input, rows, chunks) {
+      StreamingAsOf.enrich(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[StreamingAsOf.Enriched], _: Long) =>
+          sink.add(df); ()
+        }
+        .start()
+    }
+
+    sink.result(spark, ckpt, spark.emptyDataset[StreamingAsOf.Enriched].toDF())
+      .select(col("event_id"), col("user_id"), col("t_us"), col("label_id"), col("label_t_us"))
+  }
+
   /** Replay [[StreamingIntervalJoin.enrich]] over bounded event/label
     * tables — the TWO-INPUT stream-stream join shape (colocation is the
     * self-join). Both feeds advance in lockstep over COMMON time

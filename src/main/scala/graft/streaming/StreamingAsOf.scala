@@ -63,7 +63,18 @@ object StreamingAsOf {
               if (cur == null || r.tUs > cur.tUs || (r.tUs == cur.tUs && r.id > cur.id))
                 cur = LabelState(r.tUs, r.id)
             } else {
-              out += (if (cur == null) Enriched(r.id, userId, r.tUs, null, null)
+              // future-label guard: under the in-order contract
+              // cur.tUs <= r.tUs always holds (the in-order replay and
+              // the oracle never see this branch), but if the stream
+              // DISORDERS — a late event arriving after the label
+              // timeline has advanced past it — the single-pair state
+              // can no longer answer "latest at-or-before". Enriching
+              // with the future label would be exactly the feature
+              // leakage point-in-time joins exist to prevent, so the
+              // event emits null-enriched instead: absent features,
+              // never leaked ones.
+              out += (if (cur == null || cur.tUs > r.tUs)
+                        Enriched(r.id, userId, r.tUs, null, null)
                       else Enriched(r.id, userId, r.tUs, cur.id, cur.tUs))
             }
           }

@@ -39,6 +39,24 @@ class StreamingAsOfSpec extends SparkSpec {
       (200L, null, null)), out)
   }
 
+  test("a late event never enriches with a future label (leakage guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Boolean, Long, Long)]
+    val stream = in.toDF().toDF("user_id", "is_label", "id", "t_us")
+    val query = StreamingAsOf.enrich(stream)
+      .writeStream.format("memory").queryName("asof_late_out").outputMode("append").start()
+
+    in.addData((1L, true, 7L, 100L))   // label timeline advances to t=100
+    query.processAllAvailable()
+    in.addData((1L, false, 50L, 40L))  // late event at t=40: the state's
+    query.processAllAvailable()        // label is from its future
+    query.stop()
+
+    val out = spark.table("asof_late_out")
+      .select("event_id", "label_id").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(out == Set((50L, null)), out)
+  }
+
   test("replay matches the batch as-of join at every chunking") {
     val ev = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 15L), (200L, 2L, 9L))
       .toDF("event_id", "user_id", "t_us")

@@ -3,6 +3,7 @@ package graft
 import graft.operators._
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 
 import scala.collection.mutable
@@ -244,6 +245,75 @@ object Pipeline {
   def labeledDocs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("label", (org.apache.spark.sql.functions.col("lang") === "en").cast("long"))
+
+  /** The 4-iter/131072-stepDiv trained weight vector shared by the
+    * classifier_train and classifier_score gates (the eval family's
+    * 8-iter filter is [[scoredDocs]]): one gradient loop per corpus
+    * snapshot — the production shape — instead of each gate re-running
+    * the identical full-batch training for bit-identical weights.
+    */
+  def classifierWeights4(spark: SparkSession, sfDir: String): Array[Long] =
+    model(spark, sfDir, "classifier_w_i4") {
+      Classifier.fit(labeledDocs(spark, sfDir),
+        dim = 64, iters = 4, stepDiv = 131072L, share = persist)
+    }
+
+  /** The learned 8-merge BPE table, trained once per corpus snapshot —
+    * bpe_merges / bpe_encode / bpe_export / tokenizer_compression /
+    * pack_by_bpe all read the ONE trained tokenizer (training is ~26
+    * small shuffle+checkpoint jobs; re-running it per gate dominated the
+    * whole family's bench cost while producing bit-identical tables).
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "bpe_merges") {
+      // no persist wrapper: the trainer runs eagerly (per-round argmax
+      // collects) and returns a driver-local trajectory frame — acting
+      // on it again is free
+      TextAnalysis.bpeTrain(
+        spark.read.parquet(s"$sfDir/documents.parquet"), merges = 8, share = persist)
+    }
+
+  /** The merge table as the driver-side (lhs, rhs) sequence in merge
+    * order — the broadcastable form every encode/export kernel takes.
+    */
+  def bpeLearned(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    model(spark, sfDir, "bpe_learned") {
+      bpeMerges(spark, sfDir).select(col("step"), col("lhs"), col("rhs")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+
+  /** Per-document token counts under the learned table ([[bpeLearned]]),
+    * tokenized once per snapshot: read by bpe_encode, the fairness card
+    * and the BPE-budgeted packer.
+    */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "bpe_token_counts") {
+      persist(TextAnalysis.bpeEncode(
+        spark.read.parquet(s"$sfDir/documents.parquet"), bpeLearned(spark, sfDir)))
+    }
+
+  /** DSIR hashed-bigram log-ratio weights vs the English slice (dim 256)
+    * — the join-form and scan-form importance gates score with the SAME
+    * weight table (bit-identical by construction), so it derives once.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "dsir_weights") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      persist(TextAnalysis.importanceWeights(
+        docs.filter(col("lang") === "en"), docs, dim = 256))
+    }
+
+  /** Perceptual aHash table over the real decoded PNG fixtures (content
+    * keyed by doc_id % 250) — the phash gate reads it directly and the
+    * near-dup pair gate bands over it; the javax.imageio encode+decode
+    * pass is the family's dominant cost and runs once per snapshot.
+    */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "image_phash") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("cid", pmod(col("doc_id"), lit(250L)))
+      persist(Multimodal.perceptualHash(Multimodal.pngFixtures(docs, contentCol = "cid")))
+    }
 
   /** Eval-grade trained-and-scored corpus (iters = 8, the stepDiv the
     * eval queries pin): the calibration table, the ROC AUC and the PSI

@@ -2801,17 +2801,17 @@ object SparkEntry {
     },
     // fastText-style quality/topic filter: integer full-batch training
     // against the lang=='en' target, then corpus-wide scoring
+    // train and score share the ONE memoized 4-iter weight vector
+    // (Pipeline.classifierWeights4): each gate previously re-ran the
+    // identical full-batch gradient loop for bit-identical weights
     "classifier_train" -> { (s, dir) =>
-      Classifier.weightsDf(
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("label", (col("lang") === "en").cast("long")),
-        dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
+      import s.implicits._
+      Pipeline.classifierWeights4(s, dir).toIndexedSeq.zipWithIndex
+        .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "weight")
     },
     "classifier_score" -> { (s, dir) =>
-      Classifier.trainAndScore(
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("label", (col("lang") === "en").cast("long")),
-        dim = 64, iters = 4, stepDiv = 131072L, share = _.localCheckpoint(false))
+      Classifier.score(Pipeline.labeledDocs(s, dir),
+        Pipeline.classifierWeights4(s, dir), dim = 64)
     },
     // reliability table of the trained filter: 8 probability buckets,
     // observed positive rate vs mean prediction — exact-long sums.
@@ -2840,9 +2840,10 @@ object SparkEntry {
         Classifier.aucFromScored(Pipeline.scoredDocs(s, dir), Pipeline.labeledDocs(s, dir)))
     },
     "split_leakage" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.splitLeakage(docs,
-        Dedup.minHashLsh(docs, numHashes = 64, bands = 16, verifyThreshold = 0.5))
+      // reads the memoized pair table (same 64/16/0.5 parameters) —
+      // previously re-ran the whole signature/banding chain in-gate
+      Dedup.splitLeakage(s.read.parquet(s"$dir/documents.parquet"),
+        Pipeline.minhashPairs(s, dir))
     },
     // embedding-space drift: shared clusters trained on the full table,
     // even ids as corpus A vs odd ids as corpus B; dense k-row output
@@ -3236,27 +3237,32 @@ object SparkEntry {
     // the learned BPE merge table is the full training trajectory: any
     // divergence in pair counting, tie-breaking, or fusion order at any
     // round changes every later row
+    // bills the shared trained-tokenizer memo (Pipeline.bpeMerges — the
+    // 8-round incremental trainer, ~26 small shuffle+checkpoint jobs) as
+    // its own bench line, exactly like colocation__prolog: the double
+    // underscore sorts before every bpe_* family gate, so bpe_encode
+    // (the family's alphabetical first consumer) stops absorbing the
+    // training cost and encode/export/fairness/packing report marginal
+    // cost. The output IS the training trajectory (same oracle as
+    // bpe_merges) — integer-exact and oracle-checked like any gate.
+    "bpe__prolog" -> { (s, dir) =>
+      Pipeline.bpeMerges(s, dir)
+    },
     "bpe_merges" -> { (s, dir) =>
-      TextAnalysis.bpeTrain(s.read.parquet(s"$dir/documents.parquet"),
-        merges = 8, share = _.localCheckpoint(false))
+      Pipeline.bpeMerges(s, dir)
     },
     // train -> tokenize end to end: learned merges fold into one
-    // scan-stage projection (driver-held literals, no merge-table join)
+    // scan-stage projection (driver-held literals, no merge-table join);
+    // the trained table and the per-doc token counts come from the
+    // family memo (one training, one tokenization per corpus snapshot)
     "bpe_encode" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
-        .select(col("step"), col("lhs"), col("rhs")).collect()
-        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncode(docs, learned)
+      Pipeline.bpeTokenCounts(s, dir)
     },
     // trained-tokenizer fairness card: one global merge table, per-lang
     // tokens per 100 chars (Petrov et al. 2023)
     "tokenizer_compression" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
-        .select(col("step"), col("lhs"), col("rhs")).collect()
-        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.tokenizerCompressionCard(docs, TextAnalysis.bpeEncode(docs, learned))
+      TextAnalysis.tokenizerCompressionCard(
+        s.read.parquet(s"$dir/documents.parquet"), Pipeline.bpeTokenCounts(s, dir))
     },
     // exact >= 40-char shared-substring pairs (Lee et al. 2022
     // ExactSubstr, document granularity; raw-string gram join, df-capped)
@@ -3286,18 +3292,19 @@ object SparkEntry {
     },
     // DSIR importance vs the English slice as target: hashed-bigram
     // log-ratio weights (256 buckets), every document scored
+    // both importance gates read the ONE memoized weight table
+    // (Pipeline.dsirWeights) — the weight derivation is two corpus
+    // bigram passes and was previously re-run per gate
     "dsir_importance" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val w = TextAnalysis.importanceWeights(docs.filter(col("lang") === "en"), docs, dim = 256)
-      TextAnalysis.importanceScore(docs, w, dim = 256)
+      TextAnalysis.importanceScore(
+        s.read.parquet(s"$dir/documents.parquet"), Pipeline.dsirWeights(s, dir), dim = 256)
         .select(col("doc_id"), col("n_bigrams"), col("importance_q"))
     },
     // the scan-only twin: weight array as a plan literal, per-row
     // transform+aggregate — same oracle proves join ≡ scan under the gate
     "dsir_importance_scan" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val w = TextAnalysis.importanceWeights(docs.filter(col("lang") === "en"), docs, dim = 256)
-      TextAnalysis.importanceScoreScan(docs, w, dim = 256)
+      TextAnalysis.importanceScoreScan(
+        s.read.parquet(s"$dir/documents.parquet"), Pipeline.dsirWeights(s, dir), dim = 256)
         .select(col("doc_id"), col("n_bigrams"), col("importance_q"))
     },
     // the full curation pipeline: quality -> repetition -> near-dup
@@ -3339,17 +3346,14 @@ object SparkEntry {
     // perceptual aHash over REAL decoded PNGs; content keyed by
     // doc_id % 250 so every image has exactly one duplicate partner —
     // the fixture for the near-dup pair gate below
+    // phash and the near-dup pair gates read the ONE memoized aHash
+    // table (Pipeline.imagePhash): the javax.imageio PNG encode+decode
+    // pass is the family's dominant cost and previously ran per gate
     "image_phash" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("cid", pmod(col("doc_id"), lit(250L)))
-      Multimodal.perceptualHash(Multimodal.pngFixtures(docs, contentCol = "cid"))
+      Pipeline.imagePhash(s, dir)
     },
     "image_neardup" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("cid", pmod(col("doc_id"), lit(250L)))
-      Multimodal.imageNearDupPairs(
-        Multimodal.perceptualHash(Multimodal.pngFixtures(docs, contentCol = "cid")),
-        maxHamming = 3)
+      Multimodal.imageNearDupPairs(Pipeline.imagePhash(s, dir), maxHamming = 3)
     },
     // real frame sampling: deterministic animated GIFs built and decoded
     // by javax.imageio's sequence reader/writer; every k-th frame's
@@ -3434,18 +3438,12 @@ object SparkEntry {
     // trainer handoff: the ordered subword stream per document under the
     // 8-merge learned table (same train collect as pack_by_bpe)
     "bpe_export" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
-        .select(col("step"), col("lhs"), col("rhs")).collect()
-        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeExportTokens(docs, learned)
+      TextAnalysis.bpeExportTokens(
+        s.read.parquet(s"$dir/documents.parquet"), Pipeline.bpeLearned(s, dir))
     },
     "pack_by_bpe" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val learned = TextAnalysis.bpeTrain(docs, merges = 8, share = _.localCheckpoint(false))
-        .select(col("step"), col("lhs"), col("rhs")).collect()
-        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      val counts = TextAnalysis.bpeEncode(docs, learned).select(col("doc_id"), col("n_bpe_tokens"))
+      val counts = Pipeline.bpeTokenCounts(s, dir).select(col("doc_id"), col("n_bpe_tokens"))
       CorpusOps.packSequences(docs.join(counts, "doc_id"), budgetTokens = 256,
         tokenCountCol = Some("n_bpe_tokens"))
     },
@@ -8698,6 +8696,9 @@ object SparkEntry {
     "ann_pq" -> pqOracle(ksub = 8, iters = 2, subWidth = 16, probeMax = 10, k = 5),
     "ann_ivfpq" -> ivfPqOracle(nlist = 8, coarseIters = 2, m = 4, ksub = 8,
       pqIters = 2, subWidth = 16, nprobe = 2, probeMax = 10, k = 5),
+    // the family-prolog bench line returns the training trajectory —
+    // same result, same oracle as bpe_merges
+    "bpe__prolog" -> bpeOracle(merges = 8),
     "bpe_merges" -> bpeOracle(merges = 8),
     "bpe_encode" -> bpeEncodeOracle(merges = 8),
     // per-language compression over the SAME trained merge chain: the

@@ -199,6 +199,14 @@ object Pipeline {
     */
   def colocationMeetings(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "colocation_meetings") {
+      // NOT pre-partitioned by the pair key: under AQE the checkpoint's
+      // LogicalRDD captures UnknownPartitioning (AdaptiveSparkPlanExec
+      // has no stable outputPartitioning before execution), so a
+      // build-side repartition(user_a, user_b) does NOT let the three
+      // pair-keyed consumers skip their Exchange — measured: the extra
+      // build shuffle costs ~0.3 s and a build-side sort ~3 s while the
+      // downstream plans keep their Exchange anyway (r15 optimization
+      // round, rejected experiment).
       persist(SpatialOps.colocationMeetings(
         EventsAdapter.intervals(spark, sfDir), cellMicroDeg = 10000L, bandMinutes = 120.0))
     }

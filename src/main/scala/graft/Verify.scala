@@ -110,6 +110,13 @@ object Verify {
           .queryExecution.toRdd.count()),
         "pq" -> (() => { Pipeline.pqModel(spark, sfDir); () }),
         "kmeans" -> (() => { Pipeline.kmeansModel(spark, sfDir); () }),
+        "bpe" -> (() => Pipeline.bpeTokenCounts(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "classifier4" -> (() => { Pipeline.classifierWeights4(spark, sfDir); () }),
+        "dsir" -> (() => Pipeline.dsirWeights(spark, sfDir)
+          .queryExecution.toRdd.count()),
+        "phash" -> (() => Pipeline.imagePhash(spark, sfDir)
+          .queryExecution.toRdd.count()),
       )
       await(warm.map { case (fam, f) => () =>
         val w0 = System.nanoTime()

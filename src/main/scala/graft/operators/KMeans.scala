@@ -44,19 +44,20 @@ object KMeans {
   private[operators] def quantize(vecCol: Column, scale: Double): Column =
     transform(vecCol, x => floor(x * scale + lit(0.5)).cast(LongType))
 
-  /** argmin over k broadcast-literal centroids as one `least(...)` of
-    * (distance, id) structs — lexicographic struct comparison gives the
-    * tie→lowest-id rule for free, and the whole thing stays inside
-    * whole-stage codegen (no join, no shuffle).
+  /** argmin over k broadcast-literal centroids as ONE native codegen
+    * kernel ([[graft.plans.ArgminQuantizedL2]]): a tight primitive k×dim
+    * loop per row, no join, no shuffle. The previous composed form —
+    * `least(struct(aggregate(zip_with(...)), id), ...)` — evaluated k
+    * higher-order lambda chains per row as CodegenFallback (an
+    * interpreted call per dimension per centroid per row — the dominant
+    * CPU of every assignment/encode pass); the kernel replicates its
+    * semantics exactly, including the tie→lowest-id struct ordering and
+    * the null-distance-sorts-first corner (ArgminExpressionSpec pins
+    * kernel ≡ composed form on randoms and every edge case).
     */
   private[operators] def nearestScored(cents: Array[Array[Long]], qCol: Column): Column = {
-    val scored = cents.zipWithIndex.map { case (cv, ci) =>
-      val d = aggregate(
-        zip_with(qCol, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d.as("d"), lit(ci.toLong).as("c"))
-    }
-    if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.ArgminQuantizedL2(ColumnShim.expression(qCol), cents))
   }
 
   private[operators] def nearest(cents: Array[Array[Long]], qCol: Column): Column =

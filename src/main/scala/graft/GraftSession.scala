@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default TRUE: the r15 optimization
+      // round A/B-ed the tuning guide's parallelismFirst=false +
+      // advisory=8m on the full suite and it was a broad loss (269 of
+      // 319 gates slower, +64 s total; the colocation/spatial families
+      // +2..+4 s each) — post-shuffle stages carrying real per-row
+      // compute get serialized onto 1-3 tasks, and in-process task
+      // launch is too cheap for the saved near-empty tasks to matter.
+      // At multi-node scale the advisory governs either way because
+      // shuffles are GBs; the default is the right local setting.
       // InferFiltersFromGenerate re-evaluates the generator's child
       // expression inside an inferred pre-filter; for our sketch
       // operators that child is an expensive interpreted higher-order

@@ -337,6 +337,26 @@ object Pipeline {
         dim = 64, iters = 8, stepDiv = 16384L, share = persist))
     }
 
+  /** Brute-force exact top-5 of the standard probe slice (vec_id < 10)
+    * over the full embedding corpus — the ground-truth ranking shared by
+    * ann_bruteforce itself and both index-quality evals (recall, nDCG),
+    * which previously each re-ran the full corpus scan.
+    */
+  def annBruteTop5(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "ann_brute_top5") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      persist(Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5))
+    }
+
+  /** The id-seeded IVF top-5 answer for the same probe slice (nlist 32,
+    * nprobe 4) — shared by ann_ivf and the recall/nDCG evals.
+    */
+  def annIvfTop5(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "ann_ivf_top5") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      persist(Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4))
+    }
+
   /** PQ codebooks trained once per corpus snapshot (dim 64, m 4,
     * ksub 8 — the gate family's parameters): the ADC search gate, the
     * distortion card and the recall eval all read the same index.

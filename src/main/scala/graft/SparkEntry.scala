@@ -2758,9 +2758,11 @@ object SparkEntry {
     // structural .limit would make the bound plan-visible but costs a
     // measured ~0.5 s GlobalLimit exchange per gate, so PlanLintSpec
     // whitelists these gates by name instead (boundedProbes)
+    // the brute/ivf rankings and both index-quality evals read the TWO
+    // memoized search results (Pipeline.annBruteTop5 / annIvfTop5) —
+    // previously each eval re-ran both full searches
     "ann_bruteforce" -> { (s, dir) =>
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      Pipeline.annBruteTop5(s, dir)
     },
     "ann_lsh" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2779,8 +2781,7 @@ object SparkEntry {
       Ann.mmrRerank(pool, k = 10, lambdaBp = 7000)
     },
     "ann_ivf" -> { (s, dir) =>
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Pipeline.annIvfTop5(s, dir)
     },
     // Lloyd's iterations run distributed (see KMeans scaladoc); the gate
     // checks the full training trajectory bit-for-bit — any divergence in
@@ -2866,12 +2867,10 @@ object SparkEntry {
     // recall@5 of the id-seeded IVF index vs the brute-force truth —
     // the honest quality row next to the index's own top-k gates
     "ann_recall" -> { (s, dir) =>
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.recallEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.recallEvalFrom(Pipeline.annBruteTop5(s, dir), Pipeline.annIvfTop5(s, dir), k = 5)
     },
     "ann_ndcg" -> { (s, dir) =>
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.ndcgEval(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 32, nprobe = 4)
+      Ann.ndcgEvalFrom(Pipeline.annBruteTop5(s, dir), Pipeline.annIvfTop5(s, dir), k = 5)
     },
     "ann_dim_ablation" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -165,15 +165,22 @@ object Ann {
     */
   def ndcgEval(probes: DataFrame, corpus: DataFrame, k: Int = 5,
                nlist: Int = 32, nprobe: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ndcgEvalFrom(bruteForceTopK(probes, corpus, k, idCol, vecCol),
+      ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol), k)
+
+  /** [[ndcgEval]] over already-computed rankings — see
+    * [[recallEvalFrom]] for the sharing rationale.
+    */
+  def ndcgEvalFrom(truthTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
     def wq(rankCol: String) =
       expr(s"1000000000000 div cast(floor(log2($rankCol + 1) * 1000000) as bigint)")
-    val truth = bruteForceTopK(probes, corpus, k, idCol, vecCol)
+    val truth = truthTopK
       .select(col("probe_id"), col("neighbor_id"), col("rank").as("_tr"))
     val idcg = truth
       .groupBy(col("probe_id"))
       .agg(sum((lit(k.toLong) - col("_tr") + 1L) * wq("_tr")).as("idcg_q"))
-    val dcg = ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol)
+    val dcg = approxTopK
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
       .join(truth, Seq("probe_id", "neighbor_id"), "left")
       .withColumn("_rel", coalesce(lit(k.toLong) - col("_tr") + 1L, lit(0L)))
@@ -298,11 +305,20 @@ object Ann {
     */
   def recallEval(probes: DataFrame, corpus: DataFrame, k: Int = 5,
                  nlist: Int = 32, nprobe: Int = 4,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val truth = bruteForceTopK(probes, corpus, k, idCol, vecCol)
-      .select(col("probe_id"), col("neighbor_id"))
-    val approx = ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol)
-      .select(col("probe_id"), col("neighbor_id"))
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallEvalFrom(bruteForceTopK(probes, corpus, k, idCol, vecCol),
+      ivfTopK(probes, corpus, k, nlist, nprobe, idCol, vecCol), k)
+
+  /** [[recallEval]] over already-computed rankings — the production
+    * shape: the brute-force truth and the index's answer are each
+    * computed once per (probe set, corpus snapshot) and every eval row
+    * (this, [[ndcgEvalFrom]], the ann_bruteforce/ann_ivf gates
+    * themselves) reads the same two frames instead of re-running both
+    * searches.
+    */
+  def recallEvalFrom(truthTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
+    val truth = truthTopK.select(col("probe_id"), col("neighbor_id"))
+    val approx = approxTopK.select(col("probe_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
     truth.select(col("probe_id")).distinct()

@@ -64,7 +64,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_bruteforce: probe side broadcasts against the corpus scan") {
-    val p = plan("ann_bruteforce")
+    // the gate reads the memoized ranking (Pipeline.annBruteTop5 — a
+    // checkpoint scan), so the structural pin targets the OPERATOR the
+    // memo runs, on the same probe-slice shape
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Ann.bruteForceTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), emb, k = 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), "probe fan-out must broadcast, not cartesian-shuffle")
   }

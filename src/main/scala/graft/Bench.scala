@@ -92,12 +92,20 @@ object Bench {
     // truncation regardless, and (c) the complete ms-resolution JSON is
     // also written to a file (SPARK_GRAFT_BENCH_OUT, default
     // BENCH_LOCAL.json in the cwd) for cross-round per-query tracking.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      line(v => "%.3f".format(v)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { // bench result still goes to stdout; fatal errors propagate
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $out: $e")
+    // When no explicit out path is given, ALSO write a per-core-count
+    // file: the driver's follow-up scaling run (same cwd, different
+    // $SPARK_GRAFT_CPUS) used to clobber BENCH_LOCAL.json, leaving no
+    // committed 32-core full map for the round-over-round per-query diff
+    // (r15 verdict item 2) — now each core count keeps its own map.
+    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(Seq(_)).getOrElse(Seq("BENCH_LOCAL.json", s"BENCH_LOCAL_c$cpus.json"))
+    outs.foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        line(v => "%.3f".format(v)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { // bench result still goes to stdout; fatal errors propagate
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write $out: $e")
+      }
     }
     println(line(v => "%.2f".format(v)))
     // (d) a COMPLETE compact headline line last: with 282 queries the full
@@ -116,6 +124,21 @@ object Bench {
     // every longer line is lost — r13's "done" bar for the bench artifact
     val slowest = byTime.take(20)
       .map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    // widen the per-query channel the driver can actually capture (r15
+    // verdict item 2: PERF per_query came back empty because only the
+    // compact slowest-20 line survives the tail window): BEFORE the
+    // canonical compact line, emit short strictly-parseable JSON lines
+    // covering the next slowest gates ("slowest2" = ranks 21-40,
+    // "slowest3" = 41-60). The canonical compact line stays LAST and
+    // byte-compatible, so any last-line/scan-from-end parser is
+    // unaffected; a parser that wants more per-query medians can take
+    // the extra lines, and the complete map is still in the full line
+    // above and in BENCH_LOCAL*.json.
+    Seq("slowest2" -> byTime.slice(20, 40), "slowest3" -> byTime.slice(40, 60))
+      .filter(_._2.nonEmpty).foreach { case (key, qs) =>
+        val m = qs.map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+        println(s"""{"metric":"$key","$key":$m,"unit":"sec","runs":$runs,"sf":"$sfDir"}""")
+      }
     val compact = s"""{"metric":"total","value":${f2(total)},"streaming_subtotal":${f2(streamingTotal)},"batch_value":${f2(total - streamingTotal)},"unit":"sec","runs":$runs,"queries_count":${results.size},"slowest":$slowest,"failed":$failedCompact,"failed_count":${failed.size},"sf":"$sfDir"}"""
     println(compact)
     // Belt-and-braces against harness log decoration (build.sbt routes

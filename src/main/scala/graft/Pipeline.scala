@@ -224,10 +224,12 @@ object Pipeline {
     * assortativity, rich club, LPA, Louvain stats, BFS balls), which
     * previously each re-checkpointed the same three frames.
     */
-  def contactGraph(spark: SparkSession, sfDir: String): SpatialOps.ContactGraph =
+  def contactGraph(spark: SparkSession, sfDir: String): SpatialOps.ContactGraph = {
+    val pairs = colocationPairs(spark, sfDir) // outside the lock — see bpeLearned
     model(spark, sfDir, "contact_graph") {
-      SpatialOps.contactGraph(colocationPairs(spark, sfDir), persist)
+      SpatialOps.contactGraph(pairs, persist)
     }
+  }
 
   /** The level-1 Louvain label table over [[colocationPairs]] — the
     * expensive 4-round gain pass, shared by the stats gate, the
@@ -235,11 +237,15 @@ object Pipeline {
     * rationale as the meeting table: one partition per snapshot, many
     * diagnostics reading it).
     */
-  def louvainLabels(spark: SparkSession, sfDir: String): DataFrame =
+  def louvainLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    // both dependencies outside the cache lock — see bpeLearned (the
+    // contactGraph call takes the modelCache lock)
+    val pairs = colocationPairs(spark, sfDir)
+    val graph = contactGraph(spark, sfDir)
     memo(spark, sfDir, "louvain_l1") {
-      persist(SpatialOps.louvainLabels(colocationPairs(spark, sfDir), rounds = 4,
-        graph = Some(contactGraph(spark, sfDir))))
+      persist(SpatialOps.louvainLabels(pairs, rounds = 4, graph = Some(graph)))
     }
+  }
 
   def tours(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "tours") {
@@ -284,21 +290,33 @@ object Pipeline {
   /** The merge table as the driver-side (lhs, rhs) sequence in merge
     * order — the broadcastable form every encode/export kernel takes.
     */
-  def bpeLearned(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+  def bpeLearned(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    // materialize the dependency OUTSIDE the memo lock (the spGen/tplGen
+    // pattern): a build body that takes the OTHER cache's lock is a lock-
+    // order inversion — bpeTokenCounts (cache→modelCache) racing bpeLearned
+    // /contactGraph (modelCache→cache) could deadlock Verify's parallel
+    // gate phase whenever the warm pass was skipped (r15 ADVICE.md)
+    val merges = bpeMerges(spark, sfDir)
     model(spark, sfDir, "bpe_learned") {
-      bpeMerges(spark, sfDir).select(col("step"), col("lhs"), col("rhs")).collect()
+      merges.select(col("step"), col("lhs"), col("rhs")).collect()
         .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     }
+  }
 
   /** Per-document token counts under the learned table ([[bpeLearned]]),
     * tokenized once per snapshot: read by bpe_encode, the fairness card
     * and the BPE-budgeted packer.
     */
-  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    // outside the cache lock — see bpeLearned (lock-order inversion fix);
+    // also keeps the eager ~26-job BPE training from serializing every
+    // other memo access behind the cache lock
+    val learned = bpeLearned(spark, sfDir)
     memo(spark, sfDir, "bpe_token_counts") {
       persist(TextAnalysis.bpeEncode(
-        spark.read.parquet(s"$sfDir/documents.parquet"), bpeLearned(spark, sfDir)))
+        spark.read.parquet(s"$sfDir/documents.parquet"), learned))
     }
+  }
 
   /** DSIR hashed-bigram log-ratio weights vs the English slice (dim 256)
     * — the join-form and scan-form importance gates score with the SAME

@@ -31,11 +31,21 @@ import org.apache.spark.sql.types._
   *     the result is struct(null, lowest such id) — the exact `least`
   *     behavior (structs themselves are never null, so `least` skips
   *     nothing).
+  *
+  * MIXED-LENGTH CODEBOOKS ARE OUT OF CONTRACT (enforced below): with one
+  * shared centroid length, an input either matches every centroid or none,
+  * so the mismatch-null path can never mask a later centroid's ANSI
+  * overflow the way it could on a ragged codebook (compute() short-
+  * circuits once a mismatch is seen; the composed chain would keep
+  * evaluating and throw — r15 ADVICE.md). Every trainer already produces
+  * rectangular codebooks ([[graft.operators.Ann.pqTrainCore]] requires it).
   */
 case class ArgminQuantizedL2(child: Expression, cents: Array[Array[Long]])
   extends UnaryExpression {
 
   require(cents.nonEmpty, "argmin needs at least one centroid")
+  require(cents.forall(_.length == cents(0).length),
+    "argmin codebook must be rectangular (mixed centroid lengths are out of contract)")
 
   override def dataType: DataType = StructType(Seq(
     StructField("d", LongType, nullable = true),

@@ -42,9 +42,18 @@ object Replay {
     // replay gate. Production replaces the whole checkpoint location
     // with a durable store; the state-transition semantics certified by
     // the gates are byte-identical either way (oracle-rechecked).
+    // Capacity-gated (r15 ADVICE.md): a small tmpfs (Docker's default
+    // /dev/shm is 64 MB) can ENOSPC mid-replay on the offset/commit/state
+    // files, failing gates that worked on the disk-backed tmpdir. A replay
+    // writes a few MB; require comfortable headroom before electing tmpfs,
+    // and allow an env opt-out for constrained hosts.
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix).toString
+    val shmUsable =
+      !sys.env.get("SPARK_GRAFT_REPLAY_NO_SHM").exists(_.nonEmpty) &&
+        Files.isDirectory(shm) && Files.isWritable(shm) &&
+        (try Files.getFileStore(shm).getUsableSpace >= 256L * 1024 * 1024
+         catch { case _: java.io.IOException => false })
+    if (shmUsable) Files.createTempDirectory(shm, prefix).toString
     else Files.createTempDirectory(prefix).toString
   }
 

@@ -82,6 +82,16 @@ class ArgminExpressionSpec extends SparkSpec {
     intercept[Exception](df.select(native(big, col("q")).as("n")).collect())
   }
 
+  test("ragged codebooks are rejected at construction (out of contract)") {
+    // on a ragged codebook the kernel's mismatch short-circuit could mask
+    // a later centroid's ANSI overflow that the composed chain would
+    // throw on — the contract requires rectangular codebooks instead
+    intercept[IllegalArgumentException] {
+      ArgminQuantizedL2(ColumnShim.expression(col("q")),
+        Array(Array(1L, 2L, 3L), Array(1L, 2L)))
+    }
+  }
+
   test("large in-range values match exactly near the overflow boundary") {
     val big = Array(Array(1000000000L, -1000000000L), Array(0L, 0L))
     val df = Seq(Tuple1(Seq(-1000000000L, 1000000000L))).toDF("q")

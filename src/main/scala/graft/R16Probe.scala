@@ -32,6 +32,26 @@ object R16Probe {
       Pipeline.reset()
       mode match {
         case "dedup" => dedupStages(spark, dir)
+        case "dedup2" => dedupStagesNew(spark, dir)
+        case "dedup3" =>
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          t("substringPairs share=localCheckpoint")(force(
+            operators.Dedup.substringPairs(docs, 40, 100, share = _.localCheckpoint(false))))
+          t("substringPairs share=identity")(force(
+            operators.Dedup.substringPairs(docs, 40, 100)))
+          t("substringPairs share=eager ckpt")(force(
+            operators.Dedup.substringPairs(docs, 40, 100, share = _.localCheckpoint(true))))
+          t("substringPairs share=identity (again)")(force(
+            operators.Dedup.substringPairs(docs, 40, 100)))
+        case "dedupplan" =>
+          // full-tree formatted plans (share = identity, so no
+          // checkpoint truncates the view): the committed
+          // plans/r16/dedup_substring_fullplan_{before,after}.txt
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          println("=== BEFORE (r15 shape, reconstructed verbatim) ===")
+          dedupOldShape(docs).explain("formatted")
+          println("=== AFTER (rolling-hash prefilter + repartitioned scan) ===")
+          operators.Dedup.substringPairs(docs, 40, 100).explain("formatted")
         case "colo" => coloStages(spark, dir)
         case "classifier" => classifierStages(spark, dir)
         case other => sys.error(s"unknown probe mode '$other'")
@@ -62,6 +82,73 @@ object R16Probe {
     val cand = grams.join(hot, Seq("_h"))
       .select(col("doc_id"), col("gram")).distinct().localCheckpoint(false)
     t("cand join+distinct+checkpoint")(force(cand))
+    val pairable = cand.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("gram"))
+    val kept = cand.join(pairable, Seq("gram")).localCheckpoint(false)
+    t("pairable+kept checkpoint")(force(kept))
+    val out = kept.select(col("gram"), col("doc_id").as("_a"))
+      .join(kept.select(col("gram"), col("doc_id").as("_b")), Seq("gram"))
+      .filter(col("_a") < col("_b"))
+      .groupBy(col("_a").as("doc_id_1"), col("_b").as("doc_id_2"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+    t("self-join+pair agg")(force(out))
+    t("TOTAL (operator as shipped)")(force(
+      operators.Dedup.substringPairs(docs, minLen = 40, maxDf = 100,
+        share = _.localCheckpoint(false))))
+  }
+
+  /** The r15 substringPairs pipeline, verbatim (identity share), for
+    * the before-plan dump and stage timing.
+    */
+  private def dedupOldShape(docs: DataFrame): DataFrame = {
+    val minLen = 40
+    val maxDf = 100
+    val grams = docs
+      .select(col("doc_id"), col("text").as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(_t) - ${minLen - 1}), i -> substring(_t, i, $minLen))"))
+        .as("gram"))
+      .withColumn("_h", xxhash64(col("gram")))
+    val hot = grams.groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
+      .filter(col("_hdf") >= 2).select(col("_h"))
+    val cand = grams.join(hot, Seq("_h"))
+      .select(col("doc_id"), col("gram")).distinct()
+    val pairable = cand.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("gram"))
+    val kept = cand.join(pairable, Seq("gram"))
+    kept.select(col("gram"), col("doc_id").as("_a"))
+      .join(kept.select(col("gram"), col("doc_id").as("_b")), Seq("gram"))
+      .filter(col("_a") < col("_b"))
+      .groupBy(col("_a").as("doc_id_1"), col("_b").as("doc_id_2"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+  }
+
+  /** The REWRITTEN substringPairs stages (rolling-hash prefilter). */
+  private def dedupStagesNew(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val minLen = 40
+    val maxDf = 100
+    def gh(t: org.apache.spark.sql.Column) = ColumnShim.column(
+      graft.plans.CharGramHashes(ColumnShim.expression(t), minLen))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.select(col("doc_id"), col("text").as("_t"))
+      .filter(length(col("_t")) >= minLen)
+    t("hash explode only (noop)")(force(base.select(explode(gh(col("_t"))).as("_h"))))
+    val hot = base.select(explode(gh(col("_t"))).as("_h"))
+      .groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
+      .filter(col("_hdf") >= 2).select(col("_h"))
+    t("hot rolling-hash prefilter (count)")(println(s"[probe]   hot=${hot.count()}"))
+    val cand = base
+      .select(col("doc_id"), col("_t"), posexplode(gh(col("_t"))).as(Seq("_i", "_h")))
+      .join(hot, Seq("_h"))
+      .select(col("doc_id"), expr(s"substring(_t, _i + 1, $minLen)").as("gram"))
+      .distinct().localCheckpoint(false)
+    t("cand posexplode+join+distinct+ckpt")(force(cand))
     val pairable = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)

@@ -661,31 +661,58 @@ object Dedup {
   def substringPairs(docs: DataFrame, minLen: Int = 40, maxDf: Int = 100,
                      idCol: String = "doc_id", textCol: String = "text",
                      share: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    substringPairsWithPrefilter(docs, minLen, maxDf, idCol, textCol, share,
+      t => ColumnShim.column(
+        graft.plans.CharGramHashes(ColumnShim.expression(t), minLen)))
+  }
+
+  /** [[substringPairs]] with an injectable prefilter hash — the spec
+    * passes a deliberately COLLIDING hash here to pin that collisions
+    * only admit extra candidates and never change the output (every
+    * downstream decision re-checks the raw string).
+    */
+  private[graft] def substringPairsWithPrefilter(
+      docs: DataFrame, minLen: Int, maxDf: Int, idCol: String, textCol: String,
+      share: DataFrame => DataFrame, gramHashes: Column => Column): DataFrame = {
     require(minLen >= 2 && maxDf >= 2, "minLen/maxDf must be sensible")
-    // the gram table feeds the hash-df build and the candidate probe —
-    // `share` it rather than re-run the substring explode per consumer.
-    // xxhash64, not the portable md5-h60: the prefilter never crosses
-    // an engine boundary (the oracle caps on raw strings), so the
-    // codegen'd native hash is free to win
-    val grams = share(docs
+    // deterministic doc_id hash repartition straight off the scan: the
+    // corpus ships as single-row-group parquet, so the scan stage is ONE
+    // task and the ~minLen× gram expansion below would run single-core
+    // (guide §2.5 "unsplittable input — repartition immediately after
+    // the read"; the r16 probe measured the single-task explode+agg as
+    // this gate's dominant stage). The shuffle moves 1× text once so the
+    // expansion runs at full width; both hash passes share the one
+    // exchange (ReuseExchange — identical subplans), and the gram rows
+    // themselves never shuffle (they die in the partial agg).
+    val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(_t) - ${minLen - 1}), i -> substring(_t, i, $minLen))"))
-        .as("gram"))
-      .withColumn("_h", xxhash64(col("gram"))))
-    // occurrence-count >= 2 prefilter on the 8-byte hash — a PROVABLE
-    // superset (string-equal ⇒ hash-equal, so a gram in ≥ 2 docs always
-    // has hash-count ≥ 2; within-doc repeats only widen the filter).
-    // The unique-gram MAJORITY dies here having moved only an 8-byte
-    // hash through the map-side-combined groupBy; per-doc distinct and
-    // the exact raw-string [2, maxDf] cap run on the tiny survivor
-    // set, so hash collisions can only admit extra candidates, never
-    // change the output
-    val hot = grams.groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
+      .repartition(col("doc_id"))
+    // occurrence-count >= 2 prefilter on a rolling 8-byte gram hash
+    // ([[graft.plans.CharGramHashes]], one O(len) scan-stage pass) — a
+    // PROVABLE superset (string-equal ⇒ hash-equal, so a gram in ≥ 2
+    // docs always has hash-count ≥ 2; within-doc repeats only widen the
+    // filter). The unique-gram MAJORITY dies here WITHOUT a substring
+    // ever being materialized for it (the per-position substring explode
+    // was ~40× the text volume in transient allocation and, checkpointed,
+    // the gate's dominant stage — r16 probe); per-doc distinct and the
+    // exact raw-string [2, maxDf] cap run on the tiny survivor set, so
+    // hash collisions can only admit extra candidates, never change the
+    // output
+    val hot = base.select(explode(gramHashes(col("_t"))).as("_h"))
+      .groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
       .filter(col("_hdf") >= 2).select(col("_h"))
-    val cand = share(grams.join(hot, Seq("_h"))
-      .select(col("doc_id"), col("gram")).distinct())
+    // re-derive positions in a second cheap hash pass and cut the
+    // non-survivors BEFORE the substring projection: Generate → hot
+    // semi-probe → substring fuse into one codegen stage, so raw gram
+    // strings exist only for hot positions
+    val cand = share(base
+      .select(col("doc_id"), col("_t"),
+        posexplode(gramHashes(col("_t"))).as(Seq("_i", "_h")))
+      .join(hot, Seq("_h"))
+      .select(col("doc_id"), expr(s"substring(_t, _i + 1, $minLen)").as("gram"))
+      .distinct())
     val pairable = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)

@@ -434,3 +434,77 @@ object WinnowFingerprints {
     new GenericArrayData(out)
   }
 }
+
+/** Rolling 64-bit hashes of every `n`-code-point character gram of a
+  * text, as one codegen'd O(len) pass — the PREFILTER key of
+  * [[graft.operators.Dedup.substringPairs]], replacing the per-position
+  * `substring(t, i, n)` explode (an O(n) copy per position, ~40× the
+  * text volume in transient allocation, which the r16 probe measured as
+  * the gate's dominant stage) for the unique-gram majority that never
+  * survives the occurrence-count filter.
+  *
+  * hash(i) = Σ_{k=0..n-1} cp(i+k) · B^(n-1-k) in wrapping 64-bit
+  * arithmetic (B a fixed odd multiplier), computed left-to-right then
+  * rolled. Windows are CODE POINTS, matching `length()`/`substring()`
+  * SQL semantics, so equal substring-grams always collide — the filter
+  * is a provable superset — while unequal grams collide only accidentally
+  * and a collision can only ADMIT an extra candidate, never drop one:
+  * every downstream decision re-checks the raw string. The hash never
+  * crosses an engine boundary (the oracle caps on raw strings), so it
+  * needs no portability contract.
+  *
+  * Returns array<long> of length max(0, len − n + 1); null input → null.
+  */
+case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"char_gram_hashes expects a string column, got ${child.dataType.simpleString}")
+    else if (n < 2)
+      TypeCheckResult.TypeCheckFailure(s"char_gram_hashes n must be >= 2, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharGramHashes.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CharGramHashes.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_gram_hashes"
+}
+
+object CharGramHashes {
+
+  /** Odd (hence invertible mod 2^64) golden-ratio multiplier. */
+  private val B = 0x9E3779B97F4A7C15L
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val count = cps.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    var bn = 1L
+    var j = 0
+    while (j < n) { bn *= B; j += 1 } // B^n
+    val out = new Array[Long](count)
+    var h = 0L
+    j = 0
+    while (j < n) { h = h * B + cps(j); j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < count) {
+      h = h * B + cps(i + n - 1) - bn * cps(i - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -53,6 +53,33 @@ object R16Probe {
           println("=== AFTER (rolling-hash prefilter + repartitioned scan) ===")
           operators.Dedup.substringPairs(docs, 40, 100).explain("formatted")
         case "colo" => coloStages(spark, dir)
+        case "colojoin" =>
+          val iv = graft.sources.EventsAdapter.intervals(spark, dir)
+          val m = operators.SpatialOps.colocationMeetings(iv, 10000L, 120.0)
+          t("meetings join as shipped (noop)")(force(m))
+          val prev = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+          spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+          t("meetings join SHJ-preferred (noop)")(force(
+            operators.SpatialOps.colocationMeetings(iv, 10000L, 120.0)))
+          spark.conf.set("spark.sql.join.preferSortMergeJoin", prev)
+          t("meetings join as shipped again (noop)")(force(m))
+        case "coloskew" =>
+          // candidate-volume skew per (cx, cy, band) join key: n_a*n_b is
+          // the reduce-side pair work AQE cannot see (it splits on input)
+          val iv = graft.sources.EventsAdapter.intervals(spark, dir)
+          val bandUs = (120.0 * 60e6).toLong
+          def cell(c: org.apache.spark.sql.Column) =
+            floor(floor(c * 1e6 + lit(0.5)).cast("long").cast("double") / 10000.0).cast("long")
+          val keyed = iv.select(cell(col("lon")).as("cx"), cell(col("lat")).as("cy"),
+            explode(sequence(
+              floor(col("s_us") / lit(bandUs.toDouble)).cast("long"),
+              floor(greatest(col("f_us") - 1, col("s_us")) / lit(bandUs.toDouble)).cast("long")))
+              .as("band"))
+          val g = keyed.groupBy("cx", "cy", "band").agg(count(lit(1)).as("n"))
+            .select(col("n"), (col("n") * col("n")).as("n2"))
+          g.agg(sum(col("n2")).as("total_pairwork"), max(col("n2")).as("max_key_pairwork"),
+            count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows")).show(false)
+          g.orderBy(col("n2").desc).show(10, false)
         case "classifier" => classifierStages(spark, dir)
         case other => sys.error(s"unknown probe mode '$other'")
       }

@@ -95,22 +95,31 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(stepDiv >= 1, s"stepDiv must be >= 1, got $stepDiv")
 
-    val spark = docs.sparkSession
     val x = share(features(docs, dim, col(labelCol).cast(LongType), idCol, textCol))
     val w = Array.fill(dim + 1)(0L)
 
+    // weights as a PLAN LITERAL looked up per row (dim+1 longs —
+    // driver-sized by the require above) and the per-doc margin as a
+    // doc-keyed window over the feature rows: one exchange and ONE pass
+    // over x per iteration, where the previous shape paid a broadcast
+    // weight-table build, a margin groupBy, a second broadcast build of
+    // the per-doc errors, and a second x scan for the join-back
+    // (~0.4-0.5 s/iteration of stage latency at gate scale, the r16
+    // probe's finding; the arithmetic is unchanged long sums, so every
+    // iteration stays bit-identical to the unrolled SQL oracle).
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
     for (_ <- 1 to iters) {
-      import spark.implicits._
-      val wDf = w.toIndexedSeq.zipWithIndex
-        .map { case (v, b) => (b.toLong, v) }.toDF("_b", "_w")
+      val wLit = typedLit(w.toIndexedSeq)
       // per-doc 1/S margin, then hard-sigmoid error e = p − y·4S in
-      // 1/(4S) units, e ∈ [−4S, 4S] — add/clamp/multiply only
-      val e = x.join(broadcast(wDf), Seq("_b"))
-        .groupBy(col("_id"))
-        .agg(sum(col("_x") * col("_w")).as("_z"), max(col("_y")).as("_yy"))
-        .select(col("_id"), (pQ(col("_z")) - col("_yy") * lit(PS)).as("_e"))
+      // 1/(4S) units, e ∈ [−4S, 4S] — add/clamp/multiply only.
+      // element_at is 1-based and _b ∈ [0, dim] by construction, so the
+      // lookup can never be out of bounds (ANSI-safe)
+      val e = x
+        .withColumn("_z",
+          sum(col("_x") * element_at(wLit, (col("_b") + 1).cast("int"))).over(byDoc))
+        .withColumn("_e", (pQ(col("_z")) - col("_y") * lit(PS)).as("_e"))
       // bucket gradients Σ e·x — exact long sums, ≤ dim+1 rows collect
-      val grad = x.join(e, Seq("_id"))
+      val grad = e
         .groupBy(col("_b"))
         .agg(sum(col("_x") * col("_e")).as("_g"))
         .collect()
@@ -144,14 +153,12 @@ object Classifier {
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(weights.length == dim + 1,
       s"weights length ${weights.length} != dim+1 = ${dim + 1}")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wDf = weights.toIndexedSeq.zipWithIndex
-      .map { case (v, b) => (b.toLong, v) }.toDF("_b", "_w")
+    // weight lookup as a plan literal (see fit) — same long sums, no
+    // broadcast table build per scoring query
+    val wLit = typedLit(weights.toIndexedSeq)
     features(docs, dim, lit(0L), idCol, textCol)
-      .join(broadcast(wDf), Seq("_b"))
       .groupBy(col("_id"))
-      .agg(sum(col("_x") * col("_w")).as("z"))
+      .agg(sum(col("_x") * element_at(wLit, (col("_b") + 1).cast("int"))).as("z"))
       .select(col("_id").as(idCol), col("z"), pQ(col("z")).as("p_q"),
         (pQ(col("z")) >= lit(PS / 2)).cast(LongType).as("pred"))
   }

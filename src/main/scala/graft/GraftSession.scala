@@ -42,6 +42,18 @@ object GraftSession {
       // inputs, so dropping the rule is semantics-preserving.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Generated-class cache (static conf, default 100 entries): a
+      // session that plans many distinct queries back to back evicts
+      // every fragment long before it is needed again — this suite
+      // compiles ~320 gates x several WholeStageCodegen fragments per
+      // bench repetition, so at the default size each repetition re-pays
+      // janino compilation for the whole suite. 4096 keeps every
+      // fragment live at bounded metaspace cost (generated classes
+      // unload with their loaders). Scale-neutral: the entry count is an
+      // upper bound, not a reservation, and production jobs with few
+      // distinct plans are unaffected. Env knob for A/B measurement.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {
